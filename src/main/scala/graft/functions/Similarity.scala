@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - brute-force top-k: broadcast the (small) query set against the
+  *     corpus — one scan, no shuffle of the corpus, exact. Right answer
+  *     when |queries| is small, corpus is huge (the 100 TB shape).
+  *   - LSH-bucketed (random hyperplane signs): corpus and queries are
+  *     bucketed by a B-bit signature; only same-bucket pairs are scored.
+  *     Approximate, but candidate generation is an equi-join that scales
+  *     like dedup LSH. Multi-probe = also search buckets at Hamming
+  *     distance 1 from the query's signature.
+  *
+  * Dot products use `zip_with` + `aggregate` (codegen'd, no UDF). Vectors
+  * are cast to double before arithmetic so results are stable and
+  * oracle-comparable.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine when both sides carry a precomputed `norm` column — the pairwise
+    * work drops from three array folds to one. The arithmetic (sequential
+    * left-fold dot, then divide by the norm product) is IDENTICAL to
+    * `cosine`, so results stay bit-for-bit comparable with the SQL oracle. */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small — it is broadcast, so the corpus is
+    * scanned once with NO shuffle before the final top-k aggregation.
+    * Output: (query_id, rank, neighbor_id, sim) — ties broken by id. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val c = corpus.withColumn("_cn", norm(col(corpusVec)))
+    val q = queries.withColumn("_qn", norm(col(queryVec)))
+    val scored = c.join(broadcast(q))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),
+        col("_cn"), col("_qn")))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).alias("query_id"), col("rank"),
+        col(corpusId).alias("neighbor_id"), round(col("sim"), 6).alias("sim"))
+  }
+
+  /** Random-hyperplane signature: B sign bits packed into a long. The
+    * hyperplanes are deterministic pseudo-random unit-free vectors derived
+    * from xxhash64(dimension, plane) — no RNG state, reproducible across
+    * runs/executors. */
+  def rhpSignature(vec: Column, bits: Int, dim: Int): Column = {
+    val planes: Seq[Column] = (0 until bits).map { p =>
+      // plane p, component d in {-1,+1} from a hash of (p, d)
+      val comps = (0 until dim).map { d =>
+        val h = ((p.toLong * 1125899906842597L + d * 2654435761L) ^ 0x9E3779B97F4A7C15L)
+        if (java.lang.Long.bitCount(h & 0xFFFFFFL) % 2 == 0) 1.0 else -1.0
+      }
+      val planeArr = array(comps.map(lit): _*)
+      when(dot(vec, planeArr) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: score only same-signature pairs (single-probe).
+    * Returns candidates scored + ranked per query; recall < 1 by design —
+    * verify against bruteForceTopK on samples. */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, bits: Int, dim: Int): DataFrame = {
+    val c = corpus.withColumn("bucket", rhpSignature(col(corpusVec), bits, dim))
+      .withColumn("_cn", norm(col(corpusVec)))
+    val q = queries.withColumn("bucket", rhpSignature(col(queryVec), bits, dim))
+      .withColumn("_qn", norm(col(queryVec)))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),
+        col("_cn"), col("_qn")))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).alias("query_id"), col("rank"),
+        col(corpusId).alias("neighbor_id"), round(col("sim"), 6).alias("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
+    * the RHP bucket join (docs whose signatures match exactly). */
+  def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int, dim: Int): DataFrame = {
+    val withBucket = corpus
+      .select(col(idCol).alias("id"), col(vecCol).alias("v"))
+      .withColumn("bucket", rhpSignature(col("v"), bits, dim))
+      .withColumn("n", norm(col("v")))
+    val a = withBucket.select(col("bucket"), col("id").alias("id_a"),
+      col("v").alias("v_a"), col("n").alias("n_a"))
+    val b = withBucket.select(col("bucket"), col("id").alias("id_b"),
+      col("v").alias("v_b"), col("n").alias("n_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).alias("sim"))
+      .distinct()
+  }
+
+  /** Exact (non-LSH) near-duplicate pairs for small corpora / oracle
+    * verification: inverted-index-free full pair scoring via a self-join;
+    * O(n²) — only for validation at small SF, never the scale path. */
+  def exactDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val normed = corpus.withColumn("_n", norm(col(vecCol)))
+    val a = normed.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"),
+      col("_n").alias("n_a"))
+    val b = normed.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"),
+      col("_n").alias("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).alias("sim"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst built-ins (no UDFs), so these
+  * run inside WholeStageCodegen and scale linearly with input splits — no
+  * driver round-trips, no Python workers.
+  *
+  * Cross-engine determinism note: fingerprints that must be verifiable by an
+  * external SQL oracle use `md5` (bit-identical everywhere); Spark-internal
+  * hashing (MinHash etc.) uses `xxhash64` (faster, long-typed).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased, trimmed text. Empty/blank text →
+    * empty array (split would yield [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric symbols — a cheap proxy for tokenizer load. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Small multilingual stopword lists for the language-ID heuristic.
+    * Public common function words; intentionally tiny — language ID at
+    * pipeline scale is a heuristic gate, not a classifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un", "una", "por"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "就"))
+
+  /** Per-language stopword-hit score: |tokens ∩ stopwords(lang)| /
+    * |tokens|, counting repeats. */
+  def stopwordRatio(toks: Column, lang: String = "en"): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(sw, t)))
+    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Language-ID by argmax of stopword-hit counts, deterministic tie-break
+    * by language code; "und" when no stopword hits at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.keys.toSeq.sorted.map { lang =>
+      val sw = array(stopwords(lang).map(lit): _*)
+      struct(size(filter(toks, t => array_contains(sw, t))).alias("score"),
+             lit(lang).alias("lang"))
+    }
+    // max_by over the struct array: highest score, then LOWEST lang code —
+    // invert lang ordering inside the comparison via array_max on
+    // (score, reversed-rank) pairs. Simpler: reduce with explicit compare.
+    val best = scored.reduce { (a, b) =>
+      when(b("score") > a("score"), b).otherwise(a)
+    }
+    when(best("score") === 0, lit("und")).otherwise(best("lang"))
+  }
+
+  /** Quality-score feature columns (length, alpha/punct/space ratios,
+    * word stats). Compose into a gate like
+    * `quality.filter($"alpha_ratio" > 0.8 && $"n_tokens" > 50)`. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val n = length(text)
+    val toks = tokens(text)
+    val safeN = when(n === 0, 1).otherwise(n).cast("double")
+    Seq(
+      "n_chars_q"    -> n.cast("long"),
+      "n_tokens"     -> size(toks).cast("long"),
+      "alpha_ratio"  -> (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / safeN),
+      "digit_ratio"  -> (length(regexp_replace(text, "[^0-9]", "")).cast("double") / safeN),
+      "punct_ratio"  -> (length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / safeN),
+      "space_ratio"  -> (length(regexp_replace(text, "[^ ]", "")).cast("double") / safeN),
+      "avg_word_len" -> when(size(toks) === 0, 0.0)
+        .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)),
+      "stopword_ratio_en" -> stopwordRatio(toks, "en"))
+  }
+
+  /** Order-insensitive document fingerprint: md5 of the sorted distinct
+    * token bag. md5 (not xxhash64) so any SQL engine can recompute it. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Content fingerprint for exact dedup: md5 of the
+    * whitespace-normalized text. */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Word n-gram shingles (distinct, for Jaccard / MinHash). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), count),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Character n-gram shingles (distinct) — robust to tokenization noise;
+    * used where the oracle needs an easily SQL-expressible shingle. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    val count = length(t) - (n - 1)
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), count), i => t.substr(i, lit(n)))))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming surface. The reference is batch-only (its
+  * "incremental" story is a run-level timestamp gate — SURVEY.md §2.5 W7),
+  * so this is a beyond-parity extension: the same windowed aggregation
+  * logic is expressed once and runs in both batch and streaming mode.
+  *
+  * Scale notes: the streaming plan is a standard watermark + tumbling
+  * window — state is bounded by (watermark horizon × keys); shuffle
+  * partitioning on (window, event_type) distributes state across
+  * executors.
+  */
+object EventStream {
+
+  /** Parquet INT64 TIMESTAMP(NANOS) columns aren't a Spark type; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` they read as long
+    * nanoseconds. This shim restores a proper TimestampType (micros) `ts`
+    * so all window/watermark logic is type-correct. No-op when `ts` is
+    * already a timestamp. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 53-bit
+      // mantissa, so fp division loses microseconds
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case _ => df
+  }
+
+  /** Tumbling-window aggregation, usable on a batch OR streaming frame.
+    * `exactDistinct` (batch only — streaming can't do exact distinct without
+    * state explosion) swaps the HLL sketch for `count_distinct`; the batch
+    * path also sums an exact decimal so results are independent of
+    * partitioning/accumulation order (fp-sum order-sensitivity would break
+    * differential testing and idempotent re-runs). */
+  def windowedAgg(events: DataFrame, windowLen: String,
+                  exactDistinct: Boolean = false): DataFrame = {
+    val users =
+      if (exactDistinct) count_distinct(col("user_id")).alias("n_users")
+      else approx_count_distinct(col("user_id")).alias("n_users")
+    events
+      .groupBy(window(col("ts"), windowLen).alias("w"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"),
+        sum(col("value")).alias("sum_value"), users)
+      .select(col("w.start").alias("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("n_users"))
+  }
+
+  /** Run the windowed aggregation as a real streaming query over a parquet
+    * directory (file source, one-shot drain) into an in-memory sink, and
+    * return the materialized result. Used by tests to prove the streaming
+    * path; production would aim `writeStream` at a real sink. */
+  def runStreaming(spark: SparkSession, dir: String, glob: String,
+                   schema: StructType, windowLen: String, watermark: String,
+                   queryName: String = "graft_stream"): DataFrame = {
+    // file stream source wants a directory; glob-filter selects the table
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir))
+    val agg = windowedAgg(stream.withWatermark("ts", watermark), windowLen)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Sessionization (batch): gap-based sessions per user — a capability
+    * the reference lacks entirely; standard Spark window pattern. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // gap arithmetic in exact integer microseconds (cast-to-long would
+    // truncate to seconds and mis-classify sub-second boundary gaps)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            gapMinutes * 60L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).alias("session_start"),
+        max(col("ts")).alias("session_end"),
+        count(lit(1)).alias("n_events"),
+        sum(col("value")).alias("sum_value"))
+  }
+}
