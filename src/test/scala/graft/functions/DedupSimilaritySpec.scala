@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def corpus = Seq(
+    (1L, base),
+    (2L, base),                              // exact dup of 1
+    (3L, base + " extra"),                   // near dup of 1/2
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exactGroups: identical normalized docs share a group") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text")
+      .filter($"group_size" > 1).collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Seq[Long]]("member_ids") === Seq(1L, 2L))
+    assert(g(0).getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash+LSH recovers the exact and near dup pairs, not the distinct doc") {
+    val sh = corpus.select($"doc_id",
+      TextFunctions.wordShingles($"text", 3).as("sh"))
+    val sigs = sh.select($"doc_id", Dedup.minhashSignature($"sh", 64).as("sig"))
+      .filter($"sig".isNotNull)
+    val pairs = Dedup.lshCandidates(
+      Dedup.lshBands(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+      "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature of identical shingle sets is identical") {
+    val sh = corpus.filter($"doc_id" <= 2).select($"doc_id",
+      Dedup.minhashSignature(TextFunctions.wordShingles($"text", 3), 32).as("sig"))
+    val sigs = sh.collect().map(_.getSeq[Long](1))
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("ngramJaccardPairs: exact dup scores 1.0, near dup in (0,1)") {
+    val sh = corpus.select($"doc_id",
+      TextFunctions.wordShingles($"text", 3).as("sh"))
+    val pairs = Dedup.ngramJaccardPairs(sh, "doc_id", "sh", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical docs have distance 0, near dup small, distinct large") {
+    val fp = corpus.select($"doc_id",
+      Dedup.simhash(TextFunctions.tokens($"text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(2L)) === 0)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 12)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 12)
+  }
+
+  test("bruteForceTopK: nearest neighbor is the closest vector, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.select($"vec_id".as("nid"), $"embedding".as("nv")), "nid", "nv",
+      vecs.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv")), "qid", "qv", k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+    assert(top(0).getAs[Double]("sim") > 0.99)
+  }
+
+  test("embedding dup pairs: threshold keeps only near-identical vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.01f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.exactDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

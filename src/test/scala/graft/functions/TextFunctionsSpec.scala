@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("tokens: empty and blank text yield empty arrays, not [\"\"]") {
+    val r = Seq("", "   ", "Hello  World").toDF("text")
+      .select(TextFunctions.tokens($"text").as("t")).collect()
+    assert(r(0).getSeq[String](0) === Seq.empty)
+    assert(r(1).getSeq[String](0) === Seq.empty)
+    assert(r(2).getSeq[String](0) === Seq("hello", "world"))
+  }
+
+  test("bpeish token count splits letter runs, digit runs, symbols") {
+    val r = one("abc123!x y").select(
+      TextFunctions.bpeishTokenCount($"text")).collect()(0).getInt(0)
+    // abc | 123 | ! | x | y
+    assert(r === 5)
+  }
+
+  test("wordShingles: short text yields empty, distinct shingles") {
+    val df = Seq("a b", "a b c d", "x x x x").toDF("text")
+      .select(TextFunctions.wordShingles($"text", 3).as("s")).collect()
+    assert(df(0).getSeq[String](0) === Seq.empty)
+    assert(df(1).getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(df(2).getSeq[String](0) === Seq("x x x")) // deduped
+  }
+
+  test("langId picks the best stopword match, und when none") {
+    val r = Seq("the cat sat on the mat", "der hund ist nicht zu alt",
+      "zzz qqq www").toDF("text")
+      .select(TextFunctions.langId($"text")).collect().map(_.getString(0))
+    assert(r === Array("en", "de", "und"))
+  }
+
+  test("fingerprints: bag is order-insensitive, content is order-sensitive") {
+    val df = Seq(("b a", "a b")).toDF("x", "y").select(
+      TextFunctions.bagFingerprint($"x").as("bx"),
+      TextFunctions.bagFingerprint($"y").as("by"),
+      TextFunctions.contentFingerprint($"x").as("cx"),
+      TextFunctions.contentFingerprint($"y").as("cy")).collect()(0)
+    assert(df.getString(0) === df.getString(1))
+    assert(df.getString(2) !== df.getString(3))
+  }
+
+  test("quality features: ratios over char length, avg word len") {
+    val feats = TextFunctions.qualityFeatures(col("text"))
+    val r = one("ab 12").select(feats.map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(r.getLong(0) === 5L)                      // n_chars_q
+    assert(r.getLong(1) === 2L)                      // n_tokens
+    assert(math.abs(r.getDouble(2) - 0.4) < 1e-9)    // alpha_ratio
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-9)    // digit_ratio
+    assert(math.abs(r.getDouble(6) - 2.0) < 1e-9)    // avg_word_len
+  }
+}

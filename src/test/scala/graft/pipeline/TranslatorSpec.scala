@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.schema._
+
+/** End-to-end Translator semantics on a tiny in-memory graph:
+  *
+  *   program ← project ← subject ← sample        (child → parent)
+  *
+  * Covers what the DuckDB oracle can't express cleanly: nested
+  * array-of-struct documents (A5) and the collector path over an in-memory
+  * schema, plus zero-fill for childless roots.
+  */
+class TranslatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = GraphSchema(
+    nodes = Seq(
+      NodeDef("program", "program", Map.empty, "admin"),
+      NodeDef("project", "project", Map.empty, "admin"),
+      NodeDef("subject", "subject", Map.empty, "clinical"),
+      NodeDef("sample", "sample", Map.empty, "biospec")),
+    links = Seq(
+      LinkDef("project", "program", "e_pp"),
+      LinkDef("subject", "project", "e_sp"),
+      LinkDef("sample", "subject", "e_ss")))
+
+  // node tables: _label_id + props
+  private def nodes: Map[String, DataFrame] = Map(
+    "program" -> Seq(("prog1", "P1")).toDF("_program_id", "prog_name"),
+    "project" -> Seq(("projA", "Alpha"), ("projB", "Beta"))
+      .toDF("_project_id", "proj_name"),
+    "subject" -> Seq(
+      ("s1", "female", 34L), ("s2", "male", 41L), ("s3", "f", 28L))
+      .toDF("_subject_id", "sex", "age"),
+    "sample" -> Seq(
+      ("m1", "blood", 11L), ("m2", "saliva", 12L), ("m3", "blood", 13L))
+      .toDF("_sample_id", "tissue", "vol"))
+
+  private def edges: Map[(String, String), DataFrame] = Map(
+    ("project", "program") ->
+      Seq(("projA", "prog1"), ("projB", "prog1")).toDF("_project_id", "_program_id"),
+    ("subject", "project") ->
+      Seq(("s1", "projA"), ("s2", "projA"), ("s3", "projB"))
+        .toDF("_subject_id", "_project_id"),
+    // s2 has no samples (zero-fill case); s1 has two
+    ("sample", "subject") ->
+      Seq(("m1", "s1"), ("m2", "s1"), ("m3", "s3")).toDF("_sample_id", "_subject_id"))
+
+  private def source = new GraphSource(nodes(_), (c, p) => edges((c, p)))
+
+  private val subjectMapping = IndexMapping(
+    name = "subject", docType = "subject", root = "subject",
+    props = Seq(
+      PropDef("sex", "sex", valueMappings = Map("f" -> "female", "m" -> "male")),
+      PropDef("age", "age")),
+    parentProps = Seq(ParentChainDef(Seq(
+      PathStep("project", Seq(PropDef("project_name", "proj_name"))),
+      PathStep("program", Seq(PropDef("program_name", "prog_name")))),
+      relation = "1-1")),
+    aggregatedProps = Seq(
+      AggregatedPropDef("sample_count", Seq("sample"), None, "count"),
+      AggregatedPropDef("total_vol", Seq("sample"), Some("vol"), "sum")),
+    nestedProps = Seq(NestedDef(
+      name = "samples", path = Seq("sample"),
+      props = Seq(PropDef("tissue", "tissue"), PropDef("vol", "vol")))))
+
+  test("aggregator: props+recode, parent chain, agg zero-fill, nested docs") {
+    val docs = new Translator(schema, source).translate(subjectMapping)
+      .orderBy("_subject_id").collect()
+
+    val byId = docs.map(r => r.getString(r.fieldIndex("_subject_id")) -> r).toMap
+    val s1 = byId("s1"); val s2 = byId("s2"); val s3 = byId("s3")
+
+    // P2 recode: f → female (already-canonical passes through)
+    assert(s1.getString(s1.fieldIndex("sex")) === "female")
+    assert(s3.getString(s3.fieldIndex("sex")) === "female")
+    // J3 parent chain, 2 hops
+    assert(s1.getString(s1.fieldIndex("project_name")) === "Alpha")
+    assert(s1.getString(s1.fieldIndex("program_name")) === "P1")
+    assert(s3.getString(s3.fieldIndex("project_name")) === "Beta")
+    // A2 + zero-fill: childless s2 gets 0, not null
+    assert(s1.getLong(s1.fieldIndex("sample_count")) === 2L)
+    assert(s2.getLong(s2.fieldIndex("sample_count")) === 0L)
+    assert(s2.getLong(s2.fieldIndex("total_vol")) === 0L)
+    assert(s1.getLong(s1.fieldIndex("total_vol")) === 23L)
+    // A5 nested: array of structs, sorted, childless → null (left join)
+    val nested = s1.getSeq[Row](s1.fieldIndex("samples"))
+    assert(nested.map(_.getString(0)).sorted === Seq("blood", "saliva"))
+    assert(s2.isNullAt(s2.fieldIndex("samples")))
+  }
+
+  test("collector: category leaves unioned with source_node + injected set") {
+    val collectorMapping = IndexMapping(
+      name = "files", docType = "files", root = "subject", kind = "collector",
+      props = Seq(PropDef("age", "age")),
+      injection = Some(InjectionDef("clinical",
+        Map("project" -> Seq(PropDef("project_set", "proj_name"))))))
+    val docs = new Translator(schema, source).translate(collectorMapping)
+    val rows = docs.collect().map { r =>
+      (r.getString(r.fieldIndex("_doc_id")),
+        r.getString(r.fieldIndex("source_node")),
+        r.getSeq[String](r.fieldIndex("project_set")))
+    }.toSet
+    assert(rows === Set(
+      ("s1", "subject", Seq("Alpha")),
+      ("s2", "subject", Seq("Alpha")),
+      ("s3", "subject", Seq("Beta"))))
+  }
+
+  test("runAll resolves joining_props in topological order") {
+    // the producer index must expose the shared join key by name (J4 joins
+    // on shared column names across finished document sets)
+    val projMapping = IndexMapping(
+      name = "project", docType = "project", root = "project",
+      props = Seq(PropDef("project_name", "proj_name"),
+        PropDef("proj_name", "proj_name")))
+    val subjWithJoin = subjectMapping.copy(
+      parentProps = subjectMapping.parentProps,
+      joiningProps = Seq(JoiningDef("project", Seq("project_name"),
+        Seq(PropDef("proj_names", "proj_name", fn = Some("set"))))))
+    val out = Translator.runAll(schema, source,
+      EtlMapping(Seq(subjWithJoin, projMapping)))
+    val s1 = out("subject").filter($"_subject_id" === "s1").collect()(0)
+    assert(s1.getSeq[String](s1.fieldIndex("proj_names")) === Seq("Alpha"))
+  }
+
+  test("joining_props cycles are rejected") {
+    val a = IndexMapping(name = "a", docType = "a", root = "subject",
+      props = Seq(PropDef("age", "age")),
+      joiningProps = Seq(JoiningDef("b", Seq("age"), Nil)))
+    val b = IndexMapping(name = "b", docType = "b", root = "subject",
+      props = Seq(PropDef("age", "age")),
+      joiningProps = Seq(JoiningDef("a", Seq("age"), Nil)))
+    assertThrows[IllegalArgumentException] {
+      Translator.runAll(schema, source, EtlMapping(Seq(a, b)))
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("sessionize splits on gaps > threshold, keeps sub-gap runs together") {
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0),          // session 1
+      (1L, ts(45), 3.0),                            // 35min gap → session 2
+      (2L, ts(5), 5.0))                             // separate user
+      .toDF("user_id", "ts", "value")
+      .withColumn("event_type", lit("click"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val s = EventStream.sessionize(events, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("session_seq")),
+        r.getLong(r.fieldIndex("n_events")))).toSet
+    assert(s === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("sessionize gap boundary: exactly 30min stays, 30min+1us splits") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    val plus30 = Timestamp.valueOf("2024-01-01 00:30:00")
+    val plus30u = new Timestamp(plus30.getTime); plus30u.setNanos(1000)
+    val events = Seq((1L, base, 1.0), (1L, plus30, 1.0), (2L, base, 1.0),
+      (2L, plus30u, 1.0))
+      .toDF("user_id", "ts", "value")
+    val s = EventStream.sessionize(events, gapMinutes = 30)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) === 1L) // exactly 30min → one session
+    assert(s(2L) === 2L) // 30min + 1us → split
+  }
+
+  test("windowed agg buckets to tumbling windows (batch) with exact distinct") {
+    val events = Seq(
+      (1L, ts(5), 1.0), (2L, ts(25), 2.0),          // hour 0 window? min 5/25 → same hour
+      (1L, ts(59, 59), 3.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("event_type", lit("click"))
+    val r = EventStream.windowedAgg(events, "1 hour", exactDistinct = true)
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_events") === 3L)
+    assert(r(0).getAs[Long]("n_users") === 2L)
+  }
+
+  test("streaming path: file-source drain equals batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    val events = Seq(
+      (1L, ts(1), 1.0, "click"), (2L, ts(20), 2.0, "view"),
+      (3L, ts(40), 3.0, "click"))
+      .toDF("user_id", "ts", "value", "event_type")
+    events.write.mode("overwrite").parquet(dir.toString + "/events.parquet")
+    val out = EventStream.runStreaming(spark, dir.toString + "/events.parquet",
+      "*.parquet", events.schema, "30 minutes", "1 hour",
+      queryName = "graft_stream_spec")
+    val batch = EventStream.windowedAgg(events, "30 minutes")
+    assert(out.orderBy("window_start", "event_type").collect().toSeq ===
+      batch.orderBy("window_start", "event_type").collect().toSeq)
+  }
+}
