@@ -171,9 +171,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.wordShingles(col("text"), 3).as("sh"))
-      val sigs = docs.select(col("doc_id"),
-        Dedup.minhashSignature(col("sh"), 64).as("sig"))
-        .filter(col("sig").isNotNull)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh", 64)
       Dedup.lshCandidates(
         Dedup.lshBands(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
         "doc_id")

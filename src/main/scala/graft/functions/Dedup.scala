@@ -31,14 +31,30 @@ object Dedup {
         count(lit(1)).alias("group_size"),
         array_sort(collect_list(col(idCol))).alias("member_ids"))
 
-  /** MinHash signature: k independent hash functions over the shingle set,
-    * each = min over shingles of xxhash64(shingle, seed_i). Returns
-    * array<long> of length k; null-safe for empty shingle sets. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    when(size(shingles) === 0, lit(null))
-      .otherwise(
-        transform(sequence(lit(0), lit(k - 1)),
-          i => array_min(transform(shingles, s => xxhash64(s, i)))))
+  /** MinHash signatures (id, sig:array<long> of length k) for a corpus.
+    *
+    * Formulated as explode → hash-once → 64 codegen'd min-aggregates, NOT as
+    * nested array higher-order functions: HOFs evaluate interpreted (outside
+    * whole-stage codegen) and Catalyst does not share the inner
+    * hash-every-shingle subexpression across the k derivations, so the HOF
+    * version re-hashes every shingle string k times. Here each shingle is
+    * xxhash64'd once, the k functions re-hash that long with the function
+    * index as salt (`xxhash64(h, i)` — ANSI mode forbids the classic
+    * wrapping `a*h+b` family), and map-side partial aggregation collapses
+    * to one row per doc per partition before the shuffle — the shape that
+    * survives a 100 TB corpus.
+    *
+    * Docs with empty shingle sets produce no row (explode drops them). */
+  def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: String,
+                        k: Int): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(col(shingleCol)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("_h"), lit(i))).as(s"_m$i"))
+    hashed.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: signature of length k = bands * rowsPerBand; band j's key
     * is the hash of its slice. Docs sharing ANY band key are candidates.

@@ -22,7 +22,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  /** Double dot product via the native codegen'd expression (registered by
+    * graft.expressions.GraftExtensions — sessions must enable it via
+    * spark.sql.extensions). Bit-identical to `dotHof`. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Built-ins-only fallback (interpreted higher-order functions) — kept for
+    * sessions without the extension and as the differential check for the
+    * native expression. ~50× slower on all-pairs workloads. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -94,23 +94,26 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** Word n-gram shingles (distinct, for Jaccard / MinHash). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), count),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  /** n-gram shingles of an element array via zip-concatenation of shifted
+    * copies of the array. NOT `transform(sequence(...), i => slice(arr, i,
+    * n))`: an outer-scope array referenced inside a lambda is re-evaluated
+    * per element, which turns shingling into O(len²) re-tokenization per
+    * document. Here each shifted copy is evaluated once per row — O(n·len).
+    * Trailing zip positions pair with null padding, null out through
+    * `concat`, and are filtered. */
+  private def shinglesOf(arr: Column, n: Int, sep: String): Column = {
+    val joined = (1 until n).foldLeft(arr) { (acc, j) =>
+      zip_with(acc, slice(arr, lit(j + 1), size(arr)),
+        (a, b) => concat(a, lit(sep), b))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
   }
 
-  /** Character n-gram shingles (distinct) — robust to tokenization noise;
-    * used where the oracle needs an easily SQL-expressible shingle. */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(trim(text))
-    val count = length(t) - (n - 1)
-    when(count <= 0, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), count), i => t.substr(i, lit(n)))))
-  }
+  /** Word n-gram shingles (distinct, for Jaccard / MinHash). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOf(tokens(text), n, " ")
+
+  /** Character n-gram shingles (distinct) — robust to tokenization noise. */
+  def charShingles(text: Column, n: Int): Column =
+    shinglesOf(split(lower(trim(text)), ""), n, "")
 }

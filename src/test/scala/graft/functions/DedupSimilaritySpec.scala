@@ -25,8 +25,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("minhash+LSH recovers the exact and near dup pairs, not the distinct doc") {
     val sh = corpus.select($"doc_id",
       TextFunctions.wordShingles($"text", 3).as("sh"))
-    val sigs = sh.select($"doc_id", Dedup.minhashSignature($"sh", 64).as("sig"))
-      .filter($"sig".isNotNull)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 64)
     val pairs = Dedup.lshCandidates(
       Dedup.lshBands(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
       "doc_id")
@@ -36,11 +35,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("minhash signature of identical shingle sets is identical") {
-    val sh = corpus.filter($"doc_id" <= 2).select($"doc_id",
-      Dedup.minhashSignature(TextFunctions.wordShingles($"text", 3), 32).as("sig"))
-    val sigs = sh.collect().map(_.getSeq[Long](1))
-    assert(sigs(0) === sigs(1))
+  test("minhash signature of identical shingle sets is identical; empty drops") {
+    val sh = corpus.select($"doc_id",
+      TextFunctions.wordShingles($"text", 3).as("sh"))
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(!sigs.contains(5L)) // empty doc has no signature
   }
 
   test("ngramJaccardPairs: exact dup scores 1.0, near dup in (0,1)") {
