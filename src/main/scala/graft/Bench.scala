@@ -13,6 +13,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up pass at the smallest SF: JIT + codegen compilation + file
+    // listing otherwise land entirely on whichever query happens to run
+    // first and distort its measurement
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count() }
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -127,6 +127,24 @@ object SparkEntry {
           ("sum_qty", "sum", col("l_qty_dec"))))
     }),
 
+    // ---- A5: nested array-of-struct documents (rows-only check: struct
+    // hashing isn't stable across engines; semantics covered by
+    // TranslatorSpec goldens) ---------------------------------------------
+    "a5_nested_docs" -> ((s, dir) => {
+      val src = TpchGraph.source(s, dir)
+      val t = new Translator(TpchGraph.schema, src)
+      t.translate(IndexMapping(
+        name = "nation_nested", docType = "nation", root = "nation",
+        props = Seq(PropDef("n_name", "n_name")),
+        nestedProps = Seq(NestedDef(
+          name = "customers", path = Seq("customer"),
+          props = Seq(PropDef("c_name", "c_name"), PropDef("c_acctbal", "c_acctbal")),
+          children = Seq(NestedDef(
+            name = "orders", path = Seq("orders"),
+            props = Seq(PropDef("o_totalprice", "o_totalprice")),
+            filter = Some(FilterLeaf(">", "o_totalprice", 0))))))))
+    }),
+
     // ---- A4: top-1-per-group via max_by(struct) -------------------------
     "a4_sorted_first" -> ((s, dir) =>
       GraphOps.sortedFirst(t(s, dir, "lineitem"), "l_orderkey",
@@ -248,7 +266,11 @@ object SparkEntry {
 
     "events_stream_hourly" -> ((s, dir) =>
       EventStream.runStreaming(s, dir, "events.parquet",
-        t(s, dir, "events").schema, "1 hour", "2 hours")))
+        t(s, dir, "events").schema, "1 hour", "2 hours")),
+
+    "events_stream_sessions" -> ((s, dir) =>
+      EventStream.runStatefulSessions(s, dir, "events.parquet",
+        t(s, dir, "events").schema, gapMinutes = 30)))
 
   private val PricingSql =
     """SELECT l_returnflag, l_linestatus,

@@ -68,6 +68,72 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Per-user running session state for the stateful-streaming path. */
+  final case class UserSessions(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessionCounts(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming sessionization via
+    * `KeyValueGroupedDataset.mapGroupsWithState`: per-user state carries the
+    * last event time and session count across micro-batches; a gap larger
+    * than `gapMinutes` opens a new session. Emits the running per-user
+    * counts each batch (Update mode).
+    *
+    * Scale notes: state is O(users) and partitioned by the grouping key
+    * across executors; per-batch work sorts only that batch's events per
+    * user. The batch `sessionize` stays the right tool for reprocessing —
+    * this is the live-pipeline variant. */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int)
+      : org.apache.spark.sql.Dataset[UserSessionCounts] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserSessions, UserSessionCounts](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Long)],
+         state: GroupState[UserSessions]) =>
+          val sorted = batch.map(_._2).toArray.sorted
+          val prev = state.getOption.getOrElse(UserSessions(Long.MinValue, 0L, 0L))
+          var last = prev.lastTsMicros
+          var sessions = prev.nSessions
+          sorted.foreach { ts =>
+            if (last == Long.MinValue || ts - last > gapMicros) sessions += 1
+            last = ts
+          }
+          val next = UserSessions(last, sessions, prev.nEvents + sorted.length)
+          state.update(next)
+          UserSessionCounts(user, next.nSessions, next.nEvents)
+      }
+  }
+
+  /** Drain `sessionizeStateful` over a parquet directory into a memory sink
+    * (Update mode) and return the final per-user counts. */
+  def runStatefulSessions(spark: SparkSession, dir: String, glob: String,
+                          schema: StructType, gapMinutes: Int,
+                          queryName: String = "graft_sessions"): DataFrame = {
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir))
+    val q = sessionizeStateful(stream, gapMinutes).toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode appends one row per user per batch — keep the last
+    val byUser = spark.table(queryName)
+    import org.apache.spark.sql.expressions.Window
+    byUser
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc, col("n_sessions").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Sessionization (batch): gap-based sessions per user — a capability
     * the reference lacks entirely; standard Spark window pattern. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {

@@ -66,4 +66,19 @@ class EventStreamSpec extends SparkSpec {
     assert(out.orderBy("window_start", "event_type").collect().toSeq ===
       batch.orderBy("window_start", "event_type").collect().toSeq)
   }
+
+  test("stateful streaming sessions match batch session counts") {
+    val dir = java.nio.file.Files.createTempDirectory("evstate")
+    val events = Seq(
+      (1L, ts(0), 1.0, "click"), (1L, ts(10), 1.0, "click"),
+      (1L, ts(50), 1.0, "click"),                       // gap 40m → 2 sessions
+      (2L, ts(5), 1.0, "view"))
+      .toDF("user_id", "ts", "value", "event_type")
+    events.write.mode("overwrite").parquet(dir.toString + "/events.parquet")
+    val out = EventStream.runStatefulSessions(spark, dir.toString + "/events.parquet",
+      "*.parquet", events.schema, gapMinutes = 30, queryName = "graft_sess_spec")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((2L, 3L)))
+    assert(out(2L) === ((1L, 1L)))
+  }
 }
