@@ -109,6 +109,16 @@ object SparkEntry {
           AggExpr.agg("set", col("c_mktsegment")).as("segments"),
           AggExpr.agg("countd", col("c_name")).as("n_names"))),
 
+    // ---- A1 under skew: salted two-stage aggregation must be transparent
+    // (same oracle shape as a1_agg_basic — proves the salt/merge algebra) --
+    "a1_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), spread = col("l_orderkey"),
+        salts = 16,
+        Seq(("n_items", "count", col("l_quantity")),
+          ("sum_qty", "sum", col("l_quantity").cast(DecimalType(18, 2))),
+          ("mx_price", "max", col("l_extendedprice"))))),
+
     // ---- A2: multi-hop aggregation path as one plan ---------------------
     "a2_agg_tree" -> ((s, dir) => {
       val src = TpchGraph.source(s, dir)
@@ -353,6 +363,13 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price,
         |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(l_quantity) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  max(l_extendedprice) AS mx_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "a1_set_list" ->
