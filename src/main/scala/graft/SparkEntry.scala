@@ -236,6 +236,16 @@ object SparkEntry {
         "qid", "qv", k = 5, bits = 8, dim = 64)
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ivf.topK(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5, numCells = 16, nprobe = 4)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbor: coarse-quantize the
+  * corpus into K centroid cells; a query scores only the vectors in its
+  * `nprobe` nearest cells. The scale path complements `Similarity.lshTopK`:
+  * IVF gives tunable recall/cost via (K, nprobe) and its partitioning is
+  * explicit — each cell is a shuffle partition, so a 100 TB corpus
+  * pre-partitioned by cell serves queries by touching nprobe/K of the data.
+  *
+  * Training is a deterministic mini k-means: init = the K lowest-id
+  * vectors, a fixed number of Lloyd iterations, all expressed as DataFrame
+  * ops (assign = broadcast-centroids argmax; update = per-dimension mean
+  * via posexplode). No RNG, so results are reproducible across runs and
+  * cluster layouts.
+  */
+object Ivf {
+
+  private def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
+
+  /** Assign each row its nearest centroid id by cosine (centroid set is
+    * broadcast — K is small by construction). */
+  private def assign(vecs: DataFrame, idCol: String, vecCol: String,
+                     normCol: String, centroids: DataFrame): DataFrame = {
+    val scored = vecs.join(broadcast(centroids))
+      .withColumn("_sim",
+        dot(col(vecCol), col("cvec")) / (col(normCol) * col("cnorm")))
+    scored.groupBy(col(idCol))
+      .agg(max_by(col("cid"), struct(col("_sim"), -col("cid"))).as("cell"))
+  }
+
+  private def withNorm(df: DataFrame, vecCol: String, as: String): DataFrame =
+    df.withColumn(as, sqrt(dot(col(vecCol), col(vecCol))))
+
+  /** Deterministic k-means over the corpus: returns (cid, cvec, cnorm). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int = 2): DataFrame = {
+    val vecs = withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "_vn")
+    var centroids = withNorm(
+      vecs.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")),
+      "cvec", "cnorm")
+    for (_ <- 0 until iters) {
+      val assigned = assign(vecs, idCol, vecCol, "_vn", centroids)
+        .join(vecs, Seq(idCol))
+      // per-dimension mean of member vectors → new centroid
+      val dims = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+      val rebuilt = dims.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), p => p.getField("m")).as("cvec"))
+      centroids = withNorm(rebuilt, "cvec", "cnorm")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    centroids
+  }
+
+  /** Top-k neighbors per query, probing the `nprobe` nearest cells. */
+  def topK(corpus: DataFrame, corpusId: String, corpusVec: String,
+           queries: DataFrame, queryId: String, queryVec: String,
+           k: Int, numCells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val centroids = train(corpus, corpusId, corpusVec, numCells, iters)
+    val cvecs = withNorm(corpus.select(col(corpusId), col(corpusVec)),
+      corpusVec, "_cn")
+    val indexed = assign(cvecs, corpusId, corpusVec, "_cn", centroids)
+      .join(cvecs, Seq(corpusId))
+    val qvecs = withNorm(queries.select(col(queryId), col(queryVec)),
+      queryVec, "_qn")
+    // nprobe nearest cells per query
+    val probes = qvecs.join(broadcast(centroids))
+      .withColumn("_sim", dot(col(queryVec), col("cvec")) / (col("_qn") * col("cnorm")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("_sim").desc, col("cid").asc)))
+      .filter(col("_pr") <= nprobe)
+      .select(col(queryId), col(queryVec), col("_qn"), col("cid").as("cell"))
+    val scored = indexed.join(probes, Seq("cell"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("sim").desc, col(corpusId).asc)))
+      .filter(col("rank") <= k)
+      .select(col(queryId).alias("query_id"), col("rank"),
+        col(corpusId).alias("neighbor_id"), round(col("sim"), 6).alias("sim"))
+  }
+}

@@ -50,8 +50,15 @@ object EventStream {
 
   /** Run the windowed aggregation as a real streaming query over a parquet
     * directory (file source, one-shot drain) into an in-memory sink, and
-    * return the materialized result. Used by tests to prove the streaming
-    * path; production would aim `writeStream` at a real sink. */
+    * return the materialized result (latest emission per window). Used by
+    * tests to prove the streaming path; production would aim `writeStream`
+    * at a real sink.
+    *
+    * Update mode + watermark, NOT complete mode: complete mode retains
+    * every window ever seen in state forever — unbounded on a real stream.
+    * With update, state for windows older than the watermark is evicted;
+    * the memory sink then holds one row per emission, so the caller keeps
+    * the latest per (window, type). */
   def runStreaming(spark: SparkSession, dir: String, glob: String,
                    schema: StructType, windowLen: String, watermark: String,
                    queryName: String = "graft_stream"): DataFrame = {
@@ -60,12 +67,17 @@ object EventStream {
       .option("pathGlobFilter", glob).parquet(dir))
     val agg = windowedAgg(stream.withWatermark("ts", watermark), windowLen)
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .start()
     try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.expressions.Window
     spark.table(queryName)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("window_start"), col("event_type"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
   }
 
   /** Per-user running session state for the stateful-streaming path. */

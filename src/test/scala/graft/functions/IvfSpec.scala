@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters on orthogonal axes + mild jitter
+  private def corpus = (0L until 40L).map { i =>
+    val base = if (i % 2 == 0) Array(1.0f, 0.05f * (i % 5)) else Array(0.05f * (i % 5), 1.0f)
+    (i, base)
+  }.toDF("nid", "nv")
+
+  test("k-means training is deterministic and produces k cells") {
+    val c1 = Ivf.train(corpus, "nid", "nv", k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c2 = Ivf.train(corpus, "nid", "nv", k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 === c2)
+    assert(c1.size === 2)
+  }
+
+  test("IVF top-k with nprobe=1 returns same-cluster neighbors") {
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    val r = Ivf.topK(corpus, "nid", "nv", queries, "qid", "qv",
+      k = 5, numCells = 2, nprobe = 1).collect()
+    assert(r.length === 5)
+    // all neighbors come from the even (x-axis) cluster
+    assert(r.forall(_.getAs[Long]("neighbor_id") % 2 === 0))
+  }
+
+  test("nprobe = numCells recovers brute-force results") {
+    val queries = Seq((100L, Array(0.2f, 1.0f))).toDF("qid", "qv")
+    val ivf = Ivf.topK(corpus, "nid", "nv", queries, "qid", "qv",
+      k = 5, numCells = 2, nprobe = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", k = 5).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(ivf === brute)
+  }
+}
