@@ -36,8 +36,7 @@ object SparkEntry {
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
-    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
-      "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -422,8 +421,7 @@ object SparkEntry {
     "q1_pricing" -> PricingSql.replace("\n", " "),
 
     "dedup_exact" ->
-      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN '' " +
-        "ELSE array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ') END AS norm " +
+      (s"WITH t AS (SELECT doc_id, array_to_string($sqlToks, ' ') AS norm " +
         "FROM documents) " +
         "SELECT md5(norm) AS content_md5, min(doc_id) AS keep_id, " +
         "count(*) AS group_size, list_sort(list(doc_id)) AS member_ids " +

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of the lowercased, trimmed text. Empty/blank text →
-    * empty array (split would yield [""]). */
+  /** Whitespace tokens of the lowercased text, empty tokens dropped.
+    * Filtering (not a trim guard) because Spark `trim` strips only spaces —
+    * leading tabs/newlines would otherwise yield an empty first token
+    * (caught by PropertySpec). Blank text → empty array. */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(text)), "\\s+"))
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -48,7 +48,8 @@ object Types {
     * parser.py:126-135). */
   def widest(candidates: Seq[DataType]): DataType = {
     val rank: DataType => Int = {
-      case FloatType | DoubleType => 4
+      case DoubleType             => 5   // above float: keeps ties total-ordered
+      case FloatType              => 4
       case LongType | IntegerType => 3
       case BooleanType            => 2
       case _                      => 1

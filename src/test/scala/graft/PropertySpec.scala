@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import graft.functions.TextFunctions
+import graft.operators.{AggExpr, Skew}
+import graft.schema.Types
+
+/** Property tests for the typing rules, the aggregation merge algebra, and
+  * the text kernels (SURVEY §5: ScalaCheck for agg/typing kernels).
+  * Spark-backed properties evaluate ALL generated cases in one DataFrame
+  * per property — one job, not one per case. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Raw-scalacheck forAll (the scalatestplus bridge isn't in the offline
+    * dependency cache): sample the generator N times, skipping empties. */
+  private def forAll[A](gen: Gen[A], n: Int = 50)(body: A => Unit): Unit = {
+    var runs = 0
+    var attempts = 0
+    while (runs < n && attempts < n * 20) {
+      gen.sample.foreach { v => body(v); runs += 1 }
+      attempts += 1
+    }
+    assert(runs > 0, "generator never produced a value")
+  }
+
+  private val scalarTypes: Gen[DataType] =
+    Gen.oneOf(StringType, BooleanType, LongType, IntegerType,
+      FloatType, DoubleType)
+
+  test("widest-type selection is order-insensitive and idempotent") {
+    forAll(Gen.nonEmptyListOf(scalarTypes)) { ts =>
+      val w = Types.widest(ts)
+      assert(Types.widest(ts.reverse) === w)
+      assert(Types.widest(w :: ts) === w)
+      // float beats everything present with it
+      if (ts.exists(t => t == FloatType || t == DoubleType))
+        assert(w == FloatType || w == DoubleType)
+    }
+  }
+
+  test("agg-then-merge over arbitrary partitions equals direct aggregation") {
+    // values with duplicates, split into 1..5 salt groups at random
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))
+      salts <- Gen.chooseNum(1, 5)
+    } yield (vs, salts)
+    forAll(gen, n = 15) { case (vs, salts) =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => ("k", i % salts, v) }.toDF("k", "salt", "v")
+      val partials = df.groupBy($"k", $"salt").agg(
+        AggExpr.agg("count", $"v").as("c"), AggExpr.agg("sum", $"v").as("s"),
+        AggExpr.agg("min", $"v").as("mn"), AggExpr.agg("max", $"v").as("mx"),
+        AggExpr.agg("set", $"v").as("st"))
+      val merged = partials.groupBy($"k").agg(
+        AggExpr.merge("count", $"c").as("c"), AggExpr.merge("sum", $"s").as("s"),
+        AggExpr.merge("min", $"mn").as("mn"), AggExpr.merge("max", $"mx").as("mx"),
+        AggExpr.merge("set", $"st").as("st")).collect()(0)
+      assert(merged.getLong(1) === vs.length.toLong)
+      assert(merged.getLong(2) === vs.sum)
+      assert(merged.getLong(3) === vs.min)
+      assert(merged.getLong(4) === vs.max)
+      assert(merged.getSeq[Long](5) === vs.distinct.sorted)
+    }
+  }
+
+  test("token/shingle invariants over arbitrary strings") {
+    val texts = Gen.listOfN(200,
+      Gen.oneOf(
+        Gen.asciiPrintableStr,
+        Gen.listOf(Gen.oneOf("word", "a", "bb", " ", "\t", "123", "!?"))
+          .map(_.mkString(" ")))).sample.get
+    val df = texts.toDF("text").select(
+      TextFunctions.tokens($"text").as("toks"),
+      TextFunctions.wordShingles($"text", 3).as("sh"),
+      TextFunctions.contentFingerprint($"text").as("fp"))
+    df.collect().foreach { r =>
+      val toks = r.getSeq[String](0)
+      val sh = r.getSeq[String](1)
+      // no empty or whitespace tokens; all lowercase
+      assert(toks.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)))
+      assert(toks.forall(t => t == t.toLowerCase))
+      // shingle count: distinct 3-grams of the token stream
+      assert(sh.toSet === toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet)
+      // md5 fingerprint is 32 hex chars
+      assert(r.getString(2).matches("[0-9a-f]{32}"))
+    }
+  }
+
+  test("salted aggregation equals direct aggregation for random salt counts") {
+    forAll(Gen.chooseNum(1, 32), n = 8) { salts =>
+      val df = spark.range(500).select(
+        ($"id" % 3).cast("string").as("k"), $"id".as("v"))
+      val direct = df.groupBy("k").agg(sum("v").as("s")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val salted = Skew.saltedAgg(df, Seq("k"), col("v"), salts,
+        Seq(("s", "sum", col("v")))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(salted === direct)
+    }
+  }
+}
