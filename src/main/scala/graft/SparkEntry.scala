@@ -232,7 +232,7 @@ object SparkEntry {
         "nid", "nv",
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        "qid", "qv", k = 5, bits = 8, dim = 64)
+        "qid", "qv", k = 5, bits = 8, dim = 64, multiProbe = true)
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {

@@ -84,16 +84,25 @@ object Similarity {
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: score only same-signature pairs (single-probe).
-    * Returns candidates scored + ranked per query; recall < 1 by design —
-    * verify against bruteForceTopK on samples. */
+  /** LSH-bucketed ANN: score only same-signature pairs. `multiProbe` also
+    * searches every bucket at Hamming distance 1 from the query's signature
+    * (bits+1 probes per query) — the standard recall lever that costs query
+    * fan-out, not corpus reshuffling. Recall < 1 by design — verify against
+    * bruteForceTopK on samples. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, bits: Int, dim: Int): DataFrame = {
+              k: Int, bits: Int, dim: Int,
+              multiProbe: Boolean = false): DataFrame = {
     val c = corpus.withColumn("bucket", rhpSignature(col(corpusVec), bits, dim))
       .withColumn("_cn", norm(col(corpusVec)))
-    val q = queries.withColumn("bucket", rhpSignature(col(queryVec), bits, dim))
+    val qSig = queries.withColumn("_sig", rhpSignature(col(queryVec), bits, dim))
       .withColumn("_qn", norm(col(queryVec)))
+    val probes =
+      if (multiProbe)
+        array((col("_sig") +: (0 until bits).map(b =>
+          col("_sig").bitwiseXOR(lit(1L << b)))): _*)
+      else array(col("_sig"))
+    val q = qSig.withColumn("bucket", explode(probes)).drop("_sig")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),

@@ -57,12 +57,23 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
       doc = doc.join(parentCols, Seq(rootId), "left_outer")
     }
 
-    // A3/A4: one-hop child flatten
+    // A3/A4: one-hop child flatten. Reference parity: a child whose link
+    // multiplicity fans out (one root ↔ many child rows) can only flatten
+    // 1:1 when `sorted_by` picks a single row — otherwise reject, like the
+    // reference's multiplicity check (aggregation/parser.py:374-417),
+    // instead of silently keeping an arbitrary row.
     m.flattenProps.foreach { f =>
       val childLabel = f.path
       val edge = source.edgeDf(childLabel, m.root)
       val child = source.nodeDf(childLabel)
       val childId = idOf(childLabel)
+      if (f.sortedBy.isEmpty) {
+        val mult = schema.linksOf(childLabel, m.root).multiplicity
+        if (mult == "many_to_one" || mult == "many_to_many")
+          throw new IllegalArgumentException(
+            s"flatten_props ${f.path} on ${m.name}: multiplicity $mult fans " +
+              "out; declare sorted_by (or model it as aggregated/nested props)")
+      }
       f.sortedBy match {
         case Some((sortCol, desc)) =>
           val joined = edge.join(

@@ -85,4 +85,20 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("multi-probe LSH recall >= single-probe recall vs brute force") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 31 + d * 17) % 13).toFloat - 6f) / 6f))
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.select($"vec_id".as("nid"), $"embedding".as("nv"))
+    val queries = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = hits(Similarity.bruteForceTopK(corpus, "nid", "nv", queries, "qid", "qv", 5))
+    val single = hits(Similarity.lshTopK(corpus, "nid", "nv", queries, "qid", "qv", 5, 6, 8))
+    val multi = hits(Similarity.lshTopK(corpus, "nid", "nv", queries, "qid", "qv", 5, 6, 8, multiProbe = true))
+    assert((multi intersect brute).size >= (single intersect brute).size)
+    assert(multi.size >= single.size)
+  }
 }

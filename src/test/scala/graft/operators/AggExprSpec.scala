@@ -55,4 +55,14 @@ class AggExprSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq.empty)
     assert(r.isNullAt(3))
   }
+
+  test("authResourcePath: scalar and array forms; project codes keep dashes") {
+    val r = Seq(("prog-proj-x", Seq("p1-a", "p2-b-c")))
+      .toDF("pid", "pids")
+      .select(Project.authResourcePath($"pid").as("a"),
+        Project.authResourcePathArray($"pids").as("arr")).collect()(0)
+    assert(r.getString(0) === "/programs/prog/projects/proj-x")
+    assert(r.getSeq[String](1) === Seq(
+      "/programs/p1/projects/a", "/programs/p2/projects/b-c"))
+  }
 }

@@ -138,4 +138,22 @@ class TranslatorSpec extends SparkSpec {
       Translator.runAll(schema, source, EtlMapping(Seq(a, b)))
     }
   }
+
+  test("fan-out flatten without sorted_by is rejected (multiplicity check)") {
+    val bad = IndexMapping(
+      name = "subject_bad", docType = "subject", root = "subject",
+      props = Seq(PropDef("age", "age")),
+      flattenProps = Seq(FlattenDef("sample",
+        Seq(PropDef("tissue", "tissue")))))  // many samples per subject
+    val ex = intercept[IllegalArgumentException] {
+      new Translator(schema, source).translate(bad)
+    }
+    assert(ex.getMessage.contains("sorted_by"))
+    // with sorted_by the same flatten is legal
+    val ok = bad.copy(flattenProps = Seq(FlattenDef("sample",
+      Seq(PropDef("tissue", "tissue")), sortedBy = Some(("vol", true)))))
+    val r = new Translator(schema, source).translate(ok)
+      .filter($"_subject_id" === "s1").collect()(0)
+    assert(r.getString(r.fieldIndex("tissue")) === "saliva") // vol=12 wins
+  }
 }
