@@ -14,9 +14,16 @@ trait DocumentSink {
   def write(docs: DataFrame, docType: String): Unit
 }
 
-final class ParquetSink(baseDir: String) extends DocumentSink {
-  def write(docs: DataFrame, docType: String): Unit =
-    docs.write.mode("overwrite").parquet(s"$baseDir/$docType")
+/** `partitionBy` columns give hive-style directory partitioning — the
+  * standard at-scale layout (per-day / per-source dirs) that turns
+  * downstream partition filters into directory pruning instead of scans. */
+final class ParquetSink(baseDir: String, partitionCols: Seq[String] = Nil)
+    extends DocumentSink {
+  def write(docs: DataFrame, docType: String): Unit = {
+    val w = docs.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$baseDir/$docType")
+  }
 }
 
 final class JsonSink(baseDir: String) extends DocumentSink {
