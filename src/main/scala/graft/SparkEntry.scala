@@ -195,6 +195,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
     }),
 
+    // full dedup pipeline: verified pairs → connected components (groups)
+    "dedup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Dedup.componentsFromPairs(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
+        iters = 10)
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.wordShingles(col("text"), 3).as("sh"))
@@ -439,6 +448,21 @@ object SparkEntry {
         "scored AS (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
         "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) " +
         "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5"),
+
+    "dedup_groups" ->
+      (s"WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
+        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+        "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "scored AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
+        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) WHERE jaccard >= 0.5), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM scored UNION SELECT id_b, id_a FROM scored), " +
+        "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) " +
+        "SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a"),
 
     "dedup_embedding" ->
       ("WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

@@ -135,6 +135,53 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-duplicate pairs → (id, component),
+    * component = the smallest member id. Iterative min-label propagation —
+    * each round every node adopts the smallest label among itself and its
+    * neighbors; rounds needed ≈ graph diameter (near-dup clusters are
+    * shallow, so a handful). Everything is joins/aggregations — no driver
+    * union-find, so it scales with the pair set, not with driver memory. */
+  def componentsFromPairs(pairs: DataFrame, iters: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // iterative algorithms MUST truncate lineage per round — otherwise the
+    // plan nests one level per iteration and planning/codegen memory grows
+    // exponentially (observed as driver OOM at ~10 rounds). localCheckpoint
+    // materializes eagerly; swap for checkpoint(reliable) on a cluster with
+    // a checkpoint dir if executor loss must be survivable mid-computation.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (round < iters && !converged) {
+      val next = labels.select(col("id"), col("comp"))
+        .union(edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("comp")))
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.comp") =!= col("p.comp"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Canonical-corpus materializer: drop all but the smallest-id member of
+    * each exact-duplicate group. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** SimHash near-dup pairs: band 64 bits into 4 16-bit keys; docs sharing
     * a key in the same band are candidates (guarantees recall for Hamming
     * distance ≤ 3 by pigeonhole); verify exact Hamming ≤ hammingMax. */

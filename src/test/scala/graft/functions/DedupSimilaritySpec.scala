@@ -101,4 +101,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((multi intersect brute).size >= (single intersect brute).size)
     assert(multi.size >= single.size)
   }
+
+  test("componentsFromPairs: chains collapse to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comps = Dedup.componentsFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dropExactDuplicates keeps one canonical doc per content group") {
+    val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L)) // 2 dropped (dup of 1)
+  }
 }
