@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import graft.schema._
+
+/** Static validation of an ETL mapping against the graph schema — surface
+  * every problem at once, before any Spark job runs. The reference fails
+  * deep inside translation with attribute-resolution errors; a 100 TB run
+  * should never launch on a mapping with a typo'd label.
+  *
+  * Scope: graph-structural checks (labels and links). Prop-level checks are
+  * intentionally out: node tables may carry more columns than the schema
+  * declares (the parquet-backed sources do), so prop existence is only
+  * knowable at bind time.
+  */
+object MappingValidator {
+
+  def validate(schema: GraphSchema, mapping: EtlMapping): Seq[String] = {
+    val names = mapping.indices.map(_.name)
+    val dupIdx = names.diff(names.distinct).distinct
+      .map(n => s"duplicate index name '$n'")
+    dupIdx ++ mapping.indices.flatMap(m => validateIndex(schema, mapping, m))
+  }
+
+  private def hasNode(schema: GraphSchema, label: String): Boolean =
+    schema.nodes.exists(_.label == label)
+  private def hasLink(schema: GraphSchema, child: String, parent: String): Boolean =
+    schema.links.exists(l => l.child == child && l.parent == parent)
+
+  private def validateIndex(schema: GraphSchema, all: EtlMapping,
+                            m: IndexMapping): Seq[String] = {
+    val at = s"index '${m.name}'"
+    val root: Seq[String] =
+      if (m.kind == "collector") {
+        val cat = m.injection.map(_.category)
+        if (cat.exists(c => schema.nodes.exists(_.category == c))) Nil
+        else Seq(s"$at: collector category ${cat.getOrElse("<none>")} matches no node")
+      } else if (!hasNode(schema, m.root)) Seq(s"$at: unknown root '${m.root}'")
+      else Nil
+
+    def walkDown(path: Seq[String], what: String): Seq[String] = {
+      val labels = m.root +: path
+      labels.sliding(2).toSeq.flatMap {
+        case Seq(parent, child) =>
+          if (!hasNode(schema, child)) Seq(s"$at: $what: unknown node '$child'")
+          else if (!hasLink(schema, child, parent))
+            Seq(s"$at: $what: no edge $child -> $parent")
+          else Nil
+        case _ => Nil
+      }
+    }
+
+    val parents = m.parentProps.flatMap { chain =>
+      chain.steps.scanLeft(m.root)((_, s) => s.label).zip(chain.steps)
+        .flatMap { case (child, step) =>
+          if (!hasNode(schema, step.label))
+            Seq(s"$at: parent_props: unknown node '${step.label}'")
+          else if (!hasLink(schema, child, step.label))
+            Seq(s"$at: parent_props: no edge $child -> ${step.label}")
+          else Nil
+        }
+    }
+    val flattens = m.flattenProps.flatMap(f => walkDown(Seq(f.path), "flatten_props"))
+    val aggs = m.aggregatedProps.flatMap(a => walkDown(a.path, s"aggregated_props '${a.name}'"))
+    def nested(parent: String, nd: NestedDef): Seq[String] = {
+      val labels = parent +: nd.path
+      val errs = labels.sliding(2).toSeq.flatMap {
+        case Seq(p, c) =>
+          if (!hasNode(schema, c)) Seq(s"$at: nested_props '${nd.name}': unknown node '$c'")
+          else if (!hasLink(schema, c, p))
+            Seq(s"$at: nested_props '${nd.name}': no edge $c -> $p")
+          else Nil
+        case _ => Nil
+      }
+      errs ++ nd.children.flatMap(nested(labels.last, _))
+    }
+    val nests = m.nestedProps.flatMap(nested(m.root, _))
+    val joins = m.joiningProps.flatMap { j =>
+      if (all.indices.exists(_.name == j.otherIndex)) Nil
+      else Seq(s"$at: joining_props: unknown index '${j.otherIndex}'")
+    }
+    root ++ parents ++ flattens ++ aggs ++ nests ++ joins
+  }
+}

@@ -218,6 +218,10 @@ object Translator {
     * interpreter.py:34-62). Persist only frames consumed by another index. */
   def runAll(schema: GraphSchema, source: GraphSource,
              mapping: EtlMapping): Map[String, DataFrame] = {
+    val problems = MappingValidator.validate(schema, mapping)
+    if (problems.nonEmpty)
+      throw new IllegalArgumentException(
+        "invalid mapping:\n  " + problems.mkString("\n  "))
     val t = new Translator(schema, source)
     val base: Map[String, DataFrame] =
       mapping.indices.map(m => m.name -> t.translate(m)).toMap
