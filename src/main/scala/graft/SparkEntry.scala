@@ -271,6 +271,10 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_guess"))),
 
+    "text_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.rollingHash(col("text")).as("rolling_fp"))),
+
     // ---- multimodal plumbing --------------------------------------------
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
@@ -515,6 +519,13 @@ object SparkEntry {
         "WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' " +
         "ELSE 'zh' END AS lang_guess " +
         "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)"),
+
+    "text_rolling_fp" ->
+      ("SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE " +
+        "list_reduce(list_transform(string_split(lower(text), ''), " +
+        "c -> CAST(unicode(c) AS BIGINT)), " +
+        "(a, b) -> (a * 1000003 + b) % 1000000000000) END AS rolling_fp " +
+        "FROM documents"),
 
     "media_meta" ->
       """SELECT doc_id AS media_id,

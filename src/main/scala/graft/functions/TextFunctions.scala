@@ -95,6 +95,20 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** Rolling (Rabin–Karp) fingerprint over the lowercased text's code
+    * points: acc = (acc * B + code) mod P. B and P are sized so acc*B+code
+    * stays under Long.MaxValue — ANSI mode forbids wrapping overflow, so
+    * the modulus IS the hash space. Cross-engine recomputable (DuckDB:
+    * `list_reduce(list_transform(...unicode...))` — a left fold starting
+    * from the first element equals this fold from 0). */
+  def rollingHash(text: Column): Column = {
+    val B = 1000003L
+    val P = 1000000000000L // 1e12: P*B + maxCodePoint < 2^63
+    when(length(text) === 0, 0L).otherwise(
+      aggregate(split(lower(text), ""), lit(0L),
+        (acc, c) => pmod(acc * B + ascii(c), lit(P))))
+  }
+
   /** n-gram shingles of an element array via zip-concatenation of shifted
     * copies of the array. NOT `transform(sequence(...), i => slice(arr, i,
     * n))`: an outer-scope array referenced inside a lambda is re-evaluated

@@ -71,4 +71,16 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.tokens($"text")).collect()(0).getSeq[String](0)
     assert(r === Seq("word", "more"))
   }
+
+  test("rollingHash: deterministic, case-insensitive, order-sensitive, 0 for empty") {
+    val r = Seq("abc", "ABC", "acb", "").toDF("text")
+      .select(TextFunctions.rollingHash($"text")).collect().map(_.getLong(0))
+    assert(r(0) === r(1))       // lowercased
+    assert(r(0) !== r(2))       // order matters
+    assert(r(3) === 0L)
+    // closed form: ((('a'*B)+'b')*B+'c') mod P
+    val B = 1000003L; val P = 1000000000000L
+    val expect = ((((97L * B + 98L) % P) * B + 99L) % P)
+    assert(r(0) === expect)
+  }
 }
