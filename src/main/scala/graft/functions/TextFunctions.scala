@@ -49,21 +49,27 @@ object TextFunctions {
   }
 
   /** Language-ID by argmax of stopword-hit counts, deterministic tie-break
-    * by language code; "und" when no stopword hits at all. */
+    * by language code; "und" when no stopword hits at all.
+    *
+    * ONE `array_max` over (score, preference, lang) structs — not a
+    * reduce-built `when` chain: every `when` level duplicates both operand
+    * subtrees, so the chained form re-evaluated each language's
+    * tokenize+filter exponentially many times (profiled as the slowest
+    * query in the benchmark). The "und" fallback rides in the same array as
+    * a (score=0, max-preference) sentinel: it wins ties at zero and loses
+    * to any real hit, so the whole pick is a single expression evaluation. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scored = stopwords.keys.toSeq.sorted.map { lang =>
+    val ordered = stopwords.keys.toSeq.sorted
+    val scored = ordered.zipWithIndex.map { case (lang, i) =>
       val sw = array(stopwords(lang).map(lit): _*)
       struct(size(filter(toks, t => array_contains(sw, t))).alias("score"),
-             lit(lang).alias("lang"))
+        lit(ordered.size - i).alias("pref"),  // earlier lang wins ties
+        lit(lang).alias("lang"))
     }
-    // max_by over the struct array: highest score, then LOWEST lang code —
-    // invert lang ordering inside the comparison via array_max on
-    // (score, reversed-rank) pairs. Simpler: reduce with explicit compare.
-    val best = scored.reduce { (a, b) =>
-      when(b("score") > a("score"), b).otherwise(a)
-    }
-    when(best("score") === 0, lit("und")).otherwise(best("lang"))
+    val und = struct(lit(0).alias("score"), lit(ordered.size + 1).alias("pref"),
+      lit("und").alias("lang"))
+    array_max(array(und +: scored: _*)).getField("lang")
   }
 
   /** Quality-score feature columns (length, alpha/punct/space ratios,
