@@ -223,6 +223,12 @@ object SparkEntry {
       Similarity.exactDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)),
 
+    // RHP-LSH scale path for embedding near-dup (rows-only: bucket recall
+    // is approximate by design; exact variant above is the oracle path)
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, bits = 6, dim = 64)),
+
     // ---- similarity search ----------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
