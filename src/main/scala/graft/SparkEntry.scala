@@ -214,8 +214,9 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        Dedup.simhash(docTokens(col("text"))).as("sh64"))
+      val docs = Dedup.simhashFingerprints(
+        t(s, dir, "documents").select(col("doc_id"),
+          docTokens(col("text")).as("toks")), "doc_id", "toks")
       Dedup.simhashPairs(docs, "doc_id", "sh64", hammingMax = 8)
     }),
 

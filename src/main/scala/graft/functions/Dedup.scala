@@ -117,9 +117,33 @@ object Dedup {
   private val bitMasks: Column =
     array((0 until 64).map(i => lit(1L << i)): _*)
 
+  /** SimHash fingerprints (id, sh64) for a corpus — explode → hash-once →
+    * 64 codegen'd vote-sum aggregates, same scale shape as
+    * `minhashSignatures` (map-side partial agg; one row per doc per
+    * partition enters the shuffle). Prefer this over the per-row `simhash`
+    * Column for corpus-wide fingerprinting: the array-HOF form evaluates
+    * interpreted and allocates a 64-slot array per token. */
+  def simhashFingerprints(docs: DataFrame, idCol: String, tokCol: String)
+      : DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(col(tokCol)).as("_t"))
+      .select(col(idCol), xxhash64(col("_t")).as("_h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("_h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
+        .as(s"_v$i")
+    }
+    hashed.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh64"))
+  }
+
   /** SimHash (64-bit): each token's xxhash64 votes ±1 on every bit;
     * fingerprint bit i is 1 iff the vote sum is positive. Near-dups =
-    * fingerprints within small Hamming distance. */
+    * fingerprints within small Hamming distance. Per-row Column form —
+    * use `simhashFingerprints` for whole-corpus runs. */
   def simhash(toks: Column): Column = {
     val votes = aggregate(
       toks,

@@ -114,4 +114,16 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L, 4L, 5L)) // 2 dropped (dup of 1)
   }
+
+  test("simhashFingerprints (explode form) equals the per-row Column form") {
+    val perRow = corpus.filter($"doc_id" <= 4)
+      .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("sh64"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = Dedup.simhashFingerprints(
+      corpus.select($"doc_id", TextFunctions.tokens($"text").as("toks")),
+      "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perRow.foreach { case (id, fp) => assert(exploded(id) === fp) }
+    assert(!exploded.contains(5L)) // empty doc: no tokens, no fingerprint
+  }
 }
