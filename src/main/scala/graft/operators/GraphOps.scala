@@ -109,10 +109,19 @@ object GraphOps {
       case Some((df, key)) => walked.join(df, Seq(key), "left_outer")
       case None            => walked
     }
+    aggRollup(withLeaf, rootKey, aggs)
+  }
+
+  /** The groupBy half of A2 over an already-walked path frame. The Translator
+    * builds the walk from the EDGE side (child frames keyed by parent id, no
+    * root join — the document's left join + zero-fill restores childless
+    * roots), so at scale the plan is scan → partial agg → one exchange. */
+  def aggRollup(walked: DataFrame, rootKey: String,
+                aggs: Seq[(String, String, Column)]): DataFrame = {
     val cols = aggs.map { case (name, fn, c) =>
       AggExpr.zeroFill(fn, AggExpr.agg(fn, c)).alias(name)
     }
-    withLeaf.groupBy(col(rootKey)).agg(cols.head, cols.tail: _*)
+    walked.groupBy(col(rootKey)).agg(cols.head, cols.tail: _*)
   }
 
   /** J4 — index-to-index join (`joining_props`): join finished document set

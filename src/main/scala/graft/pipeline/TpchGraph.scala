@@ -54,26 +54,39 @@ object TpchGraph {
 
   def source(spark: SparkSession, dir: String): GraphSource = {
     def tbl(n: String) = Tables(spark, dir, n)
+    // node tables carry their parent FK as `_{parent}_id` (declared via
+    // fkParents below): the Translator then walks hops straight off the
+    // child table — no edge self-joins anywhere in the relational path
     val nodeDf: String => DataFrame = {
       case "region" => tbl("region").withColumn("_region_id", col("r_regionkey"))
       case "nation" => tbl("nation").withColumn("_nation_id", col("n_nationkey"))
+        .withColumn("_region_id", col("n_regionkey"))
       case "customer" =>
         tbl("customer").withColumn("_customer_id", col("c_custkey"))
+          .withColumn("_nation_id", col("c_nationkey"))
           .withColumn("name", col("c_name"))
           .withColumn("acctbal", col("c_acctbal"))
       case "supplier" =>
         tbl("supplier").withColumn("_supplier_id", col("s_suppkey"))
+          .withColumn("_nation_id", col("s_nationkey"))
           .withColumn("name", col("s_name"))
           .withColumn("acctbal", col("s_acctbal"))
       case "orders" =>
         tbl("orders").withColumn("_orders_id", col("o_orderkey"))
+          .withColumn("_customer_id", col("o_custkey"))
           // exact money type for deterministic, fp-order-independent sums
           .withColumn("o_totalprice_dec",
             col("o_totalprice").cast(DecimalType(18, 2)))
       case "lineitem" =>
         tbl("lineitem").withColumn("_lineitem_id", lineitemId)
+          .withColumn("_orders_id", col("l_orderkey"))
       case other => throw new NoSuchElementException(s"node $other")
     }
+    val fks: String => Set[String] = Map(
+      "nation" -> Set("region"), "customer" -> Set("nation"),
+      "supplier" -> Set("nation"), "orders" -> Set("customer"),
+      "lineitem" -> Set("orders")
+    ).withDefaultValue(Set.empty)
     val edgeDf: (String, String) => DataFrame = {
       case ("nation", "region") =>
         tbl("nation").select(col("n_nationkey").as("_nation_id"),
@@ -92,7 +105,7 @@ object TpchGraph {
           col("l_orderkey").as("_orders_id"))
       case (c, p) => throw new NoSuchElementException(s"edge $c->$p")
     }
-    new GraphSource(nodeDf, edgeDf)
+    new GraphSource(nodeDf, edgeDf, fks)
   }
 
   /** Flagship aggregator index: exercises P1/P2 (props + recode), J3

@@ -22,11 +22,37 @@ import graft.operators._
   */
 final class GraphSource(
     val nodeDf: String => DataFrame,   // label → node table (has _{label}_id)
-    val edgeDf: (String, String) => DataFrame) // (child,parent) → (childId,parentId)
+    val edgeDf: (String, String) => DataFrame, // (child,parent) → (childId,parentId)
+    /** labels whose node table ALREADY carries the parent's `_{parent}_id`
+      * column (a foreign key, e.g. relational sources where the edge table is
+      * a projection of the child table). The Translator rides these to skip
+      * the child ⋈ edge self-join entirely — at scale that removes a full
+      * shuffle (or an impossible broadcast) per graph hop. */
+    val fkParents: String => Set[String] = _ => Set.empty)
 
 final class Translator(schema: GraphSchema, source: GraphSource) {
 
   private def idOf(label: String) = schema.idCol(label)
+
+  private def hasFk(child: String, parent: String): Boolean =
+    source.fkParents(child).contains(parent)
+
+  /** Child rows keyed by their parent's id: (parentId, childId, extra...).
+    * FK-carrying sources serve this straight off the child node table — no
+    * edge self-join, which at 100 TB is the difference between a scan and an
+    * extra shuffle per hop. Fallback: edge ⋈ child-by-id. */
+  private def childFrame(child: String, parent: String,
+                         extra: Seq[Column] = Nil): DataFrame = {
+    val cid = idOf(child); val pid = idOf(parent)
+    if (hasFk(child, parent))
+      source.nodeDf(child).select((col(pid) +: col(cid) +: extra).distinct: _*)
+    else if (extra.isEmpty)
+      source.edgeDf(child, parent).select(col(pid), col(cid))
+    else
+      source.edgeDf(child, parent)
+        .join(source.nodeDf(child).select((col(cid) +: extra).distinct: _*),
+          Seq(cid))
+  }
 
   /** Phase 0: one document frame per index (no cross-index joins yet). */
   def translate(m: IndexMapping): DataFrame = m.kind match {
@@ -36,81 +62,131 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
 
   private def translateAggregator(m: IndexMapping): DataFrame = {
     val rootId = idOf(m.root)
-    // P1/P2: root projection with recode
+    // FK columns that 1-1 parent chains ride on (zero-cost on FK sources)
+    val chainFks = m.parentProps.filter(_.relation == "1-1")
+      .map(_.steps.head.label).distinct
+      .filter(p => hasFk(m.root, p)).map(idOf)
+    // P1/P2: root projection with recode. Root ids are deduped HERE, on the
+    // narrow projection, instead of the reference's drop_duplicates on the
+    // final wide document (base/translator.py:373) — same semantics (every
+    // later join side is unique per root id), a fraction of the shuffle.
     var doc = source.nodeDf(m.root)
-      .select(col(rootId) +: m.props.map(Project.propCol): _*)
+      .select(((col(rootId) +: chainFks.map(col)) ++
+        m.props.map(Project.propCol)).distinct: _*)
+      .dropDuplicates(rootId)
+    var helperCols: List[String] = chainFks.toList
 
-    // J3: parent chains — each chain contributes set/first columns per root
+    // J3: parent chains. A declared 1-1 chain needs no aggregation at all:
+    // each hop is a left broadcast join up the FK/edge chain (dimension
+    // tables are small by construction — they sit ABOVE the root in the
+    // graph). Set-relation chains keep the collect_set aggregation.
     m.parentProps.foreach { chain =>
-      val fn = if (chain.relation == "1-1") "first" else "set"
-      val chainJoins = chain.steps.scanLeft(m.root) { (child, step) => step.label }
-        .zip(chain.steps).map { case (child, step) =>
-          (source.edgeDf(child, step.label),
-           source.nodeDf(step.label)
-             .select(col(idOf(step.label)) +:
-               step.props.map(p => col(p.src)): _*),
-           idOf(child), idOf(step.label))
+      if (chain.relation == "1-1") {
+        val labels = m.root +: chain.steps.map(_.label)
+        chain.steps.zipWithIndex.foreach { case (step, i) =>
+          val cur = labels(i)
+          val pid = idOf(step.label)
+          if (!hasFk(cur, step.label)) {
+            // edge fallback; dedup childId so a dirty many-edge child can't
+            // fan the document out (the reference's `first` picks one row —
+            // so do we, arbitrarily, via the narrow edge dedup)
+            doc = doc.join(
+              source.edgeDf(cur, step.label)
+                .select(col(idOf(cur)), col(pid)).dropDuplicates(idOf(cur)),
+              Seq(idOf(cur)), "left_outer")
+          }
+          if (!helperCols.contains(pid)) helperCols ::= pid
+          // the parent view carries the NEXT hop's FK when it can ride along
+          val nextFk = chain.steps.lift(i + 1).toSeq
+            .filter(n => hasFk(step.label, n.label)).map(n => col(idOf(n.label)))
+          val pview = source.nodeDf(step.label)
+            .select(((col(pid) +: nextFk) ++ step.props.map(Project.propCol)).distinct: _*)
+          doc = doc.join(broadcast(pview), Seq(pid), "left_outer")
         }
-      val props = chain.steps.flatMap(_.props).map(p => (p, fn))
-      val parentCols = GraphOps.parentChain(
-        source.nodeDf(m.root).select(col(rootId)), rootId, chainJoins, props)
-      doc = doc.join(parentCols, Seq(rootId), "left_outer")
+      } else {
+        val chainJoins = chain.steps.scanLeft(m.root) { (child, step) => step.label }
+          .zip(chain.steps).map { case (child, step) =>
+            (source.edgeDf(child, step.label),
+             source.nodeDf(step.label)
+               .select(col(idOf(step.label)) +:
+                 step.props.map(p => col(p.src)): _*),
+             idOf(child), idOf(step.label))
+          }
+        val props = chain.steps.flatMap(_.props).map(p => (p, "set"))
+        val parentCols = GraphOps.parentChain(
+          source.nodeDf(m.root).select(col(rootId)), rootId, chainJoins, props)
+        doc = doc.join(parentCols, Seq(rootId), "left_outer")
+      }
     }
+    if (helperCols.nonEmpty) doc = doc.drop(helperCols: _*)
 
-    // A3/A4: one-hop child flatten. Reference parity: a child whose link
+    // A3 plain flatten (no sorted_by). Reference parity: a child whose link
     // multiplicity fans out (one root ↔ many child rows) can only flatten
     // 1:1 when `sorted_by` picks a single row — otherwise reject, like the
     // reference's multiplicity check (aggregation/parser.py:374-417),
     // instead of silently keeping an arbitrary row.
-    m.flattenProps.foreach { f =>
-      val childLabel = f.path
-      val edge = source.edgeDf(childLabel, m.root)
-      val child = source.nodeDf(childLabel)
-      val childId = idOf(childLabel)
-      if (f.sortedBy.isEmpty) {
-        val mult = schema.linksOf(childLabel, m.root).multiplicity
-        if (mult == "many_to_one" || mult == "many_to_many")
-          throw new IllegalArgumentException(
-            s"flatten_props ${f.path} on ${m.name}: multiplicity $mult fans " +
-              "out; declare sorted_by (or model it as aggregated/nested props)")
-      }
-      f.sortedBy match {
-        case Some((sortCol, desc)) =>
-          val joined = edge.join(
-            child.select(col(childId) +: (col(sortCol) +:
-              f.props.map(Project.propCol)): _*), Seq(childId))
-          val top = GraphOps.sortedFirst(joined, rootId, col(sortCol), desc,
-            f.props.map(p => col(p.name)))
-          doc = doc.join(top, Seq(rootId), "left_outer")
-        case None =>
-          val sel = child.select(col(childId) +: f.props.map(Project.propCol): _*)
-          doc = doc.join(edge, Seq(rootId), "left_outer")
-            .join(sel, Seq(childId), "left_outer").drop(childId)
-            .dropDuplicates(rootId)
+    val (sortedFl, plainFl) = m.flattenProps.partition(_.sortedBy.isDefined)
+    plainFl.foreach { f =>
+      val mult = schema.linksOf(f.path, m.root).multiplicity
+      if (mult == "many_to_one" || mult == "many_to_many")
+        throw new IllegalArgumentException(
+          s"flatten_props ${f.path} on ${m.name}: multiplicity $mult fans " +
+            "out; declare sorted_by (or model it as aggregated/nested props)")
+      val top = childFrame(f.path, m.root, f.props.map(Project.propCol))
+        .drop(idOf(f.path)).dropDuplicates(rootId)
+      doc = doc.join(top, Seq(rootId), "left_outer")
+    }
+
+    // A4 + depth-1 A2, merged: every sorted_by flatten and every one-hop
+    // aggregation over the SAME child label share ONE groupBy — one scan of
+    // the child, one shuffle, instead of a subplan (and an extra join) each.
+    val aggsByPath = m.aggregatedProps.groupBy(_.path)
+    val d1Labels = (sortedFl.map(_.path) ++
+      m.aggregatedProps.collect { case d if d.path.length == 1 => d.path.head }).distinct
+    d1Labels.foreach { label =>
+      val fls = sortedFl.filter(_.path == label)
+      val ads = aggsByPath.getOrElse(Seq(label), Nil)
+      val childId = idOf(label)
+      val extra = (fls.flatMap(f => col(f.sortedBy.get._1) +:
+        f.props.map(Project.propCol)) ++ ads.flatMap(_.src).map(col))
+        .groupBy(_.toString).map(_._2.head).toSeq
+      val cv = childFrame(label, m.root, extra)
+      val aggCols = fls.zipWithIndex.map { case (f, i) =>
+        val (sc, desc) = f.sortedBy.get
+        val packed = struct(f.props.map(p => col(p.name)): _*)
+        (if (desc) max_by(packed, col(sc)) else min_by(packed, col(sc)))
+          .alias(s"_top_$i")
+      } ++ ads.map { d =>
+        (d.name, aggFnOf(d), d.src.map(col).getOrElse(col(childId)))
+      }.map { case (n, fn, c) => AggExpr.agg(fn, c).alias(n) }
+      val grouped = cv.groupBy(col(rootId)).agg(aggCols.head, aggCols.tail: _*)
+      val out = grouped.select(col(rootId) +:
+        (fls.zipWithIndex.flatMap { case (f, i) =>
+          f.props.map(p => col(s"_top_$i").getField(p.name).alias(p.name))
+        } ++ ads.map(d => col(d.name))): _*)
+      doc = doc.join(out, Seq(rootId), "left_outer")
+      ads.foreach { d =>
+        doc = doc.withColumn(d.name, AggExpr.zeroFill(d.fn, col(d.name)))
       }
     }
 
-    // A2: aggregation paths, deepest chain as ONE multi-join plan each
-    m.aggregatedProps.groupBy(_.path).foreach { case (path, defs) =>
-      val hops = pathHops(m.root, path)
+    // A2 deep paths (≥ 2 hops): walk child frames from the edge side — the
+    // root table never enters the subplan (the document's left join + zero-
+    // fill below restores childless roots), and leaf props ride the last
+    // hop's child frame instead of a leaf-id self-join.
+    aggsByPath.filter(_._1.length >= 2).foreach { case (path, defs) =>
       val leafLabel = path.last
-      val leafNeeded = defs.flatMap(_.src).distinct
-      val leaf =
-        if (leafNeeded.isEmpty) None
-        else Some((source.nodeDf(leafLabel)
-          .select(col(idOf(leafLabel)) +: leafNeeded.map(col): _*),
-          idOf(leafLabel)))
-      val aggs = defs.map { d =>
-        val c = d.src.map(col).getOrElse(col(idOf(leafLabel)))
-        // src-less count = per-path descendant count, dedup-by-id so
-        // multi-path graphs don't double-count (SURVEY §7.4)
-        if (d.fn == "count" && d.src.isEmpty) (d.name, "countd", c)
-        else (d.name, d.fn, c)
+      val leafExtra = defs.flatMap(_.src).distinct.map(col)
+      var walked = childFrame(path.head, m.root)
+      path.sliding(2).foreach { case Seq(p, c) =>
+        val frame = childFrame(c, p, if (c == leafLabel) leafExtra else Nil)
+        walked = walked.join(frame, Seq(idOf(p)), "inner")
       }
-      val agged = GraphOps.aggPath(
-        source.nodeDf(m.root).select(col(rootId)), rootId, hops, leaf, aggs)
+      val aggs = defs.map { d =>
+        (d.name, aggFnOf(d), d.src.map(col).getOrElse(col(idOf(leafLabel))))
+      }
+      val agged = GraphOps.aggRollup(walked, rootId, aggs)
       doc = doc.join(agged, Seq(rootId), "left_outer")
-      // zero-fill after the left join (childless roots)
       defs.foreach { d =>
         doc = doc.withColumn(d.name, AggExpr.zeroFill(d.fn, col(d.name)))
       }
@@ -124,18 +200,13 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
 
     // P5: mapping-level filter
     m.filter.foreach(f => doc = doc.filter(FilterDsl.compile(f)))
-    doc.dropDuplicates(rootId)
+    doc
   }
 
-  /** edges along a dotted descendant path root→l1→l2…, each hop keyed on
-    * the id the accumulated frame already carries. */
-  private def pathHops(root: String, path: Seq[String]): Seq[(DataFrame, String)] = {
-    val labels = root +: path
-    labels.sliding(2).toSeq.map { case Seq(parent, child) =>
-      // edge (childId, parentId): join on parentId which acc carries
-      (source.edgeDf(child, parent), idOf(parent))
-    }
-  }
+  /** src-less count = per-path descendant count, dedup-by-id so multi-path
+    * graphs and duplicate leaf rows don't double-count (SURVEY §7.4). */
+  private def aggFnOf(d: AggregatedPropDef): String =
+    if (d.fn == "count" && d.src.isEmpty) "countd" else d.fn
 
   /** A5 recursion: leaf-first collect_list(struct(...)). */
   private def buildNested(parentLabel: String, nd: NestedDef): DataFrame = {
@@ -143,8 +214,12 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
     val labels = parentLabel +: nd.path
     val nodeLabel = labels.last
     val nodeId = idOf(nodeLabel)
+    // the node's own FK toward its immediate parent rides the projection,
+    // skipping that hop's edge join on FK sources
+    val nearParent = labels(labels.length - 2)
+    val fkCol = if (hasFk(nodeLabel, nearParent)) Seq(col(idOf(nearParent))) else Nil
     var child = source.nodeDf(nodeLabel)
-      .select(col(nodeId) +: nd.props.map(Project.propCol): _*)
+      .select(((col(nodeId) +: fkCol) ++ nd.props.map(Project.propCol)).distinct: _*)
     nd.filter.foreach(f => child = child.filter(FilterDsl.compile(f)))
     // attach grandchildren nested blocks first (leaf-first recursion)
     nd.children.foreach { sub =>
@@ -153,7 +228,8 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
     // join edges upward to the parent id
     val joined = labels.sliding(2).toSeq.reverse.foldLeft(child) {
       case (acc, Seq(parent, ch)) =>
-        acc.join(source.edgeDf(ch, parent), Seq(idOf(ch)), "inner")
+        if (ch == nodeLabel && hasFk(ch, parent)) acc // FK already on frame
+        else acc.join(source.edgeDf(ch, parent), Seq(idOf(ch)), "inner")
     }
     // struct fields: declared props + child nested blocks + the node's id —
     // intermediate hop ids stay out of the document
@@ -170,12 +246,50 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
     val leafLabels = schema.nodes.filter(_.category == inj.category).map(_.label)
     val leaves = leafLabels.map { leaf =>
       val leafId = idOf(leaf)
+      // resolve each injection's ancestor path up-front
+      val paths = inj.injectingProps.toSeq.flatMap { case (anc, props) =>
+        ancestorPath(leaf, anc).map(pl => (anc, props, pl))
+      }
+      def singleHops(pl: Seq[String]): Boolean = pl.sliding(2).forall {
+        case Seq(c, p) =>
+          val mult = schema.linksOf(c, p).multiplicity
+          mult == "many_to_one" || mult == "one_to_one"
+        case _ => true
+      }
+      // FK columns that single-parent walks ride on (zero-cost projection)
+      val fkFirst = paths.collect {
+        case (_, _, pl) if singleHops(pl) && pl.length > 1 && hasFk(leaf, pl(1)) =>
+          idOf(pl(1))
+      }.distinct
       var df = source.nodeDf(leaf)
-        .select(col(leafId) +: m.props.map(Project.propCol): _*)
+        .select(((col(leafId) +: fkFirst.map(col)) ++
+          m.props.map(Project.propCol)).distinct: _*)
         .withColumn("source_node", lit(leaf))
-      // inject ancestor props by walking parents transitively
-      inj.injectingProps.foreach { case (ancestorLabel, props) =>
-        ancestorPath(leaf, ancestorLabel).foreach { pathLabels =>
+      var dropCols: List[String] = fkFirst.toList
+      paths.foreach { case (ancestorLabel, props, pathLabels) =>
+        if (singleHops(pathLabels)) {
+          // every hop has at most one parent: the injected "set" is a 0/1-
+          // element array, so skip the groupBy + join-back entirely — walk
+          // up with left broadcast joins and wrap the prop per row
+          pathLabels.sliding(2).foreach { case Seq(c, p) =>
+            val pid = idOf(p)
+            if (!(c == leaf && hasFk(c, p))) // leaf FK already on the frame
+              df = df.join(
+                source.edgeDf(c, p).select(col(idOf(c)), col(pid))
+                  .dropDuplicates(idOf(c)),
+                Seq(idOf(c)), "left_outer")
+            if (!dropCols.contains(pid)) dropCols ::= pid
+          }
+          val ancId = idOf(ancestorLabel)
+          val anc = source.nodeDf(ancestorLabel)
+            .select(col(ancId) +: props.map(Project.propCol): _*)
+          df = df.join(broadcast(anc), Seq(ancId), "left_outer")
+          props.foreach { p =>
+            df = df.withColumn(p.name,
+              when(col(p.name).isNotNull, array(col(p.name))).otherwise(array()))
+          }
+        } else {
+          // fan-out path: aggregate ancestor values into a set per leaf
           val joined = pathLabels.sliding(2).foldLeft(
             source.nodeDf(leaf).select(col(leafId))) {
             case (acc, Seq(child, parent)) =>
@@ -189,6 +303,7 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
           df = df.join(per, Seq(leafId), "left_outer")
         }
       }
+      if (dropCols.nonEmpty) df = df.drop(dropCols: _*)
       df.withColumnRenamed(leafId, "_doc_id")
     }
     GraphOps.unionLeaves(leaves)

@@ -48,11 +48,12 @@ object Types {
     * parser.py:126-135). */
   def widest(candidates: Seq[DataType]): DataType = {
     val rank: DataType => Int = {
-      case DoubleType             => 5   // above float: keeps ties total-ordered
-      case FloatType              => 4
-      case LongType | IntegerType => 3
-      case BooleanType            => 2
-      case _                      => 1
+      case DoubleType  => 6   // wider types above narrower: keeps the order
+      case FloatType   => 5   // total, so selection is order-insensitive
+      case LongType    => 4
+      case IntegerType => 3
+      case BooleanType => 2
+      case _           => 1
     }
     if (candidates.isEmpty) StringType else candidates.maxBy(rank)
   }
