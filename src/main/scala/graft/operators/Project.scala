@@ -19,8 +19,12 @@ object Project {
   def props(df: DataFrame, keep: Seq[Column], defs: Seq[PropDef]): DataFrame =
     df.select(keep ++ defs.map(propCol): _*)
 
-  def propCol(p: PropDef): Column = {
-    val base = col(p.src)
+  def propCol(p: PropDef): Column = propCol(p, None)
+
+  /** `propCol` with an optional bind-time cast to the declared dictionary
+    * type (applied before recode, so mappings see canonical values). */
+  def propCol(p: PropDef, castTo: Option[DataType]): Column = {
+    val base = castTo.fold(col(p.src))(col(p.src).cast)
     val recoded = if (p.valueMappings.isEmpty) base else recode(base, p.valueMappings)
     recoded.alias(p.name)
   }

@@ -40,12 +40,16 @@ object TpchGraph {
       NodeDef("lineitem", "lineitem",
         Map("l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType),
         "txn")),
+    // all child→parent links here are genuinely many_to_one (each child row
+    // references exactly one parent); stated explicitly so the flatten
+    // multiplicity check and the single-parent collector/count fast paths
+    // rest on asserted schema, not defaults
     links = Seq(
-      LinkDef("nation", "region", "edge_nation_region"),
-      LinkDef("customer", "nation", "edge_customer_nation"),
-      LinkDef("supplier", "nation", "edge_supplier_nation"),
-      LinkDef("orders", "customer", "edge_orders_customer"),
-      LinkDef("lineitem", "orders", "edge_lineitem_orders")))
+      LinkDef("nation", "region", "edge_nation_region", "many_to_one", "nations"),
+      LinkDef("customer", "nation", "edge_customer_nation", "many_to_one", "customers"),
+      LinkDef("supplier", "nation", "edge_supplier_nation", "many_to_one", "suppliers"),
+      LinkDef("orders", "customer", "edge_orders_customer", "many_to_one", "orders"),
+      LinkDef("lineitem", "orders", "edge_lineitem_orders", "many_to_one", "lineitems")))
 
   /** lineitem has a composite key (orderkey, linenumber); linenumber < 10 in
     * this corpus, so `orderkey * 10 + linenumber` is a collision-free long

@@ -37,6 +37,35 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
   private def hasFk(child: String, parent: String): Boolean =
     source.fkParents(child).contains(parent)
 
+  /** P1 with bind-time typing (SURVEY §1.2): a prop declared in the graph
+    * schema is checked against the table's actual column type — equal
+    * passes, widening (or any → string) casts, narrowing fails loudly, and
+    * an ABSENT column null-fills at the declared type (the reference builds
+    * every frame against the dictionary schema and null-fills missing
+    * branches: base/parser.py:309-319, injection/new_translator.py:60-66).
+    * Undeclared props pass through untouched — the dynamic-schema escape
+    * hatch for tables richer than the dictionary. */
+  private def boundProps(label: String, df: DataFrame,
+                         props: Seq[PropDef]): Seq[Column] = {
+    val declared = schema.node(label).props
+    lazy val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    props.map { p =>
+      declared.get(p.src) match {
+        case None => Project.propCol(p)
+        case Some(dt) => actual.get(p.src) match {
+          case None => lit(null).cast(dt).alias(p.name)
+          case Some(a) if a == dt => Project.propCol(p)
+          case Some(a) if dt == org.apache.spark.sql.types.StringType ||
+              Types.widest(Seq(a, dt)) == dt =>
+            Project.propCol(p, Some(dt))
+          case Some(a) => throw new IllegalArgumentException(
+            s"prop ${p.src} on $label: table type $a cannot narrow to " +
+              s"declared $dt")
+        }
+      }
+    }
+  }
+
   /** Child rows keyed by their parent's id: (parentId, childId, extra...).
     * FK-carrying sources serve this straight off the child node table — no
     * edge self-join, which at 100 TB is the difference between a scan and an
@@ -70,9 +99,10 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
     // narrow projection, instead of the reference's drop_duplicates on the
     // final wide document (base/translator.py:373) — same semantics (every
     // later join side is unique per root id), a fraction of the shuffle.
-    var doc = source.nodeDf(m.root)
+    val rootDf = source.nodeDf(m.root)
+    var doc = rootDf
       .select(((col(rootId) +: chainFks.map(col)) ++
-        m.props.map(Project.propCol)).distinct: _*)
+        boundProps(m.root, rootDf, m.props)).distinct: _*)
       .dropDuplicates(rootId)
     var helperCols: List[String] = chainFks.toList
 
@@ -99,8 +129,9 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
           // the parent view carries the NEXT hop's FK when it can ride along
           val nextFk = chain.steps.lift(i + 1).toSeq
             .filter(n => hasFk(step.label, n.label)).map(n => col(idOf(n.label)))
-          val pview = source.nodeDf(step.label)
-            .select(((col(pid) +: nextFk) ++ step.props.map(Project.propCol)).distinct: _*)
+          val pdf = source.nodeDf(step.label)
+          val pview = pdf.select(
+            ((col(pid) +: nextFk) ++ boundProps(step.label, pdf, step.props)).distinct: _*)
           doc = doc.join(broadcast(pview), Seq(pid), "left_outer")
         }
       } else {
@@ -132,7 +163,8 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
         throw new IllegalArgumentException(
           s"flatten_props ${f.path} on ${m.name}: multiplicity $mult fans " +
             "out; declare sorted_by (or model it as aggregated/nested props)")
-      val top = childFrame(f.path, m.root, f.props.map(Project.propCol))
+      val top = childFrame(f.path, m.root,
+        boundProps(f.path, source.nodeDf(f.path), f.props))
         .drop(idOf(f.path)).dropDuplicates(rootId)
       doc = doc.join(top, Seq(rootId), "left_outer")
     }
@@ -148,7 +180,8 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
       val ads = aggsByPath.getOrElse(Seq(label), Nil)
       val childId = idOf(label)
       val extra = (fls.flatMap(f => col(f.sortedBy.get._1) +:
-        f.props.map(Project.propCol)) ++ ads.flatMap(_.src).map(col))
+        boundProps(label, source.nodeDf(label), f.props)) ++
+        ads.flatMap(_.src).map(col))
         .groupBy(_.toString).map(_._2.head).toSeq
       val cv = childFrame(label, m.root, extra)
       val aggCols = fls.zipWithIndex.map { case (f, i) =>
@@ -219,7 +252,8 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
     val nearParent = labels(labels.length - 2)
     val fkCol = if (hasFk(nodeLabel, nearParent)) Seq(col(idOf(nearParent))) else Nil
     var child = source.nodeDf(nodeLabel)
-      .select(((col(nodeId) +: fkCol) ++ nd.props.map(Project.propCol)).distinct: _*)
+      .select(((col(nodeId) +: fkCol) ++
+        boundProps(nodeLabel, source.nodeDf(nodeLabel), nd.props)).distinct: _*)
     nd.filter.foreach(f => child = child.filter(FilterDsl.compile(f)))
     // attach grandchildren nested blocks first (leaf-first recursion)
     nd.children.foreach { sub =>
@@ -263,7 +297,7 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
       }.distinct
       var df = source.nodeDf(leaf)
         .select(((col(leafId) +: fkFirst.map(col)) ++
-          m.props.map(Project.propCol)).distinct: _*)
+          boundProps(leaf, source.nodeDf(leaf), m.props)).distinct: _*)
         .withColumn("source_node", lit(leaf))
       var dropCols: List[String] = fkFirst.toList
       paths.foreach { case (ancestorLabel, props, pathLabels) =>
@@ -281,8 +315,9 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
             if (!dropCols.contains(pid)) dropCols ::= pid
           }
           val ancId = idOf(ancestorLabel)
-          val anc = source.nodeDf(ancestorLabel)
-            .select(col(ancId) +: props.map(Project.propCol): _*)
+          val ancDf = source.nodeDf(ancestorLabel)
+          val anc = ancDf.select(
+            col(ancId) +: boundProps(ancestorLabel, ancDf, props): _*)
           df = df.join(broadcast(anc), Seq(ancId), "left_outer")
           props.foreach { p =>
             df = df.withColumn(p.name,
@@ -295,8 +330,9 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
             case (acc, Seq(child, parent)) =>
               acc.join(source.edgeDf(child, parent), Seq(idOf(child)), "left_outer")
           }
-          val anc = source.nodeDf(ancestorLabel)
-            .select(col(idOf(ancestorLabel)) +: props.map(Project.propCol): _*)
+          val ancDf = source.nodeDf(ancestorLabel)
+          val anc = ancDf.select(col(idOf(ancestorLabel)) +:
+            boundProps(ancestorLabel, ancDf, props): _*)
           val withProps = joined.join(anc, Seq(idOf(ancestorLabel)), "left_outer")
           val aggs = props.map(p => AggExpr.agg("set", col(p.name)).alias(p.name))
           val per = withProps.groupBy(col(leafId)).agg(aggs.head, aggs.tail: _*)

@@ -139,6 +139,38 @@ class TranslatorSpec extends SparkSpec {
     }
   }
 
+  test("bind-time typing: widen casts, missing null-fills, narrow rejects") {
+    import org.apache.spark.sql.types._
+    val typed = GraphSchema(
+      nodes = Seq(NodeDef("subject", "subject", Map(
+        "age" -> LongType,        // table has int → widens
+        "weight" -> DoubleType,   // absent from table → null-fill
+        "sex" -> StringType))),   // table has string → passes
+      links = Nil)
+    val tbl = Seq((1, 34, "f")).toDF("id", "age", "sex")
+      .select(col("id").cast("string").as("_subject_id"),
+        col("age").cast("int").as("age"), col("sex"))
+    val src = new GraphSource(_ => tbl, (_, _) => fail("no edges"))
+    val m = IndexMapping(name = "s", docType = "s", root = "subject",
+      props = Seq(PropDef("age", "age"), PropDef("weight", "weight"),
+        PropDef("sex", "sex")))
+    val out = new Translator(typed, src).translate(m)
+    assert(out.schema("age").dataType === LongType)      // widened int → long
+    assert(out.schema("weight").dataType === DoubleType) // null-filled, typed
+    val row = out.collect()(0)
+    assert(row.getLong(row.fieldIndex("age")) === 34L)
+    assert(row.isNullAt(row.fieldIndex("weight")))
+
+    // declared narrower than the table → loud failure, not a silent cast
+    val narrow = typed.copy(nodes = Seq(typed.nodes.head.copy(
+      props = Map("age" -> BooleanType))))
+    val ex = intercept[IllegalArgumentException] {
+      new Translator(narrow, src).translate(
+        m.copy(props = Seq(PropDef("age", "age"))))
+    }
+    assert(ex.getMessage.contains("cannot narrow"))
+  }
+
   test("fan-out flatten without sorted_by is rejected (multiplicity check)") {
     val bad = IndexMapping(
       name = "subject_bad", docType = "subject", root = "subject",
