@@ -1,0 +1,92 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import graft.schema.EsMapping
+
+/** Filesystem-backed `EsClient`: each index is a directory holding
+  * `_mapping.json` plus whatever the loader writes (parquet document sets);
+  * aliases — including the reference's timestamp-encoding alias names
+  * (tube/etl/outputs/es/timestamp.py:20-43) — live in one properties file.
+  *
+  * Exists so the complete S9–S12 lifecycle (versioned index create → bulk
+  * load → alias flip → retention → array-config side doc → incremental-run
+  * timestamp) runs and is tested end-to-end in an environment with no
+  * cluster; an HTTP transport drops in behind the same `EsClient` trait
+  * without touching `EsControl` or `EsPublisher`. */
+final class FsEsClient(val root: Path) extends EsClient {
+  Files.createDirectories(root)
+  private val aliasFile = root.resolve("_aliases.properties")
+
+  def indices(): Seq[String] = {
+    val s = Files.list(root)
+    try s.iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  private def aliasMap: Map[String, Seq[String]] =
+    if (!Files.exists(aliasFile)) Map.empty
+    else Files.readAllLines(aliasFile).asScala.toSeq.filter(_.contains("="))
+      .map { l =>
+        val Array(k, v) = l.split("=", 2)
+        k -> v.split(",").toSeq.filter(_.nonEmpty)
+      }.toMap
+
+  private def writeAliases(m: Map[String, Seq[String]]): Unit =
+    Files.write(aliasFile, m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${v.mkString(",")}" }.asJava)
+
+  def aliasTargets(alias: String): Seq[String] = aliasMap.getOrElse(alias, Nil)
+
+  def createIndex(name: String, mappingJson: String): Unit = {
+    val dir = root.resolve(name)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("_mapping.json"), mappingJson.getBytes("UTF-8"))
+  }
+
+  def flipAlias(alias: String, old: Seq[String], target: String): Unit =
+    writeAliases(aliasMap + (alias -> Seq(target)))
+
+  def deleteIndex(name: String): Unit = {
+    val dir = root.resolve(name)
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+  }
+
+  /** S11 sink-side timestamp, encoded as an alias name `time_{alias}_{ms}`
+    * exactly like the reference. Replaces any previous one. */
+  def setTimestamp(alias: String, millis: Long): Unit =
+    writeAliases(aliasMap.filterNot(_._1.startsWith(s"time_${alias}_")) +
+      (s"time_${alias}_$millis" -> Seq(alias)))
+
+  def timestamp(alias: String): Option[Long] = {
+    val re = s"""^time_${java.util.regex.Pattern.quote(alias)}_(\\d+)$$""".r
+    aliasMap.keys.collect { case re(ms) => ms.toLong }.reduceOption(_ max _)
+  }
+}
+
+/** The reference's whole write phase (tube/etl/outputs/es/writer.py:120-134)
+  * as one call: generate the ES mapping from the document schema, create the
+  * next versioned index, bulk-load the documents (parquet, full write
+  * parallelism — no `coalesce(1)`), flip the alias, prune superseded
+  * versions, emit the `-array-config` side doc (S12), and stamp the
+  * incremental-run timestamp (S11). */
+object EsPublisher {
+
+  def publish(client: FsEsClient, alias: String, docs: DataFrame,
+              docType: String, nowMillis: Long, keep: Int = 1): String = {
+    val mapping = EsMapping.forSchema(docs.schema, docType)
+    val target = EsControl.publish(client, alias, mapping, { idx =>
+      docs.write.mode("overwrite")
+        .parquet(client.root.resolve(idx).resolve("docs").toString)
+    }, keep)
+    client.createIndex(s"$alias-array-config", "{}")
+    Files.write(client.root.resolve(s"$alias-array-config").resolve("config.json"),
+      EsMapping.arrayConfig(docs.schema, docType).getBytes("UTF-8"))
+    client.setTimestamp(alias, nowMillis)
+    target
+  }
+}
