@@ -61,15 +61,19 @@ object Ivf {
     centroids
   }
 
-  /** Top-k neighbors per query, probing the `nprobe` nearest cells. */
-  def topK(corpus: DataFrame, corpusId: String, corpusVec: String,
-           queries: DataFrame, queryId: String, queryVec: String,
-           k: Int, numCells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
-    val centroids = train(corpus, corpusId, corpusVec, numCells, iters)
+  /** Quantized corpus: one row per vector with its cell id and norm. */
+  private def index(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    centroids: DataFrame): DataFrame = {
     val cvecs = withNorm(corpus.select(col(corpusId), col(corpusVec)),
       corpusVec, "_cn")
-    val indexed = assign(cvecs, corpusId, corpusVec, "_cn", centroids)
+    assign(cvecs, corpusId, corpusVec, "_cn", centroids)
       .join(cvecs, Seq(corpusId))
+  }
+
+  /** Probe + score against an already-quantized corpus. */
+  private def search(indexed: DataFrame, corpusId: String, corpusVec: String,
+                     centroids: DataFrame, queries: DataFrame, queryId: String,
+                     queryVec: String, k: Int, nprobe: Int): DataFrame = {
     val qvecs = withNorm(queries.select(col(queryId), col(queryVec)),
       queryVec, "_qn")
     // nprobe nearest cells per query
@@ -90,4 +94,37 @@ object Ivf {
       .select(col(queryId).alias("query_id"), col("rank"),
         col(corpusId).alias("neighbor_id"), round(col("sim"), 6).alias("sim"))
   }
+
+  /** Top-k neighbors per query, probing the `nprobe` nearest cells.
+    * Trains in-line — for repeated query batches use `buildIndex` +
+    * `topKIndexed` so training and quantization are paid once. */
+  def topK(corpus: DataFrame, corpusId: String, corpusVec: String,
+           queries: DataFrame, queryId: String, queryVec: String,
+           k: Int, numCells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val centroids = train(corpus, corpusId, corpusVec, numCells, iters)
+    search(index(corpus, corpusId, corpusVec, centroids), corpusId, corpusVec,
+      centroids, queries, queryId, queryVec, k, nprobe)
+  }
+
+  /** Build the IVF index ONCE and persist it: centroids (tiny parquet) plus
+    * the corpus quantized and laid out BY CELL via hive partitioning. A
+    * 100 TB corpus indexed this way serves each query batch by reading only
+    * the probed cell directories (partition pruning / dynamic partition
+    * pruning through the cell join) — no re-training, no full rescan. */
+  def buildIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 path: String, numCells: Int, iters: Int = 2): Unit = {
+    val centroids = train(corpus, corpusId, corpusVec, numCells, iters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index(corpus, corpusId, corpusVec, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Top-k against a persisted index (see `buildIndex`). */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  corpusId: String, corpusVec: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  k: Int, nprobe: Int): DataFrame =
+    search(spark.read.parquet(s"$path/cells"), corpusId, corpusVec,
+      spark.read.parquet(s"$path/centroids"),
+      queries, queryId, queryVec, k, nprobe)
 }

@@ -30,6 +30,23 @@ class IvfSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("neighbor_id") % 2 === 0))
   }
 
+  test("persisted index: cell-partitioned layout, search matches in-line topK") {
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ivf.buildIndex(corpus, "nid", "nv", path, numCells = 2, iters = 2)
+    // hive layout: one directory per cell → probed-cell-only reads at scale
+    val cellDirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length === 2)
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    val fromIndex = Ivf.topKIndexed(spark, path, "nid", "nv",
+        queries, "qid", "qv", k = 5, nprobe = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    val inline = Ivf.topK(corpus, "nid", "nv", queries, "qid", "qv",
+        k = 5, numCells = 2, nprobe = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(fromIndex === inline)
+  }
+
   test("nprobe = numCells recovers brute-force results") {
     val queries = Seq((100L, Array(0.2f, 1.0f))).toDF("qid", "qv")
     val ivf = Ivf.topK(corpus, "nid", "nv", queries, "qid", "qv",
