@@ -160,41 +160,67 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Connected components over near-duplicate pairs → (id, component),
-    * component = the smallest member id. Iterative min-label propagation —
-    * each round every node adopts the smallest label among itself and its
-    * neighbors; rounds needed ≈ graph diameter (near-dup clusters are
-    * shallow, so a handful). Everything is joins/aggregations — no driver
-    * union-find, so it scales with the pair set, not with driver memory. */
-  def componentsFromPairs(pairs: DataFrame, iters: Int = 10): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * component = the smallest member id. Alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round every node links its larger neighbors (large-star)
+    * then its smaller neighbors (small-star) to its minimum neighbor, which
+    * converges to per-component stars in O(log n) rounds — independent of
+    * cluster diameter, unlike min-label propagation whose round count grows
+    * with the longest duplicate chain. Everything is joins/aggregations —
+    * no driver union-find, so it scales with the pair set, not driver
+    * memory. */
+  def componentsFromPairs(pairs: DataFrame, iters: Int = 20): DataFrame = {
+    // canonical directed edges u→v with u > v; self-loops dropped.
     // iterative algorithms MUST truncate lineage per round — otherwise the
     // plan nests one level per iteration and planning/codegen memory grows
     // exponentially (observed as driver OOM at ~10 rounds). localCheckpoint
     // materializes eagerly; swap for checkpoint(reliable) on a cluster with
     // a checkpoint dir if executor loss must be survivable mid-computation.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    var edges = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    // order-independent set signature; bit_xor can't overflow under ANSI
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
     var converged = false
     var round = 0
     while (round < iters && !converged) {
-      val next = labels.select(col("id"), col("comp"))
-        .union(edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("comp")))
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // large-star: every neighbor LARGER than u links to u's minimum
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minOf = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      val large = nbrs.filter(col("v") > col("u"))
+        .join(minOf, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: every neighbor SMALLER than u (all of them, after the
+      // large-star orientation) links to u's minimum, and u links there too
+      val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(minS, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(large.select(col("u"), col("v")).join(minS, Seq("u"))
+          .select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.comp") =!= col("p.comp"))
-        .isEmpty
-      labels = next
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = small
       round += 1
     }
-    labels
+    // at the fixpoint the edge set is a star per component: (member, root).
+    // min-agg guards the iteration-cap case where stars aren't flat yet.
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
   }
 
   /** Canonical-corpus materializer: drop all but the smallest-id member of

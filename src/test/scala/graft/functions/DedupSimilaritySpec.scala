@@ -109,6 +109,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("componentsFromPairs: deep chain converges in O(log n) rounds") {
+    // a 64-hop chain: min-label propagation needs ~64 rounds; the
+    // large-star/small-star alternation must finish within 8
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.componentsFromPairs(chain, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 65)
+    assert(comps.values.forall(_ === 0L))
+  }
+
   test("dropExactDuplicates keeps one canonical doc per content group") {
     val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
