@@ -14,6 +14,40 @@ import org.apache.spark.sql.types.StructType
   * partitioning on (window, event_type) distributes state across
   * executors.
   */
+/** Where a stream comes from. The transforms below are source-agnostic;
+  * only `load` differs between a file drop-zone, Kafka, or anything else
+  * `readStream` supports. This environment ships no Kafka broker or
+  * connector, so the file source is the tested implementation and
+  * `KafkaStreamSource` documents the exact drop-in. */
+trait StreamSource {
+  /** A streaming DataFrame with the event schema (must include `ts`). */
+  def load(spark: SparkSession): DataFrame
+}
+
+/** File drop-zone source: new parquet files under `dir` matching `glob`
+  * become micro-batches — the standard landing-area pattern. */
+final class FileStreamSource(dir: String, glob: String, schema: StructType)
+    extends StreamSource {
+  def load(spark: SparkSession): DataFrame =
+    EventStream.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir))
+}
+
+/** Kafka source: requires the `spark-sql-kafka` connector on the classpath
+  * and a reachable broker (neither exists in this environment — untested
+  * here by necessity, kept minimal). Event payloads are JSON in `value`. */
+final class KafkaStreamSource(bootstrapServers: String, topic: String,
+                              payloadSchema: StructType) extends StreamSource {
+  def load(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+      .select(from_json(col("value").cast("string"),
+        payloadSchema).alias("_e"))
+      .select(col("_e.*"))
+}
+
 object EventStream {
 
   /** Parquet INT64 TIMESTAMP(NANOS) columns aren't a Spark type; with
@@ -61,10 +95,18 @@ object EventStream {
     * the latest per (window, type). */
   def runStreaming(spark: SparkSession, dir: String, glob: String,
                    schema: StructType, windowLen: String, watermark: String,
-                   queryName: String = "graft_stream"): DataFrame = {
-    // file stream source wants a directory; glob-filter selects the table
-    val stream = normalizeTs(spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir))
+                   queryName: String): DataFrame =
+    runStreaming(spark, new FileStreamSource(dir, glob, schema), windowLen,
+      watermark, queryName)
+
+  def runStreaming(spark: SparkSession, dir: String, glob: String,
+                   schema: StructType, windowLen: String,
+                   watermark: String): DataFrame =
+    runStreaming(spark, dir, glob, schema, windowLen, watermark, "graft_stream")
+
+  def runStreaming(spark: SparkSession, source: StreamSource, windowLen: String,
+                   watermark: String, queryName: String): DataFrame = {
+    val stream = source.load(spark)
     val agg = windowedAgg(stream.withWatermark("ts", watermark), windowLen)
     val q = agg.writeStream
       .outputMode("update")
@@ -127,9 +169,13 @@ object EventStream {
     * (Update mode) and return the final per-user counts. */
   def runStatefulSessions(spark: SparkSession, dir: String, glob: String,
                           schema: StructType, gapMinutes: Int,
-                          queryName: String = "graft_sessions"): DataFrame = {
-    val stream = normalizeTs(spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir))
+                          queryName: String = "graft_sessions"): DataFrame =
+    runStatefulSessions(spark, new FileStreamSource(dir, glob, schema),
+      gapMinutes, queryName)
+
+  def runStatefulSessions(spark: SparkSession, source: StreamSource,
+                          gapMinutes: Int, queryName: String): DataFrame = {
+    val stream = source.load(spark)
     val q = sessionizeStateful(stream, gapMinutes).toDF().writeStream
       .outputMode("update")
       .format("memory")
