@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Skew guard behind every candidate join: drop rows whose key-group
+    * exceeds `cap`. Implemented as hash-agg for the (by construction tiny —
+    * at most total/cap) set of over-cap keys, broadcast anti-joined back.
+    * NOT a `count().over(Window)`: the window form shuffles and then SORTS
+    * the entire exploded index just to count group sizes, which at corpus
+    * scale is the single most expensive node in the plan. */
+  private def capGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    // the input is an exploded index over EXPENSIVE per-doc computation
+    // (shingling / signature aggregation) and is consumed twice — once for
+    // hot-key detection, once for the candidate pass. Persist it: at corpus
+    // scale recomputation is a second full pass over the corpus, and
+    // MEMORY_AND_DISK spills rather than OOMs.
+    val idx = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = idx.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > cap).select(keys.map(col): _*)
+    idx.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** Exact dedup groups: hash-groupBy on the normalized-content md5.
     * One shuffle on a 128-bit key; the groups frame is tiny relative to the
     * corpus. `keep_id` = min doc id (deterministic canonical member). */
@@ -69,39 +87,44 @@ object Dedup {
             b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band", "band_key")))
 
-  /** Candidate pairs from banded signatures: self-equi-join on
+  /** In-bucket pair emission: group the (already capped) inverted index
+    * into one sorted member list per key — ONE shuffle, no sort-merge
+    * self-join — then explode ordered pairs in place: member i pairs with
+    * the strictly-later slice, so `id_a < id_b` holds by construction and
+    * only B²/2 intermediates materialize per bucket (bounded by the cap). */
+  private def bucketPairs(capped: DataFrame, keys: Seq[String],
+                          member: Column): DataFrame = {
+    val buckets = capped.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(member)).as("_ms"))
+    buckets
+      .select(posexplode(col("_ms")).as(Seq("_i", "_a")), col("_ms"))
+      .select(col("_a"),
+        explode(slice(col("_ms"), col("_i") + lit(2), size(col("_ms")))).as("_b"))
+  }
+
+  /** Candidate pairs from banded signatures: in-bucket pairs per
     * (band, band_key), id_a < id_b, deduped across bands. Buckets larger
     * than maxBucket are dropped (skew guard). */
   def lshCandidates(banded: DataFrame, idCol: String,
-                    maxBucket: Int = 1000): DataFrame = {
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band"), col("band_key"), col(idCol).alias("id_a"))
-    val b = sized.select(col("band"), col("band_key"), col(idCol).alias("id_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+                    maxBucket: Int = 1000): DataFrame =
+    bucketPairs(capGroups(banded, Seq("band", "band_key"), maxBucket),
+        Seq("band", "band_key"), col(idCol))
+      .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .distinct()
-  }
 
   /** Exact Jaccard over shingle sets via inverted index (NO cross join):
-    * explode distinct shingles, self-join on the shingle, count shared per pair,
-    * jaccard = common / (|A| + |B| - common). This is also the verification
-    * stage after LSH candidates, and the exact-oracle-checkable variant. */
+    * explode distinct shingles, emit in-bucket pairs per shingle, count
+    * shared per pair, jaccard = common / (|A| + |B| - common). This is also
+    * the verification stage after LSH candidates, and the
+    * exact-oracle-checkable variant. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, shingleCol: String,
                         threshold: Double, maxPosting: Int = 1000): DataFrame = {
     val sizes = docs.select(col(idCol).alias("id"), size(col(shingleCol)).alias("n_sh"))
-    val posting = docs
-      .select(col(idCol).alias("id"), explode(col(shingleCol)).alias("sh"))
-      .withColumn("posting_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("posting_n") <= maxPosting)
-      .drop("posting_n")
-    val common = posting.alias("x").join(posting.alias("y"), Seq("sh"))
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
+    val posting = capGroups(
+      docs.select(col(idCol).alias("id"), explode(col(shingleCol)).alias("sh")),
+      Seq("sh"), maxPosting)
+    val common = bucketPairs(posting, Seq("sh"), col("id"))
+      .groupBy(col("_a").alias("id_a"), col("_b").alias("id_b"))
       .agg(count(lit(1)).alias("common"))   // shared-shingle count per pair
     common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -242,17 +265,13 @@ object Dedup {
     val banded = docs.select(
       col(idCol).alias("id"), col(simhashCol).alias("sh64"),
       posexplode(bandKeys).as(Seq("band", "band_key")))
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band"), col("band_key"),
-      col("id").alias("id_a"), col("sh64").alias("sh_a"))
-    val b = sized.select(col("band"), col("band_key"),
-      col("id").alias("id_b"), col("sh64").alias("sh_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    val sized = capGroups(banded, Seq("band", "band_key"), maxBucket)
+    // member = struct(id, sh64): sort_array orders by id (first field), so
+    // the in-bucket slice pairing keeps id_a < id_b
+    bucketPairs(sized, Seq("band", "band_key"), struct(col("id"), col("sh64")))
+      .select(col("_a.id").as("id_a"), col("_b.id").as("id_b"),
+        col("_a.sh64").as("sh_a"), col("_b.sh64").as("sh_b"))
+      .distinct()
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= hammingMax)
       .select("id_a", "id_b", "hamming")
