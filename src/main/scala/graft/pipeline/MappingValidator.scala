@@ -78,6 +78,24 @@ object MappingValidator {
       if (all.indices.exists(_.name == j.otherIndex)) Nil
       else Seq(s"$at: joining_props: unknown index '${j.otherIndex}'")
     }
-    root ++ parents ++ flattens ++ aggs ++ nests ++ joins
+    // every prop family writes into one flat document namespace — a name
+    // claimed twice would silently shadow (ambiguous column at best)
+    val outNames = m.props.map(_.name) ++
+      m.parentProps.flatMap(_.steps.flatMap(_.props.map(_.name))) ++
+      m.flattenProps.flatMap(_.props.map(_.name)) ++
+      m.aggregatedProps.map(_.name) ++
+      m.nestedProps.map(_.name) ++
+      m.joiningProps.flatMap(_.props.map(_.name))
+    val collisions = outNames.diff(outNames.distinct).distinct
+      .map(n => s"$at: output column '$n' is produced by more than one prop")
+    // the fan-out flatten check, statically (Translator also throws at
+    // build time for direct use)
+    val fanout = m.flattenProps.filter(_.sortedBy.isEmpty).flatMap { f =>
+      schema.links.find(l => l.child == f.path && l.parent == m.root).toSeq
+        .filter(l => l.multiplicity == "many_to_one" || l.multiplicity == "many_to_many")
+        .map(l => s"$at: flatten_props '${f.path}': multiplicity " +
+          s"${l.multiplicity} fans out; declare sorted_by")
+    }
+    root ++ parents ++ flattens ++ aggs ++ nests ++ joins ++ collisions ++ fanout
   }
 }

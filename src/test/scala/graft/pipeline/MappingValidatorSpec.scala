@@ -39,6 +39,26 @@ class MappingValidatorSpec extends AnyFunSuite {
     assert(errs.size >= 4)
   }
 
+  test("output-name collisions and fan-out flattens are flagged statically") {
+    // subject->project is many children per parent: flattening project's
+    // props onto subject is fine, but flattening subject ONTO project
+    // without sorted_by fans out
+    val bad = IndexMapping(name = "c", docType = "c", root = "project",
+      props = Seq(PropDef.of("name")),
+      parentProps = Seq(ParentChainDef(Seq(
+        PathStep("program", Seq(PropDef("name", "prog_name")))))), // collides
+      flattenProps = Seq(FlattenDef("subject", Seq(PropDef.of("age")))))
+    val errs = MappingValidator.validate(schema, EtlMapping(Seq(bad)))
+    assert(errs.exists(_.contains("output column 'name'")))
+    assert(errs.exists(e => e.contains("fans out") && e.contains("sorted_by")))
+    // with sorted_by declared the flatten passes
+    val ok = bad.copy(
+      parentProps = Nil,
+      flattenProps = Seq(FlattenDef("subject", Seq(PropDef.of("age")),
+        sortedBy = Some(("age", true)))))
+    assert(MappingValidator.validate(schema, EtlMapping(Seq(ok))) === Nil)
+  }
+
   test("duplicate index names flagged; runAll refuses invalid mappings") {
     val a = IndexMapping(name = "dup", docType = "a", root = "subject")
     val b = IndexMapping(name = "dup", docType = "b", root = "subject")
