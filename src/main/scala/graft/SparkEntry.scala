@@ -47,6 +47,31 @@ object SparkEntry {
     "tube_customer_doc" -> ((s, dir) => TpchGraph.customerDocs(s, dir)),
     "tube_collector_doc" -> ((s, dir) => TpchGraph.accountDocs(s, dir)),
 
+    // full multi-index lifecycle: phase 0 per index, then joining_props in
+    // topological order (producer nation_doc finishes first, consumer joins
+    // its finished documents on the shared key) — reference
+    // interpreter.py:34-62
+    "tube_runall_join" -> ((s, dir) => {
+      val producer = IndexMapping(
+        name = "nation_doc", docType = "nation", root = "nation",
+        props = Seq(PropDef("nation_name", "n_name")),
+        parentProps = Seq(ParentChainDef(Seq(
+          PathStep("region", Seq(PropDef("region_name", "r_name")))),
+          relation = "1-1")))
+      val consumer = IndexMapping(
+        name = "customer_join", docType = "customer", root = "customer",
+        props = Seq(PropDef("c_name", "c_name")),
+        parentProps = Seq(ParentChainDef(Seq(
+          PathStep("nation", Seq(PropDef("nation_name", "n_name")))),
+          relation = "1-1")),
+        joiningProps = Seq(JoiningDef("nation_doc", Seq("nation_name"),
+          Seq(PropDef("region_name", "region_name")))))
+      Translator.runAll(TpchGraph.schema, TpchGraph.source(s, dir),
+          EtlMapping(Seq(consumer, producer)))("customer_join")
+        .select(col("_customer_id"), col("c_name"), col("nation_name"),
+          col("region_name"))
+    }),
+
     // ---- P1/P2: projection + rename + enum recode -----------------------
     "p1_project_recode" -> ((s, dir) =>
       Project.props(t(s, dir, "customer"), Seq(col("c_custkey")), Seq(
@@ -358,6 +383,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT s_suppkey, s_name, s_acctbal, 'supplier', [n_name]
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "tube_runall_join" ->
+      """SELECT c_custkey AS _customer_id, c_name, n_name AS nation_name,
+        |  r_name AS region_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     "p1_project_recode" ->
       """SELECT c_custkey, c_name AS name,
