@@ -179,6 +179,23 @@ object SparkEntry {
             filter = Some(FilterLeaf(">", "o_totalprice", 0))))))))
     }),
 
+    // nested-doc content IS oracle-checkable once exploded back to rows:
+    // build the array-of-struct column, then flatten it — pins the
+    // collect_list(struct) construction against a plain-join oracle
+    "a5_nested_roundtrip" -> ((s, dir) => {
+      val src = TpchGraph.source(s, dir)
+      val docs = new Translator(TpchGraph.schema, src).translate(IndexMapping(
+        name = "nation_nested_rt", docType = "nation", root = "nation",
+        props = Seq(PropDef("n_name", "n_name")),
+        nestedProps = Seq(NestedDef("customers", Seq("customer"),
+          Seq(PropDef("c_name", "c_name"), PropDef("c_acctbal", "c_acctbal"))))))
+      docs.select(col("_nation_id"), col("n_name"),
+          explode(col("customers")).as("c"))
+        .select(col("_nation_id"), col("n_name"),
+          col("c.c_name").as("c_name"), col("c.c_acctbal").as("c_acctbal"),
+          col("c._customer_id").as("_customer_id"))
+    }),
+
     // ---- A4: top-1-per-group via max_by(struct) -------------------------
     "a4_sorted_first" -> ((s, dir) =>
       GraphOps.sortedFirst(t(s, dir, "lineitem"), "l_orderkey",
@@ -390,6 +407,11 @@ object SparkEntry {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "a5_nested_roundtrip" ->
+      """SELECT n_nationkey AS _nation_id, n_name, c_name, c_acctbal,
+        |  c_custkey AS _customer_id
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
 
     "p1_project_recode" ->
       """SELECT c_custkey, c_name AS name,
