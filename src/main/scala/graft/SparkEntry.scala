@@ -237,6 +237,21 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
     }),
 
+    // the canonical training-data cleaning pipeline, composed from the ops
+    // above: quality gate → language gate → exact dedup → kept corpus
+    "corpus_clean" -> ((s, dir) => {
+      val feats = TextFunctions.qualityFeatures(col("text")).toMap
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.langId(col("text")).as("lang_guess"),
+          feats("n_tokens").as("n_tokens"),
+          feats("alpha_ratio").as("alpha_ratio"))
+        .filter(col("lang_guess") === "en" && col("n_tokens") >= 5 &&
+          col("alpha_ratio") > 0.5)
+      Dedup.dropExactDuplicates(scored, "doc_id", "text")
+        .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
+    }),
+
     // full dedup pipeline: verified pairs → connected components (groups)
     "dedup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -412,6 +427,25 @@ object SparkEntry {
       """SELECT n_nationkey AS _nation_id, n_name, c_name, c_acctbal,
         |  c_custkey AS _customer_id
         |FROM nation JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
+
+    "corpus_clean" ->
+      (s"WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents), " +
+        "s AS (SELECT doc_id, text, toks, len(toks) AS n_tokens, " +
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / " +
+        "CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS alpha_ratio, " +
+        "len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS s_de, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS s_en, " +
+        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un','una','por'], x))) AS s_es, " +
+        "len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','dans','que'], x))) AS s_fr, " +
+        "len(list_filter(toks, x -> list_contains(['的','了','是','我','不','在','有','他','这','就'], x))) AS s_zh " +
+        "FROM t), " +
+        "g AS (SELECT doc_id, text, toks, n_tokens, alpha_ratio, " +
+        "CASE WHEN m = 0 THEN 'und' WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' " +
+        "WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_guess " +
+        "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)), " +
+        "f AS (SELECT * FROM g WHERE lang_guess = 'en' AND n_tokens >= 5 AND alpha_ratio > 0.5), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(array_to_string(toks, ' '))) " +
+        "SELECT f.doc_id, f.lang_guess, f.n_tokens FROM f JOIN k ON f.doc_id = k.doc_id"),
 
     "p1_project_recode" ->
       """SELECT c_custkey, c_name AS name,
