@@ -90,6 +90,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components on random graphs match a driver-side union-find") {
+    val pairGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+    forAll(pairGen, n = 5) { pairs =>
+      val nontrivial = pairs.filter { case (a, b) => a != b }
+      if (nontrivial.nonEmpty) {
+        // oracle: classic path-compressed union-find on the driver
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        nontrivial.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra max rb) = ra min rb
+        }
+        // min id per component (find again after all unions)
+        val ids = nontrivial.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val expect = ids.groupBy(find).flatMap { case (_, members) =>
+          val m = members.min
+          members.map(_ -> m)
+        }
+        val got = graft.functions.Dedup.componentsFromPairs(
+            nontrivial.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expect)
+      }
+    }
+  }
+
   test("salted aggregation equals direct aggregation for random salt counts") {
     forAll(Gen.chooseNum(1, 32), n = 8) { salts =>
       val df = spark.range(500).select(
