@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *   - signatures/shingles are computed with codegen'd higher-order
   *     functions (`transform`/`aggregate`/`filter`) — per-row, no UDF.
   *   - hot buckets (skew) are capped: a bucket with B docs yields B²/2
-  *     pairs, so buckets larger than `maxBucket` are dropped with a count
-  *     logged, the standard near-dup-at-scale guard (such mega-buckets are
-  *     boilerplate/templates that exact-dedup or quality filters handle).
+  *     pairs, so buckets larger than `maxBucket`/`maxPosting` are dropped
+  *     entirely — the standard near-dup-at-scale guard (such mega-buckets
+  *     are boilerplate/templates that exact-dedup or quality filters
+  *     handle). The cap is part of the declared semantics: oracles mirror
+  *     it, so a capped run is still deterministic and verifiable.
   */
 object Dedup {
 
