@@ -69,6 +69,11 @@ object SparkEntry {
     "tube_customer_doc" -> ((s, dir) => driverSafe(TpchGraph.customerDocs(s, dir))),
     "tube_collector_doc" -> ((s, dir) => driverSafe(TpchGraph.accountDocs(s, dir))),
 
+    // config-driven entry: Gen3-style dictionary JSON + link-name etlMapping
+    // YAML → DictionaryLoader → Translator (the reference deployment's
+    // on-ramp, DictDemo)
+    "dict_customer_doc" -> ((s, dir) => driverSafe(DictDemo.docs(s, dir))),
+
     // full multi-index lifecycle: phase 0 per index, then joining_props in
     // topological order (producer nation_doc finishes first, consumer joins
     // its finished documents on the shared key) — reference
@@ -440,6 +445,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT s_suppkey, s_name, s_acctbal, 'supplier', n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "dict_customer_doc" ->
+      """SELECT c_custkey AS _customer_id, c_name, c_acctbal,
+        |  n_name, r_name,
+        |  coalesce(a.orders_count, 0) AS orders_count, a.max_price
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN (SELECT o_custkey,
+        |    count(DISTINCT o_orderkey) AS orders_count,
+        |    max(o_totalprice) AS max_price
+        |  FROM orders GROUP BY o_custkey) a ON c_custkey = a.o_custkey""".stripMargin,
 
     "tube_runall_join" ->
       """SELECT c_custkey AS _customer_id, c_name, n_name AS nation_name,

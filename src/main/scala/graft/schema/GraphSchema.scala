@@ -20,13 +20,17 @@ final case class NodeDef(
     category: String = "data")
 
 /** multiplicity ∈ {one_to_one, one_to_many, many_to_one, many_to_many} —
-  * reference: tube/utils/dd.py:113-123 (get_multiplicity). */
+  * reference: tube/utils/dd.py:113-123 (get_multiplicity). `name` is the
+  * child→parent link name from the dictionary (`participant.links[].name`,
+  * e.g. "centers"); `backref` the parent→child collection name. Both are
+  * path-step vocabulary in etlMapping files (DictionaryLoader.resolveMapping). */
 final case class LinkDef(
     child: String,
     parent: String,
     edgeTable: String,
     multiplicity: String = "many_to_one",
-    backref: String = "")
+    backref: String = "",
+    name: String = "")
 
 final case class GraphSchema(nodes: Seq[NodeDef], links: Seq[LinkDef]) {
   private val byLabel = nodes.map(n => n.label -> n).toMap

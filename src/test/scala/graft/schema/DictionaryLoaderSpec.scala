@@ -1,0 +1,101 @@
+package graft.schema
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.pipeline.Translator
+import graft.sources.TubeGraphSource
+
+/** Loads the reference's public ibdgc test fixture (schema.json +
+  * etlMapping.yaml + graphs/ text dumps) end-to-end: dictionary →
+  * GraphSchema, mapping YAML → label-resolved EtlMapping, dumps →
+  * documents. This is a real user's first step with the engine. */
+class DictionaryLoaderSpec extends SparkSpec {
+
+  private val fixtureDir =
+    "/root/reference/tests/dataframe_tests/test_data/ibdgc"
+  private lazy val schema = DictionaryLoader.loadFile(s"$fixtureDir/schema.json")
+  private lazy val mapping = DictionaryLoader.resolveMapping(schema,
+    MappingYaml.parse(new String(
+      Files.readAllBytes(Paths.get(s"$fixtureDir/etlMapping.yaml")), "UTF-8")))
+
+  test("dictionary nodes load with categories and resolved prop types") {
+    val p = schema.node("participant")
+    assert(p.category === "administrative")
+    assert(p.tableName === "participant") // TubeGraphSource adds `node_`
+    assert(p.props("submitter_id") === StringType)      // ["string","null"]
+    assert(p.props("consortium_id") === LongType)        // ["integer"]
+    assert(p.props("consent_codes") === ArrayType(StringType))
+    assert(p.props("consented_for_data_sharing") === BooleanType)
+    assert(p.props("state") === StringType)              // $ref → oneOf enum
+    assert(p.props("updated_datetime") === StringType)   // $ref → oneOf
+    assert(!p.props.contains("id"))                      // systemAlias node_id
+    assert(!p.props.contains("type"))
+    assert(!p.props.contains("centers"))                 // link placeholder
+  }
+
+  test("shared $ref property blocks merge into file nodes") {
+    val f = schema.node("summary_file")
+    assert(f.category === "data_file")
+    assert(f.props("file_size") === LongType)   // _definitions #/file_size
+    assert(f.props("md5sum") === StringType)
+    assert(f.props("object_id") === StringType)
+    assert(f.props("data_format") === StringType) // node's own prop
+  }
+
+  test("links carry name/backref/multiplicity and the reference table names") {
+    val l = schema.linksOf("participant", "center")
+    assert(l.name === "centers")
+    assert(l.backref === "participants")
+    assert(l.multiplicity === "many_to_one")
+    assert(l.edgeTable === "edge_participantrecruitedatcenter")
+    // long names shorten to the md5+abbreviation convention
+    val ar = schema.linksOf("aligned_reads", "alignment_workflow")
+    assert(ar.edgeTable === "edge_4342b971_alredafralwo")
+    // subgroup links flatten (diagnosis declares visit+participant parents)
+    assert(schema.linksOf("diagnosis", "participant").multiplicity
+      === "many_to_many")
+  }
+
+  test("etlMapping paths resolve through link names and backrefs") {
+    val agg = mapping.indices.find(_.name == "qa-ibd").get
+    assert(agg.root === "participant")
+    assert(agg.parentProps.flatMap(_.steps.map(_.label)).distinct
+      === Seq("center"))
+    assert(agg.flattenProps.map(_.path) === Seq("demographic", "diagnosis"))
+    assert(agg.aggregatedProps.map(_.path) === Seq(Seq("sample")))
+    assert(agg.flattenProps.find(_.path == "diagnosis").get.sortedBy
+      === Some(("updated_datetime", true)))
+  }
+
+  test("ibdgc graphs translate end-to-end: aggregator documents") {
+    val source = TubeGraphSource(spark, schema, s"$fixtureDir/graphs")
+    val agg = mapping.indices.find(_.name == "qa-ibd").get
+    val docs = new Translator(schema, source).translate(agg)
+    val rows = docs.collect()
+    assert(rows.nonEmpty)
+    val cols = docs.columns.toSet
+    assert(Set("submitter_id", "project_id", "country", "gender",
+      "ibd_affection_status", "_samples_count").subsetOf(cols))
+    // parent_props default relation collects sets; every participant has
+    // exactly one recruiting center in the fixture
+    val withCountry = rows.filter { r =>
+      val v = r.getSeq[String](r.fieldIndex("country"))
+      v != null && v.nonEmpty
+    }
+    assert(withCountry.nonEmpty)
+    // _samples_count zero-fills and is non-negative
+    assert(rows.forall(r => r.getLong(r.fieldIndex("_samples_count")) >= 0L))
+  }
+
+  test("ibdgc collector translates: data_file leaves union with injection") {
+    val source = TubeGraphSource(spark, schema, s"$fixtureDir/graphs")
+    val coll = mapping.indices.find(_.name == "qa-ibd_file").get
+    assert(coll.kind === "collector")
+    val docs = new Translator(schema, source).translate(coll)
+    val rows = docs.collect()
+    assert(rows.nonEmpty)
+    assert(docs.columns.contains("source_node"))
+    assert(docs.columns.contains("site")) // injected from core_metadata_collection
+  }
+}
