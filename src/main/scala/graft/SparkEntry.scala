@@ -308,8 +308,13 @@ object SparkEntry {
       Similarity.exactDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)),
 
-    // RHP-LSH scale path for embedding near-dup (rows-only: bucket recall
-    // is approximate by design; exact variant above is the oracle path)
+    // RHP-LSH scale path for embedding near-dup — the flagship embedding
+    // query: candidate generation is a bucket equi-join (no nested-loop
+    // join anywhere in the plan). Oracle-checked exactly: the bucketing is
+    // deterministic, so the oracle recomputes the SAME buckets from the
+    // same plane constants (rhpOracleSql) and mirrors the bucket join.
+    // The exact all-pairs variant above stays as the small-SF differential
+    // that bounds the recall loss.
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, bits = 6, dim = 64)),
@@ -394,6 +399,32 @@ object SparkEntry {
     "events_stream_sessions" -> ((s, dir) =>
       EventStream.runStatefulSessions(s, dir, "events.parquet",
         t(s, dir, "events").schema, gapMinutes = 30)))
+
+  /** DuckDB mirror of `Similarity.embeddingDupPairs(bits = 6, dim = 64)`:
+    * the SAME deterministic hyperplanes (Similarity.rhpPlaneComponents) as
+    * SQL list literals, buckets recomputed per vector, candidates from the
+    * bucket equi-join — so the approximate scale path is EXACTLY
+    * verifiable, not rows-only. */
+  private def rhpLshOracleSql: String = {
+    val planes = Similarity.rhpPlaneComponents(6, 64)
+    val planeCols = planes.zipWithIndex.map { case (p, i) =>
+      p.map(x => if (x > 0) "1" else "-1")
+        .mkString("[", ",", s"]::DOUBLE[] AS p$i")
+    }.mkString(", ")
+    val bucketExpr = (0 until 6).map { i =>
+      "(CASE WHEN list_sum(list_transform(range(1, 65), " +
+        s"d -> v[d]::DOUBLE * p$i[d])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"WITH pl AS (SELECT $planeCols), " +
+      "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+      s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
+      "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
+      "FROM v0, pl), " +
+      "s AS (SELECT a.id AS id_a, c.id AS id_b, " +
+      "list_sum(list_transform(range(1, 65), d -> a.v[d]::DOUBLE * c.v[d]::DOUBLE)) / (a.n * c.n) AS sim " +
+      "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id) " +
+      "SELECT id_a, id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.4"
+  }
 
   // sums aggregate as exact DECIMAL (order-independent), then cast to
   // DOUBLE in the final projection so both engines hash identically —
@@ -606,6 +637,8 @@ object SparkEntry {
         "e AS (SELECT id_a AS a, id_b AS b FROM scored UNION SELECT id_b, id_a FROM scored), " +
         "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) " +
         "SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a"),
+
+    "dedup_embedding_lsh" -> rhpLshOracleSql,
 
     "dedup_embedding" ->
       ("WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

@@ -30,10 +30,13 @@ object Dedup {
   private def capGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     // the input is an exploded index over EXPENSIVE per-doc computation
     // (shingling / signature aggregation) and is consumed twice — once for
-    // hot-key detection, once for the candidate pass. Persist it: at corpus
-    // scale recomputation is a second full pass over the corpus, and
-    // MEMORY_AND_DISK spills rather than OOMs.
-    val idx = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-key detection, once for the candidate pass. Cache it via a LAZY
+    // localCheckpoint (MEMORY_AND_DISK blocks, so it spills rather than
+    // OOMs): unlike `persist`, whose CacheManager entry outlives the query,
+    // checkpoint blocks are released by the ContextCleaner as soon as the
+    // candidate frame is unreachable — long-lived sessions running many
+    // pipelines no longer accumulate dead caches until LRU thrash.
+    val idx = df.localCheckpoint(false)
     val hot = idx.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > cap).select(keys.map(col): _*)
     idx.join(broadcast(hot), keys, "left_anti")

@@ -35,7 +35,11 @@ object Ivf {
   private def withNorm(df: DataFrame, vecCol: String, as: String): DataFrame =
     df.withColumn(as, sqrt(dot(col(vecCol), col(vecCol))))
 
-  /** Deterministic k-means over the corpus: returns (cid, cvec, cnorm). */
+  /** Deterministic k-means over the corpus: returns (cid, cvec, cnorm).
+    * The returned centroid frame stays persisted (it is joined repeatedly by
+    * index/search); each Lloyd iteration materializes the NEW centroids
+    * before releasing the previous iteration's cache, so at most one
+    * (k-row) frame is ever cached — not one per iteration. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 2): DataFrame = {
     val vecs = withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "_vn")
@@ -43,6 +47,7 @@ object Ivf {
       vecs.orderBy(col(idCol)).limit(k)
         .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")),
       "cvec", "cnorm")
+    var cached: DataFrame = null
     for (_ <- 0 until iters) {
       val assigned = assign(vecs, idCol, vecCol, "_vn", centroids)
         .join(vecs, Seq(idCol))
@@ -57,6 +62,9 @@ object Ivf {
           transform(col("pm"), p => p.getField("m")).as("cvec"))
       centroids = withNorm(rebuilt, "cvec", "cnorm")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      centroids.count() // materialize before dropping the previous cache
+      if (cached != null) cached.unpersist(false)
+      cached = centroids
     }
     centroids
   }
@@ -87,12 +95,11 @@ object Ivf {
     val scored = indexed.join(probes, Seq("cell"))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("sim", dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryId))
-          .orderBy(col("sim").desc, col(corpusId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(queryId).alias("query_id"), col("rank"),
-        col(corpusId).alias("neighbor_id"), round(col("sim"), 6).alias("sim"))
+    // two-stage top-k (Similarity.topKPerQuery): probing bounds candidates
+    // per query only probabilistically — a hot cell can still be most of
+    // the corpus, so the single-reducer window is as unsafe here as in the
+    // brute path
+    Similarity.topKPerQuery(scored, queryId, corpusId, k)
   }
 
   /** Top-k neighbors per query, probing the `nprobe` nearest cells.

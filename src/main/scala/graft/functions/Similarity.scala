@@ -45,6 +45,34 @@ object Similarity {
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Scale-safe exact top-k per query over a scored candidate frame.
+    *
+    * A bare `row_number().over(partitionBy(queryId))` funnels EVERY scored
+    * candidate of a query through one reducer — at corpus scale that is one
+    * task sorting billions of rows. Two stages instead: candidates are
+    * salted by a hash of the candidate id into `salts` sub-groups, stage 1
+    * takes top-k per (query, salt) in parallel, stage 2 takes top-k of the
+    * ≤ salts·k survivors per query. Identical output to the single window:
+    * any row outside its salt-group's top-k ranks below k globally too
+    * (the total order sim DESC, id ASC is shared by both stages). */
+  private[functions] def topKPerQuery(scored: DataFrame, queryId: String,
+                                      corpusId: String, k: Int,
+                                      salts: Int = 64): DataFrame = {
+    val w1 = Window.partitionBy(col(queryId), col("_salt"))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    val w2 = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    scored
+      .withColumn("_salt", pmod(xxhash64(col(corpusId)), lit(salts)))
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k)
+      .drop("_r1", "_salt")
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(queryId).alias("query_id"), col("rank"),
+        col(corpusId).alias("neighbor_id"), round(col("sim"), 6).alias("sim"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small — it is broadcast, so the corpus is
     * scanned once with NO shuffle before the final top-k aggregation.
@@ -58,28 +86,27 @@ object Similarity {
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),
         col("_cn"), col("_qn")))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("sim").desc, col(corpusId).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId).alias("query_id"), col("rank"),
-        col(corpusId).alias("neighbor_id"), round(col("sim"), 6).alias("sim"))
+    topKPerQuery(scored, queryId, corpusId, k)
   }
 
-  /** Random-hyperplane signature: B sign bits packed into a long. The
-    * hyperplanes are deterministic pseudo-random unit-free vectors derived
-    * from xxhash64(dimension, plane) — no RNG state, reproducible across
-    * runs/executors. */
-  def rhpSignature(vec: Column, bits: Int, dim: Int): Column = {
-    val planes: Seq[Column] = (0 until bits).map { p =>
-      // plane p, component d in {-1,+1} from a hash of (p, d)
-      val comps = (0 until dim).map { d =>
+  /** Deterministic ±1 hyperplane components for (plane, dimension) — pure
+    * integer hashing, no RNG state, reproducible across runs/executors.
+    * Public so the differential oracle can embed the SAME planes as SQL
+    * literals and recompute buckets engine-independently. */
+  def rhpPlaneComponents(bits: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until bits).map { p =>
+      (0 until dim).map { d =>
         val h = ((p.toLong * 1125899906842597L + d * 2654435761L) ^ 0x9E3779B97F4A7C15L)
         if (java.lang.Long.bitCount(h & 0xFFFFFFL) % 2 == 0) 1.0 else -1.0
       }
-      val planeArr = array(comps.map(lit): _*)
-      when(dot(vec, planeArr) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+
+  /** Random-hyperplane signature: B sign bits packed into a long. */
+  def rhpSignature(vec: Column, bits: Int, dim: Int): Column = {
+    val planes: Seq[Column] = rhpPlaneComponents(bits, dim).zipWithIndex.map {
+      case (comps, p) =>
+        val planeArr = array(comps.map(lit): _*)
+        when(dot(vec, planeArr) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -107,12 +134,9 @@ object Similarity {
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),
         col("_cn"), col("_qn")))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("sim").desc, col(corpusId).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId).alias("query_id"), col("rank"),
-        col(corpusId).alias("neighbor_id"), round(col("sim"), 6).alias("sim"))
+    // no per-pair dedup needed: a candidate lives in exactly one bucket, so
+    // even multi-probe queries meet it at most once
+    topKPerQuery(scored, queryId, corpusId, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
@@ -127,12 +151,13 @@ object Similarity {
       col("v").alias("v_a"), col("n").alias("n_a"))
     val b = withBucket.select(col("bucket"), col("id").alias("id_b"),
       col("v").alias("v_b"), col("n").alias("n_b"))
+    // each vector lands in exactly ONE bucket, so a pair can meet at most
+    // once — no distinct() needed (it would be a full extra shuffle)
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).alias("sim"))
-      .distinct()
   }
 
   /** Exact (non-LSH) near-duplicate pairs for small corpora / oracle

@@ -102,6 +102,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  test("two-stage top-k: equals a single global window, never windows the " +
+      "full scored set through one reducer per query") {
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 37 + d * 23) % 17).toFloat - 8f) / 8f))
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.select($"vec_id".as("nid"), $"embedding".as("nv"))
+    val queries = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val two = Similarity.bruteForceTopK(corpus, "nid", "nv", queries, "qid", "qv", 4)
+    // reference: the naive single-window global top-k
+    val scored = corpus.withColumn("_cn", Similarity.norm($"nv"))
+      .join(broadcast(queries.withColumn("_qn", Similarity.norm($"qv"))))
+      .filter($"nid" =!= $"qid")
+      .withColumn("sim", Similarity.cosinePrenormed($"nv", $"qv", $"_cn", $"_qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"nid".asc)
+    val naive = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 4)
+      .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"),
+        round($"sim", 6).as("sim"))
+    assert(two.collect().toSet === naive.collect().toSet)
+    // plan shape: the window over the FULL scored set partitions by
+    // (query, salt); only the bounded survivor set (≤ salts·k per query)
+    // passes through a per-query window
+    val winKeys = two.queryExecution.optimizedPlan.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        win.partitionSpec.length
+    }
+    assert(winKeys.sorted === Seq(1, 2))
+  }
+
+  test("embeddingDupPairs (LSH scale path): bucket equi-join plan — no " +
+      "nested-loop/cartesian join — and agrees with the exact path on recall") {
+    val vecs = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 31 + d * 17) % 13).toFloat - 6f) / 6f))
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.embeddingDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.4, bits = 4, dim = 8)
+    val phys = lsh.queryExecution.sparkPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"))
+    val exact = Similarity.exactDupPairs(vecs, "vec_id", "embedding", 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = lsh.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // every LSH pair is a true pair with the identical score (exact
+    // re-scoring); recall < 1 is the documented trade
+    got.foreach { case (k, sim) => assert(exact(k) === sim) }
+    assert(got.nonEmpty)
+  }
+
   test("componentsFromPairs: chains collapse to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val comps = Dedup.componentsFromPairs(pairs).collect()
