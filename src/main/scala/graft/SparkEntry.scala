@@ -141,6 +141,39 @@ object SparkEntry {
         .select(col("_customer_id"), col("nation_name"), col("region_name"))
     }),
 
+    // ---- J3 set-relation parent chain over a genuinely fan-out edge:
+    // orders' parts (via lineitem as the many_to_many edge table) collect
+    // into a sorted set per order — exercises the edge-side set walk
+    // (Translator "1-n" branch) under real multi-parent fan-out -----------
+    "j3_set_chain" -> ((s, dir) => driverSafe {
+      val schema = GraphSchema(
+        nodes = Seq(
+          NodeDef("orders", "orders", Map("o_orderstatus" -> StringType), "txn"),
+          NodeDef("part", "part", Map("p_brand" -> StringType), "catalog")),
+        links = Seq(LinkDef("orders", "part", "edge_orders_part",
+          "many_to_many", "orders", "parts")))
+      val nodeDf: String => DataFrame = {
+        case "orders" => t(s, dir, "orders")
+          .withColumn("_orders_id", col("o_orderkey"))
+        case "part" => t(s, dir, "part")
+          .withColumn("_part_id", col("p_partkey"))
+        case other => throw new NoSuchElementException(other)
+      }
+      val edgeDf: (String, String) => DataFrame = {
+        case ("orders", "part") => t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("_orders_id"),
+            col("l_partkey").as("_part_id"))
+        case (c, p) => throw new NoSuchElementException(s"$c->$p")
+      }
+      new Translator(schema, new GraphSource(nodeDf, edgeDf))
+        .translate(IndexMapping(
+          name = "orders_parts", docType = "orders", root = "orders",
+          props = Seq(PropDef("o_orderstatus", "o_orderstatus")),
+          parentProps = Seq(ParentChainDef(Seq(
+            PathStep("part", Seq(PropDef("part_brands", "p_brand")))),
+            relation = "1-n"))))
+    }),
+
     // ---- A1: agg-function factory ---------------------------------------
     "a1_agg_basic" -> ((s, dir) => driverSafe(
       t(s, dir, "lineitem")
@@ -538,6 +571,15 @@ object SparkEntry {
         |  r_name || '-' || n_name AS project_id,
         |  '/programs/' || r_name || '/projects/' || n_name AS auth_resource_path
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "j3_set_chain" ->
+      """SELECT o_orderkey AS _orders_id, o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT p_brand)
+        |    FILTER (WHERE p_brand IS NOT NULL)), '|') AS part_brands
+        |FROM orders
+        |LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |LEFT JOIN part ON p_partkey = l_partkey
+        |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
 
     "j2_hop_join" ->
       """SELECT c_custkey AS _customer_id, n_name AS nation_name,

@@ -135,17 +135,29 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
           doc = doc.join(broadcast(pview), Seq(pid), "left_outer")
         }
       } else {
-        val chainJoins = chain.steps.scanLeft(m.root) { (child, step) => step.label }
-          .zip(chain.steps).map { case (child, step) =>
-            (source.edgeDf(child, step.label),
-             source.nodeDf(step.label)
-               .select(col(idOf(step.label)) +:
-                 step.props.map(p => col(p.src)): _*),
-             idOf(child), idOf(step.label))
+        // set-relation chain, walked edge-side like the deep agg paths: the
+        // walk STARTS from the root's first-hop child frame (on FK sources a
+        // narrow projection of the root table — no edge self-join and no
+        // root-table join; the doc's left join below restores chainless
+        // roots), each ancestor's props ride a broadcast join (ancestors
+        // are small dims — they sit above the root), and ONE
+        // groupBy(rootId) collects every prop's sorted set. Fan-out edges
+        // (many_to_many hops) just multiply walk rows; collect_set dedups.
+        var walked = childFrame(m.root, chain.steps.head.label)
+        chain.steps.zipWithIndex.foreach { case (step, i) =>
+          chain.steps.lift(i + 1).foreach { next =>
+            walked = walked.join(
+              childFrame(step.label, next.label),
+              Seq(idOf(step.label)), "left_outer")
           }
-        val props = chain.steps.flatMap(_.props).map(p => (p, "set"))
-        val parentCols = GraphOps.parentChain(
-          source.nodeDf(m.root).select(col(rootId)), rootId, chainJoins, props)
+          val pdf = source.nodeDf(step.label)
+          val pview = pdf.select((col(idOf(step.label)) +:
+            boundProps(step.label, pdf, step.props)).distinct: _*)
+          walked = walked.join(broadcast(pview), Seq(idOf(step.label)), "left_outer")
+        }
+        val aggs = chain.steps.flatMap(_.props)
+          .map(p => AggExpr.agg("set", col(p.name)).alias(p.name))
+        val parentCols = walked.groupBy(col(rootId)).agg(aggs.head, aggs.tail: _*)
         doc = doc.join(parentCols, Seq(rootId), "left_outer")
       }
     }
