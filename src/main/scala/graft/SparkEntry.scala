@@ -116,14 +116,16 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus"), col("o_orderpriority"))),
 
-    // ---- P6/P7: project_id synthesis + auth_resource_path ---------------
+    // ---- P6/P7: project_id synthesis + auth_resource_path (with a
+    // user.yaml-style per-project override, reference post_process.py:7-44)
     "p6_auth_path" -> ((s, dir) =>
       t(s, dir, "nation")
         .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("_nation_id"),
           Project.projectId(col("r_name"), col("n_name")).as("project_id"))
         .withColumn("auth_resource_path",
-          Project.authResourcePath(col("project_id")))),
+          Project.authResourcePath(col("project_id"),
+            overrides = Map("CHINA" -> "/custom/china")))),
 
     // ---- J2: graph hops -------------------------------------------------
     "j2_hop_join" -> ((s, dir) => {
@@ -569,7 +571,9 @@ object SparkEntry {
     "p6_auth_path" ->
       """SELECT n_nationkey AS _nation_id,
         |  r_name || '-' || n_name AS project_id,
-        |  '/programs/' || r_name || '/projects/' || n_name AS auth_resource_path
+        |  CASE WHEN n_name = 'CHINA' THEN '/custom/china'
+        |       ELSE '/programs/' || r_name || '/projects/' || n_name
+        |  END AS auth_resource_path
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     "j3_set_chain" ->

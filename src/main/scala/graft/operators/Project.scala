@@ -51,22 +51,36 @@ object Project {
   def projectId(program: Column, code: Column): Column =
     concat_ws("-", program, code)
 
-  /** P7 — auth_resource_path: `project_id -> /programs/{p}/projects/{c}`
-    * (reference: tube/etl/plugins/post_process.py:7-44). Program = text
-    * before the first '-', project = everything after it (project codes may
-    * themselves contain '-'). Built-ins only — stays in codegen. */
-  def authResourcePath(projectId: Column): Column =
-    format_string("/programs/%s/projects/%s",
-      substring_index(projectId, "-", 1),
-      regexp_replace(projectId, "^[^-]*-", ""))
+  /** P7 — auth_resource_path with per-project overrides (reference:
+    * tube/etl/plugins/post_process.py:7-44 + the user.yaml override map,
+    * tube/utils/general.py:20-55). The override map is keyed by the project
+    * code — the text after the FIRST '-' (codes may contain '-'): hit →
+    * override path, miss → `/programs/{p}/projects/{c}`, id without '-' →
+    * '' (the reference returns empty for unsplittable ids). Map literal +
+    * `element_at`, so the lookup constant-folds and stays in codegen. */
+  def authResourcePath(projectId: Column,
+                       overrides: Map[String, String] = Map.empty): Column =
+    when(projectId.contains("-"), authPathExpr(projectId, overrides))
+      .otherwise(lit(""))
 
   /** P7 array branch: list-valued project_id → list of paths
     * (reference post_process.py handles both shapes). */
-  def authResourcePathArray(projectIds: Column): Column =
+  def authResourcePathArray(projectIds: Column,
+                            overrides: Map[String, String] = Map.empty): Column =
     transform(projectIds, pid =>
-      format_string("/programs/%s/projects/%s",
-        substring_index(pid, "-", 1),
-        regexp_replace(pid, "^[^-]*-", "")))
+      when(pid.contains("-"), authPathExpr(pid, overrides)).otherwise(lit("")))
+
+  private def authPathExpr(pid: Column, overrides: Map[String, String]): Column = {
+    val code = regexp_replace(pid, "^[^-]*-", "")
+    val dflt = format_string("/programs/%s/projects/%s",
+      substring_index(pid, "-", 1), code)
+    if (overrides.isEmpty) dflt
+    else {
+      val entries = overrides.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      coalesce(element_at(map(entries: _*), code), dflt)
+    }
+  }
 
   /** P8 — source_node tag for collector indices
     * (reference: injection/new_translator.py:46). */

@@ -89,13 +89,26 @@ object MappingValidator {
     val collisions = outNames.diff(outNames.distinct).distinct
       .map(n => s"$at: output column '$n' is produced by more than one prop")
     // the fan-out flatten check, statically (Translator also throws at
-    // build time for direct use)
-    val fanout = m.flattenProps.filter(_.sortedBy.isEmpty).flatMap { f =>
-      schema.links.find(l => l.child == f.path && l.parent == m.root).toSeq
-        .filter(l => l.multiplicity == "many_to_one" || l.multiplicity == "many_to_many")
-        .map(l => s"$at: flatten_props '${f.path}': multiplicity " +
-          s"${l.multiplicity} fans out; declare sorted_by")
+    // build time for direct use); a mapping may opt out via
+    // settings.bypass_multiplicity_check (reference parser.py:374-417)
+    val fanout =
+      if (m.bypassMultiplicityCheck) Nil
+      else m.flattenProps.filter(_.sortedBy.isEmpty).flatMap { f =>
+        schema.links.find(l => l.child == f.path && l.parent == m.root).toSeq
+          .filter(l => l.multiplicity == "many_to_one" || l.multiplicity == "many_to_many")
+          .map(l => s"$at: flatten_props '${f.path}': multiplicity " +
+            s"${l.multiplicity} fans out; declare sorted_by")
+      }
+    // within each nested level, prop names and child-block names share the
+    // struct's field namespace — a duplicate would be an ambiguous field
+    def nestedCollisions(nd: NestedDef): Seq[String] = {
+      val fields = nd.props.map(_.name) ++ nd.children.map(_.name)
+      fields.diff(fields.distinct).distinct.map(n =>
+        s"$at: nested_props '${nd.name}': field '$n' declared twice at the " +
+          "same level") ++ nd.children.flatMap(nestedCollisions)
     }
-    root ++ parents ++ flattens ++ aggs ++ nests ++ joins ++ collisions ++ fanout
+    val nestedDups = m.nestedProps.flatMap(nestedCollisions)
+    root ++ parents ++ flattens ++ aggs ++ nests ++ joins ++ collisions ++
+      fanout ++ nestedDups
   }
 }

@@ -171,10 +171,13 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
     val (sortedFl, plainFl) = m.flattenProps.partition(_.sortedBy.isDefined)
     plainFl.foreach { f =>
       val mult = schema.linksOf(f.path, m.root).multiplicity
-      if (mult == "many_to_one" || mult == "many_to_many")
+      if ((mult == "many_to_one" || mult == "many_to_many") &&
+          !m.bypassMultiplicityCheck)
         throw new IllegalArgumentException(
           s"flatten_props ${f.path} on ${m.name}: multiplicity $mult fans " +
-            "out; declare sorted_by (or model it as aggregated/nested props)")
+            "out; declare sorted_by (or model it as aggregated/nested " +
+            "props, or opt out via settings.bypass_multiplicity_check — " +
+            "an arbitrary child row then survives per root)")
       val top = childFrame(f.path, m.root,
         boundProps(f.path, source.nodeDf(f.path), f.props))
         .drop(idOf(f.path)).dropDuplicates(rootId)

@@ -81,7 +81,11 @@ final case class IndexMapping(
     nestedProps: Seq[NestedDef] = Nil,
     joiningProps: Seq[JoiningDef] = Nil,
     injection: Option[InjectionDef] = None,
-    filter: Option[FilterNode] = None)
+    filter: Option[FilterNode] = None,
+    /** mapping-level `settings.bypass_multiplicity_check` — opt out of the
+      * fan-out flatten rejection; an arbitrary child row survives per root
+      * (reference: aggregation/parser.py:374-417). */
+    bypassMultiplicityCheck: Boolean = false)
 
 final case class EtlMapping(indices: Seq[IndexMapping])
 
@@ -193,6 +197,8 @@ object MappingYaml {
               label -> asList(asMap(v).getOrElse("props", null)).map(parseProp)
             }))
         else None,
-      filter = m.get("filter").map(FilterDsl.fromAny))
+      filter = m.get("filter").map(FilterDsl.fromAny),
+      bypassMultiplicityCheck = asMap(m.getOrElse("settings", null))
+        .get("bypass_multiplicity_check").exists(v => v.toString == "true"))
   }
 }

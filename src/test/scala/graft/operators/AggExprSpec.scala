@@ -65,4 +65,45 @@ class AggExprSpec extends SparkSpec {
     assert(r.getSeq[String](1) === Seq(
       "/programs/p1/projects/a", "/programs/p2/projects/b-c"))
   }
+
+  test("authResourcePath: override map hits by project code; unsplittable " +
+      "ids yield empty (reference post_process semantics)") {
+    val overrides = Map("proj-x" -> "/custom/x")
+    val r = Seq(("prog-proj-x", "prog-other", "nodash",
+        Seq("p1-proj-x", "plain")))
+      .toDF("hit", "miss", "bad", "pids")
+      .select(
+        Project.authResourcePath($"hit", overrides).as("hit"),
+        Project.authResourcePath($"miss", overrides).as("miss"),
+        Project.authResourcePath($"bad", overrides).as("bad"),
+        Project.authResourcePathArray($"pids", Map("proj-x" -> "/custom/x"))
+          .as("arr"))
+      .collect()(0)
+    assert(r.getString(0) === "/custom/x")
+    assert(r.getString(1) === "/programs/prog/projects/other")
+    assert(r.getString(2) === "")
+    assert(r.getSeq[String](3) === Seq("/custom/x", ""))
+  }
+
+  test("UserYaml.resourcePaths: users' projects plus authz overrides") {
+    val yaml =
+      """users:
+        |  alice:
+        |    projects:
+        |      - auth_id: projA
+        |        resource: /progs/x/projA
+        |      - auth_id: projB
+        |  bob:
+        |    projects:
+        |      auth_id: projC
+        |      resource: /progs/y/projC
+        |authz:
+        |  user_project_to_resource:
+        |    projA: /override/projA
+        |""".stripMargin
+    val m = graft.schema.UserYaml.resourcePaths(yaml)
+    assert(m === Map(
+      "projA" -> "/override/projA", // authz wins over the user entry
+      "projC" -> "/progs/y/projC")) // single-map projects form
+  }
 }

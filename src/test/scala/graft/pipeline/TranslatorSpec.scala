@@ -188,4 +188,45 @@ class TranslatorSpec extends SparkSpec {
       .filter($"_subject_id" === "s1").collect()(0)
     assert(r.getString(r.fieldIndex("tissue")) === "saliva") // vol=12 wins
   }
+
+  test("settings.bypass_multiplicity_check lets a fan-out flatten through " +
+      "with one arbitrary child row per root") {
+    val bypassed = IndexMapping(
+      name = "subject_bypass", docType = "subject", root = "subject",
+      props = Seq(PropDef("age", "age")),
+      flattenProps = Seq(FlattenDef("sample",
+        Seq(PropDef("tissue", "tissue")))),
+      bypassMultiplicityCheck = true)
+    val rows = new Translator(schema, source).translate(bypassed).collect()
+    // still one row per root (an arbitrary sample survives), not a fan-out
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    val s1 = rows.find(_.getString(0) == "s1").get
+    assert(Set("blood", "saliva").contains(
+      s1.getString(s1.fieldIndex("tissue"))))
+    // the validator honors the knob too
+    assert(MappingValidator.validate(schema,
+      EtlMapping(Seq(bypassed))).isEmpty)
+    assert(MappingValidator.validate(schema,
+      EtlMapping(Seq(bypassed.copy(bypassMultiplicityCheck = false))))
+      .exists(_.contains("sorted_by")))
+    // and MappingYaml reads it from the settings block
+    val parsed = MappingYaml.parse(
+      """mappings:
+        |  - name: x
+        |    doc_type: subject
+        |    root: subject
+        |    settings:
+        |      bypass_multiplicity_check: true
+        |""".stripMargin).indices.head
+    assert(parsed.bypassMultiplicityCheck)
+  }
+
+  test("validator flags duplicate field names within one nested level") {
+    val dup = IndexMapping(
+      name = "subject_nested_dup", docType = "subject", root = "subject",
+      nestedProps = Seq(NestedDef("samples", Seq("sample"),
+        props = Seq(PropDef("tissue", "tissue"), PropDef("tissue", "vol")))))
+    val problems = MappingValidator.validate(schema, EtlMapping(Seq(dup)))
+    assert(problems.exists(p => p.contains("tissue") && p.contains("nested")))
+  }
 }
