@@ -39,6 +39,20 @@ object Jdbc {
   def importWorthy(table: String): Boolean =
     !table.startsWith("transaction_") && table != "alembic_version"
 
+  /** S11 source side — the latest SUCCEEDED transaction time (epoch millis)
+    * from `transaction_logs`, the scalar feeding `EsControl.needsRun`
+    * (reference: tube/etl/outputs/es/timestamp.py:20-44 reads the newest
+    * succeeded row; MAX over the same predicate is the identical scalar and
+    * is dialect-portable). Pushed down as a one-row dbtable subquery so the
+    * database does the aggregation — no table scan into Spark. */
+  def latestSucceededTxMillis(spark: SparkSession, conn: Conn): Option[Long] = {
+    val q = "(SELECT MAX(created_datetime) AS latest FROM transaction_logs " +
+      "WHERE state = 'SUCCEEDED') t"
+    readTable(spark, conn, q).collect()
+      .headOption.filter(!_.isNullAt(0))
+      .map(_.getTimestamp(0).getTime)
+  }
+
   private def reader(spark: SparkSession, conn: Conn) =
     spark.read.format("jdbc")
       .option("url", conn.url)
