@@ -388,7 +388,7 @@ object Translator {
     if (problems.nonEmpty)
       throw new IllegalArgumentException(
         "invalid mapping:\n  " + problems.mkString("\n  "))
-    val t = new Translator(schema, source)
+    val t = new Translator(schema, sharedRootSource(source, mapping))
     val base: Map[String, DataFrame] =
       mapping.indices.map(m => m.name -> t.translate(m)).toMap
     val consumed = mapping.indices.flatMap(_.joiningProps.map(_.otherIndex)).toSet
@@ -408,6 +408,35 @@ object Translator {
         }
         acc + (m.name -> joined)
       }
+    }
+  }
+
+  /** A root label used by SEVERAL indices would be scanned (and, for text
+    * sources, re-parsed) once per index — each index is its own action, so
+    * Catalyst's ReusedExchange can never bridge them. Wrap the source so
+    * shared-root node frames are persisted: the first index materializes
+    * the scan, the rest read cached COLUMNAR batches (InMemoryTableScan
+    * still prunes columns per consumer, so a narrow index doesn't pay for
+    * a wide sibling). Non-shared labels pass through untouched. */
+  private def sharedRootSource(source: GraphSource,
+                               mapping: EtlMapping): GraphSource = {
+    val roots = mapping.indices.filterNot(_.kind == "collector").map(_.root)
+    val shared = roots.groupBy(identity).collect {
+      case (label, uses) if uses.size >= 2 => label
+    }.toSet
+    if (shared.isEmpty) source
+    else {
+      val cache = scala.collection.mutable.Map[String, DataFrame]()
+      new GraphSource(
+        label =>
+          if (shared.contains(label))
+            cache.synchronized {
+              cache.getOrElseUpdate(label, source.nodeDf(label)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            }
+          else source.nodeDf(label),
+        source.edgeDf,
+        source.fkParents)
     }
   }
 

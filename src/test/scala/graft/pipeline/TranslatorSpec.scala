@@ -221,6 +221,32 @@ class TranslatorSpec extends SparkSpec {
     assert(parsed.bypassMultiplicityCheck)
   }
 
+  test("runAll reuses one cached scan for a root shared by several indices") {
+    // earlier tests' persisted doc frames would plan-match here and muddy
+    // the assertion; cached data is performance-only, safe to drop
+    spark.sharedState.cacheManager.clearCache()
+    val a = IndexMapping(name = "subj_a", docType = "subject", root = "subject",
+      props = Seq(PropDef("sex", "sex")))
+    val b = IndexMapping(name = "subj_b", docType = "subject", root = "subject",
+      props = Seq(PropDef("age", "age")))
+    def cachedScans(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+    // both indices read the subject scan through the SAME cached relation
+    // (identical cacheBuilder ⇒ one materialized scan serves both)
+    val docs = Translator.runAll(schema, source, EtlMapping(Seq(a, b)))
+    val scansA = cachedScans(docs("subj_a"))
+    val scansB = cachedScans(docs("subj_b"))
+    assert(scansA.length === 1)
+    assert(scansB.length === 1)
+    // same canonical cached plan ⇒ the CacheManager serves both from one
+    // materialized entry (it dedups cache registrations by plan equality)
+    assert(scansA.head.cachedPlan.sameResult(scansB.head.cachedPlan))
+    assert(docs("subj_a").collect().length === 3)
+    assert(docs("subj_b").collect().length === 3)
+  }
+
   test("validator flags duplicate field names within one nested level") {
     val dup = IndexMapping(
       name = "subject_nested_dup", docType = "subject", root = "subject",
