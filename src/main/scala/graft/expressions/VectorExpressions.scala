@@ -18,15 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * bit-identical to both the HOF fold it replaces and DuckDB's
   * `list_sum(list_transform(...))`.
   *
-  * Nulls: null array → null result (BinaryExpression null-safe contract).
-  * Null ELEMENTS are treated as 0.0 — embedding vectors don't contain null
-  * components; documented divergence from the HOF version (which nulls the
-  * whole result).
+  * Nulls: null array → null result (BinaryExpression null-safe contract);
+  * LENGTH-MISMATCHED arrays → null, matching the HOF fold (whose zip_with
+  * null-padding nulls the whole sum) — a dimension mismatch in embeddings
+  * surfaces instead of being silently truncated to min(len). Null ELEMENTS
+  * are treated as 0.0 — embedding vectors don't contain null components;
+  * documented divergence from the HOF version (which nulls the whole
+  * result).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true // mismatched lengths yield null
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -53,15 +58,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
-    val lt = elemType(left); val rt = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += get(x, lt, i) * get(y, rt, i)
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val lt = elemType(left); val rt = elemType(right)
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += get(x, lt, i) * get(y, rt, i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   private def genGet(dt: DataType, arr: String, i: String): String = {
@@ -81,12 +89,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${genGet(elemType(left), a, i)} * ${genGet(elemType(right), b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${genGet(elemType(left), a, i)} * ${genGet(elemType(right), b, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -101,12 +101,19 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** Rolling (Rabin–Karp) fingerprint over the lowercased text's code
-    * points: acc = (acc * B + code) mod P. B and P are sized so acc*B+code
-    * stays under Long.MaxValue — ANSI mode forbids wrapping overflow, so
-    * the modulus IS the hash space. Cross-engine recomputable (DuckDB:
-    * `list_reduce(list_transform(...unicode...))` — a left fold starting
-    * from the first element equals this fold from 0). */
+  /** Rolling (Rabin–Karp) fingerprint over the lowercased text:
+    * acc = (acc * B + code) mod P. B and P are sized so acc*B+code stays
+    * under Long.MaxValue — ANSI mode forbids wrapping overflow, so the
+    * modulus IS the hash space.
+    *
+    * Unit caveat: Spark's `split(text, '')` + `ascii` walk UTF-16 CODE
+    * UNITS, while DuckDB's `string_split` + `unicode` walk CODE POINTS —
+    * identical for Basic-Multilingual-Plane text, divergent for
+    * supplementary-plane characters (emoji, rare CJK). The cross-engine
+    * recomputability claim (DuckDB `list_reduce(list_transform(...))`, a
+    * left fold from the first element equals this fold from 0) is therefore
+    * scoped to BMP-only text; the fingerprint itself is deterministic for
+    * any input. Same caveat applies to `charShingles`. */
   def rollingHash(text: Column): Column = {
     val B = 1000003L
     val P = 1000000000000L // 1e12: P*B + maxCodePoint < 2^63

@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, salts): hash of the whole row's key plus a
-    * spread column when provided (monotonically varying columns spread
-    * better than pure key hash for a SINGLE hot key). */
-  def salt(salts: Int, spread: Column): Column =
-    pmod(xxhash64(spread), lit(salts.toLong))
+  /** Deterministic salt in [0, salts): hash of the key columns TOGETHER
+    * WITH the spread column. The spread column must vary WITHIN a hot key
+    * (a row id, a child FK — anything non-constant per key); a constant
+    * spread would leave the hot key on few reducers no matter what is
+    * hashed. Hashing the keys alongside decorrelates salt assignment
+    * across different hot keys sharing a spread value. */
+  def salt(salts: Int, parts: Column*): Column =
+    pmod(xxhash64(parts: _*), lit(salts.toLong))
 
   /** Two-stage salted aggregation.
     * `aggs` = (outputName, fn, inputColumn) with fn ∈ AggExpr's set.
@@ -31,7 +34,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], spread: Column, salts: Int,
                 aggs: Seq[(String, String, Column)]): DataFrame = {
     val stage1 = df
-      .withColumn("_salt", salt(salts, spread))
+      .withColumn("_salt", salt(salts, keys.map(col) :+ spread: _*))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(aggs.map { case (n, fn, c) => AggExpr.agg(fn, c).alias(n) }.head,
         aggs.tail.map { case (n, fn, c) => AggExpr.agg(fn, c).alias(n) }: _*)

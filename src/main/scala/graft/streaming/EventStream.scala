@@ -65,19 +65,24 @@ object EventStream {
 
   /** Tumbling-window aggregation, usable on a batch OR streaming frame.
     * `exactDistinct` (batch only — streaming can't do exact distinct without
-    * state explosion) swaps the HLL sketch for `count_distinct`; the batch
-    * path also sums an exact decimal so results are independent of
-    * partitioning/accumulation order (fp-sum order-sensitivity would break
-    * differential testing and idempotent re-runs). */
+    * state explosion) swaps the HLL sketch for `count_distinct` AND sums
+    * `value` as an exact decimal — cast HERE, not by the caller — so exact
+    * results are independent of partitioning/accumulation order (fp-sum
+    * order-sensitivity would break differential testing and idempotent
+    * re-runs). The default (streaming) path keeps the native value type. */
   def windowedAgg(events: DataFrame, windowLen: String,
                   exactDistinct: Boolean = false): DataFrame = {
     val users =
       if (exactDistinct) count_distinct(col("user_id")).alias("n_users")
       else approx_count_distinct(col("user_id")).alias("n_users")
+    val value =
+      if (exactDistinct)
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      else col("value")
     events
       .groupBy(window(col("ts"), windowLen).alias("w"), col("event_type"))
       .agg(count(lit(1)).alias("n_events"),
-        sum(col("value")).alias("sum_value"), users)
+        sum(value).alias("sum_value"), users)
       .select(col("w.start").alias("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("n_users"))
   }

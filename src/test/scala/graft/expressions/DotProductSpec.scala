@@ -40,6 +40,16 @@ class DotProductSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("length-mismatched arrays yield null, matching the HOF contract") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("nat"),
+        Similarity.dotHof($"a", $"b").as("hof"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0)) // not a silent truncation to min(len)
+    assert(r.isNullAt(1)) // and identical to the HOF fold's null-padding
+  }
+
   test("type mismatch is rejected at analysis") {
     val bad = Seq((Array("x"), Array(1.0f))).toDF("a", "b")
     assertThrows[org.apache.spark.sql.AnalysisException] {
