@@ -406,6 +406,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.rollingHash(col("text")).as("rolling_fp"))),
 
+    // PII scrub: URL/email/IP/phone → typed placeholders, the standard
+    // pre-training redaction pass (RE2-safe regexes mirrored in the oracle)
+    "text_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("redacted"))),
+
     // ---- multimodal plumbing --------------------------------------------
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
@@ -435,21 +441,27 @@ object SparkEntry {
       EventStream.runStatefulSessions(s, dir, "events.parquet",
         t(s, dir, "events").schema, gapMinutes = 30)))
 
-  /** DuckDB mirror of `Similarity.embeddingDupPairs(bits = 6, dim = 64)`:
-    * the SAME deterministic hyperplanes (Similarity.rhpPlaneComponents) as
-    * SQL list literals, buckets recomputed per vector, candidates from the
-    * bucket equi-join — so the approximate scale path is EXACTLY
-    * verifiable, not rows-only. */
-  private def rhpLshOracleSql: String = {
-    val planes = Similarity.rhpPlaneComponents(6, 64)
+  /** DuckDB bucket recomputation for the RHP-LSH paths: the SAME
+    * deterministic hyperplanes (Similarity.rhpPlaneComponents) as SQL list
+    * literals plus the sign-bit bucket expression, so the approximate scale
+    * paths are EXACTLY verifiable instead of rows-only. Returns the plane
+    * CTE column list and the bucket expression over a vector column `v`. */
+  private def rhpSqlParts(bits: Int, dim: Int): (String, String) = {
+    val planes = Similarity.rhpPlaneComponents(bits, dim)
     val planeCols = planes.zipWithIndex.map { case (p, i) =>
       p.map(x => if (x > 0) "1" else "-1")
         .mkString("[", ",", s"]::DOUBLE[] AS p$i")
     }.mkString(", ")
-    val bucketExpr = (0 until 6).map { i =>
-      "(CASE WHEN list_sum(list_transform(range(1, 65), " +
-        s"d -> v[d]::DOUBLE * p$i[d])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    val bucketExpr = (0 until bits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"d -> v[d]::DOUBLE * p$i[d])) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+    (planeCols, bucketExpr)
+  }
+
+  /** Mirror of `Similarity.embeddingDupPairs(bits = 6, dim = 64)`. */
+  private def rhpLshOracleSql: String = {
+    val (planeCols, bucketExpr) = rhpSqlParts(6, 64)
     s"WITH pl AS (SELECT $planeCols), " +
       "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
       s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
@@ -459,6 +471,30 @@ object SparkEntry {
       "list_sum(list_transform(range(1, 65), d -> a.v[d]::DOUBLE * c.v[d]::DOUBLE)) / (a.n * c.n) AS sim " +
       "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id) " +
       "SELECT id_a, id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.4"
+  }
+
+  /** Mirror of `Similarity.lshTopK(k = 5, bits = 8, dim = 64,
+    * multiProbe = true)` over queries vec_id < 8: recompute buckets, probe
+    * the signature and its 8 Hamming-1 neighbors, score in-bucket pairs,
+    * global top-5 per query. */
+  private def annLshOracleSql: String = {
+    val (planeCols, bucketExpr) = rhpSqlParts(8, 64)
+    val probeList = "[sig" + (0 until 8).map(b => s", xor(sig, ${1L << b})")
+      .mkString + "]"
+    s"WITH pl AS (SELECT $planeCols), " +
+      "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+      s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
+      "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
+      "FROM v0, pl), " +
+      "q AS (SELECT id AS qid, v AS qv, n AS qn, bucket AS sig FROM b WHERE id < 8), " +
+      s"probes AS (SELECT qid, qv, qn, unnest($probeList) AS bucket FROM q), " +
+      "s AS (SELECT p.qid, c.id AS nid, " +
+      "list_sum(list_transform(range(1, 65), d -> c.v[d]::DOUBLE * p.qv[d]::DOUBLE)) / (c.n * p.qn) AS sim " +
+      "FROM b c JOIN probes p ON c.bucket = p.bucket AND c.id <> p.qid) " +
+      "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, " +
+      "round(sim, 6) AS sim " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY sim DESC, nid) AS rn FROM s) WHERE rn <= 5"
   }
 
   // sums aggregate as exact DECIMAL (order-independent), then cast to
@@ -686,6 +722,8 @@ object SparkEntry {
 
     "dedup_embedding_lsh" -> rhpLshOracleSql,
 
+    "ann_lsh_topk" -> annLshOracleSql,
+
     "dedup_embedding" ->
       ("WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
@@ -737,6 +775,10 @@ object SparkEntry {
         "WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' " +
         "ELSE 'zh' END AS lang_guess " +
         "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)"),
+
+    "text_redact" ->
+      (s"SELECT doc_id, ${TextFunctions.redactPiiSql} AS redacted " +
+        "FROM documents"),
 
     "text_rolling_fp" ->
       ("SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE " +

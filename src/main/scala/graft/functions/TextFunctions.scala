@@ -101,6 +101,31 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** PII redaction for training corpora: URLs, emails, IPv4 addresses and
+    * phone-shaped digit runs become typed placeholder tokens. A chain of
+    * codegen'd `regexp_replace`s (replace-all), applied in an order that
+    * prevents one rule from eating another's match (URLs may contain
+    * `user@host`, phone-shaped runs would match the digits of an IP).
+    * Patterns are RE2-compatible, so the DuckDB oracle runs the SAME
+    * regexes with the 'g' flag. */
+  def redactPii(text: Column): Column = {
+    val url = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d \\t().-]{7,}\\d", "<PHONE>")
+  }
+
+  /** The identical redaction as DuckDB SQL over column `text` — kept next
+    * to the Spark form so the two rule chains cannot drift. */
+  val redactPiiSql: String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'https?://[^\\s]+', '<URL>', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), " +
+      "'\\+?\\d[\\d \\t().-]{7,}\\d', '<PHONE>', 'g')"
+
   /** Rolling (Rabin–Karp) fingerprint over the lowercased text:
     * acc = (acc * B + code) mod P. B and P are sized so acc*B+code stays
     * under Long.MaxValue — ANSI mode forbids wrapping overflow, so the

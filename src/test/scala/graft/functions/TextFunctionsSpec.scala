@@ -83,4 +83,22 @@ class TextFunctionsSpec extends SparkSpec {
     val expect = ((((97L * B + 98L) % P) * B + 99L) % P)
     assert(r(0) === expect)
   }
+
+  test("redactPii: URL/email/IP/phone become placeholders, rule order holds") {
+    val r = Seq(
+      "visit https://x.example.com/a?b=1 now",
+      "mail bob.smith+x@corp.example.org please",
+      "server 10.0.255.1 is up",
+      "call +1 (555) 123-4567 today",
+      "see http://user@host.co/x too",    // URL rule wins over email
+      "plain text stays untouched")
+      .toDF("text").select(TextFunctions.redactPii($"text"))
+      .collect().map(_.getString(0))
+    assert(r(0) === "visit <URL> now")
+    assert(r(1) === "mail <EMAIL> please")
+    assert(r(2) === "server <IP> is up")
+    assert(r(3) === "call <PHONE> today")
+    assert(r(4) === "see <URL> too")
+    assert(r(5) === "plain text stays untouched")
+  }
 }
