@@ -412,6 +412,20 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.redactPii(col("text")).as("redacted"))),
 
+    // deterministic sampling/splitting: membership is a pure function of
+    // the doc id (stable across runs/engines/corpus growth)
+    "corpus_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.stableSample(docs, col("doc_id"), pct = 50)
+        .select(col("doc_id"),
+          Sampling.stableBucket(col("doc_id")).as("bucket"),
+          Sampling.splitLabel(col("doc_id")).as("split"))
+    }),
+
+    // repetition profile (Gopher/C4-style boilerplate signal)
+    "text_repetition" -> ((s, dir) =>
+      Sampling.repetitionProfile(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- multimodal plumbing --------------------------------------------
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
@@ -779,6 +793,28 @@ object SparkEntry {
     "text_redact" ->
       (s"SELECT doc_id, ${TextFunctions.redactPiiSql} AS redacted " +
         "FROM documents"),
+
+    "corpus_split" ->
+      """SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents)
+        |WHERE b < 50""".stripMargin,
+
+    "text_repetition" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gr FROM t), " +
+        "c AS (SELECT doc_id, gr, count(*) AS n FROM g GROUP BY doc_id, gr), " +
+        "p AS (SELECT doc_id, sum(n) AS n_grams, " +
+        "CAST(max(n) AS DOUBLE) / sum(n) AS tr, " +
+        "CAST(count(*) AS DOUBLE) / sum(n) AS dr FROM c GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams, " +
+        "coalesce(tr, 0.0) AS top_gram_ratio, " +
+        "coalesce(dr, 0.0) AS distinct_ratio " +
+        "FROM t LEFT JOIN p ON t.doc_id = p.doc_id"),
 
     "text_rolling_fp" ->
       ("SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE " +

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and splitting for training pipelines.
+  *
+  * Everything keys off a STABLE hash bucket — md5 of the row key, first
+  * 8 hex digits, mod `buckets` — so membership is a pure function of the
+  * key: reproducible across runs, engines (any SQL dialect can recompute
+  * it), cluster layouts, and corpus growth (a doc never changes split when
+  * other docs are added — the property random `sample()` lacks, and the
+  * reason train/val contamination audits are possible at all).
+  *
+  * Scale: the bucket is a per-row codegen'd expression on the scan — no
+  * shuffle, no state; filters on it push into the scan like any predicate.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets): `conv(md5(key)[0,8), 16, 10) mod n`.
+    * SQL twin: `('0x' || substring(md5(key), 1, 8))::BIGINT % n`. */
+  def stableBucket(key: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Keep ~pct% of rows, deterministically by key. */
+  def stableSample(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(stableBucket(key) < pct)
+
+  /** Train/val/test assignment by stable bucket: [0,train) → "train",
+    * [train, train+val) → "val", rest → "test". */
+  def splitLabel(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = stableBucket(key)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Repetition profile per document — the Gopher/C4-style quality signal
+    * that catches boilerplate and looping text: of all word n-grams (WITH
+    * multiplicity), what fraction is the single most repeated gram
+    * (`top_gram_ratio`), and what fraction is unique (`distinct_ratio`)?
+    * Docs with fewer than n tokens yield zero grams and 0.0 ratios.
+    *
+    * One explode + two aggregations, both with map-side partial
+    * aggregation; nothing is per-doc quadratic. */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextFunctions.wordNgrams(col(textCol), n)).as("_g"))
+    val counts = grams.groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+    val profile = counts.groupBy(col(idCol)).agg(
+      sum(col("_c")).as("n_grams"),
+      (max(col("_c")).cast("double") / sum(col("_c"))).as("top_gram_ratio"),
+      (count(lit(1)).cast("double") / sum(col("_c"))).as("distinct_ratio"))
+    docs.select(col(idCol)).join(profile, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_gram_ratio"), lit(0.0)).as("top_gram_ratio"),
+        coalesce(col("distinct_ratio"), lit(0.0)).as("distinct_ratio"))
+  }
+}

@@ -154,17 +154,25 @@ object TextFunctions {
     * document. Here each shifted copy is evaluated once per row — O(n·len).
     * Trailing zip positions pair with null padding, null out through
     * `concat`, and are filtered. */
-  private def shinglesOf(arr: Column, n: Int, sep: String): Column = {
+  private def shinglesOf(arr: Column, n: Int, sep: String): Column =
+    array_distinct(allShinglesOf(arr, n, sep))
+
+  private def allShinglesOf(arr: Column, n: Int, sep: String): Column = {
     val joined = (1 until n).foldLeft(arr) { (acc, j) =>
       zip_with(acc, slice(arr, lit(j + 1), size(arr)),
         (a, b) => concat(a, lit(sep), b))
     }
-    array_distinct(filter(joined, x => x.isNotNull))
+    filter(joined, x => x.isNotNull)
   }
 
   /** Word n-gram shingles (distinct, for Jaccard / MinHash). */
   def wordShingles(text: Column, n: Int): Column =
     shinglesOf(tokens(text), n, " ")
+
+  /** Word n-grams WITH multiplicity, in order — the repetition-analysis
+    * input (a doc repeating one phrase must count it every time). */
+  def wordNgrams(text: Column, n: Int): Column =
+    allShinglesOf(tokens(text), n, " ")
 
   /** Character n-gram shingles (distinct) — robust to tokenization noise. */
   def charShingles(text: Column, n: Int): Column =

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stableBucket is a pure function of the key, in range, engine-free") {
+    val df = (0L until 500L).toDF("id")
+    val b1 = df.select(Sampling.stableBucket($"id").as("b")).collect().map(_.getLong(0))
+    val b2 = df.select(Sampling.stableBucket($"id").as("b")).collect().map(_.getLong(0))
+    assert(b1.toSeq === b2.toSeq)                  // deterministic
+    assert(b1.forall(b => b >= 0 && b < 100))
+    assert(b1.distinct.length > 50)                // actually spreads
+    // closed form for one key: first 8 md5 hex digits of "42"
+    val md5_42 = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = java.lang.Long.parseLong(md5_42.take(8), 16) % 100
+    assert(b1(42) === expect)
+  }
+
+  test("splitLabel partitions ~80/10/10 and never reassigns on growth") {
+    val small = (0L until 300L).toDF("id")
+      .select($"id", Sampling.splitLabel($"id").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = (0L until 600L).toDF("id")
+      .select($"id", Sampling.splitLabel($"id").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.foreach { case (id, s) => assert(grown(id) === s) } // stable
+    val frac = grown.values.groupBy(identity).view.mapValues(_.size / 600.0)
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.04 && frac("val") < 0.17)
+  }
+
+  test("repetitionProfile: looping text scores high, diverse text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),        // one gram repeated
+      (2L, "the quick brown fox jumps over dogs"),  // all distinct grams
+      (3L, "hi"),                                   // < n tokens → 0 grams
+      (4L, "")).toDF("doc_id", "text")
+    val r = Sampling.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1)._1 === 5L)           // 6 tokens → 5 bigrams
+    assert(r(1)._2 === 1.0)          // "spam spam" every time
+    assert(r(1)._3 === 0.2)          // 1 distinct / 5
+    assert(r(2)._2 < 0.2)            // no repetition
+    assert(r(2)._3 === 1.0)
+    assert(r(3) === ((0L, 0.0, 0.0)))
+    assert(r(4) === ((0L, 0.0, 0.0)))
+  }
+}
