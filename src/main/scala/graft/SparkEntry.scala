@@ -453,7 +453,16 @@ object SparkEntry {
 
     "events_stream_sessions" -> ((s, dir) =>
       EventStream.runStatefulSessions(s, dir, "events.parquet",
-        t(s, dir, "events").schema, gapMinutes = 30)))
+        t(s, dir, "events").schema, gapMinutes = 30)),
+
+    // streaming ingest dedup by event id within the watermark horizon;
+    // event ids are unique in this corpus, so the deduped stream must
+    // reproduce the input EXACTLY — a checkable pass-through oracle
+    "events_stream_dedup" -> ((s, dir) =>
+      EventStream.runStreamingDedup(s, dir, "events.parquet",
+          t(s, dir, "events").schema, "2 hours", Seq("event_id"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))))
 
   /** DuckDB bucket recomputation for the RHP-LSH paths: the SAME
     * deterministic hyperplanes (Similarity.rhpPlaneComponents) as SQL list
@@ -840,6 +849,11 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "events_stream_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  value, props
+        |FROM events""".stripMargin,
 
     "events_sessionize" ->
       ("WITH e AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS value FROM events), " +

@@ -127,6 +127,34 @@ object EventStream {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Streaming ingest dedup: at-least-once sources (Kafka, file re-drops)
+    * redeliver events; this drops redeliveries by key while keeping state
+    * BOUNDED — `dropDuplicatesWithinWatermark` evicts seen-keys older than
+    * the watermark horizon, so state is O(keys per horizon), not O(all
+    * keys ever). The batch `Dedup.exactGroups` remains the reprocessing
+    * tool; this is the live-pipeline guard in front of it. */
+  def dedupStream(stream: DataFrame, watermark: String,
+                  keys: Seq[String]): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Drain `dedupStream` over a parquet drop-zone into a memory sink
+    * (Append mode — each event is emitted exactly once) and return the
+    * deduped frame. */
+  def runStreamingDedup(spark: SparkSession, dir: String, glob: String,
+                        schema: StructType, watermark: String,
+                        keys: Seq[String],
+                        queryName: String = "graft_dedup_stream"): DataFrame = {
+    val stream = new FileStreamSource(dir, glob, schema).load(spark)
+    val q = dedupStream(stream, watermark, keys).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Per-user running session state for the stateful-streaming path. */
   final case class UserSessions(lastTsMicros: Long, nSessions: Long, nEvents: Long)
   final case class UserSessionCounts(user_id: Long, n_sessions: Long, n_events: Long)

@@ -81,4 +81,21 @@ class EventStreamSpec extends SparkSpec {
     assert(out(1L) === ((2L, 3L)))
     assert(out(2L) === ((1L, 1L)))
   }
+
+  test("streaming dedup drops redeliveries by key, keeps one row per id") {
+    val dir = java.nio.file.Files.createTempDirectory("evdedup")
+    // two appended drop batches share event 10 (at-least-once redelivery)
+    Seq((10L, ts(1), 1L, "click", 1.0), (11L, ts(2), 1L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(dir.toString + "/drop")
+    Seq((10L, ts(1), 1L, "click", 1.0), (12L, ts(3), 2L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(dir.toString + "/drop")
+    val schema = spark.read.parquet(dir.toString + "/drop").schema
+    val out = EventStream.runStreamingDedup(spark, dir.toString + "/drop",
+      "*.parquet", schema, "1 hour", Seq("event_id"),
+      queryName = "graft_dedup_spec")
+    val ids = out.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(10L, 11L, 12L))
+  }
 }
