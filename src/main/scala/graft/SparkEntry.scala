@@ -354,6 +354,20 @@ object SparkEntry {
       Similarity.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, bits = 6, dim = 64)),
 
+    // int8 quantization (4× storage cut before ANN indexing); q serialized
+    // positionally — order is the payload, so no driverSafe sort
+    "embedding_quantize" -> ((s, dir) => {
+      val qz = Similarity.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+          qz.getField("scale").as("scale"),
+          array_join(transform(qz.getField("q"), _.cast("string")), "|").as("q"))
+    }),
+
+    // corpus-level one-pass summary (exact form; approx=true is the
+    // 100 TB default with HLL distincts)
+    "corpus_stats" -> ((s, dir) =>
+      Sampling.corpusStats(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- similarity search ----------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -754,6 +768,24 @@ object SparkEntry {
         "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.4"),
+
+    "embedding_quantize" ->
+      ("WITH m AS (SELECT vec_id, embedding AS v, " +
+        "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma FROM embeddings) " +
+        "SELECT vec_id, ma / 127.0 AS scale, " +
+        "CASE WHEN ma = 0 THEN array_to_string(list_transform(v, x -> '0'), '|') " +
+        "ELSE array_to_string(list_transform(v, " +
+        "x -> CAST(CAST(round(x::DOUBLE / (ma / 127.0)) AS INTEGER) AS VARCHAR)), '|') " +
+        "END AS q FROM m"),
+
+    "corpus_stats" ->
+      (s"WITH t AS (SELECT doc_id, toks, md5(array_to_string(toks, ' ')) AS fp " +
+        s"FROM (SELECT doc_id, $sqlToks AS toks FROM documents)), " +
+        "e AS (SELECT doc_id, fp, unnest(CASE WHEN len(toks) = 0 " +
+        "THEN [NULL] ELSE toks END) AS tok FROM t) " +
+        "SELECT count(DISTINCT doc_id) AS n_docs, count(tok) AS n_tokens, " +
+        "count(DISTINCT tok) AS vocab_size, " +
+        "count(DISTINCT doc_id) - count(DISTINCT fp) AS n_exact_dups FROM e"),
 
     "ann_brute_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +

@@ -36,6 +36,27 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Corpus-level summary in ONE pass — the numbers a pipeline reports
+    * after every cleaning stage: doc count, token totals, vocabulary size,
+    * exact-duplicate count. `approx` swaps the two exact distincts for HLL
+    * sketches (the 100 TB default; exact needs a full shuffle of the token
+    * set). Output is a single row. */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String,
+                  approx: Boolean = false): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_t"),
+      TextFunctions.contentFingerprint(col(textCol)).as("_fp"))
+    val perDoc = toks.select(col(idCol), size(col("_t")).as("_n"), col("_fp"),
+      explode_outer(col("_t")).as("_tok"))
+    def distinctOf(c: Column) =
+      if (approx) approx_count_distinct(c) else count_distinct(c)
+    perDoc.agg(
+      count_distinct(col(idCol)).as("n_docs"),
+      sum(when(col("_tok").isNotNull, 1L).otherwise(0L)).as("n_tokens"),
+      distinctOf(col("_tok")).as("vocab_size"),
+      (count_distinct(col(idCol)) - distinctOf(col("_fp"))).as("n_exact_dups"))
+  }
+
   /** Repetition profile per document — the Gopher/C4-style quality signal
     * that catches boilerplate and looping text: of all word n-grams (WITH
     * multiplicity), what fraction is the single most repeated gram

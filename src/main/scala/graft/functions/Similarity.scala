@@ -139,6 +139,26 @@ object Similarity {
     topKPerQuery(scored, queryId, corpusId, k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * transform that cuts a float32 corpus 4× before ANN indexing: per-vector
+    * scale = max|x| / 127, q[i] = round(x[i] / scale), zero vectors
+    * quantize to zeros with scale 0. Returns struct(scale, q).
+    * Dequantize: x ≈ q[i] * scale, with |error| ≤ scale / 2 per component.
+    * HOF-based (interpreted) is fine here: quantization is a one-pass
+    * storage transform, not the per-pair scoring loop. */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = maxAbs / lit(127.0)
+    val q = when(maxAbs === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => round(x.cast("double") / scale).cast("int")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Inverse of `quantizeInt8`: q[i] * scale as double. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
     * the RHP bucket join (docs whose signatures match exactly). */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

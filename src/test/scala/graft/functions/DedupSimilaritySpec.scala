@@ -151,6 +151,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("quantizeInt8: round-trip error bounded by scale/2, zeros stay zero") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = vecs.select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding").as("qz"))
+      .select($"vec_id", $"embedding", $"qz.scale".as("scale"),
+        Similarity.dequantize($"qz.q", $"qz.scale").as("back"),
+        $"qz.q".as("q"))
+      .collect()
+    val v1 = r.find(_.getLong(0) == 1L).get
+    val scale = v1.getDouble(2)
+    assert(scale === 1.0 / 127.0)
+    v1.getSeq[Float](1).zip(v1.getSeq[Double](3)).foreach { case (x, b) =>
+      assert(math.abs(x - b) <= scale / 2 + 1e-12)
+    }
+    val v2 = r.find(_.getLong(0) == 2L).get
+    assert(v2.getDouble(2) === 0.0)
+    assert(v2.getSeq[Int](4) === Seq(0, 0, 0, 0))
+  }
+
   test("componentsFromPairs: chains collapse to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val comps = Dedup.componentsFromPairs(pairs).collect()

@@ -33,6 +33,17 @@ class SamplingSpec extends SparkSpec {
     assert(frac("val") > 0.04 && frac("val") < 0.17)
   }
 
+  test("corpusStats: one-pass doc/token/vocab/dup counts") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a b a"),   // exact dups of each other
+      (3L, "c d"), (4L, "")).toDF("doc_id", "text")
+    val r = Sampling.corpusStats(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_docs")) === 4L)
+    assert(r.getLong(r.fieldIndex("n_tokens")) === 8L)
+    assert(r.getLong(r.fieldIndex("vocab_size")) === 4L)  // a b c d
+    assert(r.getLong(r.fieldIndex("n_exact_dups")) === 1L)
+  }
+
   test("repetitionProfile: looping text scores high, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),        // one gram repeated
