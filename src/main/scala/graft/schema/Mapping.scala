@@ -128,19 +128,26 @@ object MappingYaml {
   }
 
   /** `studies[a,b:c].projects[d]` path grammar — reference:
-    * aggregation/parser.py:97-125. */
+    * aggregation/parser.py:97-125. A step may omit the bracket block
+    * entirely (`participants.protocols[p]` walks through participants
+    * without collecting props there — the jcoin fixture shape). */
   private[schema] def parseParentPath(path: String): Seq[PathStep] = {
-    val stepRe = """([A-Za-z0-9_]+)\[([^\]]*)\]""".r
-    stepRe.findAllMatchIn(path).map { m =>
-      val props = m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
-        p.split(":") match {
-          case Array(n, s) => PropDef(n.trim, s.trim)
-          case Array(n)    => PropDef.of(n.trim)
-          case _           => PropDef.of(p)
-        }
+    val stepRe = """([A-Za-z0-9_]+)(?:\[([^\]]*)\])?""".r
+    path.split("\\.").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+      stepRe.findFirstMatchIn(s) match {
+        case Some(m) =>
+          val props = Option(m.group(2)).getOrElse("").split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty).map { p =>
+              p.split(":") match {
+                case Array(n, src) => PropDef(n.trim, src.trim)
+                case Array(n)      => PropDef.of(n.trim)
+                case _             => PropDef.of(p)
+              }
+            }
+          PathStep(m.group(1), props)
+        case None => PathStep(s, Nil)
       }
-      PathStep(m.group(1), props)
-    }.toSeq
+    }
   }
 
   private def parseNested(m0: Any): NestedDef = {

@@ -88,6 +88,45 @@ class DictionaryLoaderSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(r.fieldIndex("_samples_count")) >= 0L))
   }
 
+  test("every public fixture dictionary loads and its mapping resolves") {
+    Seq("ibdgc", "jcoin", "midrc", "parent").foreach { name =>
+      val base = s"/root/reference/tests/dataframe_tests/test_data/$name"
+      val sch = DictionaryLoader.loadFile(s"$base/schema.json")
+      assert(sch.nodes.nonEmpty, name)
+      assert(sch.links.nonEmpty, name)
+      val em = MappingYaml.parse(new String(Files.readAllBytes(
+        Paths.get(s"$base/etlMapping.yaml")), "UTF-8"))
+      val resolved = DictionaryLoader.resolveMapping(sch, em)
+      assert(resolved.indices.nonEmpty, name)
+      // every resolved aggregator path step must now be a real node label
+      resolved.indices.filter(_.kind != "collector").foreach { m =>
+        (m.parentProps.flatMap(_.steps.map(_.label)) ++
+          m.flattenProps.map(_.path) ++ m.aggregatedProps.flatMap(_.path))
+          .foreach(l => assert(sch.nodes.exists(_.label == l), s"$name/$l"))
+      }
+    }
+  }
+
+  test("RunEtl end-to-end: dictionary + mapping + dumps -> published indices") {
+    val out = Files.createTempDirectory("graft_etl").toString
+    val published = graft.RunEtl.run(spark,
+      s"$fixtureDir/schema.json", s"$fixtureDir/etlMapping.yaml",
+      s"$fixtureDir/graphs", out, nowMillis = 1700000000000L)
+    assert(published.contains("qa-ibd"))
+    val (idx, rows) = published("qa-ibd")
+    assert(idx === "qa-ibd_0")
+    assert(rows > 0)
+    // published documents are really there and readable
+    val docs = spark.read.parquet(s"$out/$idx/docs")
+    assert(docs.count() === rows)
+    assert(docs.columns.contains("country"))
+    // a second run publishes the next version and flips the alias
+    val again = graft.RunEtl.run(spark,
+      s"$fixtureDir/schema.json", s"$fixtureDir/etlMapping.yaml",
+      s"$fixtureDir/graphs", out, nowMillis = 1700000001000L)
+    assert(again("qa-ibd")._1 === "qa-ibd_1")
+  }
+
   test("ibdgc collector translates: data_file leaves union with injection") {
     val source = TubeGraphSource(spark, schema, s"$fixtureDir/graphs")
     val coll = mapping.indices.find(_.name == "qa-ibd_file").get
