@@ -578,7 +578,7 @@ object SparkEntry {
         |    FROM orders) WHERE rn = 1) ls ON c_custkey = ls.o_custkey""".stripMargin,
 
     "tube_collector_doc" ->
-      """SELECT c_custkey AS _doc_id, c_name AS name, c_acctbal AS acctbal,
+      """SELECT c_custkey AS _account_id, c_name AS name, c_acctbal AS acctbal,
         |  'customer' AS source_node, n_name AS nation_set
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |UNION ALL

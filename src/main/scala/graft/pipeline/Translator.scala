@@ -290,14 +290,40 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
   private def translateCollector(m: IndexMapping): DataFrame = {
     val inj = m.injection.getOrElse(
       throw new IllegalArgumentException(s"collector ${m.name} missing injection"))
+    // reference parity: collectors ALWAYS collect program.name and
+    // project.code (auto-added when absent from injecting_props) and
+    // synthesize project_id from them — injection/parser.py:136-173,
+    // injection/new_translator.py:112-127
+    val autoInj = Seq(
+      "program" -> PropDef("program_name", "name"),
+      "project" -> PropDef("project_code", "code")
+    ).filter { case (l, p) =>
+      // only on Gen3-shaped graphs: the node must exist AND declare the
+      // source prop (a non-Gen3 graph with an unrelated `project` label
+      // must not be forced into the convention)
+      schema.nodes.exists(n => n.label == l && n.props.contains(p.src))
+    }
+    val injProps: Map[String, Seq[PropDef]] =
+      autoInj.foldLeft(inj.injectingProps) { case (acc, (label, p)) =>
+        val existing = acc.getOrElse(label, Nil)
+        if (existing.exists(_.name == p.name)) acc
+        else acc + (label -> (existing :+ p))
+      }
     // leaves = nodes of the target category; walk each leaf's ancestors to
     // collect injected props, then union
     val leafLabels = schema.nodes.filter(_.category == inj.category).map(_.label)
     val leaves = leafLabels.map { leaf =>
       val leafId = idOf(leaf)
-      // resolve each injection's ancestor path up-front
-      val paths = inj.injectingProps.toSeq.flatMap { case (anc, props) =>
-        ancestorPath(leaf, anc).map(pl => (anc, props, pl))
+      // EVERY simple path up to the ancestor contributes to the injected
+      // set — a dataset may populate any subset of the structural routes
+      // (e.g. ibdgc files reach project both via core_metadata_collection
+      // and via the read_group→…→center chain, and only one has rows).
+      // The reference merges contributions from its whole collecting tree
+      // the same way (injection/new_translator.py:72-110 full_outer
+      // merges).
+      val paths = injProps.toSeq.flatMap { case (anc, props) =>
+        val pls = ancestorPaths(leaf, anc)
+        if (pls.isEmpty) Nil else Seq((anc, props, pls))
       }
       def singleHops(pl: Seq[String]): Boolean = pl.sliding(2).forall {
         case Seq(c, p) =>
@@ -307,7 +333,7 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
       }
       // FK columns that single-parent walks ride on (zero-cost projection)
       val fkFirst = paths.collect {
-        case (_, _, pl) if singleHops(pl) && pl.length > 1 && hasFk(leaf, pl(1)) =>
+        case (_, _, Seq(pl)) if singleHops(pl) && pl.length > 1 && hasFk(leaf, pl(1)) =>
           idOf(pl(1))
       }.distinct
       var df = source.nodeDf(leaf)
@@ -315,12 +341,16 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
           boundProps(leaf, source.nodeDf(leaf), m.props)).distinct: _*)
         .withColumn("source_node", lit(leaf))
       var dropCols: List[String] = fkFirst.toList
-      paths.foreach { case (ancestorLabel, props, pathLabels) =>
-        if (singleHops(pathLabels)) {
-          // every hop has at most one parent: the injected "set" is a 0/1-
-          // element array, so skip the groupBy + join-back entirely — walk
-          // up with left broadcast joins and wrap the prop per row
-          pathLabels.sliding(2).foreach { case Seq(c, p) =>
+      paths.foreach { case (ancestorLabel, props, pls) =>
+        val ancId = idOf(ancestorLabel)
+        val ancDf = source.nodeDf(ancestorLabel)
+        val anc = ancDf.select(
+          col(ancId) +: boundProps(ancestorLabel, ancDf, props): _*)
+        if (pls.length == 1 && singleHops(pls.head)) {
+          // sole path, every hop at most one parent: the injected "set" is
+          // a 0/1-element array, so skip the groupBy + join-back entirely —
+          // walk up with left broadcast joins and wrap the prop per row
+          pls.head.sliding(2).foreach { case Seq(c, p) =>
             val pid = idOf(p)
             if (!(c == leaf && hasFk(c, p))) // leaf FK already on the frame
               df = df.join(
@@ -329,51 +359,61 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
                 Seq(idOf(c)), "left_outer")
             if (!dropCols.contains(pid)) dropCols ::= pid
           }
-          val ancId = idOf(ancestorLabel)
-          val ancDf = source.nodeDf(ancestorLabel)
-          val anc = ancDf.select(
-            col(ancId) +: boundProps(ancestorLabel, ancDf, props): _*)
           df = df.join(broadcast(anc), Seq(ancId), "left_outer")
           props.foreach { p =>
             df = df.withColumn(p.name,
               when(col(p.name).isNotNull, array(col(p.name))).otherwise(array()))
           }
         } else {
-          // fan-out path: aggregate ancestor values into a set per leaf
-          val joined = pathLabels.sliding(2).foldLeft(
-            source.nodeDf(leaf).select(col(leafId))) {
-            case (acc, Seq(child, parent)) =>
-              acc.join(source.edgeDf(child, parent), Seq(idOf(child)), "left_outer")
-          }
-          val ancDf = source.nodeDf(ancestorLabel)
-          val anc = ancDf.select(col(idOf(ancestorLabel)) +:
-            boundProps(ancestorLabel, ancDf, props): _*)
-          val withProps = joined.join(anc, Seq(idOf(ancestorLabel)), "left_outer")
+          // several routes and/or fan-out hops: walk each path to
+          // (leafId, ancestorId), union the reachable ancestor instances,
+          // and aggregate ONE set per leaf across all of them
+          val reached = pls.map { pl =>
+            pl.sliding(2).foldLeft(source.nodeDf(leaf).select(col(leafId))) {
+              case (acc, Seq(child, parent)) =>
+                acc.join(source.edgeDf(child, parent).select(
+                  col(idOf(child)), col(idOf(parent))), Seq(idOf(child)), "left_outer")
+            }.select(col(leafId), col(ancId))
+          }.reduce(_ union _)
+          val withProps = reached.join(anc, Seq(ancId), "left_outer")
           val aggs = props.map(p => AggExpr.agg("set", col(p.name)).alias(p.name))
           val per = withProps.groupBy(col(leafId)).agg(aggs.head, aggs.tail: _*)
           df = df.join(per, Seq(leafId), "left_outer")
+          // union of left-joined walks keeps every leaf, so the set agg
+          // turns all-null reaches into empty arrays — same zero semantics
+          // as the single-path branch
         }
       }
       if (dropCols.nonEmpty) df = df.drop(dropCols: _*)
-      df.withColumnRenamed(leafId, "_doc_id")
+      // doc key carries the doc_type name, like the reference's
+      // get_node_id_name(doc_type) (utils/general.py:57-58)
+      df.withColumnRenamed(leafId, idOf(m.docType))
     }
-    GraphOps.unionLeaves(leaves)
+    val unioned = GraphOps.unionLeaves(leaves)
+    // project_id = {program_name}-{project_code}, from the (0/1-element on
+    // tree graphs) auto-collected sets; leaves with no program/project
+    // ancestry keep a null project_id
+    if (autoInj.length == 2 && !unioned.columns.contains("project_id"))
+      unioned.withColumn("project_id",
+        when(size(col("program_name")) > 0 && size(col("project_code")) > 0,
+          concat_ws("-", element_at(col("program_name"), 1),
+            element_at(col("project_code"), 1))))
+    else unioned
   }
 
-  /** BFS child→parent to find a path from `from` up to `target` label. */
-  private def ancestorPath(from: String, target: String): Option[Seq[String]] = {
-    val seen = scala.collection.mutable.Set(from)
-    var frontier = List(List(from))
-    while (frontier.nonEmpty) {
-      val hits = frontier.find(_.head == target)
-      if (hits.isDefined) return hits.map(_.reverse)
-      frontier = frontier.flatMap { path =>
-        schema.parentsOf(path.head).map(_.parent)
-          .filterNot(seen.contains)
-          .map { p => seen += p; p :: path }
-      }
-    }
-    None
+  /** ALL simple child→parent label paths from `from` up to `target` —
+    * every structural route can carry data (schemas are DAG-ish; `maxLen`
+    * caps pathological cases). Each result starts at `from` and ends at
+    * `target`. */
+  private def ancestorPaths(from: String, target: String,
+                            maxLen: Int = 8): Seq[Seq[String]] = {
+    def rec(cur: String, seen: Set[String],
+            acc: List[String]): Seq[Seq[String]] =
+      if (cur == target) Seq(acc.reverse)
+      else if (acc.length > maxLen) Nil
+      else schema.parentsOf(cur).map(_.parent).filterNot(seen)
+        .flatMap(p => rec(p, seen + p, p :: acc))
+    rec(from, Set(from), List(from))
   }
 }
 

@@ -100,7 +100,7 @@ class TranslatorSpec extends SparkSpec {
         Map("project" -> Seq(PropDef("project_set", "proj_name"))))))
     val docs = new Translator(schema, source).translate(collectorMapping)
     val rows = docs.collect().map { r =>
-      (r.getString(r.fieldIndex("_doc_id")),
+      (r.getString(r.fieldIndex("_files_id")),
         r.getString(r.fieldIndex("source_node")),
         r.getSeq[String](r.fieldIndex("project_set")))
     }.toSet

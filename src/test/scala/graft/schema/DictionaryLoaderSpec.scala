@@ -107,6 +107,57 @@ class DictionaryLoaderSpec extends SparkSpec {
     }
   }
 
+  test("qa-ibd documents match the reference's own golden translate_final") {
+    val source = TubeGraphSource(spark, schema, s"$fixtureDir/graphs")
+    val agg = mapping.indices.find(_.name == "qa-ibd").get
+    val mine = new Translator(schema, source).translate(agg)
+    val golden = spark.read.parquet(
+      s"$fixtureDir/dataframe/participant__1_Translator.translate_final")
+    // golden was generated with an older mapping that also carried
+    // consortium_id; compare on the CURRENT mapping's output columns.
+    // Set-valued parent props are unordered in the reference — sort both.
+    val cols = Seq("_participant_id", "submitter_id", "project_id",
+      "country", "name", "investigator_name", "gender", "race", "jewish",
+      "hispanic", "ibd_affection_status", "diagnosis", "control",
+      "_samples_count")
+    def norm(df: org.apache.spark.sql.DataFrame) = {
+      val sorted = Seq("country", "name", "investigator_name")
+        .foldLeft(df)((d, c) =>
+          d.withColumn(c, org.apache.spark.sql.functions.array_sort(
+            org.apache.spark.sql.functions.col(c))))
+      sorted.select(cols.map(c =>
+        org.apache.spark.sql.functions.col(c).cast("string").as(c)): _*)
+    }
+    val a = norm(mine); val b = norm(golden)
+    assert(a.count() === 190)
+    assert(b.count() === 190)
+    assert(a.exceptAll(b).isEmpty, "rows we produce that the golden lacks")
+    assert(b.exceptAll(a).isEmpty, "golden rows we fail to produce")
+  }
+
+  test("qa-ibd_file collector matches the reference's golden translate_final") {
+    val source = TubeGraphSource(spark, schema, s"$fixtureDir/graphs")
+    val coll = mapping.indices.find(_.name == "qa-ibd_file").get
+    val mine = new Translator(schema, source).translate(coll)
+    val golden = spark.read.parquet(
+      s"$fixtureDir/dataframe/file__1_Translator.translate_final__translate_final")
+    val cols = Seq("_file_id", "project_id", "object_id", "md5sum",
+      "file_name", "file_size", "data_format", "data_type", "state",
+      "source_node", "program_name", "project_code", "site")
+    def norm(df: org.apache.spark.sql.DataFrame) = {
+      val sorted = Seq("program_name", "project_code", "site")
+        .foldLeft(df)((d, c) =>
+          d.withColumn(c, org.apache.spark.sql.functions.array_sort(
+            org.apache.spark.sql.functions.col(c))))
+      sorted.select(cols.map(c =>
+        org.apache.spark.sql.functions.col(c).cast("string").as(c)): _*)
+    }
+    val a = norm(mine); val b = norm(golden)
+    assert(b.count() === 531)
+    assert(a.exceptAll(b).isEmpty, "rows we produce that the golden lacks")
+    assert(b.exceptAll(a).isEmpty, "golden rows we fail to produce")
+  }
+
   test("RunEtl end-to-end: dictionary + mapping + dumps -> published indices") {
     val out = Files.createTempDirectory("graft_etl").toString
     val published = graft.RunEtl.run(spark,
