@@ -126,9 +126,20 @@ object GraphOps {
 
   /** J4 — index-to-index join (`joining_props`): join finished document set
     * A to per-key aggregates of document set B, left-outer
-    * (reference: aggregation/new_translator.py:291-370). */
-  def indexJoin(docs: DataFrame, other: DataFrame, joinOn: Seq[String],
+    * (reference: aggregation/new_translator.py:291-370).
+    *
+    * A join key that is ARRAY-valued on the other side (a collector doc
+    * collected several ancestor ids, e.g. `_case_id` as a set) explodes
+    * first: the doc contributes its props to EVERY id it references. */
+  def indexJoin(docs: DataFrame, other0: DataFrame, joinOn: Seq[String],
                 props: Seq[(PropDef, Option[String])]): DataFrame = {
+    val other = joinOn.foldLeft(other0) { (d, k) =>
+      d.schema(k).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          d.withColumn(k, explode_outer(col(k)))
+        case _ => d
+      }
+    }
     val otherSel =
       if (props.forall(_._2.isEmpty))
         other.select((joinOn.map(col) ++ props.map(p => Project.propCol(p._1))): _*)

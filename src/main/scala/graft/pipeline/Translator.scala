@@ -55,6 +55,13 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
         case Some(dt) => actual.get(p.src) match {
           case None => lit(null).cast(dt).alias(p.name)
           case Some(a) if a == dt => Project.propCol(p)
+          // dictionary "number" (float32) admits any float width: a
+          // double-typed source column keeps its wider precision instead
+          // of narrowing (text-dump sources parse at the declared float32,
+          // so reference-golden parity is unaffected)
+          case Some(org.apache.spark.sql.types.DoubleType)
+              if dt == org.apache.spark.sql.types.FloatType =>
+            Project.propCol(p)
           case Some(a) if dt == org.apache.spark.sql.types.StringType ||
               Types.widest(Seq(a, dt)) == dt =>
             Project.propCol(p, Some(dt))
@@ -308,11 +315,28 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
         val existing = acc.getOrElse(label, Nil)
         if (existing.exists(_.name == p.name)) acc
         else acc + (label -> (existing :+ p))
+      }.map { case (anc, ps) =>
+        anc -> ps.map { p0 =>
+          // `src: id` injects the ancestor's node id (reference
+          // get_prop_type, base/parser.py:216-222)
+          val p = if (p0.src == "id") p0.copy(src = idOf(anc)) else p0
+          // build under an internal alias: an injected prop may be NAMED
+          // like a hop id column (`_case_id` from src:id) — the walk joins
+          // would collide; final names return after the hop ids drop
+          p.copy(name = "__inj_" + p.name)
+        }
       }
+    // the source_node tag is synthesized below, never read from a table
+    val leafProps = m.props.filterNot(_.src == "source_node")
+    // union-wide type per prop src, for null-filling leaves that don't
+    // declare it (reference null-fills missing branches —
+    // injection/new_translator.py:60-66)
+    val leafLabelsAll = schema.nodes.filter(_.category == inj.category).map(_.label)
+    def unionType(src: String) =
+      Types.widest(leafLabelsAll.flatMap(l => schema.node(l).props.get(src)))
     // leaves = nodes of the target category; walk each leaf's ancestors to
     // collect injected props, then union
-    val leafLabels = schema.nodes.filter(_.category == inj.category).map(_.label)
-    val leaves = leafLabels.map { leaf =>
+    val leaves = leafLabelsAll.map { leaf =>
       val leafId = idOf(leaf)
       // EVERY simple path up to the ancestor contributes to the injected
       // set — a dataset may populate any subset of the structural routes
@@ -336,10 +360,15 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
         case (_, _, Seq(pl)) if singleHops(pl) && pl.length > 1 && hasFk(leaf, pl(1)) =>
           idOf(pl(1))
       }.distinct
-      var df = source.nodeDf(leaf)
+      val leafDf = source.nodeDf(leaf)
+      val have = leafDf.columns.toSet ++ schema.node(leaf).props.keySet
+      val (present, absent) = leafProps.partition(p => have.contains(p.src))
+      var df = leafDf
         .select(((col(leafId) +: fkFirst.map(col)) ++
-          boundProps(leaf, source.nodeDf(leaf), m.props)).distinct: _*)
+          boundProps(leaf, leafDf, present)).distinct: _*)
         .withColumn("source_node", lit(leaf))
+      absent.foreach(p =>
+        df = df.withColumn(p.name, lit(null).cast(unionType(p.src))))
       var dropCols: List[String] = fkFirst.toList
       paths.foreach { case (ancestorLabel, props, pls) =>
         val ancId = idOf(ancestorLabel)
@@ -352,7 +381,9 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
           // walk up with left broadcast joins and wrap the prop per row
           pls.head.sliding(2).foreach { case Seq(c, p) =>
             val pid = idOf(p)
-            if (!(c == leaf && hasFk(c, p))) // leaf FK already on the frame
+            // hop may already be walked: leaf FK rode the projection, or a
+            // previous ancestor's chain shares this path prefix
+            if (!df.columns.contains(pid))
               df = df.join(
                 source.edgeDf(c, p).select(col(idOf(c)), col(pid))
                   .dropDuplicates(idOf(c)),
@@ -361,8 +392,16 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
           }
           df = df.join(broadcast(anc), Seq(ancId), "left_outer")
           props.foreach { p =>
-            df = df.withColumn(p.name,
-              when(col(p.name).isNotNull, array(col(p.name))).otherwise(array()))
+            // set-injection of an ARRAY prop flattens to its distinct
+            // elements (Types.aggResultType contract; matches the
+            // reference goldens) — scalars wrap into a 0/1-element array
+            df = df.withColumn(p.name, anc.schema(p.name).dataType match {
+              case at: org.apache.spark.sql.types.ArrayType =>
+                coalesce(array_sort(array_distinct(col(p.name))),
+                  array().cast(at))
+              case _ =>
+                when(col(p.name).isNotNull, array(col(p.name))).otherwise(array())
+            })
           }
         } else {
           // several routes and/or fan-out hops: walk each path to
@@ -376,7 +415,14 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
             }.select(col(leafId), col(ancId))
           }.reduce(_ union _)
           val withProps = reached.join(anc, Seq(ancId), "left_outer")
-          val aggs = props.map(p => AggExpr.agg("set", col(p.name)).alias(p.name))
+          val aggs = props.map { p =>
+            (anc.schema(p.name).dataType match {
+              // array props flatten into one distinct element set
+              case _: org.apache.spark.sql.types.ArrayType =>
+                sort_array(array_distinct(flatten(collect_list(col(p.name)))))
+              case _ => AggExpr.agg("set", col(p.name))
+            }).alias(p.name)
+          }
           val per = withProps.groupBy(col(leafId)).agg(aggs.head, aggs.tail: _*)
           df = df.join(per, Seq(leafId), "left_outer")
           // union of left-joined walks keeps every leaf, so the set agg
@@ -385,6 +431,9 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
         }
       }
       if (dropCols.nonEmpty) df = df.drop(dropCols: _*)
+      // internal injected aliases → declared names, now that hop ids are gone
+      df = injProps.values.flatten.foldLeft(df)((d, p) =>
+        d.withColumnRenamed(p.name, p.name.stripPrefix("__inj_")))
       // doc key carries the doc_type name, like the reference's
       // get_node_id_name(doc_type) (utils/general.py:57-58)
       df.withColumnRenamed(leafId, idOf(m.docType))

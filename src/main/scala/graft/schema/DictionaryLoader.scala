@@ -57,17 +57,21 @@ object DictionaryLoader {
       val linkNames = links.map(l => str(l, "name")).toSet
       val rawProps = asMap(m.getOrElse("properties", null))
       // a `$ref` KEY inside `properties` pulls in a shared property block
-      // (e.g. `_definitions.yaml#/data_file_properties`); its entries keep
+      // (e.g. `_definitions.yaml#/data_file_properties`), possibly itself
+      // containing further `$ref` blocks — expand recursively; entries keep
       // their origin file so nested relative refs ("#/file_size") resolve
-      // there, and the node's own entries override on name collision
-      val withOrigin: Seq[(String, Any, String)] =
-        rawProps.get("$ref").toSeq.flatMap(asList).flatMap { r =>
+      // there, and later (more specific) entries override on collision
+      def expand(props: Map[String, Any], fileKey: String,
+                 depth: Int): Seq[(String, Any, String)] =
+        if (depth > 6) Nil
+        else props.get("$ref").toSeq.flatMap(asList).flatMap { r =>
           val rf = refFile(fileKey, r.toString)
           resolveRef(dict, fileKey, r.toString).toSeq
-            .flatMap(asMap(_).toSeq.map { case (n, sp) => (n, sp, rf) })
-        } ++ rawProps.toSeq.collect {
+            .flatMap(b => expand(asMap(b), rf, depth + 1))
+        } ++ props.toSeq.collect {
           case (n, sp) if n != "$ref" => (n, sp, fileKey)
         }
+      val withOrigin = expand(rawProps, fileKey, 0)
       val props = withOrigin.groupBy(_._1).map(_._2.last).collect {
         case (name, spec, origin)
             if name != "id" && name != "type" && !linkNames.contains(name) &&
@@ -106,6 +110,13 @@ object DictionaryLoader {
     EtlMapping(em.indices.map { m =>
       if (m.kind == "collector") m
       else m.copy(
+        // joining_props may name the other index by its doc_type
+        // (`index: data_file` in the reference fixtures)
+        joiningProps = m.joiningProps.map { j =>
+          if (em.indices.exists(_.name == j.otherIndex)) j
+          else em.indices.find(_.docType == j.otherIndex)
+            .map(ix => j.copy(otherIndex = ix.name)).getOrElse(j)
+        },
         parentProps = m.parentProps.map { chain =>
           val resolved = chain.steps.foldLeft(
             (m.root, Vector.empty[PathStep])) { case ((cur, acc), step) =>
@@ -171,11 +182,12 @@ object DictionaryLoader {
 
   // ---- JSON-Schema property typing ----------------------------------------
 
-  /** JSON-Schema "number" maps to DOUBLE: the reference types it as Python
-    * `float`, which is 64-bit (parser.py:171-180) — FloatType would force a
-    * narrowing rejection against double-typed source columns. */
+  /** JSON-Schema "number" → FloatType, matching the reference's Spark-side
+    * float32 for dictionary numbers (tube/utils/spark.py) — the goldens
+    * carry float32 values. Wider (double) SOURCE columns are not narrowed:
+    * Translator.boundProps lets them keep their precision. */
   private val scalarTypes: Map[String, DataType] = Map(
-    "number" -> DoubleType, "integer" -> LongType,
+    "number" -> FloatType, "integer" -> LongType,
     "boolean" -> BooleanType, "string" -> StringType)
 
   /** Resolve one property spec to a Spark type; None when the shape is not

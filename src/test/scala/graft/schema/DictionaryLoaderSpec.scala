@@ -158,6 +158,103 @@ class DictionaryLoaderSpec extends SparkSpec {
     assert(b.exceptAll(a).isEmpty, "golden rows we fail to produce")
   }
 
+  /** Translate `indexName` from `fixture`'s dumps and require set-equality
+    * with the reference's checked-in golden parquet on all shared columns
+    * (goldens may carry columns from older mapping revisions — tolerate at
+    * most `slack` of those). Array columns compare as sorted sets. */
+  private def assertMatchesGolden(fixture: String, indexName: String,
+                                  goldenFile: String, slack: Int = 2,
+                                  viaRunAll: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{array_sort, col}
+    val base = s"/root/reference/tests/dataframe_tests/test_data/$fixture"
+    val sch = DictionaryLoader.loadFile(s"$base/schema.json")
+    val em = DictionaryLoader.resolveMapping(sch, MappingYaml.parse(new String(
+      Files.readAllBytes(Paths.get(s"$base/etlMapping.yaml")), "UTF-8")))
+    val m = em.indices.find(_.name == indexName)
+      .getOrElse(fail(s"no index $indexName in $fixture"))
+    val src = TubeGraphSource(spark, sch, s"$base/graphs")
+    val mine =
+      if (viaRunAll) Translator.runAll(sch, src, em)(indexName)
+      else new Translator(sch, src).translate(m)
+    val golden = spark.read.parquet(s"$base/dataframe/$goldenFile")
+    val common = golden.columns.filter(mine.columns.contains(_)).toSeq
+    assert(common.length >= golden.columns.length - slack,
+      s"missing golden columns: ${golden.columns.toSeq.diff(common)}")
+    val arrCols = golden.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .map(_.name).filter(common.contains)
+    // compare array cells as SORTED STRING SETS: the reference's injected
+    // sets are stringly-typed in places where we keep the dictionary type
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      arrCols.foldLeft(df.select(common.map(col): _*))((d, c) =>
+          d.withColumn(c, array_sort(col(c).cast("array<string>"))))
+        .select(common.map(c => col(c).cast("string").as(c)): _*)
+    val a = norm(mine); val b = norm(golden)
+    assert(a.count() === b.count(), s"$fixture/$indexName row count")
+    assert(a.exceptAll(b).isEmpty, s"$fixture/$indexName: rows beyond golden")
+    assert(b.exceptAll(a).isEmpty, s"$fixture/$indexName: golden rows missed")
+  }
+
+  test("jcoin aggregators and collector match the reference goldens") {
+    assertMatchesGolden("jcoin", "jcoin_etl",
+      "participant__1_Translator.translate_final")
+    assertMatchesGolden("jcoin", "jcoin_saes",
+      "serious_adverse_event__1_Translator.translate_final")
+    assertMatchesGolden("jcoin", "jcoin_etl_time_points",
+      "time_point__1_Translator.translate_final")
+    assertMatchesGolden("jcoin", "jcoin_file",
+      "file__1_Translator.translate_final__translate_final")
+  }
+
+  test("midrc simple aggregators and collector match the reference goldens") {
+    assertMatchesGolden("midrc", "midrc_measurement",
+      "measurement__1_Translator.translate_final")
+    assertMatchesGolden("midrc", "midrc_annotation",
+      "annotation__1_Translator.translate_final")
+    assertMatchesGolden("midrc", "midrc_data_file",
+      "data_file__1_Translator.translate_final__translate_final")
+  }
+
+  test("midrc index-to-index join matches the joining goldens " +
+      "(array-valued join keys explode per referenced id)") {
+    // the midrc graphs snapshot is smaller than its goldens (5 case rows vs
+    // 90), so — exactly like the reference's own dataframe tests — feed the
+    // golden INPUT frames through the joining stage and compare outputs
+    val base = "/root/reference/tests/dataframe_tests/test_data/midrc/dataframe"
+    val joinProps = Seq("object_id", "data_format", "data_type", "data_category")
+      .map(n => (PropDef(n, n), Some("set")))
+    for ((docGolden, outGolden, key) <- Seq(
+      ("case__1", "case__1_Translator.translate_joining_props", "_case_id"),
+      ("imaging_study__1",
+        "imaging_study__1_Translator.translate_joining_props",
+        "_imaging_study_id"))) {
+      // the golden inputs pre-declare the joined props as null placeholder
+      // columns (reference PropFactory declares the full doc schema up
+      // front); the join fills them, so drop the placeholders first
+      val docs = spark.read.parquet(s"$base/$docGolden")
+        .drop("object_id", "data_format", "data_type", "data_category")
+      val files = spark.read.parquet(
+        s"$base/data_file__1_Translator.translate_final__translate_final")
+      val joined = graft.operators.GraphOps.indexJoin(
+        docs, files, Seq(key), joinProps)
+      val golden = spark.read.parquet(s"$base/$outGolden")
+      val common = golden.columns.filter(joined.columns.contains(_)).toSeq
+      assert(common.length === golden.columns.length, s"$outGolden columns")
+      import org.apache.spark.sql.functions.{array_sort, col}
+      val arrCols = golden.schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .map(_.name).toSeq
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        arrCols.foldLeft(df.select(common.map(col): _*))((d, c) =>
+            d.withColumn(c, array_sort(col(c).cast("array<string>"))))
+          .select(common.map(c => col(c).cast("string").as(c)): _*)
+      val a = norm(joined); val b = norm(golden)
+      assert(a.count() === b.count(), s"$outGolden rows")
+      assert(a.exceptAll(b).isEmpty, s"$outGolden: rows beyond golden")
+      assert(b.exceptAll(a).isEmpty, s"$outGolden: golden rows missed")
+    }
+  }
+
   test("RunEtl end-to-end: dictionary + mapping + dumps -> published indices") {
     val out = Files.createTempDirectory("graft_etl").toString
     val published = graft.RunEtl.run(spark,
