@@ -104,6 +104,13 @@ class DictionaryLoaderSpec extends SparkSpec {
           m.flattenProps.map(_.path) ++ m.aggregatedProps.flatMap(_.path))
           .foreach(l => assert(sch.nodes.exists(_.label == l), s"$name/$l"))
       }
+      // and every index TRANSLATES from the fixture's graph dumps (the
+      // parent fixture has no goldens but exercises nested_props)
+      val src = TubeGraphSource(spark, sch, s"$base/graphs")
+      val t = new Translator(sch, src)
+      resolved.indices.foreach { m =>
+        assert(t.translate(m).count() >= 0L, s"$name/${m.name}")
+      }
     }
   }
 
