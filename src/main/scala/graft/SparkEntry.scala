@@ -440,6 +440,22 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       Sampling.repetitionProfile(t(s, dir, "documents"), "doc_id", "text")),
 
+    // context-window chunking: overlapping 64-token windows, stride 48
+    "text_chunk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          posexplode(TextFunctions.chunkTokens(col("_toks"), 64, 48))
+            .as(Seq("chunk_idx", "chunk_text")))),
+
+    // deterministic sequence packing into 512-token bins within 8 shards
+    "corpus_pack" -> ((s, dir) =>
+      Sampling.packBins(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens",
+        Sampling.stableBucket(col("doc_id"), 8), target = 512)),
+
     // ---- multimodal plumbing --------------------------------------------
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
@@ -856,6 +872,26 @@ object SparkEntry {
         "coalesce(tr, 0.0) AS top_gram_ratio, " +
         "coalesce(dr, 0.0) AS distinct_ratio " +
         "FROM t LEFT JOIN p ON t.doc_id = p.doc_id"),
+
+    "text_chunk" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "c AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(0, 1 + CAST(floor(greatest(len(toks) - 64, 0) / 48.0) AS INTEGER)), " +
+        "i -> array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')) END AS chunks FROM t) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, chunk AS chunk_text " +
+        "FROM (SELECT doc_id, unnest(chunks) AS chunk, " +
+        "unnest(range(0, len(chunks))) AS i FROM c)"),
+
+    "corpus_pack" ->
+      (s"WITH t AS (SELECT doc_id, len($sqlToks) AS n_tokens, " +
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, shard, " +
+        "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS prev FROM t) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard, " +
+        "CAST(floor(prev / 512.0) AS BIGINT) AS bin, " +
+        "CAST(prev - CAST(floor(prev / 512.0) AS BIGINT) * 512 AS BIGINT) AS offset_in_bin " +
+        "FROM c"),
 
     "text_rolling_fp" ->
       ("SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE " +

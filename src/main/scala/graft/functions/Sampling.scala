@@ -57,6 +57,25 @@ object Sampling {
       (count_distinct(col(idCol)) - distinctOf(col("_fp"))).as("n_exact_dups"))
   }
 
+  /** Deterministic greedy sequence packing: docs are laid into
+    * `target`-token bins in id order WITHIN a shard (bin = which bin the
+    * doc STARTS in; `offset_in_bin` its start offset there). Sharding makes
+    * it scale: the running sum is a window per shard, not one global
+    * single-reducer sort, and assignment stays a pure function of
+    * (shard, id order) — reproducible anywhere, auditable in SQL. */
+  def packBins(docs: DataFrame, idCol: String, nTokCol: String,
+               shard: Column, target: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    docs.withColumn("shard", shard)
+      .withColumn("_prev", sum(col(nTokCol)).over(w) - col(nTokCol))
+      .withColumn("bin",
+        floor(col("_prev").cast("double") / target).cast("long"))
+      .withColumn("offset_in_bin",
+        (col("_prev") - col("bin") * target).cast("long"))
+      .drop("_prev")
+  }
+
   /** Repetition profile per document — the Gopher/C4-style quality signal
     * that catches boilerplate and looping text: of all word n-grams (WITH
     * multiplicity), what fraction is the single most repeated gram

@@ -174,6 +174,21 @@ object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column =
     allShinglesOf(tokens(text), n, " ")
 
+  /** Overlapping fixed-size token windows — context-window chunking for
+    * training: window i covers tokens [i*stride, i*stride + size), the
+    * last window may run short, zero-token docs yield no chunks.
+    * `toks` should be a MATERIALIZED column (select `tokens(text)` first):
+    * HOF lambdas re-evaluate outer-scope expressions per element, so an
+    * inline `tokens(...)` would re-tokenize once per chunk. */
+  def chunkTokens(toks: Column, size: Int, stride: Int): Column = {
+    val n = org.apache.spark.sql.functions.size(toks)
+    val chunks = lit(1) +
+      floor(greatest(n - size, lit(0)).cast("double") / stride).cast("int")
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), chunks - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(size)), " ")))
+  }
+
   /** Character n-gram shingles (distinct) — robust to tokenization noise. */
   def charShingles(text: Column, n: Int): Column =
     shinglesOf(split(lower(trim(text)), ""), n, "")

@@ -44,6 +44,37 @@ class SamplingSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("n_exact_dups")) === 1L)
   }
 
+  test("chunkTokens: overlapping windows, short tail, empty doc drops") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "only two"),
+      (3L, "")).toDF("doc_id", "text")
+    val chunks = docs
+      .select($"doc_id", TextFunctions.tokens($"text").as("_toks"))
+      .select($"doc_id",
+        posexplode(TextFunctions.chunkTokens($"_toks", 4, 3))
+          .as(Seq("idx", "chunk")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(d1 === Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq === Seq("only two"))
+    assert(!chunks.exists(_._1 == 3L))
+  }
+
+  test("packBins: greedy id-order packing within shards, pure function") {
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 600L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Sampling.packBins(docs, "doc_id", "n_tokens",
+        lit(0L), target = 512)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("bin")), r.getLong(r.fieldIndex("offset_in_bin"))))
+      .toMap
+    assert(packed(1L) === ((0L, 0L)))     // starts bin 0 offset 0
+    assert(packed(2L) === ((0L, 300L)))   // still bin 0 (starts at 300)
+    assert(packed(3L) === ((1L, 88L)))    // cum 600 → bin 1, offset 88
+    assert(packed(4L) === ((1L, 188L)))
+  }
+
   test("repetitionProfile: looping text scores high, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),        // one gram repeated
