@@ -109,16 +109,31 @@ object EventStream {
                    watermark: String): DataFrame =
     runStreaming(spark, dir, glob, schema, windowLen, watermark, "graft_stream")
 
+  /** Stateful streaming creates one state store per shuffle partition per
+    * batch; the drain harness carries tiny state, so fewer partitions cut
+    * pure fixed overhead (~2× on the bench queries). Restores the session
+    * setting afterwards. On a real cluster size partitions to state
+    * volume instead — this is a harness knob, not a production default. */
+  private def withStreamingPartitions[A](spark: SparkSession, n: Int)
+                                        (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def runStreaming(spark: SparkSession, source: StreamSource, windowLen: String,
                    watermark: String, queryName: String): DataFrame = {
     val stream = source.load(spark)
     val agg = windowedAgg(stream.withWatermark("ts", watermark), windowLen)
-    val q = agg.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamingPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     import org.apache.spark.sql.expressions.Window
     spark.table(queryName)
       .withColumn("_rn", row_number().over(
@@ -146,12 +161,14 @@ object EventStream {
                         keys: Seq[String],
                         queryName: String = "graft_dedup_stream"): DataFrame = {
     val stream = new FileStreamSource(dir, glob, schema).load(spark)
-    val q = dedupStream(stream, watermark, keys).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamingPartitions(spark, 8) {
+      val q = dedupStream(stream, watermark, keys).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -209,12 +226,14 @@ object EventStream {
   def runStatefulSessions(spark: SparkSession, source: StreamSource,
                           gapMinutes: Int, queryName: String): DataFrame = {
     val stream = source.load(spark)
-    val q = sessionizeStateful(stream, gapMinutes).toDF().writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamingPartitions(spark, 8) {
+      val q = sessionizeStateful(stream, gapMinutes).toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // Update mode appends one row per user per batch — keep the last
     val byUser = spark.table(queryName)
     import org.apache.spark.sql.expressions.Window
