@@ -456,6 +456,16 @@ object SparkEntry {
         "doc_id", "n_tokens",
         Sampling.stableBucket(col("doc_id"), 8), target = 512)),
 
+    // top-100 vocabulary by frequency (ties broken by token): orderBy +
+    // limit plans as TakeOrderedAndProject — per-partition partial top-K
+    // merged on the driver, NO global sort — the scale-safe global top-K
+    "vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100)),
+
     // ---- multimodal plumbing --------------------------------------------
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
@@ -872,6 +882,11 @@ object SparkEntry {
         "coalesce(tr, 0.0) AS top_gram_ratio, " +
         "coalesce(dr, 0.0) AS distinct_ratio " +
         "FROM t LEFT JOIN p ON t.doc_id = p.doc_id"),
+
+    "vocab_topk" ->
+      (s"WITH t AS (SELECT unnest($sqlToks) AS token FROM documents) " +
+        "SELECT token, count(*) AS n FROM t GROUP BY token " +
+        "ORDER BY n DESC, token LIMIT 100"),
 
     "text_chunk" ->
       (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +

@@ -75,6 +75,17 @@ class SamplingSpec extends SparkSpec {
     assert(packed(4L) === ((1L, 188L)))
   }
 
+  test("global top-K (orderBy+limit) plans as TakeOrderedAndProject, " +
+      "not a global sort") {
+    val df = (0L until 1000L).map(i => (i, s"tok${i % 37}"))
+      .toDF("id", "token")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token".asc).limit(10)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(df.collect().length === 10)
+  }
+
   test("repetitionProfile: looping text scores high, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),        // one gram repeated
