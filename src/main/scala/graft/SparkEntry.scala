@@ -891,7 +891,7 @@ object SparkEntry {
     "text_chunk" ->
       (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
         "c AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) " +
-        "ELSE list_transform(range(0, 1 + CAST(floor(greatest(len(toks) - 64, 0) / 48.0) AS INTEGER)), " +
+        "ELSE list_transform(range(0, 1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INTEGER)), " +
         "i -> array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')) END AS chunks FROM t) " +
         "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, chunk AS chunk_text " +
         "FROM (SELECT doc_id, unnest(chunks) AS chunk, " +

@@ -181,9 +181,15 @@ object TextFunctions {
     * HOF lambdas re-evaluate outer-scope expressions per element, so an
     * inline `tokens(...)` would re-tokenize once per chunk. */
   def chunkTokens(toks: Column, size: Int, stride: Int): Column = {
+    // stride beyond size would silently skip tokens between windows
+    require(stride >= 1 && stride <= size,
+      s"chunk stride must be in [1, size]; got stride=$stride size=$size")
     val n = org.apache.spark.sql.functions.size(toks)
+    // CEIL, not floor: a final partial stride still needs its own window,
+    // or the doc tail past the last full stride is dropped (caught by the
+    // chunking-invariants property test)
     val chunks = lit(1) +
-      floor(greatest(n - size, lit(0)).cast("double") / stride).cast("int")
+      ceil(greatest(n - size, lit(0)).cast("double") / stride).cast("int")
     when(n === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), chunks - 1),
         i => array_join(slice(toks, i * stride + 1, lit(size)), " ")))

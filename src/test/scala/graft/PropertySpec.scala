@@ -90,6 +90,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking invariants: full coverage, fixed overlap, exact windows") {
+    val cases = Gen.listOfN(150, for {
+      n <- Gen.choose(0, 40)
+      size <- Gen.choose(1, 8)
+      stride <- Gen.choose(1, size) // stride > size is rejected by contract
+    } yield (n, size, stride)).sample.get
+    cases.zipWithIndex.foreach { case ((n, size, stride), i) =>
+      val toks = (0 until n).map(k => s"t$k")
+      val chunks = Seq(Tuple1(toks)).toDF("toks")
+        .select(TextFunctions.chunkTokens($"toks", size, stride).as("c"))
+        .collect()(0).getSeq[String](0).map(_.split(" ").filter(_.nonEmpty).toSeq)
+      if (n == 0) assert(chunks.isEmpty, s"case $i")
+      else {
+        // every token appears in at least one chunk (full coverage)...
+        assert(chunks.flatten.toSet === toks.toSet, s"case $i ($n,$size,$stride)")
+        // ...chunk k starts at k*stride and is exactly the slice
+        chunks.zipWithIndex.foreach { case (c, k) =>
+          assert(c === toks.slice(k * stride, k * stride + size), s"case $i")
+        }
+        // last chunk reaches the end of the doc
+        assert(chunks.length === 1 + math.max(0, math.ceil((n - size).toDouble / stride).toInt), s"case $i")
+      }
+    }
+  }
+
   test("components on random graphs match a driver-side union-find") {
     val pairGen = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
