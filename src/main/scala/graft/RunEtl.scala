@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.pipeline.Translator
 import graft.schema.{DictionaryLoader, MappingYaml}
-import graft.sinks.{EsPublisher, FsEsClient}
+import graft.sinks.{EsControl, EsPublisher, FsEsClient}
 import graft.sources.TubeGraphSource
 
 /** The deployment entry point — the engine's `run_etl.py` (reference:
@@ -24,9 +24,19 @@ import graft.sources.TubeGraphSource
 object RunEtl {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: RunEtl <schema.json> <etlMapping.yaml> <dumpsDir> <outDir>")
-    val Array(schemaPath, mappingPath, dumpsDir, outDir) = args.take(4)
+    val force = args.contains("--force")
+    // optional: the latest committed source transaction time feeding the
+    // incremental gate (a JDBC-fed deployment passes
+    // Jdbc.latestSucceededTxMillis here)
+    val sourceTx = args.collectFirst {
+      case a if a.startsWith("--source-tx-millis=") =>
+        a.stripPrefix("--source-tx-millis=").toLong
+    }
+    val positional = args.filterNot(_.startsWith("--"))
+    require(positional.length >= 4,
+      "usage: RunEtl <schema.json> <etlMapping.yaml> <dumpsDir> <outDir> " +
+        "[--force] [--source-tx-millis=N]")
+    val Array(schemaPath, mappingPath, dumpsDir, outDir) = positional.take(4)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -38,30 +48,44 @@ object RunEtl {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val published = run(spark, schemaPath, mappingPath, dumpsDir, outDir)
+      val published = run(spark, schemaPath, mappingPath, dumpsDir, outDir,
+        latestSourceTxMillis = sourceTx, force = force)
+      if (published.isEmpty)
+        println("up to date — nothing published (use --force to override)")
       published.foreach { case (alias, (index, rows)) =>
         println(s"published $alias -> $index ($rows docs)")
       }
     } finally spark.stop()
   }
 
-  /** Full pipeline; returns alias → (published index name, row count). */
+  /** Full pipeline; returns alias → (published index name, row count) for
+    * every index actually published. The S11 incremental gate (reference
+    * run_etl.py:91-103 `check_to_run_etl`) skips an index whose sink
+    * timestamp already covers `latestSourceTxMillis`; `force` overrides.
+    * With no source-tx information the gate always runs (safe default).
+    * Row counts come from the published parquet footers — the translation
+    * frame is never executed twice. */
   def run(spark: SparkSession, schemaPath: String, mappingPath: String,
           dumpsDir: String, outDir: String,
-          nowMillis: Long = System.currentTimeMillis()): Map[String, (String, Long)] = {
+          nowMillis: Long = System.currentTimeMillis(),
+          latestSourceTxMillis: Option[Long] = None,
+          force: Boolean = false): Map[String, (String, Long)] = {
     val schema = DictionaryLoader.loadFile(schemaPath)
     val mappingYaml = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mappingPath)),
       "UTF-8")
     val mapping = DictionaryLoader.resolveMapping(schema,
       MappingYaml.parse(mappingYaml))
+    val client = new FsEsClient(java.nio.file.Paths.get(outDir))
+    val toRun = mapping.indices.filter(m =>
+      EsControl.needsRun(latestSourceTxMillis, client.timestamp(m.name), force))
+    if (toRun.isEmpty) return Map.empty
     val source = TubeGraphSource(spark, schema, dumpsDir)
     val docs = Translator.runAll(schema, source, mapping)
-    val client = new FsEsClient(java.nio.file.Paths.get(outDir))
-    mapping.indices.map { m =>
-      val df = docs(m.name)
-      val index = EsPublisher.publish(client, m.name, df, m.docType, nowMillis)
-      m.name -> (index, df.count())
+    toRun.map { m =>
+      val (index, rows) = EsPublisher.publishCounted(
+        client, m.name, docs(m.name), m.docType, nowMillis)
+      m.name -> (index, rows)
     }.toMap
   }
 }

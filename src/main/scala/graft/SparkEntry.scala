@@ -676,9 +676,12 @@ object SparkEntry {
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     "j3_set_chain" ->
+      // COALESCE: a child-less root's set prop is the EMPTY set (engine
+      // zero semantics, AggExpr.zeroFill), not NULL — DuckDB's filtered
+      // list() over zero rows aggregates to NULL instead
       """SELECT o_orderkey AS _orders_id, o_orderstatus,
-        |  array_to_string(list_sort(list(DISTINCT p_brand)
-        |    FILTER (WHERE p_brand IS NOT NULL)), '|') AS part_brands
+        |  COALESCE(array_to_string(list_sort(list(DISTINCT p_brand)
+        |    FILTER (WHERE p_brand IS NOT NULL)), '|'), '') AS part_brands
         |FROM orders
         |LEFT JOIN lineitem ON l_orderkey = o_orderkey
         |LEFT JOIN part ON p_partkey = l_partkey

@@ -79,8 +79,21 @@ object MappingValidator {
       else Seq(s"$at: joining_props: unknown index '${j.otherIndex}'")
     }
     // every prop family writes into one flat document namespace — a name
-    // claimed twice would silently shadow (ambiguous column at best)
-    val outNames = m.props.map(_.name) ++
+    // claimed twice would silently shadow (ambiguous column at best).
+    // Collector injections write into the same namespace, including the
+    // auto-injected program_name/project_code (mirrors
+    // Translator.translateCollector's autoInj condition).
+    val injNames = m.injection.toSeq.flatMap { inj =>
+      val declared = inj.injectingProps.values.flatten.map(_.name).toSeq
+      val auto = Seq(("program", "program_name", "name"),
+                     ("project", "project_code", "code")).collect {
+        case (l, n, src)
+            if schema.nodes.exists(nd => nd.label == l && nd.props.contains(src)) &&
+              !declared.contains(n) => n
+      }
+      declared ++ auto
+    }
+    val outNames = m.props.map(_.name) ++ injNames ++
       m.parentProps.flatMap(_.steps.flatMap(_.props.map(_.name))) ++
       m.flattenProps.flatMap(_.props.map(_.name)) ++
       m.aggregatedProps.map(_.name) ++

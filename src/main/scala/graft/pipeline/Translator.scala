@@ -166,6 +166,14 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
           .map(p => AggExpr.agg("set", col(p.name)).alias(p.name))
         val parentCols = walked.groupBy(col(rootId)).agg(aggs.head, aggs.tail: _*)
         doc = doc.join(parentCols, Seq(rootId), "left_outer")
+        // edge-backed sources walk only roots that HAVE edge rows, so a
+        // child-less root comes back NULL from the left join, while FK
+        // sources (whole-root-table walk) yield an empty set — normalize to
+        // the empty array so both source shapes agree
+        chain.steps.flatMap(_.props).foreach { p =>
+          doc = doc.withColumn(p.name,
+            coalesce(col(p.name), array().cast(parentCols.schema(p.name).dataType)))
+        }
       }
     }
     if (helperCols.nonEmpty) doc = doc.drop(helperCols: _*)

@@ -133,7 +133,9 @@ object MappingYaml {
     * without collecting props there — the jcoin fixture shape). */
   private[schema] def parseParentPath(path: String): Seq[PathStep] = {
     val stepRe = """([A-Za-z0-9_]+)(?:\[([^\]]*)\])?""".r
-    path.split("\\.").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+    // split on dots OUTSIDE bracket blocks only — a prop spec may itself
+    // contain a dot (`studies[s:meta.x].projects[d]`)
+    path.split("""\.(?![^\[]*\])""").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
       stepRe.findFirstMatchIn(s) match {
         case Some(m) =>
           val props = Option(m.group(2)).getOrElse("").split(",").toSeq

@@ -19,7 +19,9 @@ object UserYaml {
         case null          => Nil
         case single        => Seq(single)
       }).map(asMap).collect {
-        case p if p.contains("resource") =>
+        // reference uses pr.get('auth_id') and tolerates its absence —
+        // skip entries with a resource but no auth_id instead of throwing
+        case p if p.contains("resource") && p.contains("auth_id") =>
           p("auth_id").toString -> p("resource").toString
       }
     }

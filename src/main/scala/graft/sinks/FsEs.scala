@@ -77,16 +77,25 @@ final class FsEsClient(val root: Path) extends EsClient {
 object EsPublisher {
 
   def publish(client: FsEsClient, alias: String, docs: DataFrame,
-              docType: String, nowMillis: Long, keep: Int = 1): String = {
+              docType: String, nowMillis: Long, keep: Int = 1): String =
+    publishCounted(client, alias, docs, docType, nowMillis, keep)._1
+
+  /** Like `publish`, but also returns the written document count — read
+    * back from the published parquet footers (a metadata-only job), NOT by
+    * re-running the unmaterialized translation frame a second time. */
+  def publishCounted(client: FsEsClient, alias: String, docs: DataFrame,
+                     docType: String, nowMillis: Long,
+                     keep: Int = 1): (String, Long) = {
     val mapping = EsMapping.forSchema(docs.schema, docType)
+    var outPath: String = null
     val target = EsControl.publish(client, alias, mapping, { idx =>
-      docs.write.mode("overwrite")
-        .parquet(client.root.resolve(idx).resolve("docs").toString)
+      outPath = client.root.resolve(idx).resolve("docs").toString
+      docs.write.mode("overwrite").parquet(outPath)
     }, keep)
     client.createIndex(s"$alias-array-config", "{}")
     Files.write(client.root.resolve(s"$alias-array-config").resolve("config.json"),
       EsMapping.arrayConfig(docs.schema, docType).getBytes("UTF-8"))
     client.setTimestamp(alias, nowMillis)
-    target
+    (target, docs.sparkSession.read.parquet(outPath).count())
   }
 }

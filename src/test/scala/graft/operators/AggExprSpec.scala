@@ -93,6 +93,7 @@ class AggExprSpec extends SparkSpec {
         |      - auth_id: projA
         |        resource: /progs/x/projA
         |      - auth_id: projB
+        |      - resource: /orphan/no-auth-id
         |  bob:
         |    projects:
         |      auth_id: projC

@@ -59,6 +59,32 @@ class MappingValidatorSpec extends AnyFunSuite {
     assert(MappingValidator.validate(schema, EtlMapping(Seq(ok))) === Nil)
   }
 
+  test("collector injected props share the output namespace with leaf props") {
+    val coll = IndexMapping(name = "f", docType = "f", root = "subject",
+      kind = "collector",
+      props = Seq(PropDef.of("site")),
+      injection = Some(InjectionDef("clinical",
+        Map("project" -> Seq(PropDef("site", "site_code"))))))
+    val errs = MappingValidator.validate(schema, EtlMapping(Seq(coll)))
+    assert(errs.exists(_.contains("output column 'site'")))
+  }
+
+  test("collector auto-injected program_name/project_code collide with " +
+      "same-named leaf props on Gen3-shaped graphs") {
+    val gen3 = schema.copy(nodes = Seq(
+      NodeDef("program", "program", Map("name" -> StringType), "admin"),
+      NodeDef("project", "project", Map("code" -> StringType), "admin"),
+      NodeDef("subject", "subject", Map("program_name" -> StringType), "clinical")))
+    val coll = IndexMapping(name = "f", docType = "f", root = "subject",
+      kind = "collector",
+      props = Seq(PropDef.of("program_name")), // collides with auto-inject
+      injection = Some(InjectionDef("clinical", Map.empty)))
+    val errs = MappingValidator.validate(gen3, EtlMapping(Seq(coll)))
+    assert(errs.exists(_.contains("output column 'program_name'")))
+    // non-Gen3 graph (no program.name): no auto-inject, no collision
+    assert(MappingValidator.validate(schema, EtlMapping(Seq(coll))) === Nil)
+  }
+
   test("duplicate index names flagged; runAll refuses invalid mappings") {
     val a = IndexMapping(name = "dup", docType = "a", root = "subject")
     val b = IndexMapping(name = "dup", docType = "b", root = "subject")

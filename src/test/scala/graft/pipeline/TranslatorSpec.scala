@@ -247,6 +247,27 @@ class TranslatorSpec extends SparkSpec {
     assert(docs("subj_b").collect().length === 3)
   }
 
+  test("set-relation parent chain: edge-backed root with NO edge rows gets " +
+      "an empty array, same as FK-backed sources and the SQL oracle") {
+    // s3's project edge removed: an edge-backed walk never sees s3
+    val sparseEdges = edges + (("subject", "project") ->
+      Seq(("s1", "projA"), ("s2", "projA")).toDF("_subject_id", "_project_id"))
+    val src = new GraphSource(nodes(_), (c, p) => sparseEdges((c, p)))
+    val m = IndexMapping(
+      name = "subject_set", docType = "subject", root = "subject",
+      props = Seq(PropDef("age", "age")),
+      parentProps = Seq(ParentChainDef(Seq(
+        PathStep("project", Seq(PropDef("project_names", "proj_name")))))))
+    val rows = new Translator(schema, src).translate(m).collect()
+    val byId = rows.map(r => r.getString(r.fieldIndex("_subject_id")) -> r).toMap
+    assert(byId("s1").getSeq[String](byId("s1").fieldIndex("project_names"))
+      === Seq("Alpha"))
+    // chainless root: empty array, NOT null
+    val s3 = byId("s3")
+    assert(!s3.isNullAt(s3.fieldIndex("project_names")))
+    assert(s3.getSeq[String](s3.fieldIndex("project_names")) === Seq.empty)
+  }
+
   test("validator flags duplicate field names within one nested level") {
     val dup = IndexMapping(
       name = "subject_nested_dup", docType = "subject", root = "subject",

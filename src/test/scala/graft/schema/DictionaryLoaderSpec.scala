@@ -280,6 +280,21 @@ class DictionaryLoaderSpec extends SparkSpec {
       s"$fixtureDir/schema.json", s"$fixtureDir/etlMapping.yaml",
       s"$fixtureDir/graphs", out, nowMillis = 1700000001000L)
     assert(again("qa-ibd")._1 === "qa-ibd_1")
+    // S11 incremental gate: no source transaction newer than the sink
+    // timestamp -> the whole run is a no-op (nothing translated/published)
+    val gated = graft.RunEtl.run(spark,
+      s"$fixtureDir/schema.json", s"$fixtureDir/etlMapping.yaml",
+      s"$fixtureDir/graphs", out, nowMillis = 1700000002000L,
+      latestSourceTxMillis = Some(1700000000500L))
+    assert(gated.isEmpty)
+    assert(!new graft.sinks.FsEsClient(java.nio.file.Paths.get(out))
+      .indices().contains("qa-ibd_2"))
+    // --force overrides the gate
+    val forced = graft.RunEtl.run(spark,
+      s"$fixtureDir/schema.json", s"$fixtureDir/etlMapping.yaml",
+      s"$fixtureDir/graphs", out, nowMillis = 1700000003000L,
+      latestSourceTxMillis = Some(1700000000500L), force = true)
+    assert(forced("qa-ibd")._1 === "qa-ibd_2")
   }
 
   test("ibdgc collector translates: data_file leaves union with injection") {

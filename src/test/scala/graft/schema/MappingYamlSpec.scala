@@ -94,4 +94,14 @@ class MappingYamlSpec extends AnyFunSuite {
       PathStep("studies", Seq(PropDef("a", "a"), PropDef("b", "c"))),
       PathStep("projects", Seq(PropDef("d", "d")))))
   }
+
+  test("parent path grammar: dots inside bracket blocks don't split steps") {
+    val steps = MappingYaml.parseParentPath("studies[s:meta.x].projects[d]")
+    assert(steps === Seq(
+      PathStep("studies", Seq(PropDef("s", "meta.x"))),
+      PathStep("projects", Seq(PropDef("d", "d")))))
+    // bracketless walk-through steps still split normally
+    assert(MappingYaml.parseParentPath("participants.protocols[p]") === Seq(
+      PathStep("participants", Nil), PathStep("protocols", Seq(PropDef.of("p")))))
+  }
 }
