@@ -60,6 +60,20 @@ object SparkEntry {
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
+  /** DuckDB twin of Dedup.Md5Hasher.md5Long: 60-bit long from the md5 hex
+    * prefix — (hex[1,7] << 32) | hex[9,16]; every intermediate < 2^60 so
+    * BIGINT can't overflow. */
+  private def sqlMd5Long(s: String): String =
+    s"((('0x' || substring(md5($s), 1, 7))::BIGINT << 32) | " +
+      s"('0x' || substring(md5($s), 9, 8))::BIGINT)"
+
+  /** DuckDB twin of the distinct word-3-gram shingling used by the dedup
+    * queries (TextFunctions.wordShingles(text, 3)). */
+  private val sqlShingles3 =
+    "list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     TpchGraph.customerDocs(spark, "/root/testdata/sf0.001")
@@ -323,19 +337,26 @@ object SparkEntry {
         iters = 10)
     }),
 
+    // oracle-mode hasher (Md5Hasher): DuckDB has no xxhash64, so the
+    // driver query computes the SAME kernels from md5-prefix longs the
+    // oracle recomputes exactly; production keeps the xxhash64 default
+    // (identical plans — DedupSimilaritySpec pins both hashers)
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.wordShingles(col("text"), 3).as("sh"))
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh", 64)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh", 64,
+        Dedup.Md5Hasher)
       Dedup.lshCandidates(
-        Dedup.lshBands(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4),
+        Dedup.lshBands(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4,
+          Dedup.Md5Hasher),
         "doc_id")
     }),
 
     "dedup_simhash" -> ((s, dir) => {
       val docs = Dedup.simhashFingerprints(
         t(s, dir, "documents").select(col("doc_id"),
-          docTokens(col("text")).as("toks")), "doc_id", "toks")
+          docTokens(col("text")).as("toks")), "doc_id", "toks",
+        Dedup.Md5Hasher)
       Dedup.simhashPairs(docs, "doc_id", "sh64", hammingMax = 8)
     }),
 
@@ -389,6 +410,10 @@ object SparkEntry {
         "qid", "qv", k = 5, bits = 8, dim = 64, multiProbe = true)
     }),
 
+    // recall demo: probes 4/16 cells — results are approximate by design
+    // (rows-only check). salts=1 skips top-k stage 1: at these SFs the
+    // probed candidate set per query is reducer-sized (SCALE.md documents
+    // sizing both knobs to data)
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ivf.topK(
@@ -396,7 +421,21 @@ object SparkEntry {
         "nid", "nv",
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        "qid", "qv", k = 5, numCells = 16, nprobe = 4)
+        "qid", "qv", k = 5, numCells = 16, nprobe = 4, salts = 1)
+    }),
+
+    // nprobe = numCells probes EVERY cell, so IVF degenerates to exact
+    // brute force regardless of the trained centroids — which makes the
+    // whole train→quantize→probe→score→top-k pipeline oracle-checkable
+    // against the brute-force SQL (IvfSpec pins the equivalence too)
+    "ann_ivf_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ivf.topK(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5, numCells = 16, nprobe = 16, salts = 1)
     }),
 
     // ---- text analysis ---------------------------------------------------
@@ -559,6 +598,57 @@ object SparkEntry {
       "FROM (SELECT *, row_number() OVER (PARTITION BY qid " +
       "ORDER BY sim DESC, nid) AS rn FROM s) WHERE rn <= 5"
   }
+
+  /** Mirror of the md5-hasher `dedup_minhash_lsh` query: md5-prefix long
+    * per shingle, the 64-function LCG family (constants from
+    * Dedup.Md5Hasher.saltConsts baked into the SQL text), md5-hashed band
+    * keys over 4-element signature slices, 1000-cap, in-bucket pairs. */
+  private def minhashLshOracleSql: String = {
+    val minCols = (0 until 64).map { i =>
+      val (a, b) = graft.functions.Dedup.Md5Hasher.saltConsts(i)
+      s"min(($a * (h & 4294967295) + $b) % 2147483647) AS m$i"
+    }.mkString(", ")
+    val sigList = (0 until 64).map(i => s"m$i").mkString("[", ", ", "]")
+    val bandKey = sqlMd5Long(
+      "array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')" +
+        " || chr(1) || b::VARCHAR")
+    s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      s"sh AS (SELECT doc_id, $sqlShingles3 AS shs FROM t), " +
+      "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+      s"hashed AS (SELECT doc_id, ${sqlMd5Long("s")} AS h FROM posting), " +
+      s"sigs AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id), " +
+      s"sigl AS (SELECT doc_id, $sigList AS sig FROM sigs), " +
+      s"bands AS (SELECT doc_id, b, $bandKey AS band_key " +
+      "FROM sigl, range(0, 16) r(b)), " +
+      "capped AS (SELECT doc_id, b, band_key FROM (SELECT *, " +
+      "count(*) OVER (PARTITION BY b, band_key) AS n FROM bands) WHERE n <= 1000) " +
+      "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM capped a " +
+      "JOIN capped c ON a.b = c.b AND a.band_key = c.band_key " +
+      "AND a.doc_id < c.doc_id"
+  }
+
+  /** Mirror of the md5-hasher `dedup_simhash` query: md5-prefix long per
+    * token, 64 bit-votes, 4×16-bit banding, 1000-cap, Hamming ≤ 8. Bits
+    * ≥ 60 of the 60-bit hash are always 0, so their votes are uniformly
+    * −1 and the `i < 60` guard never changes a set bit — it only keeps the
+    * BIGINT shift in range. */
+  private def simhashOracleSql: String =
+    s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(toks) AS tk FROM t), " +
+      s"h AS (SELECT doc_id, ${sqlMd5Long("tk")} AS h FROM tok), " +
+      "v AS (SELECT doc_id, i, sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v " +
+      "FROM h, range(0, 64) r(i) GROUP BY doc_id, i), " +
+      "fp AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 AND i < 60 " +
+      "THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sh64 FROM v GROUP BY doc_id), " +
+      "banded AS (SELECT doc_id, sh64, b, ((sh64 >> CAST(b*16 AS INTEGER)) & 65535) AS band_key " +
+      "FROM fp, range(0, 4) r2(b)), " +
+      "capped AS (SELECT doc_id, sh64, b, band_key FROM (SELECT *, " +
+      "count(*) OVER (PARTITION BY b, band_key) AS n FROM banded) WHERE n <= 1000), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, " +
+      "a.sh64 AS sa, c.sh64 AS sb FROM capped a JOIN capped c " +
+      "ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id) " +
+      "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming " +
+      "FROM pairs WHERE bit_count(xor(sa, sb)) <= 8"
 
   // sums aggregate as exact DECIMAL (order-independent), then cast to
   // DOUBLE in the final projection so both engines hash identically —
@@ -788,6 +878,10 @@ object SparkEntry {
 
     "dedup_embedding_lsh" -> rhpLshOracleSql,
 
+    "dedup_minhash_lsh" -> minhashLshOracleSql,
+
+    "dedup_simhash" -> simhashOracleSql,
+
     "ann_lsh_topk" -> annLshOracleSql,
 
     "dedup_embedding" ->
@@ -815,6 +909,19 @@ object SparkEntry {
         "SELECT count(DISTINCT doc_id) AS n_docs, count(tok) AS n_tokens, " +
         "count(DISTINCT tok) AS vocab_size, " +
         "count(DISTINCT doc_id) - count(DISTINCT fp) AS n_exact_dups FROM e"),
+
+    // IVF with nprobe = numCells scores every (query, candidate) pair —
+    // exactly the brute-force oracle
+    "ann_ivf_full" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.qid, e.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
 
     "ann_brute_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +

@@ -21,6 +21,56 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Pluggable 64-bit hash family behind the signature/fingerprint kernels.
+    * Production default is `XxHasher` (codegen'd xxhash64 — fastest).
+    * `Md5Hasher` computes the same kernels from md5-prefix longs — the
+    * cross-engine trick `Sampling.stableBucket` already uses — so a
+    * differential oracle in another SQL engine (DuckDB has no xxhash64)
+    * can recompute bit-identical signatures. Same plans, same caps; only
+    * the leaf hash expression changes. */
+  sealed trait Hasher {
+    def apply(cols: Column*): Column
+    /** Hash an `array<long>` column with an integer salt. */
+    def hashArray(arr: Column, salt: Column): Column
+    /** The k-function family over an already-hashed long `h` — called k
+      * times per element, so it must be CHEAP. */
+    def salted(h: Column, i: Int): Column = apply(h, lit(i))
+  }
+  object XxHasher extends Hasher {
+    def apply(cols: Column*): Column = xxhash64(cols: _*)
+    def hashArray(arr: Column, salt: Column): Column = xxhash64(arr, salt)
+  }
+  object Md5Hasher extends Hasher {
+    /** 60-bit long from the md5 hex prefix: (hex[0,7) << 32) | hex[8,16).
+      * The 7-hex-char high half keeps every intermediate under 2^60, so
+      * neither ANSI Spark nor BIGINT engines can overflow. SQL twin:
+      * `(('0x'||substring(md5(s),1,7))::BIGINT << 32) |
+      *  ('0x'||substring(md5(s),9,8))::BIGINT`. Always non-negative. */
+    private def md5Long(s: Column): Column =
+      shiftleft(conv(substring(md5(s), 1, 7), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
+    /** Multi-arg form concatenates the operands' canonical string forms on
+      * U+0001 (both engines render integers identically). */
+    def apply(cols: Column*): Column =
+      md5Long(if (cols.length == 1) cols.head.cast("string")
+              else concat_ws("\u0001", cols: _*))
+    def hashArray(arr: Column, salt: Column): Column =
+      apply(array_join(transform(arr, _.cast("string")), ","), salt)
+    /** Linear-congruential family over the low 32 bits — one md5 per
+      * ELEMENT instead of one per (element, function): (a_i·h32 + b_i)
+      * mod p, p = 2^31−1. a_i < 2^28 keeps a_i·h32 < 2^60 — no overflow
+      * under ANSI or BIGINT. Pure integer arithmetic, so any SQL engine
+      * recomputes it exactly; constants derive from i alone. */
+    override def salted(h: Column, i: Int): Column = {
+      val (a, b) = saltConsts(i)
+      (lit(a) * h.bitwiseAND(lit(0xFFFFFFFFL)) + lit(b)) % lit(2147483647L)
+    }
+    /** (a_i, b_i) for function i — also baked into the SQL oracle text. */
+    def saltConsts(i: Int): (Long, Long) =
+      (((2654435761L * (i + 1)) & 0xFFFFFFFL) | 1L,
+        (40503L * (i + 7)) & 0xFFFFFFFL)
+  }
+
   /** The most recent capGroups index cache, released on the NEXT call:
     * a long-lived session running many pipelines holds at most ONE stale
     * index cache instead of accumulating them until LRU thrash.
@@ -82,11 +132,11 @@ object Dedup {
     *
     * Docs with empty shingle sets produce no row (explode drops them). */
   def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: String,
-                        k: Int): DataFrame = {
+                        k: Int, hasher: Hasher = XxHasher): DataFrame = {
     val hashed = docs
       .select(col(idCol), explode(col(shingleCol)).as("_sh"))
-      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("_h"), lit(i))).as(s"_m$i"))
+      .select(col(idCol), hasher(col("_sh")).as("_h"))
+    val aggs = (0 until k).map(i => min(hasher.salted(col("_h"), i)).as(s"_m$i"))
     hashed.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
@@ -97,12 +147,14 @@ object Dedup {
     * Returns (id, band, band_key) — one exploded row per band, so candidate
     * generation is a plain equi-join on (band, band_key). */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
-               bands: Int, rowsPerBand: Int): DataFrame =
+               bands: Int, rowsPerBand: Int,
+               hasher: Hasher = XxHasher): DataFrame =
     df.select(
         col(idCol),
         posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+            b => hasher.hashArray(
+              slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band", "band_key")))
 
   /** In-bucket pair emission: group the (already capped) inverted index
@@ -164,11 +216,11 @@ object Dedup {
     * partition enters the shuffle). Prefer this over the per-row `simhash`
     * Column for corpus-wide fingerprinting: the array-HOF form evaluates
     * interpreted and allocates a 64-slot array per token. */
-  def simhashFingerprints(docs: DataFrame, idCol: String, tokCol: String)
-      : DataFrame = {
+  def simhashFingerprints(docs: DataFrame, idCol: String, tokCol: String,
+                          hasher: Hasher = XxHasher): DataFrame = {
     val hashed = docs
       .select(col(idCol), explode(col(tokCol)).as("_t"))
-      .select(col(idCol), xxhash64(col("_t")).as("_h"))
+      .select(col(idCol), hasher(col("_t")).as("_h"))
     val votes = (0 until 64).map { i =>
       sum(when(col("_h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
         .as(s"_v$i")

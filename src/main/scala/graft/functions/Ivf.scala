@@ -11,11 +11,16 @@ import org.apache.spark.sql.expressions.Window
   * explicit — each cell is a shuffle partition, so a 100 TB corpus
   * pre-partitioned by cell serves queries by touching nprobe/K of the data.
   *
-  * Training is a deterministic mini k-means: init = the K lowest-id
-  * vectors, a fixed number of Lloyd iterations, all expressed as DataFrame
-  * ops (assign = broadcast-centroids argmax; update = per-dimension mean
-  * via posexplode). No RNG, so results are reproducible across runs and
-  * cluster layouts.
+  * Training is a deterministic mini k-means on a DRIVER-LOCAL stable
+  * sample: init = the K lowest-id sampled vectors, a fixed number of Lloyd
+  * iterations. Training on the full frame would cost a full corpus scan +
+  * shuffle PER iteration (the standard k-means-at-scale mistake); coarse
+  * quantizers only need a representative sample (FAISS trains IVF the same
+  * way), and `Sampling.stableBucket` makes the sample deterministic across
+  * runs, engines, and cluster layouts — no RNG anywhere. The sample is
+  * bounded by `sampleCap` rows (the ONE deliberate driver-side collect in
+  * this module; at 100 TB set `samplePct` so the sample, not the corpus,
+  * fits the cap). Assignment/search stay fully distributed.
   */
 object Ivf {
 
@@ -23,8 +28,8 @@ object Ivf {
 
   /** Assign each row its nearest centroid id by cosine (centroid set is
     * broadcast — K is small by construction). */
-  private def assign(vecs: DataFrame, idCol: String, vecCol: String,
-                     normCol: String, centroids: DataFrame): DataFrame = {
+  private[functions] def assign(vecs: DataFrame, idCol: String, vecCol: String,
+                                normCol: String, centroids: DataFrame): DataFrame = {
     val scored = vecs.join(broadcast(centroids))
       .withColumn("_sim",
         dot(col(vecCol), col("cvec")) / (col(normCol) * col("cnorm")))
@@ -35,43 +40,66 @@ object Ivf {
   private def withNorm(df: DataFrame, vecCol: String, as: String): DataFrame =
     df.withColumn(as, sqrt(dot(col(vecCol), col(vecCol))))
 
-  /** Deterministic k-means over the corpus: returns (cid, cvec, cnorm).
-    * The returned centroid frame stays persisted (it is joined repeatedly by
-    * index/search); each Lloyd iteration materializes the NEW centroids
-    * before releasing the previous iteration's cache, so at most one
-    * (k-row) frame is ever cached — not one per iteration. */
+  /** Deterministic k-means → (cid, cvec, cnorm), one small in-memory frame.
+    * ONE Spark job total (the sample collect) instead of several materialized
+    * jobs per Lloyd iteration. `samplePct` filters by stable md5 bucket
+    * (pushes into the scan); `sampleCap` hard-bounds driver memory via a
+    * TakeOrdered by id (deterministic, not an arbitrary limit). Cell ids are
+    * the seed vectors' ids; empty cells drop, so ≤ k cells may return. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-            k: Int, iters: Int = 2): DataFrame = {
-    val vecs = withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "_vn")
-    var centroids = withNorm(
-      vecs.orderBy(col(idCol)).limit(k)
-        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")),
-      "cvec", "cnorm")
-    var cached: DataFrame = null
-    for (_ <- 0 until iters) {
-      val assigned = assign(vecs, idCol, vecCol, "_vn", centroids)
-        .join(vecs, Seq(idCol))
-      // per-dimension mean of member vectors → new centroid
-      val dims = assigned
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-      val rebuilt = dims.groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("cid"),
-          transform(col("pm"), p => p.getField("m")).as("cvec"))
-      centroids = withNorm(rebuilt, "cvec", "cnorm")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      centroids.count() // materialize before dropping the previous cache
-      if (cached != null) cached.unpersist(false)
-      cached = centroids
+            k: Int, iters: Int = 2,
+            samplePct: Int = 100, sampleCap: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sampled =
+      (if (samplePct >= 100) base
+       else base.filter(Sampling.stableBucket(col("id")) < samplePct))
+        .orderBy(col("id")).limit(sampleCap)
+    val rows = sampled.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, "Ivf.train: empty corpus sample")
+    val dim = rows.head._2.length
+    def norm(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s)
     }
-    centroids
+    val rowNorms = rows.map(r => norm(r._2))
+    var cents: Seq[(Long, Array[Double])] = rows.take(k).toSeq
+    for (_ <- 0 until iters) {
+      val cn = cents.map { case (cid, cv) => (cid, cv, norm(cv)) }
+      val sums = scala.collection.mutable.LinkedHashMap[Long, (Array[Double], Long)]()
+      rows.indices.foreach { ri =>
+        val v = rows(ri)._2; val vn = rowNorms(ri)
+        // argmax cosine; ties → lowest cid (same order as the distributed
+        // assign's max_by(cid, struct(sim, -cid))); zero vectors go to the
+        // first centroid
+        var bestC = cn.head._1; var bestS = Double.NegativeInfinity
+        if (vn > 0) cn.foreach { case (cid, cv, cvn) =>
+          var dp = 0.0; var i = 0
+          while (i < dim) { dp += v(i) * cv(i); i += 1 }
+          val s = dp / (vn * cvn)
+          if (s > bestS) { bestS = s; bestC = cid }
+        }
+        val (acc, n) = sums.getOrElseUpdate(bestC, (new Array[Double](dim), 0L))
+        var i = 0; while (i < dim) { acc(i) += v(i); i += 1 }
+        sums(bestC) = (acc, n + 1)
+      }
+      // keep cid-sorted so the strict `>` scan above breaks ties toward the
+      // lowest cid, matching the distributed assign's max_by order
+      cents = sums.toSeq.map { case (cid, (acc, n)) => (cid, acc.map(_ / n)) }
+        .sortBy(_._1)
+    }
+    cents.map { case (cid, cv) => (cid, cv.toSeq, norm(cv)) }
+      .toDF("cid", "cvec", "cnorm")
   }
 
   /** Quantized corpus: one row per vector with its cell id and norm. */
-  private def index(corpus: DataFrame, corpusId: String, corpusVec: String,
-                    centroids: DataFrame): DataFrame = {
+  private[functions] def index(corpus: DataFrame, corpusId: String,
+                               corpusVec: String,
+                               centroids: DataFrame): DataFrame = {
     val cvecs = withNorm(corpus.select(col(corpusId), col(corpusVec)),
       corpusVec, "_cn")
     assign(cvecs, corpusId, corpusVec, "_cn", centroids)
@@ -81,7 +109,8 @@ object Ivf {
   /** Probe + score against an already-quantized corpus. */
   private def search(indexed: DataFrame, corpusId: String, corpusVec: String,
                      centroids: DataFrame, queries: DataFrame, queryId: String,
-                     queryVec: String, k: Int, nprobe: Int): DataFrame = {
+                     queryVec: String, k: Int, nprobe: Int,
+                     salts: Int): DataFrame = {
     val qvecs = withNorm(queries.select(col(queryId), col(queryVec)),
       queryVec, "_qn")
     // nprobe nearest cells per query
@@ -98,8 +127,10 @@ object Ivf {
     // two-stage top-k (Similarity.topKPerQuery): probing bounds candidates
     // per query only probabilistically — a hot cell can still be most of
     // the corpus, so the single-reducer window is as unsafe here as in the
-    // brute path
-    Similarity.topKPerQuery(scored, queryId, corpusId, k)
+    // brute path. `salts` sizes stage 1 to the expected candidates per
+    // query (≈ corpus × nprobe/numCells); `salts = 1` skips stage 1 when
+    // the caller knows that bound is reducer-sized.
+    Similarity.topKPerQuery(scored, queryId, corpusId, k, salts)
   }
 
   /** Top-k neighbors per query, probing the `nprobe` nearest cells.
@@ -107,10 +138,12 @@ object Ivf {
     * `topKIndexed` so training and quantization are paid once. */
   def topK(corpus: DataFrame, corpusId: String, corpusVec: String,
            queries: DataFrame, queryId: String, queryVec: String,
-           k: Int, numCells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
-    val centroids = train(corpus, corpusId, corpusVec, numCells, iters)
+           k: Int, numCells: Int, nprobe: Int, iters: Int = 2,
+           samplePct: Int = 100, salts: Int = 64): DataFrame = {
+    val centroids = train(corpus, corpusId, corpusVec, numCells, iters,
+      samplePct)
     search(index(corpus, corpusId, corpusVec, centroids), corpusId, corpusVec,
-      centroids, queries, queryId, queryVec, k, nprobe)
+      centroids, queries, queryId, queryVec, k, nprobe, salts)
   }
 
   /** Build the IVF index ONCE and persist it: centroids (tiny parquet) plus
@@ -119,8 +152,10 @@ object Ivf {
     * the probed cell directories (partition pruning / dynamic partition
     * pruning through the cell join) — no re-training, no full rescan. */
   def buildIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
-                 path: String, numCells: Int, iters: Int = 2): Unit = {
-    val centroids = train(corpus, corpusId, corpusVec, numCells, iters)
+                 path: String, numCells: Int, iters: Int = 2,
+                 samplePct: Int = 100): Unit = {
+    val centroids = train(corpus, corpusId, corpusVec, numCells, iters,
+      samplePct)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     index(corpus, corpusId, corpusVec, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -130,8 +165,8 @@ object Ivf {
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   corpusId: String, corpusVec: String,
                   queries: DataFrame, queryId: String, queryVec: String,
-                  k: Int, nprobe: Int): DataFrame =
+                  k: Int, nprobe: Int, salts: Int = 64): DataFrame =
     search(spark.read.parquet(s"$path/cells"), corpusId, corpusVec,
       spark.read.parquet(s"$path/centroids"),
-      queries, queryId, queryVec, k, nprobe)
+      queries, queryId, queryVec, k, nprobe, salts)
 }

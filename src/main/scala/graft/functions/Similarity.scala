@@ -54,19 +54,29 @@ object Similarity {
     * takes top-k per (query, salt) in parallel, stage 2 takes top-k of the
     * ≤ salts·k survivors per query. Identical output to the single window:
     * any row outside its salt-group's top-k ranks below k globally too
-    * (the total order sim DESC, id ASC is shared by both stages). */
+    * (the total order sim DESC, id ASC is shared by both stages).
+    *
+    * `salts ≤ 1` skips stage 1 (one window shuffle instead of two) — for
+    * callers with a KNOWN reducer-sized candidates-per-query upper bound
+    * (e.g. a probed IVF over a corpus whose cell sizes are bounded). The
+    * default stays scale-safe. */
   private[functions] def topKPerQuery(scored: DataFrame, queryId: String,
                                       corpusId: String, k: Int,
                                       salts: Int = 64): DataFrame = {
-    val w1 = Window.partitionBy(col(queryId), col("_salt"))
-      .orderBy(col("sim").desc, col(corpusId).asc)
     val w2 = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(corpusId).asc)
-    scored
-      .withColumn("_salt", pmod(xxhash64(col(corpusId)), lit(salts)))
-      .withColumn("_r1", row_number().over(w1))
-      .filter(col("_r1") <= k)
-      .drop("_r1", "_salt")
+    val pre =
+      if (salts <= 1) scored
+      else {
+        val w1 = Window.partitionBy(col(queryId), col("_salt"))
+          .orderBy(col("sim").desc, col(corpusId).asc)
+        scored
+          .withColumn("_salt", pmod(xxhash64(col(corpusId)), lit(salts)))
+          .withColumn("_r1", row_number().over(w1))
+          .filter(col("_r1") <= k)
+          .drop("_r1", "_salt")
+      }
+    pre
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col(queryId).alias("query_id"), col("rank"),

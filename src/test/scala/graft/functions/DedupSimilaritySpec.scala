@@ -35,6 +35,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("Md5Hasher (oracle mode) recovers the same dup structure as the " +
+      "xxhash64 default, and its longs are non-negative 60-bit") {
+    val sh = corpus.select($"doc_id",
+      TextFunctions.wordShingles($"text", 3).as("sh"))
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 64, Dedup.Md5Hasher)
+    // signatures of identical docs identical; bounded range
+    val sm = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sm(1L) === sm(2L))
+    assert(sm.values.flatten.forall(v => v >= 0 && v < (1L << 60)))
+    val pairs = Dedup.lshCandidates(
+      Dedup.lshBands(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4,
+        Dedup.Md5Hasher), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // simhash path under the md5 hasher: exact dups at distance 0
+    val fp = Dedup.simhashFingerprints(
+      corpus.select($"doc_id", TextFunctions.tokens($"text").as("toks")),
+      "doc_id", "toks", Dedup.Md5Hasher)
+    val pr = Dedup.simhashPairs(fp, "doc_id", "sh64", hammingMax = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pr((1L, 2L)) === 0)
+  }
+
   test("minhash signature of identical shingle sets is identical; empty drops") {
     val sh = corpus.select($"doc_id",
       TextFunctions.wordShingles($"text", 3).as("sh"))

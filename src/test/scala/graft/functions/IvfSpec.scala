@@ -47,6 +47,32 @@ class IvfSpec extends SparkSpec {
     assert(fromIndex === inline)
   }
 
+  test("train on a stable sample yields the same cell partition as " +
+      "full-corpus training on the fixture") {
+    def cellsOf(centroids: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val vecs = corpus.withColumn("_vn",
+        sqrt(Similarity.dot($"nv", $"nv")))
+      Ivf.assign(vecs, "nid", "nv", "_vn", centroids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    }
+    val full = cellsOf(Ivf.train(corpus, "nid", "nv", k = 2, iters = 2))
+    val sampled = cellsOf(Ivf.train(corpus, "nid", "nv", k = 2, iters = 2,
+      samplePct = 60))
+    // cell LABELS (seed ids) may differ between the two trainings; the
+    // induced partition of the corpus must not
+    assert(full.values.toSet === sampled.values.toSet)
+  }
+
+  test("salts=1 (stage-1 skip) returns exactly the salted two-stage result") {
+    val queries = Seq((100L, Array(1.0f, 0.0f)), (101L, Array(0.1f, 0.9f)))
+      .toDF("qid", "qv")
+    def run(salts: Int) = Ivf.topK(corpus, "nid", "nv", queries, "qid", "qv",
+        k = 5, numCells = 2, nprobe = 2, salts = salts).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(1) === run(64))
+  }
+
   test("nprobe = numCells recovers brute-force results") {
     val queries = Seq((100L, Array(0.2f, 1.0f))).toDF("qid", "qv")
     val ivf = Ivf.topK(corpus, "nid", "nv", queries, "qid", "qv",
