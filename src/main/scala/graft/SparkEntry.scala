@@ -509,9 +509,16 @@ object SparkEntry {
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
 
-    "media_features" -> ((s, dir) => driverSafe(
+    // real container decode (BMP/WAV/RAWV header + pixel/sample walk); the
+    // oracle recomputes width/height/duration/mean from the generator
+    // constants, so a decoder bug (padding, endianness, bottom-up rows)
+    // breaks the hash
+    "media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.syntheticMedia(t(s, dir, "documents"))).toDF())),
+          Multimodal.syntheticMedia(t(s, dir, "documents"))).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("width"), col("height"), col("duration_ms"),
+          round(col("mean_val"), 6).as("mean_val"))),
 
     // ---- events: windowed agg, sessionization, streaming ----------------
     "events_window" -> ((s, dir) => driverSafe(
@@ -1029,12 +1036,43 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,
-        |  CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'wav'
-        |    ELSE 'mp4' END AS format,
-        |  CAST((doc_id % 16) * 64 + 256 AS INTEGER) AS width,
-        |  CAST((doc_id % 9) * 64 + 256 AS INTEGER) AS height,
-        |  n_chars * 10 AS duration_ms
+        |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+        |    ELSE 'rawv' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 16
+        |    WHEN 1 THEN 0 ELSE 4 + doc_id % 8 END AS INTEGER) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 9
+        |    WHEN 1 THEN 0 ELSE 4 + doc_id % 6 END AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 10 + doc_id % 50
+        |    ELSE (2 + doc_id % 5) * 100 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // expected decode results recomputed from the generator constants
+    // (dims/sample formulas in Multimodal.scala) — NOT from the binary,
+    // which only the engine-side decoder reads
+    "media_features" ->
+      ("WITH m AS (SELECT doc_id AS id, doc_id % 3 AS md FROM documents), " +
+        "imgf AS (SELECT id, 'image' AS modality, " +
+        "CAST(54 + h * (((3*w + 3) // 4) * 4) AS BIGINT) AS n_bytes, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(0 AS BIGINT) AS duration_ms, " +
+        "list_sum(list_transform(range(0, 3*w*h), j -> (id*7 + j) % 256))::DOUBLE / (3*w*h) AS mean_val " +
+        "FROM (SELECT id, 4 + id % 16 AS w, 4 + id % 9 AS h FROM m WHERE md = 0)), " +
+        "audf AS (SELECT id, 'audio' AS modality, " +
+        "CAST(44 + 2*n AS BIGINT) AS n_bytes, " +
+        "CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height, " +
+        "CAST(n // 8 AS BIGINT) AS duration_ms, " +
+        "list_sum(list_transform(range(0, n), k -> abs(((id*13 + k*97) % 65536) - 32768)))::DOUBLE / n AS mean_val " +
+        "FROM (SELECT id, 8 * (10 + id % 50) AS n FROM m WHERE md = 1)), " +
+        "vidf AS (SELECT id, 'video' AS modality, " +
+        "CAST(20 + fr*3*w*h AS BIGINT) AS n_bytes, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(fr * 100 AS BIGINT) AS duration_ms, " +
+        "list_sum(list_transform(range(0, fr*3*w*h), " +
+        "t -> (id*7 + (t // (3*w*h)) * 1009 + (t % (3*w*h))) % 256))::DOUBLE / (fr*3*w*h) AS mean_val " +
+        "FROM (SELECT id, 4 + id % 8 AS w, 4 + id % 6 AS h, 2 + id % 5 AS fr FROM m WHERE md = 2)) " +
+        "SELECT id AS media_id, modality, n_bytes, width, height, duration_ms, " +
+        "round(mean_val, 6) AS mean_val FROM " +
+        "(SELECT * FROM imgf UNION ALL SELECT * FROM audf UNION ALL SELECT * FROM vidf)"),
 
     "events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,30 +1,35 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise with `mapPartitions` over a
   * typed Dataset (the Scala analogue of `mapInPandas` batch processing).
   *
-  * The actual codec work (JPEG decode, resampling, frame sampling) needs
-  * native libraries not present in this environment, so `decodeStub` is a
-  * clearly-marked deterministic fake; everything AROUND it — schema, binary
-  * payload handling, partition-wise batching, feature-vector output shape —
-  * is real and tested. Swap `decodeStub` for a real codec on a cluster.
+  * The payloads are REAL uncompressed containers the JVM parses without
+  * native codecs — 24-bit BMP for images, 16-bit PCM WAV for audio, and a
+  * minimal raw-RGB frame container for video — and `extractFeatures` does a
+  * REAL header + sample decode of each (magic numbers, chunk walks, row
+  * padding, bottom-up pixel order, little-endian samples). Swapping in
+  * JPEG/MP3/MP4 on a cluster with codecs changes only `decode`, not the
+  * Spark plumbing.
   *
   * Scale notes: binary payloads ride in the row (parquet binary column),
   * so locality is free; `mapPartitions` amortizes per-batch codec init
   * (one decoder per partition, not per row); metadata stays in columnar
   * form for pushdown-friendly filtering BEFORE decode (e.g. filter on
-  * width/format without touching bytes).
+  * width/format without touching bytes). A binary codec is the one
+  * legitimate non-Catalyst hot path — there is nothing declarative about
+  * parsing a RIFF chunk list.
   */
 object Multimodal {
 
   final case class MediaRow(
       media_id: Long,
       modality: String,      // image | audio | video
-      format: String,        // e.g. jpeg | wav | mp4
+      format: String,        // bmp | wav | rawv
       payload: Array[Byte],
       width: Int,
       height: Int,
@@ -34,50 +39,188 @@ object Multimodal {
       media_id: Long,
       modality: String,
       n_bytes: Long,
-      feature: Array[Float]) // fixed-width feature vector from "decode"
+      width: Int,            // decoded from the container header
+      height: Int,
+      duration_ms: Long,     // decoded: samples/rate, frames/fps
+      mean_val: Double,      // mean |sample| (audio) / mean channel byte
+      feature: Array[Float]) // fixed-width feature vector from the decode
 
-  /** Synthesize a media table from the documents table: text bytes stand in
-    * for an encoded payload; metadata derived deterministically. Real
-    * pipelines read (path, bytes) from parquet/tar shards instead. */
-  def syntheticMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").alias("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).alias("modality"),
-      element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).alias("format"),
-      encode(col("text"), "UTF-8").alias("payload"),
-      (pmod(col("doc_id"), lit(16)) * 64 + 256).cast("int").alias("width"),
-      (pmod(col("doc_id"), lit(9)) * 64 + 256).cast("int").alias("height"),
-      (col("n_chars") * 10).alias("duration_ms"))
+  // deterministic generator constants — the DuckDB oracle recomputes the
+  // expected decode results from these same formulas
+  private def imgDims(id: Long): (Int, Int) =
+    (4 + (id % 16).toInt, 4 + (id % 9).toInt)
+  private def audioSamples(id: Long): Int = 8 * (10 + (id % 50).toInt)
+  private def vidDims(id: Long): (Int, Int, Int) =
+    (4 + (id % 8).toInt, 4 + (id % 6).toInt, 2 + (id % 5).toInt)
+  private def pixByte(id: Long, j: Long): Int = ((id * 7 + j) % 256).toInt
+  private def audioSample(id: Long, k: Int): Int =
+    ((id * 13 + k.toLong * 97) % 65536).toInt - 32768
+  private def vidByte(id: Long, f: Int, j: Long): Int =
+    ((id * 7 + f.toLong * 1009 + j) % 256).toInt
 
-  /** STUB decode: a real implementation would decode `payload` with an
-    * image/audio codec and emit a model-ready feature vector. This fake is
-    * deterministic in the payload bytes so tests are stable. */
-  private def decodeStub(row: MediaRow, featDim: Int): MediaFeature = {
-    val feat = new Array[Float](featDim)
-    var acc = 1125899906842597L
-    var i = 0
-    while (i < row.payload.length) {
-      acc = acc * 31 + row.payload(i); i += 1
+  /** 24-bit uncompressed BMP: 14-byte file header + 40-byte info header +
+    * bottom-up rows padded to 4 bytes. The j-th logical pixel-array byte
+    * (top-down, (y·w+x)·3+c) is `pixByte(id, j)`. */
+  private def mkBmp(id: Long): Array[Byte] = {
+    val (w, h) = imgDims(id)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54) // size, reserved, offset
+    buf.putInt(40).putInt(w).putInt(h)             // info size, w, h (bottom-up)
+    buf.putShort(1).putShort(24)                   // planes, bpp
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835) // no compression
+    buf.putInt(0).putInt(0)                        // palette
+    for (fileRow <- 0 until h) {
+      val y = h - 1 - fileRow                      // bottom-up storage
+      for (x <- 0 until w; c <- 0 until 3)
+        buf.put(pixByte(id, (y.toLong * w + x) * 3 + c).toByte)
+      for (_ <- 3 * w until rowSize) buf.put(0.toByte)
     }
-    i = 0
-    while (i < featDim) {
-      val h = acc ^ (i.toLong * 0x9E3779B97F4A7C15L)
-      feat(i) = ((h % 1000L).toFloat) / 1000.0f
-      i += 1
-    }
-    MediaFeature(row.media_id, row.modality, row.payload.length.toLong, feat)
+    buf.array()
   }
 
-  /** Partition-wise feature extraction: one "decoder" per partition.
-    * Columnar metadata filters should be applied BEFORE calling this. */
-  def extractFeatures(media: DataFrame, featDim: Int = 8): Dataset[MediaFeature] = {
+  /** Mono 16-bit PCM WAV at 8 kHz: RIFF header + fmt + data chunks; sample
+    * k is `audioSample(id, k)` (signed little-endian). */
+  private def mkWav(id: Long): Array[Byte] = {
+    val n = audioSamples(id)
+    val buf = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1)                    // PCM, mono
+    buf.putInt(8000).putInt(8000 * 2)              // rate, byte rate
+    buf.putShort(2).putShort(16)                   // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    (0 until n).foreach(k => buf.putShort(audioSample(id, k).toShort))
+    buf.array()
+  }
+
+  /** Minimal raw-video container: "RAWV" + w,h,frames,fps (int32 LE) +
+    * frames × (3·w·h) RGB bytes; byte j of frame f is `vidByte(id,f,j)`. */
+  private def mkRawv(id: Long): Array[Byte] = {
+    val (w, h, frames) = vidDims(id)
+    val frameBytes = 3 * w * h
+    val buf = ByteBuffer.allocate(20 + frames * frameBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RAWV".getBytes("US-ASCII"))
+    buf.putInt(w).putInt(h).putInt(frames).putInt(10) // 10 fps
+    for (f <- 0 until frames; j <- 0 until frameBytes)
+      buf.put(vidByte(id, f, j).toByte)
+    buf.array()
+  }
+
+  /** Synthesize a media table from the documents table's ids: one REAL
+    * encoded container per row, modality round-robin by id. Real pipelines
+    * read (path, bytes) from parquet/tar shards instead. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 =>
+          val (w, h) = imgDims(id)
+          MediaRow(id, "image", "bmp", mkBmp(id), w, h, 0L)
+        case 1 =>
+          val n = audioSamples(id)
+          MediaRow(id, "audio", "wav", mkWav(id), 0, 0, n / 8L) // 8 kHz
+        case _ =>
+          val (w, h, frames) = vidDims(id)
+          MediaRow(id, "video", "rawv", mkRawv(id), w, h, frames * 100L)
+      }
+    }.toDF()
+  }
+
+  /** Real decoders: header parse + full sample/pixel walk. Each validates
+    * its magic and layout loudly — a truncated or foreign payload is a data
+    * bug, not something to average over silently. */
+  private def decodeBmp(id: Long, p: Array[Byte]): MediaFeature = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    require(p(0) == 'B' && p(1) == 'M', "not a BMP payload")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18); val h = b.getInt(22)
+    require(b.getShort(28) == 24, "expected 24-bit BMP")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val chan = new Array[Long](3) // B, G, R sums
+    var sum = 0L
+    for (fileRow <- 0 until h) {
+      val base = dataOffset + fileRow * rowSize
+      for (x <- 0 until w; c <- 0 until 3) {
+        val v = p(base + x * 3 + c) & 0xFF
+        chan(c) += v; sum += v
+      }
+    }
+    val nPix = 3L * w * h
+    val mean = sum.toDouble / nPix
+    MediaFeature(id, "image", p.length.toLong, w, h, 0L, mean,
+      Array(w.toFloat, h.toFloat, 0f, mean.toFloat,
+        (chan(0).toDouble / (w * h)).toFloat,
+        (chan(1).toDouble / (w * h)).toFloat,
+        (chan(2).toDouble / (w * h)).toFloat, p.length.toFloat))
+  }
+
+  private def decodeWav(id: Long, p: Array[Byte]): MediaFeature = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    require(new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(p, 8, 4, "US-ASCII") == "WAVE", "not a WAV payload")
+    var pos = 12
+    var rate = 0; var bits = 0; var dataPos = -1; var dataLen = 0
+    while (pos + 8 <= p.length) { // RIFF chunk walk
+      val cid = new String(p, pos, 4, "US-ASCII")
+      val len = b.getInt(pos + 4)
+      if (cid == "fmt ") { rate = b.getInt(pos + 12); bits = b.getShort(pos + 22) }
+      else if (cid == "data") { dataPos = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(dataPos >= 0 && rate > 0 && bits == 16, "unsupported WAV layout")
+    val n = dataLen / 2
+    var sumAbs = 0L; var sumSq = 0.0
+    var k = 0
+    while (k < n) {
+      val s = b.getShort(dataPos + 2 * k).toInt
+      sumAbs += math.abs(s); sumSq += s.toDouble * s; k += 1
+    }
+    val mean = sumAbs.toDouble / n
+    val rms = math.sqrt(sumSq / n)
+    MediaFeature(id, "audio", p.length.toLong, 0, 0, n.toLong * 1000 / rate,
+      mean, Array(0f, 0f, (n.toLong * 1000 / rate).toFloat, mean.toFloat,
+        rms.toFloat, 0f, 0f, p.length.toFloat))
+  }
+
+  private def decodeRawv(id: Long, p: Array[Byte]): MediaFeature = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    require(new String(p, 0, 4, "US-ASCII") == "RAWV", "not a RAWV payload")
+    val w = b.getInt(4); val h = b.getInt(8)
+    val frames = b.getInt(12); val fps = b.getInt(16)
+    val frameBytes = 3 * w * h
+    var sum = 0L
+    var i = 20
+    while (i < 20 + frames * frameBytes) { sum += p(i) & 0xFF; i += 1 }
+    val mean = sum.toDouble / (frames.toLong * frameBytes)
+    MediaFeature(id, "video", p.length.toLong, w, h,
+      frames.toLong * 1000 / fps, mean,
+      Array(w.toFloat, h.toFloat, (frames.toLong * 1000 / fps).toFloat,
+        mean.toFloat, frames.toFloat, fps.toFloat, 0f, p.length.toFloat))
+  }
+
+  /** Partition-wise feature extraction: one decoder per partition, format
+    * dispatched per row. Columnar metadata filters should be applied
+    * BEFORE calling this (they prune without touching payload bytes). */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition decoder init would happen here (once, not per row)
-      rows.map(r => decodeStub(r, featDim))
+      rows.map { r =>
+        r.format match {
+          case "bmp"  => decodeBmp(r.media_id, r.payload)
+          case "wav"  => decodeWav(r.media_id, r.payload)
+          case "rawv" => decodeRawv(r.media_id, r.payload)
+          case other  => throw new IllegalArgumentException(
+            s"no decoder for format '$other'")
+        }
+      }
     }
   }
 

@@ -6,29 +6,70 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  // ids chosen to hit each modality: 0 image, 1 audio, 2 video
   private def docs = Seq(
-    (0L, "an image payload", 16L), (1L, "audio bytes here", 16L),
-    (2L, "a video payload!", 16L))
+    (0L, "x", 1L), (1L, "x", 1L), (2L, "x", 1L), (9L, "x", 1L))
     .toDF("doc_id", "text", "n_chars")
 
-  test("synthetic media carries binary payload + typed metadata") {
+  test("synthetic media emits REAL containers with magic headers") {
     val m = Multimodal.syntheticMedia(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(m(0L).getString(1) === "image" && m(0L).getString(2) === "jpeg")
-    assert(m(1L).getString(1) === "audio")
-    assert(m(2L).getString(1) === "video")
-    assert(new String(m(0L).getAs[Array[Byte]]("payload"), "UTF-8") ===
-      "an image payload")
+    assert(m(0L).getString(1) === "image" && m(0L).getString(2) === "bmp")
+    assert(m(1L).getString(1) === "audio" && m(1L).getString(2) === "wav")
+    assert(m(2L).getString(1) === "video" && m(2L).getString(2) === "rawv")
+    val bmp = m(0L).getAs[Array[Byte]]("payload")
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    val wav = m(1L).getAs[Array[Byte]]("payload")
+    assert(new String(wav, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") === "WAVE")
+    assert(new String(m(2L).getAs[Array[Byte]]("payload"), 0, 4, "US-ASCII")
+      === "RAWV")
+  }
+
+  test("decode recovers header metadata and exact means from the binary") {
+    val f = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
+      .collect().map(r => r.media_id -> r).toMap
+    // image id=0: w = 4+0%16 = 4, h = 4+0%9 = 4; bytes j -> (0*7+j)%256 = j
+    // mean over j in [0, 48) = 23.5
+    assert(f(0L).width === 4 && f(0L).height === 4)
+    assert(f(0L).mean_val === 23.5)
+    assert(f(0L).n_bytes === 54L + 4 * 12) // rowSize(3*4)=12, no padding
+    // image id=9: w=13, h=4 -> rowSize = ((39+3)/4)*4 = 40 (padded)
+    assert(f(9L).width === 13 && f(9L).height === 4)
+    assert(f(9L).n_bytes === 54L + 4 * 40)
+    val expMean9 = (0 until 3 * 13 * 4).map(j => (9 * 7 + j) % 256).sum
+      .toDouble / (3 * 13 * 4)
+    assert(f(9L).mean_val === expMean9) // padding bytes NOT averaged in
+    // audio id=1: n = 8*(10+1) = 88 samples at 8kHz -> 11 ms
+    assert(f(1L).duration_ms === 11L)
+    val expMean1 = (0 until 88)
+      .map(k => math.abs(((1 * 13 + k * 97) % 65536) - 32768).toLong).sum
+      .toDouble / 88
+    assert(f(1L).mean_val === expMean1)
+    // video id=2: w=6, h=6, frames=4 at 10fps -> 400 ms
+    assert(f(2L).width === 6 && f(2L).height === 6)
+    assert(f(2L).duration_ms === 400L)
+    assert(f(2L).n_bytes === 20L + 4 * 3 * 36)
   }
 
   test("feature extraction is deterministic in the payload bytes") {
-    val f1 = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs), 8)
+    val f1 = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
       .collect().sortBy(_.media_id)
-    val f2 = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs), 8)
+    val f2 = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
       .collect().sortBy(_.media_id)
     assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq)
     assert(f1.forall(_.feature.length === 8))
-    assert(f1.forall(_.n_bytes === 16L))
+  }
+
+  test("foreign payloads fail loudly instead of decoding garbage") {
+    val bad = Seq((7L, "image", "bmp", "not a bitmap".getBytes("UTF-8"),
+      4, 4, 0L)).toDF(
+      "media_id", "modality", "format", "payload", "width", "height",
+      "duration_ms")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("frame sampling explodes only video rows, one row per sample tick") {
@@ -36,7 +77,8 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.syntheticMedia(docs), everyMs = 50)
     val byMedia = frames.groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(byMedia.keySet === Set(2L))         // only the video row
-    assert(byMedia(2L) === (160L - 1) / 50 + 1) // ticks at 0,50,100,150
+    assert(byMedia.keySet === Set(2L))        // only the video row
+    // id=2: frames = 2+2%5 = 4 at 10fps -> 400ms; ticks 0,50,...,350
+    assert(byMedia(2L) === 8L)
   }
 }
