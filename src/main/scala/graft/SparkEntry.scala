@@ -487,13 +487,18 @@ object SparkEntry {
           posexplode(TextFunctions.chunkTokens(col("_toks"), 64, 48))
             .as(Seq("chunk_idx", "chunk_text")))),
 
-    // deterministic sequence packing into 512-token bins within 8 shards
-    "corpus_pack" -> ((s, dir) =>
-      Sampling.packBins(
-        t(s, dir, "documents").select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens",
-        Sampling.stableBucket(col("doc_id"), 8), target = 512)),
+    // deterministic sequence packing into 512-token bins; shard count is
+    // SIZED TO TOKEN VOLUME (8192 tokens/shard here; see SCALE.md for the
+    // 100 TB rule) so per-reducer work stays constant as the corpus grows —
+    // the oracle recomputes the same count from the same volume
+    "corpus_pack" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val shards = Sampling.shardsForVolume(toks, "n_tokens",
+        tokensPerShard = 8192)
+      Sampling.packBins(toks, "doc_id", "n_tokens",
+        Sampling.stableBucket(col("doc_id"), shards), target = 512)
+    }),
 
     // top-100 vocabulary by frequency (ties broken by token): orderBy +
     // limit plans as TakeOrderedAndProject — per-partition partial top-K
@@ -1015,9 +1020,13 @@ object SparkEntry {
         "unnest(range(0, len(chunks))) AS i FROM c)"),
 
     "corpus_pack" ->
-      (s"WITH t AS (SELECT doc_id, len($sqlToks) AS n_tokens, " +
-        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard " +
-        "FROM documents), " +
+      (s"WITH t0 AS (SELECT doc_id, len($sqlToks) AS n_tokens FROM documents), " +
+        // shard count recomputed from the same volume rule as the engine:
+        // ceil(total / 8192), at least 1
+        "ns AS (SELECT greatest(1, CAST(ceil(sum(n_tokens) / 8192.0) AS BIGINT)) AS n FROM t0), " +
+        "t AS (SELECT doc_id, n_tokens, " +
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % n AS shard " +
+        "FROM t0, ns), " +
         "c AS (SELECT doc_id, n_tokens, shard, " +
         "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS prev FROM t) " +
         "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard, " +

@@ -76,6 +76,21 @@ object Sampling {
       .drop("_prev")
   }
 
+  /** Shard count sized to token VOLUME: ceil(total_tokens / tokensPerShard),
+    * at least 1. Each packing shard is one window reducer sorting its slice,
+    * so a FIXED shard count means reducers grow linearly with the corpus —
+    * at 100 TB, 8 shards is 8 reducers each sorting 1/8 of everything.
+    * Sizing by volume keeps per-reducer work constant as data grows. One
+    * scalar aggregation job (a scan with map-side partial sums), and the
+    * count stays a pure function of the corpus, so SQL oracles recompute
+    * it. */
+  def shardsForVolume(docs: DataFrame, nTokCol: String,
+                      tokensPerShard: Long): Int = {
+    val r = docs.agg(sum(col(nTokCol))).collect()(0)
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    math.max(1L, (total + tokensPerShard - 1) / tokensPerShard).toInt
+  }
+
   /** Repetition profile per document — the Gopher/C4-style quality signal
     * that catches boilerplate and looping text: of all word n-grams (WITH
     * multiplicity), what fraction is the single most repeated gram

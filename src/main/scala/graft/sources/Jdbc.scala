@@ -39,6 +39,33 @@ object Jdbc {
   def importWorthy(table: String): Boolean =
     !table.startsWith("transaction_") && table != "alembic_version"
 
+  /** S1 bulk-import orchestration (reference sql_to_hdfs.py:96-137
+    * `import-all-tables`, one Sqoop subprocess per table with ONE mapper):
+    * dump every import-worthy table to `outDir/<table>` as parquet — the
+    * layout `TubeGraphSource` consumes directly, so a live database feeds
+    * `RunEtl` with no intermediate text format. Tables listed in
+    * `partitionCols` get range-partitioned parallel reads (bounds fetched
+    * as a pushed-down one-row MIN/MAX); the rest read single-stream (the
+    * right default for small dimension tables). Returns the dumped table
+    * names. */
+  def dumpAll(spark: SparkSession, conn: Conn, tables: Seq[String],
+              outDir: String, partitionCols: Map[String, String] = Map.empty,
+              numPartitions: Int = 8): Seq[String] =
+    tables.filter(importWorthy).map { tbl =>
+      val df = partitionCols.get(tbl) match {
+        case Some(pc) =>
+          val b = readTable(spark, conn,
+            s"(SELECT MIN($pc) AS lo, MAX($pc) AS hi FROM $tbl) b").collect()(0)
+          if (b.isNullAt(0)) readTable(spark, conn, tbl) // empty table
+          else readTablePartitioned(spark, conn, tbl, pc,
+            b.getAs[Number](0).longValue, b.getAs[Number](1).longValue,
+            numPartitions)
+        case None => readTable(spark, conn, tbl)
+      }
+      df.write.mode("overwrite").parquet(s"$outDir/$tbl")
+      tbl
+    }
+
   /** S11 source side — the latest SUCCEEDED transaction time (epoch millis)
     * from `transaction_logs`, the scalar feeding `EsControl.needsRun`
     * (reference: tube/etl/outputs/es/timestamp.py:20-44 reads the newest
