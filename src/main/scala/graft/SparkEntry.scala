@@ -424,6 +424,33 @@ object SparkEntry {
         "qid", "qv", k = 5, numCells = 16, nprobe = 4, salts = 1)
     }),
 
+    // search over the int8-QUANTIZED corpus (4× smaller storage): corpus
+    // vectors round-trip through quantizeInt8/dequantize before scoring,
+    // queries stay full precision — the standard compressed-index serving
+    // shape. Exactly oracle-checked: quantization is deterministic, so
+    // DuckDB recomputes the same dequantized corpus and the same top-k
+    "ann_int8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qz = Similarity.quantizeInt8(col("embedding"))
+      Similarity.bruteForceTopK(
+        emb.select(col("vec_id").as("nid"),
+          Similarity.dequantize(qz.getField("q"), qz.getField("scale")).as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5)
+    }),
+
+    // train/test n-gram contamination (decontamination gate): fraction of
+    // each non-train doc's distinct 5-gram shingles that appear in ANY
+    // train doc, under the same deterministic split as corpus_split
+    "corpus_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id")).as("split"),
+        TextFunctions.wordShingles(col("text"), 5).as("sh"))
+      Sampling.contaminationReport(docs, "doc_id", "sh", "split")
+    }),
+
     // nprobe = numCells probes EVERY cell, so IVF degenerates to exact
     // brute force regardless of the trained centroids — which makes the
     // whole train→quantize→probe→score→top-k pipeline oracle-checkable
@@ -921,6 +948,43 @@ object SparkEntry {
         "SELECT count(DISTINCT doc_id) AS n_docs, count(tok) AS n_tokens, " +
         "count(DISTINCT tok) AS vocab_size, " +
         "count(DISTINCT doc_id) - count(DISTINCT fp) AS n_exact_dups FROM e"),
+
+    // int8 round-trip corpus + full-precision queries, then brute-force
+    // top-k — quantization mirrors the embedding_quantize oracle exactly
+    "ann_int8_topk" ->
+      ("WITH m AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma FROM embeddings), " +
+        "d AS (SELECT vec_id, CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0.0) " +
+        "ELSE list_transform(embedding, x -> CAST(round(x::DOUBLE / (ma/127.0)) AS INTEGER) * (ma/127.0)) END AS v FROM m), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.qid, d.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 65), i -> d.v[i] * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> d.v[i] * d.v[i]))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+        "FROM d, q WHERE d.vec_id <> q.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
+
+    // same deterministic split as corpus_split; distinct 5-gram shingles;
+    // inner join vs the DISTINCT train shingle set ≡ the engine's semi join
+    "corpus_contamination" ->
+      (s"WITH t0 AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "t AS (SELECT doc_id, " +
+        "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "list_distinct(CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 3), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS shs " +
+        "FROM (SELECT doc_id, toks, " +
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b FROM t0)), " +
+        "tr AS (SELECT DISTINCT unnest(shs) AS s FROM t WHERE split = 'train'), " +
+        "te AS (SELECT doc_id, split, len(shs) AS n_sh, shs FROM t WHERE split <> 'train'), " +
+        "ex AS (SELECT doc_id, unnest(shs) AS s FROM te), " +
+        "hit AS (SELECT doc_id, count(*) AS n_hit FROM ex JOIN tr USING (s) GROUP BY doc_id) " +
+        "SELECT te.doc_id, split, CAST(n_sh AS BIGINT) AS n_sh, " +
+        "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, " +
+        "round(CASE WHEN n_sh > 0 THEN COALESCE(n_hit, 0)::DOUBLE / n_sh ELSE 0.0 END, 6) AS contamination " +
+        "FROM te LEFT JOIN hit USING (doc_id)"),
 
     // IVF with nprobe = numCells scores every (query, candidate) pair —
     // exactly the brute-force oracle

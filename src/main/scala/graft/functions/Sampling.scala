@@ -76,6 +76,35 @@ object Sampling {
       .drop("_prev")
   }
 
+  /** Train/test CONTAMINATION report — the decontamination primitive an
+    * LLM pipeline runs before trusting any eval split: for every non-train
+    * document, what fraction of its distinct word-n-gram shingles also
+    * appears in ANY train document? (n-gram overlap is the standard
+    * contamination test, e.g. GPT-3 App. C / PaLM App. D.)
+    *
+    * Scale shape: explode test shingles once, LEFT SEMI join against the
+    * exploded train side on the shingle key (one shuffle; semi-join output
+    * is bounded by the test side, and the train side needs NO distinct —
+    * semi joins don't multiply), then one per-doc count. Hot shingles
+    * (common phrases) are join-key skew, which AQE's skew-join split
+    * handles; nothing is quadratic. */
+  def contaminationReport(docs: DataFrame, idCol: String, shingleCol: String,
+                          splitCol: String): DataFrame = {
+    val train = docs.filter(col(splitCol) === "train")
+      .select(explode(col(shingleCol)).as("_s"))
+    val test = docs.filter(col(splitCol) =!= "train")
+    val hits = test
+      .select(col(idCol), explode(col(shingleCol)).as("_s"))
+      .join(train, Seq("_s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    test.select(col(idCol), col(splitCol).as("split"),
+        size(col(shingleCol)).cast("long").as("n_sh"))
+      .join(hits, Seq(idCol), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contamination", round(when(col("n_sh") > 0,
+        col("n_hit").cast("double") / col("n_sh")).otherwise(lit(0.0)), 6))
+  }
+
   /** Shard count sized to token VOLUME: ceil(total_tokens / tokensPerShard),
     * at least 1. Each packing shard is one window reducer sorting its slice,
     * so a FIXED shard count means reducers grow linearly with the corpus —

@@ -86,6 +86,35 @@ class SamplingSpec extends SparkSpec {
     assert(df.collect().length === 10)
   }
 
+  test("shardsForVolume: ceil of volume over target, at least 1") {
+    val docs = Seq((1L, 100L), (2L, 200L), (3L, 50L)).toDF("id", "n")
+    assert(Sampling.shardsForVolume(docs, "n", tokensPerShard = 100) === 4)
+    assert(Sampling.shardsForVolume(docs, "n", tokensPerShard = 350) === 1)
+    assert(Sampling.shardsForVolume(docs.filter($"id" < 0), "n", 100) === 1)
+  }
+
+  test("contaminationReport finds planted train/test n-gram overlap") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "train", shared + " eta theta"),              // train source
+      (2L, "test", shared),                              // fully contaminated
+      (3L, "test", "totally unrelated words go here now"),
+      (4L, "val", shared + " and some fresh unseen tail words here"),
+      (5L, "test", "tiny"))                              // < n tokens
+      .toDF("doc_id", "split", "text")
+      .select($"doc_id", $"split",
+        TextFunctions.wordShingles($"text", 3).as("sh"))
+    val r = Sampling.contaminationReport(docs, "doc_id", "sh", "split")
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3),
+          x.getDouble(x.fieldIndex("contamination")))).toMap
+    assert(!r.contains(1L))                  // train rows aren't reported
+    assert(r(2L) === (("test", 4L, 4L, 1.0))) // every shingle seen in train
+    assert(r(3L)._3 === 0L && r(3L)._4 === 0.0)
+    assert(r(4L)._3 === 4L && r(4L)._4 < 1.0) // only the shared prefix hits
+    assert(r(5L) === (("test", 0L, 0L, 0.0))) // shingle-less doc, no NaN
+  }
+
   test("repetitionProfile: looping text scores high, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),        // one gram repeated
