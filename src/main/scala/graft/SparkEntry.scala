@@ -565,10 +565,20 @@ object SparkEntry {
           .withColumn("value", col("value").cast(DecimalType(18, 6))),
         gapMinutes = 30))),
 
+    // a REAL streaming drain (file source → watermark → update-mode memory
+    // sink), then the final emission per window is hash-compared against
+    // the batch SQL — a streaming/batch consistency oracle. n_users (HLL)
+    // is excluded from the checked projection: the sketch estimate is
+    // engine-specific; counts and the exact decimal sum are not
     "events_stream_hourly" -> ((s, dir) =>
       EventStream.runStreaming(s, dir, "events.parquet",
-        t(s, dir, "events").schema, "1 hour", "2 hours")),
+          t(s, dir, "events").schema, "1 hour", "2 hours")
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))),
 
+    // stateful-session drain: final per-user counts must equal the batch
+    // sessionization aggregated per user (single-batch drain ⇒ the
+    // incremental state walk sees events in ts order)
     "events_stream_sessions" -> ((s, dir) =>
       EventStream.runStatefulSessions(s, dir, "events.parquet",
         t(s, dir, "events").schema, gapMinutes = 30)),
@@ -1158,6 +1168,23 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         |  value, props
         |FROM events""".stripMargin,
+
+    // streaming/batch consistency: the drained stream's final emissions
+    // must equal the batch aggregation (exact decimal sum; HLL excluded)
+    "events_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "events_stream_sessions" ->
+      ("WITH g AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns " +
+        "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq FROM g) " +
+        "SELECT CAST(user_id AS BIGINT) AS user_id, " +
+        "CAST(max(session_seq) AS BIGINT) AS n_sessions, " +
+        "count(*) AS n_events FROM s GROUP BY user_id"),
 
     "events_sessionize" ->
       ("WITH e AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS value FROM events), " +

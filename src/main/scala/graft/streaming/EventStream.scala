@@ -71,12 +71,13 @@ object EventStream {
     * order-sensitivity would break differential testing and idempotent
     * re-runs). The default (streaming) path keeps the native value type. */
   def windowedAgg(events: DataFrame, windowLen: String,
-                  exactDistinct: Boolean = false): DataFrame = {
+                  exactDistinct: Boolean = false,
+                  decimalSum: Boolean = false): DataFrame = {
     val users =
       if (exactDistinct) count_distinct(col("user_id")).alias("n_users")
       else approx_count_distinct(col("user_id")).alias("n_users")
     val value =
-      if (exactDistinct)
+      if (exactDistinct || decimalSum)
         col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
       else col("value")
     events
@@ -125,7 +126,12 @@ object EventStream {
   def runStreaming(spark: SparkSession, source: StreamSource, windowLen: String,
                    watermark: String, queryName: String): DataFrame = {
     val stream = source.load(spark)
-    val agg = windowedAgg(stream.withWatermark("ts", watermark), windowLen)
+    // decimal sum in the streaming state: exact and accumulation-order-free,
+    // so a full drain's final emission is bit-comparable with the batch
+    // twin (count_distinct stays approximate — exact distinct is
+    // unsupported/unbounded in streaming aggregation state)
+    val agg = windowedAgg(stream.withWatermark("ts", watermark), windowLen,
+      decimalSum = true)
     withStreamingPartitions(spark, 8) {
       val q = agg.writeStream
         .outputMode("update")

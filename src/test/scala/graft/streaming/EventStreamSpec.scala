@@ -62,7 +62,10 @@ class EventStreamSpec extends SparkSpec {
     val out = EventStream.runStreaming(spark, dir.toString + "/events.parquet",
       "*.parquet", events.schema, "30 minutes", "1 hour",
       queryName = "graft_stream_spec")
-    val batch = EventStream.windowedAgg(events, "30 minutes")
+    // the drain sums as exact decimal (order-free, batch-comparable) —
+    // compare against the same-mode batch aggregation
+    val batch = EventStream.windowedAgg(events, "30 minutes",
+      decimalSum = true)
     assert(out.orderBy("window_start", "event_type").collect().toSeq ===
       batch.orderBy("window_start", "event_type").collect().toSeq)
   }
