@@ -26,6 +26,40 @@ object MappingValidator {
   private def hasLink(schema: GraphSchema, child: String, parent: String): Boolean =
     schema.links.exists(l => l.child == child && l.parent == parent)
 
+  /** Every output column NAME an index's document set declares — fully
+    * static (the Translator selects exactly the declared props), so both
+    * collision checks and joining_props key checks can run before any
+    * Spark job. */
+  private def declaredOutNames(schema: GraphSchema, m: IndexMapping): Seq[String] = {
+    val injNames = m.injection.toSeq.flatMap { inj =>
+      val declared = inj.injectingProps.values.flatten.map(_.name).toSeq
+      val auto = Seq(("program", "program_name", "name"),
+                     ("project", "project_code", "code")).collect {
+        case (l, n, src)
+            if schema.nodes.exists(nd => nd.label == l && nd.props.contains(src)) &&
+              !declared.contains(n) => n
+      }
+      declared ++ auto
+    }
+    m.props.map(_.name) ++ injNames ++
+      m.parentProps.flatMap(_.steps.flatMap(_.props.map(_.name))) ++
+      m.flattenProps.flatMap(_.props.map(_.name)) ++
+      m.aggregatedProps.map(_.name) ++
+      m.nestedProps.map(_.name) ++
+      m.joiningProps.flatMap(_.props.map(_.name))
+  }
+
+  /** The full static output-column set: declared names + the doc key +
+    * collector synthetics (source_node always; project_id when the Gen3
+    * auto-injection applies). */
+  private def outputColumns(schema: GraphSchema, m: IndexMapping): Set[String] = {
+    val id = schema.idCol(if (m.kind == "collector") m.docType else m.root)
+    val synthetics =
+      if (m.kind == "collector") Set("source_node", "project_id")
+      else Set.empty[String]
+    declaredOutNames(schema, m).toSet ++ synthetics + id
+  }
+
   private def validateIndex(schema: GraphSchema, all: EtlMapping,
                             m: IndexMapping): Seq[String] = {
     val at = s"index '${m.name}'"
@@ -75,30 +109,30 @@ object MappingValidator {
     }
     val nests = m.nestedProps.flatMap(nested(m.root, _))
     val joins = m.joiningProps.flatMap { j =>
-      if (all.indices.exists(_.name == j.otherIndex)) Nil
-      else Seq(s"$at: joining_props: unknown index '${j.otherIndex}'")
+      // resolveMapping also accepts the other index by doc_type
+      val other = all.indices.find(_.name == j.otherIndex)
+        .orElse(all.indices.find(_.docType == j.otherIndex))
+      other match {
+        case None =>
+          Seq(s"$at: joining_props: unknown index '${j.otherIndex}'")
+        case Some(o) =>
+          // J4 joins finished document sets on SHARED column names — a
+          // join_on column missing from either side's (fully static)
+          // output would fail deep in Spark analysis at runtime
+          j.joinOn.filterNot(outputColumns(schema, m).contains).map(k =>
+            s"$at: joining_props: join_on column '$k' is not in this " +
+              "index's output") ++
+            j.joinOn.filterNot(outputColumns(schema, o).contains).map(k =>
+              s"$at: joining_props: join_on column '$k' is not in index " +
+                s"'${o.name}''s output")
+      }
     }
     // every prop family writes into one flat document namespace — a name
     // claimed twice would silently shadow (ambiguous column at best).
     // Collector injections write into the same namespace, including the
     // auto-injected program_name/project_code (mirrors
     // Translator.translateCollector's autoInj condition).
-    val injNames = m.injection.toSeq.flatMap { inj =>
-      val declared = inj.injectingProps.values.flatten.map(_.name).toSeq
-      val auto = Seq(("program", "program_name", "name"),
-                     ("project", "project_code", "code")).collect {
-        case (l, n, src)
-            if schema.nodes.exists(nd => nd.label == l && nd.props.contains(src)) &&
-              !declared.contains(n) => n
-      }
-      declared ++ auto
-    }
-    val outNames = m.props.map(_.name) ++ injNames ++
-      m.parentProps.flatMap(_.steps.flatMap(_.props.map(_.name))) ++
-      m.flattenProps.flatMap(_.props.map(_.name)) ++
-      m.aggregatedProps.map(_.name) ++
-      m.nestedProps.map(_.name) ++
-      m.joiningProps.flatMap(_.props.map(_.name))
+    val outNames = declaredOutNames(schema, m)
     val collisions = outNames.diff(outNames.distinct).distinct
       .map(n => s"$at: output column '$n' is produced by more than one prop")
     // the fan-out flatten check, statically (Translator also throws at

@@ -20,9 +20,32 @@ class MappingValidatorSpec extends AnyFunSuite {
       parentProps = Seq(ParentChainDef(Seq(
         PathStep("project", Seq(PropDef.of("code"))),
         PathStep("program", Seq(PropDef.of("name")))))),
-      joiningProps = Seq(JoiningDef("p", Seq("k"), Nil)))
-    val p = IndexMapping(name = "p", docType = "p", root = "project")
+      joiningProps = Seq(JoiningDef("p", Seq("code"), Nil)))
+    val p = IndexMapping(name = "p", docType = "p", root = "project",
+      props = Seq(PropDef.of("code")))
     assert(MappingValidator.validate(schema, EtlMapping(Seq(ok, p))) === Nil)
+  }
+
+  test("joining_props join_on columns must exist in BOTH indices' outputs") {
+    val s = IndexMapping(name = "s", docType = "s", root = "subject",
+      props = Seq(PropDef.of("age")),
+      joiningProps = Seq(JoiningDef("p", Seq("age", "ghost"), Nil)))
+    val p = IndexMapping(name = "p", docType = "p", root = "project")
+    val errs = MappingValidator.validate(schema, EtlMapping(Seq(s, p)))
+    // 'ghost' missing from both sides; 'age' missing from p's output only
+    assert(errs.exists(e => e.contains("'ghost'") &&
+      e.contains("this index's output")))
+    assert(errs.exists(e => e.contains("'age'") && e.contains("'p'")))
+    assert(!errs.exists(e => e.contains("'age'") &&
+      e.contains("this index's output")))
+    // the doc-key column counts as the OTHER side's output (J4 commonly
+    // joins on it); this side still lacks it -> flagged once, not twice
+    val byId = s.copy(joiningProps = Seq(JoiningDef("p", Seq("_project_id"), Nil)))
+    val p2 = p.copy(props = Seq(PropDef.of("_project_id")))
+    val errs2 = MappingValidator.validate(schema, EtlMapping(Seq(byId, p2)))
+    assert(errs2.exists(e => e.contains("'_project_id'") &&
+      e.contains("this index's output")))
+    assert(!errs2.exists(e => e.contains("'_project_id'") && e.contains("'p'")))
   }
 
   test("every structural problem is reported at once") {
