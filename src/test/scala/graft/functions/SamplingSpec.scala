@@ -115,6 +115,21 @@ class SamplingSpec extends SparkSpec {
     assert(r(5L) === (("test", 0L, 0L, 0.0))) // shingle-less doc, no NaN
   }
 
+  test("contaminationReport plans as a shuffled equi-semi-join on the " +
+      "shingle key — no nested-loop join anywhere") {
+    val docs = (0L until 50L).map(i =>
+      (i, if (i % 10 == 0) "train" else "test",
+        s"some shared words plus token$i tail piece here"))
+      .toDF("doc_id", "split", "text")
+      .select($"doc_id", $"split",
+        TextFunctions.wordShingles($"text", 3).as("sh"))
+    val plan = Sampling.contaminationReport(docs, "doc_id", "sh", "split")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("LeftSemi"))
+  }
+
   test("repetitionProfile: looping text scores high, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),        // one gram repeated
