@@ -52,6 +52,46 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2L).n_bytes === 20L + 4 * 3 * 36)
   }
 
+  test("property: decode equals the generator formulas for 60 consecutive " +
+      "ids across all modalities (the oracle relation, in-process)") {
+    val many = (0L until 60L).map(i => (i, "x", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val f = Multimodal.extractFeatures(Multimodal.syntheticMedia(many))
+      .collect().map(r => r.media_id -> r).toMap
+    (0L until 60L).foreach { id =>
+      val r = f(id)
+      (id % 3) match {
+        case 0 => // image
+          val (w, h) = (4 + (id % 16).toInt, 4 + (id % 9).toInt)
+          val rowSize = ((3 * w + 3) / 4) * 4
+          assert(r.width === w && r.height === h && r.duration_ms === 0L)
+          assert(r.n_bytes === 54L + h * rowSize)
+          val exp = (0 until 3 * w * h).map(j => (id * 7 + j) % 256).sum
+            .toDouble / (3 * w * h)
+          assert(r.mean_val === exp, s"image mean id=$id")
+        case 1 => // audio
+          val n = 8 * (10 + (id % 50).toInt)
+          assert(r.width === 0 && r.duration_ms === n / 8L)
+          assert(r.n_bytes === 44L + 2 * n)
+          val exp = (0 until n)
+            .map(k => math.abs(((id * 13 + k.toLong * 97) % 65536) - 32768))
+            .sum.toDouble / n
+          assert(r.mean_val === exp, s"audio mean id=$id")
+        case _ => // video
+          val (w, h, fr) = (4 + (id % 8).toInt, 4 + (id % 6).toInt,
+            2 + (id % 5).toInt)
+          assert(r.width === w && r.height === h)
+          assert(r.duration_ms === fr * 100L)
+          assert(r.n_bytes === 20L + fr * 3 * w * h)
+          val b = 3 * w * h
+          val exp = (0 until fr * b)
+            .map(t => (id * 7 + (t / b).toLong * 1009 + t % b) % 256)
+            .sum.toDouble / (fr * b)
+          assert(r.mean_val === exp, s"video mean id=$id")
+      }
+    }
+  }
+
   test("feature extraction is deterministic in the payload bytes") {
     val f1 = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
       .collect().sortBy(_.media_id)
