@@ -53,12 +53,20 @@ object Ivf {
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    // the cap is a TakeOrdered by (stable hash, id), NOT by raw id: ids
+    // usually correlate with content (time-ordered corpora), so an
+    // id-ordered cap would train the quantizer on only the earliest data.
+    // Hash order keeps the capped subset deterministic AND spread across
+    // the corpus; set samplePct so the sample — not the cap — does the
+    // real downsizing at scale (SCALE.md).
     val sampled =
       (if (samplePct >= 100) base
        else base.filter(Sampling.stableBucket(col("id")) < samplePct))
-        .orderBy(col("id")).limit(sampleCap)
+        .orderBy(Sampling.stableBucket(col("id"), 1 << 30), col("id"))
+        .limit(sampleCap)
     val rows = sampled.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1) // seed selection stays "k lowest sampled ids"
     require(rows.nonEmpty, "Ivf.train: empty corpus sample")
     val dim = rows.head._2.length
     def norm(a: Array[Double]): Double = {
@@ -139,9 +147,10 @@ object Ivf {
   def topK(corpus: DataFrame, corpusId: String, corpusVec: String,
            queries: DataFrame, queryId: String, queryVec: String,
            k: Int, numCells: Int, nprobe: Int, iters: Int = 2,
-           samplePct: Int = 100, salts: Int = 64): DataFrame = {
+           samplePct: Int = 100, salts: Int = 64,
+           sampleCap: Int = 100000): DataFrame = {
     val centroids = train(corpus, corpusId, corpusVec, numCells, iters,
-      samplePct)
+      samplePct, sampleCap)
     search(index(corpus, corpusId, corpusVec, centroids), corpusId, corpusVec,
       centroids, queries, queryId, queryVec, k, nprobe, salts)
   }
@@ -153,9 +162,10 @@ object Ivf {
     * pruning through the cell join) — no re-training, no full rescan. */
   def buildIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
                  path: String, numCells: Int, iters: Int = 2,
-                 samplePct: Int = 100, quantize: Boolean = false): Unit = {
+                 samplePct: Int = 100, quantize: Boolean = false,
+                 sampleCap: Int = 100000): Unit = {
     val centroids = train(corpus, corpusId, corpusVec, numCells, iters,
-      samplePct)
+      samplePct, sampleCap)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val cells = index(corpus, corpusId, corpusVec, centroids)
     // int8 storage: 4× smaller cells (the usual serving trade) — the

@@ -169,6 +169,9 @@ object Multimodal {
     while (pos + 8 <= p.length) { // RIFF chunk walk
       val cid = new String(p, pos, 4, "US-ASCII")
       val len = b.getInt(pos + 4)
+      // a corrupt negative length would stall the walk (pos stops
+      // advancing) — an infinite executor spin, not a loud failure
+      require(len >= 0, s"corrupt WAV: negative chunk length $len at $pos")
       if (cid == "fmt ") { rate = b.getInt(pos + 12); bits = b.getShort(pos + 22) }
       else if (cid == "data") { dataPos = pos + 8; dataLen = len }
       pos += 8 + len + (len & 1) // chunks are word-aligned

@@ -82,25 +82,29 @@ object Sampling {
     * appears in ANY train document? (n-gram overlap is the standard
     * contamination test, e.g. GPT-3 App. C / PaLM App. D.)
     *
-    * Scale shape: explode test shingles once, LEFT SEMI join against the
-    * exploded train side on the shingle key (one shuffle; semi-join output
-    * is bounded by the test side, and the train side needs NO distinct —
-    * semi joins don't multiply), then one per-doc count. Hot shingles
-    * (common phrases) are join-key skew, which AQE's skew-join split
-    * handles; nothing is quadratic. */
+    * Scale shape: the input is shingled exactly TWICE — one pass for the
+    * train side, one for the test side (shingling dominates cost at corpus
+    * scale; caching is not an option at 100 TB). The test side is exploded
+    * ONCE (`explode_outer`, so shingle-less docs survive), left-joined
+    * against the DISTINCT train shingle set, and a single per-doc
+    * aggregation counts both `n_sh` (non-null shingles) and `n_hit`
+    * (matches) from the same rows. Hot shingles (common phrases) are
+    * join-key skew, which AQE's skew-join split handles; nothing is
+    * quadratic. */
   def contaminationReport(docs: DataFrame, idCol: String, shingleCol: String,
                           splitCol: String): DataFrame = {
+    // distinct is REQUIRED here (unlike a semi join, the outer join below
+    // would multiply per duplicate train shingle); it shuffles exploded
+    // keys, which is far cheaper than the corpus re-shingle it replaces
     val train = docs.filter(col(splitCol) === "train")
-      .select(explode(col(shingleCol)).as("_s"))
-    val test = docs.filter(col(splitCol) =!= "train")
-    val hits = test
-      .select(col(idCol), explode(col(shingleCol)).as("_s"))
-      .join(train, Seq("_s"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
-    test.select(col(idCol), col(splitCol).as("split"),
-        size(col(shingleCol)).cast("long").as("n_sh"))
-      .join(hits, Seq(idCol), "left_outer")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(explode(col(shingleCol)).as("_s")).distinct()
+      .withColumn("_hit", lit(1))
+    docs.filter(col(splitCol) =!= "train")
+      .select(col(idCol), col(splitCol).as("split"),
+        explode_outer(col(shingleCol)).as("_s"))
+      .join(train, Seq("_s"), "left_outer")
+      .groupBy(col(idCol), col("split"))
+      .agg(count(col("_s")).as("n_sh"), count(col("_hit")).as("n_hit"))
       .withColumn("contamination", round(when(col("n_sh") > 0,
         col("n_hit").cast("double") / col("n_sh")).otherwise(lit(0.0)), 6))
   }

@@ -30,14 +30,26 @@ object MappingValidator {
     * static (the Translator selects exactly the declared props), so both
     * collision checks and joining_props key checks can run before any
     * Spark job. */
+  /** The Gen3 auto-injection pairs a collector gets (mirrors
+    * Translator.translateCollector's autoInj condition exactly). */
+  private def gen3AutoInj(schema: GraphSchema): Seq[(String, String)] =
+    Seq(("program", "program_name", "name"),
+        ("project", "project_code", "code")).collect {
+      case (l, n, src)
+          if schema.nodes.exists(nd => nd.label == l && nd.props.contains(src)) =>
+        (l, n)
+    }
+
   private def declaredOutNames(schema: GraphSchema, m: IndexMapping): Seq[String] = {
     val injNames = m.injection.toSeq.flatMap { inj =>
       val declared = inj.injectingProps.values.flatten.map(_.name).toSeq
-      val auto = Seq(("program", "program_name", "name"),
-                     ("project", "project_code", "code")).collect {
-        case (l, n, src)
-            if schema.nodes.exists(nd => nd.label == l && nd.props.contains(src)) &&
-              !declared.contains(n) => n
+      // the Translator suppresses an auto-injection only when the SAME
+      // ancestor label already declares that name — a same-named prop
+      // under a DIFFERENT label still collides at runtime, so it must
+      // still count here
+      val auto = gen3AutoInj(schema).collect {
+        case (l, n)
+            if !inj.injectingProps.getOrElse(l, Nil).exists(_.name == n) => n
       }
       declared ++ auto
     }
@@ -55,7 +67,11 @@ object MappingValidator {
   private def outputColumns(schema: GraphSchema, m: IndexMapping): Set[String] = {
     val id = schema.idCol(if (m.kind == "collector") m.docType else m.root)
     val synthetics =
-      if (m.kind == "collector") Set("source_node", "project_id")
+      if (m.kind == "collector")
+        // project_id is synthesized only when BOTH Gen3 auto-injections
+        // apply (Translator.translateCollector gates on autoInj.length==2)
+        Set("source_node") ++
+          (if (gen3AutoInj(schema).length == 2) Set("project_id") else Nil)
       else Set.empty[String]
     declaredOutNames(schema, m).toSet ++ synthetics + id
   }

@@ -41,8 +41,13 @@ object DictionaryLoader {
   /** Dictionary over HTTP(S)/file URL — the reference deployment's
     * `DICTIONARY_URL` input (tube/utils/dd.py:4-11). Driver-side, one small
     * JSON fetch; same parse as `loadFile`. */
-  def loadUrl(url: String): GraphSchema = {
-    val in = java.net.URI.create(url).toURL.openStream()
+  def loadUrl(url: String, timeoutMs: Int = 30000): GraphSchema = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+    // default URLConnection timeouts are INFINITE — an unresponsive
+    // dictionary host would hang the driver at startup forever
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    val in = conn.getInputStream
     try fromJsonString(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
     finally in.close()
   }

@@ -310,8 +310,15 @@ object EventStream {
             }
             open.foreach { o =>
               state.update(o)
-              // close when the watermark passes last event + gap (millis API)
-              state.setTimeoutTimestamp(o.lastUs / 1000L + gapMinutes * 60L * 1000L)
+              // close when the watermark passes last event + gap (millis
+              // API). A straggler batch can carry events OLDER than the
+              // current watermark (flatMapGroupsWithState does not filter
+              // late rows); setTimeoutTimestamp throws below the watermark,
+              // which would kill the whole query — clamp just past it, so
+              // the stale session closes on the next watermark move instead
+              val due = o.lastUs / 1000L + gapMinutes * 60L * 1000L
+              state.setTimeoutTimestamp(
+                math.max(due, state.getCurrentWatermarkMs() + 1L))
             }
             closed.iterator
           }

@@ -115,19 +115,25 @@ class SamplingSpec extends SparkSpec {
     assert(r(5L) === (("test", 0L, 0L, 0.0))) // shingle-less doc, no NaN
   }
 
-  test("contaminationReport plans as a shuffled equi-semi-join on the " +
-      "shingle key — no nested-loop join anywhere") {
+  test("contaminationReport plans as one equi-join on the shingle key — " +
+      "no nested-loop join, and the corpus is shingled exactly twice") {
     val docs = (0L until 50L).map(i =>
       (i, if (i % 10 == 0) "train" else "test",
         s"some shared words plus token$i tail piece here"))
       .toDF("doc_id", "split", "text")
       .select($"doc_id", $"split",
         TextFunctions.wordShingles($"text", 3).as("sh"))
-    val plan = Sampling.contaminationReport(docs, "doc_id", "sh", "split")
-      .queryExecution.sparkPlan.toString
+    val qe = Sampling.contaminationReport(docs, "doc_id", "sh", "split")
+      .queryExecution
+    val plan = qe.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    assert(plan.contains("LeftSemi"))
+    // one shingling subtree per side (train + test), no third evaluation
+    // for the size column
+    val generates = qe.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.length === 2)
   }
 
   test("repetitionProfile: looping text scores high, diverse text low") {
