@@ -465,6 +465,35 @@ object SparkEntry {
         "qid", "qv", k = 5, numCells = 16, nprobe = 16, salts = 1)
     }),
 
+    // ---- product quantization (IVF-PQ compression path) ------------------
+    // driver queries run ANCHOR codebooks (iters = 0, SQL-recomputable —
+    // the oracle-mode pattern Dedup.Hasher established); the prod default
+    // is trainCodebooks(iters > 0), whose equivalence/quality PqSpec pins.
+    // codes are positional (order IS the payload) → serialized unsorted,
+    // mirrored by the oracle's ORDER BY m string_agg
+    "pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Pq.anchorCodebooks(emb, "vec_id", "embedding", m = 4, k = 16)
+      Pq.withCodes(emb, "embedding", cb)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), _.cast("string")), "|").as("codes"))
+    }),
+
+    // ADC top-k over the coded corpus: sim = -squared-L2, ranked via the
+    // same two-stage top-k as every other ANN path (salts = 1: candidate
+    // set per query is the whole sf corpus here, reducer-sized)
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Pq.anchorCodebooks(emb, "vec_id", "embedding", m = 4, k = 16)
+      val coded = Pq.withCodes(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nv", cb).select(col("nid"), col("codes"))
+      Pq.adcTopK(coded, "nid", "codes",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", cb, k = 5, salts = 1)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -609,6 +638,24 @@ object SparkEntry {
     }.mkString(" + ")
     (planeCols, bucketExpr)
   }
+
+  /** DuckDB recomputation of the PQ anchor codebooks and per-vector codes —
+    * mirrors `Pq.anchorCodebooks` + `Pq.withCodes` exactly: same
+    * (md5-bucket, id) anchor order, same sequential squared-L2 fold
+    * (`list_sum` of an index-ordered `list_transform`), same lowest-j tie
+    * break (`row_number ... ORDER BY d2, j`). Yields CTEs `cw` (subspace m,
+    * codeword j, anchor vector) and `codes` (vec_id, m, j). */
+  private def pqSqlCtes(m: Int, k: Int, dsub: Int): String =
+    "anc AS (SELECT row_number() OVER (ORDER BY b, vec_id) - 1 AS j, av FROM " +
+      "(SELECT ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824 AS b, " +
+      s"vec_id, embedding AS av FROM embeddings ORDER BY b, vec_id LIMIT $k) t1), " +
+      s"cw AS (SELECT r.m, a.j, a.av FROM anc a, range(0, $m) r(m)), " +
+      s"cd AS (SELECT e.vec_id, c.m, c.j, list_sum(list_transform(range(1, ${dsub + 1}), i -> " +
+      s"(e.embedding[c.m*$dsub+i]::DOUBLE - c.av[c.m*$dsub+i]::DOUBLE) * " +
+      s"(e.embedding[c.m*$dsub+i]::DOUBLE - c.av[c.m*$dsub+i]::DOUBLE))) AS d2 " +
+      "FROM embeddings e, cw c), " +
+      "best AS (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM cd), " +
+      "codes AS (SELECT vec_id, m, j FROM best WHERE rn = 1)"
 
   /** Mirror of `Similarity.embeddingDupPairs(bits = 6, dim = 64)`. */
   private def rhpLshOracleSql: String = {
@@ -1005,6 +1052,28 @@ object SparkEntry {
         "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
         "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
         "FROM embeddings e, q WHERE e.vec_id <> q.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
+
+    "pq_encode" ->
+      (s"WITH ${pqSqlCtes(4, 16, 16)} " +
+        "SELECT vec_id, string_agg(CAST(j AS VARCHAR), '|' ORDER BY m) AS codes " +
+        "FROM codes GROUP BY vec_id"),
+
+    // ADC: per-(query, subspace, codeword) LUT distances, joined to each
+    // candidate's codes; the per-pair sum folds in subspace order
+    // (list_sum of `list(d2 ORDER BY m)`) to match the engine's
+    // sequential aggregate — bit-identical doubles, not just close ones
+    "ann_pq_topk" ->
+      (s"WITH ${pqSqlCtes(4, 16, 16)}, " +
+        "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "lut AS (SELECT q.qid, c.m, c.j, list_sum(list_transform(range(1, 17), i -> " +
+        "(q.qv[c.m*16+i]::DOUBLE - c.av[c.m*16+i]::DOUBLE) * " +
+        "(q.qv[c.m*16+i]::DOUBLE - c.av[c.m*16+i]::DOUBLE))) AS d2 FROM q, cw c), " +
+        "scored AS (SELECT l.qid, cs.vec_id AS nid, -list_sum(list(l.d2 ORDER BY l.m)) AS sim " +
+        "FROM codes cs JOIN lut l ON l.m = cs.m AND l.j = cs.j WHERE cs.vec_id <> l.qid " +
+        "GROUP BY l.qid, cs.vec_id) " +
         "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
         "WHERE rn <= 5"),

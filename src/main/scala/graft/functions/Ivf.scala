@@ -114,21 +114,30 @@ object Ivf {
       .join(cvecs, Seq(corpusId))
   }
 
-  /** Probe + score against an already-quantized corpus. */
-  private def search(indexed: DataFrame, corpusId: String, corpusVec: String,
-                     centroids: DataFrame, queries: DataFrame, queryId: String,
-                     queryVec: String, k: Int, nprobe: Int,
-                     salts: Int): DataFrame = {
+  /** The `nprobe` nearest cells per query: (queryId, queryVec, _qn, cell).
+    * Centroids are broadcast; the window is per-query over ≤ numCells rows,
+    * so it never sees corpus-scale data. Shared with the IVF-PQ serving
+    * path ([[Pq.topKIndexedPq]]). */
+  private[functions] def probeCells(queries: DataFrame, queryId: String,
+                                    queryVec: String, centroids: DataFrame,
+                                    nprobe: Int): DataFrame = {
     val qvecs = withNorm(queries.select(col(queryId), col(queryVec)),
       queryVec, "_qn")
-    // nprobe nearest cells per query
-    val probes = qvecs.join(broadcast(centroids))
+    qvecs.join(broadcast(centroids))
       .withColumn("_sim", dot(col(queryVec), col("cvec")) / (col("_qn") * col("cnorm")))
       .withColumn("_pr", row_number().over(
         Window.partitionBy(col(queryId))
           .orderBy(col("_sim").desc, col("cid").asc)))
       .filter(col("_pr") <= nprobe)
       .select(col(queryId), col(queryVec), col("_qn"), col("cid").as("cell"))
+  }
+
+  /** Probe + score against an already-quantized corpus. */
+  private def search(indexed: DataFrame, corpusId: String, corpusVec: String,
+                     centroids: DataFrame, queries: DataFrame, queryId: String,
+                     queryVec: String, k: Int, nprobe: Int,
+                     salts: Int): DataFrame = {
+    val probes = probeCells(queries, queryId, queryVec, centroids, nprobe)
     val scored = indexed.join(probes, Seq("cell"))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("sim", dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn")))

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 deterministic 8-dim vectors: two loose clusters + per-id jitter
+  private def corpus = (0L until 40L).map { i =>
+    val v = Array.tabulate(8) { d =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      base * (1.0f + 0.1f * d) + 0.03f * ((i * 7 + d * 3) % 11)
+    }
+    (i, v)
+  }.toDF("nid", "nv")
+
+  private def queries = corpus.filter($"nid" < 4)
+    .select($"nid".as("qid"), $"nv".as("qv"))
+
+  /** Exact squared-L2 top-k via expressions — the differential expectation. */
+  private def bruteL2TopK(k: Int): Set[(Long, Int, Long)] = {
+    val d2 = aggregate(
+      zip_with($"nv".cast("array<double>"), $"qv".cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, d) => a + d)
+    corpus.join(broadcast(queries))
+      .filter($"nid" =!= $"qid")
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2".asc, $"nid".asc)))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)]
+      .collect().toSet
+  }
+
+  private def resultSet(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select(col("query_id"), col("rank"), col("neighbor_id"))
+      .as[(Long, Int, Long)].collect().toSet
+
+  test("withCodes: m codes per row, each in [0, k), deterministic") {
+    val cb = Pq.trainCodebooks(corpus, "nid", "nv", m = 4, k = 8, iters = 3)
+    assert(cb.length === 4 && cb.forall(_.length === 8) &&
+      cb.forall(_.forall(_.length === 2)))
+    def codes = Pq.withCodes(corpus, "nv", cb).select($"nid", $"codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val c1 = codes
+    assert(c1.size === 40)
+    assert(c1.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+    assert(c1 === codes)
+  }
+
+  test("lossless mode: k = corpus size, iters = 0 ⇒ zero reconstruction " +
+      "error and ADC ≡ exact L2 top-k") {
+    val cb = Pq.anchorCodebooks(corpus, "nid", "nv", m = 4, k = 40)
+    val coded = Pq.withCodes(corpus, "nv", cb)
+    assert(Pq.reconstructionMse(coded, "nv", "codes", cb) === 0.0)
+    val adc = Pq.adcTopK(coded.select($"nid", $"codes"), "nid", "codes",
+      queries, "qid", "qv", cb, k = 5, salts = 1)
+    assert(resultSet(adc) === bruteL2TopK(5))
+  }
+
+  test("Lloyd iterations do not increase reconstruction error vs anchors") {
+    val anchor = Pq.anchorCodebooks(corpus, "nid", "nv", m = 4, k = 6)
+    val trained = Pq.trainCodebooks(corpus, "nid", "nv", m = 4, k = 6, iters = 4)
+    val mseAnchor = Pq.reconstructionMse(
+      Pq.withCodes(corpus, "nv", anchor), "nv", "codes", anchor)
+    val mseTrained = Pq.reconstructionMse(
+      Pq.withCodes(corpus, "nv", trained), "nv", "codes", trained)
+    assert(mseTrained <= mseAnchor)
+    assert(mseTrained > 0.0) // k=6 < 40 rows: genuinely lossy
+  }
+
+  test("lossy ADC keeps useful recall@5 against exact L2 on the fixture") {
+    val cb = Pq.trainCodebooks(corpus, "nid", "nv", m = 4, k = 8, iters = 4)
+    val coded = Pq.withCodes(corpus, "nv", cb)
+    val adc = resultSet(Pq.adcTopK(coded.select($"nid", $"codes"), "nid",
+      "codes", queries, "qid", "qv", cb, k = 5, salts = 1))
+      .map(r => (r._1, r._3))
+    val exact = bruteL2TopK(5).map(r => (r._1, r._3))
+    val recall = (adc & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("IVF-PQ persisted index: cell-partitioned codes, lossless config " +
+      "with nprobe = numCells ≡ exact L2 top-k") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Pq.buildIndexPq(corpus, "nid", "nv", path, numCells = 2, m = 4, k = 40,
+      iters = 0)
+    val cellDirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length === 2)
+    // the cells carry ONLY id + codes — the 100 TB storage win
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.columns.sorted === Array("cell", "codes", "nid"))
+    val fromIndex = Pq.topKIndexedPq(spark, path, "nid",
+      queries, "qid", "qv", k = 5, nprobe = 2, salts = 1)
+    assert(resultSet(fromIndex) === bruteL2TopK(5))
+  }
+
+  test("loadCodebooks round-trips exactly") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq2").toString
+    Pq.buildIndexPq(corpus, "nid", "nv", path, numCells = 2, m = 2, k = 5,
+      iters = 3)
+    val cb = Pq.trainCodebooks(corpus, "nid", "nv", m = 2, k = 5, iters = 3)
+    val loaded = Pq.loadCodebooks(spark, path)
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+}
