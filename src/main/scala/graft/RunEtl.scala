@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.Translator
+import graft.pipeline.{MappingDeps, Translator}
 import graft.schema.{DictionaryLoader, MappingYaml}
 import graft.sinks.{EsControl, EsPublisher, FsEsClient}
 import graft.sources.TubeGraphSource
@@ -25,6 +25,9 @@ object RunEtl {
 
   def main(args: Array[String]): Unit = {
     val force = args.contains("--force")
+    // per-index CDC gate from dump-directory mtimes: only indices whose
+    // dependency tables changed since their last publish re-run
+    val cdc = args.contains("--cdc")
     // optional: the latest committed source transaction time feeding the
     // incremental gate (a JDBC-fed deployment passes
     // Jdbc.latestSucceededTxMillis here)
@@ -35,7 +38,7 @@ object RunEtl {
     val positional = args.filterNot(_.startsWith("--"))
     require(positional.length >= 4,
       "usage: RunEtl <schema.json> <etlMapping.yaml> <dumpsDir> <outDir> " +
-        "[--force] [--source-tx-millis=N]")
+        "[--force] [--source-tx-millis=N] [--cdc]")
     val Array(schemaPath, mappingPath, dumpsDir, outDir) = positional.take(4)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -49,7 +52,9 @@ object RunEtl {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val published = run(spark, schemaPath, mappingPath, dumpsDir, outDir,
-        latestSourceTxMillis = sourceTx, force = force)
+        latestSourceTxMillis = sourceTx, force = force,
+        perTableTxMillis =
+          if (cdc) Some(MappingDeps.dumpTableTimes(dumpsDir)) else None)
       if (published.isEmpty)
         println("up to date — nothing published (use --force to override)")
       published.foreach { case (alias, (index, rows)) =>
@@ -61,15 +66,25 @@ object RunEtl {
   /** Full pipeline; returns alias → (published index name, row count) for
     * every index actually published. The S11 incremental gate (reference
     * run_etl.py:91-103 `check_to_run_etl`) skips an index whose sink
-    * timestamp already covers `latestSourceTxMillis`; `force` overrides.
-    * With no source-tx information the gate always runs (safe default).
-    * Row counts come from the published parquet footers — the translation
-    * frame is never executed twice. */
+    * timestamp already covers the source's latest change; `force`
+    * overrides. With no source-change information the gate always runs
+    * (safe default). Row counts come from the published parquet footers —
+    * the translation frame is never executed twice.
+    *
+    * Gate granularity: with `perTableTxMillis` (a table → latest-change
+    * map, e.g. from `MappingDeps.dumpTableTimes` or a CDC feed) each index
+    * is gated on ONLY its own dependency tables (`MappingDeps.tables`), so
+    * a change to one subgraph re-publishes one index, not all of them;
+    * otherwise the single `latestSourceTxMillis` gates every index alike.
+    * Only the surviving indices — plus the `joining_props` producers they
+    * consume — are translated at all. */
   def run(spark: SparkSession, schemaPath: String, mappingPath: String,
           dumpsDir: String, outDir: String,
           nowMillis: Long = System.currentTimeMillis(),
           latestSourceTxMillis: Option[Long] = None,
-          force: Boolean = false): Map[String, (String, Long)] = {
+          force: Boolean = false,
+          perTableTxMillis: Option[Map[String, Long]] = None)
+      : Map[String, (String, Long)] = {
     val schema = DictionaryLoader.loadFile(schemaPath)
     val mappingYaml = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mappingPath)),
@@ -77,11 +92,19 @@ object RunEtl {
     val mapping = DictionaryLoader.resolveMapping(schema,
       MappingYaml.parse(mappingYaml))
     val client = new FsEsClient(java.nio.file.Paths.get(outDir))
-    val toRun = mapping.indices.filter(m =>
-      EsControl.needsRun(latestSourceTxMillis, client.timestamp(m.name), force))
+    val toRun = mapping.indices.filter { m =>
+      val sourceTx = perTableTxMillis match {
+        case Some(byTable) => MappingDeps.latestTxMillis(
+          MappingDeps.tables(schema, mapping, m), byTable)
+        case None => latestSourceTxMillis
+      }
+      EsControl.needsRun(sourceTx, client.timestamp(m.name), force)
+    }
     if (toRun.isEmpty) return Map.empty
+    val needed = MappingDeps.producerClosure(mapping, toRun.map(_.name).toSet)
     val source = TubeGraphSource(spark, schema, dumpsDir)
-    val docs = Translator.runAll(schema, source, mapping)
+    val docs = Translator.runAll(schema, source,
+      mapping.copy(indices = mapping.indices.filter(i => needed(i.name))))
     toRun.map { m =>
       val (index, rows) = EsPublisher.publishCounted(
         client, m.name, docs(m.name), m.docType, nowMillis)
