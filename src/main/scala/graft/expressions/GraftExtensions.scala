@@ -8,7 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
   * (the public SparkSessionExtensions hook; no private APIs touched).
   * After that, `graft_dot` resolves in SQL and via
-  * `functions.call_function("graft_dot", a, b)`. */
+  * `functions.call_function("graft_dot", a, b)`.
+  *
+  * `graft_might_contain(bloomBinary, long)` exposes Spark's own
+  * `BloomFilterMightContain` (the codegen'd predicate behind the
+  * optimizer's runtime row-level filtering) as a callable function, so
+  * operators can bloom-prune joins the `InjectRuntimeFilter` rule cannot
+  * see across (multi-step graph walks, iterative algorithms) — see
+  * `GraphOps.bloomPrune`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -17,6 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
   }
 }

@@ -178,4 +178,34 @@ object GraphOps {
     } ++ passThrough.map(c => first(col(c)).alias(c))
     docs.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Bloom-filter join pruning: drop `df` rows whose `key` cannot match any
+    * `buildKey` BEFORE the exact join, so non-matching rows never enter the
+    * join's shuffle. The 100 TB shape this serves: a selective root set
+    * walking a petabyte edge table — a semi join would shuffle the edge
+    * table first; the bloom probe is a per-row scan-stage predicate that
+    * costs no shuffle and no broadcast-hash-map memory (bits, not rows).
+    *
+    * The filter is built with one `stat.bloomFilter` pass over the build
+    * side (a driver-side sketch of `~1.2 bytes × expectedItems` at 1% fpp —
+    * the one deliberate eager action here, same trade as a broadcast), then
+    * rides the plan as a BINARY LITERAL probed by Spark's codegen'd
+    * `BloomFilterMightContain` — the same predicate the optimizer's
+    * InjectRuntimeFilter rule uses, exposed via `graft_might_contain` for
+    * the shapes that rule cannot see across (multi-hop walks, iterative
+    * algorithms, frames reused by several joins). Both sides hash through
+    * `xxhash64` so any key type works.
+    *
+    * False positives pass (the downstream exact join removes them); false
+    * negatives cannot happen — pruned output ⊇ true matches, always. */
+  def bloomPrune(df: DataFrame, key: Column,
+                 build: DataFrame, buildKey: Column,
+                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build.select(xxhash64(buildKey).as("__bk"))
+      .stat.bloomFilter("__bk", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    df.filter(call_function("graft_might_contain",
+      lit(bos.toByteArray), xxhash64(key)))
+  }
 }
