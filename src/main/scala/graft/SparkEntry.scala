@@ -494,6 +494,19 @@ object SparkEntry {
         "qid", "qv", cb, k = 5, salts = 1)
     }),
 
+    // two-stage retrieval: ADC top-20 shortlist, then exact-cosine re-rank
+    // to top-5 — quantization error picks the shortlist, never the order
+    "ann_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Pq.anchorCodebooks(emb, "vec_id", "embedding", m = 4, k = 16)
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val coded = Pq.withCodes(corpus, "nv", cb).select(col("nid"), col("codes"))
+      Pq.rerankTopK(coded, "nid", "codes", corpus, "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", cb, k = 5, shortlist = 20, salts = 1)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1076,6 +1089,28 @@ object SparkEntry {
         "GROUP BY l.qid, cs.vec_id) " +
         "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
+
+    // ADC shortlist (top-20, same arithmetic as ann_pq_topk), then exact
+    // cosine over only the shortlisted (qid, nid) pairs, re-ranked to top-5
+    "ann_pq_rerank" ->
+      (s"WITH ${pqSqlCtes(4, 16, 16)}, " +
+        "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "lut AS (SELECT q.qid, c.m, c.j, list_sum(list_transform(range(1, 17), i -> " +
+        "(q.qv[c.m*16+i]::DOUBLE - c.av[c.m*16+i]::DOUBLE) * " +
+        "(q.qv[c.m*16+i]::DOUBLE - c.av[c.m*16+i]::DOUBLE))) AS d2 FROM q, cw c), " +
+        "adc AS (SELECT l.qid, cs.vec_id AS nid, -list_sum(list(l.d2 ORDER BY l.m)) AS asim " +
+        "FROM codes cs JOIN lut l ON l.m = cs.m AND l.j = cs.j WHERE cs.vec_id <> l.qid " +
+        "GROUP BY l.qid, cs.vec_id), " +
+        "short AS (SELECT qid, nid FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY asim DESC, nid) AS rn FROM adc) WHERE rn <= 20), " +
+        "ex AS (SELECT s.qid, s.nid, " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+        "FROM short s JOIN embeddings e ON e.vec_id = s.nid JOIN q ON q.qid = s.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ex) " +
         "WHERE rn <= 5"),
 
     "ann_brute_topk" ->

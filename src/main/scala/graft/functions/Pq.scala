@@ -206,6 +206,33 @@ object Pq {
     Similarity.topKPerQuery(scored, queryId, corpusId, k, salts)
   }
 
+  /** Two-stage retrieval: ADC shortlist → exact re-rank — the standard
+    * serving recipe for compressed indexes (quantization error decides the
+    * shortlist, never the final order). Stage 1 scans only codes; stage 2
+    * reads full vectors for `shortlist` candidates PER QUERY (a
+    * |queries|·shortlist-row broadcast join against the corpus — a
+    * k'-row read, not a corpus read). Final order is exact COSINE, the
+    * contract every other ANN path shares; `shortlist ≥ corpus` makes the
+    * result identical to `Similarity.bruteForceTopK`. */
+  def rerankTopK(corpusCodes: DataFrame, corpusId: String, codeCol: String,
+                 corpus: DataFrame, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 cb: Codebooks, k: Int, shortlist: Int,
+                 salts: Int = 64): DataFrame = {
+    val short = adcTopK(corpusCodes, corpusId, codeCol,
+        queries, queryId, queryVec, cb, shortlist, salts)
+      .select(col("query_id").as(queryId), col("neighbor_id").as(corpusId))
+    val c = corpus.withColumn("_cn", Similarity.norm(col(corpusVec)))
+    val q = queries.withColumn("_qn", Similarity.norm(col(queryVec)))
+    val scored = c.join(broadcast(short), Seq(corpusId))
+      .join(broadcast(q.select(col(queryId), col(queryVec), col("_qn"))),
+        Seq(queryId))
+      .withColumn("sim", Similarity.cosinePrenormed(col(corpusVec),
+        col(queryVec), col("_cn"), col("_qn")))
+    // ≤ shortlist candidates per query by construction — stage 1 skipped
+    Similarity.topKPerQuery(scored, queryId, corpusId, k, salts = 1)
+  }
+
   /** IVF-PQ persisted index: [[Ivf.buildIndex]]'s cell layout with the
     * vector column replaced by PQ codes — the FAISS `IVFx,PQy` shape. At
     * 100 TB the cells directory is ~m bytes/vector instead of 4·d, and a

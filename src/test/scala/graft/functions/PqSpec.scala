@@ -100,6 +100,32 @@ class PqSpec extends SparkSpec {
     assert(resultSet(fromIndex) === bruteL2TopK(5))
   }
 
+  test("rerankTopK with shortlist >= corpus equals exact cosine brute force") {
+    val cb = Pq.trainCodebooks(corpus, "nid", "nv", m = 4, k = 8, iters = 3)
+    val coded = Pq.withCodes(corpus, "nv", cb).select($"nid", $"codes")
+    val reranked = resultSet(Pq.rerankTopK(coded, "nid", "codes",
+      corpus, "nv", queries, "qid", "qv", cb, k = 5, shortlist = 40,
+      salts = 1))
+    val brute = resultSet(Similarity.bruteForceTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", k = 5))
+    assert(reranked === brute)
+  }
+
+  test("exact re-rank never lowers cosine recall vs raw ADC order") {
+    val cb = Pq.trainCodebooks(corpus, "nid", "nv", m = 4, k = 8, iters = 3)
+    val coded = Pq.withCodes(corpus, "nv", cb).select($"nid", $"codes")
+    val exact = resultSet(Similarity.bruteForceTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", k = 5)).map(r => (r._1, r._3))
+    def recall(got: Set[(Long, Int, Long)]) =
+      (got.map(r => (r._1, r._3)) & exact).size.toDouble / exact.size
+    val adc = recall(resultSet(Pq.adcTopK(coded, "nid", "codes",
+      queries, "qid", "qv", cb, k = 5, salts = 1)))
+    val rr = recall(resultSet(Pq.rerankTopK(coded, "nid", "codes",
+      corpus, "nv", queries, "qid", "qv", cb, k = 5, shortlist = 15,
+      salts = 1)))
+    assert(rr >= adc, s"rerank recall $rr < adc recall $adc")
+  }
+
   test("loadCodebooks round-trips exactly") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq2").toString
     Pq.buildIndexPq(corpus, "nid", "nv", path, numCells = 2, m = 2, k = 5,
