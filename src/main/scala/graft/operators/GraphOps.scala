@@ -200,12 +200,23 @@ object GraphOps {
     * negatives cannot happen — pruned output ⊇ true matches, always. */
   def bloomPrune(df: DataFrame, key: Column,
                  build: DataFrame, buildKey: Column,
-                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+                 expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    pruneWithBloom(df, key, buildBloom(build, buildKey, expectedItems, fpp))
+
+  /** Build the serialized key sketch once (ONE pass over `build`) — reuse
+    * the bytes across several `pruneWithBloom` call sites so a key set
+    * probed by N frames is not sketched N times. */
+  def buildBloom(build: DataFrame, buildKey: Column,
+                 expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     val bf = build.select(xxhash64(buildKey).as("__bk"))
       .stat.bloomFilter("__bk", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    df.filter(call_function("graft_might_contain",
-      lit(bos.toByteArray), xxhash64(key)))
+    bos.toByteArray
   }
+
+  /** Probe half of [[bloomPrune]]: a scan-stage predicate, no shuffle. */
+  def pruneWithBloom(df: DataFrame, key: Column,
+                     bloom: Array[Byte]): DataFrame =
+    df.filter(call_function("graft_might_contain", lit(bloom), xxhash64(key)))
 }

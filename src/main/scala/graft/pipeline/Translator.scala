@@ -30,7 +30,18 @@ final class GraphSource(
       * shuffle (or an impossible broadcast) per graph hop. */
     val fkParents: String => Set[String] = _ => Set.empty)
 
-final class Translator(schema: GraphSchema, source: GraphSource) {
+/** @param rootBloomPrune opt-in runtime pruning for SELECTIVE mapping
+  *        filters: the caller's estimate of how many roots survive the
+  *        index filter (sizes the sketch). When set and the filter touches
+  *        only root columns, the surviving root ids are sketched ONCE
+  *        (`GraphOps.buildBloom` — bits, not rows) and every root-keyed
+  *        walk/flatten/agg frame is pruned at its scan, so children of
+  *        filtered-out roots never enter any join or aggregation shuffle.
+  *        Off by default: the sketch costs one eager root-projection pass
+  *        per filtered index, which only pays when the filter is selective
+  *        and the fact sides are big (the 100 TB shape; see SCALE.md). */
+final class Translator(schema: GraphSchema, source: GraphSource,
+                       rootBloomPrune: Option[Long] = None) {
 
   private def idOf(label: String) = schema.idCol(label)
 
@@ -113,6 +124,20 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
       .dropDuplicates(rootId)
     var helperCols: List[String] = chainFks.toList
 
+    // root-filter bloom pruning (see class doc): the final P5 filter below
+    // is UNCHANGED — the bloom's false positives are dropped there, and
+    // true survivors always pass (no false negatives), so semantics are
+    // identical with pruning on or off
+    val prune: DataFrame => DataFrame = (rootBloomPrune, m.filter) match {
+      case (Some(n), Some(f))
+          if FilterDsl.fields(f).subsetOf(doc.columns.toSet) =>
+        val bloom = GraphOps.buildBloom(
+          doc.filter(FilterDsl.compile(f)).select(col(rootId)),
+          col(rootId), n)
+        df => GraphOps.pruneWithBloom(df, col(rootId), bloom)
+      case _ => identity
+    }
+
     // J3: parent chains. A declared 1-1 chain needs no aggregation at all:
     // each hop is a left broadcast join up the FK/edge chain (dimension
     // tables are small by construction — they sit ABOVE the root in the
@@ -150,7 +175,7 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
         // are small dims — they sit above the root), and ONE
         // groupBy(rootId) collects every prop's sorted set. Fan-out edges
         // (many_to_many hops) just multiply walk rows; collect_set dedups.
-        var walked = childFrame(m.root, chain.steps.head.label)
+        var walked = prune(childFrame(m.root, chain.steps.head.label))
         chain.steps.zipWithIndex.foreach { case (step, i) =>
           chain.steps.lift(i + 1).foreach { next =>
             walked = walked.join(
@@ -193,8 +218,8 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
             "out; declare sorted_by (or model it as aggregated/nested " +
             "props, or opt out via settings.bypass_multiplicity_check — " +
             "an arbitrary child row then survives per root)")
-      val top = childFrame(f.path, m.root,
-        boundProps(f.path, source.nodeDf(f.path), f.props))
+      val top = prune(childFrame(f.path, m.root,
+          boundProps(f.path, source.nodeDf(f.path), f.props)))
         .drop(idOf(f.path)).dropDuplicates(rootId)
       doc = doc.join(top, Seq(rootId), "left_outer")
     }
@@ -213,7 +238,7 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
         boundProps(label, source.nodeDf(label), f.props)) ++
         ads.flatMap(_.src).map(col))
         .groupBy(_.toString).map(_._2.head).toSeq
-      val cv = childFrame(label, m.root, extra)
+      val cv = prune(childFrame(label, m.root, extra))
       val aggCols = fls.zipWithIndex.map { case (f, i) =>
         val (sc, desc) = f.sortedBy.get
         val packed = struct(f.props.map(p => col(p.name)): _*)
@@ -240,7 +265,7 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
     aggsByPath.filter(_._1.length >= 2).foreach { case (path, defs) =>
       val leafLabel = path.last
       val leafExtra = defs.flatMap(_.src).distinct.map(col)
-      var walked = childFrame(path.head, m.root)
+      var walked = prune(childFrame(path.head, m.root))
       path.sliding(2).foreach { case Seq(p, c) =>
         val frame = childFrame(c, p, if (c == leafLabel) leafExtra else Nil)
         walked = walked.join(frame, Seq(idOf(p)), "inner")
@@ -257,7 +282,7 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
 
     // A5: nested documents (recursive arrays of structs)
     m.nestedProps.foreach { nd =>
-      val nested = buildNested(m.root, nd)
+      val nested = buildNested(m.root, nd, prune)
       doc = doc.join(nested, Seq(rootId), "left_outer")
     }
 
@@ -271,8 +296,13 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
   private def aggFnOf(d: AggregatedPropDef): String =
     if (d.fn == "count" && d.src.isEmpty) "countd" else d.fn
 
-  /** A5 recursion: leaf-first collect_list(struct(...)). */
-  private def buildNested(parentLabel: String, nd: NestedDef): DataFrame = {
+  /** A5 recursion: leaf-first collect_list(struct(...)). `prune` (root
+    * bloom, identity when off) applies once at the top level, right before
+    * the per-root nest shuffle — sub-levels are keyed by intermediate ids
+    * the root sketch cannot probe. */
+  private def buildNested(parentLabel: String, nd: NestedDef,
+                          prune: DataFrame => DataFrame = identity)
+      : DataFrame = {
     // walk multi-hop path: intermediate edges only, last label is the node
     val labels = parentLabel +: nd.path
     val nodeLabel = labels.last
@@ -299,7 +329,7 @@ final class Translator(schema: GraphSchema, source: GraphSource) {
     // intermediate hop ids stay out of the document
     val structCols = (nd.props.map(_.name) ++ nd.children.map(_.name))
       .map(col) :+ col(idOf(nodeLabel))
-    GraphOps.nest(joined, idOf(parentLabel), structCols, nd.name)
+    GraphOps.nest(prune(joined), idOf(parentLabel), structCols, nd.name)
   }
 
   private def translateCollector(m: IndexMapping): DataFrame = {

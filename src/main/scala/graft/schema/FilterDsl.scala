@@ -43,6 +43,15 @@ object FilterDsl {
       }
   }
 
+  /** Every prop a filter tree references — lets callers decide whether a
+    * filter is evaluable on a given projection (e.g. the Translator's
+    * root-only bloom-prune gate). */
+  def fields(node: FilterNode): Set[String] = node match {
+    case FilterAnd(cs)         => cs.flatMap(fields).toSet
+    case FilterOr(cs)          => cs.flatMap(fields).toSet
+    case FilterLeaf(_, p, _)   => Set(p)
+  }
+
   private def seqOf(v: Any): Seq[Any] = v match {
     case l: ju.List[_]  => l.asScala.toSeq
     case s: Seq[_]      => s

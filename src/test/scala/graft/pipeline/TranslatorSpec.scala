@@ -92,6 +92,37 @@ class TranslatorSpec extends SparkSpec {
     assert(s2.isNullAt(s2.fieldIndex("samples")))
   }
 
+  test("rootBloomPrune: identical documents with pruning on or off, and " +
+      "the walk frames carry the scan-stage bloom probe") {
+    val filtered = subjectMapping.copy(
+      filter = Some(FilterLeaf(">", "age", 30L))) // keeps s1, s2; drops s3
+    val plain = new Translator(schema, source).translate(filtered)
+    val pruned = new Translator(schema, source, rootBloomPrune = Some(2L))
+      .translate(filtered)
+    val key = (r: Row) => r.getString(r.fieldIndex("_subject_id"))
+    val a = plain.collect().sortBy(key).map(_.toString)
+    val b = pruned.collect().sortBy(key).map(_.toString)
+    assert(b === a)
+    assert(b.length === 2)
+    // analyzed plan: the optimizer folds the probe into these in-memory
+    // LocalRelations eagerly (parquet-backed sources keep it at the scan —
+    // BloomPruneSpec pins that shape)
+    val plan = pruned.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"))
+    assert(!plain.queryExecution.analyzed.toString.contains("might_contain"))
+  }
+
+  test("rootBloomPrune stays off when the filter references non-root " +
+      "columns (conservative gate)") {
+    val filtered = subjectMapping.copy(
+      filter = Some(FilterLeaf(">", "sample_count", 1L))) // an agg output
+    val pruned = new Translator(schema, source, rootBloomPrune = Some(2L))
+      .translate(filtered)
+    assert(!pruned.queryExecution.analyzed.toString.contains("might_contain"))
+    assert(pruned.collect().map(r =>
+      r.getString(r.fieldIndex("_subject_id"))).toSeq === Seq("s1"))
+  }
+
   test("collector: category leaves unioned with source_node + injected set") {
     val collectorMapping = IndexMapping(
       name = "files", docType = "files", root = "subject", kind = "collector",
