@@ -92,22 +92,31 @@ object RunEtl {
     val mapping = DictionaryLoader.resolveMapping(schema,
       MappingYaml.parse(mappingYaml))
     val client = new FsEsClient(java.nio.file.Paths.get(outDir))
-    val toRun = mapping.indices.filter { m =>
+    // each surviving index is published with a HIGH-WATER-MARK stamp: the
+    // newest source change the gate saw, not the publish wall time. A
+    // wall-time stamp has a masking race — a table changing DURING
+    // translate is older than the stamp, so the next run would skip it
+    // forever; stamping what the publish provably covered makes the next
+    // comparison exact. Without source-change info the stamp falls back to
+    // `nowMillis` (the gate then always runs, so nothing can be masked).
+    val toRun = mapping.indices.flatMap { m =>
       val sourceTx = perTableTxMillis match {
         case Some(byTable) => MappingDeps.latestTxMillis(
           MappingDeps.tables(schema, mapping, m), byTable)
         case None => latestSourceTxMillis
       }
-      EsControl.needsRun(sourceTx, client.timestamp(m.name), force)
+      if (EsControl.needsRun(sourceTx, client.timestamp(m.name), force))
+        Some(m -> sourceTx.getOrElse(nowMillis))
+      else None
     }
     if (toRun.isEmpty) return Map.empty
-    val needed = MappingDeps.producerClosure(mapping, toRun.map(_.name).toSet)
+    val needed = MappingDeps.producerClosure(mapping, toRun.map(_._1.name).toSet)
     val source = TubeGraphSource(spark, schema, dumpsDir)
     val docs = Translator.runAll(schema, source,
       mapping.copy(indices = mapping.indices.filter(i => needed(i.name))))
-    toRun.map { m =>
+    toRun.map { case (m, stamp) =>
       val (index, rows) = EsPublisher.publishCounted(
-        client, m.name, docs(m.name), m.docType, nowMillis)
+        client, m.name, docs(m.name), m.docType, stamp)
       m.name -> (index, rows)
     }.toMap
   }

@@ -132,6 +132,15 @@ class MappingDepsSpec extends SparkSpec {
     assert(client.indices().filterNot(_.endsWith("-array-config")).toSet ===
       Set("person_index_0", "person_index_1", "device_index_0"))
 
+    // high-water-mark stamping closes the translate-window race: a change
+    // landing DURING the previous run (source time 3000 < that run's wall
+    // time 4000, but > its gated high-water 2500) must still trigger
+    val third = graft.RunEtl.run(spark, schemaPath.toString,
+      mappingPath.toString, dumps, out, nowMillis = 5000L,
+      perTableTxMillis = Some(times0 + ("node_person" -> 3000L)))
+    assert(third.keySet === Set("person_index"))
+    assert(third("person_index")._1 === "person_index_2")
+
     // dumpTableTimes reads a real per-table signal from the layout
     val fromDisk = MappingDeps.dumpTableTimes(dumps)
     assert(fromDisk.keySet === Set("node_person", "node_study",
