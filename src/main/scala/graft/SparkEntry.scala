@@ -313,6 +313,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
     }),
 
+    // cross-document repeated spans (Lee et al. 2022): per doc, how many
+    // of its distinct 5-token windows appear in another document. Oracle
+    // mode = Md5Hasher (same cross-engine trick as dedup_minhash_lsh);
+    // prod default is xxhash64
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDupReport(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, hasher = Dedup.Md5Hasher)),
+
     // the canonical training-data cleaning pipeline, composed from the ops
     // above: quality gate → language gate → exact dedup → kept corpus
     "corpus_clean" -> ((s, dir) => {
@@ -984,6 +992,23 @@ object SparkEntry {
         "e AS (SELECT id_a AS a, id_b AS b FROM scored UNION SELECT id_b, id_a FROM scored), " +
         "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) " +
         "SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a"),
+
+    // distinct 5-token windows → md5-prefix 60-bit keys (sqlMd5Long, the
+    // Md5Hasher twin) → doc-frequency ≥ 2 = shared; per-doc counts from
+    // one left join, exactly like the engine's plan
+    "dedup_substring" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "w AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 3), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS ws FROM t), " +
+        s"ex AS (SELECT doc_id, ${sqlMd5Long("u")} AS h FROM " +
+        "(SELECT doc_id, unnest(ws) AS u FROM w)), " +
+        "shared AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2), " +
+        "hits AS (SELECT e.doc_id, count(*) AS n_shared FROM ex e JOIN shared s ON e.h = s.h GROUP BY e.doc_id) " +
+        "SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_win, " +
+        "CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared, " +
+        "round(CASE WHEN len(b.ws) > 0 THEN COALESCE(n_shared, 0)::DOUBLE / len(b.ws) ELSE 0.0 END, 6) AS shared_ratio " +
+        "FROM w b LEFT JOIN hits USING (doc_id)"),
 
     "dedup_embedding_lsh" -> rhpLshOracleSql,
 

@@ -346,4 +346,42 @@ object Dedup {
       .filter(col("hamming") <= hammingMax)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Substring-level duplication report — cross-document repeated spans
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": repeated ~50-token spans degrade LMs even when whole-doc
+    * dedup passes). For each doc: how many of its DISTINCT n-token windows
+    * appear in at least one OTHER document, and the shared fraction — the
+    * triage signal that decides span-removal or doc-dropping downstream.
+    *
+    * Scale shape mirrors `Sampling.contaminationReport`: windows hash to
+    * compact 64-bit keys (fixed width instead of n-token strings on the
+    * wire), the corpus is windowed ONCE and exploded ONCE
+    * (`explode_outer`, so short docs survive with zero windows), the
+    * shared-window set is one partial-agg'd groupBy (per-doc windows are
+    * distinct, so a window's count IS its doc frequency), and one per-doc
+    * aggregation counts windows and hits from the same rows. Hot
+    * boilerplate windows are join-key skew — AQE's skew split handles the
+    * join; nothing is quadratic. O(tokens · n) window build, two shuffles.
+    *
+    * `hasher`: `XxHasher` prod default; `Md5Hasher` makes the whole report
+    * recomputable in any SQL engine (the differential-oracle mode). */
+  def substringDupReport(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, hasher: Hasher = XxHasher): DataFrame = {
+    val ex = docs.select(col(idCol), explode_outer(
+        array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("_w"))
+      // preserve NULL for window-less docs: a bare hash of null would
+      // collapse to the seed constant and count as a real window
+      .withColumn("_h", when(col("_w").isNotNull, hasher(col("_w"))))
+      .drop("_w")
+    val shared = ex.filter(col("_h").isNotNull)
+      .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2)
+      .select(col("_h"), lit(1).as("_hit"))
+    ex.join(shared, Seq("_h"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(col("_h")).as("n_win"), count(col("_hit")).as("n_shared"))
+      .withColumn("shared_ratio", round(when(col("n_win") > 0,
+        col("n_shared").cast("double") / col("n_win")).otherwise(0.0), 6))
+  }
 }

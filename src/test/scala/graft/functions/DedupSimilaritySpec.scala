@@ -219,6 +219,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L, 5L)) // 2 dropped (dup of 1)
   }
 
+  test("substringDupReport: planted shared span is found, disjoint docs " +
+      "score zero, short docs get 0/0, hashers agree") {
+    val span = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"unique one lead-in $span tail text here"),
+      (2L, s"other start words $span different ending tokens"),
+      (3L, "completely disjoint content with no overlap at all whatsoever"),
+      (4L, "tiny doc")) // < n tokens: zero windows
+      .toDF("doc_id", "text")
+    def report(h: Dedup.Hasher) =
+      Dedup.substringDupReport(docs, "doc_id", "text", n = 5, hasher = h)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val r = report(Dedup.XxHasher)
+    // the 6-token span yields two distinct shared 5-token windows
+    assert(r(1L)._2 === 2L)
+    assert(r(2L)._2 === 2L)
+    assert(r(3L) === ((5L, 0L, 0.0))) // 9 tokens → 5 windows, none shared
+    assert(r(4L) === ((0L, 0L, 0.0))) // window-less doc survives as zeros
+    assert(r(1L)._3 === 2.0 / r(1L)._1)
+    assert(report(Dedup.Md5Hasher) === r) // oracle mode, same semantics
+  }
+
   test("simhashFingerprints (explode form) equals the per-row Column form") {
     val perRow = corpus.filter($"doc_id" <= 4)
       .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("sh64"))
