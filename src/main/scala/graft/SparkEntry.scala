@@ -321,6 +321,12 @@ object SparkEntry {
       Dedup.substringDupReport(t(s, dir, "documents"), "doc_id", "text",
         n = 5, hasher = Dedup.Md5Hasher)),
 
+    // the span-level FIX: remove cross-document repeated 5-token spans,
+    // keep the unique remainder (vs dropping whole docs)
+    "corpus_strip_spans" -> ((s, dir) =>
+      Dedup.stripSharedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, hasher = Dedup.Md5Hasher)),
+
     // the canonical training-data cleaning pipeline, composed from the ops
     // above: quality gate → language gate → exact dedup → kept corpus
     "corpus_clean" -> ((s, dir) => {
@@ -1009,6 +1015,27 @@ object SparkEntry {
         "CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared, " +
         "round(CASE WHEN len(b.ws) > 0 THEN COALESCE(n_shared, 0)::DOUBLE / len(b.ws) ELSE 0.0 END, 6) AS shared_ratio " +
         "FROM w b LEFT JOIN hits USING (doc_id)"),
+
+    // positioned windows → shared-window doc-frequency set → covered
+    // position sets (range(p, p+5), end-exclusive ≡ the engine's
+    // sequence(p, p+4)) → positional token filter, rejoined on ' '
+    "corpus_strip_spans" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "wins AS (SELECT doc_id, i - 1 AS p, " +
+        s"${sqlMd5Long("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]")} AS h " +
+        "FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)), " +
+        "shared AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins) GROUP BY h HAVING count(*) >= 2), " +
+        "cov AS (SELECT doc_id, list_distinct(flatten(list(range(p, p + 5)))) AS cv " +
+        "FROM wins JOIN shared USING (h) GROUP BY doc_id) " +
+        "SELECT t.doc_id, " +
+        // COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+        // array_join([]) is '' — fully-stripped docs must agree
+        "COALESCE(array_to_string(list_filter(list_transform(range(1, len(toks) + 1), " +
+        "j -> CASE WHEN list_contains(COALESCE(cv, []), j - 1) THEN NULL ELSE toks[j] END), " +
+        "x -> x IS NOT NULL), ' '), '') AS clean_text, " +
+        "CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(COALESCE(cv, [])) AS BIGINT) AS n_removed " +
+        "FROM t LEFT JOIN cov USING (doc_id)"),
 
     "dedup_embedding_lsh" -> rhpLshOracleSql,
 

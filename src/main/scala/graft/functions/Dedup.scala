@@ -384,4 +384,52 @@ object Dedup {
       .withColumn("shared_ratio", round(when(col("n_win") > 0,
         col("n_shared").cast("double") / col("n_win")).otherwise(0.0), 6))
   }
+
+  /** The fix that pairs with [[substringDupReport]]: REMOVE cross-document
+    * repeated spans from each document, keeping the rest (Lee et al. 2022
+    * dedups at span level for exactly this reason — dropping whole docs
+    * over one boilerplate paragraph wastes the unique remainder). A token
+    * is removed iff some n-token window covering it occurs in ≥ `minDf`
+    * documents; intra-doc repeats (window frequent in ONE doc only) are
+    * repetition, not duplication, and stay.
+    *
+    * Scale shape: windows keep their POSITION through the shared-set join
+    * (`posexplode` + the same doc-frequency groupBy as the report); each
+    * shared occurrence expands to its n covered positions, collected into
+    * one per-doc position set (state per doc ≤ its token count — the
+    * nested-docs bound); the kept text is a per-row array filter over
+    * (token, index) pairs. Two shuffles + the final per-doc set.
+    *
+    * Output: (idCol, clean_text, n_tokens, n_removed). */
+  def stripSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, hasher: Hasher = XxHasher,
+                       minDf: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val wins = toks.select(col(idCol),
+        posexplode(TextFunctions.tokenNgrams(col("_toks"), n))
+          .as(Seq("_p", "_w")))
+      .withColumn("_h", hasher(col("_w"))).drop("_w")
+    // doc frequency over per-doc-DISTINCT windows, as in the report
+    val shared = wins.select(col(idCol), col("_h")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_h"))
+    val covered = wins.join(shared, Seq("_h"))
+      .select(col(idCol),
+        sequence(col("_p"), col("_p") + lit(n - 1)).as("_span"))
+      .groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(col("_span")))).as("_cov"))
+    toks.join(covered, Seq(idCol), "left_outer")
+      .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
+      .withColumn("_kept", filter(
+        zip_with(col("_toks"), sequence(lit(0), size(col("_toks")) - 1),
+          (t, i) => struct(t.as("t"), i.as("i"))),
+        s => !array_contains(col("_cov"), s.getField("i"))))
+      .select(col(idCol),
+        array_join(transform(col("_kept"), _.getField("t")), " ")
+          .as("clean_text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(col("_cov")).cast("long").as("n_removed"))
+  }
 }

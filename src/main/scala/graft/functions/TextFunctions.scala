@@ -174,6 +174,13 @@ object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column =
     allShinglesOf(tokens(text), n, " ")
 
+  /** Same, over an already-materialized token array — for callers that
+    * need windows and tokens CONSISTENT (e.g. span stripping keys windows
+    * back to token positions) without re-tokenizing. Window i covers
+    * tokens [i, i+n) of the input array. */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    allShinglesOf(toks, n, " ")
+
   /** Overlapping fixed-size token windows — context-window chunking for
     * training: window i covers tokens [i*stride, i*stride + size), the
     * last window may run short, zero-token docs yield no chunks.

@@ -242,6 +242,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(report(Dedup.Md5Hasher) === r) // oracle mode, same semantics
   }
 
+  test("stripSharedSpans removes exactly the cross-document span; " +
+      "intra-doc repeats and unique text survive") {
+    val span = "alpha beta gamma delta epsilon"   // exactly n = 5 tokens
+    val docs = Seq(
+      (1L, s"unique lead $span tail words"),
+      (2L, s"$span other ending"),
+      // repeats a 5-gram WITHIN itself only — repetition, not duplication
+      (3L, "again and again and again and again and again and again"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val r = Dedup.stripSharedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(r(1L) === (("unique lead tail words", 9L, 5L)))
+    assert(r(2L) === (("other ending", 7L, 5L)))
+    assert(r(3L)._3 === 0L) // intra-doc repeats stay
+    assert(r(4L) === (("tiny", 1L, 0L))) // window-less doc unchanged
+  }
+
   test("simhashFingerprints (explode form) equals the per-row Column form") {
     val perRow = corpus.filter($"doc_id" <= 4)
       .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("sh64"))
