@@ -115,6 +115,51 @@ object Pq {
   private def cbLit(cb: Codebooks, s: Int): Column =
     typedLit(cb(s).map(_.toSeq).toSeq)
 
+  /** Deterministic pseudo-random orthogonal matrix (composed Givens
+    * rotations, angles/planes from a counter hash — no RNG state). The
+    * RR-PQ preprocessing step (cf. OPQ, Ge et al. CVPR'13: PQ error
+    * concentrates when variance is unevenly spread across subspaces; a
+    * rotation balances it; the random rotation is the train-free variant).
+    * Rotation preserves L2 exactly, so ADC distances computed in the
+    * rotated space ARE distances in the original space — rotate corpus
+    * and queries, change nothing else. */
+  def rotationMatrix(dim: Int, seed: Long = 0L): Array[Array[Double]] = {
+    val m = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var h = seed * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    def next(): Long = { // splitmix64-style counter hash
+      h += 0x9E3779B97F4A7C15L
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    for (_ <- 0 until dim * 4) {
+      val a = ((next() >>> 1) % dim).toInt
+      val bRaw = ((next() >>> 1) % (dim - 1)).toInt
+      val b = if (bRaw >= a) bRaw + 1 else bRaw
+      val theta = ((next() >>> 11).toDouble / (1L << 53).toDouble) * 2 * math.Pi
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      var k = 0
+      while (k < dim) { // left-multiply by G(a, b, theta): mixes rows a, b
+        val ra = m(a)(k); val rb = m(b)(k)
+        m(a)(k) = c * ra - s * rb
+        m(b)(k) = s * ra + c * rb
+        k += 1
+      }
+    }
+    m
+  }
+
+  /** Apply a rotation to an embedding column: one native codegen'd
+    * `graft_dot` per output dimension against the matrix rows as literals
+    * (the `rhpSignature` planes-as-literals pattern; requires the
+    * GraftExtensions session extension). */
+  def rotate(vec: Column, matrix: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    array(matrix.toSeq.map(row =>
+      call_function("graft_dot", v, typedLit(row.toSeq))): _*)
+  }
+
   /** Squared-L2 fold between a subvector column and one codeword column —
     * shared by encode and the ADC LUT so the arithmetic (sequential
     * left-fold in element order) is identical everywhere, including the
@@ -139,7 +184,7 @@ object Pq {
       val dists = transform(cbLit(cb, s), cw => dist2(col(s"__sub$s"), cw))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    df.select(df.columns.map(col) ++ subs: _*)
+    df.select(df.columns.toSeq.map(col) ++ subs: _*)
       .withColumn(as, array(codes: _*))
       .drop((0 until m).map(s => s"__sub$s"): _*)
   }
@@ -157,7 +202,7 @@ object Pq {
   def reconstructionMse(df: DataFrame, vecCol: String, codeCol: String,
                         cb: Codebooks): Double = {
     val diff = dist2(col(vecCol).cast("array<double>"), decode(col(codeCol), cb))
-    df.agg(avg(diff)).head.getDouble(0)
+    df.agg(avg(diff)).head().getDouble(0)
   }
 
   /** (queryId, __lut) — each query row's m×k LUT of squared subvector↔
@@ -172,7 +217,7 @@ object Pq {
     val lut = array((0 until m).map { s =>
       transform(cbLit(cb, s), cw => dist2(col(s"__qsub$s"), cw))
     }: _*)
-    queries.select(queries.columns.map(col) ++ qsubs: _*)
+    queries.select(queries.columns.toSeq.map(col) ++ qsubs: _*)
       .withColumn("__lut", lut)
       .select(col(queryId), col("__lut"))
   }

@@ -69,7 +69,7 @@ object TubeText {
         readCsv(spark, dir, 5).select(
           col("_c4").alias(idCol),
           from_json(col("_c3"), propsSchema).alias("_p"))
-          .select(col(idCol) +: propsSchema.fieldNames.map(f => col(s"_p.$f")): _*)
+          .select(col(idCol) +: propsSchema.fieldNames.toSeq.map(f => col(s"_p.$f")): _*)
       case ParquetDump =>
         val raw = spark.read.parquet(dir)
         val have = raw.columns.map(c => c.toLowerCase -> c).toMap

@@ -126,6 +126,38 @@ class PqSpec extends SparkSpec {
     assert(rr >= adc, s"rerank recall $rr < adc recall $adc")
   }
 
+  test("rotationMatrix is orthogonal and deterministic; rotate preserves " +
+      "pairwise L2, so rotated-space PQ search still works") {
+    val dim = 8
+    val m = Pq.rotationMatrix(dim, seed = 7)
+    assert(m.map(_.toSeq).toSeq === Pq.rotationMatrix(dim, seed = 7).map(_.toSeq).toSeq)
+    // M · Mᵀ ≈ I
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(k => m(i)(k) * m(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-12, s"($i,$j)=$dot")
+    }
+    // DataFrame-side distance preservation
+    val rotated = corpus.withColumn("rv", Pq.rotate($"nv", m))
+    val d2 = (a: String, b: String) => aggregate(
+      zip_with(col(a).cast("array<double>"), col(b).cast("array<double>"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    val pairs = rotated.select($"nid", $"nv", $"rv").limit(10)
+      .crossJoin(rotated.select($"nid".as("nid2"), $"nv".as("nv2"),
+        $"rv".as("rv2")).limit(10))
+      .select(d2("nv", "nv2").as("orig"), d2("rv", "rv2").as("rot"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (o, r) => assert(math.abs(o - r) < 1e-9) }
+    // end-to-end: ADC in rotated space with a lossless codebook matches
+    // the ORIGINAL-space exact L2 top-k (distances are identical)
+    val rq = queries.withColumn("qv", Pq.rotate($"qv", m))
+    val cb = Pq.anchorCodebooks(rotated.select($"nid", $"rv".as("nv")),
+      "nid", "nv", m = 4, k = 40)
+    val coded = Pq.withCodes(rotated.select($"nid", $"rv".as("nv")), "nv", cb)
+    val adc = resultSet(Pq.adcTopK(coded.select($"nid", $"codes"), "nid",
+      "codes", rq, "qid", "qv", cb, k = 5, salts = 1))
+    assert(adc === bruteL2TopK(5))
+  }
+
   test("loadCodebooks round-trips exactly") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq2").toString
     Pq.buildIndexPq(corpus, "nid", "nv", path, numCells = 2, m = 2, k = 5,
