@@ -260,6 +260,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r(4L) === (("tiny", 1L, 0L))) // window-less doc unchanged
   }
 
+  test("substring report and span stripping plan as equi-joins on the " +
+      "window key — no nested-loop join, no per-corpus window sort") {
+    val docs = (0L until 30L).map(i =>
+      (i, s"shared prefix words here plus token$i tail piece end"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(
+        Dedup.substringDupReport(docs, "doc_id", "text", n = 5),
+        Dedup.stripSharedSpans(docs, "doc_id", "text", n = 5))) {
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("Window")) // no windowed count over the corpus
+    }
+  }
+
   test("simhashFingerprints (explode form) equals the per-row Column form") {
     val perRow = corpus.filter($"doc_id" <= 4)
       .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("sh64"))

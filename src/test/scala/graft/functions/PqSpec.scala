@@ -158,6 +158,22 @@ class PqSpec extends SparkSpec {
     assert(adc === bruteL2TopK(5))
   }
 
+  test("IVF-PQ serving partition-prunes the cells read dynamically: only " +
+      "probed cell directories are scanned") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpqdpp").toString
+    Pq.buildIndexPq(corpus, "nid", "nv", path, numCells = 2, m = 4, k = 8,
+      iters = 2)
+    val res = Pq.topKIndexedPq(spark, path, "nid",
+      corpus.filter($"nid" === 0L).select($"nid".as("qid"), $"nv".as("qv")),
+      "qid", "qv", k = 3, nprobe = 1, salts = 1)
+    val plan = res.queryExecution.executedPlan.toString
+    // the cells FileScan carries a dynamic-pruning partition filter fed by
+    // the probe subquery — the 100 TB claim "a query batch reads only its
+    // probed cells" is a plan property, not documentation
+    assert(plan.contains("dynamicpruningexpression"), plan.take(2000))
+    assert(res.collect().length === 3)
+  }
+
   test("loadCodebooks round-trips exactly") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq2").toString
     Pq.buildIndexPq(corpus, "nid", "nv", path, numCells = 2, m = 2, k = 5,
