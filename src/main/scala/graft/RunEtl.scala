@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{MappingDeps, Translator}
+import graft.pipeline.{MappingDeps, MappingValidator, Translator}
 import graft.schema.{DictionaryLoader, MappingYaml}
 import graft.sinks.{EsControl, EsPublisher, FsEsClient}
 import graft.sources.TubeGraphSource
@@ -35,10 +35,16 @@ object RunEtl {
       case a if a.startsWith("--source-tx-millis=") =>
         a.stripPrefix("--source-tx-millis=").toLong
     }
+    // opt-in walk pruning for selective root filters (Translator doc):
+    // N = the operator's estimate of roots surviving a filtered index
+    val bloomRoots = args.collectFirst {
+      case a if a.startsWith("--bloom-prune-roots=") =>
+        a.stripPrefix("--bloom-prune-roots=").toLong
+    }
     val positional = args.filterNot(_.startsWith("--"))
     require(positional.length >= 4,
       "usage: RunEtl <schema.json> <etlMapping.yaml> <dumpsDir> <outDir> " +
-        "[--force] [--source-tx-millis=N] [--cdc]")
+        "[--force] [--source-tx-millis=N] [--cdc] [--bloom-prune-roots=N]")
     val Array(schemaPath, mappingPath, dumpsDir, outDir) = positional.take(4)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -51,10 +57,20 @@ object RunEtl {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // the config signal (dictionary + mapping mtimes) rides the table
+      // map under the reserved key, so a config change re-runs EVERY
+      // index — which also closes the "deleted dump dir leaves no mtime
+      // signal" hole, since dropping/reshaping a table ships with a
+      // config change in any sane deployment. Residual caveat: deleting
+      // a table dump WITHOUT touching config needs --force.
+      val cdcSignal =
+        if (!cdc) None
+        else Some(MappingDeps.dumpTableTimes(dumpsDir) +
+          (MappingDeps.ConfigKey -> Seq(schemaPath, mappingPath)
+            .map(p => new java.io.File(p).lastModified()).max))
       val published = run(spark, schemaPath, mappingPath, dumpsDir, outDir,
         latestSourceTxMillis = sourceTx, force = force,
-        perTableTxMillis =
-          if (cdc) Some(MappingDeps.dumpTableTimes(dumpsDir)) else None)
+        perTableTxMillis = cdcSignal, rootBloomPrune = bloomRoots)
       if (published.isEmpty)
         println("up to date — nothing published (use --force to override)")
       published.foreach { case (alias, (index, rows)) =>
@@ -83,7 +99,8 @@ object RunEtl {
           nowMillis: Long = System.currentTimeMillis(),
           latestSourceTxMillis: Option[Long] = None,
           force: Boolean = false,
-          perTableTxMillis: Option[Map[String, Long]] = None)
+          perTableTxMillis: Option[Map[String, Long]] = None,
+          rootBloomPrune: Option[Long] = None)
       : Map[String, (String, Long)] = {
     val schema = DictionaryLoader.loadFile(schemaPath)
     val mappingYaml = new String(
@@ -91,6 +108,13 @@ object RunEtl {
       "UTF-8")
     val mapping = DictionaryLoader.resolveMapping(schema,
       MappingYaml.parse(mappingYaml))
+    // validate the WHOLE mapping every run, even under CDC gating —
+    // otherwise an error in a gated-out index stays latent until its
+    // tables finally change, surfacing mid-incremental-publish
+    val problems = MappingValidator.validate(schema, mapping)
+    if (problems.nonEmpty)
+      throw new IllegalArgumentException(
+        "invalid mapping:\n  " + problems.mkString("\n  "))
     val client = new FsEsClient(java.nio.file.Paths.get(outDir))
     // each surviving index is published with a HIGH-WATER-MARK stamp: the
     // newest source change the gate saw, not the publish wall time. A
@@ -113,7 +137,8 @@ object RunEtl {
     val needed = MappingDeps.producerClosure(mapping, toRun.map(_._1.name).toSet)
     val source = TubeGraphSource(spark, schema, dumpsDir)
     val docs = Translator.runAll(schema, source,
-      mapping.copy(indices = mapping.indices.filter(i => needed(i.name))))
+      mapping.copy(indices = mapping.indices.filter(i => needed(i.name))),
+      rootBloomPrune)
     toRun.map { case (m, stamp) =>
       val (index, rows) = EsPublisher.publishCounted(
         client, m.name, docs(m.name), m.docType, stamp)

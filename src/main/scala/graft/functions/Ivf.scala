@@ -26,13 +26,29 @@ object Ivf {
 
   private def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
 
-  /** Assign each row its nearest centroid id by cosine (centroid set is
-    * broadcast — K is small by construction). */
+  /** Per-row centroid score under `metric`: cosine similarity, or the L2
+    * argmin rewritten as an argmax — `2·v·c − |c|²` (|v|² is constant per
+    * row, so it cannot change the argmin; this reuses the dot + cnorm
+    * columns and never materializes per-pair differences). Both stages of
+    * a search must share ONE metric: probing cosine-nearest cells for an
+    * L2-scored candidate set (or vice versa) silently loses recall on
+    * non-normalized corpora. */
+  private def centroidScore(vecCol: String, normCol: String,
+                            metric: String): Column = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    if (metric == "l2")
+      lit(2.0) * dot(col(vecCol), col("cvec")) - col("cnorm") * col("cnorm")
+    else
+      dot(col(vecCol), col("cvec")) / (col(normCol) * col("cnorm"))
+  }
+
+  /** Assign each row its nearest centroid id (centroid set is broadcast —
+    * K is small by construction). */
   private[functions] def assign(vecs: DataFrame, idCol: String, vecCol: String,
-                                normCol: String, centroids: DataFrame): DataFrame = {
+                                normCol: String, centroids: DataFrame,
+                                metric: String = "cosine"): DataFrame = {
     val scored = vecs.join(broadcast(centroids))
-      .withColumn("_sim",
-        dot(col(vecCol), col("cvec")) / (col(normCol) * col("cnorm")))
+      .withColumn("_sim", centroidScore(vecCol, normCol, metric))
     scored.groupBy(col(idCol))
       .agg(max_by(col("cid"), struct(col("_sim"), -col("cid"))).as("cell"))
   }
@@ -48,23 +64,18 @@ object Ivf {
     * the seed vectors' ids; empty cells drop, so ≤ k cells may return. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 2,
-            samplePct: Int = 100, sampleCap: Int = 100000): DataFrame = {
+            samplePct: Int = 100, sampleCap: Int = 100000,
+            metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    val useL2 = metric == "l2"
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    // the cap is a TakeOrdered by (stable hash, id), NOT by raw id: ids
-    // usually correlate with content (time-ordered corpora), so an
-    // id-ordered cap would train the quantizer on only the earliest data.
-    // Hash order keeps the capped subset deterministic AND spread across
-    // the corpus; set samplePct so the sample — not the cap — does the
-    // real downsizing at scale (SCALE.md).
-    val sampled =
-      (if (samplePct >= 100) base
-       else base.filter(Sampling.stableBucket(col("id")) < samplePct))
-        .orderBy(Sampling.stableBucket(col("id"), 1 << 30), col("id"))
-        .limit(sampleCap)
-    val rows = sampled.collect()
+    // set samplePct so the sample — not the cap — does the real
+    // downsizing at scale (SCALE.md); policy shared via stableCappedSample
+    val rows = Sampling.stableCappedSample(base, col("id"), samplePct, sampleCap)
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1) // seed selection stays "k lowest sampled ids"
     require(rows.nonEmpty, "Ivf.train: empty corpus sample")
@@ -81,14 +92,15 @@ object Ivf {
       val sums = scala.collection.mutable.LinkedHashMap[Long, (Array[Double], Long)]()
       rows.indices.foreach { ri =>
         val v = rows(ri)._2; val vn = rowNorms(ri)
-        // argmax cosine; ties → lowest cid (same order as the distributed
-        // assign's max_by(cid, struct(sim, -cid))); zero vectors go to the
-        // first centroid
+        // argmax of the SAME score formula the distributed assign computes
+        // (bit-consistent folds, so sample-trained cells equal distributed
+        // assignment); ties → lowest cid (max_by(cid, struct(sim, -cid)));
+        // zero vectors under cosine go to the first centroid
         var bestC = cn.head._1; var bestS = Double.NegativeInfinity
-        if (vn > 0) cn.foreach { case (cid, cv, cvn) =>
+        if (useL2 || vn > 0) cn.foreach { case (cid, cv, cvn) =>
           var dp = 0.0; var i = 0
           while (i < dim) { dp += v(i) * cv(i); i += 1 }
-          val s = dp / (vn * cvn)
+          val s = if (useL2) 2.0 * dp - cvn * cvn else dp / (vn * cvn)
           if (s > bestS) { bestS = s; bestC = cid }
         }
         val (acc, n) = sums.getOrElseUpdate(bestC, (new Array[Double](dim), 0L))
@@ -106,11 +118,11 @@ object Ivf {
 
   /** Quantized corpus: one row per vector with its cell id and norm. */
   private[functions] def index(corpus: DataFrame, corpusId: String,
-                               corpusVec: String,
-                               centroids: DataFrame): DataFrame = {
+                               corpusVec: String, centroids: DataFrame,
+                               metric: String = "cosine"): DataFrame = {
     val cvecs = withNorm(corpus.select(col(corpusId), col(corpusVec)),
       corpusVec, "_cn")
-    assign(cvecs, corpusId, corpusVec, "_cn", centroids)
+    assign(cvecs, corpusId, corpusVec, "_cn", centroids, metric)
       .join(cvecs, Seq(corpusId))
   }
 
@@ -120,11 +132,12 @@ object Ivf {
     * path ([[Pq.topKIndexedPq]]). */
   private[functions] def probeCells(queries: DataFrame, queryId: String,
                                     queryVec: String, centroids: DataFrame,
-                                    nprobe: Int): DataFrame = {
+                                    nprobe: Int,
+                                    metric: String = "cosine"): DataFrame = {
     val qvecs = withNorm(queries.select(col(queryId), col(queryVec)),
       queryVec, "_qn")
     qvecs.join(broadcast(centroids))
-      .withColumn("_sim", dot(col(queryVec), col("cvec")) / (col("_qn") * col("cnorm")))
+      .withColumn("_sim", centroidScore(queryVec, "_qn", metric))
       .withColumn("_pr", row_number().over(
         Window.partitionBy(col(queryId))
           .orderBy(col("_sim").desc, col("cid").asc)))

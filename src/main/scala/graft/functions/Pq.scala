@@ -60,12 +60,8 @@ object Pq {
                      samplePct: Int = 100, sampleCap: Int = 100000): Codebooks = {
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val sampled =
-      (if (samplePct >= 100) base
-       else base.filter(Sampling.stableBucket(col("id")) < samplePct))
-        .orderBy(Sampling.stableBucket(col("id"), 1 << 30), col("id"))
-        .limit(sampleCap)
-    val rows = sampled.collect().map(_.getSeq[Double](1).toArray)
+    val rows = Sampling.stableCappedSample(base, col("id"), samplePct, sampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
     require(rows.length >= k,
       s"Pq.trainCodebooks: sample has ${rows.length} rows < k=$k codewords")
     val dim = rows.head.length
@@ -124,6 +120,7 @@ object Pq {
     * rotated space ARE distances in the original space — rotate corpus
     * and queries, change nothing else. */
   def rotationMatrix(dim: Int, seed: Long = 0L): Array[Array[Double]] = {
+    require(dim >= 2, s"rotationMatrix needs dim >= 2, got $dim")
     val m = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     var h = seed * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
     def next(): Long = { // splitmix64-style counter hash
@@ -283,15 +280,23 @@ object Pq {
     * 100 TB the cells directory is ~m bytes/vector instead of 4·d, and a
     * query batch reads only its probed cells (partition pruning), scoring
     * them by ADC. Codebooks and coarse centroids persist beside the cells
-    * so serving never re-trains. */
+    * so serving never re-trains.
+    *
+    * Both stages optimize L2 — the coarse quantizer trains, assigns, and
+    * is probed under `metric = "l2"` because ADC ranks by squared L2
+    * (FAISS does the same); a cosine coarse stage over an L2-scored
+    * candidate set would probe the wrong cells on non-normalized corpora.
+    * `coarseIters` controls the coarse Lloyd rounds; `iters` the
+    * per-subspace codebook rounds. */
   def buildIndexPq(corpus: DataFrame, corpusId: String, corpusVec: String,
                    path: String, numCells: Int, m: Int, k: Int,
                    iters: Int = 5, samplePct: Int = 100,
-                   sampleCap: Int = 100000): Unit = {
+                   sampleCap: Int = 100000, coarseIters: Int = 2): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = Ivf.train(corpus, corpusId, corpusVec, numCells,
-      samplePct = samplePct, sampleCap = sampleCap)
+      iters = coarseIters, samplePct = samplePct, sampleCap = sampleCap,
+      metric = "l2")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val cb = trainCodebooks(corpus, corpusId, corpusVec, m, k, iters,
       samplePct, sampleCap)
@@ -299,7 +304,7 @@ object Pq {
       cws.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
     }.toSeq.toDF("m", "j", "cw")
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    withCodes(Ivf.index(corpus, corpusId, corpusVec, centroids),
+    withCodes(Ivf.index(corpus, corpusId, corpusVec, centroids, metric = "l2"),
         corpusVec, cb)
       .select(col(corpusId), col("cell"), col("codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -323,7 +328,8 @@ object Pq {
     val cb = loadCodebooks(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")
-    val probes = Ivf.probeCells(queries, queryId, queryVec, centroids, nprobe)
+    val probes = Ivf.probeCells(queries, queryId, queryVec, centroids, nprobe,
+        metric = "l2") // match the index's L2 coarse stage (see buildIndexPq)
       .select(col(queryId), col("cell"))
     val scored = cells
       .join(broadcast(probes), Seq("cell"))

@@ -27,6 +27,19 @@ object Sampling {
   def stableSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(stableBucket(key) < pct)
 
+  /** Driver-bound stable sample: `samplePct` filter by md5 bucket (pushes
+    * into the scan), then the first `sampleCap` rows in (stable-hash, key)
+    * order — a cap by raw key would sample only the earliest data of a
+    * time-ordered corpus; hash order keeps the capped subset deterministic
+    * AND spread. The ONE sampling policy behind every driver-local trainer
+    * (`Ivf.train`, `Pq.trainCodebooks`) — and the order the SQL oracles
+    * mirror, so keep the two in lockstep. */
+  def stableCappedSample(df: DataFrame, key: Column, samplePct: Int,
+                         sampleCap: Int): DataFrame =
+    (if (samplePct >= 100) df else df.filter(stableBucket(key) < samplePct))
+      .orderBy(stableBucket(key, 1 << 30), key)
+      .limit(sampleCap)
+
   /** Train/val/test assignment by stable bucket: [0,train) → "train",
     * [train, train+val) → "val", rest → "test". */
   def splitLabel(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {

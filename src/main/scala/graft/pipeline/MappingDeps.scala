@@ -56,14 +56,23 @@ object MappingDeps {
     nodeTables ++ edgeTables.toSet
   }
 
+  /** Reserved signal-map key for "the configuration itself changed"
+    * (dictionary / mapping files): its time participates in EVERY index's
+    * gate, because a config change can alter any index's output — and
+    * because table deletions/reshapes, which leave no per-table mtime
+    * signal, ship with a config change in any sane deployment. Callers
+    * populate it in THEIR time domain (file mtimes, CDC feed times). */
+  val ConfigKey = "__config__"
+
   /** Latest change time over an index's tables, from a per-table signal
-    * map. `None` when NO dependency table has a signal — the gate treats
-    * that as "run" (safe: absence of evidence is not evidence of
-    * freshness). Tables missing from the map individually are fine — a
-    * never-dumped (empty) table cannot have changed. */
+    * map (plus [[ConfigKey]] when present). `None` when NO dependency
+    * table has a signal — the gate treats that as "run" (safe: absence of
+    * evidence is not evidence of freshness). Tables missing from the map
+    * individually are fine — a never-dumped (empty) table cannot have
+    * changed. */
   def latestTxMillis(tables: Set[String],
                      perTable: Map[String, Long]): Option[Long] = {
-    val hits = tables.flatMap(perTable.get)
+    val hits = tables.flatMap(perTable.get) ++ perTable.get(ConfigKey)
     if (hits.isEmpty) None else Some(hits.max)
   }
 

@@ -508,14 +508,19 @@ object Translator {
 
   /** Phase 1+2 driver: run all indices, then resolve `joining_props` in
     * topological order (producer indices first — reference
-    * interpreter.py:34-62). Persist only frames consumed by another index. */
+    * interpreter.py:34-62). Persist only frames consumed by another index.
+    * `rootBloomPrune` passes through to every per-index [[Translator]]
+    * (see the class doc — opt-in walk pruning for selective root
+    * filters). */
   def runAll(schema: GraphSchema, source: GraphSource,
-             mapping: EtlMapping): Map[String, DataFrame] = {
+             mapping: EtlMapping,
+             rootBloomPrune: Option[Long] = None): Map[String, DataFrame] = {
     val problems = MappingValidator.validate(schema, mapping)
     if (problems.nonEmpty)
       throw new IllegalArgumentException(
         "invalid mapping:\n  " + problems.mkString("\n  "))
-    val t = new Translator(schema, sharedRootSource(source, mapping))
+    val t = new Translator(schema, sharedRootSource(source, mapping),
+      rootBloomPrune)
     val base: Map[String, DataFrame] =
       mapping.indices.map(m => m.name -> t.translate(m)).toMap
     val consumed = mapping.indices.flatMap(_.joiningProps.map(_.otherIndex)).toSet

@@ -174,6 +174,32 @@ class PqSpec extends SparkSpec {
     assert(res.collect().length === 3)
   }
 
+  test("L2 coarse metric separates magnitude-only clusters that cosine " +
+      "cells cannot distinguish — both IVF-PQ stages share one metric") {
+    // every vector points the SAME direction; clusters differ in magnitude
+    val mag = (0L until 20L).map { i =>
+      val scale = if (i % 2 == 0) 10.0f else 0.1f
+      (i, Array.tabulate(8)(d => scale * (1.0f + 0.01f * ((i + d) % 3))))
+    }.toDF("nid", "nv")
+    val cents = Ivf.train(mag, "nid", "nv", k = 2, iters = 3, metric = "l2")
+    val vecs = mag.withColumn("_n", sqrt(Similarity.dot($"nv", $"nv")))
+    val cells = Ivf.assign(vecs, "nid", "nv", "_n", cents, metric = "l2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val big = (0L until 20L by 2).map(cells).toSet
+    val small = (1L until 20L by 2).map(cells).toSet
+    assert(big.size === 1 && small.size === 1 && big != small)
+    // ADC ranks by L2, so probing L2 cells finds the magnitude-matched
+    // neighbors; a cosine coarse stage would mix the two clusters
+    val path = java.nio.file.Files.createTempDirectory("ivfpql2").toString
+    Pq.buildIndexPq(mag, "nid", "nv", path, numCells = 2, m = 4, k = 20,
+      iters = 0)
+    val got = Pq.topKIndexedPq(spark, path, "nid",
+      mag.filter($"nid" === 0L).select($"nid".as("qid"), $"nv".as("qv")),
+      "qid", "qv", k = 5, nprobe = 1, salts = 1)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(got.forall(_ % 2 == 0), got.mkString(",")) // same-magnitude cell
+  }
+
   test("loadCodebooks round-trips exactly") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq2").toString
     Pq.buildIndexPq(corpus, "nid", "nv", path, numCells = 2, m = 2, k = 5,

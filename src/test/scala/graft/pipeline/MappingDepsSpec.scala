@@ -81,11 +81,16 @@ class MappingDepsSpec extends SparkSpec {
       Set("device_index"))
   }
 
-  test("latestTxMillis: max over matching tables; None when nothing matches") {
+  test("latestTxMillis: max over matching tables; None when nothing matches; " +
+      "the reserved config key reaches every index") {
     val times = Map("node_person" -> 5L, "node_study" -> 9L, "other" -> 99L)
     assert(MappingDeps.latestTxMillis(
       Set("node_person", "node_study", "edge_x"), times) === Some(9L))
     assert(MappingDeps.latestTxMillis(Set("edge_x"), times) === None)
+    val withCfg = times + (MappingDeps.ConfigKey -> 50L)
+    assert(MappingDeps.latestTxMillis(
+      Set("node_person", "node_study"), withCfg) === Some(50L))
+    assert(MappingDeps.latestTxMillis(Set("edge_x"), withCfg) === Some(50L))
   }
 
   test("CDC end-to-end: a change in one subgraph re-publishes only the " +
@@ -140,6 +145,15 @@ class MappingDepsSpec extends SparkSpec {
       perTableTxMillis = Some(times0 + ("node_person" -> 3000L)))
     assert(third.keySet === Set("person_index"))
     assert(third("person_index")._1 === "person_index_2")
+
+    // a config change (reserved key) re-publishes EVERY index — the
+    // escape hatch for changes that leave no per-table signal (dropped
+    // tables, reshaped mappings)
+    val fourth = graft.RunEtl.run(spark, schemaPath.toString,
+      mappingPath.toString, dumps, out, nowMillis = 6000L,
+      perTableTxMillis = Some(times0 + ("node_person" -> 3000L) +
+        (MappingDeps.ConfigKey -> 3500L)))
+    assert(fourth.keySet === Set("person_index", "device_index"))
 
     // dumpTableTimes reads a real per-table signal from the layout
     val fromDisk = MappingDeps.dumpTableTimes(dumps)
