@@ -60,6 +60,22 @@ object SparkEntry {
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
+  /** DuckDB twin of `TextFunctions.langId` — shared by `text_langid` and
+    * the stratified-sampling oracle. */
+  private def langIdOracleSql: String =
+    s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      "s AS (SELECT doc_id, " +
+      "len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS s_de, " +
+      "len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS s_en, " +
+      "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un','una','por'], x))) AS s_es, " +
+      "len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','dans','que'], x))) AS s_fr, " +
+      "len(list_filter(toks, x -> list_contains(['的','了','是','我','不','在','有','他','这','就'], x))) AS s_zh " +
+      "FROM t) " +
+      "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_de = m THEN 'de' " +
+      "WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' " +
+      "ELSE 'zh' END AS lang_guess " +
+      "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)"
+
   /** DuckDB twin of Dedup.Md5Hasher.md5Long: 60-bit long from the md5 hex
     * prefix — (hex[1,7] << 32) | hex[9,16]; every intermediate < 2^60 so
     * BIGINT can't overflow. */
@@ -537,6 +553,16 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_guess"))),
+
+    // data-mixture sampler: per-language keep rates (en 80% / de 50% /
+    // others 20%), membership a pure function of (doc_id, stratum rate) —
+    // one scan-stage predicate, no shuffle, no strata counting
+    "corpus_stratified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang"))
+      Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+        Map("en" -> 80, "de" -> 50), defaultPct = 20)
+    }),
 
     "text_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1195,19 +1221,15 @@ object SparkEntry {
         "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio_en " +
         "FROM t"),
 
-    "text_langid" ->
-      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
-        "s AS (SELECT doc_id, " +
-        "len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS s_de, " +
-        "len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS s_en, " +
-        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un','una','por'], x))) AS s_es, " +
-        "len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','dans','que'], x))) AS s_fr, " +
-        "len(list_filter(toks, x -> list_contains(['的','了','是','我','不','在','有','他','这','就'], x))) AS s_zh " +
-        "FROM t) " +
-        "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_de = m THEN 'de' " +
-        "WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' " +
-        "ELSE 'zh' END AS lang_guess " +
-        "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)"),
+    "text_langid" -> langIdOracleSql,
+
+    // stratified by detected language at per-stratum rates (en 80 / de 50
+    // / default 20): the data-mixture sampler over the langid stratum
+    "corpus_stratified" ->
+      (s"WITH l AS ($langIdOracleSql) " +
+        "SELECT doc_id, lang_guess AS lang FROM l " +
+        "WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < " +
+        "CASE lang_guess WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 20 END"),
 
     "text_redact" ->
       (s"SELECT doc_id, ${TextFunctions.redactPiiSql} AS redacted " +

@@ -40,6 +40,29 @@ object Sampling {
       .orderBy(stableBucket(key, 1 << 30), key)
       .limit(sampleCap)
 
+  /** Stratified deterministic sampling — the data-mixture knob: keep
+    * `pctByStratum(stratum)`% of each stratum's rows (`defaultPct` for
+    * strata not in the map), membership decided by the SAME stable bucket
+    * as every other sampling op, so a doc's fate is a pure function of
+    * (key, its stratum's rate): reproducible, engine-recomputable, and
+    * monotone — raising a rate only ADDS docs, never swaps them (the
+    * property that makes mixture ablations comparable run-to-run).
+    * One per-row codegen'd predicate on the scan: no shuffle, no
+    * per-stratum pass, strata counts never collected. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       pctByStratum: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    val rate =
+      if (pctByStratum.isEmpty) lit(defaultPct)
+      else coalesce(
+        element_at(
+          map(pctByStratum.toSeq.sortBy(_._1).flatMap {
+            case (s, p) => Seq(lit(s), lit(p))
+          }: _*), stratum),
+        lit(defaultPct))
+    df.filter(stableBucket(key) < rate)
+  }
+
   /** Train/val/test assignment by stable bucket: [0,train) → "train",
     * [train, train+val) → "val", rest → "test". */
   def splitLabel(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {

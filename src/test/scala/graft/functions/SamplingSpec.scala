@@ -136,6 +136,26 @@ class SamplingSpec extends SparkSpec {
     assert(generates.length === 2)
   }
 
+  test("stratifiedSample: per-stratum rates, default rate, and monotone " +
+      "membership (raising a rate only adds rows)") {
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "other")).toDF("id", "lang")
+    def kept(rates: Map[String, Int], dflt: Int): Set[Long] =
+      Sampling.stratifiedSample(docs, $"id", $"lang", rates, dflt)
+        .select("id").as[Long].collect().toSet
+    val a = kept(Map("en" -> 80), 20)
+    // rates land near the declared percentages per stratum
+    val en = a.count(_ % 2 == 0).toDouble / 200
+    val ot = a.count(_ % 2 == 1).toDouble / 200
+    assert(en > 0.7 && en < 0.9, s"en rate $en")
+    assert(ot > 0.1 && ot < 0.3, s"other rate $ot")
+    // monotone: raising any rate yields a superset, never a reshuffle
+    val b = kept(Map("en" -> 95), 60)
+    assert(a.subsetOf(b))
+    // same bucket rule as stableSample: stratum at 100 keeps everything
+    assert(kept(Map("en" -> 100), 100).size === 400)
+  }
+
   test("repetitionProfile: looping text scores high, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),        // one gram repeated
