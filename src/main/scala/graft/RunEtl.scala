@@ -58,11 +58,10 @@ object RunEtl {
     spark.sparkContext.setLogLevel("WARN")
     try {
       // the config signal (dictionary + mapping mtimes) rides the table
-      // map under the reserved key, so a config change re-runs EVERY
-      // index — which also closes the "deleted dump dir leaves no mtime
-      // signal" hole, since dropping/reshaping a table ships with a
-      // config change in any sane deployment. Residual caveat: deleting
-      // a table dump WITHOUT touching config needs --force.
+      // map under the reserved key: a config change re-runs every index
+      // that still has table signals, and an index whose dump dirs all
+      // vanished falls back to always-run (MappingDeps.latestTxMillis —
+      // the config time never substitutes for a missing table signal)
       val cdcSignal =
         if (!cdc) None
         else Some(MappingDeps.dumpTableTimes(dumpsDir) +
@@ -111,10 +110,7 @@ object RunEtl {
     // validate the WHOLE mapping every run, even under CDC gating —
     // otherwise an error in a gated-out index stays latent until its
     // tables finally change, surfacing mid-incremental-publish
-    val problems = MappingValidator.validate(schema, mapping)
-    if (problems.nonEmpty)
-      throw new IllegalArgumentException(
-        "invalid mapping:\n  " + problems.mkString("\n  "))
+    MappingValidator.validateOrThrow(schema, mapping)
     val client = new FsEsClient(java.nio.file.Paths.get(outDir))
     // each surviving index is published with a HIGH-WATER-MARK stamp: the
     // newest source change the gate saw, not the publish wall time. A

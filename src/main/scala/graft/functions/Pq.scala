@@ -298,6 +298,12 @@ object Pq {
       iters = coarseIters, samplePct = samplePct, sampleCap = sampleCap,
       metric = "l2")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // the layout is self-describing: serving reads the metric back rather
+    // than assuming it, so an index built under one metric can never be
+    // silently probed under another (the cross-metric recall bug)
+    Seq(("metric", "l2"), ("m", m.toString), ("k", k.toString),
+        ("numCells", numCells.toString))
+      .toDF("key", "value").write.mode("overwrite").parquet(s"$path/meta")
     val cb = trainCodebooks(corpus, corpusId, corpusVec, m, k, iters,
       samplePct, sampleCap)
     cb.zipWithIndex.flatMap { case (cws, s) =>
@@ -328,8 +334,12 @@ object Pq {
     val cb = loadCodebooks(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")
+    // probe under the metric the index was BUILT with (persisted marker)
+    val metric = spark.read.parquet(s"$path/meta")
+      .filter(col("key") === "metric").select("value")
+      .as[String](org.apache.spark.sql.Encoders.STRING).head()
     val probes = Ivf.probeCells(queries, queryId, queryVec, centroids, nprobe,
-        metric = "l2") // match the index's L2 coarse stage (see buildIndexPq)
+        metric)
       .select(col(queryId), col("cell"))
     val scored = cells
       .join(broadcast(probes), Seq("cell"))

@@ -57,23 +57,27 @@ object MappingDeps {
   }
 
   /** Reserved signal-map key for "the configuration itself changed"
-    * (dictionary / mapping files): its time participates in EVERY index's
-    * gate, because a config change can alter any index's output — and
-    * because table deletions/reshapes, which leave no per-table mtime
-    * signal, ship with a config change in any sane deployment. Callers
-    * populate it in THEIR time domain (file mtimes, CDC feed times). */
+    * (dictionary / mapping files): its time participates in every index's
+    * gate that has at least one real table signal, because a config change
+    * can alter any index's output. Callers populate it in THEIR time
+    * domain (file mtimes, CDC feed times). An index with NO table signal
+    * at all stays on the always-run path regardless — see
+    * [[latestTxMillis]]. */
   val ConfigKey = "__config__"
 
   /** Latest change time over an index's tables, from a per-table signal
-    * map (plus [[ConfigKey]] when present). `None` when NO dependency
-    * table has a signal — the gate treats that as "run" (safe: absence of
-    * evidence is not evidence of freshness). Tables missing from the map
-    * individually are fine — a never-dumped (empty) table cannot have
-    * changed. */
+    * map. `None` when NO dependency table has a signal — the gate treats
+    * that as "run" (safe: absence of evidence is not evidence of
+    * freshness), and [[ConfigKey]] deliberately cannot substitute for a
+    * table signal — it only RAISES one (a config mtime standing in for a
+    * vanished/misnamed dump dir would silently gate the index out
+    * forever). Tables missing from the map individually are fine — a
+    * never-dumped (empty) table cannot have changed. */
   def latestTxMillis(tables: Set[String],
                      perTable: Map[String, Long]): Option[Long] = {
-    val hits = tables.flatMap(perTable.get) ++ perTable.get(ConfigKey)
-    if (hits.isEmpty) None else Some(hits.max)
+    val hits = tables.flatMap(perTable.get)
+    if (hits.isEmpty) None
+    else Some((hits ++ perTable.get(ConfigKey)).max)
   }
 
   /** Per-table change signal from a dump directory: table name (= subdir

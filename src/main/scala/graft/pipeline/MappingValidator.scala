@@ -14,6 +14,15 @@ import graft.schema._
   */
 object MappingValidator {
 
+  /** [[validate]], throwing on any problem — the one failure format every
+    * entry point shares (RunEtl pre-gating, Translator.runAll). */
+  def validateOrThrow(schema: GraphSchema, mapping: EtlMapping): Unit = {
+    val problems = validate(schema, mapping)
+    if (problems.nonEmpty)
+      throw new IllegalArgumentException(
+        "invalid mapping:\n  " + problems.mkString("\n  "))
+  }
+
   def validate(schema: GraphSchema, mapping: EtlMapping): Seq[String] = {
     val names = mapping.indices.map(_.name)
     val dupIdx = names.diff(names.distinct).distinct

@@ -515,10 +515,7 @@ object Translator {
   def runAll(schema: GraphSchema, source: GraphSource,
              mapping: EtlMapping,
              rootBloomPrune: Option[Long] = None): Map[String, DataFrame] = {
-    val problems = MappingValidator.validate(schema, mapping)
-    if (problems.nonEmpty)
-      throw new IllegalArgumentException(
-        "invalid mapping:\n  " + problems.mkString("\n  "))
+    MappingValidator.validateOrThrow(schema, mapping)
     val t = new Translator(schema, sharedRootSource(source, mapping),
       rootBloomPrune)
     val base: Map[String, DataFrame] =

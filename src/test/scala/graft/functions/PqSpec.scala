@@ -191,8 +191,10 @@ class PqSpec extends SparkSpec {
     // ADC ranks by L2, so probing L2 cells finds the magnitude-matched
     // neighbors; a cosine coarse stage would mix the two clusters
     val path = java.nio.file.Files.createTempDirectory("ivfpql2").toString
+    // coarseIters matches the separation assertions above, so the served
+    // cells are exactly the centroids this test verified
     Pq.buildIndexPq(mag, "nid", "nv", path, numCells = 2, m = 4, k = 20,
-      iters = 0)
+      iters = 0, coarseIters = 3)
     val got = Pq.topKIndexedPq(spark, path, "nid",
       mag.filter($"nid" === 0L).select($"nid".as("qid"), $"nv".as("qv")),
       "qid", "qv", k = 5, nprobe = 1, salts = 1)

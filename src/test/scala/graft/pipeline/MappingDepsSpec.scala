@@ -90,7 +90,9 @@ class MappingDepsSpec extends SparkSpec {
     val withCfg = times + (MappingDeps.ConfigKey -> 50L)
     assert(MappingDeps.latestTxMillis(
       Set("node_person", "node_study"), withCfg) === Some(50L))
-    assert(MappingDeps.latestTxMillis(Set("edge_x"), withCfg) === Some(50L))
+    // ConfigKey RAISES a table signal but cannot SUBSTITUTE for one: an
+    // index whose dump dirs all vanished must stay on the always-run path
+    assert(MappingDeps.latestTxMillis(Set("edge_x"), withCfg) === None)
   }
 
   test("CDC end-to-end: a change in one subgraph re-publishes only the " +
