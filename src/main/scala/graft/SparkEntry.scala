@@ -524,6 +524,19 @@ object SparkEntry {
         "qid", "qv", cb, k = 5, salts = 1)
     }),
 
+    // matryoshka-style serving: coarse cosine on the FIRST 16 dims picks
+    // a top-20 shortlist (4x less compute/IO per candidate), exact 64-dim
+    // cosine re-ranks to top-5
+    "ann_matryoshka_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.truncatedRerankTopK(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", dims = 16, k = 5, shortlist = 20, salts = 1)
+    }),
+
     // two-stage retrieval: ADC top-20 shortlist, then exact-cosine re-rank
     // to top-5 — quantization error picks the shortlist, never the order
     "ann_pq_rerank" -> ((s, dir) => {
@@ -1167,6 +1180,26 @@ object SparkEntry {
         "GROUP BY l.qid, cs.vec_id) " +
         "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
+
+    // coarse cosine on dims 1..16 → top-20 shortlist (ties by nid) →
+    // exact 64-dim cosine re-rank; folds sequential on both engines
+    "ann_matryoshka_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "coarse AS (SELECT q.qid, e.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 17), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 17), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 17), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS csim " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+        "short AS (SELECT qid, nid FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY csim DESC, nid) AS rn FROM coarse) WHERE rn <= 20), " +
+        "ex AS (SELECT s.qid, s.nid, " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+        "FROM short s JOIN embeddings e ON e.vec_id = s.nid JOIN q ON q.qid = s.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ex) " +
         "WHERE rn <= 5"),
 
     // ADC shortlist (top-20, same arithmetic as ann_pq_topk), then exact

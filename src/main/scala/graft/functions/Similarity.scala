@@ -149,6 +149,56 @@ object Similarity {
     topKPerQuery(scored, queryId, corpusId, k)
   }
 
+  /** Leading-dims truncation of an embedding column — the serving trick
+    * matryoshka-style embeddings (MRL, Kusupati et al. NeurIPS'22) are
+    * trained for: the first `dims` components carry a usable coarse
+    * representation, so a scan can score at dims/d of the compute and IO.
+    * `renorm` rescales to unit length (needed for dot/L2 serving; cosine
+    * is scale-invariant so ranking-only callers can skip it — note the
+    * per-element HOF re-eval makes renorm O(dims²) per row, fine for the
+    * small dims it exists for). */
+  def truncate(vec: Column, dims: Int, renorm: Boolean = false): Column = {
+    val s = slice(vec.cast("array<double>"), 1, dims)
+    if (!renorm) s
+    else transform(s, x => x / sqrt(dot(s, s)))
+  }
+
+  /** Two-stage truncated-dims retrieval: cosine top-`shortlist` on the
+    * first `dims` components (cheap coarse scan — the corpus' full
+    * vectors are not touched in stage 1 beyond the slice), then exact
+    * full-dim cosine re-rank of only |queries|·shortlist candidates —
+    * the same shortlist-never-decides-order contract as
+    * [[graft.functions.Pq.rerankTopK]]. `shortlist ≥ corpus` degenerates
+    * to [[bruteForceTopK]]. */
+  def truncatedRerankTopK(corpus: DataFrame, corpusId: String,
+                          corpusVec: String,
+                          queries: DataFrame, queryId: String,
+                          queryVec: String, dims: Int, k: Int,
+                          shortlist: Int, salts: Int = 64): DataFrame = {
+    val c = corpus.select(col(corpusId), col(corpusVec))
+      .withColumn("_tc", truncate(col(corpusVec), dims))
+      .withColumn("_tcn", norm(col("_tc")))
+    val q = queries.select(col(queryId), col(queryVec))
+      .withColumn("_tq", truncate(col(queryVec), dims))
+      .withColumn("_tqn", norm(col("_tq")))
+    val coarse = c.select(col(corpusId), col("_tc"), col("_tcn"))
+      .join(broadcast(q.select(col(queryId), col("_tq"), col("_tqn"))))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", cosinePrenormed(col("_tc"), col("_tq"),
+        col("_tcn"), col("_tqn")))
+    val short = topKPerQuery(coarse, queryId, corpusId, shortlist, salts)
+      .select(col("query_id").as(queryId), col("neighbor_id").as(corpusId))
+    val cFull = corpus.select(col(corpusId), col(corpusVec))
+      .withColumn("_cn", norm(col(corpusVec)))
+    val qFull = queries.select(col(queryId), col(queryVec))
+      .withColumn("_qn", norm(col(queryVec)))
+    val exact = cFull.join(broadcast(short), Seq(corpusId))
+      .join(broadcast(qFull), Seq(queryId))
+      .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),
+        col("_cn"), col("_qn")))
+    topKPerQuery(exact, queryId, corpusId, k, salts = 1)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * transform that cuts a float32 corpus 4× before ANN indexing: per-vector
     * scale = max|x| / 127, q[i] = round(x[i] / scale), zero vectors

@@ -260,6 +260,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r(4L) === (("tiny", 1L, 0L))) // window-less doc unchanged
   }
 
+  test("truncatedRerankTopK: full dims + full shortlist equals brute " +
+      "force; truncation keeps high recall; renorm yields unit vectors") {
+    val corpus = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 3 + d * 7) % 13 - 6).toFloat))
+    }.toDF("nid", "nv")
+    val queries = corpus.filter($"nid" < 3)
+      .select($"nid".as("qid"), $"nv".as("qv"))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val brute = rs(Similarity.bruteForceTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", k = 5))
+    val full = rs(Similarity.truncatedRerankTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", dims = 8, k = 5, shortlist = 30, salts = 1))
+    assert(full === brute)
+    val coarse = rs(Similarity.truncatedRerankTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", dims = 4, k = 5, shortlist = 12, salts = 1))
+      .map(r => (r._1, r._3))
+    val recall = (coarse & brute.map(r => (r._1, r._3))).size.toDouble /
+      brute.size
+    assert(recall >= 0.6, s"recall $recall")
+    val norms = corpus
+      .select(Similarity.norm(Similarity.truncate($"nv", 4, renorm = true)))
+      .as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
+  }
+
   test("substring report and span stripping plan as equi-joins on the " +
       "window key — no nested-loop join, no per-corpus window sort") {
     val docs = (0L until 30L).map(i =>
