@@ -59,9 +59,12 @@ object RunEtl {
     try {
       // the config signal (dictionary + mapping mtimes) rides the table
       // map under the reserved key: a config change re-runs every index
-      // that still has table signals, and an index whose dump dirs all
+      // that still has table signals, and an index whose dump dirs ALL
       // vanished falls back to always-run (MappingDeps.latestTxMillis —
-      // the config time never substitutes for a missing table signal)
+      // the config time never substitutes for a missing table signal).
+      // Residual caveat: deleting SOME of an index's dump dirs while its
+      // remaining tables and config stay untouched leaves no signal for
+      // the deletion — that case needs a config touch or --force.
       val cdcSignal =
         if (!cdc) None
         else Some(MappingDeps.dumpTableTimes(dumpsDir) +

@@ -1186,11 +1186,15 @@ object SparkEntry {
     // exact 64-dim cosine re-rank; folds sequential on both engines
     "ann_matryoshka_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
-        "coarse AS (SELECT q.qid, e.vec_id AS nid, " +
-        "list_sum(list_transform(range(1, 17), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
-        "(sqrt(list_sum(list_transform(range(1, 17), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
-        "sqrt(list_sum(list_transform(range(1, 17), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS csim " +
-        "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+        // zero truncated norms rank last (-2.0), mirroring the engine's
+        // NaN guard — the branch never fires on this corpus but keeps the
+        // two sides equivalent on any data
+        "coarse AS (SELECT qid, nid, CASE WHEN cn * qn > 0 THEN dp / (cn * qn) ELSE -2.0 END AS csim FROM " +
+        "(SELECT q.qid, e.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 17), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dp, " +
+        "sqrt(list_sum(list_transform(range(1, 17), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS cn, " +
+        "sqrt(list_sum(list_transform(range(1, 17), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) AS qn " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid)), " +
         "short AS (SELECT qid, nid FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY qid ORDER BY csim DESC, nid) AS rn FROM coarse) WHERE rn <= 20), " +
         "ex AS (SELECT s.qid, s.nid, " +

@@ -334,10 +334,14 @@ object Pq {
     val cb = loadCodebooks(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")
-    // probe under the metric the index was BUILT with (persisted marker)
-    val metric = spark.read.parquet(s"$path/meta")
-      .filter(col("key") === "metric").select("value")
-      .as[String](org.apache.spark.sql.Encoders.STRING).head()
+    // probe under the metric the index was BUILT with (persisted marker);
+    // an index without a readable marker is treated as l2 — the only
+    // metric buildIndexPq has ever written — instead of failing to serve
+    val metric = scala.util.Try(
+      spark.read.parquet(s"$path/meta")
+        .filter(col("key") === "metric").select("value")
+        .as[String](org.apache.spark.sql.Encoders.STRING).head()
+    ).getOrElse("l2")
     val probes = Ivf.probeCells(queries, queryId, queryVec, centroids, nprobe,
         metric)
       .select(col(queryId), col("cell"))

@@ -158,9 +158,13 @@ object Similarity {
     * per-element HOF re-eval makes renorm O(dims²) per row, fine for the
     * small dims it exists for). */
   def truncate(vec: Column, dims: Int, renorm: Boolean = false): Column = {
+    require(dims >= 1, s"truncate needs dims >= 1, got $dims")
     val s = slice(vec.cast("array<double>"), 1, dims)
     if (!renorm) s
-    else transform(s, x => x / sqrt(dot(s, s)))
+    // zero slices stay zero instead of dividing into all-NaN vectors
+    // (same guard shape as quantizeInt8's zero-vector case)
+    else when(dot(s, s) === 0.0, s)
+      .otherwise(transform(s, x => x / sqrt(dot(s, s))))
   }
 
   /** Two-stage truncated-dims retrieval: cosine top-`shortlist` on the
@@ -184,8 +188,12 @@ object Similarity {
     val coarse = c.select(col(corpusId), col("_tc"), col("_tcn"))
       .join(broadcast(q.select(col(queryId), col("_tq"), col("_tqn"))))
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("sim", cosinePrenormed(col("_tc"), col("_tq"),
-        col("_tcn"), col("_tqn")))
+      // a zero truncated norm would divide into NaN, which Spark sorts
+      // ABOVE every real sim — zero-leading-dims vectors would hijack the
+      // shortlist; rank them below every genuine candidate instead
+      .withColumn("sim", when(col("_tcn") * col("_tqn") > 0.0,
+        cosinePrenormed(col("_tc"), col("_tq"), col("_tcn"), col("_tqn")))
+        .otherwise(lit(-2.0)))
     val short = topKPerQuery(coarse, queryId, corpusId, shortlist, salts)
       .select(col("query_id").as(queryId), col("neighbor_id").as(corpusId))
     val cFull = corpus.select(col(corpusId), col(corpusVec))

@@ -71,8 +71,12 @@ object MappingDeps {
     * freshness), and [[ConfigKey]] deliberately cannot substitute for a
     * table signal — it only RAISES one (a config mtime standing in for a
     * vanished/misnamed dump dir would silently gate the index out
-    * forever). Tables missing from the map individually are fine — a
-    * never-dumped (empty) table cannot have changed. */
+    * forever). A table missing from the map individually does not force a
+    * run: for a never-dumped (empty) table that is correct (nothing to
+    * change), but a DELETED dump dir is indistinguishable from one — so a
+    * partial deletion with untouched siblings and config is invisible to
+    * this gate and needs a config touch or --force (documented at the
+    * RunEtl call site). */
   def latestTxMillis(tables: Set[String],
                      perTable: Map[String, Long]): Option[Long] = {
     val hits = tables.flatMap(perTable.get)
