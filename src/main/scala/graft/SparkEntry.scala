@@ -632,6 +632,45 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)),
 
+    // ---- retrieval & LM scoring -----------------------------------------
+    // BM25 keyword search: broadcast query set gates the token stream, df
+    // re-aggregates the posting frame's own shuffle (ReusedExchange), the
+    // per-(query, doc) sum is exact DECIMAL — ranking is total and
+    // engine-independent
+    "text_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark join"), (1L, "table scan fast"),
+        (2L, "window batch agg")).toDF("qid", "qtext")
+      Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+        qs, "qid", "qtext", k = 10)
+    }),
+
+    // CCNet-style LM quality signal: add-one bigram cross-entropy of each
+    // doc under the corpus-trained model (the model is two count
+    // DataFrames — never collected)
+    "text_perplexity" -> ((s, dir) =>
+      LangModel.selfCrossEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
+    // near-dup work; drop = lower-id same-cell neighbor with cosine ≥ 0.4.
+    // iters=0 is anchor mode (cells = the 8 lowest-id vectors) so the
+    // oracle recomputes the same assignment; prod default trains cells
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDupReport(t(s, dir, "embeddings"), "vec_id",
+        "embedding", numCells = 8, threshold = 0.4, iters = 0)),
+
+    // token-BUDGET mixture: keep-rates derived from per-language token
+    // volume to hit a 10k-token corpus at en 50% / zh 20% / others 10% —
+    // all integer arithmetic, recomputed by the oracle
+    "corpus_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.tokenBudgetMixture(docs, col("doc_id"), col("lang"),
+        col("n_tok"), budgetTokens = 10000L,
+        sharePctByStratum = Map("en" -> 50, "zh" -> 20), defaultSharePct = 10)
+        .select(col("doc_id"), col("lang"), col("rate_pct"))
+    }),
+
     // ---- multimodal plumbing --------------------------------------------
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
@@ -1298,6 +1337,82 @@ object SparkEntry {
       (s"WITH t AS (SELECT unnest($sqlToks) AS token FROM documents) " +
         "SELECT token, count(*) AS n FROM t GROUP BY token " +
         "ORDER BY n DESC, token LIMIT 100"),
+
+    // BM25: same expression tree as Bm25.termScore (ln = natural log in
+    // both engines; per-term scores summed as DECIMAL so accumulation
+    // order cannot matter)
+    "text_bm25_topk" ->
+      ("WITH q(query_id, qtext) AS (VALUES (0, 'spark join'), " +
+        "(1, 'table scan fast'), (2, 'window batch agg')), " +
+        "qt AS (SELECT query_id, unnest(list_distinct(list_filter(" +
+        "string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS term FROM q), " +
+        s"d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d), " +
+        "dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d), " +
+        "post AS (SELECT term, doc_id, dl, count(*) AS tf FROM dd " +
+        "WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl), " +
+        "dft AS (SELECT term, count(*) AS df FROM post GROUP BY term), " +
+        "sc AS (SELECT query_id, doc_id, sum(CAST(" +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) " +
+        "AS DECIMAL(27,12))) AS s " +
+        "FROM post JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats " +
+        "GROUP BY query_id, doc_id) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INTEGER) AS rank, " +
+        "doc_id, round(CAST(s AS DOUBLE), 6) AS score " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY CAST(s AS DOUBLE) DESC, doc_id) AS rn FROM sc) WHERE rn <= 10"),
+
+    // add-one bigram LM cross-entropy; -ln terms summed as DECIMAL
+    "text_perplexity" ->
+      (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM d), " +
+        "c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram), " +
+        "u AS (SELECT unnest(toks) AS w1 FROM d), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1), " +
+        "v AS (SELECT count(*) AS n_vocab FROM c1), " +
+        "s AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "sum(CAST(-ln((c2 + 1.0) / (c1 + n_vocab)) AS DECIMAL(27,12))) AS s " +
+        "FROM (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM g) gg " +
+        "JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(round(CAST(s.s AS DOUBLE) / s.n_bigrams, 6), 0.0) AS cross_entropy " +
+        "FROM d LEFT JOIN s USING (doc_id)"),
+
+    // anchor cells = the 8 lowest-id vectors; L2 assignment argmax
+    // (2·v·c − |c|²) with ties to the lowest cell id, cosine pair filter
+    "dedup_semantic" ->
+      ("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm " +
+        "FROM embeddings ORDER BY vec_id LIMIT 8), " +
+        "sc AS (SELECT e.vec_id, c.cid, " +
+        "2.0 * list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) - c.cnorm * c.cnorm AS s " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1), " +
+        "n AS (SELECT vec_id, sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nn FROM embeddings), " +
+        "p AS (SELECT DISTINCT b.vec_id AS drop_id " +
+        "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id " +
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id " +
+        "JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id " +
+        "WHERE list_sum(list_transform(range(1, 65), i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) / (na.nn * nb.nn) >= 0.4) " +
+        "SELECT asg.vec_id, asg.cell, p.drop_id IS NULL AS keep " +
+        "FROM asg LEFT JOIN p ON asg.vec_id = p.drop_id"),
+
+    // integer-exact mixture rates: // is DuckDB floor division, mirroring
+    // the engine's (a - a mod b) / b
+    "corpus_mixture" ->
+      (s"WITH t AS (SELECT doc_id, lang, len($sqlToks) AS ntok FROM documents), " +
+        "tot AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS total, " +
+        "CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END AS share " +
+        "FROM t GROUP BY lang), " +
+        "r AS (SELECT lang, CASE WHEN total > 0 THEN " +
+        "least(100, (100 * ((10000 * share) // 100)) // total) ELSE 0 END AS rate FROM tot) " +
+        "SELECT t.doc_id, t.lang, CAST(r.rate AS BIGINT) AS rate_pct " +
+        "FROM t JOIN r USING (lang) " +
+        "WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < r.rate"),
 
     "text_chunk" ->
       (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +

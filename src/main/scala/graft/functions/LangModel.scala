@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring — the CCNet-style quality
+  * signal: documents whose token stream is unlikely under a corpus-trained
+  * LM are boilerplate, noise, or wrong-language, and get filtered or
+  * down-mixed before training.
+  *
+  * The model is an add-one-smoothed bigram LM trained on a reference
+  * corpus (here: the corpus itself; any cleaned frame works):
+  *   P(w2 | w1) = (C(w1 w2) + 1) / (C(w1) + V)
+  * and each document is scored by its token-level cross-entropy
+  *   H(d) = −(1/|bigrams(d)|) · Σ ln P(w2 | w1).
+  *
+  * Scale design:
+  *   - counts are plain groupBy aggregations (map-side partial combine);
+  *     the model IS two DataFrames — nothing is collected to the driver,
+  *     so the vocabulary can be corpus-sized.
+  *   - scoring joins the document bigram stream against the count tables
+  *     on the gram key: a shuffle hash join that AQE skew-splits on hot
+  *     grams (stopword pairs) — no broadcast assumption on the model.
+  *   - the per-document Σ ln P goes through DECIMAL so the sum is exact
+  *     and accumulation-order-free (double summation order differs
+  *     between engines and even between runs).
+  *   - unseen bigrams/contexts (scoring a corpus the model was not
+  *     trained on) hit the left-join NULL path and cost the smoothed
+  *     floor 1/(C(w1)+V) — no row is dropped.
+  */
+object LangModel {
+
+  /** Bigram and context-unigram count tables + vocabulary size from a
+    * token-array frame. Returns (bigrams(gram, c2), contexts(w1, c1),
+    * vocabSize) — the third is a one-row frame (n_vocab), NOT a collected
+    * scalar. Distinct-token counting is exact here because V enters the
+    * smoothing denominator (an HLL estimate would make scores
+    * irreproducible). */
+  def trainBigram(docs: DataFrame, toksCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val grams = docs.select(
+      explode(TextFunctions.tokenNgrams(col(toksCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val unis = docs.select(explode(col(toksCol)).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = unis.agg(count(lit(1)).as("n_vocab"))
+    (grams, unis, vocab)
+  }
+
+  /** Cross-entropy of each document under the trained bigram model.
+    * Output: (doc_id, n_bigrams, cross_entropy) — cross_entropy rounded
+    * to 6, 0.0 for docs with fewer than two tokens. Lower is
+    * more-predictable text; gate with e.g. `cross_entropy < 8`. */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                   model: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (grams, unis, vocab) = model
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenNgrams(col("toks"), 2)).as("gram"))
+      // w1 = the context token: everything before the single separator
+      // space that tokenNgrams(_, 2) inserts (tokens cannot contain
+      // whitespace by construction)
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val scored = docGrams
+      .join(grams, Seq("gram"), "left")
+      .join(unis, Seq("w1"), "left")
+      .join(broadcast(vocab))
+      .withColumn("_nll",
+        (-log((coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + col("n_vocab"))))
+          .cast("decimal(27,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll")).as("_s"))
+      .withColumn("cross_entropy",
+        round(col("_s").cast("double") / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("cross_entropy"))
+    // docs with < 2 tokens have no bigrams: left-join them back at H = 0
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
+  }
+
+  /** Train-on-self convenience: the usual first pass, where the corpus is
+    * its own reference model. */
+  def selfCrossEntropy(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    crossEntropy(docs, idCol, textCol, trainBigram(toks, "toks"))
+  }
+}

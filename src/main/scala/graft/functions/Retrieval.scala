@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a document corpus: BM25 scoring of a small
+  * keyword-query set against every document, top-k per query.
+  *
+  * Scale design (the 100 TB shape):
+  *   - the query set is SMALL by contract (a serving batch) — it is
+  *     broadcast; the corpus is never reshuffled for it.
+  *   - the token stream is restricted to QUERY terms before any
+  *     aggregation (broadcast semi-join on the exploded tokens), so the
+  *     posting frame carries only |docs containing a query term| rows,
+  *     not the full inverted index.
+  *   - document frequencies come from re-aggregating that same posting
+  *     frame — its shuffle exchange is identical in both branches, so
+  *     Spark reuses it (ReusedExchange), not a second corpus scan.
+  *   - corpus stats (N, total token length) are one tiny aggregate,
+  *     broadcast-cross-joined back — never collected to the driver.
+  *   - per-(query, doc) scores sum per-term BM25 contributions as
+  *     DECIMAL: exact and accumulation-order-free, so ranking ties are
+  *     impossible to get wrong across engines and the DuckDB oracle
+  *     hash-matches (same trick as the pricing aggregates).
+  *   - final top-k per query is the shared two-stage salted pattern
+  *     ([[Similarity.topKPerQuery]]) — no single-reducer window.
+  */
+object Bm25 {
+
+  /** Per-term BM25 contribution: idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene form —
+    * always positive). Kept as a named helper so the SQL oracle mirrors
+    * the exact expression shape. */
+  private def termScore(tf: Column, df: Column, dl: Column,
+                        n: Column, avgdl: Column,
+                        k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (n.cast("double") - df.cast("double") + 0.5) /
+      (df.cast("double") + 0.5))
+    val norm = tf.cast("double") * (k1 + 1.0) /
+      (tf.cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / avgdl))
+    idf * norm
+  }
+
+  /** BM25 top-k documents per query.
+    *
+    * `queries(queryId, queryText)` must be small (it is broadcast and its
+    * distinct terms gate the corpus token stream). Output:
+    * (query_id, rank, doc_id, score) with score rounded to 6 — ranking is
+    * decided on the exact decimal sum with doc-id tie-break, so order is
+    * total and engine-independent. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, queryId: String, queryText: String,
+           k: Int, k1: Double = 1.2, b: Double = 0.75,
+           salts: Int = 64): DataFrame = {
+    val docToks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+
+    // one-row corpus stats; avgdl derived from exact longs so both engines
+    // divide the same integers
+    val stats = docToks.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+
+    val qTerms = queries.select(col(queryId).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col(queryText)))).as("term"))
+    val vocab = qTerms.select(col("term")).distinct()
+
+    // postings restricted to query vocabulary BEFORE the (doc, term) agg:
+    // explode is linear map-side work; the broadcast join drops every
+    // non-query term in the same stage
+    val postings = docToks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+    // df per term re-aggregates `postings` — identical exchange subtree in
+    // both branches, so the shuffle is computed once (ReusedExchange)
+    val dfPerTerm = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+
+    val scored = postings
+      .join(broadcast(dfPerTerm), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("_ts", termScore(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("sum_dl").cast("double") / col("n_docs"), k1, b)
+        .cast("decimal(27,12)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_ts")).as("_score"))
+      .withColumn("sim", col("_score").cast("double"))
+      .drop("_score")
+
+    Similarity.topKPerQuery(scored, "query_id", "doc_id", k, salts)
+      .withColumnRenamed("neighbor_id", "doc_id")
+      .withColumnRenamed("sim", "score")
+  }
+}

@@ -63,6 +63,57 @@ object Sampling {
     df.filter(stableBucket(key) < rate)
   }
 
+  /** Exact floor division on non-negative longs. `(a - a mod b) / b` keeps
+    * the double division exact (the numerator is divisible by b), unlike a
+    * bare `floor(a / b)` whose quotient can land one ulp under an integer.
+    * Callers keep products below 2^53 (documented per call site). */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Token-BUDGET data mixture — the sampler that answers "give me a
+    * `budgetTokens`-token corpus that is X% lang-A, Y% lang-B": each
+    * stratum's keep-rate is DERIVED from its token volume so the expected
+    * kept tokens hit `budget · share`, then membership is the same stable
+    * md5 bucket as every other sampler (monotone, engine-recomputable).
+    *
+    * rate(s) = min(100, 100 · (budget · share(s) div 100) div tokens(s)),
+    * all integer arithmetic — floor twice, so a stratum under-fills by at
+    * most 1% of its target plus per-bucket sampling noise; a stratum with
+    * fewer tokens than its target keeps everything (rate 100). Products
+    * stay under 2^53 for budgets up to ~9·10¹³ tokens per percent-share —
+    * beyond any single mixture slice.
+    *
+    * Scale: one tiny per-stratum aggregate (map-side combined), broadcast
+    * back; the keep decision is a per-row scan predicate. Nothing is
+    * collected to the driver. Output: the kept rows of `docs` plus their
+    * `rate_pct`. */
+  def tokenBudgetMixture(docs: DataFrame, key: Column, stratum: Column,
+                         nTok: Column, budgetTokens: Long,
+                         sharePctByStratum: Map[String, Int],
+                         defaultSharePct: Int = 0): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    val share =
+      if (sharePctByStratum.isEmpty) lit(defaultSharePct)
+      else coalesce(
+        element_at(
+          map(sharePctByStratum.toSeq.sortBy(_._1).flatMap {
+            case (s, p) => Seq(lit(s), lit(p))
+          }: _*), col("_mix_stratum")),
+        lit(defaultSharePct))
+    val withS = docs.withColumn("_mix_stratum", stratum)
+      .withColumn("_mix_ntok", nTok.cast("long"))
+    val totals = withS.groupBy(col("_mix_stratum"))
+      .agg(sum(col("_mix_ntok")).as("_mix_total"))
+    val target = intDiv(lit(budgetTokens) * share.cast("long"), lit(100L))
+    val rate = when(col("_mix_total") > 0,
+      least(lit(100L), intDiv(lit(100L) * target, col("_mix_total"))))
+      .otherwise(lit(0L))
+    withS.join(broadcast(totals), Seq("_mix_stratum"))
+      .withColumn("rate_pct", rate)
+      .filter(stableBucket(key) < col("rate_pct"))
+      .drop("_mix_stratum", "_mix_ntok", "_mix_total")
+  }
+
   /** Train/val/test assignment by stable bucket: [0,train) → "train",
     * [train, train+val) → "val", rest → "test". */
   def splitLabel(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {

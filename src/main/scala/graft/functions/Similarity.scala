@@ -248,6 +248,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).alias("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * the embedding space into `numCells` clusters, then mark as duplicate
+    * every vector that has a LOWER-id same-cluster neighbor with cosine ≥
+    * `threshold`. The clusters bound the quadratic pair work: a corpus of
+    * n vectors costs Σ|cell|² pair scores instead of n² — the whole point
+    * of clustering first — and each cell's pairs are generated by one
+    * equi-join on the cell id (shuffle-distributed, AQE-splittable).
+    *
+    * Training reuses [[Ivf.train]]'s driver-local stable-sample k-means
+    * under the L2 metric (clustering geometry; the within-cell similarity
+    * stays cosine, as in the paper). `iters = 0` is anchor mode — cells
+    * are the k lowest-id sample vectors, which an external SQL oracle can
+    * recompute exactly; production default is trained cells.
+    *
+    * Output: (id, cell, keep) — keep = false iff a lower-id near-dup
+    * shares the cell. Deterministic: assignment ties break toward the
+    * lowest cell id and the keep rule is a pure min-id order, so the
+    * report is a function of the data alone. */
+  def semanticDupReport(corpus: DataFrame, idCol: String, vecCol: String,
+                        numCells: Int, threshold: Double, iters: Int = 2,
+                        samplePct: Int = 100, sampleCap: Int = 100000)
+      : DataFrame = {
+    val centroids = Ivf.train(corpus, idCol, vecCol, numCells, iters,
+      samplePct, sampleCap, metric = "l2")
+    val indexed = Ivf.index(corpus, idCol, vecCol, centroids, metric = "l2")
+    val a = indexed.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"), col("_cn").as("n_a"))
+    val b = indexed.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"), col("_cn").as("n_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosinePrenormed(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as("_drop_id")).distinct()
+    indexed.select(col(idCol), col("cell"))
+      .join(dropped, col(idCol) === col("_drop_id"), "left")
+      .select(col(idCol), col("cell"), col("_drop_id").isNull.as("keep"))
+  }
+
   /** Exact (non-LSH) near-duplicate pairs for small corpora / oracle
     * verification: inverted-index-free full pair scoring via a self-join;
     * O(n²) — only for validation at small SF, never the scale path. */

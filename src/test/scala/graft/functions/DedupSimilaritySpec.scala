@@ -302,6 +302,53 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDupReport: lower-id near-dup in the same cell drops a doc; " +
+      "cells bound the pair work") {
+    // two tight clusters around orthogonal axes + one far-out singleton;
+    // ids interleaved so keep/drop order is exercised across cells
+    def v(axis: Int, eps: Double): Seq[Float] =
+      (0 until 8).map(d => (if (d == axis) 1.0 else 0.0) + eps * (d + 1))
+        .map(_.toFloat)
+    val emb = Seq(
+      (0L, v(0, 0.0)), (1L, v(1, 0.0)),          // anchor-mode cells
+      (2L, v(0, 0.001)), (3L, v(1, 0.001)),      // near dups of 0 / 1
+      (4L, v(0, 0.002)),                          // near dup of 0 and 2
+      (5L, (0 until 8).map(d => (d * 7 + 1).toFloat))) // far from both
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDupReport(emb, "vec_id", "embedding",
+      numCells = 2, threshold = 0.99, iters = 0)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r.size === 6)
+    assert(r(0L)._2 && r(1L)._2)              // cluster minima kept
+    assert(!r(2L)._2 && !r(3L)._2 && !r(4L)._2) // near dups dropped
+    assert(r(5L)._2)                          // singleton kept in its cell
+    // every dropped doc has a kept-or-dropped LOWER id in the same cell
+    // (the order rule), and cells came from the anchor seeds {0, 1}
+    assert(Set(r(0L)._1, r(1L)._1) === Set(0L, 1L))
+    r.filter(!_._2._2).foreach { case (id, (cell, _)) =>
+      assert(r.exists { case (o, (c2, _)) => o < id && c2 == cell })
+    }
+  }
+
+  test("semanticDupReport: trained cells (iters > 0) keep the invariant " +
+      "keep-count + drop-count = corpus, and dropping is consistent with " +
+      "exact in-cell cosine") {
+    val emb = (0L until 40L).map { i =>
+      val axis = (i % 4).toInt
+      (i, (0 until 8).map(d =>
+        (if (d == axis) 1.0 else 0.0) + 0.0005 * ((i / 4) * (d + 1))).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.semanticDupReport(emb, "vec_id", "embedding",
+      numCells = 4, threshold = 0.999, iters = 2)
+    assert(r.count() === 40L)
+    val byCell = r.collect().groupBy(_.getLong(1))
+    // within each cell the lowest id must be kept (nothing below it)
+    byCell.values.foreach { rows =>
+      val minId = rows.map(_.getLong(0)).min
+      assert(rows.find(_.getLong(0) == minId).get.getBoolean(2))
+    }
+  }
+
   test("simhashFingerprints (explode form) equals the per-row Column form") {
     val perRow = corpus.filter($"doc_id" <= 4)
       .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("sh64"))

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BM25 retrieval and bigram-LM scoring. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana cherry"),
+    (2L, "apple apple apple banana"),
+    (3L, "durian elderberry fig"),
+    (4L, "apple"),
+    (5L, "banana banana kiwi lime mango nectarine orange papaya")
+  ).toDF("doc_id", "text")
+
+  test("bm25: only docs containing a query term appear, ranked by tf/length") {
+    val qs = Seq((0L, "apple")).toDF("qid", "qtext")
+    val r = Bm25.topK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      .orderBy($"rank").collect()
+    assert(r.map(_.getLong(r.head.fieldIndex("doc_id"))).toSet === Set(1L, 2L, 4L))
+    // same idf everywhere: tf=3 saturates past the length penalty (doc 2),
+    // then the shortest single hit (doc 4), then the longer single hit
+    assert(r.map(_.getLong(r.head.fieldIndex("doc_id"))).toSeq === Seq(2L, 4L, 1L))
+    assert(r.forall(_.getDouble(r.head.fieldIndex("score")) > 0.0))
+  }
+
+  test("bm25: multi-term queries sum per-term contributions; k caps output") {
+    val qs = Seq((0L, "apple banana"), (1L, "fig")).toDF("qid", "qtext")
+    val r = Bm25.topK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 2)
+    val byQ = r.collect().groupBy(_.getLong(0))
+    assert(byQ(0L).length === 2)                    // k caps 4 matching docs
+    assert(byQ(1L).map(_.getLong(2)).toSeq === Seq(3L)) // only doc 3 has fig
+    // rarer term (fig: df=1) out-scores a common term hit at same tf/dl
+    val figScore = byQ(1L).head.getDouble(3)
+    assert(figScore > 0.0)
+  }
+
+  test("bm25: df branch reuses the posting shuffle (ReusedExchange), query side broadcast") {
+    // AQE materializes reuse only at runtime; the static planner applies
+    // ReuseExchange visibly, so assert on the non-adaptive plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qs = Seq((0L, "apple banana")).toDF("qid", "qtext")
+      val plan = Bm25.topK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"expected the df branch to reuse the posting exchange:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bigram LM: repetitive text is more predictable than one-off text") {
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat the cat sat"),
+      (2L, "zygote quark nebula ossify lattice prism vortex ember")
+    ).toDF("doc_id", "text")
+    val r = LangModel.selfCrossEntropy(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) < r(2L))
+  }
+
+  test("bigram LM: short docs score 0 with 0 bigrams; n_bigrams = tokens-1") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "a b c d")).toDF("doc_id", "text")
+    val r = LangModel.selfCrossEntropy(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) === ((0L, 0.0)))
+    assert(r(2L) === ((0L, 0.0)))
+    assert(r(3L)._1 === 3L)
+    assert(r(3L)._2 > 0.0)
+  }
+
+  test("bigram LM: hand-checked probabilities on a tiny corpus") {
+    // corpus "a b a b": bigrams ab=2? no — tokens [a,b,a,b]: "a b","b a","a b"
+    // C2: (a b)=2, (b a)=1; C1: a=2, b=2; V=2
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = LangModel.selfCrossEntropy(docs, "doc_id", "text").collect()(0)
+    val expected = -(math.log(3.0 / 4.0) + math.log(2.0 / 4.0) + math.log(3.0 / 4.0)) / 3.0
+    assert(r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - expected) < 1e-6)
+  }
+
+  test("bigram LM: scoring an unseen corpus hits the smoothed floor, drops nothing") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val model = LangModel.trainBigram(train, "toks")
+    val test = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val r = LangModel.crossEntropy(test, "doc_id", "text", model).collect()(0)
+    // every bigram unseen, every context unseen: P = 1/(0+V) = 1/2
+    assert(r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - math.log(2.0)) < 1e-6)
+  }
+}

@@ -173,4 +173,36 @@ class SamplingSpec extends SparkSpec {
     assert(r(3) === ((0L, 0.0, 0.0)))
     assert(r(4) === ((0L, 0.0, 0.0)))
   }
+
+  test("tokenBudgetMixture: rates follow the integer formula, under-budget " +
+      "strata keep everything, zero-share strata drop out") {
+    // lang a: 10 docs × 10 tokens = 100; lang b: 10 × 30 = 300
+    val docs = (0L until 20L).map { i =>
+      val lang = if (i < 10) "a" else "b"
+      (i, lang, if (i < 10) 10L else 30L)
+    }.toDF("id", "lang", "ntok")
+    val out = Sampling.tokenBudgetMixture(docs, $"id", $"lang", $"ntok",
+      budgetTokens = 200L, sharePctByStratum = Map("a" -> 75, "b" -> 25),
+      defaultSharePct = 0)
+    val rates = out.select($"lang", $"rate_pct").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: target 150 > 100 tokens → rate 100 (keep all)
+    // b: target 50 of 300 → 100*50 // 300 = 16
+    assert(rates("a") === 100L)
+    assert(rates.get("b").forall(_ === 16L))
+    assert(out.filter($"lang" === "a").count() === 10L)
+    // membership is the stable bucket — monotone: raising the budget only
+    // ever ADDS rows
+    val kept = out.select($"id").collect().map(_.getLong(0)).toSet
+    val bigger = Sampling.tokenBudgetMixture(docs, $"id", $"lang", $"ntok",
+      budgetTokens = 600L, sharePctByStratum = Map("a" -> 75, "b" -> 25),
+      defaultSharePct = 0)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(bigger))
+    // a stratum with zero share keeps nothing
+    val none = Sampling.tokenBudgetMixture(docs, $"id", $"lang", $"ntok",
+      budgetTokens = 200L, sharePctByStratum = Map("a" -> 100),
+      defaultSharePct = 0)
+    assert(none.filter($"lang" === "b").count() === 0L)
+  }
 }
