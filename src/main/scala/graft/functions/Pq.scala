@@ -58,10 +58,25 @@ object Pq {
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                      m: Int, k: Int, iters: Int = 5,
                      samplePct: Int = 100, sampleCap: Int = 100000): Codebooks = {
+    val rows = sampleRows(corpus, idCol, vecCol, samplePct, sampleCap)
+    kmeansSubspaces(rows, m, k, iters)
+  }
+
+  /** The shared driver-local sample: (stable-hash, id)-ordered rows as
+    * double arrays — one collect, reused by PQ and OPQ training. */
+  private def sampleRows(corpus: DataFrame, idCol: String, vecCol: String,
+                         samplePct: Int, sampleCap: Int): Array[Array[Double]] = {
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val rows = Sampling.stableCappedSample(base, col("id"), samplePct, sampleCap)
+    Sampling.stableCappedSample(base, col("id"), samplePct, sampleCap)
       .collect().map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Per-subspace Lloyd k-means kernel over in-memory sample rows (the
+    * driver-side half of [[trainCodebooks]]; OPQ re-runs it per rotation
+    * update without re-collecting the sample). */
+  private def kmeansSubspaces(rows: Array[Array[Double]], m: Int, k: Int,
+                              iters: Int): Codebooks = {
     require(rows.length >= k,
       s"Pq.trainCodebooks: sample has ${rows.length} rows < k=$k codewords")
     val dim = rows.head.length
@@ -155,6 +170,159 @@ object Pq {
     val v = vec.cast("array<double>")
     array(matrix.toSeq.map(row =>
       call_function("graft_dot", v, typedLit(row.toSeq))): _*)
+  }
+
+  /** Trained OPQ (Ge et al., "Optimized Product Quantization", CVPR'13,
+    * non-parametric solution): jointly learn an orthogonal rotation R and
+    * per-subspace codebooks minimizing Σ‖Rx − c(Rx)‖² — the data-adaptive
+    * upgrade of [[rotationMatrix]]'s train-free random rotation. Because R
+    * is orthogonal the quantization error in rotated space IS the error in
+    * original space, so serving just rotates corpus and queries
+    * ([[rotate]]) and runs the ordinary PQ/ADC pipeline.
+    *
+    * Alternation, all driver-local on the ONE stable sample collect:
+    *   1. fix R: per-subspace Lloyd k-means on the rotated sample rows
+    *      (the [[trainCodebooks]] kernel);
+    *   2. fix codes: y_n = decode(encode(R x_n)); the orthogonal R
+    *      maximizing Σ y_nᵀ R x_n is the Procrustes solution R = V Uᵀ from
+    *      the SVD of A = Σ x_n y_nᵀ (one-sided Jacobi — deterministic, no
+    *      RNG, no external linear-algebra dependency).
+    *
+    * Not SQL-expressible (iterative SVD), so like trained-PQ codebooks it
+    * is spec-pinned, not oracle-checked: orthogonality, monotone MSE vs
+    * plain PQ on variance-skewed data, and L2 preservation are asserted in
+    * PqSpec. Returns (R, codebooks-in-rotated-space). */
+  def trainOpq(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int, opqIters: Int = 5, kmeansIters: Int = 3,
+               samplePct: Int = 100, sampleCap: Int = 100000)
+      : (Array[Array[Double]], Codebooks) = {
+    val rows = sampleRows(corpus, idCol, vecCol, samplePct, sampleCap)
+    val dim = rows.head.length
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var cb: Codebooks = null
+    def applyR(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += r(i)(j) * x(j); j += 1 }
+        out(i) = s; i += 1
+      }
+      out
+    }
+    for (_ <- 0 until math.max(1, opqIters)) {
+      val rotated = rows.map(applyR)
+      cb = kmeansSubspaces(rotated, m, k, kmeansIters)
+      // reconstructions in rotated space: nearest codeword per subspace
+      val dsub = dim / m
+      val recon = rotated.map { v =>
+        val y = new Array[Double](dim)
+        var s = 0; var off = 0
+        while (s < m) {
+          var bestJ = 0; var bestD = Double.PositiveInfinity
+          var j = 0
+          while (j < k) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val t = v(off + i) - cb(s)(j)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; bestJ = j }
+            j += 1
+          }
+          System.arraycopy(cb(s)(bestJ), 0, y, off, dsub)
+          s += 1; off += dsub
+        }
+        y
+      }
+      // A = Σ x yᵀ (original-space x against rotated-space reconstruction)
+      val a = Array.ofDim[Double](dim, dim)
+      var n = 0
+      while (n < rows.length) {
+        val x = rows(n); val y = recon(n)
+        var i = 0
+        while (i < dim) {
+          val xi = x(i); var j = 0
+          while (j < dim) { a(i)(j) += xi * y(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      val (u, v) = svdJacobi(a)
+      // R = V Uᵀ maximizes tr(R A) over orthogonal R (Procrustes)
+      r = Array.tabulate(dim, dim) { (i, j) =>
+        var s = 0.0; var t = 0
+        while (t < dim) { s += v(i)(t) * u(j)(t); t += 1 }
+        s
+      }
+    }
+    // final codebooks must match the FINAL rotation
+    (r, kmeansSubspaces(rows.map(applyR), m, k, kmeansIters))
+  }
+
+  /** One-sided Jacobi SVD of a square matrix: A = U Σ Vᵀ, returning
+    * (U, V) (singular values are not needed by the Procrustes caller).
+    * Deterministic sweep order; near-zero singular directions fall back to
+    * unit columns (a degenerate axis contributes no Procrustes constraint
+    * anyway). O(dim³) per sweep — dim is the embedding width (≤ a few
+    * hundred), driver-side only. */
+  private def svdJacobi(a0: Array[Array[Double]],
+                        sweeps: Int = 30): (Array[Array[Double]], Array[Array[Double]]) = {
+    val dim = a0.length
+    val b = a0.map(_.clone()) // working copy, columns become U·Σ
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    def colDot(p: Int, q: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += b(i)(p) * b(i)(q); i += 1 }
+      s
+    }
+    var sweep = 0
+    var converged = false
+    while (sweep < sweeps && !converged) {
+      converged = true
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val app = colDot(p, p); val aqq = colDot(q, q)
+          val apq = colDot(p, q)
+          if (math.abs(apq) > 1e-12 * math.sqrt(app * aqq) + 1e-300) {
+            converged = false
+            val tau = (aqq - app) / (2.0 * apq)
+            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            var i = 0
+            while (i < dim) { // rotate columns p, q of B and V
+              val bp = b(i)(p); val bq = b(i)(q)
+              b(i)(p) = c * bp - s * bq
+              b(i)(q) = s * bp + c * bq
+              val vp = v(i)(p); val vq = v(i)(q)
+              v(i)(p) = c * vp - s * vq
+              v(i)(q) = s * vp + c * vq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val u = Array.ofDim[Double](dim, dim)
+    var j = 0
+    while (j < dim) {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += b(i)(j) * b(i)(j); i += 1 }
+      val norm = math.sqrt(s)
+      i = 0
+      while (i < dim) {
+        u(i)(j) = if (norm > 1e-12) b(i)(j) / norm
+                  else if (i == j) 1.0 else 0.0
+        i += 1
+      }
+      j += 1
+    }
+    (u, v)
   }
 
   /** Squared-L2 fold between a subvector column and one codeword column —

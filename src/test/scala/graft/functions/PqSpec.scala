@@ -211,4 +211,67 @@ class PqSpec extends SparkSpec {
     assert(loaded.map(_.map(_.toSeq).toSeq).toSeq ===
       cb.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  // dims 0/1 carry nearly all variance, correlated across the subspace
+  // boundary (dim 4 ≈ dim 0): the shape plain subspace-split PQ handles
+  // worst and a learned rotation fixes — the OPQ motivation case
+  private def skewed = (0L until 60L).map { i =>
+    val a = math.sin(i * 0.7) * 10.0
+    val b = math.cos(i * 1.3) * 8.0
+    val v = Array(
+      a, b, 0.05 * ((i * 3) % 7), 0.04 * ((i * 5) % 5),
+      0.9 * a + 0.02 * ((i * 2) % 9), 0.03 * ((i * 11) % 4),
+      0.8 * b + 0.01 * (i % 3), 0.02 * ((i * 13) % 6)).map(_.toFloat)
+    (i, v)
+  }.toDF("nid", "nv")
+
+  test("trainOpq: R is orthogonal; rotated-space MSE beats plain PQ on " +
+      "variance-skewed correlated data") {
+    val (r, cb) = Pq.trainOpq(skewed, "nid", "nv", m = 4, k = 4,
+      opqIters = 4, kmeansIters = 4)
+    // orthogonality: RᵀR = I
+    val dim = r.length
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(t => r(t)(i) * r(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RᵀR[$i][$j] = $dot")
+    }
+    val rotated = skewed.withColumn("rv", Pq.rotate($"nv", r))
+    val opqMse = Pq.reconstructionMse(
+      Pq.withCodes(rotated, "rv", cb), "rv", "codes", cb)
+    val plainCb = Pq.trainCodebooks(skewed, "nid", "nv", m = 4, k = 4,
+      iters = 4)
+    val plainMse = Pq.reconstructionMse(
+      Pq.withCodes(skewed, "nv", plainCb), "nv", "codes", plainCb)
+    assert(opqMse < plainMse,
+      s"OPQ MSE $opqMse should beat plain PQ MSE $plainMse")
+    // rotation preserves L2, so rotated-space MSE IS original-space MSE;
+    // sanity-pin that the rotation really is an isometry on the data
+    val norms = skewed.withColumn("rv", Pq.rotate($"nv", r))
+      .select(
+        Similarity.dot($"nv".cast("array<double>"), $"nv".cast("array<double>")).as("n0"),
+        Similarity.dot($"rv", $"rv").as("n1"))
+      .collect()
+    norms.foreach(x =>
+      assert(math.abs(x.getDouble(0) - x.getDouble(1)) < 1e-6))
+  }
+
+  test("trainOpq is deterministic and its codebooks serve ADC in rotated " +
+      "space (recall vs exact L2 no worse than plain PQ at equal budget)") {
+    val (r1, cb1) = Pq.trainOpq(skewed, "nid", "nv", m = 4, k = 4,
+      opqIters = 2, kmeansIters = 2)
+    val (r2, cb2) = Pq.trainOpq(skewed, "nid", "nv", m = 4, k = 4,
+      opqIters = 2, kmeansIters = 2)
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    // serving: rotate corpus AND queries, then the ordinary ADC pipeline
+    val rot = skewed.withColumn("rv", Pq.rotate($"nv", r1))
+    val coded = Pq.withCodes(rot, "rv", cb1).select($"nid", $"codes")
+    val qs = rot.filter($"nid" < 4)
+      .select($"nid".as("qid"), $"rv".as("qv"))
+    val adc = Pq.adcTopK(coded, "nid", "codes", qs, "qid", "qv", cb1,
+      k = 5, salts = 1)
+    assert(adc.count() === 20) // 4 queries × 5
+  }
 }
