@@ -632,6 +632,29 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)),
 
+    // quality-gate calibration: data-derived thresholds (percentiles of
+    // the quality features) — exact mode here for the oracle; approx=true
+    // (t-digest sketches) is the 100 TB default
+    "corpus_calibrate" -> ((s, dir) =>
+      Sampling.qualityCalibration(t(s, dir, "documents"), "doc_id", "text")),
+
+    // per-source monitoring: docs/tokens/mean-quality/language-spread by
+    // origin — the dashboard aggregation behind mixture decisions (mean
+    // over DECIMAL so the double sum order cannot flap the hash)
+    "corpus_by_source" -> ((s, dir) => {
+      val feats = TextFunctions.qualityFeatures(col("text")).toMap
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          feats("alpha_ratio").cast("decimal(27,12)").as("_ar"),
+          feats("n_tokens").as("_nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("n_tokens"),
+          round(sum(col("_ar")).cast("double") / count(lit(1)), 6)
+            .as("mean_alpha_ratio"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     // ---- retrieval & LM scoring -----------------------------------------
     // BM25 keyword search: broadcast query set gates the token stream, df
     // re-aggregates the posting frame's own shuffle (ReusedExchange), the
@@ -724,7 +747,20 @@ object SparkEntry {
       EventStream.runStreamingDedup(s, dir, "events.parquet",
           t(s, dir, "events").schema, "2 hours", Seq("event_id"))
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-          col("user_id"), col("event_type"), col("value"), col("props"))))
+          col("user_id"), col("event_type"), col("value"), col("props"))),
+
+    // stream-static enrichment: each micro-batch broadcast-joins the
+    // customer dimension (left join — events with no dim row still flow);
+    // append mode ⇒ exactly the batch join, row for row
+    "events_stream_enrich" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      EventStream.runStreamingEnrich(s, dir, "events.parquet",
+          t(s, dir, "events").schema, dim, Seq("user_id"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"),
+          col("c_mktsegment"))
+    }))
 
   /** DuckDB bucket recomputation for the RHP-LSH paths: the SAME
     * deterministic hyperplanes (Similarity.rhpPlaneComponents) as SQL list
@@ -1338,6 +1374,34 @@ object SparkEntry {
         "SELECT token, count(*) AS n FROM t GROUP BY token " +
         "ORDER BY n DESC, token LIMIT 100"),
 
+    // exact percentile ≡ DuckDB quantile_cont (same linear-interpolation
+    // definition); feature expressions shared with text_quality's oracle
+    "corpus_calibrate" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks, " +
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / " +
+        "CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS ar " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, ar, CAST(len(toks) AS DOUBLE) AS nt, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+        "CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS DOUBLE) / len(toks) END AS sr " +
+        "FROM t) " +
+        "SELECT count(*) AS n_docs, " +
+        "round(quantile_cont(ar, 0.1), 6) AS alpha_ratio_p10, " +
+        "round(quantile_cont(ar, 0.5), 6) AS alpha_ratio_p50, " +
+        "round(quantile_cont(ar, 0.9), 6) AS alpha_ratio_p90, " +
+        "round(quantile_cont(nt, 0.5), 6) AS n_tokens_p50, " +
+        "round(quantile_cont(nt, 0.9), 6) AS n_tokens_p90, " +
+        "round(quantile_cont(sr, 0.5), 6) AS stopword_ratio_p50 FROM f"),
+
+    "corpus_by_source" ->
+      (s"WITH t AS (SELECT source, lang, " +
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / " +
+        "CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS DECIMAL(27,12)) AS ar, " +
+        s"len($sqlToks) AS nt FROM documents) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, " +
+        "round(CAST(sum(ar) AS DOUBLE) / count(*), 6) AS mean_alpha_ratio, " +
+        "count(DISTINCT lang) AS n_langs FROM t GROUP BY source"),
+
     // BM25: same expression tree as Bm25.termScore (ln = natural log in
     // both engines; per-term scores summed as DECIMAL so accumulation
     // order cannot matter)
@@ -1498,6 +1562,11 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         |  value, props
         |FROM events""".stripMargin,
+
+    "events_stream_enrich" ->
+      """SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+        |  e.event_type, e.value, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     // streaming/batch consistency: the drained stream's final emissions
     // must equal the batch aggregation (exact decimal sum; HLL excluded)

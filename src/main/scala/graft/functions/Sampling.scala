@@ -144,6 +144,36 @@ object Sampling {
       (count_distinct(col(idCol)) - distinctOf(col("_fp"))).as("n_exact_dups"))
   }
 
+  /** Quality-gate CALIBRATION: percentiles of the quality features over
+    * the corpus itself, so filter thresholds ("drop the worst decile")
+    * derive from the data instead of being hardcoded — the number a
+    * pipeline re-reads after every corpus refresh. One aggregation row.
+    *
+    * `approx = false` uses exact `percentile` (sorts each feature's
+    * values IN MEMORY per aggregation — the oracle-checkable small-SF
+    * mode); the 100 TB default is `approx = true` → `approx_percentile`
+    * (t-digest-style sketch, bounded memory, mergeable map-side), same
+    * shape as [[corpusStats]]'s HLL swap. */
+  def qualityCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         approx: Boolean = false): DataFrame = {
+    val feats = TextFunctions.qualityFeatures(col(textCol)).toMap
+    val perDoc = docs.select(col(idCol),
+      feats("alpha_ratio").as("ar"),
+      feats("n_tokens").as("nt"),
+      feats("stopword_ratio_en").as("sr"))
+    def pct(c: Column, p: Double) =
+      if (approx) percentile_approx(c, lit(p), lit(10000))
+      else percentile(c, lit(p))
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      round(pct(col("ar"), 0.1), 6).as("alpha_ratio_p10"),
+      round(pct(col("ar"), 0.5), 6).as("alpha_ratio_p50"),
+      round(pct(col("ar"), 0.9), 6).as("alpha_ratio_p90"),
+      round(pct(col("nt").cast("double"), 0.5), 6).as("n_tokens_p50"),
+      round(pct(col("nt").cast("double"), 0.9), 6).as("n_tokens_p90"),
+      round(pct(col("sr"), 0.5), 6).as("stopword_ratio_p50"))
+  }
+
   /** Deterministic greedy sequence packing: docs are laid into
     * `target`-token bins in id order WITHIN a shard (bin = which bin the
     * doc STARTS in; `offset_in_bin` its start offset there). Sharding makes

@@ -178,6 +178,37 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-static ENRICHMENT join — the streaming half of the classic
+    * fact↔dimension pattern: each micro-batch of events picks up dimension
+    * attributes from a static frame. Stateless (no watermark, no state
+    * store): Spark plans a broadcast hash join per micro-batch, so the
+    * dimension must be broadcast-sized — the same contract as every other
+    * small-dim join in this repo. The static side is re-resolved per batch
+    * for file-based sources, which is what makes slowly-changing dims pick
+    * up snapshots without restarting the query. Left join: an event with
+    * no dimension row still flows, carrying nulls — fact streams must
+    * never lose rows to a lagging dimension load. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left_outer")
+
+  /** Drain `enrichStream` over a parquet drop-zone (Append mode — each
+    * event is emitted exactly once, enriched) and return the result. */
+  def runStreamingEnrich(spark: SparkSession, dir: String, glob: String,
+                         schema: StructType, dim: DataFrame, keys: Seq[String],
+                         queryName: String = "graft_enrich_stream"): DataFrame = {
+    val stream = new FileStreamSource(dir, glob, schema).load(spark)
+    withStreamingPartitions(spark, 8) {
+      val q = enrichStream(stream, dim, keys).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Per-user running session state for the stateful-streaming path. */
   final case class UserSessions(lastTsMicros: Long, nSessions: Long, nEvents: Long)
   final case class UserSessionCounts(user_id: Long, n_sessions: Long, n_events: Long)

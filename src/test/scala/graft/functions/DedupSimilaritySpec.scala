@@ -347,6 +347,9 @@ class DedupSimilaritySpec extends SparkSpec {
       val minId = rows.map(_.getLong(0)).min
       assert(rows.find(_.getLong(0) == minId).get.getBoolean(2))
     }
+    // the pair stage is an equi-join on the cell id — never a cross join
+    val plan = r.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("simhashFingerprints (explode form) equals the per-row Column form") {

@@ -174,6 +174,23 @@ class SamplingSpec extends SparkSpec {
     assert(r(4) === ((0L, 0.0, 0.0)))
   }
 
+  test("qualityCalibration: exact percentiles interpolate like quantile_cont; " +
+      "approx mode returns the same shape") {
+    // alpha ratios: 1.0, 0.4, 0.8, 0.0 → sorted [0, .4, .8, 1]
+    val docs = Seq((1L, "aaaa"), (2L, "aa 11"), (3L, "the the the the"),
+      (4L, "1234")).toDF("doc_id", "text")
+    val r = Sampling.qualityCalibration(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_docs")) === 4L)
+    // h = (n-1)p: p10 → .3 into [0,.4] = .12; p50 → 1.5 = .6; p90 → 2.7 = .94
+    assert(r.getDouble(r.fieldIndex("alpha_ratio_p10")) === 0.12)
+    assert(r.getDouble(r.fieldIndex("alpha_ratio_p50")) === 0.6)
+    assert(r.getDouble(r.fieldIndex("alpha_ratio_p90")) === 0.94)
+    val a = Sampling.qualityCalibration(docs, "doc_id", "text", approx = true)
+      .collect()(0)
+    assert(a.getLong(a.fieldIndex("n_docs")) === 4L)
+    assert(a.getDouble(a.fieldIndex("alpha_ratio_p50")) >= 0.0)
+  }
+
   test("tokenBudgetMixture: rates follow the integer formula, under-budget " +
       "strata keep everything, zero-share strata drop out") {
     // lang a: 10 docs × 10 tokens = 100; lang b: 10 × 30 = 300

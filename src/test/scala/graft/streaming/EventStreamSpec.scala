@@ -146,4 +146,25 @@ class EventStreamSpec extends SparkSpec {
     val ids = out.select("event_id").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq === Seq(10L, 11L, 12L))
   }
+
+  test("stream-static enrichment: every event flows exactly once, dim " +
+      "attributes attach, missing dim rows leave nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("evenrich")
+    Seq((1L, ts(1), 10L, "click", 1.0), (2L, ts(2), 11L, "view", 2.0),
+      (3L, ts(3), 99L, "click", 3.0)) // user 99 has no dim row
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(dir.toString + "/drop")
+    val schema = spark.read.parquet(dir.toString + "/drop").schema
+    val dim = Seq((10L, "BUILDING"), (11L, "MACHINERY"))
+      .toDF("user_id", "segment")
+    val out = EventStream.runStreamingEnrich(spark, dir.toString + "/drop",
+      "*.parquet", schema, dim, Seq("user_id"),
+      queryName = "graft_enrich_spec")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("segment"))).toMap
+    assert(out.size === 3)
+    assert(out(1L) === Some("BUILDING"))
+    assert(out(2L) === Some("MACHINERY"))
+    assert(out(3L) === None)
+  }
 }
