@@ -674,6 +674,26 @@ object SparkEntry {
     "text_perplexity" -> ((s, dir) =>
       LangModel.selfCrossEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Stupid Backoff held-out scoring (Brants et al. EMNLP'07): model from
+    // the 80% train split, scores for the rest — the backoff leg really
+    // fires on unseen bigrams
+    "text_backoff_heldout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs
+        .filter(Sampling.stableBucket(col("doc_id")) < 80)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      LangModel.backoffCrossEntropy(
+        docs.filter(Sampling.stableBucket(col("doc_id")) >= 80),
+        "doc_id", "text", LangModel.trainBigram(train, "toks"))
+    }),
+
+    // winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS
+    // algorithm): min-hash of each 4-window over word-3-gram hashes —
+    // Md5Hasher oracle mode, xxhash64 prod default
+    "text_winnow" -> ((s, dir) => driverSafe(
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, window = 4, hasher = Dedup.Md5Hasher))),
+
     // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
     // near-dup work; drop = lower-id same-cell neighbor with cosine ≥ 0.4.
     // iters=0 is anchor mode (cells = the 8 lowest-id vectors) so the
@@ -1443,6 +1463,42 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, " +
         "coalesce(round(CAST(s.s AS DOUBLE) / s.n_bigrams, 6), 0.0) AS cross_entropy " +
         "FROM d LEFT JOIN s USING (doc_id)"),
+
+    // stupid backoff: seen bigram → c2/c1; else α·(c(w2)+1)/(N+V)
+    "text_backoff_heldout" ->
+      (s"WITH d AS (SELECT doc_id, $sqlToks AS toks, " +
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b FROM documents), " +
+        "tr AS (SELECT * FROM d WHERE b < 80), " +
+        "ho AS (SELECT * FROM d WHERE b >= 80), " +
+        "g2 AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM tr), " +
+        "c2 AS (SELECT gram, count(*) AS c2 FROM g2 GROUP BY gram), " +
+        "u AS (SELECT unnest(toks) AS w1 FROM tr), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1), " +
+        "v AS (SELECT count(*) AS n_vocab, CAST(sum(c1) AS BIGINT) AS n_tokens FROM c1), " +
+        "hg AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1, " +
+        "string_split(gram, ' ')[2] AS w2 FROM " +
+        "(SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM ho)), " +
+        "s AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "sum(CAST(-ln(CASE WHEN coalesce(c2.c2, 0) > 0 THEN c2.c2 / CAST(c1.c1 AS DOUBLE) " +
+        "ELSE 0.4 * (coalesce(cw2.c1, 0) + 1.0) / (v.n_tokens + v.n_vocab) END) AS DECIMAL(27,12))) AS s " +
+        "FROM hg LEFT JOIN c2 USING (gram) LEFT JOIN c1 USING (w1) " +
+        "LEFT JOIN c1 cw2 ON cw2.w1 = hg.w2 CROSS JOIN v GROUP BY doc_id) " +
+        "SELECT ho.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(round(CAST(s.s AS DOUBLE) / s.n_bigrams, 6), 0.0) AS bo_cross_entropy " +
+        "FROM ho LEFT JOIN s USING (doc_id)"),
+
+    // winnowing: per-position window minima over md5-prefix n-gram hashes
+    "text_winnow" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS grams FROM t), " +
+        s"h AS (SELECT doc_id, list_transform(grams, g -> ${sqlMd5Long("g")}) AS hs FROM g), " +
+        "w AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1), " +
+        "i -> list_min(hs[i:i+3])))) END AS fps FROM h) " +
+        "SELECT doc_id, coalesce(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), '|'), '') AS fps FROM w"),
 
     // anchor cells = the 8 lowest-id vectors; L2 assignment argmax
     // (2·v·c − |c|²) with ties to the lowest cell id, cosine pair filter

@@ -432,4 +432,38 @@ object Dedup {
         size(col("_toks")).cast("long").as("n_tokens"),
         size(col("_cov")).cast("long").as("n_removed"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+    * algorithm): hash every word n-gram, then keep the MINIMUM hash of
+    * each sliding window of `window` consecutive n-gram hashes. The
+    * guarantee: any shared run of ≥ window+n−1 tokens between two
+    * documents shares at least one selected fingerprint, while storage
+    * drops to ~2/(window+1) of the n-gram set — the position-robust
+    * middle ground between one whole-doc `contentFingerprint` and the
+    * full shingle set.
+    *
+    * Per-row codegen'd HOFs, no shuffle (a storage/feature transform like
+    * simhash): O(len·window) per doc from the per-position `slice` copy —
+    * the n-gram hash column is materialized first so lambdas re-read an
+    * attribute, not re-evaluate the shingling (the HOF re-eval trap).
+    * Docs with fewer than n tokens (no n-grams) yield an empty set; docs
+    * with < window n-grams yield the single min of what exists.
+    * Output: (idCol, fps array<long> sorted distinct). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, window: Int = 4,
+                         hasher: Hasher = XxHasher): DataFrame = {
+    require(n >= 1 && window >= 1, s"bad winnow params n=$n window=$window")
+    val hashed = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        transform(TextFunctions.tokenNgrams(col("_toks"), n),
+          g => hasher(g)).as("_h"))
+    val wmins = transform(
+      sequence(lit(1), greatest(size(col("_h")) - (window - 1), lit(1))),
+      i => array_min(slice(col("_h"), i, lit(window))))
+    hashed.select(col(idCol),
+      when(size(col("_h")) === 0, array().cast("array<long>"))
+        .otherwise(array_sort(array_distinct(wmins))).as("fps"))
+  }
 }

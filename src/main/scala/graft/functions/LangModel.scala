@@ -43,7 +43,8 @@ object LangModel {
       .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
     val unis = docs.select(explode(col(toksCol)).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = unis.agg(count(lit(1)).as("n_vocab"))
+    val vocab = unis.agg(count(lit(1)).as("n_vocab"),
+      sum(col("c1")).as("n_tokens"))
     (grams, unis, vocab)
   }
 
@@ -82,6 +83,57 @@ object LangModel {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
+  }
+
+  /** Stupid-Backoff cross-entropy (Brants et al., "Large Language Models
+    * in Machine Translation", EMNLP'07) — the scoring rule DESIGNED for
+    * MapReduce-scale count tables: no discounting to renormalize, just
+    *   S(w2|w1) = c(w1 w2)/c(w1)            when the bigram was seen,
+    *            = α · (c(w2)+1)/(N+V)       otherwise (α = 0.4).
+    * The backoff leg is the add-one unigram relative frequency (the +1/+V
+    * keeps unseen WORDS finite — Brants et al. leave the unseen-word case
+    * open; this is the documented choice, mirrored by the oracle).
+    * S is a score, not a probability (it does not sum to 1) — exactly the
+    * trade the paper makes for distributed-count simplicity.
+    *
+    * Held-out scoring is the intended use: train on the kept split, score
+    * new/eval docs, where the backoff leg actually fires. Same join shape
+    * and DECIMAL discipline as [[crossEntropy]], plus one extra join on
+    * the SECOND token (the backed-off-to unigram). */
+  def backoffCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                          model: (DataFrame, DataFrame, DataFrame),
+                          alpha: Double = 0.4): DataFrame = {
+    val (grams, unis, vocab) = model
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenNgrams(col("toks"), 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val c1w2 = unis.select(col("w1").as("w2"), col("c1").as("c1_w2"))
+    val score =
+      when(coalesce(col("c2"), lit(0L)) > 0,
+        col("c2").cast("double") / col("c1"))
+        .otherwise(lit(alpha) *
+          (coalesce(col("c1_w2"), lit(0L)).cast("double") + 1.0) /
+          (col("n_tokens").cast("double") + col("n_vocab")))
+    val scored = docGrams
+      .join(grams, Seq("gram"), "left")
+      .join(unis, Seq("w1"), "left")
+      .join(c1w2, Seq("w2"), "left")
+      .join(broadcast(vocab))
+      .withColumn("_nll", (-log(score)).cast("decimal(27,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll")).as("_s"))
+      .withColumn("bo_cross_entropy",
+        round(col("_s").cast("double") / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("bo_cross_entropy"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bo_cross_entropy"), lit(0.0)).as("bo_cross_entropy"))
   }
 
   /** Train-on-self convenience: the usual first pass, where the corpus is

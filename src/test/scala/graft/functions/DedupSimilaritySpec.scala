@@ -352,6 +352,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("winnowing: shared runs of >= window+n-1 tokens share a fingerprint; " +
+      "short docs degrade gracefully; selection is a hash-set subset") {
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 ≥ 4+3-1 tokens
+    val docs = Seq(
+      (1L, s"unique one two three $shared closing words here"),
+      (2L, s"$shared totally different tail of tokens now"),
+      (3L, "tiny doc"),                  // < n tokens → no grams
+      (4L, "exactly three tokens"),      // one gram, < window
+      (5L, "")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      n = 3, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty) // the winnowing guarantee
+    assert(fps(3L).isEmpty && fps(5L).isEmpty)
+    assert(fps(4L).size === 1)
+    // every fingerprint is a real n-gram hash (selection never invents)
+    val allHashes = docs
+      .select($"doc_id", explode(TextFunctions.wordNgrams($"text", 3)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    for (id <- Seq(1L, 2L, 4L))
+      assert(fps(id).subsetOf(allHashes(id)))
+    // storage actually shrinks vs the full shingle set on the long docs
+    assert(fps(1L).size < allHashes(1L).size)
+    // Md5Hasher mode preserves the shared-run overlap structure
+    val fpsMd5 = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      n = 3, window = 4, hasher = Dedup.Md5Hasher)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fpsMd5(1L) intersect fpsMd5(2L)).nonEmpty)
+    assert(fpsMd5.values.flatten.forall(_ >= 0)) // 60-bit non-negative
+  }
+
   test("simhashFingerprints (explode form) equals the per-row Column form") {
     val perRow = corpus.filter($"doc_id" <= 4)
       .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("sh64"))

@@ -82,6 +82,26 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - expected) < 1e-6)
   }
 
+  test("stupid backoff: seen bigrams use c2/c1, unseen back off to the " +
+      "add-one unigram leg — hand-checked") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val model = LangModel.trainBigram(train, "toks")
+    // held-out "a b x": "a b" seen (S = 2/2 = 1 → nll 0);
+    // "b x" unseen, x unseen word → S = 0.4·(0+1)/(4+2) = 1/15
+    val ho = Seq((9L, "a b x")).toDF("doc_id", "text")
+    val r = LangModel.backoffCrossEntropy(ho, "doc_id", "text", model)
+      .collect()(0)
+    assert(r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - math.log(15.0) / 2.0) < 1e-6)
+    // seen-word backoff: "b a" unseen bigram?? — "b a" IS seen in train;
+    // "x a" unseen bigram with seen w2=a: S = 0.4·(2+1)/6 = 0.2
+    val ho2 = Seq((10L, "x a")).toDF("doc_id", "text")
+    val r2 = LangModel.backoffCrossEntropy(ho2, "doc_id", "text", model)
+      .collect()(0)
+    assert(math.abs(r2.getDouble(2) - (-math.log(0.2))) < 1e-6)
+  }
+
   test("bigram LM: scoring an unseen corpus hits the smoothed floor, drops nothing") {
     val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
