@@ -440,6 +440,19 @@ object SparkEntry {
         "qid", "qv", k = 5, bits = 8, dim = 64, multiProbe = true)
     }),
 
+    // recall@5 evaluation: multi-probe LSH vs exact brute force — the
+    // tuning loop for every ANN knob, itself exactly oracle-checked
+    "ann_recall_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.recallAtK(
+        Similarity.lshTopK(corpus, "nid", "nv", qs, "qid", "qv",
+          k = 5, bits = 8, dim = 64, multiProbe = true),
+        Similarity.bruteForceTopK(corpus, "nid", "nv", qs, "qid", "qv", k = 5))
+    }),
+
     // recall demo: probes 4/16 cells — results are approximate by design
     // (rows-only check). salts=1 skips top-k stage 1: at these SFs the
     // probed candidate set per query is reducer-sized (SCALE.md documents
@@ -836,6 +849,19 @@ object SparkEntry {
     * multiProbe = true)` over queries vec_id < 8: recompute buckets, probe
     * the signature and its 8 Hamming-1 neighbors, score in-bucket pairs,
     * global top-5 per query. */
+  /** Exact cosine top-5 for queries vec_id < 8 — shared by ann_brute_topk
+    * and the recall report's exact side. */
+  private def annBruteOracleSql: String =
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+      "scored AS (SELECT q.qid, e.vec_id AS nid, " +
+      "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+      "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+      "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+      "FROM embeddings e, q WHERE e.vec_id <> q.qid) " +
+      "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+      "WHERE rn <= 5"
+
   private def annLshOracleSql: String = {
     val (planeCols, bucketExpr) = rhpSqlParts(8, 64)
     val probeList = "[sig" + (0 until 8).map(b => s", xor(sig, ${1L << b})")
@@ -1323,16 +1349,18 @@ object SparkEntry {
         "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ex) " +
         "WHERE rn <= 5"),
 
-    "ann_brute_topk" ->
-      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
-        "scored AS (SELECT q.qid, e.vec_id AS nid, " +
-        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
-        "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
-        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
-        "FROM embeddings e, q WHERE e.vec_id <> q.qid) " +
-        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
-        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
-        "WHERE rn <= 5"),
+    "ann_brute_topk" -> annBruteOracleSql,
+
+    // recall@5 of multi-probe RHP-LSH vs exact: both sides are the same
+    // deterministic pipelines as their standalone queries, so the report
+    // itself is exactly checkable (nested-WITH CTEs)
+    "ann_recall_report" ->
+      (s"WITH ap AS ($annLshOracleSql), ex AS ($annBruteOracleSql) " +
+        "SELECT ex.query_id, count(*) AS n_exact, " +
+        "count(ap.neighbor_id) AS n_hit, " +
+        "round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall " +
+        "FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id " +
+        "AND ex.neighbor_id = ap.neighbor_id GROUP BY ex.query_id"),
 
     "text_tokens" ->
       (s"WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents) " +

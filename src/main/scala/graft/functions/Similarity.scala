@@ -248,6 +248,23 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).alias("sim"))
   }
 
+  /** Recall@k report of an approximate ANN result against the exact one —
+    * the evaluation loop every (bits, nprobe, m, shortlist) knob is tuned
+    * with. Both inputs are (query_id, rank, neighbor_id, …) frames from
+    * any of the top-k paths. Per query: how many of the exact neighbors
+    * the approximate search recovered. One equi-join + one aggregation on
+    * k·|queries| rows — evaluation cost is independent of corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("_hit", lit(1))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(ap, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("_hit")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     * the embedding space into `numCells` clusters, then mark as duplicate
     * every vector that has a LOWER-id same-cluster neighbor with cosine ≥

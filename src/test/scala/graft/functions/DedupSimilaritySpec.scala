@@ -352,6 +352,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("recallAtK: identical results score 1.0, disjoint 0.0, partial " +
+      "overlap counts hits per query") {
+    def frame(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("query_id", "rank", "neighbor_id")
+    val exact = frame(Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L)))
+    val same = Similarity.recallAtK(exact, exact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(same === Map(1L -> 1.0, 2L -> 1.0))
+    val approx = frame(Seq((1L, 1, 10L), (1L, 2, 99L), (2L, 1, 98L), (2L, 2, 97L)))
+    val r = Similarity.recallAtK(approx, exact).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((2L, 1L, 0.5)))   // hit 10, missed 11
+    assert(r(2L) === ((2L, 0L, 0.0)))   // both missed
+  }
+
   test("winnowing: shared runs of >= window+n-1 tokens share a fingerprint; " +
       "short docs degrade gracefully; selection is a hash-set subset") {
     val shared = "alpha beta gamma delta epsilon zeta eta" // 7 ≥ 4+3-1 tokens
