@@ -288,7 +288,12 @@ object Pq {
           if (math.abs(apq) > 1e-12 * math.sqrt(app * aqq) + 1e-300) {
             converged = false
             val tau = (aqq - app) / (2.0 * apq)
-            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            // stable tangent; the tau = 0 limit is t = 1 (a 45° rotation),
+            // NOT 0 — sign(0)/... would silently skip the rotation and the
+            // pair would never orthogonalize
+            val t =
+              if (tau >= 0) 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+              else -1.0 / (-tau + math.sqrt(1.0 + tau * tau))
             val c = 1.0 / math.sqrt(1.0 + t * t)
             val s = c * t
             var i = 0
@@ -309,18 +314,54 @@ object Pq {
       sweep += 1
     }
     val u = Array.ofDim[Double](dim, dim)
+    val degenerate = scala.collection.mutable.ArrayBuffer[Int]()
     var j = 0
     while (j < dim) {
       var s = 0.0; var i = 0
       while (i < dim) { s += b(i)(j) * b(i)(j); i += 1 }
       val norm = math.sqrt(s)
-      i = 0
-      while (i < dim) {
-        u(i)(j) = if (norm > 1e-12) b(i)(j) / norm
-                  else if (i == j) 1.0 else 0.0
-        i += 1
-      }
+      if (norm > 1e-12) {
+        i = 0
+        while (i < dim) { u(i)(j) = b(i)(j) / norm; i += 1 }
+      } else degenerate += j
       j += 1
+    }
+    // rank-deficient A (small samples, collinear reconstructions): complete
+    // the zero-singular columns to an orthonormal basis by Gram-Schmidt
+    // over the unit vectors, so U — and hence the Procrustes R = V Uᵀ —
+    // stays exactly orthogonal instead of silently skewed
+    if (degenerate.nonEmpty) {
+      // `degenerate` ascends, so a degenerate column c has been completed
+      // already iff c < dj; non-degenerate columns are always filled
+      def filled(c: Int, dj: Int): Boolean =
+        c != dj && (!degenerate.contains(c) || c < dj)
+      var cand = 0
+      degenerate.foreach { dj =>
+        var placed = false
+        while (!placed && cand < dim) {
+          val w = new Array[Double](dim)
+          w(cand) = 1.0
+          var c = 0
+          while (c < dim) { // project out every filled column of U
+            if (filled(c, dj)) {
+              var d = 0.0; var i2 = 0
+              while (i2 < dim) { d += u(i2)(c) * w(i2); i2 += 1 }
+              i2 = 0
+              while (i2 < dim) { w(i2) -= d * u(i2)(c); i2 += 1 }
+            }
+            c += 1
+          }
+          var n2 = 0.0; var i2 = 0
+          while (i2 < dim) { n2 += w(i2) * w(i2); i2 += 1 }
+          if (n2 > 1e-12) {
+            val inv = 1.0 / math.sqrt(n2)
+            i2 = 0
+            while (i2 < dim) { u(i2)(dj) = w(i2) * inv; i2 += 1 }
+            placed = true
+          }
+          cand += 1
+        }
+      }
     }
     (u, v)
   }

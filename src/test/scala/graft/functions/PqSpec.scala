@@ -256,6 +256,23 @@ class PqSpec extends SparkSpec {
       assert(math.abs(x.getDouble(0) - x.getDouble(1)) < 1e-6))
   }
 
+  test("trainOpq stays exactly orthogonal on rank-deficient data " +
+      "(degenerate SVD directions are Gram-Schmidt-completed)") {
+    // rank-1 corpus in 4 dims ⇒ the Procrustes matrix has 3 zero singular
+    // values — the completion path must still return an orthogonal R
+    val lowRank = (0L until 20L).map { i =>
+      val a = math.sin(i * 1.1) * 5.0
+      (i, Array(a, 2.0 * a, 0.0, 0.0).map(_.toFloat).toSeq)
+    }.toDF("nid", "nv")
+    val (r, _) = Pq.trainOpq(lowRank, "nid", "nv", m = 2, k = 2,
+      opqIters = 2, kmeansIters = 2)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(t => r(t)(i) * r(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RᵀR[$i][$j] = $dot")
+    }
+  }
+
   test("trainOpq is deterministic and its codebooks serve ADC in rotated " +
       "space (recall vs exact L2 no worse than plain PQ at equal budget)") {
     val (r1, cb1) = Pq.trainOpq(skewed, "nid", "nv", m = 4, k = 4,
