@@ -782,6 +782,17 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // stream-stream interval join: click → purchase attribution within a
+    // 2 h window; watermarks + the time-bound condition keep state finite,
+    // append mode ⇒ exactly the batch interval join (the oracle)
+    "events_stream_attrib" -> ((s, dir) =>
+      EventStream.runStreamingIntervalJoin(s, dir, "events.parquet",
+          t(s, dir, "events").schema, "click", "purchase",
+          withinMinutes = 120, watermark = "4 hours")
+        .select(col("from_id"), col("to_id"), col("user_id"),
+          unix_micros(col("from_ts")).as("from_us"),
+          unix_micros(col("to_ts")).as("to_us"))),
+
     // stream-static enrichment: each micro-batch broadcast-joins the
     // customer dimension (left join — events with no dim row still flow);
     // append mode ⇒ exactly the batch join, row for row
@@ -1651,6 +1662,13 @@ object SparkEntry {
       """SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
         |  e.event_type, e.value, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "events_stream_attrib" ->
+      """SELECT c.event_id AS from_id, p.event_id AS to_id, c.user_id,
+        |  epoch_us(c.ts) AS from_us, epoch_us(p.ts) AS to_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 120 MINUTE""".stripMargin,
 
     // streaming/batch consistency: the drained stream's final emissions
     // must equal the batch aggregation (exact decimal sum; HLL excluded)

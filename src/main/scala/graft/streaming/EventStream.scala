@@ -209,6 +209,57 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream INTERVAL join — attribution: pair each `fromType` event
+    * with the same user's `toType` events that follow within
+    * `withinMinutes` (click → purchase within the attribution window).
+    * The time-bound condition plus watermarks on BOTH sides is what makes
+    * streaming state finite: a buffered `from` row can be dropped once the
+    * watermark passes its timestamp + window, a `to` row once it can no
+    * longer match anything — Spark derives both bounds from the join
+    * condition. Inner join in append mode emits each matched pair exactly
+    * once. The same function runs on batch frames (`withWatermark` is a
+    * no-op there), which is the oracle twin. */
+  def intervalJoinStream(events: DataFrame, fromType: String, toType: String,
+                         withinMinutes: Int, watermark: String): DataFrame = {
+    val from = events.filter(col("event_type") === fromType)
+      .select(col("event_id").as("from_id"), col("user_id"),
+        col("ts").as("from_ts"))
+      .withWatermark("from_ts", watermark)
+    val to = events.filter(col("event_type") === toType)
+      .select(col("event_id").as("to_id"), col("user_id").as("_uid_to"),
+        col("ts").as("to_ts"))
+      .withWatermark("to_ts", watermark)
+    from.join(to,
+        col("user_id") === col("_uid_to") &&
+          col("to_ts") >= col("from_ts") &&
+          col("to_ts") <= col("from_ts") +
+            expr(s"interval $withinMinutes minutes"),
+        "inner")
+      .select(col("from_id"), col("to_id"), col("user_id"),
+        col("from_ts"), col("to_ts"))
+  }
+
+  /** Drain `intervalJoinStream` over a parquet drop-zone (Append mode —
+    * each attributed pair emitted exactly once). */
+  def runStreamingIntervalJoin(spark: SparkSession, dir: String, glob: String,
+                               schema: StructType, fromType: String,
+                               toType: String, withinMinutes: Int,
+                               watermark: String,
+                               queryName: String = "graft_attrib_stream")
+      : DataFrame = {
+    val stream = new FileStreamSource(dir, glob, schema).load(spark)
+    withStreamingPartitions(spark, 8) {
+      val q = intervalJoinStream(stream, fromType, toType, withinMinutes,
+          watermark).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Per-user running session state for the stateful-streaming path. */
   final case class UserSessions(lastTsMicros: Long, nSessions: Long, nEvents: Long)
   final case class UserSessionCounts(user_id: Long, n_sessions: Long, n_events: Long)

@@ -147,6 +147,29 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq === Seq(10L, 11L, 12L))
   }
 
+  test("stream-stream interval join: pairs within the window exactly once, " +
+      "boundary inclusive, outside window and wrong order excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("evattrib")
+    Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(10), 1L, "purchase", 5.0),   // within 30 min of click 1
+      (3L, ts(30), 1L, "purchase", 5.0),   // exactly at the boundary → in
+      (4L, ts(45), 1L, "purchase", 5.0),   // past the window → out
+      (5L, ts(20), 2L, "purchase", 5.0),   // other user → out
+      (6L, ts(25), 1L, "click", 1.0),      // second click: pairs with 3
+      (7L, ts(24), 1L, "purchase", 5.0))   // BEFORE click 6, after click 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(dir.toString + "/drop")
+    val schema = spark.read.parquet(dir.toString + "/drop").schema
+    val pairs = EventStream.runStreamingIntervalJoin(spark,
+        dir.toString + "/drop", "*.parquet", schema, "click", "purchase",
+        withinMinutes = 30, watermark = "1 hour",
+        queryName = "graft_attrib_spec")
+      .collect().map(r => (r.getAs[Long]("from_id"), r.getAs[Long]("to_id")))
+      .toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 7L), (6L, 3L), (6L, 4L)))
+  }
+
   test("stream-static enrichment: every event flows exactly once, dim " +
       "attributes attach, missing dim rows leave nulls") {
     val dir = java.nio.file.Files.createTempDirectory("evenrich")
