@@ -157,4 +157,37 @@ class PropertySpec extends SparkSpec {
       assert(salted === direct)
     }
   }
+
+  test("winnowing guarantee: any shared token run of length >= window+n-1 " +
+      "yields a shared fingerprint; fingerprints are always n-gram hashes") {
+    // random docs over a small vocab, with a random shared run spliced into
+    // two of them — the SIGMOD'03 coverage theorem must hold for every case
+    val n = 3; val window = 4
+    val word = Gen.oneOf((0 until 12).map(i => s"w$i"))
+    val gen = for {
+      run <- Gen.listOfN(window + n - 1, word) // exactly threshold length
+      pre1 <- Gen.listOfN(5, word); post1 <- Gen.listOfN(3, word)
+      pre2 <- Gen.listOfN(2, word); post2 <- Gen.listOfN(6, word)
+    } yield (
+      (pre1 ++ run ++ post1).mkString(" "),
+      (pre2 ++ run ++ post2).mkString(" "))
+    // evaluate all sampled cases in ONE DataFrame job
+    val cases = (0 until 40).flatMap(_ => gen.sample).zipWithIndex
+      .map { case ((a, b), i) => Seq((i * 2L, a), (i * 2L + 1, b)) }
+    val docs = cases.flatten.toDF("doc_id", "text")
+    val fps = graft.functions.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", n, window)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val grams = docs
+      .select($"doc_id", explode(TextFunctions.wordNgrams($"text", n)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    cases.foreach { pair =>
+      val Seq((idA, _), (idB, _)) = pair
+      assert((fps(idA) intersect fps(idB)).nonEmpty,
+        s"docs $idA/$idB share a ${window + n - 1}-token run but no fingerprint")
+      assert(fps(idA).subsetOf(grams(idA)) && fps(idB).subsetOf(grams(idB)))
+    }
+  }
 }
