@@ -645,6 +645,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)),
 
+    // per-language inspection examples: first 3 docs per lang in stable-
+    // hash order (WindowGroupLimit keeps the per-stratum reducer bounded)
+    "corpus_examples" -> ((s, dir) =>
+      Sampling.stratumExamples(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"), n = 3)
+        .select(col("lang"), col("example_rank"), col("doc_id"))),
+
     // quality-gate calibration: data-derived thresholds (percentiles of
     // the quality features) — exact mode here for the oracle; approx=true
     // (t-digest sketches) is the 100 TB default
@@ -1432,6 +1440,12 @@ object SparkEntry {
       (s"WITH t AS (SELECT unnest($sqlToks) AS token FROM documents) " +
         "SELECT token, count(*) AS n FROM t GROUP BY token " +
         "ORDER BY n DESC, token LIMIT 100"),
+
+    "corpus_examples" ->
+      ("SELECT lang, CAST(rn AS INTEGER) AS example_rank, doc_id FROM " +
+        "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824, doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 3"),
 
     // exact percentile ≡ DuckDB quantile_cont (same linear-interpolation
     // definition); feature expressions shared with text_quality's oracle

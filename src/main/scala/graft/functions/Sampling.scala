@@ -144,6 +144,31 @@ object Sampling {
       (count_distinct(col(idCol)) - distinctOf(col("_fp"))).as("n_exact_dups"))
   }
 
+  /** Deterministic per-stratum EXAMPLE picks — the eyeball sample a
+    * pipeline pins next to every mixture/quality decision: the first `n`
+    * rows of each stratum in (stable-hash, key) order. Hash order makes
+    * the examples spread and reproducible (raw-key order would always
+    * show the oldest rows); a grown corpus changes examples only where
+    * new keys hash earlier.
+    *
+    * Scale: rank ≤ n over a by-stratum window plans as WindowGroupLimit
+    * (Spark's partial top-k): each map task keeps only its local n per
+    * stratum BEFORE the shuffle, so the per-stratum reducer sees
+    * ≤ n·tasks rows, not the stratum — safe even with a handful of huge
+    * strata (plan-spec'd). */
+  def stratumExamples(df: DataFrame, key: Column, stratum: Column,
+                      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_ex_stratum"))
+      .orderBy(col("_ex_h"), col("_ex_key"))
+    df.withColumn("_ex_stratum", stratum)
+      .withColumn("_ex_key", key)
+      .withColumn("_ex_h", stableBucket(key, 1 << 30))
+      .withColumn("example_rank", row_number().over(w))
+      .filter(col("example_rank") <= n)
+      .drop("_ex_stratum", "_ex_key", "_ex_h")
+  }
+
   /** Quality-gate CALIBRATION: percentiles of the quality features over
     * the corpus itself, so filter thresholds ("drop the worst decile")
     * derive from the data instead of being hardcoded — the number a

@@ -174,6 +174,22 @@ class SamplingSpec extends SparkSpec {
     assert(r(4) === ((0L, 0.0, 0.0)))
   }
 
+  test("stratumExamples: n per stratum, deterministic hash order, and the " +
+      "plan limits map-side (WindowGroupLimit)") {
+    val docs = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "lang")
+    val ex = Sampling.stratumExamples(docs, $"id", $"lang", n = 2)
+    val rows = ex.collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0)))
+    assert(rows.count(_._1 == "a") === 2 && rows.count(_._1 == "b") === 2)
+    // rerun picks the identical examples
+    val again = Sampling.stratumExamples(docs, $"id", $"lang", n = 2)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0)))
+    assert(rows.toSet === again.toSet)
+    // partial top-k before the shuffle: the rank<=n filter must plan as
+    // WindowGroupLimit so a huge stratum never floods one reducer
+    assert(ex.queryExecution.sparkPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("qualityCalibration: exact percentiles interpolate like quantile_cont; " +
       "approx mode returns the same shape") {
     // alpha ratios: 1.0, 0.4, 0.8, 0.0 → sorted [0, .4, .8, 1]
