@@ -253,13 +253,18 @@ object SparkEntry {
           ("sum_qty", "sum", col("l_qty_dec"))))
     }),
 
-    // ---- A5: nested array-of-struct documents (rows-only check via
-    // driverSafe's to_json serialization; content pinned by the exploded
-    // roundtrip below + TranslatorSpec goldens) ---------------------------
-    "a5_nested_docs" -> ((s, dir) => driverSafe {
+    // ---- A5: nested array-of-struct documents, hash-checked via CANONICAL
+    // serialization: each two-level doc (nation → customers → orders)
+    // collapses to a deterministic string — orders as sorted
+    // "price:id" CSV, customers as sorted "name@acctbal@[orders]@id"
+    // '|'-joins, numbers decimal-cast so both engines print identically.
+    // The oracle rebuilds the same string from plain joins, so the nested
+    // CONSTRUCTION (grouping, filters, null semantics) is exactly checked,
+    // not just row counts ------------------------------------------------
+    "a5_nested_docs" -> ((s, dir) => {
       val src = TpchGraph.source(s, dir)
       val t = new Translator(TpchGraph.schema, src)
-      t.translate(IndexMapping(
+      val docs = t.translate(IndexMapping(
         name = "nation_nested", docType = "nation", root = "nation",
         props = Seq(PropDef("n_name", "n_name")),
         nestedProps = Seq(NestedDef(
@@ -269,6 +274,21 @@ object SparkEntry {
             name = "orders", path = Seq("orders"),
             props = Seq(PropDef("o_totalprice", "o_totalprice")),
             filter = Some(FilterLeaf(">", "o_totalprice", 0))))))))
+      val orderS = (o: Column) => concat(
+        o.getField("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+        lit(":"), o.getField("_orders_id").cast("string"))
+      val custS = (c: Column) => concat(
+        c.getField("c_name"), lit("@"),
+        c.getField("c_acctbal").cast(DecimalType(18, 2)).cast("string"),
+        lit("@["),
+        // orders is null for a customer with no qualifying orders —
+        // coalesce AFTER the join so concat can't null the whole row
+        coalesce(array_join(array_sort(transform(
+          c.getField("orders"), orderS)), ","), lit("")),
+        lit("]@"), c.getField("_customer_id").cast("string"))
+      docs.select(col("_nation_id"), col("n_name"),
+        coalesce(array_join(array_sort(transform(col("customers"), custS)), "|"),
+          lit("")).as("customers_canon"))
     }),
 
     // nested-doc content IS oracle-checkable once exploded back to rows:
@@ -453,10 +473,12 @@ object SparkEntry {
         Similarity.bruteForceTopK(corpus, "nid", "nv", qs, "qid", "qv", k = 5))
     }),
 
-    // recall demo: probes 4/16 cells — results are approximate by design
-    // (rows-only check). salts=1 skips top-k stage 1: at these SFs the
-    // probed candidate set per query is reducer-sized (SCALE.md documents
-    // sizing both knobs to data)
+    // probed IVF serving: 4/16 cells per query. iters=0 is anchor mode
+    // (centroids = the 16 lowest-id vectors, SQL-recomputable), so cell
+    // assignment, probing, and the probed top-k are EXACTLY oracle-checked;
+    // trained centroids stay the prod default, pinned by IvfSpec. salts=1
+    // skips top-k stage 1: at these SFs the probed candidate set per query
+    // is reducer-sized (SCALE.md documents sizing both knobs to data)
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ivf.topK(
@@ -464,7 +486,7 @@ object SparkEntry {
         "nid", "nv",
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        "qid", "qv", k = 5, numCells = 16, nprobe = 4, salts = 1)
+        "qid", "qv", k = 5, numCells = 16, nprobe = 4, iters = 0, salts = 1)
     }),
 
     // search over the int8-QUANTIZED corpus (4× smaller storage): corpus
@@ -718,21 +740,26 @@ object SparkEntry {
     // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
     // near-dup work; drop = lower-id same-cell neighbor with cosine ≥ 0.4.
     // iters=0 is anchor mode (cells = the 8 lowest-id vectors) so the
-    // oracle recomputes the same assignment; prod default trains cells
+    // oracle recomputes the same assignment; prod default trains cells.
+    // maxCell=100 is the skew guard (over-cap cells skip pairing, members
+    // keep=true) — the oracle recomputes the same per-cell counts and
+    // exclusion, so the cap is verified, not just declared
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDupReport(t(s, dir, "embeddings"), "vec_id",
-        "embedding", numCells = 8, threshold = 0.4, iters = 0)),
+        "embedding", numCells = 8, threshold = 0.4, iters = 0,
+        maxCell = 100)),
 
     // token-BUDGET mixture: keep-rates derived from per-language token
     // volume to hit a 10k-token corpus at en 50% / zh 20% / others 10% —
-    // all integer arithmetic, recomputed by the oracle
+    // all integer arithmetic (ppm granularity, so a stratum whose volume
+    // dwarfs its target still gets a nonzero rate), recomputed by the oracle
     "corpus_mixture" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
       Sampling.tokenBudgetMixture(docs, col("doc_id"), col("lang"),
         col("n_tok"), budgetTokens = 10000L,
         sharePctByStratum = Map("en" -> 50, "zh" -> 20), defaultSharePct = 10)
-        .select(col("doc_id"), col("lang"), col("rate_pct"))
+        .select(col("doc_id"), col("lang"), col("rate_ppm"))
     }),
 
     // ---- multimodal plumbing --------------------------------------------
@@ -1026,6 +1053,25 @@ object SparkEntry {
       """SELECT n_nationkey AS _nation_id, n_name, c_name, c_acctbal,
         |  c_custkey AS _customer_id
         |FROM nation JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
+
+    // canonical rebuild of the two-level nested doc from plain joins:
+    // same decimal-cast number formatting, same string sort orders, same
+    // left-join null semantics ('' markers for empty levels)
+    "a5_nested_docs" ->
+      ("WITH os AS (SELECT o_custkey, " +
+        "list_sort(list(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) " +
+        "|| ':' || CAST(o_orderkey AS VARCHAR))) AS lst " +
+        "FROM orders WHERE o_totalprice > 0 GROUP BY o_custkey), " +
+        "cs AS (SELECT c_nationkey, c_name || '@' || " +
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '@[' || " +
+        "COALESCE(array_to_string(os.lst, ','), '') || ']@' || " +
+        "CAST(c_custkey AS VARCHAR) AS s " +
+        "FROM customer LEFT JOIN os ON os.o_custkey = c_custkey) " +
+        "SELECT n.n_nationkey AS _nation_id, n.n_name, " +
+        "COALESCE(array_to_string(list_sort(list(cs.s) " +
+        "FILTER (WHERE cs.s IS NOT NULL)), '|'), '') AS customers_canon " +
+        "FROM nation n LEFT JOIN cs ON cs.c_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_nationkey, n.n_name"),
 
     "corpus_clean" ->
       (s"WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents), " +
@@ -1553,8 +1599,35 @@ object SparkEntry {
         "i -> list_min(hs[i:i+3])))) END AS fps FROM h) " +
         "SELECT doc_id, coalesce(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), '|'), '') AS fps FROM w"),
 
+    // anchor-mode IVF: centroids = the 16 lowest-id vectors; cosine cell
+    // assignment (ties → lowest cid), each query probes its 4
+    // cosine-nearest cells, probed candidates ranked top-5 (ties → nid) —
+    // the full train→index→probe→top-k pipeline recomputed in SQL
+    "ann_ivf_topk" ->
+      ("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm " +
+        "FROM embeddings ORDER BY vec_id LIMIT 16), " +
+        "n AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nn FROM embeddings), " +
+        "asg AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cid AS cell, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (e.nn * c.cnorm) DESC, c.cid) AS rn " +
+        "FROM n e CROSS JOIN cent c) WHERE rn = 1), " +
+        "probes AS (SELECT qid, cell FROM (SELECT q.vec_id AS qid, c.cid AS cell, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (q.nn * c.cnorm) DESC, c.cid) AS rn " +
+        "FROM n q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= 4), " +
+        "sc AS (SELECT p.qid, e.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) / (e.nn * q.nn) AS sim " +
+        "FROM probes p JOIN asg a ON a.cell = p.cell JOIN n e ON e.vec_id = a.vec_id " +
+        "JOIN n q ON q.vec_id = p.qid WHERE e.vec_id <> p.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc) WHERE rn <= 5"),
+
     // anchor cells = the 8 lowest-id vectors; L2 assignment argmax
-    // (2·v·c − |c|²) with ties to the lowest cell id, cosine pair filter
+    // (2·v·c − |c|²) with ties to the lowest cell id, cosine pair filter;
+    // cells with more than 100 members are excluded from pairing (the
+    // engine's maxCell skew guard, recomputed here)
     "dedup_semantic" ->
       ("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec, " +
         "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm " +
@@ -1562,11 +1635,13 @@ object SparkEntry {
         "sc AS (SELECT e.vec_id, c.cid, " +
         "2.0 * list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) - c.cnorm * c.cnorm AS s " +
         "FROM embeddings e CROSS JOIN cent c), " +
-        "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+        "asg0 AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1), " +
+        "asg AS (SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS _cn FROM asg0), " +
         "n AS (SELECT vec_id, sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nn FROM embeddings), " +
         "p AS (SELECT DISTINCT b.vec_id AS drop_id " +
         "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "AND a._cn <= 100 " +
         "JOIN embeddings ea ON ea.vec_id = a.vec_id " +
         "JOIN embeddings eb ON eb.vec_id = b.vec_id " +
         "JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id " +
@@ -1574,18 +1649,18 @@ object SparkEntry {
         "SELECT asg.vec_id, asg.cell, p.drop_id IS NULL AS keep " +
         "FROM asg LEFT JOIN p ON asg.vec_id = p.drop_id"),
 
-    // integer-exact mixture rates: // is DuckDB floor division, mirroring
-    // the engine's (a - a mod b) / b
+    // integer-exact ppm mixture rates: // is DuckDB floor division,
+    // mirroring the engine's decimal-exact (a - a mod b) / b
     "corpus_mixture" ->
       (s"WITH t AS (SELECT doc_id, lang, len($sqlToks) AS ntok FROM documents), " +
         "tot AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS total, " +
         "CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END AS share " +
         "FROM t GROUP BY lang), " +
         "r AS (SELECT lang, CASE WHEN total > 0 THEN " +
-        "least(100, (100 * ((10000 * share) // 100)) // total) ELSE 0 END AS rate FROM tot) " +
-        "SELECT t.doc_id, t.lang, CAST(r.rate AS BIGINT) AS rate_pct " +
+        "least(1000000, (1000000::BIGINT * ((10000::BIGINT * share) // 100)) // total) ELSE 0 END AS rate FROM tot) " +
+        "SELECT t.doc_id, t.lang, CAST(r.rate AS BIGINT) AS rate_ppm " +
         "FROM t JOIN r USING (lang) " +
-        "WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < r.rate"),
+        "WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < r.rate"),
 
     "text_chunk" ->
       (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +

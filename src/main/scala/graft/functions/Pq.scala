@@ -197,7 +197,11 @@ object Pq {
                samplePct: Int = 100, sampleCap: Int = 100000)
       : (Array[Array[Double]], Codebooks) = {
     val rows = sampleRows(corpus, idCol, vecCol, samplePct, sampleCap)
+    // same informative preconditions as trainCodebooks — without these an
+    // empty sample (tiny corpus + low samplePct) dies on rows.head below
+    require(rows.nonEmpty, "Pq.trainOpq: empty corpus sample")
     val dim = rows.head.length
+    require(dim % m == 0, s"Pq.trainOpq: dim $dim not divisible by m=$m")
     var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     var cb: Codebooks = null
     def applyR(x: Array[Double]): Array[Double] = {

@@ -63,12 +63,15 @@ object Sampling {
     df.filter(stableBucket(key) < rate)
   }
 
-  /** Exact floor division on non-negative longs. `(a - a mod b) / b` keeps
-    * the double division exact (the numerator is divisible by b), unlike a
-    * bare `floor(a / b)` whose quotient can land one ulp under an integer.
-    * Callers keep products below 2^53 (documented per call site). */
-  private def intDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+  /** Exact floor division on non-negative integral columns. The subtraction
+    * makes the numerator divisible by b and the DECIMAL division keeps the
+    * quotient exact for products past 2^53 (a bare double `/` would round;
+    * callers multiply budgets by 10^6). */
+  private def intDiv(a: Column, b: Column): Column = {
+    val ad = a.cast("decimal(38,0)")
+    val bd = b.cast("decimal(38,0)")
+    ((ad - pmod(ad, bd)) / bd).cast("long")
+  }
 
   /** Token-BUDGET data mixture — the sampler that answers "give me a
     * `budgetTokens`-token corpus that is X% lang-A, Y% lang-B": each
@@ -76,17 +79,22 @@ object Sampling {
     * kept tokens hit `budget · share`, then membership is the same stable
     * md5 bucket as every other sampler (monotone, engine-recomputable).
     *
-    * rate(s) = min(100, 100 · (budget · share(s) div 100) div tokens(s)),
-    * all integer arithmetic — floor twice, so a stratum under-fills by at
-    * most 1% of its target plus per-bucket sampling noise; a stratum with
-    * fewer tokens than its target keeps everything (rate 100). Products
-    * stay under 2^53 for budgets up to ~9·10¹³ tokens per percent-share —
-    * beyond any single mixture slice.
+    * rate(s) = min(10⁶, 10⁶ · (budget · share(s) div 100) div tokens(s))
+    * in PARTS PER MILLION, all integer arithmetic (decimal-exact floor
+    * division, so products past 2^53 stay exact). Membership = stable
+    * bucket over 10⁶. Floor-twice means a stratum under-fills by at most
+    * 1 ppm of its TOKEN VOLUME plus per-bucket sampling noise — percent
+    * granularity would floor to rate 0 (silently dropping the stratum)
+    * whenever volume exceeds 100× target, exactly the large-corpus/
+    * small-budget regime a 100 TB pipeline lives in; ppm moves that cliff
+    * to 10⁶× volume-over-target (callers needing finer still should
+    * pre-partition the stratum). A stratum with fewer tokens than its
+    * target keeps everything (rate 10⁶).
     *
     * Scale: one tiny per-stratum aggregate (map-side combined), broadcast
     * back; the keep decision is a per-row scan predicate. Nothing is
     * collected to the driver. Output: the kept rows of `docs` plus their
-    * `rate_pct`. */
+    * `rate_ppm`. */
   def tokenBudgetMixture(docs: DataFrame, key: Column, stratum: Column,
                          nTok: Column, budgetTokens: Long,
                          sharePctByStratum: Map[String, Int],
@@ -105,12 +113,16 @@ object Sampling {
     val totals = withS.groupBy(col("_mix_stratum"))
       .agg(sum(col("_mix_ntok")).as("_mix_total"))
     val target = intDiv(lit(budgetTokens) * share.cast("long"), lit(100L))
+    // ppm product via decimal: 10^6 · target overflows a long for targets
+    // past ~9.2·10^12 tokens — real at 100 TB scale
     val rate = when(col("_mix_total") > 0,
-      least(lit(100L), intDiv(lit(100L) * target, col("_mix_total"))))
+      least(lit(1000000L),
+        intDiv(target.cast("decimal(38,0)") * lit(1000000L),
+          col("_mix_total"))))
       .otherwise(lit(0L))
     withS.join(broadcast(totals), Seq("_mix_stratum"))
-      .withColumn("rate_pct", rate)
-      .filter(stableBucket(key) < col("rate_pct"))
+      .withColumn("rate_ppm", rate)
+      .filter(stableBucket(key, 1000000) < col("rate_ppm"))
       .drop("_mix_stratum", "_mix_ntok", "_mix_total")
   }
 

@@ -255,7 +255,10 @@ object Similarity {
     * the approximate search recovered. One equi-join + one aggregation on
     * k·|queries| rows — evaluation cost is independent of corpus size. */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val ap = approx.select(col("query_id"), col("neighbor_id"))
+    // distinct: the ranked top-k paths emit unique (query, neighbor) rows,
+    // but the public API accepts ANY frame — duplicate approx rows would
+    // double-count left-join hits and push recall past 1.0
+    val ap = approx.select(col("query_id"), col("neighbor_id")).distinct()
       .withColumn("_hit", lit(1))
     exact.select(col("query_id"), col("neighbor_id"))
       .join(ap, Seq("query_id", "neighbor_id"), "left_outer")
@@ -279,20 +282,35 @@ object Similarity {
     * are the k lowest-id sample vectors, which an external SQL oracle can
     * recompute exactly; production default is trained cells.
     *
+    * `maxCell` is the skew guard every quadratic candidate generator in
+    * this repo carries (the `Dedup.capGroups` pattern): the in-cell
+    * self-join emits Σ|cell|² pairs, and k-means cells skew — one
+    * boilerplate-heavy cluster holding 10% of a 100 TB corpus would put
+    * ~10¹² pair scores into a single join key group. Cells above the cap
+    * are EXCLUDED from pairing (their members report keep = true,
+    * uncompared) — declared semantics, mirrored by the SQL oracle. Hot
+    * cells deserve a re-cluster with larger k, not a quadratic scan. The
+    * hot-cell set is by construction ≤ n/maxCell keys, detected by a
+    * count-only aggregate (reads just the cell column) and removed with a
+    * broadcast anti-join — no window, no sort.
+    *
     * Output: (id, cell, keep) — keep = false iff a lower-id near-dup
-    * shares the cell. Deterministic: assignment ties break toward the
-    * lowest cell id and the keep rule is a pure min-id order, so the
-    * report is a function of the data alone. */
+    * shares the (under-cap) cell. Deterministic: assignment ties break
+    * toward the lowest cell id and the keep rule is a pure min-id order,
+    * so the report is a function of the data alone. */
   def semanticDupReport(corpus: DataFrame, idCol: String, vecCol: String,
                         numCells: Int, threshold: Double, iters: Int = 2,
-                        samplePct: Int = 100, sampleCap: Int = 100000)
-      : DataFrame = {
+                        samplePct: Int = 100, sampleCap: Int = 100000,
+                        maxCell: Int = 10000): DataFrame = {
     val centroids = Ivf.train(corpus, idCol, vecCol, numCells, iters,
       samplePct, sampleCap, metric = "l2")
     val indexed = Ivf.index(corpus, idCol, vecCol, centroids, metric = "l2")
-    val a = indexed.select(col("cell"), col(idCol).as("id_a"),
+    val hot = indexed.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxCell).select(col("cell"))
+    val pairable = indexed.join(broadcast(hot), Seq("cell"), "left_anti")
+    val a = pairable.select(col("cell"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"), col("_cn").as("n_a"))
-    val b = indexed.select(col("cell"), col(idCol).as("id_b"),
+    val b = pairable.select(col("cell"), col(idCol).as("id_b"),
       col(vecCol).as("v_b"), col("_cn").as("n_b"))
     val dropped = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))

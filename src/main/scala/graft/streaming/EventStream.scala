@@ -112,9 +112,11 @@ object EventStream {
 
   /** Stateful streaming creates one state store per shuffle partition per
     * batch; the drain harness carries tiny state, so fewer partitions cut
-    * pure fixed overhead (~2× on the bench queries). Restores the session
-    * setting afterwards. On a real cluster size partitions to state
-    * volume instead — this is a harness knob, not a production default. */
+    * pure fixed overhead (~2× on the bench queries going 32→8, and about
+    * another third going 8→2 — state-store setup/commit dominates these
+    * drains, not data). Restores the session setting afterwards. On a real
+    * cluster size partitions to state volume instead — this is a harness
+    * knob, not a production default. */
   private def withStreamingPartitions[A](spark: SparkSession, n: Int)
                                         (body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -132,7 +134,7 @@ object EventStream {
     // unsupported/unbounded in streaming aggregation state)
     val agg = windowedAgg(stream.withWatermark("ts", watermark), windowLen,
       decimalSum = true)
-    withStreamingPartitions(spark, 8) {
+    withStreamingPartitions(spark, 2) {
       val q = agg.writeStream
         .outputMode("update")
         .format("memory")
@@ -167,7 +169,7 @@ object EventStream {
                         keys: Seq[String],
                         queryName: String = "graft_dedup_stream"): DataFrame = {
     val stream = new FileStreamSource(dir, glob, schema).load(spark)
-    withStreamingPartitions(spark, 8) {
+    withStreamingPartitions(spark, 2) {
       val q = dedupStream(stream, watermark, keys).writeStream
         .outputMode("append")
         .format("memory")
@@ -198,7 +200,7 @@ object EventStream {
                          schema: StructType, dim: DataFrame, keys: Seq[String],
                          queryName: String = "graft_enrich_stream"): DataFrame = {
     val stream = new FileStreamSource(dir, glob, schema).load(spark)
-    withStreamingPartitions(spark, 8) {
+    withStreamingPartitions(spark, 2) {
       val q = enrichStream(stream, dim, keys).writeStream
         .outputMode("append")
         .format("memory")
@@ -248,7 +250,7 @@ object EventStream {
                                queryName: String = "graft_attrib_stream")
       : DataFrame = {
     val stream = new FileStreamSource(dir, glob, schema).load(spark)
-    withStreamingPartitions(spark, 8) {
+    withStreamingPartitions(spark, 2) {
       val q = intervalJoinStream(stream, fromType, toType, withinMinutes,
           watermark).writeStream
         .outputMode("append")
@@ -314,7 +316,7 @@ object EventStream {
   def runStatefulSessions(spark: SparkSession, source: StreamSource,
                           gapMinutes: Int, queryName: String): DataFrame = {
     val stream = source.load(spark)
-    withStreamingPartitions(spark, 8) {
+    withStreamingPartitions(spark, 2) {
       val q = sessionizeStateful(stream, gapMinutes).toDF().writeStream
         .outputMode("update")
         .format("memory")
@@ -415,7 +417,7 @@ object EventStream {
                         queryName: String = "graft_closed_sessions")
       : DataFrame = {
     val stream = new FileStreamSource(dir, glob, schema).load(spark)
-    withStreamingPartitions(spark, 8) {
+    withStreamingPartitions(spark, 2) {
       val q = closedSessions(stream.withWatermark("ts", watermark), gapMinutes)
         .toDF().writeStream
         .outputMode("append")

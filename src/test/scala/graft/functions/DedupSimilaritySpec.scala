@@ -352,6 +352,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("semanticDupReport: a mega-cell over maxCell is excluded from " +
+      "pairing (members keep=true, quadratic work bounded)") {
+    // one cell packed with 30 identical vectors (all mutual near-dups) +
+    // a small cell with one genuine near-dup pair
+    def v(axis: Int, eps: Double): Seq[Float] =
+      (0 until 8).map(d => (if (d == axis) 1.0 else 0.0) + eps * (d + 1))
+        .map(_.toFloat)
+    val mega = (2L until 32L).map(i => (i, v(0, 0.0)))
+    val emb = (Seq((0L, v(0, 0.0)), (1L, v(1, 0.0)), (32L, v(1, 0.001)))
+      ++ mega).toDF("vec_id", "embedding")
+    val capped = Similarity.semanticDupReport(emb, "vec_id", "embedding",
+      numCells = 2, threshold = 0.99, iters = 0, maxCell = 10)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(capped.size === 33)
+    // cell 0 holds 31 identical vectors > cap 10 → uncompared, all kept
+    (Seq(0L) ++ (2L until 32L)).foreach { id =>
+      assert(capped(id)._2, s"over-cap cell member $id must be keep=true")
+    }
+    // the under-cap cell still deduplicates normally
+    assert(capped(1L)._2 && !capped(32L)._2)
+    // same data without the cap: the mega-cell members all drop except
+    // the minimum id — the cap is the ONLY thing that changed semantics
+    val uncapped = Similarity.semanticDupReport(emb, "vec_id", "embedding",
+      numCells = 2, threshold = 0.99, iters = 0)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(uncapped(0L) && (2L until 32L).forall(!uncapped(_)))
+  }
+
   test("recallAtK: identical results score 1.0, disjoint 0.0, partial " +
       "overlap counts hits per query") {
     def frame(rows: Seq[(Long, Int, Long)]) =
@@ -365,6 +393,12 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
     assert(r(1L) === ((2L, 1L, 0.5)))   // hit 10, missed 11
     assert(r(2L) === ((2L, 0L, 0.0)))   // both missed
+    // duplicate (query, neighbor) rows in a caller-supplied approx frame
+    // must not double-count hits (recall stays ≤ 1.0)
+    val dup = frame(Seq((1L, 1, 10L), (1L, 1, 10L), (1L, 2, 11L)))
+    val d = Similarity.recallAtK(dup, exact).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(d(1L) === 1.0)
   }
 
   test("winnowing: shared runs of >= window+n-1 tokens share a fingerprint; " +

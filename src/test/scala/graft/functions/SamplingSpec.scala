@@ -217,12 +217,12 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.tokenBudgetMixture(docs, $"id", $"lang", $"ntok",
       budgetTokens = 200L, sharePctByStratum = Map("a" -> 75, "b" -> 25),
       defaultSharePct = 0)
-    val rates = out.select($"lang", $"rate_pct").distinct().collect()
+    val rates = out.select($"lang", $"rate_ppm").distinct().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // a: target 150 > 100 tokens → rate 100 (keep all)
-    // b: target 50 of 300 → 100*50 // 300 = 16
-    assert(rates("a") === 100L)
-    assert(rates.get("b").forall(_ === 16L))
+    // a: target 150 > 100 tokens → rate 10⁶ (keep all)
+    // b: target 50 of 300 → 10⁶*50 // 300 = 166666 ppm
+    assert(rates("a") === 1000000L)
+    assert(rates.get("b").forall(_ === 166666L))
     assert(out.filter($"lang" === "a").count() === 10L)
     // membership is the stable bucket — monotone: raising the budget only
     // ever ADDS rows
@@ -237,5 +237,22 @@ class SamplingSpec extends SparkSpec {
       budgetTokens = 200L, sharePctByStratum = Map("a" -> 100),
       defaultSharePct = 0)
     assert(none.filter($"lang" === "b").count() === 0L)
+  }
+
+  test("tokenBudgetMixture: a stratum whose volume exceeds 100x its target " +
+      "still samples (ppm rates do not floor to zero)") {
+    // volume 10k tokens, target 10 tokens → 1000x over target: percent
+    // granularity floors to rate 0 (the whole stratum silently dropped);
+    // ppm granularity gives 1000 ppm and keeps ~10 docs
+    val docs = (0L until 10000L).map(i => (i, "en", 1L)).toDF("id", "lang", "ntok")
+    val out = Sampling.tokenBudgetMixture(docs, $"id", $"lang", $"ntok",
+      budgetTokens = 20L, sharePctByStratum = Map("en" -> 50),
+      defaultSharePct = 0).cache()
+    val n = out.count()
+    assert(n > 0L, "stratum was silently dropped")
+    assert(n < 100L, s"rate should be ~1000 ppm, kept $n of 10000")
+    assert(out.select($"rate_ppm").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1000L))
+    out.unpersist()
   }
 }

@@ -28,8 +28,13 @@ for name in sorted(os.listdir(outdir)):
     if name not in oracles:
         print(f"{name:22s} rows-only: {len(srows)} rows")
         continue
-    o = con.sql(oracles[name])
-    ocols, orows = [c.lower() for c in o.columns], o.fetchall()
+    try:
+        o = con.sql(oracles[name])
+        ocols, orows = [c.lower() for c in o.columns], o.fetchall()
+    except Exception as e:
+        fails.append(name)
+        print(f"{name:22s} FAIL oracle error: {str(e)[:200]}")
+        continue
     status = []
     if sorted(scols) != sorted(ocols):
         status.append(f"SCHEMA spark={sorted(scols)} oracle={sorted(ocols)}")
