@@ -26,25 +26,56 @@ object Bench {
     // warm-up (JIT + codegen + file listing + page cache) and the min
     // discards it — same wall-clock as warm-up + (REPS-1) timed passes,
     // strictly more information. Default 2: this box shows multi-second
-    // scheduler stalls (a 0.4 s query has measured 21 s single-shot), so a
-    // reps=1 total reads ~2× the steady-state plan cost; r3's min-of-3
-    // PLUS a warm-up pass (4 full passes over 71 queries) blew the
-    // driver's wall-clock budget instead (rc=124, no parsed total).
-    // Diagnosing stalls locally: SPARK_GRAFT_BENCH_REPS=3.
+    // scheduler stalls (a 0.4 s query has measured 21 s single-shot, and
+    // whole suite totals swing 62→97 s between invocations), so more reps
+    // give a better steady-state estimate — but a measured min-of-3 suite
+    // ran past 10 minutes on a bad hour (r3's min-of-3 plus a separate
+    // warm-up pass was rc=124, no parsed total), and an artifact that
+    // exists beats a slightly cleaner one that might not. min-of-2 walls
+    // measured 188–286 s. Diagnosing stalls locally: REPS=3 + BUDGET_SECS
+    // raised.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // hard wall-budget backstop: a bench that produces NO number is worth
     // less than a noisy one, so once the suite has spent this many seconds,
     // remaining queries drop to a single rep — the JSON line always prints
     val budgetSecs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "420").toDouble
+    // optional comma-separated query filter — fresh-JVM measurement of a
+    // subset (the scale experiments re-time outliers in isolation: one
+    // long-lived session accumulates cache/GC state that can inflate
+    // later queries several-fold at 10× data; see SCALE.md)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    // between-query session hygiene, OUTSIDE the timers: streaming drains
+    // leave their memory-sink tables in the catalog (a 10×-scale run pins
+    // millions of sink rows on the heap for the rest of the suite) and the
+    // dedup skew guards leave one persisted candidate index each — in a
+    // 71-query session that accumulation measured as multi-fold GC
+    // inflation on UNRELATED later queries (a pure-scan query timed 369×
+    // its fresh-JVM cost before this). Queries are self-contained, so
+    // dropping temp views and cached frames between them changes nothing
+    // but the noise floor.
+    def resetSessionState(): Unit = {
+      try {
+        spark.catalog.listTables().collect()
+          .filter(_.tableType == "TEMPORARY")
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
+    }
     val suiteStart = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val overBudget = (System.nanoTime() - suiteStart) / 1e9 > budgetSecs
       val times = (0 until (if (overBudget) 1 else reps)).map { _ =>
         val t0 = System.nanoTime()
         try exhaust(fn, sfDir) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      resetSessionState()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

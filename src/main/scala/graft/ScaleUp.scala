@@ -73,7 +73,35 @@ object ScaleUp {
     shifted("orders", Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L))
     shifted("lineitem", Map("l_orderkey" -> 150000L, "l_partkey" -> 20000L,
       "l_suppkey" -> 1000L))
-    shifted("events", Map("event_id" -> 100000L, "user_id" -> 1500L))
+
+    // events must land as a single FILE named events.parquet — the
+    // streaming queries watch the parent dir with pathGlobFilter
+    // "events.parquet", which matches files, not directories (a
+    // directory-shaped table would make every streaming drain read an
+    // EMPTY stream and time nothing)
+    locally {
+      val base = spark.read.parquet(s"$src/events.parquet")
+      (0 until factor).map { k =>
+        base.withColumn("event_id", col("event_id") + lit(k * 100000L))
+          .withColumn("user_id", col("user_id") + lit(k * 1500L))
+      }.reduce(_ unionByName _)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/_events_tmp")
+      val dir = new java.io.File(s"$out/_events_tmp")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("no part file written for events"))
+      val dest = new java.io.File(s"$out/events.parquet")
+      if (dest.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dest)
+      }
+      require(part.renameTo(dest), s"rename ${part} -> ${dest} failed")
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
 
     copies("documents") { (df, k) =>
       val d = df.withColumn("doc_id", col("doc_id") + lit(k * 5000L))

@@ -741,13 +741,16 @@ object SparkEntry {
     // near-dup work; drop = lower-id same-cell neighbor with cosine ≥ 0.4.
     // iters=0 is anchor mode (cells = the 8 lowest-id vectors) so the
     // oracle recomputes the same assignment; prod default trains cells.
-    // maxCell=100 is the skew guard (over-cap cells skip pairing, members
+    // maxCell=1000 is the skew guard (over-cap cells skip pairing, members
     // keep=true) — the oracle recomputes the same per-cell counts and
-    // exclusion, so the cap is verified, not just declared
+    // exclusion, so the cap is verified, not just declared. Sized as a
+    // p99 guard for the bench SFs (avg cell ≈ 625 at sf0.1 stays under
+    // it); a corpus that pushes AVERAGE cells over any cap needs a bigger
+    // numCells, not a bigger cap
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDupReport(t(s, dir, "embeddings"), "vec_id",
         "embedding", numCells = 8, threshold = 0.4, iters = 0,
-        maxCell = 100)),
+        maxCell = 1000)),
 
     // token-BUDGET mixture: keep-rates derived from per-language token
     // volume to hit a 10k-token corpus at en 50% / zh 20% / others 10% —
@@ -1626,7 +1629,7 @@ object SparkEntry {
 
     // anchor cells = the 8 lowest-id vectors; L2 assignment argmax
     // (2·v·c − |c|²) with ties to the lowest cell id, cosine pair filter;
-    // cells with more than 100 members are excluded from pairing (the
+    // cells with more than 1000 members are excluded from pairing (the
     // engine's maxCell skew guard, recomputed here)
     "dedup_semantic" ->
       ("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec, " +
@@ -1641,7 +1644,7 @@ object SparkEntry {
         "n AS (SELECT vec_id, sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nn FROM embeddings), " +
         "p AS (SELECT DISTINCT b.vec_id AS drop_id " +
         "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-        "AND a._cn <= 100 " +
+        "AND a._cn <= 1000 " +
         "JOIN embeddings ea ON ea.vec_id = a.vec_id " +
         "JOIN embeddings eb ON eb.vec_id = b.vec_id " +
         "JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id " +

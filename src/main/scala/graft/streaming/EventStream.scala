@@ -114,14 +114,21 @@ object EventStream {
     * batch; the drain harness carries tiny state, so fewer partitions cut
     * pure fixed overhead (~2× on the bench queries going 32→8, and about
     * another third going 8→2 — state-store setup/commit dominates these
-    * drains, not data). Restores the session setting afterwards. On a real
-    * cluster size partitions to state volume instead — this is a harness
-    * knob, not a production default. */
+    * drains, not data). Restores the session setting afterwards.
+    *
+    * Partitions must SCALE WITH STATE: measured on this box, 2 partitions
+    * is fastest at ≤100 K events but crawls at 1 M (state ops serialize
+    * on 2 cores), where 16 wins — hence the env override
+    * (`SPARK_GRAFT_STREAM_PARTS`) the 10× scale runs set. On a real
+    * cluster size partitions to state volume; this default is tuned to
+    * the driver's sf0.1 drain harness, not production. */
   private def withStreamingPartitions[A](spark: SparkSession, n: Int)
                                         (body: => A): A = {
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt.max(1)).getOrElse(n)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    spark.conf.set(key, parts.toString)
     try body finally spark.conf.set(key, prev)
   }
 
