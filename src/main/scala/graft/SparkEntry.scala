@@ -56,9 +56,41 @@ object SparkEntry {
 
   private def docTokens(c: Column): Column = TextFunctions.tokens(c)
 
+  /** documents → (doc_id, source, feats): hashed unigram+bigram buckets
+    * for the DSIR queries. Tokens materialize in their own projection
+    * first — HOF lambdas re-evaluate outer-scope expressions per element. */
+  private def dsirFeats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("source"),
+        Dsir.hashedFeatures(col("_toks"), 4096).as("feats"))
+
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  /** Shared DuckDB CTE prefix for the DSIR oracles: tokens → hashed
+    * unigram+bigram buckets → target (src0) / raw counts → per-raw-doc
+    * DECIMAL sums of the ln-likelihood-ratio term (`s`), mirroring
+    * [[graft.functions.Dsir.importanceWeights]] with buckets = 4096
+    * (0.5·buckets = 2048 in the smoothing denominators). */
+  private def dsirWeightsSql: String =
+    s"WITH d AS (SELECT doc_id, source, $sqlToks AS toks FROM documents), " +
+      "f AS (SELECT doc_id, source, unnest(list_concat(" +
+      "list_transform(toks, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT % 4096), " +
+      "list_transform(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END, " +
+      "g -> ('0x' || substring(md5(g), 1, 8))::BIGINT % 4096))) AS b FROM d), " +
+      "tc AS (SELECT b, count(*) AS ct FROM f WHERE source = 'src0' GROUP BY b), " +
+      "rc AS (SELECT b, count(*) AS cr FROM f WHERE source <> 'src0' GROUP BY b), " +
+      "tot AS (SELECT (SELECT count(*) FROM f WHERE source = 'src0') AS nt, " +
+      "(SELECT count(*) FROM f WHERE source <> 'src0') AS nr), " +
+      "s AS (SELECT doc_id, count(*) AS n_feats, " +
+      "sum(CAST(ln(((COALESCE(ct, 0) + 0.5) / (nt + 2048.0)) / " +
+      "((COALESCE(cr, 0) + 0.5) / (nr + 2048.0))) AS DECIMAL(27,12))) AS s " +
+      "FROM f LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot " +
+      "WHERE source <> 'src0' GROUP BY doc_id) "
 
   /** DuckDB twin of `TextFunctions.langId` — shared by `text_langid` and
     * the stratified-sampling oracle. */
@@ -765,6 +797,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rate_ppm"))
     }),
 
+    // DSIR importance weights (Xie et al. NeurIPS'23): hashed unigram+
+    // bigram bucket distributions fitted on a curated target (source =
+    // 'src0' stands in for the reference corpus) vs the raw rest; every
+    // raw doc scored by its summed log likelihood ratio. The fitted model
+    // is two ≤4096-row count frames that BROADCAST onto the score join —
+    // the exploded n-gram stream itself never shuffles
+    "corpus_dsir" -> ((s, dir) =>
+      Dsir.importanceWeights(
+        dsirFeats(s, dir).filter(col("source") =!= "src0"), "doc_id", "feats",
+        dsirFeats(s, dir).filter(col("source") === "src0"), "feats",
+        buckets = 4096)),
+
+    // Gumbel top-k resample over those weights — sampling without
+    // replacement ∝ w (Vieira'14) as a pure function of (id, weight), so
+    // the selected training subset is re-derivable by any engine (the
+    // auditable-lineage property random sampling lacks)
+    "corpus_dsir_select" -> ((s, dir) =>
+      Dsir.gumbelTopK(
+        Dsir.importanceWeights(
+          dsirFeats(s, dir).filter(col("source") =!= "src0"), "doc_id", "feats",
+          dsirFeats(s, dir).filter(col("source") === "src0"), "feats",
+          buckets = 4096),
+        "doc_id", "log_weight", k = 100)),
+
     // ---- multimodal plumbing --------------------------------------------
     "media_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(t(s, dir, "documents")).drop("payload")),
@@ -1335,6 +1391,28 @@ object SparkEntry {
         "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, " +
         "round(CASE WHEN n_sh > 0 THEN COALESCE(n_hit, 0)::DOUBLE / n_sh ELSE 0.0 END, 6) AS contamination " +
         "FROM te LEFT JOIN hit USING (doc_id)"),
+
+    // DSIR: hashed-n-gram bucket counts on target (src0) vs raw, additive
+    // 0.5 smoothing, per-doc DECIMAL sum of one ln-of-ratio term — the
+    // identical expression tree the engine evaluates
+    "corpus_dsir" -> (dsirWeightsSql +
+      "SELECT r.doc_id, COALESCE(s.n_feats, 0) AS n_feats, " +
+      "COALESCE(round(CAST(s.s AS DOUBLE), 6), 0.0) AS log_weight " +
+      "FROM (SELECT doc_id FROM d WHERE source <> 'src0') r " +
+      "LEFT JOIN s USING (doc_id)"),
+
+    // Gumbel top-k: key = log_weight + (-ln(-ln(u))), u from the md5 of
+    // "gumbel:"||id (13 hex chars = 52 bits, exact in a double)
+    "corpus_dsir_select" -> (dsirWeightsSql +
+      ", w AS (SELECT r.doc_id, COALESCE(s.n_feats, 0) AS n_feats, " +
+      "COALESCE(round(CAST(s.s AS DOUBLE), 6), 0.0) AS log_weight " +
+      "FROM (SELECT doc_id FROM d WHERE source <> 'src0') r " +
+      "LEFT JOIN s USING (doc_id)) " +
+      "SELECT doc_id, n_feats, log_weight, " +
+      "round(log_weight + -ln(-ln(" +
+      "(('0x' || substring(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5) " +
+      "/ 4503599627370496.0)), 6) AS sample_key " +
+      "FROM w ORDER BY sample_key DESC, doc_id LIMIT 100"),
 
     // IVF with nprobe = numCells scores every (query, candidate) pair —
     // exactly the brute-force oracle
