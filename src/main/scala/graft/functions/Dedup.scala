@@ -466,4 +466,88 @@ object Dedup {
       when(size(col("_h")) === 0, array().cast("array<long>"))
         .otherwise(array_sort(array_distinct(wmins))).as("fps"))
   }
+
+  /** Content-defined chunking (the rsync / LBFS primitive, Muthitacharoen
+    * et al. SOSP'01): cut each document AFTER token i whenever the hash of
+    * the `window` tokens ending at i ≡ 0 (mod `divisor`), yielding
+    * variable-size chunks that average ~`divisor` tokens. The point vs
+    * fixed windows (dedup_substring): boundaries move WITH the content —
+    * inserting one sentence shifts every fixed window after it, but only
+    * the chunks local to the edit change, so cross-document/cross-version
+    * chunk reuse stays visible. That is the block-level storage-dedup
+    * property, and for corpora it catches near-identical revisions
+    * (wiki/news edits, crawl re-fetches) chunk-by-chunk.
+    *
+    * Entirely per-row codegen'd HOFs — boundary positions, chunk slicing
+    * and joining happen inside one projection; no shuffle until the
+    * caller aggregates fingerprints. Docs shorter than `window` tokens
+    * are one whole-doc chunk; empty docs yield no chunks.
+    *
+    * Output: (idCol, chunk_idx, chunk, fp) — fp = md5(chunk), the
+    * engine-free chunk identity. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 3, divisor: Int = 16,
+                hasher: Hasher = XxHasher): DataFrame = {
+    require(window >= 1 && divisor >= 2,
+      s"bad cdc params window=$window divisor=$divisor")
+    val toks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+    // boundary positions (1-based): hash of the window ENDING here ≡ 0.
+    // sequence() guard: Spark generates a DESCENDING sequence when
+    // start > stop, so short docs must short-circuit to "no boundaries"
+    val bpos = when(size(col("_toks")) < window, array().cast("array<int>"))
+      .otherwise(filter(
+        sequence(lit(window), size(col("_toks"))),
+        i => pmod(hasher(array_join(
+          slice(col("_toks"), i - (window - 1), lit(window)), " ")),
+          lit(divisor.toLong)) === 0))
+    // chunk k spans tokens [starts(k), ends(k)]; a boundary on the last
+    // token would open an empty trailing chunk — the zip_with drops it
+    val chunks = toks.withColumn("_bpos", bpos)
+      .withColumn("_starts",
+        concat(array(lit(1)), transform(col("_bpos"), b => b + 1)))
+      .withColumn("_ends",
+        concat(col("_bpos"), array(size(col("_toks")))))
+      .select(col(idCol),
+        filter(
+          zip_with(col("_starts"), col("_ends"), (st, en) =>
+            when(st <= en,
+              array_join(slice(col("_toks"), st, en - st + 1), " "))),
+          c => c.isNotNull).as("_chunks"))
+    chunks
+      .select(col(idCol), posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk")))
+      .withColumn("fp", md5(col("chunk")))
+  }
+
+  /** Per-document chunk-reuse report over [[cdcChunks]]: how many of a
+    * doc's CDC chunks also occur (by fingerprint) in at least `minDf`
+    * documents? High `shared_ratio` with a non-trivial chunk count means
+    * the doc is largely assembled from corpus-repeated blocks — a
+    * revision, mirror, or template — even when no fixed window or whole
+    * hash matches.
+    *
+    * Scale shape: one explode (linear in tokens), one fingerprint
+    * doc-frequency groupBy (map-side combine), one equi-join back on the
+    * fingerprint (AQE skew-splits hot boilerplate chunks), one per-doc
+    * aggregation. Nothing quadratic, nothing driver-side.
+    *
+    * Output: (idCol, n_chunks, n_shared, shared_ratio). */
+  def cdcDupReport(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 3, divisor: Int = 16,
+                   hasher: Hasher = XxHasher, minDf: Int = 2): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, window, divisor, hasher)
+    val dfreq = ch.select(col(idCol), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf).select(col("fp"), lit(1).as("_shared"))
+    val per = ch.join(dfreq, Seq("fp"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), count(col("_shared")).as("n_shared"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(when(coalesce(col("n_chunks"), lit(0L)) > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_chunks"))
+          .otherwise(lit(0.0)), 6).as("shared_ratio"))
+  }
 }

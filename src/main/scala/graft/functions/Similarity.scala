@@ -338,4 +338,54 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).alias("sim"))
   }
+
+  /** Corpus composition profile by embedding cluster — the
+    * mixture-design view of a corpus: assign every vector to its nearest
+    * k-means cell (shared trainer/assigner with IVF and SemDeDup) and
+    * report, per cell, its population, cohesion (mean cosine to the
+    * centroid — low cohesion flags a cell that needs re-clustering or a
+    * junk region), and label purity (the dominant metadata label and its
+    * share — how well clusters align with a known facet). This is the
+    * pass a pipeline runs before setting mixture weights or choosing
+    * SemDeDup cells: which regions dominate, which are coherent, which
+    * label does each represent.
+    *
+    * Scale shape: centroids broadcast onto a single corpus scan (the
+    * assignment), then two bounded aggregations — per-cell stats
+    * (≤ numCells rows) and per-(cell,label) counts (≤ numCells × labels
+    * rows) reduced to top-1 by `max_by` (no window over corpus data).
+    * The cosine sum rides DECIMAL so cohesion is accumulation-order-free.
+    *
+    * Output: (cell, n_vectors, mean_cos, top_label, top_label_share);
+    * ties on label frequency break toward the lowest label. */
+  def clusterProfile(corpus: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, numCells: Int, iters: Int = 2,
+                     samplePct: Int = 100, sampleCap: Int = 100000): DataFrame = {
+    val centroids = Ivf.train(corpus, idCol, vecCol, numCells, iters,
+      samplePct, sampleCap, metric = "l2")
+    val indexed = Ivf.index(corpus, idCol, vecCol, centroids, metric = "l2")
+    val stats = indexed
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .withColumn("_cos", when(col("_cn") > 0, cosinePrenormed(
+        col(vecCol).cast("array<double>"), col("cvec"),
+        col("_cn"), col("cnorm"))).otherwise(lit(0.0)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("_cos").cast("decimal(27,12)")).as("_s"))
+    val top = indexed
+      .join(corpus.select(col(idCol), col(labelCol).as("_lbl")), Seq(idCol))
+      .groupBy(col("cell"), col("_lbl"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("cell"))
+      .agg(max_by(struct(col("_lbl"), col("_c")),
+        struct(col("_c"), (-col("_lbl")).as("_neg"))).as("_t"))
+      .select(col("cell"), col("_t").getField("_lbl").as("top_label"),
+        col("_t").getField("_c").as("_tc"))
+    stats.join(top, Seq("cell"))
+      .select(col("cell"), col("n_vectors"),
+        round(col("_s").cast("double") / col("n_vectors"), 6).as("mean_cos"),
+        col("top_label"),
+        round(col("_tc").cast("double") / col("n_vectors"), 6)
+          .as("top_label_share"))
+  }
 }

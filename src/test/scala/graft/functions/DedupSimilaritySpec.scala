@@ -330,6 +330,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterProfile: population, cohesion, and label purity per cell") {
+    def v(axis: Int, eps: Double): Seq[Float] =
+      (0 until 8).map(d => (if (d == axis) 1.0 else 0.0) + eps * (d + 1))
+        .map(_.toFloat)
+    // two tight clusters with distinct dominant labels; one mislabel in
+    // cluster 0 exercises the purity < 1 path
+    val emb = Seq(
+      (0L, v(0, 0.0), 10), (2L, v(0, 0.001), 10), (4L, v(0, 0.002), 99),
+      (1L, v(1, 0.0), 20), (3L, v(1, 0.001), 20), (5L, v(1, 0.002), 20))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.clusterProfile(emb, "vec_id", "embedding", "label",
+      numCells = 2, iters = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(p.keySet === Set(0L, 1L))          // anchor seeds are ids 0, 1
+    assert(p(0L)._1 === 3L && p(1L)._1 === 3L)
+    assert(p(0L)._3 === 10 && p(0L)._4 > 0.6 && p(0L)._4 < 0.7) // 2 of 3
+    assert(p(1L)._3 === 20 && p(1L)._4 === 1.0)
+    assert(p(0L)._2 > 0.99 && p(1L)._2 > 0.99) // tight clusters cohere
+    // trained mode refines but keeps the partition invariant
+    val trained = Similarity.clusterProfile(emb, "vec_id", "embedding",
+      "label", numCells = 2, iters = 2).collect()
+    assert(trained.map(_.getLong(1)).sum === 6L)
+  }
+
   test("semanticDupReport: trained cells (iters > 0) keep the invariant " +
       "keep-count + drop-count = corpus, and dropping is consistent with " +
       "exact in-cell cosine") {
