@@ -395,6 +395,14 @@ object SparkEntry {
       Dedup.stripSharedSpans(t(s, dir, "documents"), "doc_id", "text",
         n = 5, hasher = Dedup.Md5Hasher)),
 
+    // content-defined chunking (rsync/LBFS, Muthitacharoen et al.
+    // SOSP'01): variable chunks cut where the rolling 3-token hash ≡ 0
+    // mod 16, so boundaries move with the content and near-identical
+    // revisions share every untouched chunk. Md5Hasher oracle mode
+    "dedup_cdc" -> ((s, dir) =>
+      Dedup.cdcDupReport(t(s, dir, "documents"), "doc_id", "text",
+        window = 3, divisor = 16, hasher = Dedup.Md5Hasher)),
+
     // the canonical training-data cleaning pipeline, composed from the ops
     // above: quality gate → language gate → exact dedup → kept corpus
     "corpus_clean" -> ((s, dir) => {
@@ -699,6 +707,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)),
 
+    // corpus min_count pass: tokens seen < 3 times anywhere become <unk>
+    // — vocab capping + long-tail privacy (singleton tokens are names,
+    // ids, keys) complementing the pattern-based text_redact
+    "corpus_unk_rare" -> ((s, dir) =>
+      Vocab.minCountScrub(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 3)),
+
+    // what does each source actually contain: top-5 distinctive terms
+    // per source by group-level tf-idf (shared terms score 0)
+    "corpus_top_terms" -> ((s, dir) =>
+      Vocab.topTerms(t(s, dir, "documents"), "text", "source", k = 5)),
+
     // per-language inspection examples: first 3 docs per lang in stable-
     // hash order (WindowGroupLimit keeps the per-stratum reducer bounded)
     "corpus_examples" -> ((s, dir) =>
@@ -783,6 +803,15 @@ object SparkEntry {
       Similarity.semanticDupReport(t(s, dir, "embeddings"), "vec_id",
         "embedding", numCells = 8, threshold = 0.4, iters = 0,
         maxCell = 1000)),
+
+    // corpus composition by embedding cluster: per-cell population,
+    // cohesion (mean cosine to centroid, DECIMAL-summed) and label purity
+    // — the pre-mixture analysis pass. Anchor mode (iters=0 ≡ 8 lowest-id
+    // seed vectors) so the oracle recomputes the assignment; trained mode
+    // is pinned by DedupSimilaritySpec
+    "corpus_cluster" -> ((s, dir) =>
+      Similarity.clusterProfile(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", numCells = 8, iters = 0)),
 
     // token-BUDGET mixture: keep-rates derived from per-language token
     // volume to hit a 10k-token corpus at en 50% / zh 20% / others 10% —
@@ -1300,6 +1329,29 @@ object SparkEntry {
         "round(CASE WHEN len(b.ws) > 0 THEN COALESCE(n_shared, 0)::DOUBLE / len(b.ws) ELSE 0.0 END, 6) AS shared_ratio " +
         "FROM w b LEFT JOIN hits USING (doc_id)"),
 
+    // CDC: boundary after token i when md5Long(3-gram ending at i) % 16
+    // = 0; chunks = spans between boundaries; shared = chunk fingerprint
+    // in ≥ 2 distinct docs — the same per-row slicing the engine codegens
+    "dedup_cdc" ->
+      (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[]) " +
+        s"ELSE list_filter(range(3, len(toks) + 1), i -> (${sqlMd5Long("toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i]")} % 16) = 0) END AS bpos FROM d), " +
+        "e AS (SELECT doc_id, toks, " +
+        "list_concat([CAST(1 AS BIGINT)], list_transform(bpos, b -> b + 1)) AS starts, " +
+        "list_concat(bpos, [CAST(len(toks) AS BIGINT)]) AS ends FROM c), " +
+        "ch AS (SELECT doc_id, unnest(list_filter(list_transform(range(1, len(starts) + 1), " +
+        "j -> CASE WHEN starts[j] <= ends[j] THEN array_to_string(list_slice(toks, starts[j], ends[j]), ' ') END), " +
+        "x -> x IS NOT NULL)) AS chunk FROM e), " +
+        "f AS (SELECT doc_id, md5(chunk) AS fp FROM ch), " +
+        "fc AS (SELECT fp, 1 AS shared FROM " +
+        "(SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY fp) WHERE df >= 2), " +
+        "per AS (SELECT doc_id, count(*) AS n_chunks, count(shared) AS n_shared " +
+        "FROM f LEFT JOIN fc USING (fp) GROUP BY doc_id) " +
+        "SELECT d2.doc_id, COALESCE(n_chunks, 0) AS n_chunks, " +
+        "COALESCE(n_shared, 0) AS n_shared, " +
+        "round(CASE WHEN COALESCE(n_chunks, 0) > 0 THEN COALESCE(n_shared, 0)::DOUBLE / n_chunks ELSE 0.0 END, 6) AS shared_ratio " +
+        "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN per USING (doc_id)"),
+
     // positioned windows → shared-window doc-frequency set → covered
     // position sets (range(p, p+5), end-exclusive ≡ the engine's
     // sequence(p, p+4)) → positional token filter, rejoined on ' '
@@ -1568,6 +1620,36 @@ object SparkEntry {
         "SELECT token, count(*) AS n FROM t GROUP BY token " +
         "ORDER BY n DESC, token LIMIT 100"),
 
+    // parallel unnests zip in DuckDB: (token, position) stream → vocab
+    // counts → CASE scrub → ordered string_agg rebuild per doc
+    "corpus_unk_rare" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "s AS (SELECT doc_id, unnest(toks) AS tok, " +
+        "unnest(range(1, len(toks) + 1)) AS p FROM t), " +
+        "v AS (SELECT tok, count(*) AS n FROM s GROUP BY tok), " +
+        "o AS (SELECT doc_id, p, n, CASE WHEN n >= 3 THEN tok ELSE '<unk>' END AS outt " +
+        "FROM s JOIN v USING (tok)), " +
+        "per AS (SELECT doc_id, string_agg(outt, ' ' ORDER BY p) AS scrubbed, " +
+        "count(*) AS n_tokens, count(CASE WHEN n < 3 THEN 1 END) AS n_unk " +
+        "FROM o GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(scrubbed, '') AS scrubbed, " +
+        "CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(n_unk, 0) AS BIGINT) AS n_unk " +
+        "FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)"),
+
+    // group-level tf-idf: tf per (source, token), df over groups,
+    // G a one-row cross join; ties break token-ascending
+    "corpus_top_terms" ->
+      (s"WITH tf AS (SELECT grp, token, count(*) AS tf FROM " +
+        s"(SELECT source AS grp, unnest($sqlToks) AS token FROM documents) GROUP BY grp, token), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "g AS (SELECT count(DISTINCT grp) AS ng FROM tf), " +
+        "sc AS (SELECT grp, token, tf::DOUBLE * ln(ng::DOUBLE / df) AS score " +
+        "FROM tf JOIN df USING (token) CROSS JOIN g) " +
+        "SELECT grp, CAST(rn AS INTEGER) AS term_rank, token, round(score, 6) AS score FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY grp ORDER BY score DESC, token) AS rn FROM sc) " +
+        "WHERE rn <= 5"),
+
     "corpus_examples" ->
       ("SELECT lang, CAST(rn AS INTEGER) AS example_rank, doc_id FROM " +
         "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
@@ -1729,6 +1811,30 @@ object SparkEntry {
         "WHERE list_sum(list_transform(range(1, 65), i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) / (na.nn * nb.nn) >= 0.4) " +
         "SELECT asg.vec_id, asg.cell, p.drop_id IS NULL AS keep " +
         "FROM asg LEFT JOIN p ON asg.vec_id = p.drop_id"),
+
+    // cluster profile: same anchor centroids + argmax assignment as
+    // dedup_semantic, then per-cell cohesion (decimal-summed cosine) and
+    // top-1 label by (count DESC, label ASC)
+    "corpus_cluster" ->
+      ("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm " +
+        "FROM embeddings ORDER BY vec_id LIMIT 8), " +
+        "sc AS (SELECT e.vec_id, c.cid, " +
+        "2.0 * list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) - c.cnorm * c.cnorm AS s " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1), " +
+        "n AS (SELECT vec_id, sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nn FROM embeddings), " +
+        "cosd AS (SELECT a.vec_id, a.cell, " +
+        "CASE WHEN n.nn > 0 THEN list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (n.nn * c.cnorm) ELSE 0.0 END AS cos " +
+        "FROM asg a JOIN embeddings e USING (vec_id) JOIN n USING (vec_id) JOIN cent c ON c.cid = a.cell), " +
+        "st AS (SELECT cell, count(*) AS n_vectors, sum(CAST(cos AS DECIMAL(27,12))) AS s FROM cosd GROUP BY cell), " +
+        "bl AS (SELECT cell, label, count(*) AS c FROM asg JOIN embeddings USING (vec_id) GROUP BY cell, label), " +
+        "top AS (SELECT cell, label AS top_label, c FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn FROM bl) WHERE rn = 1) " +
+        "SELECT st.cell, st.n_vectors, round(CAST(st.s AS DOUBLE) / st.n_vectors, 6) AS mean_cos, " +
+        "top.top_label, round(top.c::DOUBLE / st.n_vectors, 6) AS top_label_share " +
+        "FROM st JOIN top USING (cell)"),
 
     // integer-exact ppm mixture rates: // is DuckDB floor division,
     // mirroring the engine's decimal-exact (a - a mod b) / b

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-vocabulary operators: min-count scrubbing and per-group
+  * distinctive terms. Both treat the vocabulary as a DataFrame (never a
+  * driver-side set): by Heaps' law the distinct-token table grows
+  * sublinearly with the corpus, and every use below is an equi-join or
+  * bounded aggregation on it.
+  */
+object Vocab {
+
+  /** Replace every token whose CORPUS frequency is below `minCount` with
+    * `unk` — the classic rare-token pass (word2vec/fastText `min_count`,
+    * subword-vocab capping) that doubles as privacy hygiene: tokens that
+    * appear once in 100 TB are disproportionately names, ids, and keys,
+    * and scrubbing them is the cheap complement to pattern-based
+    * [[TextFunctions.redactPii]].
+    *
+    * Scale shape: one explode → count for the vocabulary (map-side
+    * combine), one explode → left join of the token stream against the
+    * KEPT vocab (hot tokens are join-key skew — AQE splits them; the
+    * kept-vocab side is one row per distinct token by construction), one
+    * per-doc reassembly whose state is bounded by document length (the
+    * nested-docs bound). At extreme scale the kept-vocab probe can ride
+    * a bloom filter instead of the join (false positives just keep a
+    * rare token) — the join form is the exact, oracle-checkable
+    * semantics.
+    *
+    * Output: (idCol, scrubbed, n_tokens, n_unk); empty docs yield
+    * ("", 0, 0). */
+  def minCountScrub(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Int, unk: String = "<unk>"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val stream = toks.select(col(idCol),
+      posexplode(col("_toks")).as(Seq("_p", "_t")))
+    val kept = stream.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minCount).select(col("_t"), lit(1).as("_keep"))
+    val per = stream.join(kept, Seq("_t"), "left_outer")
+      .withColumn("_out",
+        when(col("_keep").isNotNull, col("_t")).otherwise(lit(unk)))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_p"), col("_out")))),
+          _.getField("_out")), " ").as("scrubbed"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("_keep").isNull, 1)).as("n_unk"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
+  }
+
+  /** The `k` most DISTINCTIVE terms per group (source, language, domain
+    * …) by group-level tf-idf: score(t, g) = tf(t, g) · ln(G / df(t))
+    * with df counted over groups — the corpus-describe pass that tells a
+    * pipeline operator what each slice actually contains (and the
+    * standard way to spot a contaminated or mislabeled source: its top
+    * terms don't match its name).
+    *
+    * Scale shape: tf is one (group, token) aggregation; df one token
+    * aggregation of the tf frame; G a one-row frame cross-joined (never
+    * collected); the final top-k is a row_number window over PER-GROUP
+    * aggregated vocabulary — bounded by that group's distinct tokens,
+    * not its token stream. Groups are few by definition of the use case;
+    * a degenerate high-cardinality groupCol degrades to more, smaller
+    * windows, never to a corpus-wide sort.
+    *
+    * Output: (group, term_rank, token, score); score rounded to 6, ties
+    * break token-ascending. Terms present in every group score 0 and
+    * rank below any term with bite. */
+  def topTerms(docs: DataFrame, textCol: String, groupCol: String,
+               k: Int): DataFrame = {
+    val tf = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .groupBy(col("grp"), col("_t")).agg(count(lit(1)).as("_tf"))
+    val df = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val groups = tf.select(col("grp")).distinct()
+      .agg(count(lit(1)).as("_g"))
+    val scored = tf.join(df, Seq("_t")).crossJoin(broadcast(groups))
+      .withColumn("_score",
+        col("_tf").cast("double") *
+          log(col("_g").cast("double") / col("_df")))
+    scored
+      .withColumn("term_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("_score").desc, col("_t").asc)))
+      .filter(col("term_rank") <= k)
+      .select(col("grp"), col("term_rank"), col("_t").as("token"),
+        round(col("_score"), 6).as("score"))
+  }
+}

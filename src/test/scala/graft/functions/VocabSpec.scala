@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minCountScrub: rare tokens become <unk>, order and count preserved") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "")).toDF("doc_id", "text")
+    // counts: the=4 sat=2 on=2 cat=1 mat=1 dog=1 rug=1
+    val r = Vocab.minCountScrub(docs, "doc_id", "text", minCount = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === (("the <unk> sat on the <unk>", 6L, 2L)))
+    assert(r(2L) === (("the <unk> sat on the <unk>", 6L, 2L)))
+    assert(r(3L) === (("", 0L, 0L)))
+  }
+
+  test("minCountScrub: minCount=1 is the identity on normalized text") {
+    val docs = Seq((1L, "Alpha  Beta\tGamma")).toDF("doc_id", "text")
+    val r = Vocab.minCountScrub(docs, "doc_id", "text", minCount = 1)
+      .collect().head
+    assert(r.getString(1) === "alpha beta gamma")
+    assert(r.getLong(3) === 0L)
+  }
+
+  test("topTerms: distinctive terms rank first, shared terms score 0") {
+    val docs = Seq(
+      ("a", "spark spark shuffle common"),
+      ("b", "duck duck waddle common"),
+      ("c", "goose honk honk common")).toDF("src", "text")
+    val r = Vocab.topTerms(docs, "text", "src", k = 2)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2),
+        x.getDouble(3)))
+    val byGrp = r.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byGrp("a").head._3 === "spark")        // tf=2, df=1
+    assert(byGrp("b").head._3 === "duck")
+    assert(byGrp("c").head._3 === "honk")
+    assert(!r.exists(_._3 == "common"))           // df=G ⇒ score 0, never top-2
+    assert(byGrp("a").head._4 > byGrp("a")(1)._4) // rank order = score order
+  }
+
+  test("topTerms: deterministic tie-break by token, k bounds output") {
+    val docs = Seq(("a", "x y z"), ("b", "p q r")).toDF("src", "text")
+    val r = Vocab.topTerms(docs, "text", "src", k = 2)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2)))
+    assert(r.length === 4)                         // 2 groups × k
+    assert(r.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq === Seq("x", "y"))
+  }
+}
