@@ -714,6 +714,21 @@ object SparkEntry {
       Vocab.minCountScrub(t(s, dir, "documents"), "doc_id", "text",
         minCount = 3)),
 
+    // snapshot diff for incremental ingestion: old = stable buckets 0-89,
+    // new = buckets 5-99 with every 7th doc revised — added/removed/
+    // changed/unchanged by normalized content fingerprint
+    "corpus_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusDelta.snapshotDelta(
+        docs.filter(Sampling.stableBucket(col("doc_id")) < 90)
+          .select(col("doc_id"), col("text")),
+        docs.filter(Sampling.stableBucket(col("doc_id")) >= 5)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text")),
+        "doc_id", "text")
+    }),
+
     // what does each source actually contain: top-5 distinctive terms
     // per source by group-level tf-idf (shared terms score 0)
     "corpus_top_terms" -> ((s, dir) =>
@@ -1636,6 +1651,24 @@ object SparkEntry {
         "CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens, " +
         "CAST(COALESCE(n_unk, 0) AS BIGINT) AS n_unk " +
         "FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)"),
+
+    // snapshot diff: same stable buckets + every-7th revision; DuckDB
+    // array_to_string([]) is NULL where Spark concat_ws is '' → COALESCE
+    // inside the md5 so empty docs fingerprint identically
+    "corpus_delta" ->
+      ("WITH d AS (SELECT doc_id, text, " +
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b FROM documents), " +
+        s"o AS (SELECT doc_id, md5(COALESCE(array_to_string($sqlToks, ' '), '')) AS old_fp " +
+        "FROM d WHERE b < 90), " +
+        "nn AS (SELECT doc_id, md5(COALESCE(array_to_string(" +
+        "list_filter(string_split_regex(lower(t2), '\\s+'), x -> len(x) > 0), ' '), '')) AS new_fp " +
+        "FROM (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS t2 " +
+        "FROM d WHERE b >= 5)) " +
+        "SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN nn.doc_id IS NULL THEN 'removed' " +
+        "WHEN old_fp = new_fp THEN 'unchanged' ELSE 'changed' END AS status, " +
+        "old_fp, new_fp " +
+        "FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id"),
 
     // group-level tf-idf: tf per (source, token), df over groups,
     // G a one-row cross join; ties break token-ascending

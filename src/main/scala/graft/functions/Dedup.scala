@@ -492,30 +492,40 @@ object Dedup {
       s"bad cdc params window=$window divisor=$divisor")
     val toks = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
-    // boundary positions (1-based): hash of the window ENDING here ≡ 0.
+    // Boundary positions (1-based token index): hash of the window ENDING
+    // here ≡ 0 — gram j (1-based) ends at token j + window − 1.
+    //
+    // EXPRESSION-SHAPE WARNING (profiled, 6–20× each): the gram hashes and
+    // positions must reach the lambda as zip_with ARGUMENTS (evaluated once
+    // per row). Referencing an outer array per element (element_at(h, j),
+    // or slice(toks, …) per position) gets inlined by CollapseProject and
+    // re-evaluates the whole gram build per ELEMENT — O(len²/row).
     // sequence() guard: Spark generates a DESCENDING sequence when
-    // start > stop, so short docs must short-circuit to "no boundaries"
+    // start > stop, so sub-window docs short-circuit to "no boundaries".
     val bpos = when(size(col("_toks")) < window, array().cast("array<int>"))
-      .otherwise(filter(
+      .otherwise(filter(zip_with(
+        transform(TextFunctions.tokenNgrams(col("_toks"), window),
+          g => hasher(g)),
         sequence(lit(window), size(col("_toks"))),
-        i => pmod(hasher(array_join(
-          slice(col("_toks"), i - (window - 1), lit(window)), " ")),
-          lit(divisor.toLong)) === 0))
+        (h, p) => when(pmod(h, lit(divisor.toLong)) === 0, p)),
+        x => x.isNotNull))
     // chunk k spans tokens [starts(k), ends(k)]; a boundary on the last
-    // token would open an empty trailing chunk — the zip_with drops it
-    val chunks = toks.withColumn("_bpos", bpos)
-      .withColumn("_starts",
-        concat(array(lit(1)), transform(col("_bpos"), b => b + 1)))
-      .withColumn("_ends",
-        concat(col("_bpos"), array(size(col("_toks")))))
-      .select(col(idCol),
-        filter(
-          zip_with(col("_starts"), col("_ends"), (st, en) =>
-            when(st <= en,
-              array_join(slice(col("_toks"), st, en - st + 1), " "))),
-          c => c.isNotNull).as("_chunks"))
-    chunks
-      .select(col(idCol), posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk")))
+    // token would open an empty trailing chunk — the filter drops it.
+    // posexplode BEFORE slicing: the Generate node is a projection-collapse
+    // barrier, so _toks materializes once per doc and each chunk row slices
+    // an attribute instead of re-tokenizing (trailing drop cannot shift
+    // earlier indexes — only the final (start > end) pair can be empty)
+    toks.withColumn("_bpos", bpos)
+      .select(col(idCol), col("_toks"),
+        posexplode(zip_with(
+          concat(array(lit(1)), transform(col("_bpos"), b => b + 1)),
+          concat(col("_bpos"), array(size(col("_toks")))),
+          (st, en) => struct(st.as("st"), en.as("en"))))
+          .as(Seq("chunk_idx", "_se")))
+      .filter(col("_se.st") <= col("_se.en"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_toks"), col("_se.st"),
+          col("_se.en") - col("_se.st") + 1), " ").as("chunk"))
       .withColumn("fp", md5(col("chunk")))
   }
 
