@@ -734,6 +734,42 @@ object SparkEntry {
     "corpus_top_terms" -> ((s, dir) =>
       Vocab.topTerms(t(s, dir, "documents"), "text", "source", k = 5)),
 
+    // top-50 collocations by PMI (min pair count 5): multi-word units for
+    // tokenizer vocab decisions; implausibly high PMI across many docs
+    // flags boilerplate templates
+    "corpus_pmi" -> ((s, dir) =>
+      Vocab.pmiTopK(t(s, dir, "documents"), "text", minCount = 5, k = 50)),
+
+    // screen a new batch (stable buckets 80-99) against the existing
+    // corpus (buckets 0-79): exact fingerprint + MinHash LSH band
+    // existence probes — left_semi joins, so no quadratic bucket risk and
+    // no cap (an ingest never pairs the corpus with itself). Md5Hasher =
+    // the SQL-recomputable oracle mode, same as dedup_minhash_lsh
+    "corpus_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      Dedup.ingestDedupReport(
+        docs.filter(bucket < 80), docs.filter(bucket >= 80),
+        "doc_id", "text", hasher = Dedup.Md5Hasher)
+    }),
+
+    // length-bucketed training batches (batch 8 docs, 4 stable shards):
+    // per-batch padding waste when padded to the longest member — the
+    // dynamic-batching design pass before writing training shards
+    "corpus_batches" -> ((s, dir) =>
+      Sampling.lengthBucketBatches(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", batchSize = 8, shards = 4)),
+
+    // nearest-centroid label propagation: per-label mean centroids from
+    // the labeled 80% (stable buckets), held-out 20% classified by best
+    // cosine with a best-minus-second confidence margin — doubles as a
+    // holdout accuracy report (`correct`)
+    "corpus_classify" -> ((s, dir) =>
+      Similarity.nearestCentroidClassify(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", trainPct = 80)),
+
     // per-language inspection examples: first 3 docs per lang in stable-
     // hash order (WindowGroupLimit keeps the per-stratum reducer bounded)
     "corpus_examples" -> ((s, dir) =>
@@ -1057,6 +1093,47 @@ object SparkEntry {
       "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM capped a " +
       "JOIN capped c ON a.b = c.b AND a.band_key = c.band_key " +
       "AND a.doc_id < c.doc_id"
+  }
+
+  /** Mirror of `corpus_ingest`: same MinHash/banding CTEs as
+    * [[minhashLshOracleSql]] but carrying the stable old/new bucket, then
+    * two existence probes (exact fingerprint, any-band collision) for the
+    * new side only. No caps — existence joins have no quadratic bucket
+    * risk (matches the engine's declared semantics). */
+  private def ingestOracleSql: String = {
+    val minCols = (0 until 64).map { i =>
+      val (a, b) = graft.functions.Dedup.Md5Hasher.saltConsts(i)
+      s"min(($a * (h & 4294967295) + $b) % 2147483647) AS m$i"
+    }.mkString(", ")
+    val sigList = (0 until 64).map(i => s"m$i").mkString("[", ", ", "]")
+    val bandKey = sqlMd5Long(
+      "array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')" +
+        " || chr(1) || b::VARCHAR")
+    "WITH d AS (SELECT doc_id, text, " +
+      "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk FROM documents), " +
+      s"t AS (SELECT doc_id, bk, $sqlToks AS toks FROM d), " +
+      // COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+      "fp AS (SELECT doc_id, bk, md5(COALESCE(array_to_string(toks, ' '), '')) AS f FROM t), " +
+      s"sh AS (SELECT doc_id, bk, $sqlShingles3 AS shs FROM t), " +
+      "posting AS (SELECT doc_id, bk, unnest(shs) AS s FROM sh), " +
+      s"hashed AS (SELECT doc_id, bk, ${sqlMd5Long("s")} AS h FROM posting), " +
+      s"sigs AS (SELECT doc_id, bk, $minCols FROM hashed GROUP BY doc_id, bk), " +
+      s"sigl AS (SELECT doc_id, bk, $sigList AS sig FROM sigs), " +
+      s"bands AS (SELECT doc_id, bk, b, $bandKey AS band_key " +
+      "FROM sigl, range(0, 16) r(b)), " +
+      "oldb AS (SELECT DISTINCT b, band_key FROM bands WHERE bk < 80), " +
+      "near AS (SELECT DISTINCT n.doc_id FROM " +
+      "(SELECT doc_id, b, band_key FROM bands WHERE bk >= 80) n " +
+      "JOIN oldb o ON n.b = o.b AND n.band_key = o.band_key), " +
+      "oldfp AS (SELECT DISTINCT f FROM fp WHERE bk < 80), " +
+      "ex AS (SELECT DISTINCT n.doc_id FROM " +
+      "(SELECT doc_id, f FROM fp WHERE bk >= 80) n JOIN oldfp o ON n.f = o.f) " +
+      "SELECT nd.doc_id, e.doc_id IS NOT NULL AS exact_dup, " +
+      "nr.doc_id IS NOT NULL AS near_cand, " +
+      "(e.doc_id IS NULL AND nr.doc_id IS NULL) AS keep " +
+      "FROM (SELECT doc_id FROM d WHERE bk >= 80) nd " +
+      "LEFT JOIN ex e ON nd.doc_id = e.doc_id " +
+      "LEFT JOIN near nr ON nd.doc_id = nr.doc_id"
   }
 
   /** Mirror of the md5-hasher `dedup_simhash` query: md5-prefix long per
@@ -1682,6 +1759,67 @@ object SparkEntry {
         "SELECT grp, CAST(rn AS INTEGER) AS term_rank, token, round(score, 6) AS score FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY grp ORDER BY score DESC, token) AS rn FROM sc) " +
         "WHERE rn <= 5"),
+
+    // PMI = ln((cb/nb) / ((ca/n)(cb_u/n))) — the SAME single-ln ratio tree
+    // the engine builds, ordered by the unrounded score
+    "corpus_pmi" ->
+      (s"WITH t AS (SELECT $sqlToks AS toks FROM documents), " +
+        "uc AS (SELECT tk, count(*) AS cu FROM (SELECT unnest(toks) AS tk FROM t) GROUP BY tk), " +
+        "bc AS (SELECT g, count(*) AS cb FROM (SELECT unnest(" +
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t) GROUP BY g), " +
+        "nt AS (SELECT COALESCE(sum(cu), 0) AS n FROM uc), " +
+        "nb AS (SELECT COALESCE(sum(cb), 0) AS nbi FROM bc), " +
+        "sc AS (SELECT g, cb, ln((CAST(cb AS DOUBLE) / nbi) / " +
+        "((CAST(a.cu AS DOUBLE) / n) * (CAST(b.cu AS DOUBLE) / n))) AS pmi " +
+        "FROM bc JOIN uc a ON split_part(g, ' ', 1) = a.tk " +
+        "JOIN uc b ON split_part(g, ' ', 2) = b.tk " +
+        "CROSS JOIN nt CROSS JOIN nb WHERE cb >= 5) " +
+        "SELECT g AS bigram, CAST(cb AS BIGINT) AS n_pair, round(pmi, 6) AS pmi " +
+        "FROM sc ORDER BY sc.pmi DESC, g LIMIT 50"),
+
+    "corpus_ingest" -> ingestOracleSql,
+
+    // fixed power-of-two ladder (never 2^ceil(log2 n): libm log2 is not
+    // boundary-exact across engines); batches fill in stable doc order
+    // per (bucket, shard)
+    "corpus_batches" ->
+      (s"WITH t AS (SELECT doc_id, len($sqlToks) AS n FROM documents), " +
+        "b AS (SELECT doc_id, n, CASE " +
+        graft.functions.Sampling.LengthLadder.init
+          .map(x => s"WHEN n <= $x THEN $x").mkString(" ") +
+        s" ELSE ${graft.functions.Sampling.LengthLadder.last} END AS bucket, " +
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard FROM t), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) AS rn FROM b), " +
+        "g AS (SELECT bucket, shard, (rn - 1) // 8 AS batch_idx, " +
+        "count(*) AS n_docs, CAST(max(n) AS BIGINT) AS max_tokens, " +
+        "CAST(sum(n) AS BIGINT) AS sum_tokens FROM r GROUP BY bucket, shard, batch_idx) " +
+        "SELECT bucket, shard, CAST(batch_idx AS BIGINT) AS batch_idx, n_docs, " +
+        "max_tokens, sum_tokens, " +
+        "round(CASE WHEN max_tokens > 0 THEN 1.0 - CAST(sum_tokens AS DOUBLE) / " +
+        "(n_docs * max_tokens) ELSE 0.0 END, 6) AS pad_frac FROM g"),
+
+    // per-label DECIMAL-mean centroids from stable buckets < 80, held-out
+    // vectors classified by best cosine; margin = best − second (−1.0
+    // fallback), ties to the lowest label
+    "corpus_classify" ->
+      ("WITH b AS (SELECT vec_id, label, embedding, " +
+        "('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk FROM embeddings), " +
+        "comp AS (SELECT label, i, CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c " +
+        "FROM b, range(1, 65) r(i) WHERE bk < 80 GROUP BY label, i), " +
+        "cent AS (SELECT label AS clbl, list(c ORDER BY i) AS cvec FROM comp GROUP BY label), " +
+        "cn AS (SELECT clbl, cvec, sqrt(list_sum(list_transform(range(1, 65), i -> cvec[i] * cvec[i]))) AS cnorm FROM cent), " +
+        "tst AS (SELECT vec_id, label AS true_label, embedding, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS tn " +
+        "FROM b WHERE bk >= 80), " +
+        "sc AS (SELECT t.vec_id, t.true_label, c.clbl, " +
+        "CASE WHEN t.tn > 0 AND c.cnorm > 0 THEN " +
+        "list_sum(list_transform(range(1, 65), i -> t.embedding[i]::DOUBLE * c.cvec[i])) / (t.tn * c.cnorm) " +
+        "ELSE 0.0 END AS cos FROM tst t CROSS JOIN cn c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clbl) AS rn, " +
+        "lead(cos) OVER (PARTITION BY vec_id ORDER BY cos DESC, clbl) AS nxt FROM sc) " +
+        "SELECT vec_id, true_label, clbl AS pred_label, round(cos, 6) AS cos, " +
+        "round(cos - COALESCE(nxt, -1.0), 6) AS margin, clbl = true_label AS correct " +
+        "FROM rk WHERE rn = 1"),
 
     "corpus_examples" ->
       ("SELECT lang, CAST(rn AS INTEGER) AS example_rank, doc_id FROM " +

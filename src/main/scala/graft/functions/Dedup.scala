@@ -347,6 +347,64 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Incremental ingest dedup — screen a NEW batch of documents against
+    * an EXISTING corpus without ever pairing the existing corpus with
+    * itself: the "add a crawl snapshot to 100 TB" operation. Two screens,
+    * both existence probes:
+    *   - exact: the new doc's normalized content fingerprint
+    *     ([[TextFunctions.contentFingerprint]]) already occurs in the
+    *     corpus;
+    *   - near: ANY of the new doc's MinHash LSH band keys collides with a
+    *     corpus band key (the [[lshBands]] candidate rule — same
+    *     signature/banding params as the intra-corpus pass, so an ingest
+    *     screen and a full dedup agree on what "near" means).
+    *
+    * Scale shape: both probes are `left_semi` joins — an existence check
+    * fans out NOTHING (each new row emerges at most once), so unlike the
+    * intra-corpus pair generators there is no quadratic bucket risk and
+    * no cap: a boilerplate band key shared by a million corpus docs costs
+    * one match, not 10¹² pairs. The corpus side is exactly the band/
+    * fingerprint index a deployment already maintains (persist it once,
+    * screen every nightly batch against it); the new batch — typically
+    * orders of magnitude smaller than the corpus — is the build side.
+    * Short docs (fewer than `shingleN` tokens) have no shingles, hence no
+    * bands: they can only be exact dups, mirroring the intra-corpus pass.
+    *
+    * Output: one row per NEW doc — (id, exact_dup, near_cand, keep) with
+    * keep = ¬exact ∧ ¬near. Deterministic: both screens are pure
+    * functions of content. */
+  def ingestDedupReport(oldDocs: DataFrame, newDocs: DataFrame,
+                        idCol: String, textCol: String, shingleN: Int = 3,
+                        k: Int = 64, bands: Int = 16, rowsPerBand: Int = 4,
+                        hasher: Hasher = XxHasher): DataFrame = {
+    require(k == bands * rowsPerBand,
+      s"signature length $k must equal bands*rowsPerBand=${bands * rowsPerBand}")
+    def fps(df: DataFrame) = df.select(col(idCol),
+      TextFunctions.contentFingerprint(col(textCol)).as("_fp"))
+    def bandsOf(df: DataFrame) = lshBands(
+      minhashSignatures(
+        df.select(col(idCol),
+          TextFunctions.wordShingles(col(textCol), shingleN).as("_sh")),
+        idCol, "_sh", k, hasher),
+      idCol, "sig", bands, rowsPerBand, hasher)
+    val newFps = fps(newDocs)
+    val exactHits = newFps
+      .join(fps(oldDocs).select(col("_fp")), Seq("_fp"), "left_semi")
+      .select(col(idCol), lit(true).as("_exact"))
+    val nearHits = bandsOf(newDocs)
+      .join(bandsOf(oldDocs).select(col("band"), col("band_key")),
+        Seq("band", "band_key"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("_near", lit(true))
+    newDocs.select(col(idCol))
+      .join(exactHits, Seq(idCol), "left")
+      .join(nearHits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_exact"), lit(false)).as("exact_dup"),
+        coalesce(col("_near"), lit(false)).as("near_cand"),
+        (col("_exact").isNull && col("_near").isNull).as("keep"))
+  }
+
   /** Substring-level duplication report — cross-document repeated spans
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better": repeated ~50-token spans degrade LMs even when whole-doc

@@ -230,6 +230,61 @@ object Sampling {
       .drop("_prev")
   }
 
+  /** Power-of-two length-bucket ladder for [[lengthBucketBatches]]: 16,
+    * 32, …, 65536. A fixed integer ladder, NOT `2^ceil(log2 n)`: libm
+    * log2 is not guaranteed exact at power-of-two boundaries across
+    * engines, and a bucketing that disagrees in the last ulp reassigns
+    * documents. */
+  val LengthLadder: Seq[Int] = (4 to 16).map(1 << _)
+
+  /** Length-bucketed training batches — the dynamic-batching pass that
+    * decides padding efficiency for sequence training: documents group
+    * into power-of-two token-length buckets, fill `batchSize`-doc batches
+    * in stable order within each bucket, and every batch reports the
+    * padding it would waste when padded to its longest member. Mixing a
+    * 10-token doc into a 4096-token batch wastes 99% of the compute; this
+    * report is how a pipeline sizes its bucket boundaries before writing
+    * training shards.
+    *
+    * Scale shape: the only ordered state is a `row_number` window per
+    * (bucket, shard) — the [[packBins]] sharding rule, because a bare
+    * per-bucket window is ~13 reducers forever. Pass `shards` from
+    * [[shardsForVolume]] so each reducer sorts a bounded slice; batch
+    * identity stays a pure function of (doc id, bucket, shard), so the
+    * same batches come out of any cluster layout — reproducible training
+    * order, SQL-auditable. Per-batch stats are one bounded aggregation;
+    * all arithmetic is integer until the final one-division padding
+    * fraction.
+    *
+    * Output: (bucket, shard, batch_idx, n_docs, max_tokens, sum_tokens,
+    * pad_frac) — one row per batch. */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, nTokCol: String,
+                          batchSize: Int, shards: Int = 1): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1; got $batchSize")
+    val n = col("_n")
+    val bucket = LengthLadder.tail
+      .foldLeft(when(n <= LengthLadder.head, lit(LengthLadder.head))) {
+        (acc, b) => acc.when(n <= b, lit(b))
+      }.otherwise(lit(LengthLadder.last))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard")).orderBy(col(idCol))
+    docs
+      .select(col(idCol), col(nTokCol).cast("long").as("_n"))
+      .withColumn("bucket", bucket)
+      .withColumn("shard", stableBucket(col(idCol), shards))
+      // Column `/` is true division (double) — floor it back; rn < 2^52
+      // keeps the quotient exact, and DuckDB's `//` recomputes it
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1) / lit(batchSize)).cast("long"))
+      .groupBy(col("bucket"), col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("_n")).as("max_tokens"),
+        sum(col("_n")).as("sum_tokens"))
+      .withColumn("pad_frac", round(when(col("max_tokens") > 0,
+        lit(1.0) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_tokens"))).otherwise(lit(0.0)), 6))
+  }
+
   /** Train/test CONTAMINATION report — the decontamination primitive an
     * LLM pipeline runs before trusting any eval split: for every non-train
     * document, what fraction of its distinct word-n-gram shingles also

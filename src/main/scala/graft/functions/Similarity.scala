@@ -388,4 +388,68 @@ object Similarity {
         round(col("_tc").cast("double") / col("n_vectors"), 6)
           .as("top_label_share"))
   }
+
+  /** Nearest-centroid (Rocchio) classification over an embedding column —
+    * the cheap-and-cheerful label-propagation pass a pipeline runs to
+    * extend a small labeled seed set over an unlabeled corpus (domain
+    * tagging, topic routing, quality tiers): each class's centroid is the
+    * MEAN of its labeled vectors, every unlabeled vector gets the label of
+    * its most-cosine-similar centroid plus a confidence margin (best −
+    * second-best cosine; low margin = ambiguous, route to review).
+    *
+    * The labeled/unlabeled split is the stable md5 bucket
+    * ([[Sampling.stableBucket]] < `trainPct`) so the report is a pure
+    * function of the data — and doubles as holdout evaluation: the held-out
+    * vectors DO carry true labels here, so `correct` measures
+    * nearest-centroid accuracy for free.
+    *
+    * Scale shape: centroids are per-(label, position) aggregations of the
+    * exploded labeled subset — map-side combined, output bounded by
+    * labels × dim rows regardless of corpus size — reassembled into
+    * labels-many array rows that BROADCAST onto a single unlabeled-corpus
+    * scan (the [[clusterProfile]] assignment shape). The per-vector argmax
+    * is a labels-sized window per vector id — bounded fan-out, never a
+    * corpus-wide sort. Centroid components sum through DECIMAL (mean is
+    * accumulation-order-free, so the model is identical on any cluster
+    * layout); cosines round to 6 in the report.
+    *
+    * Output: (id, true_label, pred_label, cos, margin, correct) — one row
+    * per held-out vector. Ties break toward the lowest label; `margin`
+    * falls back to cos − (−1) when only one class exists. */
+  def nearestCentroidClassify(vectors: DataFrame, idCol: String,
+                              vecCol: String, labelCol: String,
+                              trainPct: Int = 80): DataFrame = {
+    val bucket = Sampling.stableBucket(col(idCol))
+    val train = vectors.filter(bucket < trainPct)
+    val test = vectors.filter(bucket >= trainPct)
+    val comp = train
+      .select(col(labelCol).as("_lbl"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_p", "_v")))
+      .groupBy(col("_lbl"), col("_p"))
+      .agg((sum(col("_v").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("_c"))
+    val centroids = comp.groupBy(col("_lbl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_p"), col("_c")))),
+        _.getField("_c")).as("_cvec"))
+      .withColumn("_cnorm", norm(col("_cvec")))
+    val scored = test
+      .select(col(idCol), col(labelCol).as("true_label"),
+        col(vecCol).cast("array<double>").as("_tv"))
+      .withColumn("_tn", norm(col("_tv")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_cos", when(col("_tn") > 0 && col("_cnorm") > 0,
+        cosinePrenormed(col("_tv"), col("_cvec"), col("_tn"), col("_cnorm")))
+        .otherwise(lit(0.0)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_cos").desc, col("_lbl").asc)
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_next", lead(col("_cos"), 1).over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("true_label"), col("_lbl").as("pred_label"),
+        round(col("_cos"), 6).as("cos"),
+        round(col("_cos") - coalesce(col("_next"), lit(-1.0)), 6).as("margin"),
+        (col("_lbl") === col("true_label")).as("correct"))
+  }
 }

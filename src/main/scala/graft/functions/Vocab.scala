@@ -55,6 +55,56 @@ object Vocab {
         coalesce(col("n_unk"), lit(0L)).as("n_unk"))
   }
 
+  /** Top-`k` collocations by pointwise mutual information —
+    *   pmi(a, b) = ln( p(ab) / (p(a) · p(b)) )
+    * over adjacent token pairs, with a `minCount` occurrence floor (raw
+    * PMI is maximized by hapax pairs; the floor is the standard fix,
+    * Church & Hanks 1990). The corpus-describe pass that surfaces
+    * multi-word units ("new york", "source code") for tokenizer vocab
+    * decisions and template detection — a collocation whose PMI is
+    * implausibly high across many docs is usually boilerplate.
+    *
+    * Scale shape: both count tables are VOCABULARY-sized (Heaps-law
+    * sublinear) — unigrams from one explode→count, bigrams from one
+    * ngram-explode→count, each map-side combined so shuffle volume is
+    * O(partitions × vocab), not O(tokens). Scoring joins the bigram
+    * frame to the unigram frame twice on the token key (hot tokens =
+    * AQE skew splits); totals ride one-row broadcast frames. The final
+    * top-k is `orderBy().limit()` = TakeOrderedAndProject — per-partition
+    * top-k, no global sort of the vocabulary.
+    *
+    * One `ln` over one ratio expression (the [[Dsir]] discipline) so an
+    * external SQL oracle recomputes the identical double; output rounds
+    * to 6. Ties break bigram-ascending.
+    *
+    * Output: (bigram, n_pair, pmi) — `k` rows. */
+  def pmiTopK(docs: DataFrame, textCol: String, minCount: Long,
+              k: Int): DataFrame = {
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_cu"))
+    val biAll = toks
+      .select(explode(TextFunctions.tokenNgrams(col("_toks"), 2)).as("_g"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_cb"))
+    val nTok = uni.agg(coalesce(sum(col("_cu")), lit(0L)).as("_n"))
+    val nBi = biAll.agg(coalesce(sum(col("_cb")), lit(0L)).as("_nb"))
+    val ua = uni.select(col("_t").as("_a"), col("_cu").as("_ca"))
+    val ub = uni.select(col("_t").as("_b"), col("_cu").as("_cbu"))
+    biAll.filter(col("_cb") >= minCount)
+      .withColumn("_a", element_at(split(col("_g"), " ", 2), 1))
+      .withColumn("_b", element_at(split(col("_g"), " ", 2), 2))
+      .join(ua, Seq("_a")).join(ub, Seq("_b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", log(
+        (col("_cb").cast("double") / col("_nb")) /
+          ((col("_ca").cast("double") / col("_n")) *
+            (col("_cbu").cast("double") / col("_n")))))
+      .orderBy(col("pmi").desc, col("_g").asc)
+      .limit(k)
+      .select(col("_g").as("bigram"), col("_cb").as("n_pair"),
+        round(col("pmi"), 6).as("pmi"))
+  }
+
   /** The `k` most DISTINCTIVE terms per group (source, language, domain
     * …) by group-level tf-idf: score(t, g) = tf(t, g) · ln(G / df(t))
     * with df counted over groups — the corpus-describe pass that tells a

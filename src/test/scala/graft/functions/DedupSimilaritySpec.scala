@@ -470,4 +470,62 @@ class DedupSimilaritySpec extends SparkSpec {
     perRow.foreach { case (id, fp) => assert(exploded(id) === fp) }
     assert(!exploded.contains(5L)) // empty doc: no tokens, no fingerprint
   }
+
+  test("ingestDedupReport: exact and near screens, short-doc edge, " +
+      "unique docs keep") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "hi there"),                    // < 3 tokens: fingerprint only
+      (3L, "some shared template sentence here")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps"),  // identical → exact + near
+      (11L, "hi there"),                   // identical short → exact, NO bands
+      (12L, "totally novel content nothing matches"),
+      (13L, "hi")).toDF("doc_id", "text")
+    val r = Dedup.ingestDedupReport(old, fresh, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(1), x.getBoolean(2), x.getBoolean(3)))).toMap
+    assert(r(10L) === ((true, true, false)))  // identical sig ⇒ every band hits
+    assert(r(11L) === ((true, false, false)))
+    assert(r(12L) === ((false, false, true)))
+    assert(r(13L) === ((false, false, true)))
+    assert(r.size === 4)                      // one row per NEW doc only
+  }
+
+  test("ingestDedupReport: Md5Hasher mode agrees with XxHasher on the " +
+      "exact screen and emits the same report shape") {
+    val old = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val fresh = Seq((2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    for (h <- Seq(Dedup.XxHasher, Dedup.Md5Hasher)) {
+      val r = Dedup.ingestDedupReport(old, fresh, "doc_id", "text", hasher = h)
+        .collect().map(x => x.getLong(0) ->
+          ((x.getBoolean(1), x.getBoolean(2), x.getBoolean(3)))).toMap
+      assert(r(2L) === ((true, true, false)))
+      assert(r(3L)._1 === false)
+      assert(r(3L)._3 === !r(3L)._2)
+    }
+  }
+
+  test("nearestCentroidClassify: separable classes classify correctly " +
+      "with full margin; report covers exactly the held-out bucket") {
+    val vecs = (1L to 60L).map { id =>
+      val lbl = (id % 2).toInt
+      val v = if (lbl == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f)
+      (id, v, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.nearestCentroidClassify(vecs, "vec_id", "embedding",
+      "label", trainPct = 80).collect()
+    val heldOut = vecs
+      .filter(Sampling.stableBucket(col("vec_id")) >= 80)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(r.map(_.getLong(0)).toSet === heldOut)
+    assert(heldOut.nonEmpty)
+    r.foreach { row =>
+      assert(row.getBoolean(5), s"misclassified ${row.getLong(0)}")
+      assert(row.getInt(2) === row.getInt(1))
+      assert(row.getDouble(3) === 1.0)   // cos to own centroid
+      assert(row.getDouble(4) === 1.0)   // margin = 1 - 0
+    }
+  }
 }

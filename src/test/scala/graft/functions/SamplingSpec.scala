@@ -255,4 +255,36 @@ class SamplingSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq === Seq(1000L))
     out.unpersist()
   }
+
+  test("lengthBucketBatches: ladder assignment, batch fill order, padding " +
+      "arithmetic, and shard determinism") {
+    // 10 docs in one shard: 5 short (<=16 bucket), 5 at 100 tokens (128)
+    val docs = ((1L to 5L).map(id => (id, 10L + id)) ++
+      (6L to 10L).map(id => (id, 100L))).toDF("doc_id", "n_tokens")
+    val r = Sampling.lengthBucketBatches(docs, "doc_id", "n_tokens",
+      batchSize = 3, shards = 1).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5), x.getDouble(6)))).toMap
+    // bucket 16: docs 1-5 (11..15 tokens) → batches [1,2,3] and [4,5]
+    assert(r((16, 0L, 0L)) === ((3L, 13L, 36L,
+      BigDecimal(1.0 - 36.0 / 39.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(r((16, 0L, 1L)) === ((2L, 15L, 29L,
+      BigDecimal(1.0 - 29.0 / 30.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // bucket 128: uniform lengths → zero padding waste
+    assert(r((128, 0L, 0L)) === ((3L, 100L, 300L, 0.0)))
+    assert(r((128, 0L, 1L)) === ((2L, 100L, 200L, 0.0)))
+    assert(r.size === 4)
+    // shard split is the stable md5 bucket — pure function of doc_id
+    val sharded = Sampling.lengthBucketBatches(docs, "doc_id", "n_tokens",
+      batchSize = 3, shards = 4)
+    val again = Sampling.lengthBucketBatches(docs, "doc_id", "n_tokens",
+      batchSize = 3, shards = 4)
+    assert(sharded.collect().toSeq.sortBy(_.toString) ===
+      again.collect().toSeq.sortBy(_.toString))
+    // every batch within batchSize; totals conserved
+    assert(sharded.agg(sum($"n_docs")).collect().head.getLong(0) === 10L)
+    assert(sharded.select(max($"n_docs")).collect().head.getLong(0) <= 3L)
+  }
 }

@@ -51,4 +51,28 @@ class VocabSpec extends SparkSpec {
     assert(r.length === 4)                         // 2 groups × k
     assert(r.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq === Seq("x", "y"))
   }
+
+  test("pmiTopK: hand-computed scores, minCount floor, rarer-but-tighter " +
+      "pair ranks higher") {
+    // uni: a3 b3 c2 d2 e1 f1 (n=12); bi: "a b"x3 "c d"x2 "e f"x1 (nb=6)
+    // pmi(a b) = ln((3/6)/((3/12)(3/12))) = ln 8;  pmi(c d) = ln 12
+    val docs = Seq("a b", "a b", "a b", "c d", "c d", "e f").map(Tuple1(_))
+      .toDF("text")
+    val r = Vocab.pmiTopK(docs, "text", minCount = 2, k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._1).toSeq === Seq("c d", "a b")) // "e f" under the floor
+    assert(r(0)._3 === math.BigDecimal(math.log(12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1)._2 === 3L)
+    assert(r(1)._3 === math.BigDecimal(math.log(8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("pmiTopK: ties break bigram-ascending and k truncates") {
+    // two structurally identical pairs → equal pmi; order must be lexical
+    val docs = Seq("a b", "a b", "c d", "c d").map(Tuple1(_)).toDF("text")
+    val r = Vocab.pmiTopK(docs, "text", minCount = 1, k = 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getString(0) === "a b")
+  }
 }
