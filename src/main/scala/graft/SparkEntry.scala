@@ -612,6 +612,21 @@ object SparkEntry {
         "qid", "qv", dims = 16, k = 5, shortlist = 20, salts = 1)
     }),
 
+    // Johnson-Lindenstrauss serving for non-matryoshka embeddings: coarse
+    // cosine in a 16-dim Achlioptas sparse random projection (determinis-
+    // tic +-sqrt(3/16)/0 matrix from an integer hash) picks the top-20
+    // shortlist, exact 64-dim cosine re-ranks to top-5
+    "ann_rp_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rpRerankTopK(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", outDims = 16, dim = 64, k = 5, shortlist = 20,
+        salts = 1)
+    }),
+
     // two-stage retrieval: ADC top-20 shortlist, then exact-cosine re-rank
     // to top-5 — quantization error picks the shortlist, never the order
     "ann_pq_rerank" -> ((s, dir) => {
@@ -769,6 +784,14 @@ object SparkEntry {
     "corpus_classify" -> ((s, dir) =>
       Similarity.nearestCentroidClassify(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", trainPct = 80)),
+
+    // multinomial Naive Bayes language ID trained on the stable 80% and
+    // scored on the held-out 20% — the SQL-recomputable stand-in for the
+    // fastText-style classifiers production filters use; add-1 smoothing,
+    // DECIMAL log-sums, argmax with best-minus-second margin
+    "corpus_nb_lang" -> ((s, dir) =>
+      NaiveBayes.classify(t(s, dir, "documents"), "doc_id", "text",
+        "lang", trainPct = 80, alpha = 1.0)),
 
     // per-language inspection examples: first 3 docs per lang in stable-
     // hash order (WindowGroupLimit keeps the per-stratum reducer bounded)
@@ -997,6 +1020,20 @@ object SparkEntry {
     }.mkString(" + ")
     (planeCols, bucketExpr)
   }
+
+  /** DuckDB recomputation of the Achlioptas random projection
+    * (Similarity.rpComponents): per output dim, an explicit left-
+    * associated `+` chain of the NONZERO v[i]*m terms in ascending-i
+    * order. Bit-identical to the engine's sequential `graft_dot` fold —
+    * adding a zero product never perturbs a double accumulator, so
+    * skipping the ~2/3 zero entries is exact, not approximate. */
+  private def rpSqlProj(v: String, outDims: Int, dim: Int): String =
+    Similarity.rpComponents(outDims, dim).map { comps =>
+      val terms = comps.zipWithIndex.collect {
+        case (m, i) if m != 0.0 => s"($v[${i + 1}]::DOUBLE * $m)"
+      }
+      if (terms.isEmpty) "0.0" else terms.mkString(" + ")
+    }.mkString("[", ", ", "]")
 
   /** DuckDB recomputation of the PQ anchor codebooks and per-vector codes —
     * mirrors `Pq.anchorCodebooks` + `Pq.withCodes` exactly: same
@@ -1617,6 +1654,31 @@ object SparkEntry {
         "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ex) " +
         "WHERE rn <= 5"),
 
+    // coarse cosine in the 16-dim Achlioptas sketch (projection recomputed
+    // as exact nonzero-term + chains — bit-identical to the graft_dot
+    // fold) → top-20 shortlist → exact 64-dim re-rank, mirroring
+    // ann_matryoshka_topk's two-stage shape
+    "ann_rp_topk" ->
+      (s"WITH pr AS (SELECT vec_id, ${rpSqlProj("embedding", 16, 64)} AS pv FROM embeddings), " +
+        "q AS (SELECT p.vec_id AS qid, e.embedding AS qv, p.pv AS qpv " +
+        "FROM pr p JOIN embeddings e USING (vec_id) WHERE vec_id < 8), " +
+        "coarse AS (SELECT qid, nid, CASE WHEN cn * qn > 0 THEN dp / (cn * qn) ELSE -2.0 END AS csim FROM " +
+        "(SELECT q.qid, c.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 17), i -> c.pv[i] * q.qpv[i])) AS dp, " +
+        "sqrt(list_sum(list_transform(range(1, 17), i -> c.pv[i] * c.pv[i]))) AS cn, " +
+        "sqrt(list_sum(list_transform(range(1, 17), i -> q.qpv[i] * q.qpv[i]))) AS qn " +
+        "FROM pr c, q WHERE c.vec_id <> q.qid)), " +
+        "short AS (SELECT qid, nid FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY csim DESC, nid) AS rn FROM coarse) WHERE rn <= 20), " +
+        "ex AS (SELECT s.qid, s.nid, " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+        "FROM short s JOIN embeddings e ON e.vec_id = s.nid JOIN q ON q.qid = s.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ex) " +
+        "WHERE rn <= 5"),
+
     // ADC shortlist (top-20, same arithmetic as ann_pq_topk), then exact
     // cosine over only the shortlisted (qid, nid) pairs, re-ranked to top-5
     "ann_pq_rerank" ->
@@ -1819,6 +1881,35 @@ object SparkEntry {
         "lead(cos) OVER (PARTITION BY vec_id ORDER BY cos DESC, clbl) AS nxt FROM sc) " +
         "SELECT vec_id, true_label, clbl AS pred_label, round(cos, 6) AS cos, " +
         "round(cos - COALESCE(nxt, -1.0), 6) AS margin, clbl = true_label AS correct " +
+        "FROM rk WHERE rn = 1"),
+
+    // multinomial NB: per-class token counts with add-1 smoothing, per-
+    // occurrence DECIMAL ln-sums, prior + likelihood argmax (ties label-
+    // asc); zero-token docs classify by prior via the left join
+    "corpus_nb_lang" ->
+      (s"WITH d AS (SELECT doc_id, lang, $sqlToks AS toks, " +
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk FROM documents), " +
+        "tr AS (SELECT * FROM d WHERE bk < 80), " +
+        "te AS (SELECT * FROM d WHERE bk >= 80), " +
+        "tt AS (SELECT lang AS lbl, unnest(toks) AS t FROM tr), " +
+        "tc AS (SELECT lbl, t, count(*) AS ct FROM tt GROUP BY lbl, t), " +
+        "cs AS (SELECT lang AS lbl, count(*) AS ndocs, COALESCE(sum(len(toks)), 0) AS ntoks FROM tr GROUP BY lang), " +
+        "nt AS (SELECT sum(ndocs) AS ntrain FROM cs), " +
+        "v AS (SELECT count(DISTINCT t) AS vv FROM tt), " +
+        "cls AS (SELECT lbl, ln(CAST(ndocs AS DOUBLE) / ntrain) AS prior, " +
+        "CAST(ntoks + 1.0 * vv AS DOUBLE) AS denom FROM cs CROSS JOIN nt CROSS JOIN v), " +
+        "tek AS (SELECT doc_id, unnest(toks) AS t FROM te), " +
+        "occ AS (SELECT tek.doc_id, c.lbl, " +
+        "sum(CAST(ln((COALESCE(tc.ct, 0) + 1.0) / c.denom) AS DECIMAL(27,12))) AS tsum " +
+        "FROM tek CROSS JOIN cls c LEFT JOIN tc ON tc.lbl = c.lbl AND tc.t = tek.t " +
+        "GROUP BY tek.doc_id, c.lbl), " +
+        "fl AS (SELECT te.doc_id, te.lang AS true_label, c.lbl, " +
+        "c.prior + COALESCE(CAST(o.tsum AS DOUBLE), 0.0) AS logp " +
+        "FROM te CROSS JOIN cls c LEFT JOIN occ o ON o.doc_id = te.doc_id AND o.lbl = c.lbl), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY logp DESC, lbl) AS rn, " +
+        "lead(logp) OVER (PARTITION BY doc_id ORDER BY logp DESC, lbl) AS nxt FROM fl) " +
+        "SELECT doc_id, true_label, lbl AS pred_label, round(logp, 6) AS logp, " +
+        "round(logp - nxt, 6) AS margin, lbl = true_label AS correct " +
         "FROM rk WHERE rn = 1"),
 
     "corpus_examples" ->

@@ -167,23 +167,25 @@ object Similarity {
       .otherwise(transform(s, x => x / sqrt(dot(s, s))))
   }
 
-  /** Two-stage truncated-dims retrieval: cosine top-`shortlist` on the
-    * first `dims` components (cheap coarse scan — the corpus' full
-    * vectors are not touched in stage 1 beyond the slice), then exact
-    * full-dim cosine re-rank of only |queries|·shortlist candidates —
-    * the same shortlist-never-decides-order contract as
+  /** Two-stage coarse-then-exact retrieval shared by the truncated-dims
+    * (matryoshka) and random-projection paths: cosine top-`shortlist`
+    * under the `coarse` vector transform (cheap scan — full vectors are
+    * only read to compute the coarse form), then exact full-dim cosine
+    * re-rank of only |queries|·shortlist candidates — the same
+    * shortlist-never-decides-order contract as
     * [[graft.functions.Pq.rerankTopK]]. `shortlist ≥ corpus` degenerates
     * to [[bruteForceTopK]]. */
-  def truncatedRerankTopK(corpus: DataFrame, corpusId: String,
-                          corpusVec: String,
-                          queries: DataFrame, queryId: String,
-                          queryVec: String, dims: Int, k: Int,
-                          shortlist: Int, salts: Int = 64): DataFrame = {
+  private def coarseRerankTopK(corpus: DataFrame, corpusId: String,
+                               corpusVec: String,
+                               queries: DataFrame, queryId: String,
+                               queryVec: String, coarseFn: Column => Column,
+                               k: Int, shortlist: Int,
+                               salts: Int): DataFrame = {
     val c = corpus.select(col(corpusId), col(corpusVec))
-      .withColumn("_tc", truncate(col(corpusVec), dims))
+      .withColumn("_tc", coarseFn(col(corpusVec)))
       .withColumn("_tcn", norm(col("_tc")))
     val q = queries.select(col(queryId), col(queryVec))
-      .withColumn("_tq", truncate(col(queryVec), dims))
+      .withColumn("_tq", coarseFn(col(queryVec)))
       .withColumn("_tqn", norm(col("_tq")))
     val coarse = c.select(col(corpusId), col("_tc"), col("_tcn"))
       .join(broadcast(q.select(col(queryId), col("_tq"), col("_tqn"))))
@@ -206,6 +208,66 @@ object Similarity {
         col("_cn"), col("_qn")))
     topKPerQuery(exact, queryId, corpusId, k, salts = 1)
   }
+
+  /** Two-stage truncated-dims retrieval (matryoshka serving): coarse
+    * cosine on the first `dims` components, exact re-rank of the
+    * shortlist. See [[coarseRerankTopK]] for the contract. */
+  def truncatedRerankTopK(corpus: DataFrame, corpusId: String,
+                          corpusVec: String,
+                          queries: DataFrame, queryId: String,
+                          queryVec: String, dims: Int, k: Int,
+                          shortlist: Int, salts: Int = 64): DataFrame =
+    coarseRerankTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      truncate(_, dims), k, shortlist, salts)
+
+  /** Deterministic sparse random-projection components (Achlioptas 2003,
+    * "Database-friendly random projections"): r(j, d) is +s with
+    * probability 1/6, −s with probability 1/6, 0 otherwise, where
+    * s = sqrt(3 / outDims) — the database-friendly JL distribution whose
+    * 2/3 sparsity skips two thirds of the multiply-adds. Entries are a
+    * pure integer hash of (output dim, input dim) — no RNG state, so the
+    * same matrix materializes on every executor, every run, and in the
+    * differential oracle (which embeds these values as SQL literals).
+    * Unlike [[truncate]] this mixes ALL input dimensions, so it works on
+    * embeddings whose information is spread uniformly instead of
+    * front-loaded matryoshka-style. */
+  def rpComponents(outDims: Int, dim: Int): Seq[Seq[Double]] = {
+    require(outDims >= 1 && dim >= 1, s"rpComponents($outDims, $dim)")
+    val s = math.sqrt(3.0 / outDims)
+    (0 until outDims).map { j =>
+      (0 until dim).map { d =>
+        val h = (j.toLong * 6364136223846793005L +
+          d.toLong * 1442695040888963407L) ^ 0x9E3779B97F4A7C15L
+        java.lang.Long.remainderUnsigned(h * 0x2545F4914F6CDD1DL, 6L) match {
+          case 0L => s
+          case 1L => -s
+          case _  => 0.0
+        }
+      }
+    }
+  }
+
+  /** Project an embedding column to `outDims` dimensions with the
+    * [[rpComponents]] matrix: each output component is one codegen'd
+    * `graft_dot` against a literal row — a scan-stage expression, no
+    * shuffle, no UDF. Johnson–Lindenstrauss: pairwise distances are
+    * preserved within (1 ± ε) for outDims = O(ln n / ε²). */
+  def randomProject(vec: Column, outDims: Int, dim: Int): Column =
+    array(rpComponents(outDims, dim).map { comps =>
+      dot(vec.cast("array<double>"), array(comps.map(lit): _*))
+    }: _*)
+
+  /** Two-stage random-projection retrieval: coarse cosine in the
+    * `outDims`-dimensional JL sketch (dim/outDims of the compute and
+    * intermediate IO per pair), exact full-dim re-rank of the shortlist.
+    * The dimension-reduction counterpart of [[truncatedRerankTopK]] for
+    * embeddings without matryoshka training. */
+  def rpRerankTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   outDims: Int, dim: Int, k: Int, shortlist: Int,
+                   salts: Int = 64): DataFrame =
+    coarseRerankTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      randomProject(_, outDims, dim), k, shortlist, salts)
 
   /** Symmetric int8 quantization of an embedding column — the storage
     * transform that cuts a float32 corpus 4× before ANN indexing: per-vector

@@ -287,6 +287,49 @@ class DedupSimilaritySpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("rpComponents: deterministic, correct scale, ~1/3 density, and " +
+      "randomProject matches a hand-folded projection") {
+    val m = Similarity.rpComponents(16, 64)
+    assert(m === Similarity.rpComponents(16, 64))   // pure function
+    val s = math.sqrt(3.0 / 16)
+    val flat = m.flatten
+    assert(flat.forall(x => x == 0.0 || x == s || x == -s))
+    val density = flat.count(_ != 0.0).toDouble / flat.size
+    assert(density > 0.2 && density < 0.5, s"density $density")  // E=1/3
+    // projection = sequential left fold, bit-identical to the hand fold
+    val vec = Array.tabulate(64)(d => ((d * 37) % 19 - 9).toFloat)
+    val expect = m.map(row =>
+      (0 until 64).foldLeft(0.0)((acc, i) => acc + vec(i).toDouble * row(i)))
+    val got = Seq((1L, vec)).toDF("id", "v")
+      .select(Similarity.randomProject($"v", 16, 64).as("p"))
+      .as[Seq[Double]].collect().head
+    assert(got === expect)
+  }
+
+  test("rpRerankTopK: full shortlist equals brute force; 16-of-64-dim " +
+      "sketch keeps high recall") {
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 3 + d * 7) % 13 - 6).toFloat))
+    }.toDF("nid", "nv")
+    val queries = corpus.filter($"nid" < 3)
+      .select($"nid".as("qid"), $"nv".as("qv"))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val brute = rs(Similarity.bruteForceTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", k = 5))
+    val full = rs(Similarity.rpRerankTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", outDims = 16, dim = 64, k = 5,
+      shortlist = 40, salts = 1))
+    assert(full === brute)                // shortlist never decides order
+    val coarse = rs(Similarity.rpRerankTopK(corpus, "nid", "nv",
+      queries, "qid", "qv", outDims = 16, dim = 64, k = 5,
+      shortlist = 15, salts = 1)).map(r => (r._1, r._3))
+    val recall = (coarse & brute.map(r => (r._1, r._3))).size.toDouble /
+      brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("substring report and span stripping plan as equi-joins on the " +
       "window key — no nested-loop join, no per-corpus window sort") {
     val docs = (0L until 30L).map(i =>
