@@ -900,6 +900,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rate_ppm"))
     }),
 
+    // temperature-scaled source mixing (mT5/XLM-R, α=0.5): per-source
+    // shares ∝ √(token volume) — the standard low-resource upweighting —
+    // quantized to integer micro-units so every downstream division is
+    // exact; rates sized to a 50k-token budget
+    "corpus_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.temperatureMix(docs, col("source"), col("n_tok"),
+        budgetTokens = 50000L)
+    }),
+
     // DSIR importance weights (Xie et al. NeurIPS'23): hashed unigram+
     // bigram bucket distributions fitted on a curated target (source =
     // 'src0' stands in for the reference corpus) vs the raw rest; every
@@ -2110,6 +2121,19 @@ object SparkEntry {
         "SELECT t.doc_id, t.lang, CAST(r.rate AS BIGINT) AS rate_ppm " +
         "FROM t JOIN r USING (lang) " +
         "WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < r.rate"),
+
+    // α=0.5 temperature shares: sqrt is correctly rounded by IEEE in both
+    // engines; everything after the micro-unit quantization is integer
+    "corpus_temperature" ->
+      (s"WITH t AS (SELECT source, len($sqlToks) AS ntok FROM documents), " +
+        "tot AS (SELECT source AS stratum, CAST(sum(ntok) AS BIGINT) AS n_tokens " +
+        "FROM t GROUP BY source), " +
+        "wu AS (SELECT stratum, n_tokens, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS weight_us FROM tot), " +
+        "sh AS (SELECT *, (weight_us * 1000000) // (SELECT sum(weight_us) FROM wu) AS share_ppm FROM wu) " +
+        "SELECT stratum, n_tokens, weight_us, CAST(share_ppm AS BIGINT) AS share_ppm, " +
+        "CAST(CASE WHEN n_tokens > 0 THEN least(1000000, " +
+        "(((50000::BIGINT * share_ppm) // 1000000) * 1000000) // n_tokens) " +
+        "ELSE 0 END AS BIGINT) AS rate_ppm FROM sh"),
 
     "text_chunk" ->
       (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +

@@ -357,4 +357,47 @@ object Sampling {
         coalesce(col("top_gram_ratio"), lit(0.0)).as("top_gram_ratio"),
         coalesce(col("distinct_ratio"), lit(0.0)).as("distinct_ratio"))
   }
+
+  /** Temperature-scaled source mixing (the mT5 / XLM-R sampler, α = 0.5):
+    * a stratum's sampling share is V^α / Σ V^α of its token volume — the
+    * standard upweighting of low-resource sources that plain proportional
+    * mixing starves. α is fixed at ½ so the power is `sqrt`, the one libm
+    * function IEEE 754 REQUIRES correctly rounded — any engine recomputes
+    * the identical weight, which a free-α `pow` could not guarantee.
+    *
+    * All downstream arithmetic is integer-exact: weights quantize to
+    * micro-units (round(√V·10⁶), exact below 2⁵³ — i.e. volumes to ~10¹⁸
+    * tokens), shares are floor-divided ppm of the micro-unit total, and
+    * each stratum's keep `rate_ppm` to hit `budgetTokens` reuses the
+    * decimal floor division of [[tokenBudgetMixture]] (a stratum under
+    * its target keeps everything). One tiny per-stratum aggregate — the
+    * corpus itself is never reshuffled; membership for the kept corpus is
+    * the usual ppm bucket on the doc key against `rate_ppm`.
+    *
+    * Output: one row per stratum — (stratum, n_tokens, weight_us,
+    * share_ppm, rate_ppm). */
+  def temperatureMix(docs: DataFrame, stratum: Column, nTok: Column,
+                     budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    val totals = docs
+      .select(stratum.as("stratum"), nTok.cast("long").as("_n"))
+      .groupBy(col("stratum")).agg(sum(col("_n")).as("n_tokens"))
+      .withColumn("weight_us",
+        round(sqrt(col("n_tokens").cast("double")) * lit(1e6), 0)
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))  // strata count is tiny; one reducer is fine
+    val share = intDiv(col("weight_us").cast("decimal(38,0)") * lit(1000000L),
+      sum(col("weight_us")).over(w))
+    val target = intDiv(
+      lit(budgetTokens).cast("decimal(38,0)") * col("share_ppm"),
+      lit(1000000L))
+    val rate = when(col("n_tokens") > 0,
+      least(lit(1000000L),
+        intDiv(target.cast("decimal(38,0)") * lit(1000000L),
+          col("n_tokens")))).otherwise(lit(0L))
+    totals
+      .withColumn("share_ppm", share)
+      .withColumn("rate_ppm", rate)
+  }
 }
