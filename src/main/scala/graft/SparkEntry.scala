@@ -66,6 +66,10 @@ object SparkEntry {
       .select(col("doc_id"), col("source"),
         Dsir.hashedFeatures(col("_toks"), 4096).as("feats"))
 
+  /** The one token budget shared by corpus_temperature's Scala call and its
+    * SQL oracle — interpolated into both so they can never drift apart. */
+  private val tempBudgetTokens = 50000L
+
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -908,7 +912,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
       Sampling.temperatureMix(docs, col("source"), col("n_tok"),
-        budgetTokens = 50000L)
+        budgetTokens = tempBudgetTokens)
     }),
 
     // DSIR importance weights (Xie et al. NeurIPS'23): hashed unigram+
@@ -2129,10 +2133,15 @@ object SparkEntry {
         "tot AS (SELECT source AS stratum, CAST(sum(ntok) AS BIGINT) AS n_tokens " +
         "FROM t GROUP BY source), " +
         "wu AS (SELECT stratum, n_tokens, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS weight_us FROM tot), " +
-        "sh AS (SELECT *, (weight_us * 1000000) // (SELECT sum(weight_us) FROM wu) AS share_ppm FROM wu) " +
+        // HUGEINT before the ×10⁶ so the oracle is exact to the same ~1e18
+        // token volumes as the engine's DECIMAL(38,0); CASE guards the
+        // all-empty corpus (Σweight_us = 0 ⇒ share 0, not NULL)
+        "sh AS (SELECT *, CASE WHEN (SELECT sum(weight_us) FROM wu) > 0 THEN " +
+        "(CAST(weight_us AS HUGEINT) * 1000000) // (SELECT sum(weight_us) FROM wu) " +
+        "ELSE 0 END AS share_ppm FROM wu) " +
         "SELECT stratum, n_tokens, weight_us, CAST(share_ppm AS BIGINT) AS share_ppm, " +
         "CAST(CASE WHEN n_tokens > 0 THEN least(1000000, " +
-        "(((50000::BIGINT * share_ppm) // 1000000) * 1000000) // n_tokens) " +
+        s"((($tempBudgetTokens::HUGEINT * share_ppm) // 1000000) * 1000000) // n_tokens) " +
         "ELSE 0 END AS BIGINT) AS rate_ppm FROM sh"),
 
     "text_chunk" ->

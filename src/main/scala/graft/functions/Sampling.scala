@@ -387,8 +387,12 @@ object Sampling {
           .cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))  // strata count is tiny; one reducer is fine
-    val share = intDiv(col("weight_us").cast("decimal(38,0)") * lit(1000000L),
-      sum(col("weight_us")).over(w))
+    // all-empty corpus: Σweight_us = 0 would make the share division NULL;
+    // pin it to a concrete 0 so share_ppm is never silently nullable
+    val wsum = sum(col("weight_us")).over(w)
+    val share = when(wsum > 0,
+      intDiv(col("weight_us").cast("decimal(38,0)") * lit(1000000L), wsum))
+      .otherwise(lit(0L))
     val target = intDiv(
       lit(budgetTokens).cast("decimal(38,0)") * col("share_ppm"),
       lit(1000000L))
