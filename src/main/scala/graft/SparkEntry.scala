@@ -360,6 +360,40 @@ object SparkEntry {
         Seq((PropDef("priorities", "o_orderpriority"), Some("set")),
           (PropDef("n_orders", "o_orderkey"), Some("count")))))),
 
+    // ---- J6 (beyond-parity): as-of + bounded interval joins -------------
+    // each event gains the issuing day's order state (count + exact-decimal
+    // total) of the LATEST order day at or before the event — the
+    // union-and-sort as-of join: one shuffle, no join node, nothing
+    // quadratic for the planner to mis-plan
+    "j6_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val ordersByDay = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          // orders dates are µs-parquet NTZ; session is UTC, cast is exact
+          unix_micros(col("o_orderdate").cast(TimestampType)).as("order_us"))
+        .agg(count(lit(1)).as("day_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("day_total"))
+      driverSafe(
+        TemporalJoin.asofJoin(ev, ordersByDay, "user_id", "ts_us", "order_us"))
+    }),
+
+    // click → purchases of the same user within 45 min, as a batch
+    // bucketed-equi-join (the streaming twin is events_stream_attrib):
+    // the range predicate never reaches the planner as a theta join
+    "j6_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      TemporalJoin.intervalJoin(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("from_id"), col("user_id"),
+            unix_micros(col("ts")).as("from_us")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("to_id"), col("user_id"),
+            unix_micros(col("ts")).as("to_us")),
+        "user_id", "from_us", "to_us",
+        lowerUs = 0L, upperUs = 45L * 60 * 1000000)
+    }),
+
     // ---- W3/W4: union-by-name + distinct with null-fill ------------------
     "w3_union_distinct" -> ((s, dir) =>
       GraphOps.unionLeaves(Seq(
@@ -1410,6 +1444,33 @@ object SparkEntry {
         |    array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
         |    count(o_orderkey) AS n_orders
         |  FROM orders GROUP BY o_custkey) agg USING (c_custkey)""".stripMargin,
+
+    // as-of recomputed the portable way: left-join every prior order day,
+    // keep the latest per event (row_number over order_us DESC); unmatched
+    // events survive the LEFT JOIN with one all-null candidate
+    "j6_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS order_us,
+        |    count(*) AS day_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |    o.order_us, o.day_orders, o.day_total,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.order_us DESC) AS rn
+        |  FROM events e LEFT JOIN o
+        |    ON o.user_id = e.user_id AND o.order_us <= epoch_us(e.ts))
+        |SELECT event_id, user_id, ts_us, order_us AS asof_order_us,
+        |  day_orders, CAST(day_total AS DOUBLE) AS day_total
+        |FROM c WHERE rn = 1""".stripMargin,
+
+    "j6_interval_join" ->
+      """SELECT c.event_id AS from_id, c.user_id, epoch_us(c.ts) AS from_us,
+        |  p.event_id AS to_id, epoch_us(p.ts) AS to_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 45 MINUTE""".stripMargin,
 
     "w3_union_distinct" ->
       """SELECT c_custkey AS entity_id, c_name AS name,

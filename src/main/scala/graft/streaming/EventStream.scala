@@ -60,6 +60,12 @@ object EventStream {
       // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 53-bit
       // mantissa, so fp division loses microseconds
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      // µs-parquet dumps read as NTZ (isAdjustedToUTC=false); the session
+      // runs UTC, so the cast reinterprets wall time as the same instant —
+      // required because unix_micros/withWatermark accept only TIMESTAMP
+      df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
     case _ => df
   }
 
