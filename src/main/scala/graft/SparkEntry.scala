@@ -394,6 +394,33 @@ object SparkEntry {
         lowerUs = 0L, upperUs = 45L * 60 * 1000000)
     }),
 
+    // ---- entity resolution: token-blocked fuzzy matching ----------------
+    // candidate pairs only from shared-token blocks (capped postings),
+    // Levenshtein verify on candidates alone — never all-pairs
+    "er_fuzzy_match" -> ((s, dir) => {
+      val entities = t(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"))
+      Linkage.blockedFuzzyPairs(entities, "name", "n_rows",
+          maxDist = 3, tokenCap = 40)
+        .withColumn("dist", col("dist").cast("long"))
+    }),
+
+    // ---- graph centrality: integer fixed-point PageRank -----------------
+    // part↔supplier bipartite graph from distinct lineitem pairs, both
+    // orientations (⇒ no dangling nodes); 3 rounds, u12 units, floor
+    // division everywhere ⇒ bit-identical across partitionings and engines
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val fwd = pairs.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.run(edges, "src", "dst", iters = 3)
+    }),
+
     // ---- W3/W4: union-by-name + distinct with null-fill ------------------
     "w3_union_distinct" -> ((s, dir) =>
       GraphOps.unionLeaves(Seq(
@@ -759,6 +786,17 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)),
+
+    // BPE round-0 statistics: the adjacent character-pair counts behind
+    // the first merge decision, top-50 — the corpus collapses to the
+    // (word, freq) vocabulary before any pair work (Bpe.train, spec'd,
+    // iterates the same frame; the round-0 stats are the SQL-expressible
+    // slice, the anchor-mode pattern used for IVF/PQ)
+    "bpe_pair_stats" -> ((s, dir) => {
+      val words = Bpe.wordCounts(t(s, dir, "documents"), col("text"))
+      Bpe.pairStats(words, "word", "freq")
+        .orderBy(col("cnt").desc, col("pair")).limit(50)
+    }),
 
     // corpus min_count pass: tokens seen < 3 times anywhere become <unk>
     // — vocab capping + long-tail privacy (singleton tokens are names,
@@ -1245,6 +1283,27 @@ object SparkEntry {
       "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming " +
       "FROM pairs WHERE bit_count(xor(sa, sb)) <= 8"
 
+  /** PageRank oracle: the 3 integer fixed-point rounds unrolled as CTEs —
+    * HUGEINT `//` is the same floor division as the engine's DECIMAL(38,0)
+    * intDiv, so both sides are bit-exact with no fp anywhere. */
+  private val PageRankSql: String = {
+    val base =
+      "WITH b AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem), " +
+        "e AS (SELECT 'p' || pk AS src, 's' || sk AS dst FROM b " +
+        "UNION ALL SELECT 's' || sk, 'p' || pk FROM b), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "n AS (SELECT src AS node FROM deg), " +
+        "r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n), "
+    val rounds = (1 to 3).map { k =>
+      s"i$k AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s " +
+        s"FROM r${k - 1} r JOIN deg d ON d.src = r.node " +
+        s"JOIN e ON e.src = r.node GROUP BY e.dst), " +
+        s"r$k AS (SELECT n.node, CAST(150000000000 AS HUGEINT) + " +
+        s"(85 * COALESCE(i$k.s, 0)) // 100 AS pr FROM n LEFT JOIN i$k USING (node))"
+    }.mkString(", ")
+    base + rounds + " SELECT node, CAST(pr AS BIGINT) AS rank_u12 FROM r3"
+  }
+
   // sums aggregate as exact DECIMAL (order-independent), then cast to
   // DOUBLE in the final projection so both engines hash identically —
   // the same SQL text runs on Spark and DuckDB
@@ -1471,6 +1530,23 @@ object SparkEntry {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 45 MINUTE""".stripMargin,
+
+    "er_fuzzy_match" ->
+      """WITH n AS (SELECT p_name AS name, count(*) AS n_rows
+        |           FROM part GROUP BY 1),
+        |t AS (SELECT name, n_rows,
+        |        unnest(string_split_regex(name, '\s+')) AS tok FROM n),
+        |tf AS (SELECT * FROM t WHERE len(tok) > 0),
+        |ok AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 40),
+        |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+        |           a.n_rows AS n_a, b.n_rows AS n_b
+        |         FROM tf a JOIN tf b ON b.tok = a.tok
+        |         WHERE a.tok IN (SELECT tok FROM ok) AND a.name < b.name)
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist, n_a, n_b
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin,
+
+    "graph_pagerank" -> PageRankSql,
 
     "w3_union_distinct" ->
       """SELECT c_custkey AS entity_id, c_name AS name,
@@ -1849,6 +1925,14 @@ object SparkEntry {
       (s"WITH t AS (SELECT unnest($sqlToks) AS token FROM documents) " +
         "SELECT token, count(*) AS n FROM t GROUP BY token " +
         "ORDER BY n DESC, token LIMIT 100"),
+
+    "bpe_pair_stats" ->
+      (s"WITH w AS (SELECT unnest($sqlToks) AS word FROM documents), " +
+        "wc AS (SELECT word, count(*) AS freq FROM w GROUP BY word), " +
+        "p AS (SELECT freq, unnest(CASE WHEN length(word) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, length(word)), i -> substring(word, i, 2)) END) AS pair FROM wc), " +
+        "s AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair) " +
+        "SELECT pair, cnt FROM s ORDER BY cnt DESC, pair LIMIT 50"),
 
     // parallel unnests zip in DuckDB: (token, position) stream → vocab
     // counts → CASE scrub → ordered string_agg rebuild per doc

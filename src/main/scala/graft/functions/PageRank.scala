@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed PageRank over an edge frame (beyond-parity: the reference
+  * walks its graph only along fixed ETL paths; a global centrality measure
+  * needs the iterative formulation).
+  *
+  * Arithmetic is INTEGER fixed-point, not floating: ranks live in u12
+  * units (10¹² per node initially) and every step is floor-division — sums
+  * of integers are accumulation-order-independent, so results are
+  * bit-identical across partitionings, re-runs, and engines. That is what
+  * makes an iterative algorithm differentially testable at all (the same
+  * trick as Sampling's ppm rates); fp PageRank would hash-flap on every
+  * shuffle reordering. DECIMAL(38,0) carries the headroom: total mass is
+  * N·10¹² — still exact at 10⁹ nodes (10²¹ ≪ 10³⁸).
+  *
+  * Each round is one equi-join of ranks onto edges (by source) plus one
+  * aggregation by destination — the standard two-shuffle iteration; the
+  * edge frame and degree frame are computed once and reused, and
+  * `localCheckpoint` truncates the growing lineage per round (the
+  * iterative-DataFrame rule used by Dedup's connected components). Hub
+  * destinations are ordinary aggregation skew — AQE handles them the same
+  * way as every other groupBy in this engine. */
+object PageRank {
+
+  private def intDiv(a: Column, b: Column): Column = {
+    val ad = a.cast(DecimalType(38, 0))
+    val bd = b.cast(DecimalType(38, 0))
+    (ad - pmod(ad, bd)) / bd
+  }
+
+  /** Ranks after `iters` rounds over DIRECTED edges (undirected callers
+    * union both orientations first — which also guarantees no dangling
+    * nodes, required: every node must have outdegree ≥ 1).
+    *
+    * r₀(v) = 10¹²;  rₖ₊₁(v) = (100-dampingPct)·10¹⁰
+    *                        + ⌊dampingPct · Σ_{u→v} ⌊rₖ(u)/outdeg(u)⌋ / 100⌋
+    *
+    * Output: (node, rank_u12) — bigint u12 units. */
+  def run(edges: DataFrame, src: String, dst: String, iters: Int,
+          dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100,
+      s"bad params iters=$iters dampingPct=$dampingPct")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both orientations present ⇒ every node occurs as a source
+    val nodes = deg.select(col("src").as("node"))
+    val teleport = (100L - dampingPct) * 10000000000L // (1-d)·10¹² exact
+    var rank = nodes.withColumn("rank",
+      lit(1000000000000L).cast(DecimalType(38, 0)))
+    for (_ <- 0 until iters) {
+      val inSum = rank
+        .join(deg, rank("node") === deg("src"))
+        .select(col("src"), intDiv(col("rank"), col("outdeg")).as("contrib"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("in_sum"))
+      rank = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport).cast(DecimalType(38, 0)) +
+            intDiv(lit(dampingPct.toLong) *
+              coalesce(col("in_sum"), lit(0).cast(DecimalType(38, 0))),
+              lit(100L))).as("rank"))
+        .localCheckpoint()
+    }
+    val out = rank.select(col("node"), col("rank").cast("long").as("rank_u12"))
+    e.unpersist(false)
+    deg.unpersist(false)
+    out
+  }
+}

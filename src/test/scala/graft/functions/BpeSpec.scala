@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BPE: pair statistics, training (vs an independent in-memory reference
+  * implementation), greedy-overlap semantics, and encode/train agreement. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- independent reference implementation (the test oracle) ----------
+  private def refMergeWord(sym: List[String], a: String,
+                           b: String): List[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    sym.foreach { s =>
+      if (out.nonEmpty && out.last == a && s == b)
+        out(out.length - 1) = a + b
+      else out += s
+    }
+    out.toList
+  }
+
+  private def refTrain(vocab: Map[String, Long], n: Int,
+                       minCount: Long = 2L): List[(String, String)] = {
+    var syms = vocab.map { case (w, f) => (w.split("").toList, f) }.toList
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (merges.length < n && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, f) =>
+        s.zip(s.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val (pair, cnt) = counts.toList
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        if (cnt < minCount) continue = false
+        else {
+          merges += pair
+          syms = syms.map { case (s, f) =>
+            (refMergeWord(s, pair._1, pair._2), f) }
+        }
+      }
+    }
+    merges.toList
+  }
+
+  private val classicVocab = Map(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  private def vocabDf(v: Map[String, Long]) = v.toSeq.toDF("word", "freq")
+
+  test("pairStats matches hand-counted adjacent pairs; 1-char words drop") {
+    val got = Bpe.pairStats(
+      vocabDf(Map("ab" -> 3L, "abc" -> 2L, "a" -> 99L)), "word", "freq")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("ab" -> 5L, "bc" -> 2L))
+  }
+
+  test("train reproduces the reference merges on the classic vocabulary") {
+    val got = Bpe.train(vocabDf(classicVocab), "word", "freq", numMerges = 8)
+    assert(got === refTrain(classicVocab, 8))
+    assert(got.nonEmpty && got.head === ("e", "s")) // es freq 9 wins round 0
+  }
+
+  test("tie-break is (count desc, left asc, right asc)") {
+    val got = Bpe.train(vocabDf(Map("cd" -> 2L, "ab" -> 2L)),
+      "word", "freq", numMerges = 1)
+    assert(got === List(("a", "b")))
+  }
+
+  test("greedy left-to-right overlap: aaa -> [aa, a]") {
+    val merges = Seq(("a", "a"))
+    val got = Seq("aaa", "aaaa", "baaab").toDF("w")
+      .select(Bpe.encode(col("w"), merges).as("e"))
+      .as[Seq[String]].collect().toList
+    assert(got === List(Seq("aa", "a"), Seq("aa", "aa"),
+      Seq("b", "aa", "a", "b")))
+  }
+
+  test("encode agrees with the reference under the trained table") {
+    val merges = Bpe.train(vocabDf(classicVocab), "word", "freq", 6)
+    val got = classicVocab.keys.toSeq.toDF("w")
+      .select(col("w"), Bpe.encode(col("w"), merges).as("e"))
+      .as[(String, Seq[String])].collect().toMap
+    classicVocab.keys.foreach { w =>
+      val ref = merges.foldLeft(w.split("").toList) {
+        case (s, (a, b)) => refMergeWord(s, a, b) }
+      assert(got(w) === ref, s"word $w")
+    }
+    // trained segmentation is non-trivial (not all single chars)
+    assert(got.values.exists(_.exists(_.length > 1)))
+  }
+
+  test("minCount stops training before degenerate merges") {
+    val got = Bpe.train(vocabDf(Map("ab" -> 1L, "cd" -> 1L)),
+      "word", "freq", numMerges = 5, minCount = 2L)
+    assert(got.isEmpty)
+  }
+}
