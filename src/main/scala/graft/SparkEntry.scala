@@ -787,6 +787,23 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)),
 
+    // count-min sketch heavy hitters: fixed depth×width counter frame
+    // (corpus-size-independent state — the mergeable monitoring sketch),
+    // estimates for the exact top-100 tokens ride next to their true
+    // counts; md5 hasher mode = the SQL-recomputable oracle form
+    "vocab_cms_topk" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sk = Cms.sketch(toks, "token", depth = 4, width = 1024,
+        Dedup.Md5Hasher)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("token")).limit(100)
+      Cms.estimate(sk, top.select("token"), "token", 4, 1024,
+          Dedup.Md5Hasher)
+        .join(top, "token")
+        .select(col("token"), col("n_true"), col("est").as("n_est"))
+    }),
+
     // BPE round-0 statistics: the adjacent character-pair counts behind
     // the first merge decision, top-50 — the corpus collapses to the
     // (word, freq) vocabulary before any pair work (Bpe.train, spec'd,
@@ -1038,6 +1055,27 @@ object SparkEntry {
         events(s, dir)
           .withColumn("value", col("value").cast(DecimalType(18, 6))),
         gapMinutes = 30))),
+
+    // ---- batch product analytics: funnel / retention / resample ---------
+    // strictly-ordered signup → click → purchase funnel: one conditional
+    // aggregation per stage + users-sized joins, never an event self-join
+    "events_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(events(s, dir), "user_id",
+        unix_micros(col("ts")),
+        col("event_type") === "signup",
+        col("event_type") === "click",
+        col("event_type") === "purchase")),
+
+    // daily cohort retention counts (first-seen day × day offset)
+    "events_retention" -> ((s, dir) =>
+      EventAnalytics.retention(events(s, dir), "user_id",
+        unix_micros(col("ts")), bucketUs = 86400000000L)),
+
+    // gap-filled hourly resample with zero-fill + forward-filled mean;
+    // the hour spine generates per user from (min, max) — no driver calendar
+    "events_resample" -> ((s, dir) => driverSafe(
+      EventAnalytics.resampleHourly(events(s, dir), "user_id",
+        unix_micros(col("ts")), col("value")))),
 
     // a REAL streaming drain (file source → watermark → update-mode memory
     // sink), then the final emission per window is hash-compared against
@@ -1926,6 +1964,21 @@ object SparkEntry {
         "SELECT token, count(*) AS n FROM t GROUP BY token " +
         "ORDER BY n DESC, token LIMIT 100"),
 
+    "vocab_cms_topk" ->
+      (s"WITH toks AS (SELECT unnest($sqlToks) AS token FROM documents), " +
+        "cells AS (SELECT r, " +
+        sqlMd5Long("r::VARCHAR || chr(1) || token") + " % 1024 AS b " +
+        "FROM toks, range(0, 4) t(r)), " +
+        "sk AS (SELECT r, b, count(*) AS cnt FROM cells GROUP BY 1, 2), " +
+        "top AS (SELECT token, count(*) AS n_true FROM toks GROUP BY 1 " +
+        "ORDER BY n_true DESC, token LIMIT 100), " +
+        "q AS (SELECT token, n_true, r, " +
+        sqlMd5Long("r::VARCHAR || chr(1) || token") + " % 1024 AS b " +
+        "FROM top, range(0, 4) t(r)), " +
+        "e AS (SELECT token, n_true, min(COALESCE(sk.cnt, 0)) AS n_est " +
+        "FROM q LEFT JOIN sk USING (r, b) GROUP BY 1, 2) " +
+        "SELECT token, n_true, CAST(n_est AS BIGINT) AS n_est FROM e"),
+
     "bpe_pair_stats" ->
       (s"WITH w AS (SELECT unnest($sqlToks) AS word FROM documents), " +
         "wc AS (SELECT word, count(*) AS freq FROM w GROUP BY word), " +
@@ -2368,6 +2421,60 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "events_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(epoch_us(ts)) AS s1_us FROM events
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS s2_us FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.s1_us
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS s3_us FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.s2_us
+        |       GROUP BY 1)
+        |SELECT u.user_id, s1_us, s2_us, s3_us,
+        |  CAST(CASE WHEN s3_us IS NOT NULL THEN 3
+        |            WHEN s2_us IS NOT NULL THEN 2
+        |            WHEN s1_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "events_retention" ->
+      """WITH a AS (SELECT user_id,
+        |             epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us
+        |           FROM events),
+        |c AS (SELECT user_id, min(bucket_us) AS cohort_us FROM a GROUP BY 1)
+        |SELECT c.cohort_us,
+        |  (a.bucket_us - c.cohort_us) // 86400000000 AS bucket_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "events_resample" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |              CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |hourly AS (SELECT user_id, ts_us - ts_us % 3600000000 AS hour_us,
+        |             count(*) AS n, sum(v) AS s FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT user_id,
+        |         unnest(generate_series(min(hour_us), max(hour_us),
+        |                                3600000000)) AS hour_us
+        |       FROM hourly GROUP BY user_id),
+        |j AS (SELECT sp.user_id, sp.hour_us, hourly.n, hourly.s FROM sp
+        |      LEFT JOIN hourly ON hourly.user_id = sp.user_id
+        |        AND hourly.hour_us = sp.hour_us),
+        |f AS (SELECT user_id, hour_us, n, s,
+        |        last_value(s IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY hour_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs,
+        |        last_value(n IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY hour_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fn
+        |      FROM j)
+        |SELECT user_id, hour_us, CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |  CAST(COALESCE(s, 0) AS DOUBLE) AS sum_value,
+        |  CAST(fs AS DOUBLE) / fn AS ffill_avg
+        |FROM f""".stripMargin,
 
     "events_stream_dedup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch event analytics over (user_id, ts, event_type, value) streams:
+  * ordered funnels, cohort retention, and gap-filled resampling — the
+  * product-analytics layer a warehouse team would expect next to the
+  * streaming operators (beyond-parity; the reference has no event data).
+  *
+  * Time is long MICROSECONDS everywhere (`unix_micros` at the call site):
+  * bucket arithmetic is integer subtraction/modulo — exact, ANSI-safe,
+  * engine-portable — where date_trunc/timezone functions would not be.
+  *
+  * Scale shapes: every operator is per-user aggregation + (at most) a
+  * re-join of a users-sized frame onto the event stream — the event
+  * corpus is never self-joined and never collected. Cohort/funnel frames
+  * are |users| rows; AQE picks broadcast when that is small and
+  * sort-merge when it is not. */
+object EventAnalytics {
+
+  private val HourUs = 3600000000L
+
+  /** Strictly-ordered 3-stage funnel: first `s1` event, then the first
+    * `s2` event STRICTLY after it, then the first `s3` strictly after
+    * that — per user. One conditional aggregation per stage over the
+    * event stream + two users-sized joins; no event-to-event self-join.
+    *
+    * Output: (user_id, s1_us, s2_us, s3_us, stage) — nulls where the
+    * funnel broke, stage = how many stages completed (0-3). */
+  def funnel(events: DataFrame, userCol: String, tsUs: Column,
+             s1: Column, s2: Column, s3: Column): DataFrame = {
+    val u = col(userCol)
+    val ev = events.select(u.as("user_id"), tsUs.as("ts_us"),
+      s1.as("_s1"), s2.as("_s2"), s3.as("_s3"))
+    val users = ev.select(col("user_id")).distinct()
+    val f1 = ev.filter(col("_s1"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("s1_us"))
+    val f2 = ev.filter(col("_s2")).join(f1, "user_id")
+      .filter(col("ts_us") > col("s1_us"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("s2_us"))
+    val f3 = ev.filter(col("_s3")).join(f2, "user_id")
+      .filter(col("ts_us") > col("s2_us"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("s3_us"))
+    users
+      .join(f1, Seq("user_id"), "left")
+      .join(f2, Seq("user_id"), "left")
+      .join(f3, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("s3_us").isNotNull, 3L)
+          .when(col("s2_us").isNotNull, 2L)
+          .when(col("s1_us").isNotNull, 1L)
+          .otherwise(0L))
+  }
+
+  /** Cohort retention: cohort = the user's first-ever activity bucket
+    * (floor to `bucketUs`), offset = whole buckets since the cohort
+    * bucket; counts DISTINCT users per (cohort, offset). Two shuffles:
+    * first-seen per user, then the distinct-count — the cohort map joins
+    * back onto the activity stream by user key.
+    *
+    * Output: (cohort_us, bucket_offset, n_users). */
+  def retention(events: DataFrame, userCol: String, tsUs: Column,
+                bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bad bucketUs: $bucketUs")
+    val act = events.select(col(userCol).as("user_id"),
+      (tsUs - pmod(tsUs, lit(bucketUs))).as("bucket_us"))
+    val cohort = act.groupBy("user_id")
+      .agg(min(col("bucket_us")).as("cohort_us"))
+    act.join(cohort, "user_id")
+      .select(col("cohort_us"),
+        ((col("bucket_us") - col("cohort_us")) / lit(bucketUs))
+          .cast("long").as("bucket_offset"),
+        col("user_id"))
+      .groupBy("cohort_us", "bucket_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** Gap-filled hourly resample: per user, one row per hour from the
+    * user's first to last activity hour — observed hours carry exact
+    * decimal aggregates, missing hours are zero-filled, and `ffill_avg`
+    * carries the last OBSERVED hourly mean forward (the standard
+    * time-series imputation). The hour spine is GENERATED per user from
+    * the (min, max) aggregate — |users| sequence expressions, distributed,
+    * never a driver-side calendar.
+    *
+    * Output: (user_id, hour_us, n_events, sum_value, ffill_avg) with
+    * sum_value/ffill_avg as exact decimals (callers cast for display). */
+  def resampleHourly(events: DataFrame, userCol: String, tsUs: Column,
+                     value: Column): DataFrame = {
+    val ev = events.select(col(userCol).as("user_id"), tsUs.as("ts_us"),
+      value.cast(DecimalType(18, 6)).as("_v"))
+      .withColumn("hour_us", col("ts_us") - pmod(col("ts_us"), lit(HourUs)))
+    val hourly = ev.groupBy("user_id", "hour_us")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_v")).as("sum_value"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min(col("hour_us")).as("_lo"), max(col("hour_us")).as("_hi"))
+      .select(col("user_id"),
+        explode(sequence(col("_lo"), col("_hi"), lit(HourUs)))
+          .as("hour_us"))
+    val w = Window.partitionBy("user_id").orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the mean forward-fills as (carried exact sum) / (carried count), one
+    // fp division at the end: both operands are exact in both engines, so
+    // the IEEE quotient is bit-identical — an avg() aggregate would not be
+    // (engines disagree on avg(DECIMAL) result types)
+    spine.join(hourly, Seq("user_id", "hour_us"), "left")
+      .withColumn("_fs", last(col("sum_value"), ignoreNulls = true).over(w))
+      .withColumn("_fn", last(col("n_events"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("hour_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"),
+          lit(0).cast(DecimalType(18, 6))).as("sum_value"),
+        // the spine starts at an observed hour, so _fn is never null
+        (col("_fs").cast("double") / col("_fn")).as("ffill_avg"))
+  }
+}

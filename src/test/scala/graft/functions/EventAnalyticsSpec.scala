@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Funnel / retention / resample on hand-built event sets with known
+  * answers, plus the strictness and gap-fill edge cases. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // one hour in µs
+
+  private def funnelOf(rows: (Long, Long, String)*) = {
+    val df = rows.toDF("user_id", "ts_us", "etype")
+    EventAnalytics.funnel(df, "user_id", col("ts_us"),
+      col("etype") === "a", col("etype") === "b", col("etype") === "c")
+  }
+
+  test("funnel demands strict temporal order per stage") {
+    val got = funnelOf(
+      // u1 completes a(10) -> b(20) -> c(30)
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // u2's b precedes its a: stage stops at 1
+      (2L, 50L, "b"), (2L, 60L, "a"),
+      // u3's c precedes its b: stage stops at 2; later b has no c after
+      (3L, 10L, "a"), (3L, 15L, "c"), (3L, 20L, "b"),
+      // u4 never does a: stage 0
+      (4L, 99L, "b"), (4L, 100L, "c"))
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+
+  test("funnel picks the FIRST qualifying event of each stage") {
+    val got = funnelOf(
+      (1L, 10L, "a"), (1L, 5L, "a"),          // first a = 5
+      (1L, 7L, "b"), (1L, 12L, "b"),          // first b after 5 = 7
+      (1L, 6L, "c"), (1L, 40L, "c"))          // first c after 7 = 40
+      .select("s1_us", "s2_us", "s3_us").as[(Long, Long, Long)]
+      .collect().toList
+    assert(got === List((5L, 7L, 40L)))
+  }
+
+  test("funnel equal timestamps do NOT satisfy the strict order") {
+    val got = funnelOf((1L, 10L, "a"), (1L, 10L, "b"))
+      .select("stage").as[Long].collect().toList
+    assert(got === List(1L))
+  }
+
+  test("retention counts distinct users per cohort-offset cell") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, day + 1), (1L, 2 * day + 5), // cohort 0: offsets 0,1,2
+      (2L, 1L), (2L, 2 * day + 7),                // cohort 0: offsets 0,2
+      (3L, day), (3L, day + 42)                   // cohort day: offset 0 ×2
+    ).toDF("user_id", "ts_us")
+    val got = EventAnalytics.retention(ev, "user_id", col("ts_us"), day)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (day, 0L, 1L)))
+  }
+
+  test("resample zero-fills gaps and forward-fills the observed mean") {
+    val ev = Seq(
+      (1L, 0L, 2.0), (1L, 10L, 4.0), // hour 0: n=2 sum=6 avg=3
+      (1L, 3 * H + 1, 9.0)           // hour 3: n=1 sum=9; hours 1,2 gap
+    ).toDF("user_id", "ts_us", "value")
+    val got = EventAnalytics.resampleHourly(ev, "user_id", col("ts_us"),
+        col("value"))
+      .select(col("hour_us"), col("n_events"),
+        col("sum_value").cast("double"), col("ffill_avg"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (0L, 2L, 6.0, 3.0),
+      (H, 0L, 0.0, 3.0),       // gap: zero-filled, mean carried
+      (2 * H, 0L, 0.0, 3.0),
+      (3 * H, 1L, 9.0, 9.0)))  // new observation resets the carry
+  }
+
+  test("resample spine is per user — no cross-user bleed") {
+    val ev = Seq((1L, 0L, 1.0), (1L, 2 * H, 1.0), (2L, 5 * H, 7.0))
+      .toDF("user_id", "ts_us", "value")
+    val got = EventAnalytics.resampleHourly(ev, "user_id", col("ts_us"),
+        col("value"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"),
+        min("hour_us").as("lo"), max("hour_us").as("hi"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 0L, 2 * H), (2L, 1L, 5 * H, 5 * H)))
+  }
+}
