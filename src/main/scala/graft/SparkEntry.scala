@@ -446,6 +446,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
     }),
 
+    // token-weighted near-dup: tf-idf cosine over the df-capped vocabulary
+    // — rare tokens dominate (catches boilerplate + unique payload), idf
+    // in integer micro-units so every sum is order-independent
+    "dedup_tfidf_cosine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      Dedup.tfidfCosinePairs(docs, "doc_id", "toks",
+        threshold = 0.8, maxPosting = 500)
+    }),
+
     // cross-document repeated spans (Lee et al. 2022): per doc, how many
     // of its distinct 5-token windows appear in another document. Oracle
     // mode = Md5Hasher (same cross-engine trick as dedup_minhash_lsh);
@@ -1602,6 +1612,26 @@ object SparkEntry {
         "array_to_string(list_transform(list_sort(list(doc_id)), " +
         "x -> CAST(x AS VARCHAR)), '|') AS member_ids " +
         "FROM t GROUP BY md5(norm)"),
+
+    "dedup_tfidf_cosine" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "tfc AS (SELECT doc_id, tok, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2), " +
+        "kept AS (SELECT tok FROM tfc GROUP BY tok HAVING count(*) <= 500), " +
+        "k AS (SELECT tfc.* FROM tfc JOIN kept USING (tok)), " +
+        "dfc AS (SELECT tok, count(*) AS df FROM k GROUP BY tok), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS nn FROM documents), " +
+        "w AS (SELECT k.doc_id, k.tok, k.tf * CAST(round(ln((n.nn + 1.0) / (dfc.df + 1.0)) * 1000000, 0) AS BIGINT) AS w_us " +
+        "FROM k JOIN dfc ON k.tok = dfc.tok, n), " +
+        "norms AS (SELECT doc_id, sqrt(CAST(sum(CAST(w_us AS HUGEINT) * w_us) AS DOUBLE)) AS norm " +
+        "FROM w GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "sum(CAST(a.w_us AS HUGEINT) * b.w_us) AS num " +
+        "FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "c AS (SELECT id_a, id_b, CAST(num AS DOUBLE) / (na.norm * nb.norm) AS cos " +
+        "FROM pairs JOIN norms na ON na.doc_id = pairs.id_a " +
+        "JOIN norms nb ON nb.doc_id = pairs.id_b) " +
+        "SELECT id_a, id_b, round(cos, 6) AS cos FROM c WHERE cos >= 0.8"),
 
     "dedup_jaccard" ->
       (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication for large-scale corpora: exact, MinHash+LSH, SimHash,
   * n-gram Jaccard, embedding-cosine near-dup.
@@ -203,6 +204,52 @@ object Dedup {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
+  }
+
+  /** Token-weighted near-dup: tf-idf COSINE over the df-capped vocabulary
+    * (SpotSigs-style) — the weighted complement of [[ngramJaccardPairs]]:
+    * Jaccard treats every shingle equally, cosine lets rare tokens
+    * dominate, which is what catches boilerplate-plus-unique-payload docs.
+    *
+    * Declared semantics: tokens whose posting list exceeds `maxPosting`
+    * are stop-tokens — dropped from candidacy AND from the weights/norms
+    * (consistently, so the measure is a true cosine over the pruned
+    * vocabulary). That is also what bounds the work: per-token pair
+    * emission ≤ cap², the usual inverted-index guard.
+    *
+    * Exactness: idf quantizes to integer micro-units (ONE `ln` per token,
+    * then integer tf·idf_us products; pair numerators and norm squares sum
+    * as DECIMAL(38,0)), so every aggregation is order-independent — the
+    * single fp division per pair at the end is IEEE-identical across
+    * engines. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, tokCol: String,
+                       threshold: Double, maxPosting: Int = 1000): DataFrame = {
+    val nDocs = docs.select(count_distinct(col(idCol)).as("_n"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(col(tokCol)).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val capped = capGroups(tf, Seq("tok"), maxPosting)
+    val dfCounts = capped.groupBy("tok").agg(count(lit(1)).as("df"))
+    val weighted = capped.join(dfCounts, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w_us",
+        col("tf") * round(log((col("_n") + lit(1.0)) / (col("df") + lit(1.0)))
+          * lit(1e6), 0).cast("long"))
+      .select(col("tok"), col("id"), col("w_us"))
+    val norms = weighted.groupBy("id")
+      .agg(sum(col("w_us").cast(DecimalType(38, 0)) * col("w_us")).as("_n2"))
+      .select(col("id"), sqrt(col("_n2").cast("double")).as("norm"))
+    val nums = bucketPairs(weighted, Seq("tok"),
+        struct(col("id"), col("w_us")))
+      .select(col("_a.id").as("id_a"), col("_b.id").as("id_b"),
+        (col("_a.w_us").cast(DecimalType(38, 0)) * col("_b.w_us")).as("_p"))
+      .groupBy("id_a", "id_b").agg(sum(col("_p")).as("num"))
+    nums
+      .join(norms.select(col("id").as("id_a"), col("norm").as("_na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("norm").as("_nb")), "id_b")
+      .withColumn("cos", col("num").cast("double") / (col("_na") * col("_nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
   /** Bit masks 1L<<0 … 1L<<63 as an array literal — lets all SimHash bit

@@ -77,6 +77,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
   }
 
+  test("tfidfCosinePairs: identical docs hit 1.0; near dups score high; " +
+      "disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),       // exact dup of 1
+      (3L, "alpha beta gamma epsilon"),     // 3 of 4 tokens shared
+      (4L, "zeta eta theta iota"))          // disjoint
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val pairs = Dedup.tfidfCosinePairs(docs, "doc_id", "toks",
+        threshold = 0.0, maxPosting = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)          // integer weights: exactly 1
+    // rare-token dominance: the unshared delta/epsilon carry most of the
+    // weight, so 3-of-4 common tokens still scores LOW — that asymmetry
+    // vs Jaccard is the point of the measure
+    assert(pairs((1L, 3L)) > 0.0 && pairs((1L, 3L)) < 0.5)
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
+  test("tfidfCosinePairs: stop-token cap drops hot-token-only pairs AND " +
+      "their weight contribution") {
+    // "the" is in every doc (hot); docs 1/2 also share the rare "needle"
+    val docs = Seq(
+      (1L, "the needle aaa"), (2L, "the needle bbb"),
+      (3L, "the ccc ddd"), (4L, "the eee fff"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val pairs = Dedup.tfidfCosinePairs(docs, "doc_id", "toks",
+        threshold = 0.0, maxPosting = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // only the needle-sharing pair survives; its cosine is computed over
+    // the pruned vocabulary (needle + the four unique tokens)
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.0 && pairs((1L, 2L)) < 1.0)
+  }
+
   test("simhash: identical docs have distance 0, near dup small, distinct large") {
     val fp = corpus.select($"doc_id",
       Dedup.simhash(TextFunctions.tokens($"text")).as("f")).collect()
