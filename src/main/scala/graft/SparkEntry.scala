@@ -502,6 +502,19 @@ object SparkEntry {
         iters = 10)
     }),
 
+    // leakage-safe split: assignment by DEDUP GROUP, not by doc — a test
+    // doc whose near-twin sits in train is contamination a per-doc split
+    // cannot see; singletons hash by their own id
+    "corpus_leak_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      val comps = Dedup.componentsFromPairs(
+        Dedup.ngramJaccardPairs(sh, "doc_id", "sh", 0.5, maxPosting = 500),
+        iters = 10)
+      Sampling.groupSplit(docs, col("doc_id"), comps)
+    }),
+
     // oracle-mode hasher (Md5Hasher): DuckDB has no xxhash64, so the
     // driver query computes the SAME kernels from md5-prefix longs the
     // oracle recomputes exactly; production keeps the xxhash64 default
@@ -1660,6 +1673,29 @@ object SparkEntry {
         "e AS (SELECT id_a AS a, id_b AS b FROM scored UNION SELECT id_b, id_a FROM scored), " +
         "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) " +
         "SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a"),
+
+    // same recursive-CC prefix as dedup_groups, then group-keyed buckets
+    "corpus_leak_split" ->
+      (s"WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
+        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+        "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "scored AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
+        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) WHERE jaccard >= 0.5), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM scored UNION SELECT id_b, id_a FROM scored), " +
+        "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), " +
+        "comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a), " +
+        "g AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id " +
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id), " +
+        "bk AS (SELECT doc_id, group_id, " +
+        "('0x' || substring(md5(CAST(group_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket FROM g) " +
+        "SELECT doc_id, group_id, bucket, " +
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM bk"),
 
     // distinct 5-token windows → md5-prefix 60-bit keys (sqlMd5Long, the
     // Md5Hasher twin) → doc-frequency ≥ 2 = shared; per-doc counts from

@@ -135,6 +135,23 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Leakage-safe split: assign train/val/test by DEDUP GROUP, not by
+    * document — near-duplicates always land in the same split, which is
+    * the only split that keeps an eval set honest (a test doc whose
+    * near-twin sits in train is contamination the per-doc split cannot
+    * see). `groups` is a (id, comp) frame — [[Dedup.componentsFromPairs]]
+    * output; docs absent from it are singletons and hash by their own id,
+    * so the group join adds nothing for the (typically vast) unique
+    * majority beyond one users-sized left join. */
+  def groupSplit(docs: DataFrame, id: Column, groups: DataFrame,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.select(id.as("doc_id"))
+      .join(groups.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("comp"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        stableBucket(col("group_id")).as("bucket"),
+        splitLabel(col("group_id"), trainPct, valPct).as("split"))
+
   /** Corpus-level summary in ONE pass — the numbers a pipeline reports
     * after every cleaning stage: doc count, token totals, vocabulary size,
     * exact-duplicate count. `approx` swaps the two exact distincts for HLL

@@ -287,4 +287,28 @@ class SamplingSpec extends SparkSpec {
     assert(sharded.agg(sum($"n_docs")).collect().head.getLong(0) === 10L)
     assert(sharded.select(max($"n_docs")).collect().head.getLong(0) <= 3L)
   }
+
+  test("groupSplit: whole dedup groups share a split; singletons hash " +
+      "by their own id") {
+    val docs = (1L to 10L).toDF("doc_id")
+    // groups: {1,2,3} -> comp 1, {7,8} -> comp 7; rest singleton
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "comp")
+    val out = Sampling.groupSplit(docs, $"doc_id", groups)
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(out.length === 10)
+    // group coherence: every member carries the component's id and split
+    Seq(1L, 2L, 3L).foreach(d => assert(byDoc(d)._2 === 1L))
+    Seq(7L, 8L).foreach(d => assert(byDoc(d)._2 === 7L))
+    assert(Seq(1L, 2L, 3L).map(byDoc(_)._4).distinct.size === 1)
+    assert(Seq(7L, 8L).map(byDoc(_)._4).distinct.size === 1)
+    // singleton buckets equal their own-id stable bucket
+    val own = docs.select($"doc_id",
+      Sampling.stableBucket($"doc_id").as("b"))
+      .as[(Long, Long)].collect().toMap
+    Seq(4L, 5L, 6L, 9L, 10L).foreach { d =>
+      assert(byDoc(d)._2 === d && byDoc(d)._3 === own(d))
+    }
+  }
 }
