@@ -406,6 +406,17 @@ object SparkEntry {
         .withColumn("dist", col("dist").cast("long"))
     }),
 
+    // ---- SCD2 dimension history (gaps & islands) ------------------------
+    // per-customer priority history from order observations: repeated
+    // states collapse, validity ranges chain half-open, current row open
+    "dim_scd2" -> ((s, dir) => {
+      val obs = t(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast(TimestampType)).as("order_us"))
+        .agg(min(col("o_orderpriority")).as("priority"))
+      Scd.history(obs, "o_custkey", "order_us", Seq("priority"))
+    }),
+
     // ---- graph centrality: integer fixed-point PageRank -----------------
     // part↔supplier bipartite graph from distinct lineitem pairs, both
     // orientations (⇒ no dangling nodes); 3 rounds, u12 units, floor
@@ -1608,6 +1619,21 @@ object SparkEntry {
         |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin,
 
     "graph_pagerank" -> PageRankSql,
+
+    "dim_scd2" ->
+      """WITH obs AS (SELECT o_custkey, epoch_us(o_orderdate) AS order_us,
+        |               min(o_orderpriority) AS priority
+        |             FROM orders GROUP BY 1, 2),
+        |m AS (SELECT *, lag(priority) OVER
+        |        (PARTITION BY o_custkey ORDER BY order_us) AS prev FROM obs),
+        |c AS (SELECT o_custkey, order_us, priority FROM m
+        |      WHERE prev IS NULL OR prev <> priority),
+        |f AS (SELECT o_custkey, priority, order_us AS valid_from_us,
+        |        lead(order_us) OVER
+        |          (PARTITION BY o_custkey ORDER BY order_us) AS valid_to_us
+        |      FROM c)
+        |SELECT o_custkey, priority, valid_from_us, valid_to_us,
+        |  CAST(valid_to_us IS NULL AS BIGINT) AS is_current FROM f""".stripMargin,
 
     "w3_union_distinct" ->
       """SELECT c_custkey AS entity_id, c_name AS name,
