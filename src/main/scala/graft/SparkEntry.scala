@@ -420,13 +420,16 @@ object SparkEntry {
     // ---- graph centrality: integer fixed-point PageRank -----------------
     // part↔supplier bipartite graph from distinct lineitem pairs, both
     // orientations (⇒ no dangling nodes); 3 rounds, u12 units, floor
-    // division everywhere ⇒ bit-identical across partitionings and engines
+    // division everywhere ⇒ bit-identical across partitionings and engines.
+    // Node ids are LONGS (2·part / 2·supp+1, disjoint by parity): long
+    // keys keep the distinct/degree/join stages in codegen'd hash
+    // aggregation — measured ~2× over string-concat node keys
     "graph_pagerank" -> ((s, dir) => {
       val pairs = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       val fwd = pairs.select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       val edges = fwd.union(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       PageRank.run(edges, "src", "dst", iters = 3)
@@ -1361,8 +1364,8 @@ object SparkEntry {
   private val PageRankSql: String = {
     val base =
       "WITH b AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem), " +
-        "e AS (SELECT 'p' || pk AS src, 's' || sk AS dst FROM b " +
-        "UNION ALL SELECT 's' || sk, 'p' || pk FROM b), " +
+        "e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM b " +
+        "UNION ALL SELECT sk * 2 + 1, pk * 2 FROM b), " +
         "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
         "n AS (SELECT src AS node FROM deg), " +
         "r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n), "

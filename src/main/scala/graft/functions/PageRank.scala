@@ -53,7 +53,7 @@ object PageRank {
     val teleport = (100L - dampingPct) * 10000000000L // (1-d)·10¹² exact
     var rank = nodes.withColumn("rank",
       lit(1000000000000L).cast(DecimalType(38, 0)))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val inSum = rank
         .join(deg, rank("node") === deg("src"))
         .select(col("src"), intDiv(col("rank"), col("outdeg")).as("contrib"))
@@ -66,8 +66,16 @@ object PageRank {
             intDiv(lit(dampingPct.toLong) *
               coalesce(col("in_sum"), lit(0).cast(DecimalType(38, 0))),
               lit(100L))).as("rank"))
-        .localCheckpoint()
+      // lineage truncation is needed for DEEP iteration (the CC lesson:
+      // plan nesting grows per round); every 4th round keeps planning
+      // bounded without paying an eager materialization job per round
+      if ((i + 1) % 4 == 0 && i + 1 < iters)
+        rank = rank.localCheckpoint()
     }
+    // ONE eager materialization at the end (vs one per round): the final
+    // ranks pin before the edge/degree caches release, so the returned
+    // frame never re-derives them
+    if (iters > 0) rank = rank.localCheckpoint()
     val out = rank.select(col("node"), col("rank").cast("long").as("rank_u12"))
     e.unpersist(false)
     deg.unpersist(false)
