@@ -25,29 +25,34 @@ object EventAnalytics {
 
   /** Strictly-ordered 3-stage funnel: first `s1` event, then the first
     * `s2` event STRICTLY after it, then the first `s3` strictly after
-    * that — per user. One conditional aggregation per stage over the
-    * event stream + two users-sized joins; no event-to-event self-join.
+    * that — per user. ONE scan of the event stream and ONE shuffle on the
+    * user key: each stage's first-qualifying timestamp is a whole-
+    * partition window minimum that references the previous stage's column
+    * (sequential projections over the same window spec share the single
+    * exchange), then one row per user survives. The alternative —
+    * a filtered aggregation per stage joined back — reads the corpus once
+    * PER STAGE, which is the difference between one and four passes at
+    * 100 TB.
     *
     * Output: (user_id, s1_us, s2_us, s3_us, stage) — nulls where the
     * funnel broke, stage = how many stages completed (0-3). */
   def funnel(events: DataFrame, userCol: String, tsUs: Column,
              s1: Column, s2: Column, s3: Column): DataFrame = {
-    val u = col(userCol)
-    val ev = events.select(u.as("user_id"), tsUs.as("ts_us"),
+    val w = Window.partitionBy("user_id")
+    val ev = events.select(col(userCol).as("user_id"), tsUs.as("ts_us"),
       s1.as("_s1"), s2.as("_s2"), s3.as("_s3"))
-    val users = ev.select(col("user_id")).distinct()
-    val f1 = ev.filter(col("_s1"))
-      .groupBy("user_id").agg(min(col("ts_us")).as("s1_us"))
-    val f2 = ev.filter(col("_s2")).join(f1, "user_id")
-      .filter(col("ts_us") > col("s1_us"))
-      .groupBy("user_id").agg(min(col("ts_us")).as("s2_us"))
-    val f3 = ev.filter(col("_s3")).join(f2, "user_id")
-      .filter(col("ts_us") > col("s2_us"))
-      .groupBy("user_id").agg(min(col("ts_us")).as("s3_us"))
-    users
-      .join(f1, Seq("user_id"), "left")
-      .join(f2, Seq("user_id"), "left")
-      .join(f3, Seq("user_id"), "left")
+    ev
+      .withColumn("s1_us",
+        min(when(col("_s1"), col("ts_us"))).over(w))
+      .withColumn("s2_us",
+        min(when(col("_s2") && col("ts_us") > col("s1_us"), col("ts_us")))
+          .over(w))
+      .withColumn("s3_us",
+        min(when(col("_s3") && col("ts_us") > col("s2_us"), col("ts_us")))
+          .over(w))
+      .groupBy("user_id")
+      .agg(min(col("s1_us")).as("s1_us"), min(col("s2_us")).as("s2_us"),
+        min(col("s3_us")).as("s3_us"))
       .withColumn("stage",
         when(col("s3_us").isNotNull, 3L)
           .when(col("s2_us").isNotNull, 2L)

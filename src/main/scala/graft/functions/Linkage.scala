@@ -36,6 +36,7 @@ object Linkage {
       s"bad params maxDist=$maxDist tokenCap=$tokenCap")
     val postings = entities
       .select(col(nameCol).as("__name"), col(nCol).as("__n"))
+      .filter(col("__name").isNotNull)
       .withColumn("__tok",
         explode(split(col("__name"), "\\s+")))
       .filter(length(col("__tok")) > 0)

@@ -46,6 +46,11 @@ object TemporalJoin {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String): DataFrame = {
     val payload = right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    val collisions = payload.toSet
+      .intersect(left.columns.toSet) ++
+      (if (left.columns.contains(rightTs)) Seq(rightTs) else Nil)
+    require(collisions.isEmpty,
+      s"right payload collides with left columns: ${collisions.mkString(",")}")
     val carried = s"asof_$rightTs" +: payload
     // right rows sort BEFORE left rows at an equal timestamp (side 0 < 1)
     // so "at or before" is inclusive
@@ -88,6 +93,11 @@ object TemporalJoin {
                    bucketUs: Long = 0L): DataFrame = {
     require(upperUs >= lowerUs, s"empty interval [$lowerUs, $upperUs]")
     val width = if (bucketUs > 0) bucketUs else math.max(upperUs - lowerUs, 1L)
+    // replication factor is a hard multiplier on the right side — refuse
+    // configurations that would silently explode it
+    require((upperUs - lowerUs) / width + 1 <= 1024,
+      s"bucketUs=$width replicates each right row " +
+        s"${(upperUs - lowerUs) / width + 1}x over [$lowerUs, $upperUs]")
     // a left row in bucket floor(lts/W) matches right rows with
     // rts ∈ [lts+lo, lts+hi]; inverting, a right row's candidate left
     // buckets are floor((rts-hi)/W) .. floor((rts-lo)/W)
