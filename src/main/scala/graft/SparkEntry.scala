@@ -852,6 +852,17 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("pair")).limit(50)
     }),
 
+    // distribution drift between snapshot halves (stable-bucket split):
+    // integer-exact ppm frequencies per side, top-30 movers — the
+    // post-ingest monitoring report
+    "corpus_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Vocab.driftTopK(
+        docs.filter(Sampling.stableBucket(col("doc_id")) < 50),
+        docs.filter(Sampling.stableBucket(col("doc_id")) >= 50),
+        "text", k = 30)
+    }),
+
     // corpus min_count pass: tokens seen < 3 times anywhere become <unk>
     // — vocab capping + long-tail privacy (singleton tokens are names,
     // ids, keys) complementing the pattern-based text_redact
@@ -2081,6 +2092,20 @@ object SparkEntry {
         "ELSE list_transform(range(1, length(word)), i -> substring(word, i, 2)) END) AS pair FROM wc), " +
         "s AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair) " +
         "SELECT pair, cnt FROM s ORDER BY cnt DESC, pair LIMIT 50"),
+
+    "corpus_drift" ->
+      (s"WITH d AS (SELECT doc_id, text, " +
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk FROM documents), " +
+        s"oc AS (SELECT token, count(*) AS c FROM (SELECT unnest($sqlToks) AS token FROM d WHERE bk < 50) GROUP BY 1), " +
+        s"nc AS (SELECT token, count(*) AS c FROM (SELECT unnest($sqlToks) AS token FROM d WHERE bk >= 50) GROUP BY 1), " +
+        "op AS (SELECT token, (CAST(c AS HUGEINT) * 1000000) // (SELECT sum(c) FROM oc) AS old_ppm FROM oc), " +
+        "np AS (SELECT token, (CAST(c AS HUGEINT) * 1000000) // (SELECT sum(c) FROM nc) AS new_ppm FROM nc), " +
+        "j AS (SELECT COALESCE(op.token, np.token) AS token, " +
+        "CAST(COALESCE(old_ppm, 0) AS BIGINT) AS old_ppm, " +
+        "CAST(COALESCE(new_ppm, 0) AS BIGINT) AS new_ppm " +
+        "FROM op FULL OUTER JOIN np ON op.token = np.token) " +
+        "SELECT token, old_ppm, new_ppm, abs(new_ppm - old_ppm) AS shift_ppm " +
+        "FROM j ORDER BY shift_ppm DESC, token LIMIT 30"),
 
     // parallel unnests zip in DuckDB: (token, position) stream → vocab
     // counts → CASE scrub → ordered string_agg rebuild per doc

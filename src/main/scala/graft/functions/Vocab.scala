@@ -11,6 +11,47 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
+  /** Distribution drift between two corpus snapshots: per-token ppm
+    * frequencies in each side, integer-exact (counts → floor-divided ppm,
+    * the same quantization as the sampling rates — no fp sum anywhere),
+    * ranked by absolute ppm shift. 2·Σ-level drift = the total-variation
+    * distance in ppm; the per-token rows are the actionable part of a
+    * monitoring report ("which tokens moved").
+    *
+    * Scale shape: two vocabulary aggregations (map-side combined) and one
+    * full-outer join of two vocabulary-sized frames; the corpus is read
+    * once per side and never pairwise-compared. Top-k plans as
+    * TakeOrderedAndProject.
+    *
+    * Output: (token, old_ppm, new_ppm, shift_ppm) — top `k` by
+    * (shift DESC, token). */
+  def driftTopK(oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
+                k: Int): DataFrame = {
+    def ppm(docs: DataFrame, out: String): DataFrame = {
+      val counts = docs
+        .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("_c"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      // vocabulary-sized frame: the single-reducer total is over distinct
+      // tokens, not the corpus (same note as temperatureMix's strata)
+      val a = col("_c").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        lit(1000000L)
+      val b = sum(col("_c")).over(w)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      counts.select(col("token"),
+        ((a - pmod(a, b)) / b).cast("long").as(out))
+    }
+    ppm(oldDocs, "old_ppm")
+      .join(ppm(newDocs, "new_ppm"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("old_ppm"), lit(0L)).as("old_ppm"),
+        coalesce(col("new_ppm"), lit(0L)).as("new_ppm"))
+      .withColumn("shift_ppm",
+        abs(col("new_ppm") - col("old_ppm")))
+      .orderBy(col("shift_ppm").desc, col("token"))
+      .limit(k)
+  }
+
   /** Replace every token whose CORPUS frequency is below `minCount` with
     * `unk` — the classic rare-token pass (word2vec/fastText `min_count`,
     * subword-vocab capping) that doubles as privacy hygiene: tokens that

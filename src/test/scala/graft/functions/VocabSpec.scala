@@ -75,4 +75,20 @@ class VocabSpec extends SparkSpec {
     assert(r.length === 1)
     assert(r.head.getString(0) === "a b")
   }
+
+  test("driftTopK: integer ppm shifts, vanished/appeared tokens covered, " +
+      "floor ppm sums stay <= 1e6 per side") {
+    val oldDocs = Seq("a a b", "a c").map(Tuple1(_)).toDF("text")  // a:3 b:1 c:1 of 5
+    val newDocs = Seq("b b b d").map(Tuple1(_)).toDF("text")       // b:3 d:1 of 4
+    val got = Vocab.driftTopK(oldDocs, newDocs, "text", k = 10)
+      .as[(String, Long, Long, Long)].collect()
+    val byTok = got.map(r => r._1 -> r).toMap
+    assert(byTok("a") === (("a", 600000L, 0L, 600000L)))       // vanished
+    assert(byTok("b") === (("b", 200000L, 750000L, 550000L)))
+    assert(byTok("d") === (("d", 0L, 250000L, 250000L)))       // appeared
+    assert(byTok("c") === (("c", 200000L, 0L, 200000L)))
+    // ranked by shift desc; floor division keeps per-side mass <= 1e6
+    assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted.reverse)
+    assert(got.map(_._2).sum <= 1000000L && got.map(_._3).sum <= 1000000L)
+  }
 }
