@@ -201,6 +201,40 @@ object Ivf {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Incrementally APPEND new vectors to a persisted index: assign them
+    * to the EXISTING centroids (no retraining — the contract every
+    * serving-side index maintenance job wants: cheap, deterministic, and
+    * the existing cells never rewrite) and append cell-partitioned files
+    * into the same layout. Reading the index afterwards is identical to
+    * having built it from the union corpus under the same centroids —
+    * `IvfSpec` pins that equivalence.
+    *
+    * Cost: one broadcast-assign scan of the NEW batch only. Centroid
+    * drift from accumulated appends degrades recall gradually, not
+    * correctness (probing still visits true nearest CELLS); rebuild
+    * cadence is an ops decision the meta row makes cheap to script.
+    * Honors the index's stored vector form (int8 or full precision). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVectors: DataFrame, corpusId: String,
+                    corpusVec: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    // sniff the stored vector form from the existing cells; a fresh index
+    // (centroids only, no cells yet) defaults to full precision
+    val quantized =
+      if (!new java.io.File(s"$path/cells").exists()) false
+      else spark.read.parquet(s"$path/cells").schema(corpusVec).dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fieldNames.contains("q")
+        case _ => false
+      }
+    val cells = index(newVectors, corpusId, corpusVec, centroids)
+    (if (quantized)
+       cells.withColumn(corpusVec, Similarity.quantizeInt8(col(corpusVec)))
+         .drop("_cn")
+     else cells)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Top-k against a persisted index (see `buildIndex`); transparently
     * dequantizes int8-stored cells. */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -47,6 +47,55 @@ class IvfSpec extends SparkSpec {
     assert(fromIndex === inline)
   }
 
+  test("appendToIndex: build-half-then-append equals build-whole under " +
+      "the same centroids; existing cell files never rewrite") {
+    val half1 = corpus.filter($"nid" < 20)
+    val half2 = corpus.filter($"nid" >= 20)
+    val path = java.nio.file.Files.createTempDirectory("ivf-app").toString
+    Ivf.buildIndex(half1, "nid", "nv", path, numCells = 2, iters = 2)
+    val before = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .map(f => f.getName -> f.lastModified()).toMap
+    Ivf.appendToIndex(spark, path, half2, "nid", "nv")
+    // append-only: every pre-existing part file untouched
+    val after = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .map(f => f.getName -> f.lastModified()).toMap
+    before.foreach { case (n, ts) => assert(after(n) === ts, n) }
+    assert(after.size > before.size)
+    // equivalence: the merged index answers exactly like an index of the
+    // UNION corpus under the same (half1-trained) centroids
+    val queries = Seq((100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)))
+      .toDF("qid", "qv")
+    val merged = Ivf.topKIndexed(spark, path, "nid", "nv",
+        queries, "qid", "qv", k = 8, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val path2 = java.nio.file.Files.createTempDirectory("ivf-whole").toString
+    val centroids = spark.read.parquet(s"$path/centroids")
+    centroids.write.parquet(s"$path2/centroids")
+    Ivf.appendToIndex(spark, path2, corpus, "nid", "nv") // whole corpus in one go
+    val whole = Ivf.topKIndexed(spark, path2, "nid", "nv",
+        queries, "qid", "qv", k = 8, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(merged === whole)
+  }
+
+  test("appendToIndex honors int8-quantized storage") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-q").toString
+    Ivf.buildIndex(corpus.filter($"nid" < 20), "nid", "nv", path,
+      numCells = 2, iters = 2, quantize = true)
+    Ivf.appendToIndex(spark, path, corpus.filter($"nid" >= 20), "nid", "nv")
+    val stored = spark.read.parquet(s"$path/cells")
+    assert(stored.schema("nv").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("q"))
+    assert(stored.count() === 40)
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    val r = Ivf.topKIndexed(spark, path, "nid", "nv", queries, "qid", "qv",
+      k = 5, nprobe = 1).collect()
+    assert(r.length === 5 && r.forall(_.getAs[Long]("neighbor_id") % 2 === 0))
+  }
+
   test("train on a stable sample yields the same cell partition as " +
       "full-corpus training on the fixture") {
     def cellsOf(centroids: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
