@@ -1119,6 +1119,13 @@ object SparkEntry {
       EventAnalytics.retention(events(s, dir), "user_id",
         unix_micros(col("ts")), bucketUs = 86400000000L)),
 
+    // trailing-24h spike detection per event type with the INTEGER-EXACT
+    // z-test ((n·x−Σ)² > z²(nΣx²−Σ²)) — no fp mean/stddev anywhere
+    "events_anomaly" -> ((s, dir) =>
+      EventAnalytics.spikeFlags(events(s, dir), "event_type",
+        unix_micros(col("ts")), bucketUs = 3600000000L,
+        lookback = 24, z = 3, minBase = 12)),
+
     // gap-filled hourly resample with zero-fill + forward-filled mean;
     // the hour spine generates per user from (min, max) — no driver calendar
     "events_resample" -> ((s, dir) => driverSafe(
@@ -2570,6 +2577,28 @@ object SparkEntry {
         |  (a.bucket_us - c.cohort_us) // 86400000000 AS bucket_offset,
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH c AS (SELECT event_type AS series,
+        |             epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |             count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |wf AS (SELECT series, bucket_us, n_events,
+        |         count(n_events) OVER tw AS base_n,
+        |         sum(n_events) OVER tw AS base_sum,
+        |         sum(CAST(n_events AS HUGEINT) * n_events) OVER tw AS base_sumsq
+        |       FROM c WINDOW tw AS (PARTITION BY series ORDER BY bucket_us
+        |         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT series, bucket_us, n_events,
+        |  CAST(COALESCE(base_n, 0) AS BIGINT) AS base_n,
+        |  CAST(COALESCE(base_sum, 0) AS BIGINT) AS base_sum,
+        |  CAST((base_n >= 12 AND CAST(base_n AS HUGEINT) * n_events > base_sum
+        |    AND (CAST(base_n AS HUGEINT) * n_events - base_sum)
+        |      * (CAST(base_n AS HUGEINT) * n_events - base_sum)
+        |      > 9 * (CAST(base_n AS HUGEINT) * base_sumsq
+        |             - CAST(base_sum AS HUGEINT) * base_sum)) AS BIGINT)
+        |    AS is_spike
+        |FROM wf""".stripMargin,
 
     "events_resample" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,

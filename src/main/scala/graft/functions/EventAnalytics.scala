@@ -83,6 +83,54 @@ object EventAnalytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Trailing-window spike detection with an INTEGER-EXACT z-test: per
+    * (series, bucket), flag counts that sit more than `z` trailing
+    * standard deviations above the trailing mean — without ever computing
+    * a mean or a standard deviation in floating point. The test
+    *
+    *   (x − μ)² > z²σ²  with  μ = Σ/n, σ² = (nΣx² − Σ²)/n²
+    *
+    * clears denominators to `(n·x − Σ)² > z²·(n·Σx² − Σ²)` — every term an
+    * exact integer (DECIMAL(38,0) headroom), so the flag is bit-identical
+    * across engines and partitionings, the same philosophy as PageRank's
+    * u12 rounds. The trailing window is the last `lookback` OBSERVED
+    * buckets (rows-based frame — declared semantics; gap-fill first with
+    * [[resampleHourly]] if calendar-based trailing windows are wanted).
+    *
+    * One shuffle (bucket counts) + one per-series sort. Output: every
+    * (series, bucket) row with its trailing stats and `is_spike` 0/1
+    * (rows with fewer than `minBase` trailing buckets never flag). */
+  def spikeFlags(events: DataFrame, seriesCol: String, tsUs: Column,
+                 bucketUs: Long, lookback: Int, z: Int,
+                 minBase: Int): DataFrame = {
+    require(bucketUs > 0 && lookback > 0 && z > 0 && minBase > 0,
+      s"bad params bucketUs=$bucketUs lookback=$lookback z=$z minBase=$minBase")
+    val counts = events
+      .select(col(seriesCol).as("series"),
+        (tsUs - pmod(tsUs, lit(bucketUs))).as("bucket_us"))
+      .groupBy("series", "bucket_us").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("series").orderBy("bucket_us")
+      .rowsBetween(-lookback, -1)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    counts
+      .withColumn("base_n", count(col("n_events")).over(w))
+      .withColumn("base_sum", sum(col("n_events")).over(w))
+      .withColumn("base_sumsq",
+        sum(dec(col("n_events")) * col("n_events")).over(w))
+      .withColumn("is_spike",
+        (col("base_n") >= minBase &&
+          dec(col("base_n")) * col("n_events") > dec(col("base_sum")) &&
+          (dec(col("base_n")) * col("n_events") - col("base_sum")) *
+            (dec(col("base_n")) * col("n_events") - col("base_sum")) >
+            lit(z.toLong * z) * (dec(col("base_n")) * col("base_sumsq") -
+              dec(col("base_sum")) * col("base_sum")))
+          .cast("long"))
+      .select(col("series"), col("bucket_us"), col("n_events"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("base_sum"), lit(0L)).as("base_sum"),
+        col("is_spike"))
+  }
+
   /** Gap-filled hourly resample: per user, one row per hour from the
     * user's first to last activity hour — observed hours carry exact
     * decimal aggregates, missing hours are zero-filled, and `ffill_avg`

@@ -76,6 +76,36 @@ class EventAnalyticsSpec extends SparkSpec {
       (3 * H, 1L, 9.0, 9.0)))  // new observation resets the carry
   }
 
+  test("spikeFlags: planted spike flags, steady series never does, " +
+      "and thin history is exempt") {
+    // series A: 10 steady hours of 5 events, then an hour of 50
+    val steady = (0 until 10).flatMap(h =>
+      Seq.fill(5)(("A", h.toLong * H + 1)))
+    val spike = Seq.fill(50)(("A", 10L * H + 1))
+    // series B: alternating 4/6 — variance absorbs everything
+    val noisy = (0 until 11).flatMap(h =>
+      Seq.fill(if (h % 2 == 0) 4 else 6)(("B", h.toLong * H + 1)))
+    val ev = (steady ++ spike ++ noisy).toDF("series", "ts_us")
+    val got = EventAnalytics.spikeFlags(ev, "series", col("ts_us"),
+        bucketUs = H, lookback = 24, z = 3, minBase = 5)
+      .select("series", "bucket_us", "is_spike")
+      .as[(String, Long, Long)].collect()
+    val spikes = got.filter(_._3 === 1L).map(r => (r._1, r._2)).toSet
+    assert(spikes === Set(("A", 10L * H)))
+    // thin history: the first minBase buckets of A never flag
+    assert(got.filter(r => r._1 == "A" && r._2 < 5 * H).forall(_._3 === 0L))
+  }
+
+  test("spikeFlags is deterministic across partitionings") {
+    val ev = (0 until 200).map(i =>
+      (s"s${i % 3}", (i / 7).toLong * H + i)).toDF("series", "ts_us")
+    val a = EventAnalytics.spikeFlags(ev.repartition(1), "series",
+      col("ts_us"), H, 6, 2, 3).collect().map(_.toString).sorted
+    val b = EventAnalytics.spikeFlags(ev.repartition(8), "series",
+      col("ts_us"), H, 6, 2, 3).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("resample spine is per user — no cross-user bleed") {
     val ev = Seq((1L, 0L, 1.0), (1L, 2 * H, 1.0), (2L, 5 * H, 7.0))
       .toDF("user_id", "ts_us", "value")
