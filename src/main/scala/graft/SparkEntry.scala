@@ -406,6 +406,25 @@ object SparkEntry {
         .withColumn("dist", col("dist").cast("long"))
     }),
 
+    // ER survivorship: fuzzy pairs → connected components → one golden
+    // record per cluster (canonical = min member name, the same
+    // deterministic canonicalization as dedup groups; support sums)
+    "er_golden" -> ((s, dir) => {
+      val entities = t(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"))
+      val pairs = Linkage.blockedFuzzyPairs(entities, "name", "n_rows",
+          maxDist = 3, tokenCap = 40)
+        .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+      val comps = Dedup.componentsFromPairs(pairs, iters = 10)
+      entities
+        .join(comps.withColumnRenamed("id", "name"), Seq("name"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("name")))
+        .groupBy("cluster")
+        .agg(sum(col("n_rows")).as("total_rows"),
+          count(lit(1)).as("n_variants"))
+    }),
+
     // ---- SCD2 dimension history (gaps & islands) ------------------------
     // per-customer priority history from order observations: repeated
     // states collapse, validity ranges chain half-open, current row open
@@ -1640,6 +1659,31 @@ object SparkEntry {
         |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin,
 
     "graph_pagerank" -> PageRankSql,
+
+    // er_fuzzy_match's candidate CTEs + the recursive-CC pattern from
+    // dedup_groups, then one aggregation per cluster
+    "er_golden" ->
+      """WITH RECURSIVE n AS (SELECT p_name AS name, count(*) AS n_rows
+        |           FROM part GROUP BY 1),
+        |t AS (SELECT name, unnest(string_split_regex(name, '\s+')) AS tok
+        |      FROM n),
+        |tf AS (SELECT * FROM t WHERE len(tok) > 0),
+        |ok AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 40),
+        |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |         FROM tf a JOIN tf b ON b.tok = a.tok
+        |         WHERE a.tok IN (SELECT tok FROM ok) AND a.name < b.name),
+        |p AS (SELECT name_a, name_b FROM cand
+        |      WHERE levenshtein(name_a, name_b) <= 3),
+        |e AS (SELECT name_a AS a, name_b AS b FROM p
+        |      UNION SELECT name_b, name_a FROM p),
+        |reach AS (SELECT a, b FROM e
+        |          UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach
+        |         GROUP BY a),
+        |g AS (SELECT n.name, n.n_rows, COALESCE(c.comp, n.name) AS cluster
+        |      FROM n LEFT JOIN comp c ON c.id = n.name)
+        |SELECT cluster, sum(n_rows) AS total_rows, count(*) AS n_variants
+        |FROM g GROUP BY 1""".stripMargin,
 
     "dim_scd2" ->
       """WITH obs AS (SELECT o_custkey, epoch_us(o_orderdate) AS order_us,
