@@ -1138,6 +1138,35 @@ object SparkEntry {
       EventAnalytics.retention(events(s, dir), "user_id",
         unix_micros(col("ts")), bucketUs = 86400000000L)),
 
+    // crosstab via groupBy().pivot() with EXPLICIT pivot values (no
+    // pre-scan job; plans as one partial-aggregated shuffle)
+    "events_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .select((unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+          lit(3600000000L))).as("hour_us"), col("event_type"))
+        .groupBy("hour_us")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("hour_us"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))),
+
+    // A9 beyond-parity: ROLLUP with grouping markers — subtotal frames
+    // in ONE aggregation pass (Expand + partial agg), not one query per
+    // level; exact decimal sum for order-independence
+    "a9_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("sum_qty").cast("double").as("sum_qty"), col("gid"))),
+
     // trailing-24h spike detection per event type with the INTEGER-EXACT
     // z-test ((n·x−Σ)² > z²(nΣx²−Σ²)) — no fp mean/stddev anywhere
     "events_anomaly" -> ((s, dir) =>
@@ -2621,6 +2650,22 @@ object SparkEntry {
         |  (a.bucket_us - c.cohort_us) // 86400000000 AS bucket_offset,
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a9_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |       AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "events_anomaly" ->
       """WITH c AS (SELECT event_type AS series,
