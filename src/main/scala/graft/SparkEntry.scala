@@ -463,6 +463,20 @@ object SparkEntry {
         t(s, dir, "supplier").select(col("s_suppkey").as("entity_id"),
           col("s_name").as("name"), col("s_nationkey").as("nationkey"))))),
 
+    // W5 beyond-parity: INTERSECT / EXCEPT set semantics — customers with
+    // urgent orders vs BUILDING-segment membership, tagged in one frame
+    "w5_set_ops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      building.intersect(urgent).withColumn("tag", lit("both"))
+        .union(building.except(urgent).withColumn("tag", lit("building_only")))
+        .select(col("tag"), col("k"))
+    }),
+
     // ---- SQL surface (spark.sql), filter pushdown to the scan -----------
     "q1_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -2650,6 +2664,15 @@ object SparkEntry {
         |  (a.bucket_us - c.cohort_us) // 86400000000 AS bucket_offset,
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "w5_set_ops" ->
+      """WITH b AS (SELECT c_custkey AS k FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |u AS (SELECT o_custkey AS k FROM orders
+        |      WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'both' AS tag, k FROM (SELECT k FROM b INTERSECT SELECT k FROM u)
+        |UNION ALL
+        |SELECT 'building_only', k FROM (SELECT k FROM b EXCEPT SELECT k FROM u)""".stripMargin,
 
     "events_pivot" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
