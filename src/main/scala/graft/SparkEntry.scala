@@ -477,6 +477,42 @@ object SparkEntry {
         .select(col("tag"), col("k"))
     }),
 
+    // Z-order layout (beyond-parity): one Morton curve over two scan
+    // columns, bucketed by curve prefix — the per-bucket span report shows
+    // BOTH columns' min/max tighten, i.e. both predicates prune after a
+    // single repartitionByRange(z) write (SCALE.md)
+    "layout_zorder" -> ((s, dir) =>
+      Layout.zBucketSpans(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+        bits = 16, prefixBits = 16)),
+
+    // k-anonymity + l-diversity report over released corpus metadata: do
+    // (source, length-bucket) groups stay ≥5-strong, and does each still
+    // hide the language attribute behind ≥2 values?
+    "corpus_kanon" -> ((s, dir) =>
+      Privacy.kAnonymityReport(
+        t(s, dir, "documents")
+          .withColumn("len_bucket", shiftright(col("n_chars"), 8)),
+        Seq("source", "len_bucket"), "lang", k = 5, l = 2)),
+
+    // hybrid retrieval: BM25 lexical ranking ∪ exact-cosine vector ranking
+    // over the same ids, fused by integer-exact Reciprocal Rank Fusion
+    "text_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark join"), (1L, "table scan fast"),
+        (2L, "window batch agg")).toDF("qid", "qtext")
+      val lex = Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+        qs, "qid", "qtext", k = 10)
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(
+          emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+          "nid", "nv",
+          emb.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      Fusion.rrf(Seq(lex, vec), "query_id", "doc_id", "rank", k = 10)
+    }),
+
     // ---- SQL surface (spark.sql), filter pushdown to the scan -----------
     "q1_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -1313,6 +1349,71 @@ object SparkEntry {
     * multiProbe = true)` over queries vec_id < 8: recompute buckets, probe
     * the signature and its 8 Hamming-1 neighbors, score in-bucket pairs,
     * global top-5 per query. */
+  /** BM25 top-10 for the three keyword queries — same expression tree as
+    * `Bm25.termScore` (ln = natural log in both engines; per-term scores
+    * summed as DECIMAL so accumulation order cannot matter). Shared by
+    * text_bm25_topk and the fusion oracle's lexical leg. */
+  private def bm25TopkOracleSql: String =
+    "WITH q(query_id, qtext) AS (VALUES (0, 'spark join'), " +
+      "(1, 'table scan fast'), (2, 'window batch agg')), " +
+      "qt AS (SELECT query_id, unnest(list_distinct(list_filter(" +
+      "string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS term FROM q), " +
+      s"d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      "stats AS (SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d), " +
+      "dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d), " +
+      "post AS (SELECT term, doc_id, dl, count(*) AS tf FROM dd " +
+      "WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl), " +
+      "dft AS (SELECT term, count(*) AS df FROM post GROUP BY term), " +
+      "sc AS (SELECT query_id, doc_id, sum(CAST(" +
+      "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+      "(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) " +
+      "AS DECIMAL(27,12))) AS s " +
+      "FROM post JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats " +
+      "GROUP BY query_id, doc_id) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INTEGER) AS rank, " +
+      "doc_id, round(CAST(s AS DOUBLE), 6) AS score " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY CAST(s AS DOUBLE) DESC, doc_id) AS rn FROM sc) WHERE rn <= 10"
+
+  /** Mirror of `Fusion.rrf` over the bm25 lexical leg and an exact-cosine
+    * vector leg (queries vec_id < 3, k = 10): both legs' ranks are fused
+    * as exact integers ⌊10¹²/(60+rank)⌋ — BIGINT `//` here, a proven-exact
+    * double floor in Spark — so the fused order is total in both engines. */
+  private def rrfFusionOracleSql: String =
+    s"WITH lex AS ($bm25TopkOracleSql), " +
+      "vec AS (WITH vq AS (SELECT vec_id AS qid, embedding AS qv " +
+      "FROM embeddings WHERE vec_id < 3), " +
+      "vsc AS (SELECT vq.qid, e.vec_id AS nid, " +
+      "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * vq.qv[i]::DOUBLE)) / " +
+      "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+      "sqrt(list_sum(list_transform(range(1, 65), i -> vq.qv[i]::DOUBLE * vq.qv[i]::DOUBLE)))) AS sim " +
+      "FROM embeddings e, vq WHERE e.vec_id <> vq.qid) " +
+      "SELECT qid AS query_id, rn AS rank, nid AS doc_id " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY sim DESC, nid) AS rn FROM vsc) WHERE rn <= 10), " +
+      "u AS (SELECT query_id, doc_id, rank FROM lex " +
+      "UNION ALL SELECT query_id, doc_id, rank FROM vec), " +
+      "f AS (SELECT query_id, doc_id, " +
+      "CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_e12, " +
+      "count(*) AS hits FROM u GROUP BY query_id, doc_id) " +
+      "SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rrf_e12, hits " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY rrf_e12 DESC, doc_id) AS rn FROM f) WHERE rn <= 10"
+
+  /** Mirror of `Layout.zBucketSpans(l_partkey, l_suppkey, bits = 16,
+    * prefixBits = 16)`: the same 32-term Morton interleave, fully
+    * parenthesized (DuckDB `&` binds below `=`). */
+  private def zorderOracleSql: String = {
+    val z = (for {
+      (c, i) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+      j <- 0 until 16
+    } yield s"((($c >> $j) & 1) << ${j * 2 + i})").mkString(" + ")
+    s"SELECT (($z) >> 16) AS bucket, count(*) AS n_rows, " +
+      "min(l_partkey) AS min_a, max(l_partkey) AS max_a, " +
+      "min(l_suppkey) AS min_b, max(l_suppkey) AS max_b " +
+      "FROM lineitem GROUP BY 1"
+  }
+
   /** Exact cosine top-5 for queries vec_id < 8 — shared by ann_brute_topk
     * and the recall report's exact side. */
   private def annBruteOracleSql: String =
@@ -2376,27 +2477,7 @@ object SparkEntry {
     // BM25: same expression tree as Bm25.termScore (ln = natural log in
     // both engines; per-term scores summed as DECIMAL so accumulation
     // order cannot matter)
-    "text_bm25_topk" ->
-      ("WITH q(query_id, qtext) AS (VALUES (0, 'spark join'), " +
-        "(1, 'table scan fast'), (2, 'window batch agg')), " +
-        "qt AS (SELECT query_id, unnest(list_distinct(list_filter(" +
-        "string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS term FROM q), " +
-        s"d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
-        "stats AS (SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d), " +
-        "dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d), " +
-        "post AS (SELECT term, doc_id, dl, count(*) AS tf FROM dd " +
-        "WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl), " +
-        "dft AS (SELECT term, count(*) AS df FROM post GROUP BY term), " +
-        "sc AS (SELECT query_id, doc_id, sum(CAST(" +
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
-        "(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) " +
-        "AS DECIMAL(27,12))) AS s " +
-        "FROM post JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats " +
-        "GROUP BY query_id, doc_id) " +
-        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INTEGER) AS rank, " +
-        "doc_id, round(CAST(s AS DOUBLE), 6) AS score " +
-        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY CAST(s AS DOUBLE) DESC, doc_id) AS rn FROM sc) WHERE rn <= 10"),
+    "text_bm25_topk" -> bm25TopkOracleSql,
 
     // add-one bigram LM cross-entropy; -ln terms summed as DECIMAL
     "text_perplexity" ->
@@ -2673,6 +2754,18 @@ object SparkEntry {
         |SELECT 'both' AS tag, k FROM (SELECT k FROM b INTERSECT SELECT k FROM u)
         |UNION ALL
         |SELECT 'building_only', k FROM (SELECT k FROM b EXCEPT SELECT k FROM u)""".stripMargin,
+
+    "layout_zorder" -> zorderOracleSql,
+
+    "corpus_kanon" ->
+      """WITH t AS (SELECT source, (n_chars >> 8) AS len_bucket, lang
+        |           FROM documents)
+        |SELECT source, len_bucket, count(*) AS group_n,
+        |  count(DISTINCT lang) AS l_distinct,
+        |  CAST((count(*) < 5 OR count(DISTINCT lang) < 2) AS BIGINT) AS at_risk
+        |FROM t GROUP BY source, len_bucket""".stripMargin,
+
+    "text_rrf_fusion" -> rrfFusionOracleSql,
 
     "events_pivot" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,

@@ -96,3 +96,52 @@ object Bm25 {
       .withColumnRenamed("sim", "score")
   }
 }
+
+/** Hybrid-retrieval rank fusion (beyond-parity): combine a lexical (BM25)
+  * and a vector (ANN) ranking of the same corpus with Reciprocal Rank
+  * Fusion (Cormack et al. SIGIR'09) — the standard first stage of a
+  * RAG serving pipeline, where neither signal alone recalls everything.
+  *
+  * RRF(d) = Σ_r 1/(c + rank_r(d)) over the rankings that surfaced d.
+  * Scores are kept as exact integers — ⌊10¹²/(c+rank)⌋ summed as longs —
+  * so the fused ordering is total, accumulation-order-free, and identical
+  * across engines (the same integer-µ trick as the ppm mixture rates).
+  *
+  * Scale shape: input rankings are top-k-per-query frames (|queries|·k
+  * rows — already reducer-sized by construction, the corpus never
+  * reappears here), one union + one hash aggregation, then the shared
+  * salted top-k. Fusing N rankings is the same single aggregation. */
+object Fusion {
+
+  /** Fuse per-query rankings by RRF. Each input must carry
+    * (queryId, rank, docId); ranks start at 1. Output:
+    * (query_id, rank, doc_id, rrf_e12, hits) — rrf_e12 the exact integer
+    * score, hits = how many input rankings surfaced the doc. */
+  def rrf(rankings: Seq[DataFrame], queryId: String, docId: String,
+          rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrf fuses at least two rankings")
+    val unioned = rankings
+      .map(_.select(col(queryId).as("query_id"), col(docId).as("doc_id"),
+        col(rankCol).cast("long").as("_rank")))
+      .reduce(_ unionByName _)
+    // ⌊10¹²/(c+rank)⌋ via double floor is exact here: quotients are ~2^34
+    // (ulp ≪ 1/(c+rank), the minimum distance to an integer when the
+    // division isn't exact), so it agrees with DuckDB's BIGINT `//`.
+    val scored = unioned
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(floor(lit(1000000000000L) / (col("_rank") + c)).cast("long"))
+          .as("rrf_e12"),
+        count(lit(1)).as("hits"))
+    // plain window, not the salted pattern: the fused frame is already
+    // |queries|·(Σ ranking k) rows by construction — reducer-sized even
+    // when the corpus is 100 TB
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_e12").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_e12"), col("hits"))
+  }
+}
