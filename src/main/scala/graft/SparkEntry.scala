@@ -613,6 +613,22 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // the dedup tuning loop: precision/recall (integer ppm) of the banded
+    // MinHash candidates vs exact 3-shingle Jaccard ≥ 0.5 ground truth —
+    // same role recallAtK plays for the ANN knobs, itself oracle-checked
+    "dedup_eval_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh", 64,
+        Dedup.Md5Hasher)
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBands(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4,
+          Dedup.Md5Hasher),
+        "doc_id")
+      Dedup.candidateEval(cands,
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       val docs = Dedup.simhashFingerprints(
         t(s, dir, "documents").select(col("doc_id"),
@@ -1400,6 +1416,36 @@ object SparkEntry {
       "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
       "ORDER BY rrf_e12 DESC, doc_id) AS rn FROM f) WHERE rn <= 10"
 
+  /** Exact 3-shingle Jaccard ≥ 0.5 pairs with the 500-posting cap —
+    * shared by dedup_jaccard and the candidate-eval oracle's truth leg. */
+  private def jaccardPairsOracleSql: String =
+    s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
+      "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+      "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+      "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+      "scored AS (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
+      "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) " +
+      "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5"
+
+  /** Mirror of `Dedup.candidateEval(minhash-LSH candidates, exact-Jaccard
+    * truth)`: both legs reuse their standalone oracles as CTEs; the ppm
+    * metrics are true integer division in both engines. */
+  private def dedupEvalOracleSql: String =
+    s"WITH cand AS ($minhashLshOracleSql), " +
+      s"truth AS ($jaccardPairsOracleSql), " +
+      "counts AS (SELECT (SELECT count(*) FROM cand) AS n_cand, " +
+      "(SELECT count(*) FROM truth) AS n_truth, " +
+      "(SELECT count(*) FROM cand c JOIN truth t2 " +
+      "ON c.id_a = t2.id_a AND c.id_b = t2.id_b) AS n_hit) " +
+      "SELECT n_cand, n_truth, n_hit, " +
+      "CASE WHEN n_cand = 0 THEN 0 ELSE (1000000 * n_hit) // n_cand END AS precision_ppm, " +
+      "CASE WHEN n_truth = 0 THEN 0 ELSE (1000000 * n_hit) // n_truth END AS recall_ppm " +
+      "FROM counts"
+
   /** Mirror of `Layout.zBucketSpans(l_partkey, l_suppkey, bits = 16,
     * prefixBits = 16)`: the same 32-term Morton interleave, fully
     * parenthesized (DuckDB `&` binds below `=`). */
@@ -1881,18 +1927,7 @@ object SparkEntry {
         "JOIN norms nb ON nb.doc_id = pairs.id_b) " +
         "SELECT id_a, id_b, round(cos, 6) AS cos FROM c WHERE cos >= 0.8"),
 
-    "dedup_jaccard" ->
-      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
-        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
-        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
-        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
-        "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
-        "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
-        "scored AS (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
-        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) " +
-        "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5"),
+    "dedup_jaccard" -> jaccardPairsOracleSql,
 
     "dedup_groups" ->
       (s"WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
@@ -1996,6 +2031,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> rhpLshOracleSql,
 
     "dedup_minhash_lsh" -> minhashLshOracleSql,
+
+    "dedup_eval_report" -> dedupEvalOracleSql,
 
     "dedup_simhash" -> simhashOracleSql,
 

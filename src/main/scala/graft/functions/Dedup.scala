@@ -252,6 +252,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Candidate-set evaluation against ground truth — the tuning loop for
+    * every dedup knob (bands/rows trade precision for recall, caps trade
+    * recall for skew safety), analogous to [[Similarity.recallAtK]] for
+    * ANN. Both inputs are canonical (id_a < id_b) pair frames; ground
+    * truth is typically [[ngramJaccardPairs]] on a sample, candidates the
+    * LSH/SimHash/tf-idf generator under test.
+    *
+    * One full-outer join on the pair key + one aggregate; the metric
+    * frame is a single row however large the corpus. precision/recall are
+    * integer ppm (true integer division in both engines), so the report
+    * hash-matches exactly. */
+  def candidateEval(cands: DataFrame, truth: DataFrame): DataFrame = {
+    val c = cands.select(col("id_a"), col("id_b")).distinct()
+      .withColumn("_c", lit(1L))
+    val g = truth.select(col("id_a"), col("id_b")).distinct()
+      .withColumn("_t", lit(1L))
+    c.join(g, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(col("_c")).as("n_cand"), sum(col("_t")).as("n_truth"),
+        sum(col("_c") * col("_t")).as("n_hit"))
+      .na.fill(0L, Seq("n_cand", "n_truth", "n_hit"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN n_cand = 0 THEN 0L ELSE (1000000L * n_hit) div n_cand END"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_truth = 0 THEN 0L ELSE (1000000L * n_hit) div n_truth END"))
+  }
+
   /** Bit masks 1L<<0 … 1L<<63 as an array literal — lets all SimHash bit
     * math stay in `zip_with` (codegen) instead of per-bit column shifts. */
   private val bitMasks: Column =
