@@ -513,6 +513,12 @@ object SparkEntry {
       Fusion.rrf(Seq(lex, vec), "query_id", "doc_id", "rank", k = 10)
     }),
 
+    // key-skew profile: the pre-shuffle diagnostic — exact per-key counts,
+    // integer-ppm row share, skew factor vs the mean key, suggested salt
+    // fan-out for Skew.saltedAgg; top-k via TakeOrderedAndProject
+    "skew_report" -> ((s, dir) =>
+      Skew.skewReport(events(s, dir), col("event_type"), topK = 10)),
+
     // ---- SQL surface (spark.sql), filter pushdown to the scan -----------
     "q1_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -1062,6 +1068,14 @@ object SparkEntry {
       Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
         qs, "qid", "qtext", k = 10)
     }),
+
+    // positional index build: gap-encoded postings for the serving-worthy
+    // df band — one (term, doc) shuffle, df re-aggregates the postings
+    // frame (ReusedExchange), deltas via zip_with against the 1-shifted
+    // self (HOF-argument rule)
+    "text_postings" -> ((s, dir) =>
+      Postings.positional(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 10, maxDf = 50)),
 
     // CCNet-style LM quality signal: add-one bigram cross-entropy of each
     // doc under the corpus-trained model (the model is two count
@@ -2516,6 +2530,23 @@ object SparkEntry {
     // order cannot matter)
     "text_bm25_topk" -> bm25TopkOracleSql,
 
+    // positional postings: unnest aligns with generate_subscripts in
+    // DuckDB; the gap encode is list_transform with an index — the same
+    // element-wise shift as Spark's zip_with
+    "text_postings" ->
+      (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "p AS (SELECT doc_id, unnest(toks) AS term, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM d), " +
+        "g AS (SELECT term, doc_id, count(*) AS tf, " +
+        "list_sort(list(pos)) AS ps FROM p GROUP BY term, doc_id), " +
+        "dfs AS (SELECT term, count(*) AS df FROM g GROUP BY term), " +
+        "sel AS (SELECT g.term, g.doc_id, g.tf, dfs.df, g.ps FROM g " +
+        "JOIN dfs ON g.term = dfs.term WHERE df BETWEEN 10 AND 50) " +
+        "SELECT term, doc_id, tf, df, " +
+        "array_to_string(list_transform(range(1, len(ps) + 1), " +
+        "i -> CAST(ps[i] - CASE WHEN i = 1 THEN 0 ELSE ps[i-1] END AS VARCHAR)), '|') AS deltas " +
+        "FROM sel"),
+
     // add-one bigram LM cross-entropy; -ln terms summed as DECIMAL
     "text_perplexity" ->
       (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
@@ -2791,6 +2822,19 @@ object SparkEntry {
         |SELECT 'both' AS tag, k FROM (SELECT k FROM b INTERSECT SELECT k FROM u)
         |UNION ALL
         |SELECT 'building_only', k FROM (SELECT k FROM b EXCEPT SELECT k FROM u)""".stripMargin,
+
+    "skew_report" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |           count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |      count(*) AS n_keys FROM c),
+        |top AS (SELECT * FROM c, t ORDER BY n_rows DESC, key LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INTEGER) AS rank,
+        |  key, n_rows,
+        |  (1000000 * n_rows) // total_rows AS share_ppm,
+        |  (n_rows * n_keys) // total_rows AS skew_x,
+        |  least(greatest((n_rows * n_keys) // total_rows, 1), 256) AS suggested_salts
+        |FROM top""".stripMargin,
 
     "layout_zorder" -> zorderOracleSql,
 

@@ -97,6 +97,46 @@ object Bm25 {
   }
 }
 
+/** Positional inverted-index construction (beyond-parity): the index-build
+  * pipeline a serving stack runs offline — per (term, doc) postings with
+  * term frequency and GAP-ENCODED positions (first absolute, then deltas),
+  * the transform that makes posting lists compress (Zobel & Moffat, ACM
+  * CS'06 §4) before they ship to a serving store.
+  *
+  * Scale shape: one posexplode (linear map-side), ONE shuffle on
+  * (term, doc) with map-side partial collect, document frequencies
+  * re-aggregate the postings frame itself (ReusedExchange, the Bm25
+  * trick), and the df gate bounds the output. Position arrays live per
+  * (term, doc) — bounded by a document's length, never concatenated
+  * across docs. The delta encode is `zip_with` against the list's own
+  * 1-shifted self — HOF ARGUMENTS, evaluated once per row (the
+  * CollapseProject re-evaluation trap documented in TODO.md). */
+object Postings {
+
+  /** Build gap-encoded positional postings for terms whose document
+    * frequency lies in [minDf, maxDf] (the serving-worthy band: drop
+    * hapaxes below, stop-terms above). Output:
+    * (term, doc_id, tf, df, deltas) with deltas = "p0|g1|g2|…". */
+  def positional(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long, maxDf: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+    val perDoc = toks.groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val dfs = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    perDoc
+      .join(dfs.filter(col("df").between(minDf, maxDf)), Seq("term"))
+      .withColumn("deltas",
+        zip_with(col("ps"),
+          concat(array(lit(0)), slice(col("ps"), lit(1), size(col("ps")) - 1)),
+          (a, b) => a - b))
+      .select(col("term"), col("doc_id"),
+        size(col("ps")).cast("long").as("tf"), col("df"),
+        array_join(transform(col("deltas"), _.cast("string")), "|")
+          .as("deltas"))
+  }
+}
+
 /** Hybrid-retrieval rank fusion (beyond-parity): combine a lexical (BM25)
   * and a vector (ANN) ranking of the same corpus with Reciprocal Rank
   * Fusion (Cormack et al. SIGIR'09) — the standard first stage of a

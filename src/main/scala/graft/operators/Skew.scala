@@ -27,6 +27,41 @@ object Skew {
   def salt(salts: Int, parts: Column*): Column =
     pmod(xxhash64(parts: _*), lit(salts.toLong))
 
+  /** Key-skew diagnostic for a prospective shuffle key — the profiling
+    * pass that decides between a plain shuffle, a broadcast, and
+    * [[saltedAgg]] BEFORE the expensive job runs. Reports the topK
+    * heaviest keys with exact counts, integer-ppm share of all rows,
+    * the skew factor vs the mean key (n_rows·n_keys / total, integer
+    * division), and a suggested salt fan-out (skew factor clamped to
+    * [1, maxSalts] — one reducer per mean-key-worth of rows).
+    *
+    * One groupBy(key) + a broadcast single-row total; the top-k is
+    * `orderBy().limit()` — TakeOrderedAndProject, a per-partition partial
+    * top-k then one k-sized merge, so even a billions-of-keys domain
+    * never sorts on one reducer. Only the k winners reach the rank
+    * window. All ratios are integer (div), so the report is
+    * engine-exact. */
+  def skewReport(df: DataFrame, key: Column, topK: Int,
+                 maxSalts: Long = 256L): DataFrame = {
+    val counts = df.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.crossJoin(broadcast(totals))
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("key").asc)
+    top
+      .withColumn("share_ppm", expr("(1000000L * n_rows) div total_rows"))
+      .withColumn("skew_x", expr("(n_rows * n_keys) div total_rows"))
+      .withColumn("suggested_salts",
+        least(greatest(col("skew_x"), lit(1L)), lit(maxSalts)))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("key"), col("n_rows"), col("share_ppm"),
+        col("skew_x"), col("suggested_salts"))
+  }
+
   /** Two-stage salted aggregation.
     * `aggs` = (outputName, fn, inputColumn) with fn ∈ AggExpr's set.
     * Stage 1 groups by (key..., salt) — hot keys fan out over `salts`

@@ -112,4 +112,27 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getLong(1) === 2L)
     assert(math.abs(r.getDouble(2) - math.log(2.0)) < 1e-6)
   }
+
+  test("postings: gap-encoded positions, tf, and the df band") {
+    val docs = Seq((1L, "a b a c a"), (2L, "a x")).toDF("doc_id", "text")
+    val out = Postings.positional(docs, "doc_id", "text",
+        minDf = 1, maxDf = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(("a", 1L)) === ((3L, 2L, "0|2|2"))) // positions 0,2,4
+    assert(out(("a", 2L)) === ((1L, 2L, "0")))
+    assert(out(("b", 1L)) === ((1L, 1L, "1")))     // single hit: absolute pos
+    assert(out(("c", 1L)) === ((1L, 1L, "3")))
+    assert(out(("x", 2L)) === ((1L, 1L, "1")))
+  }
+
+  test("postings: df band drops hapaxes and stop-terms") {
+    val docs = Seq((1L, "stop rare1 mid"), (2L, "stop mid"), (3L, "stop"))
+      .toDF("doc_id", "text")
+    val terms = Postings.positional(docs, "doc_id", "text",
+        minDf = 2, maxDf = 2)
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(terms === Set("mid")) // rare1 df=1 below, stop df=3 above
+  }
 }

@@ -31,4 +31,29 @@ class SkewSpec extends SparkSpec {
       Seq(("st", "set", col("v")))).collect()(0)
     assert(r.getSeq[String](1) === Seq("a", "b", "c"))
   }
+
+  test("skewReport: exact shares, skew factor, and suggested salts") {
+    // 90 hot + 5 + 5 rows over 3 keys: mean key = 33 rows
+    val df = (Seq.fill(90)("hot") ++ Seq.fill(5)("a") ++ Seq.fill(5)("b"))
+      .toDF("k")
+    val rows = Skew.skewReport(df, col("k"), topK = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows(0) === ((1, "hot", 90L, 900000L, 2L, 2L))) // 90·3/100 = 2
+    assert(rows(1) === ((2, "a", 5L, 50000L, 0L, 1L)))     // below-mean → 1
+    assert(rows(2) === ((3, "b", 5L, 50000L, 0L, 1L)))     // tie → key asc
+    assert(rows.length === 3)
+  }
+
+  test("skewReport clamps suggested salts to maxSalts and honors topK") {
+    val df = (Seq.fill(1000)("mega") ++ (0 until 10).map(i => s"c$i"))
+      .toDF("k")
+    val rows = Skew.skewReport(df, col("k"), topK = 2, maxSalts = 8)
+      .collect()
+    assert(rows.length === 2)
+    // mega: 1000·11/1010 = 10 → clamped to 8
+    assert(rows(0).getString(1) === "mega")
+    assert(rows(0).getLong(5) === 8L)
+  }
 }
