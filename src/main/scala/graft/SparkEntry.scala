@@ -706,6 +706,31 @@ object SparkEntry {
         Similarity.bruteForceTopK(corpus, "nid", "nv", qs, "qid", "qv", k = 5))
     }),
 
+    // MMR diversified re-rank of the brute-force shortlist (λ = 0.7,
+    // k = 3): the greedy trajectory is engine-exact (bit-identical
+    // cosines, IEEE λ-arithmetic, id tie-breaks), so the oracle unrolls
+    // the same 3 rounds — the graph_pagerank pattern for iterative ops
+    "ann_mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val shortlist = Similarity.bruteForceTopK(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 10)
+      val withVec = shortlist.join(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
+        "neighbor_id")
+      Similarity.mmrRerank(withVec, "query_id", "neighbor_id", "sim", "v",
+          k = 3, lam = 0.7)
+        // floor-µ, not round: a score can land on a rounding half-boundary
+        // where the engines' round() disagree; floor of the bit-identical
+        // double is exact
+        .withColumn("score_e6",
+          floor(col("score") * lit(1000000.0)).cast("long"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"))
+    }),
+
     // probed IVF serving: 4/16 cells per query. iters=0 is anchor mode
     // (centroids = the 16 lowest-id vectors, SQL-recomputable), so cell
     // assignment, probing, and the probed top-k are EXACTLY oracle-checked;
@@ -1459,6 +1484,47 @@ object SparkEntry {
       "CASE WHEN n_cand = 0 THEN 0 ELSE (1000000 * n_hit) // n_cand END AS precision_ppm, " +
       "CASE WHEN n_truth = 0 THEN 0 ELSE (1000000 * n_hit) // n_truth END AS recall_ppm " +
       "FROM counts"
+
+  /** Mirror of `Similarity.mmrRerank(k = 3, lam = 0.7)` over the
+    * brute-force top-10 shortlist (queries vec_id < 3): the same 3 greedy
+    * rounds unrolled as CTEs. The (1−λ) factor is interpolated as the
+    * EXACT IEEE complement (`1.0 - 0.7` in binary, not decimal 0.3) and
+    * cast ::DOUBLE so both engines run identical arithmetic. */
+  private def mmrOracleSql: String = {
+    val lam = "0.7::DOUBLE"
+    val oml = s"${1.0 - 0.7}::DOUBLE"
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
+        s"(sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) * " +
+        s"sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"
+    s"WITH vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3), " +
+      s"sc0 AS (SELECT vq.qid, e.vec_id AS nid, ${cos("e.embedding", "vq.qv")} AS sim " +
+      "FROM embeddings e, vq WHERE e.vec_id <> vq.qid), " +
+      "cand AS (SELECT qid, nid, round(sim, 6) AS rel FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc0) WHERE rn <= 10), " +
+      "cv AS (SELECT cand.qid, cand.nid, cand.rel, e.embedding AS v " +
+      "FROM cand JOIN embeddings e ON cand.nid = e.vec_id), " +
+      s"ps AS (SELECT a.qid, a.nid AS ia, b.nid AS ib, ${cos("a.v", "b.v")} AS sim " +
+      "FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid <> b.nid), " +
+      s"r1 AS (SELECT qid, nid, score FROM (SELECT qid, nid, $lam * rel AS score, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel DESC, nid) AS rn FROM cv) WHERE rn = 1), " +
+      s"sc2 AS (SELECT c.qid, c.nid, $lam * c.rel - $oml * coalesce(p1.sim, 0) AS score " +
+      "FROM cv c JOIN r1 ON c.qid = r1.qid AND c.nid <> r1.nid " +
+      "LEFT JOIN ps p1 ON p1.qid = c.qid AND p1.ia = c.nid AND p1.ib = r1.nid), " +
+      "r2 AS (SELECT qid, nid, score FROM (SELECT *, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY score DESC, nid) AS rn FROM sc2) WHERE rn = 1), " +
+      s"sc3 AS (SELECT c.qid, c.nid, $lam * c.rel - $oml * greatest(coalesce(p1.sim, 0), coalesce(p2.sim, 0)) AS score " +
+      "FROM cv c JOIN r1 ON c.qid = r1.qid AND c.nid <> r1.nid " +
+      "JOIN r2 ON c.qid = r2.qid AND c.nid <> r2.nid " +
+      "LEFT JOIN ps p1 ON p1.qid = c.qid AND p1.ia = c.nid AND p1.ib = r1.nid " +
+      "LEFT JOIN ps p2 ON p2.qid = c.qid AND p2.ia = c.nid AND p2.ib = r2.nid), " +
+      "r3 AS (SELECT qid, nid, score FROM (SELECT *, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY score DESC, nid) AS rn FROM sc3) WHERE rn = 1) " +
+      "SELECT qid AS query_id, CAST(1 AS INTEGER) AS rank, nid AS doc_id, " +
+      "CAST(floor(score * 1000000) AS BIGINT) AS score_e6 FROM r1 " +
+      "UNION ALL SELECT qid, 2, nid, CAST(floor(score * 1000000) AS BIGINT) FROM r2 " +
+      "UNION ALL SELECT qid, 3, nid, CAST(floor(score * 1000000) AS BIGINT) FROM r3"
+  }
 
   /** Mirror of `Layout.zBucketSpans(l_partkey, l_suppkey, bits = 16,
     * prefixBits = 16)`: the same 32-term Morton interleave, fully
@@ -2244,6 +2310,8 @@ object SparkEntry {
         "WHERE rn <= 5"),
 
     "ann_brute_topk" -> annBruteOracleSql,
+
+    "ann_mmr_topk" -> mmrOracleSql,
 
     // recall@5 of multi-probe RHP-LSH vs exact: both sides are the same
     // deterministic pipelines as their standalone queries, so the report

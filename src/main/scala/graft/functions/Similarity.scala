@@ -99,6 +99,64 @@ object Similarity {
     topKPerQuery(scored, queryId, corpusId, k)
   }
 
+  /** MMR diversified re-rank (Carbonell & Goldstein SIGIR'98): greedily
+    * pick k results maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the
+    * standard answer to near-duplicate hits crowding a retrieval shortlist.
+    *
+    * `cands` is a per-query SHORTLIST (query_id, doc_id, rel, vector) —
+    * top-n from any first-stage ranker, so per-query size is bounded by
+    * construction and the whole computation is reducer-sized per query no
+    * matter the corpus. Pairwise sims are computed ONCE (shortlist
+    * self-join per query, ≤ n² bounded rows), then each greedy round is a
+    * left join + max + one per-query argmax window over ≤ n rows.
+    *
+    * Determinism: rel and sims are the bit-identical left-fold cosines,
+    * λ-arithmetic is plain IEEE on both engines, and every argmax carries
+    * a doc-id tie-break — so the greedy trajectory (not just the set) is
+    * engine-exact and the DuckDB oracle unrolls the same k rounds. */
+  def mmrRerank(cands: DataFrame, queryId: String, docId: String,
+                relCol: String, vecCol: String, k: Int,
+                lam: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lam >= 0.0 && lam <= 1.0, "lambda must be in [0, 1]")
+    // materialize the shortlist and its pair sims ONCE: every greedy round
+    // references both, and k lazily-stacked rounds would otherwise re-run
+    // the first-stage ranker ~2^k times (the iterative-lineage rule from
+    // PageRank/CC). Both frames are |queries|·n(²) rows — tiny by contract.
+    val base = cands.select(col(queryId).as("query_id"),
+      col(docId).as("doc_id"), col(relCol).cast("double").as("rel"),
+      col(vecCol).as("_v"))
+      .localCheckpoint()
+    val sims = base.as("a").join(base.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.query_id").as("query_id"), col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"), cosine(col("a._v"), col("b._v")).as("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    var selected = base.limit(0)
+      .select(col("query_id"), lit(0).as("rank"), col("doc_id"),
+        lit(0.0).as("score"))
+    for (r <- 1 to k) {
+      val selIds = selected.select(col("query_id"), col("doc_id"))
+      val penalty = sims
+        .join(selIds.withColumnRenamed("doc_id", "id_b"), Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("doc_id"))
+        .agg(max(col("sim")).as("_pen"))
+      val pick = base
+        .join(selIds, Seq("query_id", "doc_id"), "left_anti")
+        .join(penalty, Seq("query_id", "doc_id"), "left")
+        .withColumn("score",
+          lit(lam) * col("rel") - lit(1.0 - lam) * coalesce(col("_pen"), lit(0.0)))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), lit(r).as("rank"), col("doc_id"), col("score"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+
   /** Deterministic ±1 hyperplane components for (plane, dimension) — pure
     * integer hashing, no RNG state, reproducible across runs/executors.
     * Public so the differential oracle can embed the SAME planes as SQL
