@@ -1094,6 +1094,15 @@ object SparkEntry {
         qs, "qid", "qtext", k = 10)
     }),
 
+    // contrastive negatives: stable-hash draw of 5 cross-source negatives
+    // per anchor (broadcast anchors over one corpus scan, salted top-k)
+    "corpus_negatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.contrastiveNegatives(
+        docs.filter(col("doc_id") < 8), "doc_id", "source",
+        docs, "doc_id", "source", k = 5)
+    }),
+
     // positional index build: gap-encoded postings for the serving-worthy
     // df band — one (term, doc) shuffle, df re-aggregates the postings
     // frame (ReusedExchange), deltas via zip_with against the 1-shifted
@@ -2597,6 +2606,18 @@ object SparkEntry {
     // both engines; per-term scores summed as DECIMAL so accumulation
     // order cannot matter)
     "text_bm25_topk" -> bm25TopkOracleSql,
+
+    // contrastive negatives: the same 48-bit md5 draw, smallest-k per
+    // anchor (h ASC ≡ the Spark side's -h DESC)
+    "corpus_negatives" ->
+      """WITH a AS (SELECT doc_id AS aid, source AS asrc FROM documents
+        |           WHERE doc_id < 8),
+        |cand AS (SELECT aid, c.doc_id AS nid,
+        |  ('0x' || substring(md5(aid::VARCHAR || ':' || c.doc_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM a JOIN documents c ON c.doc_id <> a.aid AND c.source <> a.asrc)
+        |SELECT aid AS anchor_id, CAST(rn AS INTEGER) AS rank, nid AS neg_id
+        |FROM (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY h, nid) AS rn
+        |      FROM cand) WHERE rn <= 5""".stripMargin,
 
     // positional postings: unnest aligns with generate_subscripts in
     // DuckDB; the gap encode is list_transform with an index — the same

@@ -421,4 +421,34 @@ object Sampling {
       .withColumn("share_ppm", share)
       .withColumn("rate_ppm", rate)
   }
+
+  /** Deterministic contrastive negative sampling (beyond-parity): for each
+    * anchor, pick k pseudo-random corpus negatives — the non-positive pairs
+    * a contrastive embedding objective (InfoNCE / SimCLR-style) trains
+    * against. "Random" is a stable 48-bit md5 of (anchor, candidate), so
+    * the draw is reproducible across runs/engines, and an exclusion key
+    * (source here; a dedup group id in a full pipeline) keeps trivial
+    * near-positives out of the negative pool.
+    *
+    * Scale shape: the anchor set is small by contract — broadcast over one
+    * corpus scan (the brute-force-ANN shape, no corpus shuffle), then the
+    * shared salted top-k picks the k smallest hashes per anchor. 48 bits
+    * (not the usual 60) because the hash rides the top-k's double-typed
+    * score lane: 2^48 < 2^53 stays exact. */
+  def contrastiveNegatives(anchors: DataFrame, anchorId: String,
+                           anchorKey: String, corpus: DataFrame,
+                           corpusId: String, corpusKey: String,
+                           k: Int, salts: Int = 64): DataFrame = {
+    val a = anchors.select(col(anchorId).as("anchor_id"),
+      col(anchorKey).as("_ak"))
+    val c = corpus.select(col(corpusId).as("_cid"), col(corpusKey).as("_ck"))
+    val h48 = conv(substring(md5(concat(col("anchor_id").cast("string"),
+      lit(":"), col("_cid").cast("string"))), 1, 12), 16, 10).cast("long")
+    val cand = c.join(broadcast(a),
+        col("_cid") =!= col("anchor_id") && col("_ck") =!= col("_ak"))
+      .withColumn("sim", -h48.cast("double")) // top-k DESC = smallest hash
+    Similarity.topKPerQuery(cand, "anchor_id", "_cid", k, salts)
+      .select(col("query_id").as("anchor_id"), col("rank"),
+        col("neighbor_id").as("neg_id"))
+  }
 }

@@ -311,4 +311,31 @@ class SamplingSpec extends SparkSpec {
       assert(byDoc(d)._2 === d && byDoc(d)._3 === own(d))
     }
   }
+
+  test("contrastive negatives: deterministic, exclusion-safe, k-bounded") {
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val anchors = docs.filter($"doc_id" < 3)
+    def run() = Sampling.contrastiveNegatives(anchors, "doc_id", "source",
+        docs, "doc_id", "source", k = 4, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run()
+    assert(a.toSeq === run().toSeq) // stable draw, not RNG
+    assert(a.length === 3 * 4)
+    a.foreach { case (anchor, _, neg) =>
+      assert(neg !== anchor)
+      assert(neg % 4 !== anchor % 4, "same-source negative leaked")
+    }
+    // ranks are 1..k per anchor
+    assert(a.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4)))
+  }
+
+  test("contrastive negatives: small pools exhaust below k") {
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "source")
+    val out = Sampling.contrastiveNegatives(docs.filter($"doc_id" === 0L),
+        "doc_id", "source", docs, "doc_id", "source", k = 10, salts = 1)
+      .collect()
+    assert(out.length === 3) // only the three cross-source docs qualify
+  }
 }
