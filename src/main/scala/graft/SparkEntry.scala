@@ -619,6 +619,34 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // per-node triangle counts on the near-dup candidate graph
+    // (degree-ordered orientation — no last-reducer wedge explosion):
+    // dense-family vs transitive-bridge structure before CC collapses it
+    "graph_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Triangles.perNode(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
+        "id_a", "id_b")
+    }),
+
+    // linear multi-touch attribution: per-conversion credit splits in
+    // exact integer ppm over the bounded interval join; remainder to the
+    // last touch so every conversion sums to exactly 10^6
+    "events_multitouch" -> ((s, dir) => {
+      val ev = events(s, dir)
+      EventAnalytics.linearAttribution(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("touch_id"), col("user_id"),
+            unix_micros(col("ts")).as("touch_us")),
+        "touch_id",
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            unix_micros(col("ts")).as("conv_us")),
+        "conv_id", "user_id", "touch_us", "conv_us",
+        windowUs = 45L * 60 * 1000000)
+    }),
+
     // the dedup tuning loop: precision/recall (integer ppm) of the banded
     // MinHash candidates vs exact 3-shingle Jaccard ≥ 0.5 ground truth —
     // same role recallAtK plays for the ANN knobs, itself oracle-checked
@@ -2123,6 +2151,32 @@ object SparkEntry {
 
     "dedup_eval_report" -> dedupEvalOracleSql,
 
+    // each triangle appears once as (a, b) (b, c) (a, c) with a < b < c —
+    // the id-canonical twin of the degree-ordered enumeration
+    "graph_triangles" ->
+      (s"WITH p AS ($jaccardPairsOracleSql), " +
+        "tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c " +
+        "FROM p e1 JOIN p e2 ON e2.id_a = e1.id_b " +
+        "JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) " +
+        "SELECT node, count(*) AS n_triangles FROM " +
+        "(SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node"),
+
+    "events_multitouch" ->
+      """WITH c AS (SELECT event_id AS touch_id, user_id, epoch_us(ts) AS tus
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS conv_id, user_id, epoch_us(ts) AS pus
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.touch_id, p.conv_id, c.tus FROM c JOIN p
+        |      ON c.user_id = p.user_id AND p.pus >= c.tus
+        |      AND p.pus <= c.tus + 2700000000),
+        |n AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n,
+        |      row_number() OVER (PARTITION BY conv_id
+        |        ORDER BY tus DESC, touch_id DESC) AS rk FROM j)
+        |SELECT touch_id, count(*) AS n_conversions,
+        |  CAST(sum(1000000 // n + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END)
+        |       AS BIGINT) AS credit_ppm
+        |FROM n GROUP BY touch_id""".stripMargin,
+
     "dedup_simhash" -> simhashOracleSql,
 
     "ann_lsh_topk" -> annLshOracleSql,
@@ -2921,8 +2975,8 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INTEGER) AS rank,
         |  key, n_rows,
         |  (1000000 * n_rows) // total_rows AS share_ppm,
-        |  (n_rows * n_keys) // total_rows AS skew_x,
-        |  least(greatest((n_rows * n_keys) // total_rows, 1), 256) AS suggested_salts
+        |  n_rows // greatest(total_rows // n_keys, 1) AS skew_x,
+        |  least(greatest(n_rows // greatest(total_rows // n_keys, 1), 1), 256) AS suggested_salts
         |FROM top""".stripMargin,
 
     "layout_zorder" -> zorderOracleSql,

@@ -170,4 +170,37 @@ object EventAnalytics {
         // the spine starts at an observed hour, so _fn is never null
         (col("_fs").cast("double") / col("_fn")).as("ffill_avg"))
   }
+
+  /** Linear multi-touch attribution (beyond-parity): every conversion's
+    * credit splits equally across the touches that preceded it inside the
+    * window, in EXACT integer ppm — each touch gets ⌊10⁶/n⌋ and the last
+    * touch (latest, id tie-break) absorbs the remainder, so per-conversion
+    * credit sums to exactly 10⁶ and corpus-wide credit is conservation-
+    * checked arithmetic, not fp residue.
+    *
+    * Scale shape: the touch↔conversion pairing is the bounded
+    * [[graft.operators.TemporalJoin.intervalJoin]] (bucketed equi-join,
+    * replication-capped); the per-conversion windows run over one
+    * conversion's touches only (bounded by window width × touch rate);
+    * final credit totals are one hash aggregation per touch. */
+  def linearAttribution(touches: DataFrame, touchId: String,
+                        conversions: DataFrame, convId: String,
+                        key: String, touchUs: String, convUs: String,
+                        windowUs: Long): DataFrame = {
+    val joined = graft.operators.TemporalJoin.intervalJoin(
+      touches, conversions, key, touchUs, convUs,
+      lowerUs = 0L, upperUs = windowUs)
+    val wc = Window.partitionBy(col(convId))
+    val wLast = Window.partitionBy(col(convId))
+      .orderBy(col(touchUs).desc, col(touchId).desc)
+    joined
+      .withColumn("_n", count(lit(1)).over(wc))
+      .withColumn("_rk", row_number().over(wLast))
+      .withColumn("_credit",
+        expr("1000000L div _n") +
+          when(col("_rk") === 1, expr("1000000L % _n")).otherwise(lit(0L)))
+      .groupBy(col(touchId))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("_credit")).as("credit_ppm"))
+  }
 }

@@ -152,7 +152,10 @@ object Similarity {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("query_id"), lit(r).as("rank"), col("doc_id"), col("score"))
-      selected = selected.unionByName(pick)
+      // checkpoint the growing selected set too: round r's anti-join
+      // replays the whole selected lineage, which is otherwise geometric
+      // in k (each pick embeds every earlier pick's plan)
+      selected = selected.unionByName(pick).localCheckpoint()
     }
     selected
   }

@@ -31,9 +31,11 @@ object Skew {
     * pass that decides between a plain shuffle, a broadcast, and
     * [[saltedAgg]] BEFORE the expensive job runs. Reports the topK
     * heaviest keys with exact counts, integer-ppm share of all rows,
-    * the skew factor vs the mean key (n_rows·n_keys / total, integer
-    * division), and a suggested salt fan-out (skew factor clamped to
-    * [1, maxSalts] — one reducer per mean-key-worth of rows).
+    * the skew factor vs the mean key (n_rows div mean-rows-per-key —
+    * NOT n_rows·n_keys/total, whose product overflows a long once
+    * rows×keys passes 2^63, reachable at 100 TB), and a suggested salt
+    * fan-out (skew factor clamped to [1, maxSalts] — one reducer per
+    * mean-key-worth of rows).
     *
     * One groupBy(key) + a broadcast single-row total; the top-k is
     * `orderBy().limit()` — TakeOrderedAndProject, a per-partition partial
@@ -54,7 +56,8 @@ object Skew {
       .orderBy(col("n_rows").desc, col("key").asc)
     top
       .withColumn("share_ppm", expr("(1000000L * n_rows) div total_rows"))
-      .withColumn("skew_x", expr("(n_rows * n_keys) div total_rows"))
+      .withColumn("skew_x",
+        expr("n_rows div greatest(total_rows div n_keys, 1L)"))
       .withColumn("suggested_salts",
         least(greatest(col("skew_x"), lit(1L)), lit(maxSalts)))
       .withColumn("rank", row_number().over(w))

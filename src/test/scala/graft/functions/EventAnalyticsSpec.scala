@@ -116,4 +116,35 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 3L, 0L, 2 * H), (2L, 1L, 5 * H, 5 * H)))
   }
+
+  test("linear attribution: exact ppm split, remainder to the last touch") {
+    val touches = Seq((10L, 1L, 100L), (11L, 1L, 200L), (12L, 1L, 300L))
+      .toDF("touch_id", "user_id", "touch_us")
+    val convs = Seq((90L, 1L, 350L)).toDF("conv_id", "user_id", "conv_us")
+    val out = EventAnalytics.linearAttribution(touches, "touch_id",
+        convs, "conv_id", "user_id", "touch_us", "conv_us", windowUs = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 10^6 over 3 touches: 333333 each, +1 remainder to the LATEST touch
+    assert(out(10L) === ((1L, 333333L)))
+    assert(out(11L) === ((1L, 333333L)))
+    assert(out(12L) === ((1L, 333334L)))
+    assert(out.values.map(_._2).sum === 1000000L) // conservation
+  }
+
+  test("linear attribution: window bounds and multi-conversion sums") {
+    val touches = Seq((10L, 1L, 100L), (11L, 1L, 5000L), (12L, 2L, 100L))
+      .toDF("touch_id", "user_id", "touch_us")
+    val convs = Seq(
+      (90L, 1L, 600L),   // only touch 10 in [100, 1100]
+      (91L, 1L, 5500L),  // only touch 11 (10 is 5400us earlier, outside)
+      (92L, 1L, 5800L),  // only touch 11 again
+      (93L, 3L, 100L)    // no touches for user 3 → contributes nothing
+    ).toDF("conv_id", "user_id", "conv_us")
+    val out = EventAnalytics.linearAttribution(touches, "touch_id",
+        convs, "conv_id", "user_id", "touch_us", "conv_us", windowUs = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L) === ((1L, 1000000L)))
+    assert(out(11L) === ((2L, 2000000L))) // full credit for both conversions
+    assert(!out.contains(12L))            // other user's touch never credited
+  }
 }

@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def counts(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Triangles.perNode(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: every node sits in C(3,2) = 3 triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(counts(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("a path has edges but no triangles — empty report") {
+    assert(counts(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+  }
+
+  test("triangle + pendant bridge: only the cycle nodes count") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
+    assert(counts(g) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("hub star closed by one rim edge finds exactly that triangle once") {
+    // hub 1 connects to 2..6; the single rim edge (2, 3) closes one triangle
+    val g = (2L to 6L).map(v => (1L, v)) :+ (2L, 3L)
+    assert(counts(g) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("duplicate input edges do not double-count") {
+    val g = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(counts(g) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
