@@ -70,6 +70,20 @@ object SparkEntry {
     * SQL oracle — interpolated into both so they can never drift apart. */
   private val tempBudgetTokens = 50000L
 
+  /** Shared Spark-query/oracle literals (same never-drift rule): a pair
+    * that disagrees only surfaces as a hash mismatch at gate time, with no
+    * hint of the cause. */
+  private val attribWindowUs = 45L * 60 * 1000000 // events_multitouch
+  private val negAnchorMax = 8L                   // corpus_negatives
+  private val kanonK = 5L                         // corpus_kanon
+  private val kanonL = 2L
+  private val kanonShift = 8
+  private val zorderBits = 16                     // layout_zorder
+  private val zorderPrefix = 16
+  private val mmrLam = 0.7                        // ann_mmr_topk
+  private val skewTopK = 10                       // skew_report
+  private val skewMaxSalts = 256L
+
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -483,7 +497,7 @@ object SparkEntry {
     // single repartitionByRange(z) write (SCALE.md)
     "layout_zorder" -> ((s, dir) =>
       Layout.zBucketSpans(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
-        bits = 16, prefixBits = 16)),
+        bits = zorderBits, prefixBits = zorderPrefix)),
 
     // k-anonymity + l-diversity report over released corpus metadata: do
     // (source, length-bucket) groups stay ≥5-strong, and does each still
@@ -491,8 +505,8 @@ object SparkEntry {
     "corpus_kanon" -> ((s, dir) =>
       Privacy.kAnonymityReport(
         t(s, dir, "documents")
-          .withColumn("len_bucket", shiftright(col("n_chars"), 8)),
-        Seq("source", "len_bucket"), "lang", k = 5, l = 2)),
+          .withColumn("len_bucket", shiftright(col("n_chars"), kanonShift)),
+        Seq("source", "len_bucket"), "lang", k = kanonK, l = kanonL)),
 
     // hybrid retrieval: BM25 lexical ranking ∪ exact-cosine vector ranking
     // over the same ids, fused by integer-exact Reciprocal Rank Fusion
@@ -517,7 +531,8 @@ object SparkEntry {
     // integer-ppm row share, skew factor vs the mean key, suggested salt
     // fan-out for Skew.saltedAgg; top-k via TakeOrderedAndProject
     "skew_report" -> ((s, dir) =>
-      Skew.skewReport(events(s, dir), col("event_type"), topK = 10)),
+      Skew.skewReport(events(s, dir), col("event_type"), topK = skewTopK,
+        maxSalts = skewMaxSalts)),
 
     // ---- SQL surface (spark.sql), filter pushdown to the scan -----------
     "q1_pricing" -> ((s, dir) => {
@@ -630,6 +645,16 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // bounded 3-round 2-core peel of the same graph: the density filter
+    // separating a genuine duplicate core from its borderline halo
+    "graph_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Triangles.kCorePeel(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
+        "id_a", "id_b", k = 2, rounds = 3)
+    }),
+
     // linear multi-touch attribution: per-conversion credit splits in
     // exact integer ppm over the bounded interval join; remainder to the
     // last touch so every conversion sums to exactly 10^6
@@ -644,7 +669,7 @@ object SparkEntry {
           .select(col("event_id").as("conv_id"), col("user_id"),
             unix_micros(col("ts")).as("conv_us")),
         "conv_id", "user_id", "touch_us", "conv_us",
-        windowUs = 45L * 60 * 1000000)
+        windowUs = attribWindowUs)
     }),
 
     // the dedup tuning loop: precision/recall (integer ppm) of the banded
@@ -750,7 +775,7 @@ object SparkEntry {
         emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
         "neighbor_id")
       Similarity.mmrRerank(withVec, "query_id", "neighbor_id", "sim", "v",
-          k = 3, lam = 0.7)
+          k = 3, lam = mmrLam)
         // floor-µ, not round: a score can land on a rounding half-boundary
         // where the engines' round() disagree; floor of the bit-identical
         // double is exact
@@ -1127,7 +1152,7 @@ object SparkEntry {
     "corpus_negatives" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sampling.contrastiveNegatives(
-        docs.filter(col("doc_id") < 8), "doc_id", "source",
+        docs.filter(col("doc_id") < negAnchorMax), "doc_id", "source",
         docs, "doc_id", "source", k = 5)
     }),
 
@@ -1492,6 +1517,23 @@ object SparkEntry {
       "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
       "ORDER BY rrf_e12 DESC, doc_id) AS rn FROM f) WHERE rn <= 10"
 
+  /** Mirror of `Triangles.kCorePeel(k = 2, rounds = 3)` on the jaccard
+    * pair graph: the same three remove-then-recount rounds unrolled. */
+  private def kcoreOracleSql: String = {
+    def degs(e: String, d: String) =
+      s"$d AS (SELECT n AS node, count(*) AS degree FROM " +
+        s"(SELECT id_a AS n FROM $e UNION ALL SELECT id_b FROM $e) GROUP BY n)"
+    def peel(e: String, d: String, out: String) =
+      s"$out AS (SELECT $e.id_a, $e.id_b FROM $e " +
+        s"JOIN (SELECT node FROM $d WHERE degree >= 2) ka ON $e.id_a = ka.node " +
+        s"JOIN (SELECT node FROM $d WHERE degree >= 2) kb ON $e.id_b = kb.node)"
+    s"WITH e0 AS ($jaccardPairsOracleSql), " +
+      degs("e0", "d0") + ", " + peel("e0", "d0", "e1") + ", " +
+      degs("e1", "d1") + ", " + peel("e1", "d1", "e2") + ", " +
+      degs("e2", "d2") + ", " + peel("e2", "d2", "e3") + ", " +
+      degs("e3", "d3") + " SELECT node, degree FROM d3"
+  }
+
   /** Exact 3-shingle Jaccard ≥ 0.5 pairs with the 500-posting cap —
     * shared by dedup_jaccard and the candidate-eval oracle's truth leg. */
   private def jaccardPairsOracleSql: String =
@@ -1528,8 +1570,8 @@ object SparkEntry {
     * EXACT IEEE complement (`1.0 - 0.7` in binary, not decimal 0.3) and
     * cast ::DOUBLE so both engines run identical arithmetic. */
   private def mmrOracleSql: String = {
-    val lam = "0.7::DOUBLE"
-    val oml = s"${1.0 - 0.7}::DOUBLE"
+    val lam = s"$mmrLam::DOUBLE"
+    val oml = s"${1.0 - mmrLam}::DOUBLE"
     def cos(a: String, b: String) =
       s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
         s"(sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) * " +
@@ -1569,9 +1611,9 @@ object SparkEntry {
   private def zorderOracleSql: String = {
     val z = (for {
       (c, i) <- Seq("l_partkey", "l_suppkey").zipWithIndex
-      j <- 0 until 16
+      j <- 0 until zorderBits
     } yield s"((($c >> $j) & 1) << ${j * 2 + i})").mkString(" + ")
-    s"SELECT (($z) >> 16) AS bucket, count(*) AS n_rows, " +
+    s"SELECT (($z) >> ${2 * zorderBits - zorderPrefix}) AS bucket, count(*) AS n_rows, " +
       "min(l_partkey) AS min_a, max(l_partkey) AS max_a, " +
       "min(l_suppkey) AS min_b, max(l_suppkey) AS max_b " +
       "FROM lineitem GROUP BY 1"
@@ -2151,6 +2193,9 @@ object SparkEntry {
 
     "dedup_eval_report" -> dedupEvalOracleSql,
 
+    // 3 unrolled peel rounds over the shared jaccard CTE
+    "graph_kcore" -> kcoreOracleSql,
+
     // each triangle appears once as (a, b) (b, c) (a, c) with a < b < c —
     // the id-canonical twin of the degree-ordered enumeration
     "graph_triangles" ->
@@ -2162,13 +2207,13 @@ object SparkEntry {
         "(SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node"),
 
     "events_multitouch" ->
-      """WITH c AS (SELECT event_id AS touch_id, user_id, epoch_us(ts) AS tus
+      s"""WITH c AS (SELECT event_id AS touch_id, user_id, epoch_us(ts) AS tus
         |           FROM events WHERE event_type = 'click'),
         |p AS (SELECT event_id AS conv_id, user_id, epoch_us(ts) AS pus
         |      FROM events WHERE event_type = 'purchase'),
         |j AS (SELECT c.touch_id, p.conv_id, c.tus FROM c JOIN p
         |      ON c.user_id = p.user_id AND p.pus >= c.tus
-        |      AND p.pus <= c.tus + 2700000000),
+        |      AND p.pus <= c.tus + $attribWindowUs),
         |n AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n,
         |      row_number() OVER (PARTITION BY conv_id
         |        ORDER BY tus DESC, touch_id DESC) AS rk FROM j)
@@ -2664,8 +2709,8 @@ object SparkEntry {
     // contrastive negatives: the same 48-bit md5 draw, smallest-k per
     // anchor (h ASC ≡ the Spark side's -h DESC)
     "corpus_negatives" ->
-      """WITH a AS (SELECT doc_id AS aid, source AS asrc FROM documents
-        |           WHERE doc_id < 8),
+      s"""WITH a AS (SELECT doc_id AS aid, source AS asrc FROM documents
+        |           WHERE doc_id < $negAnchorMax),
         |cand AS (SELECT aid, c.doc_id AS nid,
         |  ('0x' || substring(md5(aid::VARCHAR || ':' || c.doc_id::VARCHAR), 1, 12))::BIGINT AS h
         |  FROM a JOIN documents c ON c.doc_id <> a.aid AND c.source <> a.asrc)
@@ -2967,26 +3012,26 @@ object SparkEntry {
         |SELECT 'building_only', k FROM (SELECT k FROM b EXCEPT SELECT k FROM u)""".stripMargin,
 
     "skew_report" ->
-      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+      s"""WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
         |           count(*) AS n_rows FROM events GROUP BY 1),
         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
         |      count(*) AS n_keys FROM c),
-        |top AS (SELECT * FROM c, t ORDER BY n_rows DESC, key LIMIT 10)
+        |top AS (SELECT * FROM c, t ORDER BY n_rows DESC, key LIMIT $skewTopK)
         |SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INTEGER) AS rank,
         |  key, n_rows,
         |  (1000000 * n_rows) // total_rows AS share_ppm,
         |  n_rows // greatest(total_rows // n_keys, 1) AS skew_x,
-        |  least(greatest(n_rows // greatest(total_rows // n_keys, 1), 1), 256) AS suggested_salts
+        |  least(greatest(n_rows // greatest(total_rows // n_keys, 1), 1), $skewMaxSalts) AS suggested_salts
         |FROM top""".stripMargin,
 
     "layout_zorder" -> zorderOracleSql,
 
     "corpus_kanon" ->
-      """WITH t AS (SELECT source, (n_chars >> 8) AS len_bucket, lang
+      s"""WITH t AS (SELECT source, (n_chars >> $kanonShift) AS len_bucket, lang
         |           FROM documents)
         |SELECT source, len_bucket, count(*) AS group_n,
         |  count(DISTINCT lang) AS l_distinct,
-        |  CAST((count(*) < 5 OR count(DISTINCT lang) < 2) AS BIGINT) AS at_risk
+        |  CAST((count(*) < $kanonK OR count(DISTINCT lang) < $kanonL) AS BIGINT) AS at_risk
         |FROM t GROUP BY source, len_bucket""".stripMargin,
 
     "text_rrf_fusion" -> rrfFusionOracleSql,

@@ -25,14 +25,19 @@ import org.apache.spark.sql.functions._
   * never the corpus. */
 object Triangles {
 
-  /** Per-node triangle participation counts. `pairs` must be canonical
-    * undirected edges (idA < idB, distinct). Output: (node, n_triangles)
-    * for nodes in ≥ 1 triangle. */
+  /** Per-node triangle participation counts over undirected edges.
+    * Input edges are canonicalized defensively (lower id first, self-loops
+    * dropped), so reversed duplicates cannot double-count. Output:
+    * (node, n_triangles) for nodes in ≥ 1 triangle. */
   def perNode(pairs: DataFrame, idA: String, idB: String): DataFrame = {
     // the edge set feeds THREE consumers (degrees, orientation, the wedge-
     // closing join) — persist it or the upstream candidate pipeline runs
     // three times (the PageRank persist rule)
-    val und = pairs.select(col(idA).as("u"), col(idB).as("v")).distinct()
+    val und = pairs
+      .select(least(col(idA), col(idB)).as("u"),
+        greatest(col(idA), col(idB)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -59,5 +64,40 @@ object Triangles {
       .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Bounded-round k-core peel (beyond-parity): `rounds` iterations of
+    * "drop every node whose degree < k, then recompute degrees" — the
+    * density filter that separates a genuine near-duplicate CORE from the
+    * halo of borderline matches hanging off it (a chain node leaves the
+    * 2-core in one round; a template family never does). Full k-core is
+    * the fixpoint; the declared semantics here is the bounded peel (the
+    * PageRank iters pattern), so the oracle can unroll the same rounds.
+    *
+    * Per round: one degree aggregation + two semi-joins, with
+    * localCheckpoint truncating the per-round lineage. Output:
+    * (node, degree) for nodes surviving round `rounds`, with their
+    * residual degree. */
+  def kCorePeel(pairs: DataFrame, idA: String, idB: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad params k=$k rounds=$rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    var edges = pairs
+      .select(least(col(idA), col(idB)).as("u"),
+        greatest(col(idA), col(idB)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("degree") >= k)
+        .select(col("node"))
+      edges = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(edges)
   }
 }

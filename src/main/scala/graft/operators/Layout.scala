@@ -50,6 +50,8 @@ object Layout {
     * ≤ 2^prefixBits rows regardless of input size. */
   def zBucketSpans(df: DataFrame, a: String, b: String,
                    bits: Int, prefixBits: Int): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 2 * bits,
+      s"prefixBits=$prefixBits outside [1, ${2 * bits}]")
     val z = zValue(Seq(col(a), col(b)), bits)
     df.select(shiftright(z, 2 * bits - prefixBits).as("bucket"),
         col(a), col(b))
