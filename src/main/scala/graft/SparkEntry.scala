@@ -645,6 +645,19 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // level-2 A-Priori basket mining over order line items: top pairs by
+    // support with DECIMAL-exact ppm lift (the wide-integer rule — see
+    // Basket's scaladoc)
+    "orders_basket_pairs" -> ((s, dir) =>
+      Basket.pairStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2, topK = 100)),
+
+    // deterministic A/B readout: stable-bucket arm assignment (no stored
+    // assignment table), per-arm exact-ppm conversion
+    "events_ab_metrics" -> ((s, dir) =>
+      EventAnalytics.abMetrics(events(s, dir), "user_id",
+        col("event_type") === "purchase", arms = 2)),
+
     // bounded 3-round 2-core peel of the same graph: the density filter
     // separating a genuine duplicate core from its borderline halo
     "graph_kcore" -> ((s, dir) => {
@@ -2195,6 +2208,34 @@ object SparkEntry {
 
     // 3 unrolled peel rounds over the shared jaccard CTE
     "graph_kcore" -> kcoreOracleSql,
+
+    "orders_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+        |           FROM lineitem),
+        |n AS (SELECT count(DISTINCT bid) AS nb FROM b),
+        |ci AS (SELECT item, count(*) AS c FROM b GROUP BY item),
+        |b2 AS (SELECT b.* FROM b JOIN (SELECT bid FROM b GROUP BY bid
+        |       HAVING count(*) <= 1000) ok USING (bid)),
+        |p AS (SELECT a.item AS item_a, c.item AS item_b, count(*) AS support
+        |      FROM b2 a JOIN b2 c ON a.bid = c.bid AND a.item < c.item
+        |      GROUP BY item_a, item_b HAVING count(*) >= 2)
+        |SELECT item_a, item_b, support,
+        |  CAST((1000000::HUGEINT * nb * support) // (ca.c::HUGEINT * cb.c)
+        |       AS BIGINT) AS lift_ppm
+        |FROM p JOIN ci ca ON p.item_a = ca.item
+        |       JOIN ci cb ON p.item_b = cb.item CROSS JOIN n
+        |ORDER BY support DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "events_ab_metrics" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |  count(*) AS n FROM events GROUP BY user_id),
+        |a AS (SELECT ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm,
+        |      conv, n FROM u)
+        |SELECT arm, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_converters,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  (1000000 * CAST(sum(conv) AS BIGINT)) // count(*) AS conv_ppm
+        |FROM a GROUP BY arm""".stripMargin,
 
     // each triangle appears once as (a, b) (b, c) (a, c) with a < b < c —
     // the id-canonical twin of the degree-ordered enumeration

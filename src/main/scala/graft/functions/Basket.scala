@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining (beyond-parity): pairwise item
+  * support and lift over transaction baskets — the level-2 A-Priori slice
+  * (Agrawal & Srikant VLDB'94) that powers "bought-together" surfacing and,
+  * on a training corpus, tag/label co-occurrence auditing.
+  *
+  * lift(a,b) = P(a,b) / (P(a)·P(b)) = N·c_ab / (c_a·c_b), reported in
+  * integer ppm computed through DECIMAL(38,0) (`Sampling.intDiv`) — the
+  * 10⁶·N·c_ab product overflows a long once N passes ~10⁵·c, so the wide
+  * integer path is the only form that is BOTH exact and scale-safe
+  * (HUGEINT `//` on the oracle side, same quotient).
+  *
+  * Scale shape: distinct (basket, item) persists once for its three
+  * consumers (basket count, item supports, pair emission); pairs come from
+  * the grouped-member-list pattern (one shuffle, ordered in-place emission,
+  * NO self-join) with an explicit basket-size cap — a degenerate mega-
+  * basket is a quadratic bomb, the same guard as LSH buckets; the final
+  * ranking is `orderBy().limit()` (TakeOrderedAndProject). */
+object Basket {
+
+  /** Top-k co-occurring item pairs by (support, ids).
+    * Output: (item_a, item_b, support, lift_ppm), item_a < item_b. */
+  def pairStats(items: DataFrame, basketId: String, itemId: String,
+                minSupport: Long, topK: Int,
+                maxBasket: Int = 1000): DataFrame = {
+    require(minSupport >= 1 && topK >= 1, "bad minSupport/topK")
+    val b = items.select(col(basketId).as("bid"), col(itemId).as("item"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = b.agg(count_distinct(col("bid")).as("nb"))
+    val ci = b.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = b.groupBy(col("bid"))
+      .agg(sort_array(collect_list(col("item"))).as("_ms"))
+      .filter(size(col("_ms")) <= maxBasket)
+      .select(posexplode(col("_ms")).as(Seq("_i", "item_a")), col("_ms"))
+      .select(col("item_a"),
+        explode(slice(col("_ms"), col("_i") + lit(2), size(col("_ms"))))
+          .as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(ci.select(col("item").as("item_a"), col("c").as("_ca")), Seq("item_a"))
+      .join(ci.select(col("item").as("item_b"), col("c").as("_cb")), Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .withColumn("lift_ppm",
+        // the product is built IN decimal — 10⁶·N·support overflows a
+        // long before intDiv's own cast could see it
+        Sampling.intDiv(
+          lit(1000000L).cast("decimal(38,0)") * col("nb") * col("support"),
+          col("_ca").cast("decimal(38,0)") * col("_cb")))
+      .select(col("item_a"), col("item_b"), col("support"), col("lift_ppm"))
+      .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topK)
+  }
+}

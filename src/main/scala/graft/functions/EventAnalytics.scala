@@ -183,6 +183,30 @@ object EventAnalytics {
     * replication-capped); the per-conversion windows run over one
     * conversion's touches only (bounded by window width × touch rate);
     * final credit totals are one hash aggregation per touch. */
+  /** Deterministic A/B experiment readout (beyond-parity): users assign to
+    * arms by the stable md5 bucket (`Sampling.stableBucket` — the same
+    * hash both engines recompute), so assignment is reproducible, uniform,
+    * and needs no stored assignment table; per-arm conversion is exact
+    * integer ppm. Two aggregations total (per-user collapse, then per-arm
+    * rollup) — the per-user frame is the only shuffle that scales with
+    * data, and it is the minimal one (any experiment readout must
+    * deduplicate users before counting). */
+  def abMetrics(events: DataFrame, userId: String, converted: Column,
+                arms: Int): DataFrame = {
+    require(arms >= 2, "an experiment needs at least two arms")
+    val perUser = events.groupBy(col(userId).as("_user"))
+      .agg(max(converted.cast("long")).as("_conv"),
+        count(lit(1)).as("_n"))
+    perUser
+      .withColumn("arm", Sampling.stableBucket(col("_user"), arms))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_conv")).as("n_converters"),
+        sum(col("_n")).as("n_events"))
+      .withColumn("conv_ppm",
+        expr("(1000000L * n_converters) div n_users"))
+  }
+
   def linearAttribution(touches: DataFrame, touchId: String,
                         conversions: DataFrame, convId: String,
                         key: String, touchUs: String, convUs: String,

@@ -67,7 +67,7 @@ object Sampling {
     * makes the numerator divisible by b and the DECIMAL division keeps the
     * quotient exact for products past 2^53 (a bare double `/` would round;
     * callers multiply budgets by 10^6). */
-  private def intDiv(a: Column, b: Column): Column = {
+  private[functions] def intDiv(a: Column, b: Column): Column = {
     val ad = a.cast("decimal(38,0)")
     val bd = b.cast("decimal(38,0)")
     ((ad - pmod(ad, bd)) / bd).cast("long")

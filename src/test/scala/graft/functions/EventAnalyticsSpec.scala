@@ -147,4 +147,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(11L) === ((2L, 2000000L))) // full credit for both conversions
     assert(!out.contains(12L))            // other user's touch never credited
   }
+
+  test("abMetrics: stable arms, per-user dedup, exact ppm conversion") {
+    import graft.functions.Sampling
+    val ev = Seq(
+      (1L, "view"), (1L, "purchase"), (1L, "purchase"), // converter, 3 events
+      (2L, "view"), (2L, "click"),                      // non-converter
+      (3L, "purchase")                                  // converter
+    ).toDF("user_id", "event_type")
+    val arms = ev.select($"user_id",
+        Sampling.stableBucket($"user_id", 2).as("arm"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = EventAnalytics.abMetrics(ev, "user_id",
+        col("event_type") === "purchase", arms = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // rebuild the expectation from the same stable assignment
+    val expect = Map(1L -> (true, 3L), 2L -> (false, 2L), 3L -> (true, 1L))
+      .groupBy { case (u, _) => arms(u) }
+      .map { case (arm, m) =>
+        val users = m.size.toLong
+        val conv = m.values.count(_._1).toLong
+        arm -> ((users, conv, m.values.map(_._2).sum, 1000000L * conv / users))
+      }
+    assert(out === expect)
+    assert(out.values.map(_._1).sum === 3L) // every user in exactly one arm
+  }
+
+  test("abMetrics rejects a single-arm experiment") {
+    val ev = Seq((1L, "view")).toDF("user_id", "event_type")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.abMetrics(ev, "user_id", lit(true), arms = 1)
+    }
+  }
 }
