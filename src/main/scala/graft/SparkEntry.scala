@@ -645,6 +645,12 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // first-order Markov transition matrix over user journeys: one lag
+    // window + a |types|²-bounded agg, probabilities in exact ppm
+    "events_transitions" -> ((s, dir) =>
+      EventAnalytics.transitionMatrix(events(s, dir), "user_id",
+        "event_id", "event_type", unix_micros(col("ts")))),
+
     // level-2 A-Priori basket mining over order line items: top pairs by
     // support with DECIMAL-exact ppm lift (the wide-integer rule — see
     // Basket's scaladoc)
@@ -2208,6 +2214,20 @@ object SparkEntry {
 
     // 3 unrolled peel rounds over the shared jaccard CTE
     "graph_kcore" -> kcoreOracleSql,
+
+    "events_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS from_type, event_type AS to_type,
+        |      count(*) AS n_steps FROM s WHERE prev IS NOT NULL
+        |      GROUP BY prev, event_type),
+        |t AS (SELECT from_type, CAST(sum(n_steps) AS BIGINT) AS tot
+        |      FROM c GROUP BY from_type)
+        |SELECT from_type, to_type, n_steps,
+        |  (1000000 * n_steps) // tot AS prob_ppm
+        |FROM c JOIN t USING (from_type)""".stripMargin,
 
     "orders_basket_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item

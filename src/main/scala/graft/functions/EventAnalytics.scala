@@ -171,6 +171,34 @@ object EventAnalytics {
         (col("_fs").cast("double") / col("_fn")).as("ffill_avg"))
   }
 
+  /** First-order Markov transition estimates over per-user event journeys
+    * (beyond-parity): count (previous type → next type) steps with one
+    * per-user lag window, then report each transition's probability as
+    * exact integer ppm of its source-state row total. The |types|²-sized
+    * output is the input to journey simulation, anomaly scoring ("this
+    * step had ppm≈0 mass"), and next-event prediction baselines.
+    *
+    * One shuffle on the user key (the lag window; per-user sort bounded by
+    * that user's event count), one |types|²-bounded aggregation, and a
+    * broadcast of per-source totals. Ties in timestamps order by event id
+    * so the step sequence is total in both engines. */
+  def transitionMatrix(events: DataFrame, userId: String, eventId: String,
+                       typeCol: String, tsUs: Column): DataFrame = {
+    val w = Window.partitionBy(col(userId))
+      .orderBy(tsUs.asc, col(eventId).asc)
+    val steps = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    val totals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n_steps")).as("_tot"))
+    steps.join(broadcast(totals), Seq("from_type"))
+      .withColumn("prob_ppm", expr("(1000000L * n_steps) div _tot"))
+      .select(col("from_type"), col("to_type"), col("n_steps"),
+        col("prob_ppm"))
+  }
+
   /** Linear multi-touch attribution (beyond-parity): every conversion's
     * credit splits equally across the touches that preceded it inside the
     * window, in EXACT integer ppm — each touch gets ⌊10⁶/n⌋ and the last

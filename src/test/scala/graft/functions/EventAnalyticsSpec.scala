@@ -181,4 +181,30 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.abMetrics(ev, "user_id", lit(true), arms = 1)
     }
   }
+
+  test("transitionMatrix: hand-checked steps, ppm rows sum per source") {
+    val ev = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "a", 30L), // a→b→a
+      (4L, 2L, "a", 10L), (5L, 2L, "b", 20L),                     // a→b
+      (6L, 3L, "c", 10L)                                          // no step
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "event_id",
+        "event_type", col("ts_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(("a", "b")) === ((2L, 1000000L))) // a only ever goes to b
+    assert(out(("b", "a")) === ((1L, 1000000L)))
+    assert(out.size === 2) // user 3's lone event contributes no step
+  }
+
+  test("transitionMatrix: equal timestamps order by event id (total order)") {
+    val ev = Seq(
+      (7L, 1L, "x", 10L), (8L, 1L, "y", 10L), (9L, 1L, "z", 10L)
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "event_id",
+        "event_type", col("ts_us"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("x", "y"), ("y", "z"))) // id order, deterministic
+  }
 }
