@@ -645,6 +645,12 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // RAKE keyphrases: stopword-segmented phrase runs, deg/freq word
+    // scores, decimal-summed phrase scores, corpus top-20
+    "text_keyphrases" -> ((s, dir) =>
+      Rake.topPhrases(t(s, dir, "documents"), "doc_id", "text",
+        topK = 20)),
+
     // first-order Markov transition matrix over user journeys: one lag
     // window + a |types|²-bounded agg, probabilities in exact ppm
     "events_transitions" -> ((s, dir) =>
@@ -2214,6 +2220,33 @@ object SparkEntry {
 
     // 3 unrolled peel rounds over the shared jaccard CTE
     "graph_kcore" -> kcoreOracleSql,
+
+    // RAKE: same islands (pos − row_number), same DECIMAL(27,12)-summed
+    // deg/freq scores; the stopword IN list interpolates from
+    // Rake.DefaultStops so the two sides cannot drift
+    "text_keyphrases" -> {
+      val stops = Rake.DefaultStops.map(s => s"'$s'").mkString(", ")
+      s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "p0 AS (SELECT doc_id, unnest(toks) AS tok, " +
+        "generate_subscripts(toks, 1) - 1 AS pos FROM d), " +
+        s"ns AS (SELECT * FROM p0 WHERE tok NOT IN ($stops)), " +
+        "isl AS (SELECT doc_id, tok, pos, pos - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS g FROM ns), " +
+        "ph AS (SELECT doc_id, g, list(tok ORDER BY pos) AS words, " +
+        "count(*) AS len, array_to_string(list(tok ORDER BY pos), ' ') AS phrase " +
+        "FROM isl GROUP BY doc_id, g), " +
+        "wo AS (SELECT unnest(words) AS tok, len FROM ph), " +
+        "ws AS (SELECT tok, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg " +
+        "FROM wo GROUP BY tok), " +
+        "px AS (SELECT ph.doc_id, ph.g, ph.phrase, unnest(ph.words) AS tok FROM ph), " +
+        "sc AS (SELECT doc_id, g, phrase, " +
+        "sum(CAST(deg::DOUBLE / freq AS DECIMAL(27,12))) AS s " +
+        "FROM px JOIN ws USING (tok) GROUP BY doc_id, g, phrase), " +
+        "agg AS (SELECT phrase, count(*) AS n_occurrences, max(s) AS s " +
+        "FROM sc GROUP BY phrase) " +
+        "SELECT phrase, n_occurrences, round(CAST(s AS DOUBLE), 6) AS score " +
+        "FROM agg ORDER BY s DESC, phrase LIMIT 20"
+    },
 
     "events_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
