@@ -645,6 +645,13 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // RFM segmentation: threshold quintiles from exact interpolated
+    // percentiles (scale-safe — no global ntile window; ties share buckets)
+    "events_rfm" -> ((s, dir) =>
+      EventAnalytics.rfmSegments(events(s, dir), "user_id",
+        unix_micros(col("ts")), col("value"),
+        col("event_type") === "purchase")),
+
     // RAKE keyphrases: stopword-segmented phrase runs, deg/freq word
     // scores, decimal-summed phrase scores, corpus top-20
     "text_keyphrases" -> ((s, dir) =>
@@ -2220,6 +2227,32 @@ object SparkEntry {
 
     // 3 unrolled peel rounds over the shared jaccard CTE
     "graph_kcore" -> kcoreOracleSql,
+
+    // RFM: quantile_cont thresholds ≡ Spark percentile (the calibrate
+    // precedent); scores = 1 + #thresholds strictly below
+    "events_rfm" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(max(epoch_us(ts)) AS DOUBLE) AS rec,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS freq,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS mon
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT
+        |  quantile_cont(rec, 0.2) AS r0, quantile_cont(rec, 0.4) AS r1,
+        |  quantile_cont(rec, 0.6) AS r2, quantile_cont(rec, 0.8) AS r3,
+        |  quantile_cont(freq, 0.2) AS f0, quantile_cont(freq, 0.4) AS f1,
+        |  quantile_cont(freq, 0.6) AS f2, quantile_cont(freq, 0.8) AS f3,
+        |  quantile_cont(mon, 0.2) AS m0, quantile_cont(mon, 0.4) AS m1,
+        |  quantile_cont(mon, 0.6) AS m2, quantile_cont(mon, 0.8) AS m3
+        |  FROM u)
+        |SELECT user_id,
+        |  1 + (rec > r0)::BIGINT + (rec > r1)::BIGINT + (rec > r2)::BIGINT + (rec > r3)::BIGINT AS r_score,
+        |  1 + (freq > f0)::BIGINT + (freq > f1)::BIGINT + (freq > f2)::BIGINT + (freq > f3)::BIGINT AS f_score,
+        |  1 + (mon > m0)::BIGINT + (mon > m1)::BIGINT + (mon > m2)::BIGINT + (mon > m3)::BIGINT AS m_score,
+        |  (1 + (rec > r0)::BIGINT + (rec > r1)::BIGINT + (rec > r2)::BIGINT + (rec > r3)::BIGINT)::VARCHAR
+        |   || '-' || (1 + (freq > f0)::BIGINT + (freq > f1)::BIGINT + (freq > f2)::BIGINT + (freq > f3)::BIGINT)::VARCHAR
+        |   || '-' || (1 + (mon > m0)::BIGINT + (mon > m1)::BIGINT + (mon > m2)::BIGINT + (mon > m3)::BIGINT)::VARCHAR AS segment
+        |FROM u CROSS JOIN t""".stripMargin,
 
     // RAKE: same islands (pos − row_number), same DECIMAL(27,12)-summed
     // deg/freq scores; the stopword IN list interpolates from

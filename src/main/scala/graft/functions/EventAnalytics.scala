@@ -171,6 +171,40 @@ object EventAnalytics {
         (col("_fs").cast("double") / col("_fn")).as("ffill_avg"))
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation
+    * (beyond-parity): per-user metrics scored into quintiles by EXACT
+    * interpolated-percentile thresholds — the corpus_calibrate-proven
+    * cross-engine primitive (`percentile` ≡ `quantile_cont`) — instead of
+    * a global `ntile`, which would both funnel every user through one
+    * window reducer AND split tied users arbitrarily. Here ties share a
+    * bucket (score = 1 + #thresholds strictly below), the assignment is a
+    * broadcast compare against a 1-row threshold frame, and the only
+    * data-sized shuffle is the per-user collapse. */
+  def rfmSegments(events: DataFrame, userId: String, tsUs: Column,
+                  value: Column, isPurchase: Column): DataFrame = {
+    val perUser = events.groupBy(col(userId).as("user_id"))
+      .agg(max(tsUs).cast("double").as("_rec"),
+        sum(isPurchase.cast("long")).cast("double").as("_freq"),
+        sum(when(isPurchase, value).otherwise(lit(0.0))
+          .cast(DecimalType(18, 6))).cast("double").as("_mon"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex
+    val thAggs =
+      qs.map { case (q, i) => percentile(col("_rec"), lit(q)).as(s"_r$i") } ++
+        qs.map { case (q, i) => percentile(col("_freq"), lit(q)).as(s"_f$i") } ++
+        qs.map { case (q, i) => percentile(col("_mon"), lit(q)).as(s"_m$i") }
+    val th = perUser.agg(thAggs.head, thAggs.tail: _*)
+    def score(m: Column, pre: String): Column =
+      qs.map { case (_, i) => (m > col(s"_$pre$i")).cast("long") }
+        .foldLeft(lit(1L))(_ + _)
+    perUser.crossJoin(broadcast(th))
+      .withColumn("r_score", score(col("_rec"), "r"))
+      .withColumn("f_score", score(col("_freq"), "f"))
+      .withColumn("m_score", score(col("_mon"), "m"))
+      .select(col("user_id"), col("r_score"), col("f_score"), col("m_score"),
+        concat_ws("-", col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
+  }
+
   /** First-order Markov transition estimates over per-user event journeys
     * (beyond-parity): count (previous type → next type) steps with one
     * per-user lag window, then report each transition's probability as
