@@ -81,6 +81,9 @@ object SparkEntry {
   private val zorderBits = 16                     // layout_zorder
   private val zorderPrefix = 16
   private val mmrLam = 0.7                        // ann_mmr_topk
+  private val lshCurveConfigs =                   // dedup_lsh_curve
+    Seq((16, 4), (8, 8), (32, 2), (4, 16))
+  private val lshCurveSteps = 20
   private val skewTopK = 10                       // skew_report
   private val skewMaxSalts = 256L
 
@@ -644,6 +647,17 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
         "id_a", "id_b")
     }),
+
+    // analytic LSH S-curves for the banding grid — picks (bands, rows)
+    // BEFORE data runs; dedup_eval_report is the empirical after-check
+    "dedup_lsh_curve" -> ((s, dir) =>
+      Dedup.lshTuningCurve(s, lshCurveConfigs, lshCurveSteps)),
+
+    // Efraimidis–Spirakis weighted sample without replacement: stable-hash
+    // u, key = ln(u)/w, top-k — the sample itself is oracle-checkable
+    "corpus_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), k = 50)),
 
     // RFM segmentation: threshold quintiles from exact interpolated
     // percentiles (scale-safe — no global ntile window; ties share buckets)
@@ -2227,6 +2241,29 @@ object SparkEntry {
 
     // 3 unrolled peel rounds over the shared jaccard CTE
     "graph_kcore" -> kcoreOracleSql,
+
+    // same left-associative repeated-multiplication expansion of both
+    // powers — never pow(), whose libm rounding differs across engines
+    "dedup_lsh_curve" -> {
+      val s = s"(CAST(i AS DOUBLE) / $lshCurveSteps.0)"
+      val arms = lshCurveConfigs.map { case (b, r) =>
+        val sr = (1 to r).map(_ => s).mkString("1.0 * ", " * ", "")
+        val fail = (1 to b).map(_ => s"(1.0 - ($sr))").mkString("1.0 * ", " * ", "")
+        s"SELECT $b AS bands, $r AS rows_per_band, i, " +
+          s"(i * 1000000) // $lshCurveSteps AS s_ppm, " +
+          s"CAST(floor((1.0 - ($fail)) * 1000000.0) AS BIGINT) AS p_candidate_ppm " +
+          s"FROM range(1, $lshCurveSteps) t(i)"
+      }
+      arms.mkString(" UNION ALL ")
+    },
+
+    // A-Res keys recomputed exactly: same 48-bit md5 u, same ln/w key
+    "corpus_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS weight FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 0.5)
+        |  / 281474976710656.0) / n_chars DESC, doc_id
+        |LIMIT 50""".stripMargin,
 
     // RFM: quantile_cont thresholds ≡ Spark percentile (the calibrate
     // precedent); scores = 1 + #thresholds strictly below

@@ -278,6 +278,33 @@ object Dedup {
         "CASE WHEN n_truth = 0 THEN 0L ELSE (1000000L * n_hit) div n_truth END"))
   }
 
+  /** Analytic LSH S-curve grid (beyond-parity tuning tool): for each
+    * (bands, rowsPerBand) config and similarity s on a 1/steps grid, the
+    * candidate probability P = 1 − (1 − s^r)^b — the curve that picks the
+    * banding BEFORE any data runs, with [[candidateEval]] as the
+    * after-the-fact empirical check.
+    *
+    * Both powers expand to LEFT-ASSOCIATIVE repeated multiplication (never
+    * `pow`, whose libm rounding differs across engines), so every grid
+    * value is bit-identical in Spark and SQL and the ppm floor matches
+    * exactly. Output is configs·steps rows — driver-scale math, generated
+    * distributed anyway (spark.range) out of principle. */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+                     configs: Seq[(Int, Int)], steps: Int): DataFrame = {
+    require(steps >= 2 && configs.nonEmpty, "bad steps/configs")
+    val base = spark.range(1, steps).select(col("id").as("i"),
+      (col("id").cast("double") / steps).as("_s"))
+    configs.map { case (b, r) =>
+      val sr = (1 to r).foldLeft(lit(1.0): Column)((acc, _) => acc * col("_s"))
+      val fail = (1 to b).foldLeft(lit(1.0): Column)((acc, _) =>
+        acc * (lit(1.0) - sr))
+      base.select(lit(b).as("bands"), lit(r).as("rows_per_band"), col("i"),
+        expr(s"(i * 1000000L) div $steps").as("s_ppm"),
+        floor((lit(1.0) - fail) * 1000000.0).cast("long")
+          .as("p_candidate_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Bit masks 1L<<0 … 1L<<63 as an array literal — lets all SimHash bit
     * math stay in `zip_with` (codegen) instead of per-bit column shifts. */
   private val bitMasks: Column =

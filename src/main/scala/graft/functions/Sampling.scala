@@ -422,6 +422,33 @@ object Sampling {
       .withColumn("rate_ppm", rate)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (beyond-parity):
+    * the Efraimidis–Spirakis A-Res scheme (IPL 2006) — each row draws
+    * u ∈ (0,1) and keys by ln(u)/w; the k LARGEST keys are a weighted
+    * sample without replacement. "Random" u is the stable 48-bit md5
+    * mapped to (h + 0.5)/2^48 — exactly representable, reproducible, and
+    * SQL-recomputable, so the SAMPLE ITSELF is differentially testable
+    * (the usual trade: determinism for re-seedability).
+    *
+    * Scale shape: one scan computing per-row keys, then
+    * `orderBy().limit(k)` — TakeOrderedAndProject, per-partition partial
+    * top-k, never a global sort. Rows with non-positive weight are
+    * excluded (ln(u)/w flips sign — the scheme's own precondition). */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val key = log((h48.cast("double") + 0.5) / lit(4294967296.0 * 65536.0)) /
+      weight.cast("double")
+    docs
+      .filter(weight > 0)
+      .withColumn("_key", key)
+      .orderBy(col("_key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), weight.cast("long").as("weight"))
+  }
+
   /** Deterministic contrastive negative sampling (beyond-parity): for each
     * anchor, pick k pseudo-random corpus negatives — the non-positive pairs
     * a contrastive embedding objective (InfoNCE / SimCLR-style) trains

@@ -33,4 +33,23 @@ class CandidateEvalSpec extends SparkSpec {
     assert(row(Dedup.candidateEval(truth, empty)) ===
       ((1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("lshTuningCurve: hand-checked point and S-shape monotonicity") {
+    val out = Dedup.lshTuningCurve(spark, Seq((2, 2)), steps = 20)
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    // s = 0.5: P = 1 − (1 − 0.25)² = 0.4375
+    assert(out(10L) === 437500L)
+    // strictly increasing in s across the grid
+    (2L until 20L).foreach(i => assert(out(i) > out(i - 1), s"i=$i"))
+    assert(out.size === 19)
+  }
+
+  test("lshTuningCurve: more bands raise recall at fixed s") {
+    val out = Dedup.lshTuningCurve(spark, Seq((4, 4), (16, 4)), steps = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getLong(4)).toMap
+    (1L until 10L).foreach { i =>
+      assert(out((16, i)) >= out((4, i)), s"i=$i")
+    }
+  }
 }

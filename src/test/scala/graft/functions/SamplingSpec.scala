@@ -330,6 +330,33 @@ class SamplingSpec extends SparkSpec {
     assert(a.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4)))
   }
 
+  test("weightedSample: matches an independent A-Res reference; excludes w <= 0") {
+    def refKey(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.log((h + 0.5) / 281474976710656.0) / w
+    }
+    val rows = (1L to 30L).map(i => (i, i * 37 % 101 + 1)) :+ (99L, 0L)
+    val expected = rows.filter(_._2 > 0)
+      .sortBy { case (id, w) => (-refKey(id, w), id) }.take(10).toSet
+    val got = Sampling.weightedSample(rows.toDF("doc_id", "n_chars"),
+        "doc_id", $"n_chars", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(!got.exists(_._1 == 99L)) // zero-weight row can never sample
+  }
+
+  test("weightedSample: heavier weights dominate the draw") {
+    // one doc carries 10^9 weight vs 29 singletons: ln(u)/w ≈ 0 beats
+    // every unit-weight key unless u is astronomically small
+    val rows = (1L to 30L).map(i => (i, if (i == 7L) 1000000000L else 1L))
+    val top = Sampling.weightedSample(rows.toDF("doc_id", "n_chars"),
+      "doc_id", $"n_chars", k = 1).collect()
+    assert(top.head.getLong(0) === 7L)
+  }
+
   test("contrastive negatives: small pools exhaust below k") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "b"), (3L, "b"))
       .toDF("doc_id", "source")
