@@ -86,6 +86,12 @@ object SparkEntry {
   private val lshCurveSteps = 20
   private val skewTopK = 10                       // skew_report
   private val skewMaxSalts = 256L
+  private val checksRangeLo = 1L                  // corpus_checks
+  private val checksRangeHi = 400L
+  private val checksRangeThresh = 500000L
+  private val checksLangSet = Seq("en", "es", "de", "fr")
+  private val checksLangThresh = 900000L
+  private val checksSourceRe = "^src[0-9]+$"
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
@@ -510,6 +516,21 @@ object SparkEntry {
         t(s, dir, "documents")
           .withColumn("len_bucket", shiftright(col("n_chars"), kanonShift)),
         Seq("source", "len_bucket"), "lang", k = kanonK, l = kanonL)),
+
+    // declarative data-quality constraint suite (the Deequ shape): six
+    // named checks verified in ONE scan / one hash aggregate, fanned out
+    // to a row per check AFTER aggregation; integer floor-ppm throughout.
+    // Thresholds chosen so the report exercises both verdicts (the range
+    // and language-set checks fail on this corpus by design).
+    "corpus_checks" -> ((s, dir) =>
+      Checks.run(t(s, dir, "documents"), Seq(
+        Checks.Completeness("text", 1000000L),
+        Checks.Completeness("lang", 1000000L),
+        Checks.Uniqueness("doc_id", 1000000L),
+        Checks.InRange("n_chars", checksRangeLo, checksRangeHi,
+          checksRangeThresh),
+        Checks.MatchesRegex("source", checksSourceRe, 1000000L),
+        Checks.InSet("lang", checksLangSet, checksLangThresh)))),
 
     // hybrid retrieval: BM25 lexical ranking ∪ exact-cosine vector ranking
     // over the same ids, fused by integer-exact Reciprocal Rank Fusion
@@ -3197,6 +3218,38 @@ object SparkEntry {
         |  count(DISTINCT lang) AS l_distinct,
         |  CAST((count(*) < $kanonK OR count(DISTINCT lang) < $kanonL) AS BIGINT) AS at_risk
         |FROM t GROUP BY source, len_bucket""".stripMargin,
+
+    // one summary CTE (the single-scan aggregate), then a row per check;
+    // floor-ppm via //; vacuous 1e6 when the base is empty
+    "corpus_checks" ->
+      s"""WITH s AS (SELECT count(*) AS total,
+        |  count(text) AS ok_text, count(lang) AS ok_lang,
+        |  count(DISTINCT doc_id) AS d_id,
+        |  count(n_chars) AS b_nc,
+        |  count(CASE WHEN n_chars BETWEEN $checksRangeLo AND $checksRangeHi THEN 1 END) AS ok_nc,
+        |  count(source) AS b_src,
+        |  count(CASE WHEN regexp_matches(source, '$checksSourceRe') THEN 1 END) AS ok_src,
+        |  count(lang) AS b_set,
+        |  count(CASE WHEN lang IN (${checksLangSet.map("'" + _ + "'").mkString(",")}) THEN 1 END) AS ok_set
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'completeness' AS check_name, 'text' AS col_name,
+        |    CASE WHEN total > 0 THEN (1000000 * ok_text) // total ELSE 1000000 END AS observed_ppm,
+        |    1000000 AS threshold_ppm FROM s
+        |  UNION ALL SELECT 'completeness', 'lang',
+        |    CASE WHEN total > 0 THEN (1000000 * ok_lang) // total ELSE 1000000 END, 1000000 FROM s
+        |  UNION ALL SELECT 'uniqueness', 'doc_id',
+        |    CASE WHEN total > 0 THEN (1000000 * d_id) // total ELSE 1000000 END, 1000000 FROM s
+        |  UNION ALL SELECT 'in_range', 'n_chars',
+        |    CASE WHEN b_nc > 0 THEN (1000000 * ok_nc) // b_nc ELSE 1000000 END, $checksRangeThresh FROM s
+        |  UNION ALL SELECT 'matches_regex', 'source',
+        |    CASE WHEN b_src > 0 THEN (1000000 * ok_src) // b_src ELSE 1000000 END, 1000000 FROM s
+        |  UNION ALL SELECT 'in_set', 'lang',
+        |    CASE WHEN b_set > 0 THEN (1000000 * ok_set) // b_set ELSE 1000000 END, $checksLangThresh FROM s)
+        |SELECT check_name, col_name, CAST(observed_ppm AS BIGINT) AS observed_ppm,
+        |  CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+        |  CAST(observed_ppm >= threshold_ppm AS BIGINT) AS passed
+        |FROM r""".stripMargin,
 
     "text_rrf_fusion" -> rrfFusionOracleSql,
 
