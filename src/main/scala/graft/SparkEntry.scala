@@ -517,6 +517,12 @@ object SparkEntry {
           .withColumn("len_bucket", shiftright(col("n_chars"), kanonShift)),
         Seq("source", "len_bucket"), "lang", k = kanonK, l = kanonL)),
 
+    // embedding-batch health profile: per-dimension integer-µ moments
+    // (dead/collapsed dims, scale explosions) — one posexplode into one
+    // 64-group hash aggregate, partials collapse every task to ≤dims rows
+    "embedding_stats" -> ((s, dir) =>
+      Embeddings.dimStats(t(s, dir, "embeddings"), "embedding")),
+
     // declarative data-quality constraint suite (the Deequ shape): six
     // named checks verified in ONE scan / one hash aggregate, fanned out
     // to a row per check AFTER aggregation; integer floor-ppm throughout.
@@ -3218,6 +3224,22 @@ object SparkEntry {
         |  count(DISTINCT lang) AS l_distinct,
         |  CAST((count(*) < $kanonK OR count(DISTINCT lang) < $kanonL) AS BIGINT) AS at_risk
         |FROM t GROUP BY source, len_bucket""".stripMargin,
+
+    // DuckDB // truncates toward zero while the engine floor-divides, so
+    // mean_us (the one signed quotient) goes through the pmod floor trick
+    "embedding_stats" ->
+      """WITH e AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_us
+        |  FROM embeddings),
+        |a AS (SELECT dim, count(*) AS n, sum(CAST(v_us AS HUGEINT)) AS s,
+        |  sum(CAST(v_us AS HUGEINT) * v_us) AS sq,
+        |  min(v_us) AS min_us, max(v_us) AS max_us,
+        |  count(CASE WHEN v_us = 0 THEN 1 END) AS n_zero FROM e GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |  CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS mean_us,
+        |  CAST((n * sq - s * s) // (n * n) AS BIGINT) AS var_us2,
+        |  min_us, max_us, n_zero
+        |FROM a""".stripMargin,
 
     // one summary CTE (the single-scan aggregate), then a row per check;
     // floor-ppm via //; vacuous 1e6 when the base is empty
