@@ -86,6 +86,7 @@ object SparkEntry {
   private val lshCurveSteps = 20
   private val skewTopK = 10                       // skew_report
   private val skewMaxSalts = 256L
+  private val lpaRounds = 3                       // graph_communities
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
   private val checksRangeThresh = 500000L
@@ -717,6 +718,18 @@ object SparkEntry {
     "events_ab_metrics" -> ((s, dir) =>
       EventAnalytics.abMetrics(events(s, dir), "user_id",
         col("event_type") === "purchase", arms = 2)),
+
+    // bounded synchronous LPA communities over the same graph: density-
+    // aware complement to connected components (a borderline chain
+    // bridging two dense duplicate families splits instead of merging);
+    // deterministic by synchronous rounds + total argmax tie-break
+    "graph_communities" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Lpa.communities(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
+        "id_a", "id_b", rounds = lpaRounds)
+    }),
 
     // bounded 3-round 2-core peel of the same graph: the density filter
     // separating a genuine duplicate core from its borderline halo
@@ -1622,6 +1635,29 @@ object SparkEntry {
       "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) " +
       "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5"
 
+  /** Mirror of `Lpa.communities(rounds = lpaRounds)` over the jaccard pair
+    * graph: the synchronous rounds unrolled as CTE triples (neighbor-label
+    * counts → argmax with the (c DESC, lbl ASC) total tie-break → label
+    * frame), generated from the same `lpaRounds` constant the Scala call
+    * uses so the trajectories cannot drift apart. */
+  private def lpaOracleSql: String = {
+    val rounds = (1 to lpaRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"r$i AS (SELECT e.src, l.lbl AS nlbl, count(*) AS c " +
+        s"FROM e JOIN $prev l ON e.dst = l.id GROUP BY e.src, l.lbl), " +
+        s"t$i AS (SELECT src, nlbl FROM (SELECT src, nlbl, row_number() " +
+        s"OVER (PARTITION BY src ORDER BY c DESC, nlbl ASC) AS rn FROM r$i) WHERE rn = 1), " +
+        s"l$i AS (SELECT l.id, coalesce(t$i.nlbl, l.lbl) AS lbl " +
+        s"FROM $prev l LEFT JOIN t$i ON l.id = t$i.src)"
+    }.mkString(", ")
+    s"WITH p AS ($jaccardPairsOracleSql), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
+      "n AS (SELECT DISTINCT src AS id FROM e), " +
+      "l0 AS (SELECT id, id AS lbl FROM n), " +
+      rounds +
+      s" SELECT id, lbl AS community FROM l$lpaRounds"
+  }
+
   /** Mirror of `Dedup.candidateEval(minhash-LSH candidates, exact-Jaccard
     * truth)`: both legs reuse their standalone oracles as CTEs; the ppm
     * metrics are true integer division in both engines. */
@@ -2268,6 +2304,8 @@ object SparkEntry {
 
     // 3 unrolled peel rounds over the shared jaccard CTE
     "graph_kcore" -> kcoreOracleSql,
+
+    "graph_communities" -> lpaOracleSql,
 
     // same left-associative repeated-multiplication expansion of both
     // powers — never pow(), whose libm rounding differs across engines
