@@ -87,6 +87,10 @@ object SparkEntry {
   private val skewTopK = 10                       // skew_report
   private val skewMaxSalts = 256L
   private val lpaRounds = 3                       // graph_communities
+  private val decayHalfLifeUs = 86400000000L      // events_decay (1 day)
+  private val decayWeights = Seq(                 // ppm at age 0
+    "purchase" -> 1000000L, "signup" -> 500000L, "click" -> 100000L,
+    "view" -> 10000L, "error" -> 0L)
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
   private val checksRangeThresh = 500000L
@@ -718,6 +722,14 @@ object SparkEntry {
     "events_ab_metrics" -> ((s, dir) =>
       EventAnalytics.abMetrics(events(s, dir), "user_id",
         col("event_type") === "purchase", arms = 2)),
+
+    // recency-weighted engagement: weight·2^-(age in half-lives) per
+    // event as an integer right-shift — exact, order-free, no libm pow;
+    // reference instant = the snapshot's own high-water mark (idempotent)
+    "events_decay" -> ((s, dir) =>
+      EventAnalytics.decayScores(events(s, dir), "user_id",
+        unix_micros(col("ts")), "event_type", decayWeights,
+        decayHalfLifeUs)),
 
     // bounded synchronous LPA communities over the same graph: density-
     // aware complement to connected components (a borderline chain
@@ -2424,6 +2436,20 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_events,
         |  (1000000 * CAST(sum(conv) AS BIGINT)) // count(*) AS conv_ppm
         |FROM a GROUP BY arm""".stripMargin,
+
+    // the decay is a literal right shift of the same ppm weight table;
+    // parenthesized (DuckDB >> binds below =) and 63-guarded both sides
+    "events_decay" ->
+      (s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CASE ${decayWeights.map { case (ty, p) => s"WHEN event_type = '$ty' THEN ${p}" }.mkString(" ")}
+        |       ELSE 0 END AS w FROM events),
+        |r AS (SELECT max(ts_us) AS ref_us FROM e),
+        |c AS (SELECT user_id, w, (r.ref_us - ts_us) // $decayHalfLifeUs AS age_hl
+        |      FROM e, r)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN age_hl < 63 THEN (w >> age_hl) ELSE 0 END) AS BIGINT) AS score_ppm,
+        |  min(age_hl) AS last_age_hl
+        |FROM c GROUP BY user_id""").stripMargin,
 
     // each triangle appears once as (a, b) (b, c) (a, c) with a < b < c —
     // the id-canonical twin of the degree-ordered enumeration

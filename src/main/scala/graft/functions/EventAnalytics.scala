@@ -289,4 +289,43 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_conversions"),
         sum(col("_credit")).as("credit_ppm"))
   }
+
+  /** Per-user exponentially-decayed engagement score — the recency-
+    * weighted activity signal behind churn triage and re-engagement
+    * targeting. Each event contributes `weight·2^(−age)` where age is
+    * whole half-lives between the event and the corpus high-water mark;
+    * the decay is a RIGHT SHIFT of an integer ppm weight (floor(w/2^age)),
+    * so every contribution and the per-user sum are integer-exact,
+    * order-independent, and identical in any engine — no libm pow(), no
+    * fp accumulation. Ages ≥ 63 half-lives contribute exactly 0 (guarded:
+    * a 64-bit shift is undefined/overflowing in SQL engines, and the true
+    * value underflows to 0 anyway).
+    *
+    * The reference instant is the data's own max timestamp (broadcast
+    * single-row cross join), so re-runs over the same snapshot are
+    * idempotent — wall-clock "now" would change results between retries.
+    * One scan + one groupBy(user): partial aggregation collapses each
+    * task to its distinct users. */
+  def decayScores(events: DataFrame, userId: String, tsUs: Column,
+                  typeCol: String, weightsPpm: Seq[(String, Long)],
+                  halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, s"bad half-life: $halfLifeUs")
+    require(weightsPpm.nonEmpty, "no weights")
+    val w = weightsPpm.foldLeft(lit(0L)) { case (acc, (ty, ppm)) =>
+      when(col(typeCol) === ty, lit(ppm)).otherwise(acc)
+    }
+    val ev = events.select(col(userId).as("user_id"), tsUs.as("_ts_us"),
+      w.as("_w"))
+    val ref = ev.agg(max(col("_ts_us")).as("_ref_us"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("_age_hl",
+        expr(s"(_ref_us - _ts_us) div ${halfLifeUs}L"))
+      .withColumn("_contrib",
+        when(col("_age_hl") < 63,
+          expr("shiftright(_w, cast(_age_hl AS INT))")).otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_contrib")).as("score_ppm"),
+        min(col("_age_hl")).as("last_age_hl"))
+  }
 }

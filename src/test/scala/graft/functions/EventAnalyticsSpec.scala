@@ -207,4 +207,39 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out === Set(("x", "y"), ("y", "z"))) // id order, deterministic
   }
+
+  test("decayScores halves per half-life via exact right shift") {
+    val D = 86400000000L // one day in µs
+    val df = Seq(
+      (1L, 3 * D, "buy"),     // age 0 → full 1000000
+      (1L, 2 * D, "buy"),     // age 1 → 500000
+      (1L, 0L, "buy"),        // age 3 → 125000
+      (2L, 3 * D - 1, "buy"), // age 0 (floor of 1µs short of a day)
+      (2L, 0L, "junk")        // unknown type → weight 0
+    ).toDF("user_id", "ts_us", "etype")
+    val got = EventAnalytics.decayScores(df, "user_id", col("ts_us"),
+      "etype", Seq("buy" -> 1000000L), halfLifeUs = D)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 1625000L, 0L)))
+    assert(got(2L) == ((2L, 1000000L, 0L)))
+  }
+
+  test("decayScores zeroes contributions past 63 half-lives") {
+    val df = Seq((1L, 100L * 64, "buy"), (1L, 0L, "buy"))
+      .toDF("user_id", "ts_us", "etype")
+    val got = EventAnalytics.decayScores(df, "user_id", col("ts_us"),
+      "etype", Seq("buy" -> 1000000L), halfLifeUs = 100L)
+      .collect().head
+    // age-64 event contributes 0, not an overflowing shift
+    assert(got.getLong(2) == 1000000L)
+  }
+
+  test("decayScores references the snapshot max, not wall clock") {
+    val df = Seq((1L, 500L, "buy")).toDF("user_id", "ts_us", "etype")
+    val got = EventAnalytics.decayScores(df, "user_id", col("ts_us"),
+      "etype", Seq("buy" -> 1000000L), halfLifeUs = 100L)
+      .collect().head
+    assert(got.getLong(2) == 1000000L && got.getLong(3) == 0L)
+  }
 }
