@@ -87,6 +87,7 @@ object SparkEntry {
   private val skewTopK = 10                       // skew_report
   private val skewMaxSalts = 256L
   private val lpaRounds = 3                       // graph_communities
+  private val containThreshPpm = 600000L          // dedup_containment
   private val decayHalfLifeUs = 86400000000L      // events_decay (1 day)
   private val decayWeights = Seq(                 // ppm at age 0
     "purchase" -> 1000000L, "signup" -> 500000L, "click" -> 100000L,
@@ -583,6 +584,16 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
+    }),
+
+    // asymmetric containment over the same inverted index: the snippet /
+    // quote-farm detector (a short doc inside a long one has tiny jaccard
+    // but containment 1.0); directed rows, integer floor-ppm score
+    "dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Dedup.containmentPairs(docs, "doc_id", "sh", containThreshPpm,
+        maxPosting = 500)
     }),
 
     // token-weighted near-dup: tf-idf cosine over the df-capped vocabulary
@@ -2208,6 +2219,23 @@ object SparkEntry {
         "SELECT id_a, id_b, round(cos, 6) AS cos FROM c WHERE cos >= 0.8"),
 
     "dedup_jaccard" -> jaccardPairsOracleSql,
+
+    // same CTE prefix as the jaccard oracle (postings capped identically),
+    // then both directions with integer floor-ppm containment
+    "dedup_containment" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
+        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+        "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "pf AS (SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b " +
+        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id), " +
+        "dir AS (SELECT id_a AS src, id_b AS dst, (1000000 * common) // n_a AS cont_ppm FROM pf " +
+        "UNION ALL SELECT id_b, id_a, (1000000 * common) // n_b FROM pf) " +
+        s"SELECT src, dst, CAST(cont_ppm AS BIGINT) AS cont_ppm FROM dir WHERE cont_ppm >= $containThreshPpm"),
 
     "dedup_groups" ->
       (s"WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +

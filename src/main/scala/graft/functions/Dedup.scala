@@ -206,6 +206,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT over the same inverted index — the snippet
+    * detector Jaccard structurally misses: a 50-shingle quote embedded in
+    * a 5000-shingle page has jaccard ≈ 0.01 but containment(quote→page)
+    * = 1.0. Standard companion to symmetric near-dup in corpus curation
+    * (quote farms, scraped excerpts, boilerplate-wrapped payloads).
+    *
+    * Emits DIRECTED rows: (src, dst, cont_ppm) where cont_ppm =
+    * ⌊10⁶·|src∩dst| / |src|⌋ ≥ `threshPpm` — each unordered candidate
+    * pair yields up to two rows, one per direction. The score is integer
+    * floor-ppm (common and set sizes are exact counts), so the report is
+    * engine-exact with no fp division anywhere.
+    *
+    * Scale: identical cost envelope to [[ngramJaccardPairs]] — posting
+    * lists capped at `maxPosting` (declared semantics, mirrored in any
+    * oracle), in-bucket pair emission bounded by cap², one groupBy for
+    * the common counts, two dimension-sized size joins. */
+  def containmentPairs(docs: DataFrame, idCol: String, shingleCol: String,
+                       threshPpm: Long, maxPosting: Int = 1000): DataFrame = {
+    val sizes = docs.select(col(idCol).alias("id"), size(col(shingleCol)).alias("n_sh"))
+    val posting = capGroups(
+      docs.select(col(idCol).alias("id"), explode(col(shingleCol)).alias("sh")),
+      Seq("sh"), maxPosting)
+    val common = bucketPairs(posting, Seq("sh"), col("id"))
+      .groupBy(col("_a").alias("id_a"), col("_b").alias("id_b"))
+      .agg(count(lit(1)).alias("common"))
+    val sized = common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    // both directions from one pair frame: explode a 2-element struct
+    // array rather than unioning two branches (one plan, one scan)
+    sized
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"),
+          col("common"), col("n_a").as("n_src")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"),
+          col("common"), col("n_b").as("n_src")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"),
+        expr("(1000000L * d.common) div d.n_src").as("cont_ppm"))
+      .filter(col("cont_ppm") >= threshPpm)
+  }
+
   /** Token-weighted near-dup: tf-idf COSINE over the df-capped vocabulary
     * (SpotSigs-style) — the weighted complement of [[ngramJaccardPairs]]:
     * Jaccard treats every shingle equally, cosine lets rare tokens

@@ -77,6 +77,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
   }
 
+  test("containmentPairs: an embedded snippet scores 1e6 toward its host " +
+      "while jaccard stays below threshold") {
+    val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, "delta epsilon zeta eta"),  // 4-token snippet inside host
+      (2L, host),
+      (3L, "unrelated words entirely different content here")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.wordShingles($"text", 3).as("sh"))
+    val cont = Dedup.containmentPairs(docs, "doc_id", "sh", 600000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // snippet→host: both of doc 1's two shingles appear in the host
+    assert(cont((1L, 2L)) === 1000000L)
+    // host→snippet direction fails the threshold (2 of 18 shingles)
+    assert(!cont.contains((2L, 1L)))
+    assert(!cont.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // the symmetric measure misses it: jaccard = 2/18 ≈ 0.11
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "sh", threshold = 0.5)
+    assert(jac.count() === 0)
+  }
+
+  test("containmentPairs: posting cap drops hot-shingle-only evidence") {
+    // shared shingle appears in > maxPosting docs → capped out; the pair
+    // survives only via rarer shared shingles
+    val docs = (1L to 12L).map(i => (i, "common one two three end" + i))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.wordShingles($"text", 3).as("sh"))
+    val cont = Dedup.containmentPairs(docs, "doc_id", "sh", 1L,
+      maxPosting = 5)
+    // every pairwise evidence shingle is shared by all 12 docs (> cap) —
+    // nothing may be emitted
+    assert(cont.count() === 0)
+  }
+
   test("tfidfCosinePairs: identical docs hit 1.0; near dups score high; " +
       "disjoint docs never pair") {
     val docs = Seq(
