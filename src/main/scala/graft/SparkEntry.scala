@@ -88,6 +88,11 @@ object SparkEntry {
   private val skewMaxSalts = 256L
   private val lpaRounds = 3                       // graph_communities
   private val containThreshPpm = 600000L          // dedup_containment
+  private val boolQueryLits =                     // text_boolean_search
+    Seq((0L, "spark join window"), (1L, "customer order value"),
+      (2L, "vector scan"))
+  private val phraseQueryLits =                   // text_phrase_search
+    Seq((0L, "fast table"), (1L, "table table"), (2L, "agg row scan"))
   private val decayHalfLifeUs = 86400000000L      // events_decay (1 day)
   private val decayWeights = Seq(                 // ppm at age 0
     "purchase" -> 1000000L, "signup" -> 500000L, "click" -> 100000L,
@@ -1256,6 +1261,23 @@ object SparkEntry {
         qs, "qid", "qtext", k = 10)
     }),
 
+    // conjunctive boolean retrieval: intersect-via-count — one posting
+    // join against the broadcast term list, hit count == term count
+    "text_boolean_search" -> ((s, dir) => {
+      import s.implicits._
+      Postings.booleanAnd(t(s, dir, "documents"), "doc_id", "text",
+        boolQueryLits.toDF("qid", "qtext"), "qid", "qtext")
+    }),
+
+    // exact phrase search over positional postings: anchor = pos − offset,
+    // a phrase occurrence is an anchor holding all k distinct offsets
+    // (repeated phrase terms included) — no per-term self-join chain
+    "text_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      Postings.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        phraseQueryLits.toDF("qid", "qtext"), "qid", "qtext")
+    }),
+
     // contrastive negatives: stable-hash draw of 5 cross-source negatives
     // per anchor (broadcast anchors over one corpus scan, salted top-k)
     "corpus_negatives" -> ((s, dir) => {
@@ -1600,6 +1622,43 @@ object SparkEntry {
       "doc_id, round(CAST(s AS DOUBLE), 6) AS score " +
       "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
       "ORDER BY CAST(s AS DOUBLE) DESC, doc_id) AS rn FROM sc) WHERE rn <= 10"
+
+  /** DuckDB tokenization of an arbitrary column (same kernel as
+    * [[sqlToks]], which is pinned to `text`). */
+  private def sqlToksOf(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '\\s+'), x -> len(x) > 0)"
+
+  private def queryValuesSql(qs: Seq[(Long, String)]): String =
+    qs.map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
+
+  /** Mirror of `Postings.booleanAnd` over [[boolQueryLits]]. */
+  private def booleanSearchOracleSql: String =
+    s"WITH q(query_id, qtext) AS (VALUES ${queryValuesSql(boolQueryLits)}), " +
+      s"qt AS (SELECT query_id, unnest(list_distinct(${sqlToksOf("qtext")})) AS term FROM q), " +
+      "qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id), " +
+      s"p AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS term FROM documents), " +
+      "h AS (SELECT query_id, doc_id, count(*) AS n_hit FROM p JOIN qt USING (term) " +
+      "GROUP BY query_id, doc_id) " +
+      "SELECT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id, qn.n_terms " +
+      "FROM h JOIN qn USING (query_id) WHERE h.n_hit = qn.n_terms"
+
+  /** Mirror of `Postings.phraseSearch` over [[phraseQueryLits]]: the same
+    * anchor normalization (pos − offset) and distinct-offset count. */
+  private def phraseSearchOracleSql: String =
+    s"WITH q(query_id, qtext) AS (VALUES ${queryValuesSql(phraseQueryLits)}), " +
+      s"qt AS (SELECT query_id, generate_subscripts(toks, 1) - 1 AS term_off, unnest(toks) AS term " +
+      s"FROM (SELECT query_id, ${sqlToksOf("qtext")} AS toks FROM q)), " +
+      "qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id), " +
+      s"p AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term " +
+      s"FROM (SELECT doc_id, $sqlToks AS toks FROM documents)), " +
+      "j AS (SELECT query_id, doc_id, pos - term_off AS anchor, term_off " +
+      "FROM p JOIN qt USING (term) WHERE pos - term_off >= 0), " +
+      "m AS (SELECT query_id, doc_id, anchor, count(DISTINCT term_off) AS k " +
+      "FROM j GROUP BY query_id, doc_id, anchor) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, " +
+      "count(*) AS n_occurrences, min(anchor) AS first_pos " +
+      "FROM m JOIN qn USING (query_id) WHERE k = n_terms " +
+      "GROUP BY query_id, doc_id"
 
   /** Mirror of `Fusion.rrf` over the bm25 lexical leg and an exact-cosine
     * vector leg (queries vec_id < 3, k = 10): both legs' ranks are fused
@@ -3004,6 +3063,10 @@ object SparkEntry {
     // positional postings: unnest aligns with generate_subscripts in
     // DuckDB; the gap encode is list_transform with an index — the same
     // element-wise shift as Spark's zip_with
+    "text_boolean_search" -> booleanSearchOracleSql,
+
+    "text_phrase_search" -> phraseSearchOracleSql,
+
     "text_postings" ->
       (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
         "p AS (SELECT doc_id, unnest(toks) AS term, " +

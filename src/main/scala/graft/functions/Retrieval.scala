@@ -135,6 +135,69 @@ object Postings {
         array_join(transform(col("deltas"), _.cast("string")), "|")
           .as("deltas"))
   }
+
+  /** Conjunctive (AND) boolean retrieval: documents containing EVERY
+    * query term. One posting join against the broadcast term list, one
+    * per-(query, doc) count compared to the query's term count — the
+    * classic intersect-via-count plan, no iterative per-term joins.
+    * Output: (query_id, doc_id, n_terms).
+    *
+    * Scale: the corpus-sized side is touched once (distinct doc terms);
+    * queries broadcast (they are human-written — dimension-sized); the
+    * groupBy's map-side partials bound the shuffle by per-task distinct
+    * (query, doc) hits. */
+  def booleanAnd(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qidCol: String,
+                 qtextCol: String): DataFrame = {
+    val qt = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
+        .as("term"))
+    val qn = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+    val posting = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol))))
+        .as("term"))
+    posting.join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"))
+  }
+
+  /** Exact phrase search over positional postings: a phrase of terms
+    * t₀…tₖ₋₁ matches at anchor a iff term tᵢ occurs at position a+i for
+    * every i — each posting row joins the broadcast (term, offset) list,
+    * normalizes its position to an anchor (pos − offset), and a phrase
+    * occurrence is an anchor holding all k offsets. Repeated phrase terms
+    * ("the … the") are handled by counting DISTINCT offsets, not terms.
+    * Output: (query_id, doc_id, n_occurrences, first_pos).
+    *
+    * Scale: one pass over (doc, pos, term) triples, one broadcast join,
+    * two hash aggregates — never a per-term self-join chain (k−1 joins of
+    * corpus-sized postings, the naive plan) and no position arrays
+    * concatenated across documents. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, qidCol: String,
+                   qtextCol: String): DataFrame = {
+    val qt = queries.select(col(qidCol).as("query_id"),
+      posexplode(TextFunctions.tokens(col(qtextCol)))
+        .as(Seq("off", "term")))
+    val qn = qt.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_terms"))
+    val posting = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+    posting.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).cast("long").as("anchor"), col("off"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(count_distinct(col("off")).as("k"))
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("k") === col("n_terms"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("anchor")).as("first_pos"))
+  }
 }
 
 /** Hybrid-retrieval rank fusion (beyond-parity): combine a lexical (BM25)

@@ -135,4 +135,47 @@ class RetrievalSpec extends SparkSpec {
       .select("term").distinct().collect().map(_.getString(0)).toSet
     assert(terms === Set("mid")) // rare1 df=1 below, stop df=3 above
   }
+
+  test("booleanAnd returns docs containing EVERY query term") {
+    val docs = Seq(
+      (1L, "spark join window agg"),
+      (2L, "spark window"),
+      (3L, "join window spark extra"),
+      (4L, "nothing relevant")).toDF("doc_id", "text")
+    val qs = Seq((0L, "spark join window"), (1L, "spark")).toDF("qid", "qt")
+    val got = Postings.booleanAnd(docs, "doc_id", "text", qs, "qid", "qt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (0L, 3L), (1L, 1L), (1L, 2L), (1L, 3L)))
+  }
+
+  test("booleanAnd: repeated query terms do not inflate the hit count") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val qs = Seq((0L, "alpha alpha beta")).toDF("qid", "qt")
+    val got = Postings.booleanAnd(docs, "doc_id", "text", qs, "qid", "qt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // dedup'd query = {alpha, beta}: doc 1 matches with n_terms = 2
+    assert(got === Set((0L, 1L, 2L)))
+  }
+
+  test("phraseSearch matches consecutive positions only") {
+    val docs = Seq(
+      (1L, "fast table scan here fast table"), // two occurrences
+      (2L, "table fast"),                      // reversed — no match
+      (3L, "fast x table")).toDF("doc_id", "text") // gap — no match
+    val qs = Seq((0L, "fast table")).toDF("qid", "qt")
+    val got = Postings.phraseSearch(docs, "doc_id", "text", qs, "qid", "qt")
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(1L -> ((2L, 0L))))
+  }
+
+  test("phraseSearch handles repeated phrase terms") {
+    val docs = Seq(
+      (1L, "the the end"),    // matches "the the" at 0
+      (2L, "the end the")).toDF("doc_id", "text")
+    val qs = Seq((0L, "the the")).toDF("qid", "qt")
+    val got = Postings.phraseSearch(docs, "doc_id", "text", qs, "qid", "qt")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L)))
+  }
 }
