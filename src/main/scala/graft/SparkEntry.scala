@@ -591,6 +591,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
     }),
 
+    // cross-source duplication provenance: near-dup pairs lifted to an
+    // unordered source×source matrix (which mirrors copy from which) —
+    // the audit run before paying for document-level dedup of a crawl
+    "dedup_source_matrix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        d.select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh")),
+        "doc_id", "sh", 0.5, maxPosting = 500)
+      Dedup.crossSourceMatrix(pairs, "id_a", "id_b", d, "doc_id", "source")
+    }),
+
     // asymmetric containment over the same inverted index: the snippet /
     // quote-farm detector (a short doc inside a long one has tiny jaccard
     // but containment 1.0); directed rows, integer floor-ppm score
@@ -2405,6 +2416,19 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql,
 
     "graph_communities" -> lpaOracleSql,
+
+    "dedup_source_matrix" ->
+      (s"WITH p AS ($jaccardPairsOracleSql), " +
+        "lab AS (SELECT id_a, id_b, " +
+        "least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b " +
+        "FROM p JOIN documents da ON p.id_a = da.doc_id " +
+        "JOIN documents db ON p.id_b = db.doc_id), " +
+        "cells AS (SELECT source_a, source_b, unnest([id_a, id_b]) AS doc " +
+        "FROM lab) " +
+        "SELECT source_a, source_b, count(*) // 2 AS n_pairs, " +
+        "count(DISTINCT doc) AS n_docs " +
+        "FROM cells GROUP BY source_a, source_b"),
 
     // same left-associative repeated-multiplication expansion of both
     // powers — never pow(), whose libm rounding differs across engines

@@ -206,6 +206,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
   }
 
+  /** Cross-source duplication provenance matrix: which sources copy from
+    * which. Near-dup pairs lift to their documents' source labels and
+    * aggregate into an unordered source×source matrix — the audit that
+    * decides "drop mirror B entirely" vs "dedup within A" before paying
+    * for document-level dedup of a mirrored crawl.
+    *
+    * Output: (source_a, source_b, n_pairs, n_docs) with source_a ≤
+    * source_b (canonical order, so a pair of sources appears once);
+    * n_docs = distinct documents of the pair's two sides involved in the
+    * cell. Diagonal rows (source_a = source_b) are intra-source
+    * duplication.
+    *
+    * Scale: two dimension-ish joins of the candidate pair frame against
+    * the (id → source) projection (id-keyed shuffles), then a hash
+    * aggregate over at most |sources|² cells — partials collapse each
+    * task to its distinct cells. Pair frame is already capped upstream. */
+  def crossSourceMatrix(pairs: DataFrame, idA: String, idB: String,
+                        docs: DataFrame, idCol: String,
+                        sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol).as("_id"), col(sourceCol).as("_src"))
+    val labeled = pairs
+      .join(src.select(col("_id").as(idA), col("_src").as("_sa")), idA)
+      .join(src.select(col("_id").as(idB), col("_src").as("_sb")), idB)
+      .select(col(idA), col(idB),
+        least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+    // explode each pair into its two (cell, doc) rows — n_pairs is then
+    // half the row count and n_docs an exact distinct, with NO per-cell
+    // array collection (a hot cell would otherwise accumulate millions of
+    // ids into one aggregation buffer)
+    labeled
+      .select(col("source_a"), col("source_b"),
+        explode(array(col(idA), col(idB))).as("_doc"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((count(lit(1)) / lit(2)).cast("long").as("n_pairs"),
+        count_distinct(col("_doc")).as("n_docs"))
+  }
+
   /** Asymmetric CONTAINMENT over the same inverted index — the snippet
     * detector Jaccard structurally misses: a 50-shingle quote embedded in
     * a 5000-shingle page has jaccard ≈ 0.01 but containment(quote→page)

@@ -99,6 +99,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(jac.count() === 0)
   }
 
+  test("crossSourceMatrix: canonical cells, intra-source diagonal, " +
+      "exact distinct doc counts") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, "crawlA"), (2L, "crawlB"), (3L, "crawlB"),
+      (4L, "crawlA"), (5L, "crawlA")).toDF("doc_id", "source")
+    val m = Dedup.crossSourceMatrix(pairs, "id_a", "id_b", docs,
+        "doc_id", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // A↔B twice (docs 1,2,3 — doc 1 shared), A↔A once (docs 4,5)
+    assert(m(("crawlA", "crawlB")) === ((2L, 3L)))
+    assert(m(("crawlA", "crawlA")) === ((1L, 2L)))
+    assert(m.size === 2)
+  }
+
   test("containmentPairs: posting cap drops hot-shingle-only evidence") {
     // shared shingle appears in > maxPosting docs → capped out; the pair
     // survives only via rarer shared shingles
