@@ -94,6 +94,9 @@ object SparkEntry {
   private val phraseQueryLits =                   // text_phrase_search
     Seq((0L, "fast table"), (1L, "table table"), (2L, "agg row scan"))
   private val decayHalfLifeUs = 86400000000L      // events_decay (1 day)
+  private val pathGapUs = 1800000000L             // events_paths (30 min)
+  private val pathMaxLen = 5
+  private val pathTopK = 20
   private val decayWeights = Seq(                 // ppm at age 0
     "purchase" -> 1000000L, "signup" -> 500000L, "click" -> 100000L,
     "view" -> 10000L, "error" -> 0L)
@@ -749,6 +752,14 @@ object SparkEntry {
     "events_ab_metrics" -> ((s, dir) =>
       EventAnalytics.abMetrics(events(s, dir), "user_id",
         col("event_type") === "purchase", arms = 2)),
+
+    // top session journeys: 30-min-gap sessionization → first-5-step
+    // path strings → session counts → TakeOrderedAndProject top-20;
+    // both windows ride one user-keyed shuffle, total (ts, id) order
+    "events_paths" -> ((s, dir) =>
+      EventAnalytics.topPaths(events(s, dir), "user_id",
+        unix_micros(col("ts")), "event_id", "event_type",
+        gapUs = pathGapUs, maxLen = pathMaxLen, topK = pathTopK)),
 
     // recency-weighted engagement: weight·2^-(age in half-lives) per
     // event as an integer right-shift — exact, order-free, no libm pow;
@@ -2547,6 +2558,24 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_events,
         |  (1000000 * CAST(sum(conv) AS BIGINT)) // count(*) AS conv_ppm
         |FROM a GROUP BY arm""".stripMargin,
+
+    "events_paths" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |           FROM events),
+        |s1 AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > $pathGapUs THEN 1 ELSE 0 END AS is_new
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS sid FROM s1),
+        |st AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |         ORDER BY ts_us, event_id) AS rk FROM s2),
+        |p AS (SELECT user_id, sid,
+        |        string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |      FROM st WHERE rk <= $pathMaxLen GROUP BY user_id, sid),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |      ORDER BY n_sessions DESC, path LIMIT $pathTopK)
+        |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INTEGER) AS rank,
+        |  path, n_sessions FROM c""".stripMargin,
 
     // the decay is a literal right shift of the same ppm weight table;
     // parenthesized (DuckDB >> binds below =) and 63-guarded both sides

@@ -290,6 +290,54 @@ object EventAnalytics {
         sum(col("_credit")).as("credit_ppm"))
   }
 
+  /** Top-k session journey paths: gap-based sessionization, each
+    * session's first `maxLen` event types joined into a `a>b>c` path
+    * string, sessions counted per path, top `topK` paths by
+    * (count DESC, path ASC) — the "what do users actually do" report.
+    *
+    * Determinism: the per-session order is (ts, event_id) — a total
+    * order, so simultaneous events cannot flap the path string; the
+    * final ranking ties break on the path itself.
+    *
+    * Scale: two user-partitioned windows (sessionize + step rank) ride
+    * ONE shuffle by user; the per-session path aggregation collects at
+    * most `maxLen` elements per group (bounded buffer, not a whole
+    * session); the global top-k is orderBy+limit — per-partition partial
+    * top-k then a k-sized merge (TakeOrderedAndProject), no full sort. */
+  def topPaths(events: DataFrame, userId: String, tsUs: Column,
+               eventId: String, typeCol: String, gapUs: Long, maxLen: Int,
+               topK: Int): DataFrame = {
+    require(gapUs > 0 && maxLen >= 1 && topK >= 1, "bad params")
+    val w = Window.partitionBy(col(userId)).orderBy(tsUs, col(eventId))
+    val sess = events
+      .select(col(userId).as("_u"), tsUs.as("_ts"), col(eventId).as("_eid"),
+        col(typeCol).as("_ty"))
+      .withColumn("_prev",
+        lag(col("_ts"), 1).over(Window.partitionBy(col("_u"))
+          .orderBy(col("_ts"), col("_eid"))))
+      .withColumn("_new",
+        (col("_prev").isNull || col("_ts") - col("_prev") > gapUs)
+          .cast("long"))
+      .withColumn("_sid", sum(col("_new")).over(Window.partitionBy(col("_u"))
+        .orderBy(col("_ts"), col("_eid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val steps = sess
+      .withColumn("_rk", row_number().over(Window
+        .partitionBy(col("_u"), col("_sid"))
+        .orderBy(col("_ts"), col("_eid"))))
+      .filter(col("_rk") <= maxLen)
+    val paths = steps.groupBy(col("_u"), col("_sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_rk"), col("_ty").as("ty")))),
+        x => x.getField("ty")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)))
+      .select(col("rank"), col("path"), col("n_sessions"))
+  }
+
   /** Per-user exponentially-decayed engagement score — the recency-
     * weighted activity signal behind churn triage and re-engagement
     * targeting. Each event contributes `weight·2^(−age)` where age is

@@ -208,6 +208,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === Set(("x", "y"), ("y", "z"))) // id order, deterministic
   }
 
+  test("topPaths: gap sessionization, truncated paths, ranked counts") {
+    val G = 1000L // gap threshold for the test
+    val df = Seq(
+      // u1 session 1: a>b>c ; session 2 (after gap): a>b
+      (1L, 0L, 10L, "a"), (1L, 10L, 11L, "b"), (1L, 20L, 12L, "c"),
+      (1L, 5000L, 13L, "a"), (1L, 5010L, 14L, "b"),
+      // u2 one session: a>b
+      (2L, 0L, 20L, "a"), (2L, 10L, 21L, "b"),
+      // u3 one long session: 7 events, path truncated to first 5
+      (3L, 0L, 30L, "x"), (3L, 1L, 31L, "x"), (3L, 2L, 32L, "x"),
+      (3L, 3L, 33L, "x"), (3L, 4L, 34L, "x"), (3L, 5L, 35L, "x"),
+      (3L, 6L, 36L, "x")
+    ).toDF("user_id", "ts_us", "event_id", "etype")
+    val got = EventAnalytics.topPaths(df, "user_id", col("ts_us"),
+      "event_id", "etype", gapUs = G, maxLen = 5, topK = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1, "a>b", 2L), (2, "a>b>c", 1L), (3, "x>x>x>x>x", 1L)))
+  }
+
+  test("topPaths: simultaneous events order by event id (total order)") {
+    val df = Seq(
+      (1L, 0L, 2L, "b"), (1L, 0L, 1L, "a")
+    ).toDF("user_id", "ts_us", "event_id", "etype")
+    val got = EventAnalytics.topPaths(df, "user_id", col("ts_us"),
+      "event_id", "etype", gapUs = 100L, maxLen = 5, topK = 5)
+      .collect().map(_.getString(1))
+    assert(got.toSeq === Seq("a>b"))
+  }
+
   test("decayScores halves per half-life via exact right shift") {
     val D = 86400000000L // one day in µs
     val df = Seq(
