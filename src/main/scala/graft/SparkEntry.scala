@@ -80,6 +80,8 @@ object SparkEntry {
   private val kanonShift = 8
   private val zorderBits = 16                     // layout_zorder
   private val zorderPrefix = 16
+  private val hilbertBits = 16                    // layout_hilbert
+  private val hilbertPrefix = 16
   private val mmrLam = 0.7                        // ann_mmr_topk
   private val lshCurveConfigs =                   // dedup_lsh_curve
     Seq((16, 4), (8, 8), (32, 2), (4, 16))
@@ -521,6 +523,14 @@ object SparkEntry {
     "layout_zorder" -> ((s, dir) =>
       Layout.zBucketSpans(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
         bits = zorderBits, prefixBits = zorderPrefix)),
+
+    // Hilbert-curve layout twin of layout_zorder: same bucket-span report,
+    // tighter (≈ square) per-file regions because every curve step is
+    // 4-adjacent; the curve is a DFA fold (aggregate HOF), not an
+    // unrolled coordinate rewrite
+    "layout_hilbert" -> ((s, dir) =>
+      Layout.hilbertBucketSpans(t(s, dir, "lineitem"), "l_partkey",
+        "l_suppkey", bits = hilbertBits, prefixBits = hilbertPrefix)),
 
     // k-anonymity + l-diversity report over released corpus metadata: do
     // (source, length-bucket) groups stay ≥5-strong, and does each still
@@ -1830,6 +1840,24 @@ object SparkEntry {
       "min(l_partkey) AS min_a, max(l_partkey) AS max_a, " +
       "min(l_suppkey) AS min_b, max(l_suppkey) AS max_b " +
       "FROM lineitem GROUP BY 1"
+  }
+
+  /** Mirror of `Layout.hilbertBucketSpans(bits = hilbertBits)`: the DFA
+    * fold unrolled as one CTE per bit (MSB first), reading the SAME
+    * transition table constant (`Layout.hilbertTable`) — per-round
+    * expressions reference named CTE columns, so nothing re-expands. */
+  private def hilbertOracleSql: String = {
+    val tblSql = Layout.hilbertTable.mkString("[", ", ", "]")
+    val rounds = (0 until hilbertBits).map { k =>
+      val i = hilbertBits - 1 - k
+      s"h${k + 1} AS (SELECT a, b, (((((acc >> 2) << 2) | (p >> 2)) << 2) | (p & 3)) AS acc FROM " +
+        s"(SELECT a, b, acc, ($tblSql)[CAST((((acc & 3) * 4) + (((a >> $i) & 1) * 2) + ((b >> $i) & 1)) + 1 AS INT)] AS p FROM h$k))"
+    }.mkString(", ")
+    s"WITH h0 AS (SELECT l_partkey AS a, l_suppkey AS b, CAST(0 AS BIGINT) AS acc FROM lineitem), " +
+      rounds +
+      s" SELECT ((acc >> 2) >> ${2 * hilbertBits - hilbertPrefix}) AS bucket, " +
+      "count(*) AS n_rows, min(a) AS min_a, max(a) AS max_a, " +
+      s"min(b) AS min_b, max(b) AS max_b FROM h$hilbertBits GROUP BY 1"
   }
 
   /** Exact cosine top-5 for queries vec_id < 8 — shared by ann_brute_topk
@@ -3424,6 +3452,8 @@ object SparkEntry {
         |FROM top""".stripMargin,
 
     "layout_zorder" -> zorderOracleSql,
+
+    "layout_hilbert" -> hilbertOracleSql,
 
     "corpus_kanon" ->
       s"""WITH t AS (SELECT source, (n_chars >> $kanonShift) AS len_bucket, lang

@@ -40,6 +40,65 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** 2D Hilbert-curve transition table as a 16-entry lookup:
+    * index = state·4 + xBit·2 + yBit, value = digit·4 + nextState.
+    * Derived from (and property-tested against) the classic rotate-and-
+    * recurse xy2d algorithm; the DFA form processes bits MSB-first with a
+    * 2-bit running state, which is what makes a FOLD implementation
+    * possible — the classic loop's coordinate rewriting would otherwise
+    * blow up an unrolled expression tree ~5× per bit. */
+  private[graft] val hilbertTable: Array[Long] =
+    Array(1L, 4L, 14L, 8L, 0L, 15L, 5L, 9L, 10L, 6L, 12L, 3L, 11L, 13L, 7L, 2L)
+
+  /** Hilbert distance of (x, y) on a 2^bits × 2^bits curve — the
+    * locality-preserving alternative to [[zValue]]: every curve step moves
+    * to a 4-adjacent cell, so equal-size key ranges cover more compact
+    * (≈ square) regions than Morton's quadrant jumps, i.e. tighter
+    * per-file min/max spans for the same file count.
+    *
+    * One `aggregate` HOF over the bit positions threading the packed
+    * (distance, state) accumulator — a single fixed-size expression
+    * whatever `bits` is, evaluated once per row. Columns must be
+    * non-negative and fit `bits` bits (same contract as [[zValue]]). */
+  def hilbertValue(xc: Column, yc: Column, bits: Int): Column = {
+    require(bits >= 1 && 2 * bits <= 62, s"bad bits=$bits")
+    val x = xc.cast("long")
+    val y = yc.cast("long")
+    // acc packs (d << 2) | state; start d=0, state=0
+    val acc = aggregate(
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      lit(0L),
+      (acc, i) => {
+        val ii = i.cast("int")
+        val xi = call_function("shiftright", x, ii).bitwiseAND(lit(1L))
+        val yi = call_function("shiftright", y, ii).bitwiseAND(lit(1L))
+        val idx = acc.bitwiseAND(lit(3L)) * lit(4L) + xi * lit(2L) + yi
+        val p = element_at(lit(hilbertTable), (idx + lit(1L)).cast("int"))
+        // acc' = (((d << 2) | digit) << 2) | nextState
+        shiftleft(shiftleft(shiftright(acc, 2), 2)
+          .bitwiseOR(shiftright(p, 2)), 2)
+          .bitwiseOR(p.bitwiseAND(lit(3L)))
+      })
+    shiftright(acc, 2)
+  }
+
+  /** [[zBucketSpans]]'s twin for the Hilbert layout: bucket = the top
+    * `prefixBits` bits of the Hilbert distance (the files of a range-
+    * partitioned hilbert-sorted write), with both columns' min/max per
+    * bucket. Same single-shuffle shape; ≤ 2^prefixBits output rows. */
+  def hilbertBucketSpans(df: DataFrame, a: String, b: String,
+                         bits: Int, prefixBits: Int): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 2 * bits,
+      s"prefixBits=$prefixBits outside [1, ${2 * bits}]")
+    val h = hilbertValue(col(a), col(b), bits)
+    df.select(shiftright(h, 2 * bits - prefixBits).as("bucket"),
+        col(a), col(b))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(a)).as("min_a"), max(col(a)).as("max_a"),
+        min(col(b)).as("min_b"), max(col(b)).as("max_b"))
+  }
+
   /** Per-bucket span report for a two-column z-layout: assign each row the
     * file bucket `z >> (2·bits − prefixBits)` (the top `prefixBits` bits of
     * the curve — exactly the files a range-partitioned z-sorted write

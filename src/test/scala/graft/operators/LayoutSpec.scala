@@ -57,4 +57,62 @@ class LayoutSpec extends SparkSpec {
       Layout.zValue(Seq(col("a"), col("b")), 32)
     }
   }
+
+  /** Reference Hilbert xy2d — the classic rotate-and-recurse loop the DFA
+    * table was derived from. */
+  private def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue matches the classic xy2d loop on a value grid") {
+    val rows = for (a <- 0L to 300L by 13; b <- 0L to 300L by 17) yield (a, b)
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.hilbertValue(col("a"), col("b"), 16).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === xy2d(16, r.getLong(0), r.getLong(1)),
+        s"a=${r.getLong(0)} b=${r.getLong(1)}")
+    }
+  }
+
+  test("hilbert curve is a bijection that moves one 4-adjacent step") {
+    // full 16×16 grid: distances are a permutation of 0..255 and every
+    // consecutive pair of curve positions is Manhattan-distance 1 —
+    // the locality property Morton does NOT have (quadrant jumps)
+    val rows = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = rows.toDF("a", "b")
+      .select(Layout.hilbertValue(col("a"), col("b"), 4).as("h"),
+        col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 256L))
+    got.sliding(2).foreach { case Array((_, (ax, ay)), (_, (bx, by))) =>
+      assert((ax - bx).abs + (ay - by).abs === 1)
+    }
+  }
+
+  test("hilbertBucketSpans: 4 buckets tile the grid into exact quadrants") {
+    val rows = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val out = Layout.hilbertBucketSpans(rows.toDF("a", "b"), "a", "b",
+      bits = 5, prefixBits = 2).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getLong(1) === 32 * 32 / 4)
+      assert(r.getLong(3) - r.getLong(2) === 15, "a-span must be a quadrant")
+      assert(r.getLong(5) - r.getLong(4) === 15, "b-span must be a quadrant")
+    }
+  }
 }
