@@ -88,7 +88,11 @@ object SparkEntry {
   private val lshCurveSteps = 20
   private val skewTopK = 10                       // skew_report
   private val skewMaxSalts = 256L
+  private val saltedDimLits =                     // j7_salted_join
+    Seq(("click", 1L), ("view", 2L), ("purchase", 10L), ("signup", 5L))
+  private val saltedJoinSalts = 8
   private val lpaRounds = 3                       // graph_communities
+  private val chi2TopK = 40                       // corpus_feature_select
   private val containThreshPpm = 600000L          // dedup_containment
   private val boolQueryLits =                     // text_boolean_search
     Seq((0L, "spark join window"), (1L, "customer order value"),
@@ -541,6 +545,13 @@ object SparkEntry {
           .withColumn("len_bucket", shiftright(col("n_chars"), kanonShift)),
         Seq("source", "len_bucket"), "lang", k = kanonK, l = kanonL)),
 
+    // χ² feature selection of tokens vs the language label — pure
+    // integer contingency arithmetic (no logs), absent-class cells
+    // included; vocab×classes grid, corpus scanned once, top-k merge
+    "corpus_feature_select" -> ((s, dir) =>
+      Vocab.chi2TopK(t(s, dir, "documents"), "doc_id", "text", "lang",
+        topK = chi2TopK)),
+
     // embedding-batch health profile: per-dimension integer-µ moments
     // (dead/collapsed dims, scale explosions) — one posexplode into one
     // 64-group hash aggregate, partials collapse every task to ≤dims rows
@@ -579,6 +590,21 @@ object SparkEntry {
           "qid", "qv", k = 10)
         .withColumnRenamed("neighbor_id", "doc_id")
       Fusion.rrf(Seq(lex, vec), "query_id", "doc_id", "rank", k = 10)
+    }),
+
+    // salted skew join: the build side replicates per salt, the probe's
+    // hub keys spread over 8 reducers; semantics are EXACTLY the plain
+    // inner join (missing dim type drops), which the oracle checks
+    "j7_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = saltedDimLits.toDF("event_type", "weight")
+      Skew.saltedJoin(
+          events(s, dir).select(col("event_type"), col("event_id"),
+            col("user_id")),
+          dim, "event_type", col("event_id"), salts = saltedJoinSalts)
+        .groupBy(col("event_type"), col("weight"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"))
     }),
 
     // key-skew profile: the pre-shuffle diagnostic — exact per-key counts,
@@ -3438,6 +3464,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'building_only', k FROM (SELECT k FROM b EXCEPT SELECT k FROM u)""".stripMargin,
 
+    // the salted join IS the plain inner join — the oracle proves it
+    "j7_salted_join" ->
+      (s"WITH d(event_type, weight) AS (VALUES ${saltedDimLits.map { case (t, w) => s"('$t', $w)" }.mkString(", ")}) " +
+        "SELECT event_type, weight, count(*) AS n, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM events JOIN d USING (event_type) GROUP BY event_type, weight"),
+
     "skew_report" ->
       s"""WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
         |           count(*) AS n_rows FROM events GROUP BY 1),
@@ -3462,6 +3495,24 @@ object SparkEntry {
         |  count(DISTINCT lang) AS l_distinct,
         |  CAST((count(*) < $kanonK OR count(DISTINCT lang) < $kanonL) AS BIGINT) AS at_risk
         |FROM t GROUP BY source, len_bucket""".stripMargin,
+
+    // numerator 10⁶·D² ≥ 0 and den > 0, so // truncation equals the
+    // engine's floor division here; HUGEINT keeps D² exact
+    "corpus_feature_select" ->
+      (s"WITH d AS (SELECT doc_id, lang, unnest(list_distinct($sqlToks)) AS token FROM documents), " +
+        "ntc AS (SELECT token, lang, count(*) AS n_tc FROM d GROUP BY token, lang), " +
+        "nt AS (SELECT token, CAST(sum(n_tc) AS BIGINT) AS n_t FROM ntc GROUP BY token), " +
+        "nc AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang), " +
+        "nn AS (SELECT count(*) AS n FROM documents), " +
+        "grid AS (SELECT nt.token, nt.n_t, nc.lang, nc.n_c, coalesce(ntc.n_tc, 0) AS n_tc " +
+        "FROM nt CROSS JOIN nc LEFT JOIN ntc ON ntc.token = nt.token AND ntc.lang = nc.lang), " +
+        "terms AS (SELECT token, n_t, CASE WHEN n_t < n THEN " +
+        "CAST((1000000::HUGEINT * ((n * n_tc) - (n_t * n_c)) * ((n * n_tc) - (n_t * n_c))) // " +
+        "(CAST(n_t AS HUGEINT) * (n - n_t) * n_c) AS BIGINT) ELSE 0 END AS term " +
+        "FROM grid, nn), " +
+        "sc AS (SELECT token, max(n_t) AS n_docs, sum(term) AS score_us FROM terms GROUP BY token) " +
+        "SELECT token, n_docs, CAST(score_us AS BIGINT) AS score_us FROM sc " +
+        s"ORDER BY score_us DESC, token LIMIT $chi2TopK"),
 
     // DuckDB // truncates toward zero while the engine floor-divides, so
     // mean_us (the one signed quotient) goes through the pmod floor trick

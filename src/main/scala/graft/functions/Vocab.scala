@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-vocabulary operators: min-count scrubbing and per-group
@@ -184,5 +184,61 @@ object Vocab {
       .filter(col("term_rank") <= k)
       .select(col("grp"), col("term_rank"), col("_t").as("token"),
         round(col("_score"), 6).as("score"))
+  }
+
+  /** χ² feature selection of tokens against a class label — "which tokens
+    * carry signal about the language / source / topic" for classifier
+    * features or leak auditing. For each token t the 2×|C| contingency
+    * table (present/absent × class) collapses algebraically to
+    *
+    *   χ²(t) = Σ_c D_c² / (N_t · (N − N_t) · N_c),
+    *   D_c   = N·N_tc − N_t·N_c
+    *
+    * (N = docs, N_t = docs containing t, N_c = docs in class c, N_tc =
+    * both). The reported score is the integer micro-unit sum of
+    * per-class floors — ⌊10⁶·D_c²/…⌋ summed — pure integer arithmetic,
+    * no logarithms, so any engine reproduces it bit-for-bit. Tokens
+    * present in every doc (N_t = N) carry zero information and score 0
+    * (also guards the N−N_t division).
+    *
+    * Exactness ceiling: 10⁶·D_c² rides DECIMAL(38,0), which bounds N at
+    * ~10⁸ docs per run — beyond that, select features on a stratified
+    * sample (feature ranking stabilizes long before 10⁸ anyway).
+    *
+    * Scale: distinct (doc, token) presence explode → one (token, class)
+    * aggregate (bounded by vocab × classes) → broadcast class totals →
+    * TakeOrderedAndProject top-k. The corpus is scanned once. */
+  def chi2TopK(docs: DataFrame, idCol: String, textCol: String,
+               classCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"bad topK=$topK")
+    val present = docs
+      .select(col(idCol).as("_doc"), col(classCol).as("_c"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("token"))
+    val ntc = present.groupBy(col("token"), col("_c"))
+      .agg(count(lit(1)).as("n_tc"))
+    val nt = ntc.groupBy(col("token")).agg(sum(col("n_tc")).as("n_t"))
+    val nc = docs.groupBy(col(classCol).as("_c"))
+      .agg(count(lit(1)).as("n_c"))
+    val n = docs.agg(count(lit(1)).as("n")).select(col("n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = dec(col("n")) * col("n_tc") - dec(col("n_t")) * col("n_c")
+    val term = when(col("n_t") < col("n"),
+      Sampling.intDiv(lit(1000000L).cast("decimal(38,0)") * d * d,
+        dec(col("n_t")) * (dec(col("n")) - col("n_t")) * col("n_c")))
+      .otherwise(lit(0L))
+    // the Σ_c runs over ALL classes — a class where t never occurs still
+    // contributes D_c = −N_t·N_c (its absence IS signal), so the grid is
+    // vocab × classes (left join fills N_tc = 0), not just observed cells
+    nt.crossJoin(broadcast(nc))
+      .join(ntc, Seq("token", "_c"), "left_outer")
+      .withColumn("n_tc", coalesce(col("n_tc"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("token"), col("n_t"), term.as("_term"))
+      .groupBy(col("token"))
+      .agg(max(col("n_t")).as("n_docs"), sum(col("_term")).as("score_us"))
+      .orderBy(col("score_us").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("n_docs"), col("score_us"))
   }
 }

@@ -65,6 +65,27 @@ object Skew {
         col("skew_x"), col("suggested_salts"))
   }
 
+  /** Salted equi-join for skewed keys — the manual fallback when AQE's
+    * skew-join split cannot help (e.g. the skewed side feeds a window, or
+    * the optimizer's stats miss the hub key). The build side is REPLICATED
+    * once per salt (explode of a literal sequence — dimension-sized ×
+    * salts, still tiny), the probe side gets a stable per-row salt, and
+    * the join key becomes (key, salt) — the hub key's rows spread over
+    * `salts` reducers instead of funneling into one.
+    *
+    * Semantics: exactly an inner equi-join on `key` (each probe row meets
+    * each matching build row exactly once, under the one salt it drew) —
+    * which is what makes it differentially testable against the plain
+    * join. Build-side duplicate keys multiply as usual. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 spread: Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"bad salts=$salts")
+    val p = probe.withColumn("_salt", salt(salts, col(key), spread))
+    val b = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    p.join(b, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Two-stage salted aggregation.
     * `aggs` = (outputName, fn, inputColumn) with fn ∈ AggExpr's set.
     * Stage 1 groups by (key..., salt) — hot keys fan out over `salts`

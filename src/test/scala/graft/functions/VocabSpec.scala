@@ -91,4 +91,26 @@ class VocabSpec extends SparkSpec {
     assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted.reverse)
     assert(got.map(_._2).sum <= 1000000L && got.map(_._3).sum <= 1000000L)
   }
+
+  test("chi2TopK: perfect class markers score N·1e6, independent tokens 0") {
+    val docs = Seq(
+      (1L, "x y", "A"), (2L, "x", "A"),
+      (3L, "z", "B"), (4L, "z y", "B")
+    ).toDF("doc_id", "text", "lang")
+    val got = Vocab.chi2TopK(docs, "doc_id", "text", "lang", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // x and z perfectly mark their class: χ² = N = 4 → 4e6 µ; y is
+    // class-independent: 0. Ties break token-ascending.
+    assert(got.toSeq === Seq(("x", 2L, 4000000L), ("z", 2L, 4000000L),
+      ("y", 2L, 0L)))
+  }
+
+  test("chi2TopK: a token present in every doc scores 0 (guarded division)") {
+    val docs = Seq((1L, "all x", "A"), (2L, "all", "B"))
+      .toDF("doc_id", "text", "lang")
+    val got = Vocab.chi2TopK(docs, "doc_id", "text", "lang", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("all") === 0L)
+    assert(got("x") === 2000000L) // perfect marker of A: χ² = N = 2
+  }
 }

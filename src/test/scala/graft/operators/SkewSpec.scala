@@ -46,6 +46,31 @@ class SkewSpec extends SparkSpec {
     assert(rows.length === 3)
   }
 
+  test("saltedJoin equals the plain inner join, incl. dup build keys " +
+      "and dropped probe keys") {
+    val probe = Seq((1L, "hot"), (2L, "hot"), (3L, "cold"), (4L, "gone"))
+      .toDF("id", "k")
+    val build = Seq(("hot", 10L), ("hot", 20L), ("cold", 30L))
+      .toDF("k", "v")
+    val salted = Skew.saltedJoin(probe, build, "k", col("id"), salts = 4)
+      .select("id", "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    val plain = probe.join(build, Seq("k")).select("id", "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(salted === plain)
+    assert(salted.count(_._2 == "hot") === 4) // 2 probe × 2 build rows
+  }
+
+  test("saltedJoin spreads a hub key over multiple salt lanes") {
+    val probe = (1L to 200L).map(i => (i, "hub")).toDF("id", "k")
+    val lanes = probe
+      .withColumn("_salt", Skew.salt(8, col("k"), col("id")))
+      .select("_salt").distinct().count()
+    assert(lanes >= 6, s"expected the hub rows on most of 8 lanes, got $lanes")
+  }
+
   test("skewReport clamps suggested salts to maxSalts and honors topK") {
     val df = (Seq.fill(1000)("mega") ++ (0 until 10).map(i => s"c$i"))
       .toDF("k")
