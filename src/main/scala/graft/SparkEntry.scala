@@ -106,6 +106,7 @@ object SparkEntry {
   private val decayWeights = Seq(                 // ppm at age 0
     "purchase" -> 1000000L, "signup" -> 500000L, "click" -> 100000L,
     "view" -> 10000L, "error" -> 0L)
+  private val outlierTopK = 20                    // embedding_outliers
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
   private val checksRangeThresh = 500000L
@@ -558,6 +559,13 @@ object SparkEntry {
     "embedding_stats" -> ((s, dir) =>
       Embeddings.dimStats(t(s, dir, "embeddings"), "embedding")),
 
+    // embedding-batch outlier screen: top-k farthest from the corpus
+    // centroid, exact integer µ² distances (floor-mean per dim broadcast
+    // back over one posexplode) — the "inspect these before training" list
+    "embedding_outliers" -> ((s, dir) =>
+      Embeddings.centroidOutliers(t(s, dir, "embeddings"), "vec_id",
+        "embedding", topK = outlierTopK)),
+
     // declarative data-quality constraint suite (the Deequ shape): six
     // named checks verified in ONE scan / one hash aggregate, fanned out
     // to a row per check AFTER aggregation; integer floor-ppm throughout.
@@ -623,6 +631,12 @@ object SparkEntry {
     // ---- training-data ops: dedup ---------------------------------------
     "dedup_exact" -> ((s, dir) => driverSafe(
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))),
+
+    // case/punctuation-insensitive dedup groups + how many DISTINCT exact
+    // fingerprints each normalized group collapsed (what normalization
+    // bought over dedup_exact) — same one-shuffle shape
+    "dedup_normalized" -> ((s, dir) => driverSafe(
+      Dedup.normalizedGroups(t(s, dir, "documents"), "doc_id", "text"))),
 
     "dedup_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1292,6 +1306,13 @@ object SparkEntry {
     // per-source monitoring: docs/tokens/mean-quality/language-spread by
     // origin — the dashboard aggregation behind mixture decisions (mean
     // over DECIMAL so the double sum order cannot flap the hash)
+    // per-language source-concentration report: Simpson Σ(share)² and the
+    // top source's share as exact floor-ppm — the "is this stratum one
+    // takedown away from collapsing" mixture-design check
+    "corpus_diversity" -> ((s, dir) =>
+      Sampling.sourceConcentration(t(s, dir, "documents"), col("lang"),
+        col("source")).orderBy(col("stratum"))),
+
     "corpus_by_source" -> ((s, dir) => {
       val feats = TextFunctions.qualityFeatures(col("text")).toMap
       t(s, dir, "documents")
@@ -2333,6 +2354,21 @@ object SparkEntry {
         "x -> CAST(x AS VARCHAR)), '|') AS member_ids " +
         "FROM t GROUP BY md5(norm)"),
 
+    // same aggressive normalization chain as normalizedFingerprint (the
+    // regex is RE2-compatible by design); n_variants counts distinct
+    // PLAIN exact fingerprints inside each normalized group
+    "dedup_normalized" ->
+      (s"WITH t AS (SELECT doc_id, array_to_string(list_filter(" +
+        "string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), " +
+        "'\\s+'), x -> len(x) > 0), ' ') AS norm, " +
+        s"array_to_string($sqlToks, ' ') AS exact_norm FROM documents) " +
+        "SELECT md5(norm) AS norm_md5, min(doc_id) AS keep_id, " +
+        "count(*) AS group_size, " +
+        "count(DISTINCT md5(exact_norm)) AS n_variants, " +
+        "array_to_string(list_transform(list_sort(list(doc_id)), " +
+        "x -> CAST(x AS VARCHAR)), '|') AS member_ids " +
+        "FROM t GROUP BY md5(norm)"),
+
     "dedup_tfidf_cosine" ->
       (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
         "tfc AS (SELECT doc_id, tok, count(*) AS tf FROM " +
@@ -3141,6 +3177,18 @@ object SparkEntry {
         "round(quantile_cont(nt, 0.9), 6) AS n_tokens_p90, " +
         "round(quantile_cont(sr, 0.5), 6) AS stopword_ratio_p50 FROM f"),
 
+    // Simpson concentration: all-integer (HUGEINT products, // floor on
+    // non-negative operands ≡ the engine's decimal intDiv)
+    "corpus_diversity" ->
+      ("WITH p AS (SELECT lang AS stratum, source, count(*) AS c " +
+        "FROM documents GROUP BY 1, 2), " +
+        "a AS (SELECT stratum, sum(c) AS n_docs, count(*) AS n_sources, " +
+        "sum(CAST(c AS HUGEINT) * c) AS sq, max(c) AS cmax FROM p GROUP BY 1) " +
+        "SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, n_sources, " +
+        "CAST((sq * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS simpson_ppm, " +
+        "CAST((CAST(cmax AS HUGEINT) * 1000000) // CAST(n_docs AS HUGEINT) AS BIGINT) AS top_share_ppm " +
+        "FROM a"),
+
     "corpus_by_source" ->
       (s"WITH t AS (SELECT source, lang, " +
         "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / " +
@@ -3529,6 +3577,21 @@ object SparkEntry {
         |  CAST((n * sq - s * s) // (n * n) AS BIGINT) AS var_us2,
         |  min_us, max_us, n_zero
         |FROM a""".stripMargin,
+
+    // floor-mean per dim via the pmod trick (component sums can be
+    // negative), then pure-integer squared deviations
+    "embedding_outliers" ->
+      (s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_us
+        |  FROM embeddings),
+        |m AS (SELECT dim, CAST((sum(CAST(v_us AS HUGEINT)) -
+        |  ((sum(CAST(v_us AS HUGEINT)) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS mu_us
+        |  FROM e GROUP BY dim),
+        |d AS (SELECT e.vec_id, CAST(e.v_us - m.mu_us AS HUGEINT) AS dv
+        |  FROM e JOIN m USING (dim))
+        |SELECT vec_id, CAST(sum(dv * dv) AS BIGINT) AS dist2_us2
+        |FROM d GROUP BY vec_id
+        |ORDER BY dist2_us2 DESC, vec_id LIMIT $outlierTopK""".stripMargin),
 
     // one summary CTE (the single-scan aggregate), then a row per check;
     // floor-ppm via //; vacuous 1e6 when the base is empty

@@ -118,6 +118,28 @@ object Dedup {
         count(lit(1)).alias("group_size"),
         array_sort(collect_list(col(idCol))).alias("member_ids"))
 
+  /** Normalization-canonical dedup groups: like [[exactGroups]] but keyed
+    * on the aggressive fingerprint (case/punctuation-insensitive — see
+    * `TextFunctions.normalizedFingerprint`), reporting per group how many
+    * DISTINCT plain exact fingerprints it collapsed (`n_variants`): the
+    * delta normalization bought over exact dedup, the number every crawl
+    * pipeline wants before deciding whether near-dup passes are worth
+    * their cost. Same single-shuffle shape as exactGroups — both md5s are
+    * per-row codegen'd expressions, `countDistinct` rides the same hash
+    * aggregate (one Expand pass, corpus scanned once). */
+  def normalizedGroups(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs
+      .withColumn("norm_md5",
+        TextFunctions.normalizedFingerprint(col(textCol)))
+      .withColumn("exact_md5", TextFunctions.contentFingerprint(col(textCol)))
+      .groupBy(col("norm_md5"))
+      .agg(
+        min(col(idCol)).alias("keep_id"),
+        count(lit(1)).alias("group_size"),
+        countDistinct(col("exact_md5")).alias("n_variants"),
+        array_sort(collect_list(col(idCol))).alias("member_ids"))
+
   /** MinHash signatures (id, sig:array<long> of length k) for a corpus.
     *
     * Formulated as explode → hash-once → 64 codegen'd min-aggregates, NOT as

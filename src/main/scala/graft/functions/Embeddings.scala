@@ -47,4 +47,40 @@ object Embeddings {
         .as("var_us2"),
       col("min_us"), col("max_us"), col("n_zero"))
   }
+
+  /** Top-k embedding outliers by exact squared distance to the corpus
+    * centroid — the batch-health companion of [[dimStats]]: a handful of
+    * vectors sitting far from everything else usually means a corrupted
+    * encode, a mis-normalized shard, or genuine out-of-distribution data
+    * worth inspecting before training.
+    *
+    * Integer-exact so the report hash-matches any engine: components
+    * quantize to micro-units, the per-dimension floor-mean `μ_us` comes
+    * from one tiny aggregate (`dims` rows, broadcast back), and the score
+    * is Σ_j (x_us − μ_us)² summed in DECIMAL — pure integer arithmetic,
+    * no fp accumulation order anywhere. Flooring the mean biases each
+    * deviation by < 1 micro-unit, deterministically and identically in
+    * both engines (DuckDB's `//` after the pmod trick ≡ Spark's intDiv).
+    *
+    * Scale: one posexplode feeding a dims-sized aggregate, one broadcast
+    * join back onto the exploded frame, one per-id aggregate, then
+    * TakeOrderedAndProject for the top-k — no window over the corpus, no
+    * driver collection, shuffles carry O(rows) and O(dims) respectively. */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       topK: Int = 20): DataFrame = {
+    val vUs = round(col("_v").cast("double") * lit(1000000d), 0)
+      .cast("long")
+    val expl = df
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), vUs.as("v_us"))
+    val mu = expl.groupBy(col("dim")).agg(
+      Sampling.intDiv(sum(col("v_us").cast("decimal(38,0)")),
+        count(lit(1)).cast("decimal(38,0)")).as("mu_us"))
+    val dev = (col("v_us") - col("mu_us")).cast("decimal(38,0)")
+    expl.join(broadcast(mu), Seq("dim"))
+      .groupBy(col(idCol))
+      .agg(sum(dev * dev).cast("long").as("dist2_us2"))
+      .orderBy(col("dist2_us2").desc, col(idCol))
+      .limit(topK)
+  }
 }

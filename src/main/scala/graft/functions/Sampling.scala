@@ -173,6 +173,39 @@ object Sampling {
       (count_distinct(col(idCol)) - distinctOf(col("_fp"))).as("n_exact_dups"))
   }
 
+  /** Per-stratum SOURCE-DIVERSITY report — the concentration check a
+    * mixture design runs before trusting a stratum: a language whose
+    * documents come 95% from one crawl source is one takedown away from
+    * collapsing. Reports, per stratum: doc count, distinct sources,
+    * Simpson concentration Σ(c_s/N)² and the largest single source's
+    * share, both as exact floor-ppm integers (Σc², c_max and N² ride
+    * DECIMAL so nothing rounds or overflows; a stratum from one source
+    * scores 10⁶, perfectly even over k sources scores ~10⁶/k — the
+    * reciprocal is the "effective source count"). Entropy is deliberately
+    * NOT used: ln() is libm-rounded and not cross-engine-reproducible,
+    * Simpson is pure integer arithmetic.
+    *
+    * Scale: groupBy(stratum, source) collapses the corpus map-side to
+    * |strata|·|sources| partial rows, then a second tiny aggregate per
+    * stratum — output is corpus-size-independent. */
+  def sourceConcentration(docs: DataFrame, stratum: Column,
+                          source: Column): DataFrame = {
+    val per = docs.groupBy(stratum.as("stratum"), source.as("source"))
+      .agg(count(lit(1)).as("c"))
+    val cDec = col("c").cast("decimal(38,0)")
+    val agg = per.groupBy(col("stratum")).agg(
+      sum(col("c")).as("n_docs"),
+      count(lit(1)).as("n_sources"),
+      sum(cDec * cDec).as("_sq"),
+      max(col("c")).as("_cmax"))
+    val n = col("n_docs").cast("decimal(38,0)")
+    agg.select(
+      col("stratum"), col("n_docs"), col("n_sources"),
+      intDiv(col("_sq") * lit(1000000L), n * n).as("simpson_ppm"),
+      intDiv(col("_cmax").cast("decimal(38,0)") * lit(1000000L), n)
+        .as("top_share_ppm"))
+  }
+
   /** Deterministic per-stratum EXAMPLE picks — the eyeball sample a
     * pipeline pins next to every mixture/quality decision: the first `n`
     * rows of each stratum in (stable-hash, key) order. Hash order makes

@@ -101,6 +101,17 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** Aggressive-normalization fingerprint: lowercase, strip everything
+    * that is not `[a-z0-9]` or whitespace, re-tokenize, md5. Catches the
+    * trivial variants plain exact dedup misses (punctuation edits,
+    * quote/dash substitutions, "Hello, World!" vs "hello world") while
+    * staying a pure per-row codegen'd expression. The regex is
+    * RE2-compatible so an external SQL oracle applies the SAME transform. */
+  def normalizedFingerprint(text: Column): Column =
+    md5(concat_ws(" ",
+      filter(split(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+"),
+        t => length(t) > 0)))
+
   /** PII redaction for training corpora: URLs, emails, IPv4 addresses and
     * phone-shaped digit runs become typed placeholder tokens. A chain of
     * codegen'd `regexp_replace`s (replace-all), applied in an order that

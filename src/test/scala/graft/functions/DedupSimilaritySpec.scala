@@ -22,6 +22,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(g(0).getAs[Long]("keep_id") === 1L)
   }
 
+  test("normalizedGroups: punctuation/case variants collapse into one group " +
+      "and n_variants counts the distinct exact fingerprints") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),                  // normalization-only variant of 1
+      (3L, "HELLO -- world."),              // another variant, same norm
+      (4L, "hello world"),                  // exact dup of 2
+      (5L, "unrelated text")).toDF("doc_id", "text")
+    val g = Dedup.normalizedGroups(docs, "doc_id", "text")
+      .filter($"group_size" > 1).collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Seq[Long]]("member_ids") === Seq(1L, 2L, 3L, 4L))
+    assert(g(0).getAs[Long]("keep_id") === 1L)
+    // three distinct exact-normalized spellings collapsed into the group
+    assert(g(0).getAs[Long]("n_variants") === 3L)
+    // plain exact dedup would NOT have grouped 1 with 2
+    val exact = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter($"group_size" > 1).collect()
+    assert(exact.length === 1 &&
+      exact(0).getAs[Seq[Long]]("member_ids") === Seq(2L, 4L))
+  }
+
   test("minhash+LSH recovers the exact and near dup pairs, not the distinct doc") {
     val sh = corpus.select($"doc_id",
       TextFunctions.wordShingles($"text", 3).as("sh"))

@@ -36,6 +36,36 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r.getLong(2) == -333334L)
   }
 
+  test("centroidOutliers: the planted far vector ranks first with the " +
+      "exact integer µ² score") {
+    // three clustered vectors + one far outlier; centroid µ (floor) is
+    // hand-computable: dim sums (µ): [1e6+2e6+3e6+30e6, 0+0+0+40e6]
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f)),
+      (9L, Seq(30.0f, 40.0f))).toDF("id", "vec")
+    val rows = Embeddings.centroidOutliers(df, "id", "vec", topK = 2).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(9L, 1L))
+    // µ = (36e6/4, 40e6/4) = (9e6, 10e6); vec 9 dev = (21e6, 30e6)
+    assert(rows(0).getLong(1) === 21000000L * 21000000L + 30000000L * 30000000L)
+    // vec 1 dev = (-8e6, -10e6)
+    assert(rows(1).getLong(1) === 8000000L * 8000000L + 10000000L * 10000000L)
+  }
+
+  test("centroidOutliers: ties break by id and negative means floor " +
+      "consistently") {
+    val df = Seq(
+      (5L, Seq(-1.0f)), (6L, Seq(-1.0f)), (7L, Seq(-2.0f))).toDF("id", "vec")
+    // sum = -4e6, n = 3 → µ = floor(-4e6/3) = -1333334
+    val rows = Embeddings.centroidOutliers(df, "id", "vec", topK = 3).collect()
+    // devs: 5/6 → 333334² each, 7 → -666666² ; outlier 7 first, then 5, 6
+    assert(rows.map(_.getLong(0)).toSeq === Seq(7L, 5L, 6L))
+    assert(rows(0).getLong(1) === 666666L * 666666L)
+    assert(rows(1).getLong(1) === 333334L * 333334L)
+    assert(rows(1).getLong(1) === rows(2).getLong(1))
+  }
+
   test("plan shape: one aggregate over the explode, no join/window") {
     val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
     val plan = Embeddings.dimStats(df, "vec")

@@ -365,4 +365,21 @@ class SamplingSpec extends SparkSpec {
       .collect()
     assert(out.length === 3) // only the three cross-source docs qualify
   }
+
+  test("sourceConcentration: single-source stratum scores 1e6; an even " +
+      "split scores ~1e6/k; shares are exact floor-ppm") {
+    val docs = Seq(
+      ("en", "a"), ("en", "a"), ("en", "a"),          // en: all from a
+      ("de", "a"), ("de", "b"),                        // de: even over 2
+      ("fr", "a"), ("fr", "a"), ("fr", "b"))           // fr: 2/3 vs 1/3
+      .toDF("lang", "source")
+    val m = Sampling.sourceConcentration(docs, $"lang", $"source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m("en") === ((3L, 1L, 1000000L, 1000000L)))
+    // de: (1²+1²)/2² = 1/2 → 500000; top share 1/2
+    assert(m("de") === ((2L, 2L, 500000L, 500000L)))
+    // fr: (4+1)/9 = 555555.5 → floor 555555; top 2/3 → 666666
+    assert(m("fr") === ((3L, 2L, 555555L, 666666L)))
+  }
 }
