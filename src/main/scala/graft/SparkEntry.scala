@@ -107,6 +107,8 @@ object SparkEntry {
     "purchase" -> 1000000L, "signup" -> 500000L, "click" -> 100000L,
     "view" -> 10000L, "error" -> 0L)
   private val outlierTopK = 20                    // embedding_outliers
+  private val bfsSeedMod = 17L                    // graph_bfs
+  private val bfsRounds = 3
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
   private val checksRangeThresh = 500000L
@@ -839,6 +841,32 @@ object SparkEntry {
       Triangles.kCorePeel(
         Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
         "id_a", "id_b", k = 2, rounds = 3)
+    }),
+
+    // takedown blast radius: every doc within <=3 near-dup hops of the
+    // flagged seed set (bounded BFS, rounds declared so the oracle can
+    // unroll them) — the transitive-contamination audit
+    "graph_bfs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.select(col("doc_id"),
+          TextFunctions.wordShingles(col("text"), 3).as("sh")),
+        "doc_id", "sh", 0.5, maxPosting = 500)
+      Graphs.bfsDistances(pairs, "id_a", "id_b",
+        docs.filter(pmod(col("doc_id"), lit(bfsSeedMod)) === 0)
+          .select(col("doc_id")),
+        "doc_id", rounds = bfsRounds)
+    }),
+
+    // connectivity profile of the candidate graph: log2-bucketed degree
+    // histogram (bucket = length of the binary string — no libm log);
+    // a heavy tail = a few boilerplate hubs dominate candidate volume
+    "graph_degree_hist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Graphs.degreeHistogram(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
+        "id_a", "id_b")
     }),
 
     // linear multi-touch attribution: per-conversion credit splits in
@@ -2517,6 +2545,37 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql,
 
     "graph_communities" -> lpaOracleSql,
+
+    // BFS rounds unrolled as frontier CTEs (the kcore/pagerank pattern);
+    // each frontier excludes everything reached earlier
+    "graph_bfs" ->
+      (s"WITH p AS ($jaccardPairsOracleSql), " +
+        "e AS (SELECT id_a AS u, id_b AS v FROM p " +
+        "UNION SELECT id_b, id_a FROM p), " +
+        s"d0 AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % $bfsSeedMod = 0), " +
+        "f1 AS (SELECT DISTINCT e.v AS node FROM e JOIN d0 ON e.u = d0.node " +
+        "WHERE e.v NOT IN (SELECT node FROM d0)), " +
+        "f2 AS (SELECT DISTINCT e.v AS node FROM e JOIN f1 ON e.u = f1.node " +
+        "WHERE e.v NOT IN (SELECT node FROM d0 UNION SELECT node FROM f1)), " +
+        "f3 AS (SELECT DISTINCT e.v AS node FROM e JOIN f2 ON e.u = f2.node " +
+        "WHERE e.v NOT IN (SELECT node FROM d0 UNION SELECT node FROM f1 " +
+        "UNION SELECT node FROM f2)) " +
+        "SELECT node, CAST(0 AS BIGINT) AS dist FROM d0 " +
+        "UNION ALL SELECT node, 1 FROM f1 " +
+        "UNION ALL SELECT node, 2 FROM f2 " +
+        "UNION ALL SELECT node, 3 FROM f3"),
+
+    // bin() drops leading zeros in both engines, so len(bin(degree)) is
+    // the shared floor(log2)+1 bucket id
+    "graph_degree_hist" ->
+      (s"WITH p AS ($jaccardPairsOracleSql), " +
+        "e AS (SELECT DISTINCT least(id_a, id_b) AS u, " +
+        "greatest(id_a, id_b) AS v FROM p WHERE id_a <> id_b), " +
+        "deg AS (SELECT node, count(*) AS degree FROM " +
+        "(SELECT unnest([u, v]) AS node FROM e) GROUP BY node) " +
+        "SELECT CAST(len(bin(degree)) AS BIGINT) AS bucket, " +
+        "count(*) AS n_nodes, min(degree) AS min_degree, " +
+        "max(degree) AS max_degree FROM deg GROUP BY 1"),
 
     "dedup_source_matrix" ->
       (s"WITH p AS ($jaccardPairsOracleSql), " +

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded traversal analytics over an undirected pair graph
+  * (beyond-parity) — companions of the dedup candidate graph built by
+  * `Dedup.ngramJaccardPairs`/`lshCandidates`. These answer the two
+  * questions a takedown / contamination audit asks: "which documents sit
+  * within k near-dup hops of a flagged set" (blast radius) and "how is
+  * connectivity distributed" (degree histogram — a heavy tail means a few
+  * boilerplate hubs dominate the candidate volume).
+  *
+  * Both take the PAIR frame, never the corpus; every round is one
+  * join + one distinct with per-round `localCheckpoint` lineage
+  * truncation (the componentsFromPairs rule). */
+object Graphs {
+
+  /** Minimal hop distance (≤ `rounds`) from a seed set over undirected
+    * edges — BFS as `rounds` frontier expansions. The bounded round count
+    * is the declared semantics (the PageRank-iters pattern), which keeps
+    * an external SQL oracle able to unroll the exact same rounds; at a
+    * 100 TB graph the frontier join shuffles pair-frame-sized data per
+    * round and nothing is ever collected.
+    *
+    * Output: (node, dist) for every reached node, dist 0 = seed. Seeds
+    * not present in the edge set still appear at dist 0 (flagged docs
+    * with no near-dups are still flagged). */
+  def bfsDistances(pairs: DataFrame, idA: String, idB: String,
+                   seeds: DataFrame, seedCol: String,
+                   rounds: Int = 3): DataFrame = {
+    val und = pairs
+      .select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+    val nbrs = und.union(und.select(col("v"), col("u"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    var r = 1
+    while (r <= rounds) {
+      val next = nbrs.join(frontier.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"))
+        .distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+      r += 1
+    }
+    nbrs.unpersist(false)
+    visited
+  }
+
+  /** Log₂-bucketed degree histogram of the pair graph: bucket b holds
+    * nodes with degree in [2^(b-1), 2^b). The bucket id is
+    * `length(bin(degree))` — a pure string-length-of-binary expression
+    * both engines share, no libm log anywhere. One degree aggregation +
+    * one |buckets|-sized aggregate; output is corpus-size-independent. */
+  def degreeHistogram(pairs: DataFrame, idA: String,
+                      idB: String): DataFrame = {
+    val und = pairs
+      .select(least(col(idA), col(idB)).as("u"),
+        greatest(col(idA), col(idB)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg
+      .groupBy(length(bin(col("degree"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+  }
+}
