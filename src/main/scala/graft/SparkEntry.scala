@@ -1334,6 +1334,20 @@ object SparkEntry {
     // per-source monitoring: docs/tokens/mean-quality/language-spread by
     // origin — the dashboard aggregation behind mixture decisions (mean
     // over DECIMAL so the double sum order cannot flap the hash)
+    // generic ingest profiler: per column null/distinct counts + native-
+    // typed min/max, ONE aggregation over one scan, fan-out to rows after
+    // (exact distincts = oracle mode; approx=true is the 100 TB default)
+    "table_profile" -> ((s, dir) =>
+      Profile.columnProfile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    // per-source readability rollup: integer-µ Flesch-Kincaid grade
+    // (vowel-run syllables, punctuation-run sentences floored at 1),
+    // exact floor-mean — the "word salad" quality gate input
+    "text_readability" -> ((s, dir) =>
+      TextFunctions.readabilityByGroup(t(s, dir, "documents"),
+        col("source"), col("text"))),
+
     // per-language source-concentration report: Simpson Σ(share)² and the
     // top source's share as exact floor-ppm — the "is this stratum one
     // takedown away from collapsing" mixture-design check
@@ -3235,6 +3249,34 @@ object SparkEntry {
         "round(quantile_cont(nt, 0.5), 6) AS n_tokens_p50, " +
         "round(quantile_cont(nt, 0.9), 6) AS n_tokens_p90, " +
         "round(quantile_cont(sr, 0.5), 6) AS stopword_ratio_p50 FROM f"),
+
+    // per-column profile as UNION ALL arms over one logical table — the
+    // engine does it in one scan, the oracle's clarity matters more than
+    // its plan; min/max aggregate on the native type then render to text
+    "table_profile" -> {
+      def arm(c: String) =
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_value, " +
+          s"CAST(max($c) AS VARCHAR) AS max_value FROM documents"
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(arm).mkString(" UNION ALL ")
+    },
+
+    // each FK term is its own integer floor division; the mean of the
+    // (possibly negative) grade sum uses the shared pmod-floor form
+    "text_readability" ->
+      (s"WITH t AS (SELECT source, CAST(len($sqlToks) AS BIGINT) AS w, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl, " +
+        "greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s " +
+        "FROM documents), " +
+        "g AS (SELECT source AS grp, (390000 * w) // s + (11800000 * syl) // w " +
+        "- 15590000 AS gus FROM t WHERE w > 0) " +
+        "SELECT grp, count(*) AS n_docs, " +
+        "CAST((sum(CAST(gus AS HUGEINT)) - ((sum(CAST(gus AS HUGEINT)) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS mean_fk_us, " +
+        "min(gus) AS min_fk_us, max(gus) AS max_fk_us " +
+        "FROM g GROUP BY grp"),
 
     // Simpson concentration: all-integer (HUGEINT products, // floor on
     // non-negative operands ≡ the engine's decimal intDiv)

@@ -112,6 +112,43 @@ object TextFunctions {
       filter(split(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+"),
         t => length(t) > 0)))
 
+  /** Flesch–Kincaid-style readability grade in exact integer micro-units
+    * (Kincaid et al. 1975: 0.39·(words/sentence) + 11.8·(syllables/word)
+    * − 15.59): syllables approximated as maximal vowel runs, sentences as
+    * `[.!?]+` runs floored at 1 (a fragment with no terminal punctuation
+    * is one sentence). Each ratio is its own integer floor division —
+    * exact and engine-identical, no fp composition to drift. NULL when
+    * the text has no tokens. All regexes are RE2-compatible so a SQL
+    * oracle applies the same counting. */
+  def fkGradeUs(text: Column): Column = {
+    val w = tokenCount(text).cast("long")
+    val syl = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val s = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    when(w === 0, lit(null).cast("long")).otherwise(
+      Sampling.intDiv(lit(390000L) * w, s) +
+        Sampling.intDiv(lit(11800000L) * syl, w) - lit(15590000L))
+  }
+
+  /** Per-group readability rollup: doc count, floor-mean and min/max of
+    * [[fkGradeUs]] — the quality-gate input ("drop sources reading like
+    * word salad"). Mean is an exact floor division of the DECIMAL sum
+    * (grades can be negative → the same pmod-floor both engines share).
+    * One scan, one hash aggregate; output is |groups| rows. */
+  def readabilityByGroup(docs: org.apache.spark.sql.DataFrame,
+                         group: Column, text: Column): org.apache.spark.sql.DataFrame = {
+    val g = docs.select(group.as("grp"), fkGradeUs(text).as("_gus"))
+      .filter(col("_gus").isNotNull)
+    g.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_docs"),
+      Sampling.intDiv(sum(col("_gus").cast("decimal(38,0)")),
+        count(lit(1)).cast("decimal(38,0)")).as("mean_fk_us"),
+      min(col("_gus")).as("min_fk_us"),
+      max(col("_gus")).as("max_fk_us"))
+  }
+
   /** PII redaction for training corpora: URLs, emails, IPv4 addresses and
     * phone-shaped digit runs become typed placeholder tokens. A chain of
     * codegen'd `regexp_replace`s (replace-all), applied in an order that

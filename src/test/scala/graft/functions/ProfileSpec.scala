@@ -1,0 +1,37 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("columnProfile: nulls, distincts, native-typed min/max per column") {
+    val df = Seq(
+      (1L, Some("b"), Some(10L)),
+      (2L, None, Some(2L)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(10L))).toDF("id", "s", "v")
+    val m = Profile.columnProfile(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(m("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(m("s") === ((4L, 1L, 2L, "a", "b")))
+    // numeric min/max aggregates on the NATIVE type: 2 < 10 even though
+    // the string "10" < "2"
+    assert(m("v") === ((4L, 1L, 2L, "2", "10")))
+  }
+
+  test("columnProfile plans ONE scan: single aggregate, no join or union") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val plan = Profile.columnProfile(df, Seq("id", "s"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"), plan)
+  }
+
+  test("approx mode keeps the same report shape") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val rows = Profile.columnProfile(df, Seq("id"), approx = true).collect()
+    assert(rows.length === 1 && rows(0).getLong(3) === 2L)
+  }
+}

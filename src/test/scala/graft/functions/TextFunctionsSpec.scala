@@ -101,4 +101,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(4) === "see <URL> too")
     assert(r(5) === "plain text stays untouched")
   }
+
+  test("fkGradeUs: hand-checked integer terms, punctuation-less text is " +
+      "one sentence, empty text is NULL") {
+    val df = Seq(
+      "The cat sat. The dog ran!",   // w=6, syl=6 ([e,a,a,e,o,a]), s=2
+      "go go go",                    // w=3, syl=3, s=1 (no punctuation)
+      "").toDF("text")
+    val r = df.select(TextFunctions.fkGradeUs($"text")).collect()
+    // 390000*6//2 + 11800000*6//6 - 15590000 = 1170000 + 11800000 - 15590000
+    assert(r(0).getLong(0) === 1170000L + 11800000L - 15590000L)
+    // 390000*3//1 + 11800000*3//3 - 15590000
+    assert(r(1).getLong(0) === 1170000L + 11800000L - 15590000L)
+    assert(r(2).isNullAt(0))
+  }
+
+  test("readabilityByGroup: floor-mean of negative grades, min/max, " +
+      "token-less docs excluded") {
+    val df = Seq(
+      ("a", "go. go. go. go. go."),   // w=5, syl=5, s=5: 390000+11800000-15590000 = -3400000
+      ("a", "banana banana."),        // w=2, syl=6, s=1: 780000+35400000-15590000 = 20590000
+      ("a", "   "),                   // no tokens → dropped
+      ("b", "hi")).toDF("src", "text")
+    val m = TextFunctions.readabilityByGroup(df, $"src", $"text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val gA1 = -3400000L
+    val gA2 = 20590000L
+    // floor((-3400000 + 20590000)/2) = floor(8595000) exactly
+    assert(m("a") === ((2L, (gA1 + gA2) / 2, gA1, gA2)))
+    // "hi": w=1, syl=1, s=1 → 390000 + 11800000 - 15590000
+    assert(m("b")._1 === 1L && m("b")._2 === -3400000L)
+  }
 }
