@@ -109,6 +109,7 @@ object SparkEntry {
   private val outlierTopK = 20                    // embedding_outliers
   private val bfsSeedMod = 17L                    // graph_bfs
   private val bfsRounds = 3
+  private val pcaRounds = 3                       // embedding_pca
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
   private val checksRangeThresh = 500000L
@@ -560,6 +561,14 @@ object SparkEntry {
     // 64-group hash aggregate, partials collapse every task to ≤dims rows
     "embedding_stats" -> ((s, dir) =>
       Embeddings.dimStats(t(s, dir, "embeddings"), "embedding")),
+
+    // top principal component by bounded power iteration in integer
+    // fixed-point: scatter matrix from micro-unit deviations, 3 unrolled
+    // matvec+renormalize rounds — the engine-exact "is this batch
+    // collapsing onto one axis" probe
+    "embedding_pca" -> ((s, dir) =>
+      Embeddings.topComponentPpm(t(s, dir, "embeddings"), "vec_id",
+        "embedding", rounds = pcaRounds).orderBy(col("dim"))),
 
     // embedding-batch outlier screen: top-k farthest from the corpus
     // centroid, exact integer µ² distances (floor-mean per dim broadcast
@@ -3678,6 +3687,32 @@ object SparkEntry {
         |  CAST((n * sq - s * s) // (n * n) AS BIGINT) AS var_us2,
         |  min_us, max_us, n_zero
         |FROM a""".stripMargin,
+
+    // the power-iteration rounds unrolled as CTE triples (matvec, max-abs,
+    // renormalize) over the scatter-matrix CTE; every division is the
+    // shared pmod-floor form on HUGEINT
+    "embedding_pca" -> {
+      val base =
+        "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, " +
+          "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_us FROM embeddings), " +
+          "m AS (SELECT dim, CAST((sum(CAST(v_us AS HUGEINT)) - " +
+          "((sum(CAST(v_us AS HUGEINT)) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS mu_us " +
+          "FROM e GROUP BY dim), " +
+          "d AS (SELECT vec_id, dim, CAST(v_us - mu_us AS HUGEINT) AS dv " +
+          "FROM e JOIN m USING (dim)), " +
+          "cov AS (SELECT a.dim AS i, b.dim AS j, sum(a.dv * b.dv) AS c " +
+          "FROM d a JOIN d b ON a.vec_id = b.vec_id GROUP BY 1, 2), " +
+          "v0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM m)"
+      val rounds = (1 to pcaRounds).map { r =>
+        s"w$r AS (SELECT i AS dim, sum(c * v) AS w FROM cov " +
+          s"JOIN v${r - 1} ON cov.j = v${r - 1}.dim GROUP BY 1), " +
+          s"m$r AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w$r), " +
+          s"v$r AS (SELECT dim, (w * 1000000 - (((w * 1000000) % mx) + mx) % mx) // mx AS v " +
+          s"FROM w$r, m$r)"
+      }.mkString(", ")
+      s"$base, $rounds SELECT dim, CAST(v AS BIGINT) AS v_ppm " +
+        s"FROM v$pcaRounds ORDER BY dim"
+    },
 
     // floor-mean per dim via the pmod trick (component sums can be
     // negative), then pure-integer squared deviations

@@ -66,6 +66,71 @@ object Embeddings {
     * join back onto the exploded frame, one per-id aggregate, then
     * TakeOrderedAndProject for the top-k — no window over the corpus, no
     * driver collection, shuffles carry O(rows) and O(dims) respectively. */
+  /** Top principal component of the embedding corpus by BOUNDED power
+    * iteration, entirely in integer fixed-point — the engine-exact PCA
+    * probe (is this batch collapsing onto one axis? which dims load it?).
+    * The bounded round count is the declared semantics (the PageRank-iters
+    * pattern) so an external SQL engine can unroll the identical rounds
+    * and hash-match the result; a production caller wanting convergence
+    * raises `rounds`.
+    *
+    * Pipeline, all exact integer arithmetic (micro-unit quantization →
+    * DECIMAL sums, floor divisions via the shared pmod form):
+    *  1. per-dim floor-mean μ_us (one dims-sized aggregate, broadcast);
+    *  2. scatter matrix C = Σ_i d_i d_iᵀ over deviations d = x_us − μ_us:
+    *     the deviation frame self-joins on the row id (one exchange,
+    *     reused for both sides) fanning out dims² products per row, then
+    *     collapses map-side into the dims²-entry aggregate;
+    *  3. `rounds` × (matvec w = C·v, then renormalize v ← ⌊w·10⁶ /
+    *     max|w|⌋) with the dims-sized v broadcast into each matvec and
+    *     per-round localCheckpoint lineage truncation. v₀ = all-ones.
+    *
+    * Output: (dim, v_ppm) with max|v_ppm| = 10⁶ exactly; the sign is
+    * whatever the iteration converges to (deterministic, not canonical).
+    *
+    * Scale: the corpus-sized work is one O(rows·dims²) self-join+aggregate
+    * — the true cost of any covariance-based method — with everything
+    * after it operating on dims² ≤ a few thousand rows. Nothing collects
+    * to the driver. */
+  def topComponentPpm(df: DataFrame, idCol: String, vecCol: String,
+                      rounds: Int = 3): DataFrame = {
+    val vUs = round(col("_v").cast("double") * lit(1000000d), 0)
+      .cast("long")
+    val expl = df
+      .select(col(idCol).as("_id"), posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("_id"), col("dim").cast("long").as("dim"), vUs.as("v_us"))
+    val mu = expl.groupBy(col("dim")).agg(
+      Sampling.intDiv(sum(col("v_us").cast("decimal(38,0)")),
+        count(lit(1)).cast("decimal(38,0)")).as("mu_us"))
+    val dev = expl.join(broadcast(mu), Seq("dim"))
+      .select(col("_id"), col("dim"),
+        (col("v_us") - col("mu_us")).cast("decimal(38,0)").as("dv"))
+    val cov = dev.as("a")
+      .join(dev.as("b"), col("a._id") === col("b._id"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum(col("a.dv") * col("b.dv")).as("c"))
+      .localCheckpoint(true)
+    var v = mu.select(col("dim"),
+      lit(1000000L).cast("decimal(38,0)").as("v"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val w = cov
+        .join(broadcast(v.select(col("dim").as("j"), col("v"))), Seq("j"))
+        .groupBy(col("i").as("dim"))
+        .agg(sum(col("c") * col("v")).as("w"))
+      val mx = w.agg(greatest(max(abs(col("w"))), lit(1).cast("decimal(38,0)"))
+        .as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("dim"),
+          Sampling.intDiv(col("w") * lit(1000000L), col("mx"))
+            .cast("decimal(38,0)").as("v"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    v.select(col("dim"), col("v").cast("long").as("v_ppm"))
+  }
+
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
                        topK: Int = 20): DataFrame = {
     val vUs = round(col("_v").cast("double") * lit(1000000d), 0)

@@ -66,6 +66,32 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows(1).getLong(1) === rows(2).getLong(1))
   }
 
+  test("topComponentPpm: variance concentrated on one axis loads that " +
+      "axis at exactly 1e6 and the dead axis at 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f))).toDF("id", "vec")
+    // centered devs: x = (-1e6, 0, 1e6), y = 0 → scatter [[2e12,0],[0,0]]
+    val m = Embeddings.topComponentPpm(df, "id", "vec", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(0L -> 1000000L, 1L -> 0L))
+  }
+
+  test("topComponentPpm: perfectly correlated dims load equally; result " +
+      "is partitioning-invariant") {
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(2.0f, 2.0f)),
+      (3L, Seq(3.0f, 3.0f))).toDF("id", "vec")
+    val one = Embeddings.topComponentPpm(df, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(0L -> 1000000L, 1L -> 1000000L))
+    val many = Embeddings.topComponentPpm(df.repartition(7), "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(many === one)
+  }
+
   test("plan shape: one aggregate over the explode, no join/window") {
     val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
     val plan = Embeddings.dimStats(df, "vec")
