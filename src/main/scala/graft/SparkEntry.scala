@@ -732,6 +732,26 @@ object SparkEntry {
         iters = 10)
     }),
 
+    // what dedup actually KEEPS: per near-dup group the member with the
+    // most content (ties to smallest id) — argmax as one max(struct),
+    // no window over the corpus
+    "corpus_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Dedup.canonicalPerGroup(docs, "doc_id",
+        Dedup.componentsFromPairs(
+          Dedup.ngramJaccardPairs(sh, "doc_id", "sh", 0.5, maxPosting = 500),
+          iters = 10),
+        "n_chars")
+    }),
+
+    // tokenizer-fertility report: subword pieces per whitespace word in
+    // exact floor-ppm per language — the context-window budgeting metric
+    "text_fertility" -> ((s, dir) =>
+      TextFunctions.fertilityByGroup(t(s, dir, "documents"), col("lang"),
+        col("text"))),
+
     // leakage-safe split: assignment by DEDUP GROUP, not by doc — a test
     // doc whose near-twin sits in train is contamination a per-doc split
     // cannot see; singletons hash by their own id
@@ -1343,6 +1363,49 @@ object SparkEntry {
     // per-source monitoring: docs/tokens/mean-quality/language-spread by
     // origin — the dashboard aggregation behind mixture decisions (mean
     // over DECIMAL so the double sum order cannot flap the hash)
+    // referential-integrity audit over the TPC-H graph: per FK edge one
+    // row-preserving left join + conditional count; NULL FKs are orphans
+    "integrity_report" -> ((s, dir) => {
+      def tb(n: String) = t(s, dir, n)
+      Checks.fkIntegrity(Seq(
+        ("lineitem.l_orderkey", tb("lineitem"), "l_orderkey",
+          tb("orders"), "o_orderkey"),
+        ("lineitem.l_partkey", tb("lineitem"), "l_partkey",
+          tb("part"), "p_partkey"),
+        ("lineitem.l_suppkey", tb("lineitem"), "l_suppkey",
+          tb("supplier"), "s_suppkey"),
+        ("orders.o_custkey", tb("orders"), "o_custkey",
+          tb("customer"), "c_custkey"),
+        ("customer.c_nationkey", tb("customer"), "c_nationkey",
+          tb("nation"), "n_nationkey"),
+        ("supplier.s_nationkey", tb("supplier"), "s_nationkey",
+          tb("nation"), "n_nationkey"),
+        ("nation.n_regionkey", tb("nation"), "n_regionkey",
+          tb("region"), "r_regionkey")))
+    }),
+
+    // shipping-priority revenue (the classic 3-way join + top-k): per-row
+    // revenue floors to exact integer µ BEFORE the decimal sum, so the
+    // aggregation is order-free; AQE picks the filtered-dim broadcast
+    "q3_shipping" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1995-03-15").cast("date"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1995-03-15").cast("date"))
+      val revUs = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(1000000d)).cast("decimal(38,0)")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(revUs).cast("long").as("revenue_us"))
+        .orderBy(col("revenue_us").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // generic ingest profiler: per column null/distinct counts + native-
     // typed min/max, ONE aggregation over one scan, fan-out to rows after
     // (exact distincts = oracle mode; approx=true is the 100 TB default)
@@ -1834,6 +1897,25 @@ object SparkEntry {
 
   /** Exact 3-shingle Jaccard ≥ 0.5 pairs with the 500-posting cap —
     * shared by dedup_jaccard and the candidate-eval oracle's truth leg. */
+  /** Shared recursive-CC prefix (jaccard pairs → undirected closure →
+    * per-node min component): `WITH RECURSIVE ...` through the `comp`
+    * CTE (id, comp). Used by dedup_groups / corpus_leak_split /
+    * corpus_canonical so the three can never drift apart. */
+  private def ccCompPrefixSql: String =
+    s"WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
+      "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+      "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+      "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+      "scored AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
+      "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) WHERE jaccard >= 0.5), " +
+      "e AS (SELECT id_a AS a, id_b AS b FROM scored UNION SELECT id_b, id_a FROM scored), " +
+      "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), " +
+      "comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)"
+
   private def jaccardPairsOracleSql: String =
     s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
@@ -2460,35 +2542,11 @@ object SparkEntry {
         s"SELECT src, dst, CAST(cont_ppm AS BIGINT) AS cont_ppm FROM dir WHERE cont_ppm >= $containThreshPpm"),
 
     "dedup_groups" ->
-      (s"WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
-        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
-        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
-        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
-        "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
-        "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
-        "scored AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
-        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) WHERE jaccard >= 0.5), " +
-        "e AS (SELECT id_a AS a, id_b AS b FROM scored UNION SELECT id_b, id_a FROM scored), " +
-        "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) " +
-        "SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a"),
+      s"$ccCompPrefixSql SELECT id, comp FROM comp",
 
     // same recursive-CC prefix as dedup_groups, then group-keyed buckets
     "corpus_leak_split" ->
-      (s"WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
-        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
-        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
-        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
-        "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
-        "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
-        "scored AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
-        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) WHERE jaccard >= 0.5), " +
-        "e AS (SELECT id_a AS a, id_b AS b FROM scored UNION SELECT id_b, id_a FROM scored), " +
-        "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), " +
-        "comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a), " +
+      (s"$ccCompPrefixSql, " +
         "g AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id " +
         "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id), " +
         "bk AS (SELECT doc_id, group_id, " +
@@ -2496,6 +2554,63 @@ object SparkEntry {
         "SELECT doc_id, group_id, bucket, " +
         "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' " +
         "ELSE 'test' END AS split FROM bk"),
+
+    // same CC prefix; argmax = max size then min id among the maxima
+    "corpus_canonical" ->
+      (s"$ccCompPrefixSql, " +
+        "j AS (SELECT c.comp AS group_id, d.doc_id, d.n_chars FROM comp c " +
+        "JOIN documents d ON d.doc_id = c.id), " +
+        "g AS (SELECT group_id, count(*) AS group_size, " +
+        "max(n_chars) AS keep_size FROM j GROUP BY 1) " +
+        "SELECT g.group_id, g.group_size, g.keep_size, " +
+        "min(j.doc_id) AS keep_id FROM g JOIN j " +
+        "ON j.group_id = g.group_id AND j.n_chars = g.keep_size " +
+        "GROUP BY 1, 2, 3"),
+
+    // subword proxy = the same three-alternative regex; ppm division only
+    // when words exist
+    "text_fertility" ->
+      (s"WITH t AS (SELECT lang AS grp, CAST(len($sqlToks) AS BIGINT) AS w, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS b " +
+        "FROM documents) " +
+        "SELECT grp, count(*) AS n_docs, sum(w) AS n_words, " +
+        "sum(b) AS n_subwords, " +
+        "CASE WHEN sum(w) > 0 THEN (sum(CAST(b AS HUGEINT)) * 1000000) // sum(CAST(w AS HUGEINT)) " +
+        "ELSE 0 END AS fertility_ppm FROM t GROUP BY grp"),
+
+    // one LEFT JOIN + conditional count per FK edge (parents are PKs, so
+    // the join is row-preserving); NULL FKs count as orphans
+    "integrity_report" -> {
+      def arm(name: String, child: String, fk: String, parent: String,
+              pk: String) =
+        s"SELECT '$name' AS fk_name, count(*) AS n_rows, " +
+          s"count(CASE WHEN p.$pk IS NULL THEN 1 END) AS n_orphans, " +
+          s"CASE WHEN count(*) > 0 THEN (count(CASE WHEN p.$pk IS NULL THEN 1 END) * 1000000) // count(*) " +
+          s"ELSE 0 END AS orphan_ppm " +
+          s"FROM $child c LEFT JOIN $parent p ON c.$fk = p.$pk"
+      Seq(
+        arm("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        arm("lineitem.l_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        arm("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        arm("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        arm("customer.c_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        arm("supplier.s_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        arm("nation.n_regionkey", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString(" UNION ALL ")
+    },
+
+    // per-row floor to integer µ BEFORE the sum (the one multiply chain is
+    // bit-identical IEEE in both engines); total-order top-10
+    "q3_shipping" ->
+      ("SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date, " +
+        "o_orderpriority, " +
+        "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS HUGEINT)) AS BIGINT) AS revenue_us " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey " +
+        "AND l_orderkey = o_orderkey " +
+        "AND CAST(o_orderdate AS DATE) < DATE '1995-03-15' " +
+        "AND CAST(l_shipdate AS DATE) > DATE '1995-03-15' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue_us DESC, l_orderkey LIMIT 10"),
 
     // distinct 5-token windows → md5-prefix 60-bit keys (sqlMd5Long, the
     // Md5Hasher twin) → doc-frequency ≥ 2 = shared; per-doc counts from

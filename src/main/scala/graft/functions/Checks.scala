@@ -122,4 +122,30 @@ object Checks {
       .select("r.*")
       .orderBy(col("check_name"), col("col_name"))
   }
+
+  /** Referential-integrity audit across declared FK edges — the conformance
+    * report an ingest pipeline runs before trusting joins over a new load:
+    * per edge, child row count, orphan count (child rows whose FK value has
+    * no parent), and the orphan rate in floor-ppm. NULL FKs count as
+    * orphans (they would silently vanish from any inner join downstream).
+    *
+    * Each edge is ONE left join + one conditional-count aggregate — the
+    * parent's key column must be unique (a real PK), which keeps the join
+    * row-preserving and lets the same plan serve as the SQL oracle form.
+    * Small parents broadcast automatically; a fact-sized child shuffles
+    * once on its FK. Output is |edges| rows. */
+  def fkIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (name, child, fk, parent, pk) =>
+      child.select(col(fk).as("_fk"))
+        .join(parent.select(col(pk).as("_pk")), col("_fk") === col("_pk"),
+          "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("_pk").isNull, 1)).as("n_orphans"))
+        .select(lit(name).as("fk_name"), col("n_rows"), col("n_orphans"),
+          // an EMPTY child has a 0 orphan rate (not the vacuous-pass 1e6
+          // that ratio checks pin — there is nothing to orphan)
+          when(col("n_rows") > 0, ppm(col("n_orphans"), col("n_rows")))
+            .otherwise(lit(0L)).as("orphan_ppm"))
+    }.reduce(_ unionAll _)
 }

@@ -140,6 +140,25 @@ object Dedup {
         countDistinct(col("exact_md5")).alias("n_variants"),
         array_sort(collect_list(col(idCol))).alias("member_ids"))
 
+  /** Canonical-member selection per near-dup group — what a production
+    * dedup actually keeps is not the MINIMUM id but the BEST copy: given
+    * the component frame from [[componentsFromPairs]] (`id`, `comp`),
+    * pick per group the member maximizing `sizeCol` (most content), ties
+    * to the smallest id. The argmax is one `max(struct(size, -id))` —
+    * a total order inside a single hash aggregate, no window, no
+    * sort-within-group; ties can never flap across engines or
+    * partitionings. Output: (group_id, group_size, keep_size, keep_id). */
+  def canonicalPerGroup(docs: DataFrame, idCol: String, comps: DataFrame,
+                        sizeCol: String): DataFrame =
+    docs.join(comps, docs(idCol) === comps("id"))
+      .groupBy(col("comp").as("group_id"))
+      .agg(
+        count(lit(1)).as("group_size"),
+        max(struct(col(sizeCol).as("sz"), (-col(idCol)).as("negid")))
+          .as("_b"))
+      .select(col("group_id"), col("group_size"),
+        col("_b.sz").as("keep_size"), (-col("_b.negid")).as("keep_id"))
+
   /** MinHash signatures (id, sig:array<long> of length k) for a corpus.
     *
     * Formulated as explode → hash-once → 64 codegen'd min-aggregates, NOT as

@@ -132,6 +132,25 @@ object TextFunctions {
         Sampling.intDiv(lit(11800000L) * syl, w) - lit(15590000L))
   }
 
+  /** Tokenizer-fertility report per group (usually language): subword
+    * pieces per whitespace word in exact floor-ppm — the multilingual
+    * budgeting metric (a language at 3× fertility pays 3× the context
+    * window per word; mixtures weighted by raw token counts silently
+    * under-serve it). Subwords = the BPE-ish proxy count; both counts are
+    * per-row codegen'd regexes, the rollup is one hash aggregate. */
+  def fertilityByGroup(docs: org.apache.spark.sql.DataFrame,
+                       group: Column, text: Column): org.apache.spark.sql.DataFrame =
+    docs.select(group.as("grp"), tokenCount(text).cast("long").as("_w"),
+        bpeishTokenCount(text).cast("long").as("_b"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_words"),
+        sum(col("_b")).as("n_subwords"),
+        when(sum(col("_w")) > 0,
+          Sampling.intDiv(sum(col("_b").cast("decimal(38,0)")) * lit(1000000L),
+            sum(col("_w").cast("decimal(38,0)"))))
+          .otherwise(lit(0L)).as("fertility_ppm"))
+
   /** Per-group readability rollup: doc count, floor-mean and min/max of
     * [[fkGradeUs]] — the quality-gate input ("drop sources reading like
     * word salad"). Mean is an exact floor division of the DECIMAL sum

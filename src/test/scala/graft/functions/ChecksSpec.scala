@@ -66,4 +66,21 @@ class ChecksSpec extends SparkSpec {
     // HLL at this cardinality is exact: 4 distinct of 5 rows
     assert(rows.head.getLong(2) == 800000L)
   }
+
+  test("fkIntegrity: orphan and NULL FKs are counted, clean edges report " +
+      "zero, empty child reports rate 0") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(7L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val empty = Seq.empty[Long].toDF("fk")
+    val rows = Checks.fkIntegrity(Seq(
+      ("c.fk", child, "fk", parent, "pk"),
+      ("e.fk", empty, "fk", parent, "pk"))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 4 rows, orphans = the 7 and the NULL → 2 → 500000 ppm
+    assert(rows("c.fk") === ((4L, 2L, 500000L)))
+    assert(rows("e.fk") === ((0L, 0L, 0L)))
+  }
 }

@@ -44,6 +44,19 @@ class DedupSimilaritySpec extends SparkSpec {
       exact(0).getAs[Seq[Long]]("member_ids") === Seq(2L, 4L))
   }
 
+  test("canonicalPerGroup: keeps the largest member, ties to the " +
+      "smallest id, one row per component") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
+      .toDF("id", "comp")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (8L, 5L), (9L, 5L),
+      (99L, 77L)).toDF("doc_id", "n_chars") // 99 is in no group
+    val out = Dedup.canonicalPerGroup(docs, "doc_id", comps, "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // group 1: sizes (10,30,30) → max 30, tie 2 vs 3 → keep 2
+    assert(out === Map(1L -> ((3L, 30L, 2L)), 8L -> ((2L, 5L, 8L))))
+  }
+
   test("minhash+LSH recovers the exact and near dup pairs, not the distinct doc") {
     val sh = corpus.select($"doc_id",
       TextFunctions.wordShingles($"text", 3).as("sh"))

@@ -116,6 +116,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2).isNullAt(0))
   }
 
+  test("fertilityByGroup: subwords per word in floor-ppm; wordless group " +
+      "reports 0") {
+    val df = Seq(
+      ("en", "hello world"),        // w=2, subwords: hello, world → 2
+      ("en", "can't stop"),         // w=2, subwords: can ' t stop → 4
+      ("xx", "")).toDF("lang", "text")
+    val m = TextFunctions.fertilityByGroup(df, $"lang", $"text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: 6 subwords / 4 words = 1.5 → 1500000 ppm
+    assert(m("en") === ((2L, 4L, 6L, 1500000L)))
+    assert(m("xx") === ((1L, 0L, 0L, 0L)))
+  }
+
   test("readabilityByGroup: floor-mean of negative grades, min/max, " +
       "token-less docs excluded") {
     val df = Seq(
