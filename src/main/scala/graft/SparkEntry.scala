@@ -110,6 +110,8 @@ object SparkEntry {
   private val bfsSeedMod = 17L                    // graph_bfs
   private val bfsRounds = 3
   private val pcaRounds = 3                       // embedding_pca
+  private val vocabCoverageKs = Seq(10, 100, 1000) // vocab_coverage
+  private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
   private val checksRangeThresh = 500000L
@@ -1494,6 +1496,31 @@ object SparkEntry {
     "text_perplexity" -> ((s, dir) =>
       LangModel.selfCrossEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // CCNet head/middle/tail: exact tercile thresholds of the self-LM
+    // cross-entropy, derived from the corpus itself — the standard
+    // perplexity quality gate
+    "corpus_ppl_buckets" -> ((s, dir) =>
+      LangModel.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")),
+
+    // vocabulary-coverage curve at fixed candidate sizes: each k is one
+    // TakeOrdered top-k over the count frame (never a global rank window
+    // over the vocabulary), mass ratios in exact floor-ppm
+    "vocab_coverage" -> ((s, dir) =>
+      Vocab.coverage(t(s, dir, "documents"), "text", vocabCoverageKs)),
+
+    // per-hour top event types: rank ≤ 3 over a by-hour window plans as
+    // WindowGroupLimit (partial top-k before the shuffle)
+    "events_top_types" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour"))
+        .orderBy(col("n_events").desc, col("event_type"))
+      hourly.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topTypesK)
+    }),
+
     // Stupid Backoff held-out scoring (Brants et al. EMNLP'07): model from
     // the 80% train split, scores for the rest — the backoff leg really
     // fires on unseen bigrams
@@ -1897,6 +1924,22 @@ object SparkEntry {
 
   /** Exact 3-shingle Jaccard ≥ 0.5 pairs with the 500-posting cap —
     * shared by dedup_jaccard and the candidate-eval oracle's truth leg. */
+  /** Shared per-doc bigram-LM cross-entropy CTE body (`d` docs → `s`
+    * per-doc NLL sums) — used by text_perplexity and corpus_ppl_buckets
+    * so the model definition can never drift between them. */
+  private def pplBodySql: String =
+    s"d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM d), " +
+      "c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram), " +
+      "u AS (SELECT unnest(toks) AS w1 FROM d), " +
+      "c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1), " +
+      "v AS (SELECT count(*) AS n_vocab FROM c1), " +
+      "s AS (SELECT doc_id, count(*) AS n_bigrams, " +
+      "sum(CAST(-ln((c2 + 1.0) / (c1 + n_vocab)) AS DECIMAL(27,12))) AS s " +
+      "FROM (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM g) gg " +
+      "JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v GROUP BY doc_id)"
+
   /** Shared recursive-CC prefix (jaccard pairs → undirected closure →
     * per-node min component): `WITH RECURSIVE ...` through the `comp`
     * CTE (id, comp). Used by dedup_groups / corpus_leak_split /
@@ -3463,20 +3506,26 @@ object SparkEntry {
 
     // add-one bigram LM cross-entropy; -ln terms summed as DECIMAL
     "text_perplexity" ->
-      (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
-        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
-        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM d), " +
-        "c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram), " +
-        "u AS (SELECT unnest(toks) AS w1 FROM d), " +
-        "c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1), " +
-        "v AS (SELECT count(*) AS n_vocab FROM c1), " +
-        "s AS (SELECT doc_id, count(*) AS n_bigrams, " +
-        "sum(CAST(-ln((c2 + 1.0) / (c1 + n_vocab)) AS DECIMAL(27,12))) AS s " +
-        "FROM (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM g) gg " +
-        "JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v GROUP BY doc_id) " +
+      (s"WITH $pplBodySql " +
         "SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, " +
         "coalesce(round(CAST(s.s AS DOUBLE) / s.n_bigrams, 6), 0.0) AS cross_entropy " +
         "FROM d LEFT JOIN s USING (doc_id)"),
+
+    // shared per-doc cross-entropy body, then exact tercile thresholds
+    // (quantile_cont ≡ percentile, the calibrate precedent; the 1/3 and
+    // 2/3 doubles interpolate from the SAME Scala computation)
+    "corpus_ppl_buckets" ->
+      (s"WITH $pplBodySql, " +
+        "ce AS (SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(round(CAST(s.s AS DOUBLE) / s.n_bigrams, 6), 0.0) AS cross_entropy " +
+        "FROM d LEFT JOIN s USING (doc_id)), " +
+        s"th AS (SELECT quantile_cont(cross_entropy, ${1.0 / 3}::DOUBLE) AS t1, " +
+        s"quantile_cont(cross_entropy, ${2.0 / 3}::DOUBLE) AS t2 FROM ce), " +
+        "b AS (SELECT CASE WHEN cross_entropy <= th.t1 THEN 'head' " +
+        "WHEN cross_entropy <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket, " +
+        "n_bigrams FROM ce, th) " +
+        "SELECT bucket, count(*) AS n_docs, " +
+        "CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams FROM b GROUP BY bucket"),
 
     // stupid backoff: seen bigram → c2/c1; else α·(c(w2)+1)/(N+V)
     "text_backoff_heldout" ->
@@ -3698,6 +3747,35 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    // top-k per hour with the total (count desc, type) order
+    "events_top_types" ->
+      (s"WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type, " +
+        "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY hour " +
+        "ORDER BY n_events DESC, event_type) AS rank FROM h) " +
+        s"SELECT hour, event_type, n_events, CAST(rank AS INTEGER) AS rank " +
+        s"FROM r WHERE rank <= $topTypesK"),
+
+    // the count frame's top-k arms share the (count desc, token) total
+    // order with the engine's TakeOrdered
+    "vocab_coverage" -> {
+      val arms = vocabCoverageKs.map { k =>
+        s"k$k AS (SELECT CAST(sum(c) AS HUGEINT) AS s FROM " +
+          s"(SELECT c FROM c ORDER BY c DESC, tok LIMIT $k))"
+      }.mkString(", ")
+      val sel = vocabCoverageKs.map { k =>
+        s"SELECT CAST($k AS BIGINT) AS k, CAST(k$k.s AS BIGINT) AS covered_tokens, " +
+          s"CAST(tot.n AS BIGINT) AS total_tokens, " +
+          s"CAST((k$k.s * 1000000) // tot.n AS BIGINT) AS coverage_ppm " +
+          s"FROM k$k, tot"
+      }.mkString(" UNION ALL ")
+      s"WITH t AS (SELECT $sqlToks AS toks FROM documents), " +
+        "u AS (SELECT unnest(toks) AS tok FROM t), " +
+        "c AS (SELECT tok, count(*) AS c FROM u GROUP BY tok), " +
+        "tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM c), " +
+        s"$arms $sel"
+    },
 
     "events_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -144,4 +144,33 @@ object LangModel {
       TextFunctions.tokens(col(textCol)).as("toks"))
     crossEntropy(docs, idCol, textCol, trainBigram(toks, "toks"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): split
+    * the corpus into head / middle / tail by exact TERCILES of the
+    * self-LM cross-entropy — the standard "keep the head, maybe sample
+    * the middle, drop the tail" quality gate, with the thresholds derived
+    * from the corpus itself rather than hardcoded.
+    *
+    * Thresholds use exact `percentile` (≡ DuckDB `quantile_cont`, the
+    * calibrate precedent — identical interpolation arithmetic on the
+    * identical rounded doubles, so the cut points are bit-equal); at
+    * 100 TB swap to `percentile_approx` and treat the buckets as
+    * estimates. The threshold frame is one row, broadcast back; the
+    * bucket label is a per-row comparison. Output: (bucket, n_docs,
+    * n_bigrams) — corpus-size-independent. */
+  def perplexityBuckets(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val ce = selfCrossEntropy(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val th = ce.agg(
+      percentile(col("cross_entropy"), lit(1.0 / 3)).as("t1"),
+      percentile(col("cross_entropy"), lit(2.0 / 3)).as("t2"))
+    ce.crossJoin(broadcast(th))
+      .select(col("n_bigrams"),
+        when(col("cross_entropy") <= col("t1"), "head")
+          .when(col("cross_entropy") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
+  }
 }

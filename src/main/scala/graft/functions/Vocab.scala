@@ -241,4 +241,37 @@ object Vocab {
       .limit(topK)
       .select(col("token"), col("n_docs"), col("score_us"))
   }
+
+  /** Vocabulary-coverage curve at FIXED candidate sizes — the tokenizer-
+    * design question "what vocab size covers X% of the token mass",
+    * answered scale-safely: each candidate size k is one
+    * TakeOrderedAndProject top-k over the count frame (never a global
+    * rank window over the whole vocabulary — a 100 TB corpus has a
+    * vocabulary far too large to single-reducer sort), summed and set
+    * against the total mass as exact floor-ppm. The count frame is
+    * persisted once for the |ks|+1 consumers. Ties at every k boundary
+    * break on (count desc, token) — a total order, so the curve is
+    * engine-exact. Output: (k, covered_tokens, total_tokens,
+    * coverage_ppm), |ks| rows. */
+  def coverage(docs: DataFrame, textCol: String,
+               ks: Seq[Int]): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("c")).cast("decimal(38,0)").as("_n"))
+    val arms = ks.map { k =>
+      counts.orderBy(col("c").desc, col("tok")).limit(k)
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("decimal(38,0)").as("_s"))
+        .select(lit(k.toLong).as("k"), col("_s"))
+    }
+    arms.reduce(_ unionAll _)
+      .crossJoin(broadcast(total))
+      .select(col("k"),
+        col("_s").cast("long").as("covered_tokens"),
+        col("_n").cast("long").as("total_tokens"),
+        when(col("_n") > 0,
+          Sampling.intDiv(col("_s") * lit(1000000L), col("_n")))
+          .otherwise(lit(0L)).as("coverage_ppm"))
+  }
 }

@@ -113,4 +113,42 @@ class VocabSpec extends SparkSpec {
     assert(got("all") === 0L)
     assert(got("x") === 2000000L) // perfect marker of A: χ² = N = 2
   }
+
+  test("coverage: top-k mass in exact floor-ppm; k beyond the vocabulary " +
+      "covers everything") {
+    import spark.implicits._
+    // counts: a×4, b×2, c×1 → total 7
+    val docs = Seq("a a b", "a a b c").toDF("text")
+    val m = Vocab.coverage(docs, "text", Seq(1, 2, 100)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(1L) === ((4L, 7L, 571428L)))   // floor(4e6/7)
+    assert(m(2L) === ((6L, 7L, 857142L)))
+    assert(m(100L) === ((7L, 7L, 1000000L)))
+  }
+
+  test("coverage ties at the k boundary break on (count desc, token)") {
+    import spark.implicits._
+    // b and c tie at 2; k=2 must take a (3) then b (alphabetical)
+    val docs = Seq("a a a b b c c").toDF("text")
+    val m = Vocab.coverage(docs, "text", Seq(2)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2L) === 5L)
+  }
+
+  test("perplexityBuckets: ONE repeated doc family scores head, the " +
+      "outlier doc lands in tail, counts conserve") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, "the cat sat on the mat")) :+
+      (9L, "zq xv qq zz yy ww")
+    val out = LangModel.perplexityBuckets(docs.toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.values.map(_._1).sum === 9L)
+    assert(out("tail")._1 >= 1L)  // the gibberish doc cannot be head
+    // the 8 repeated docs share ONE entropy value ≤ both thresholds, so
+    // they all land in head (middle is empty — equal keys share a bucket)
+    def n(b: String) = out.get(b).map(_._1).getOrElse(0L)
+    assert(n("head") + n("middle") === 8L)
+  }
 }
