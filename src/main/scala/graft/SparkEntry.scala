@@ -111,6 +111,7 @@ object SparkEntry {
   private val bfsRounds = 3
   private val pcaRounds = 3                       // embedding_pca
   private val vocabCoverageKs = Seq(10, 100, 1000) // vocab_coverage
+  private val noiseProbeMod = 17L                 // embedding_label_noise
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
@@ -971,6 +972,16 @@ object SparkEntry {
       Sampling.corpusStats(t(s, dir, "documents"), "doc_id", "text")),
 
     // ---- similarity search ----------------------------------------------
+    // kNN label-noise audit: probe sample vs strict-majority neighbor
+    // vote — the "is this labeled set trainable" check; exact kNN is the
+    // oracle mode, the LSH candidate frame is the 100 TB swap-in
+    "embedding_label_noise" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.labelNoiseReport(emb, "vec_id", "embedding", "label",
+        probes = emb.filter(pmod(col("vec_id"), lit(noiseProbeMod)) === 0),
+        k = 5)
+    }),
+
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -2096,6 +2107,28 @@ object SparkEntry {
       "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
       "WHERE rn <= 5"
 
+  /** Mirror of `Similarity.labelNoiseReport` over the `% $noiseProbeMod`
+    * probe sample: the same brute-force cosine kNN CTE shape as
+    * [[annBruteOracleSql]], then strict-majority label agreement. */
+  private def labelNoiseOracleSql: String =
+    s"WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql " +
+      s"FROM embeddings WHERE vec_id % $noiseProbeMod = 0), " +
+      "scored AS (SELECT q.qid, q.ql, e.vec_id AS nid, " +
+      "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+      "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+      "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+      "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+      "nn AS (SELECT qid, ql, nid FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) WHERE rn <= 5), " +
+      "lab AS (SELECT nn.qid, nn.ql, e.label AS nl FROM nn " +
+      "JOIN embeddings e ON e.vec_id = nn.nid), " +
+      "per AS (SELECT qid, ql, count(CASE WHEN nl = ql THEN 1 END) AS n_same, " +
+      "count(*) AS n_nbrs FROM lab GROUP BY 1, 2) " +
+      "SELECT ql AS label, count(*) AS n_probes, " +
+      "count(CASE WHEN 2 * n_same > n_nbrs THEN 1 END) AS n_clean, " +
+      "((count(*) - count(CASE WHEN 2 * n_same > n_nbrs THEN 1 END)) * 1000000) // count(*) AS noise_ppm " +
+      "FROM per GROUP BY ql"
+
   private def annLshOracleSql: String = {
     val (planeCols, bucketExpr) = rhpSqlParts(8, 64)
     val probeList = "[sig" + (0 until 8).map(b => s", xor(sig, ${1L << b})")
@@ -3143,6 +3176,8 @@ object SparkEntry {
         "WHERE rn <= 5"),
 
     "ann_brute_topk" -> annBruteOracleSql,
+
+    "embedding_label_noise" -> labelNoiseOracleSql,
 
     "ann_mmr_topk" -> mmrOracleSql,
 

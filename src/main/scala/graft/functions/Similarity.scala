@@ -575,4 +575,44 @@ object Similarity {
         round(col("_cos") - coalesce(col("_next"), lit(-1.0)), 6).as("margin"),
         (col("_lbl") === col("true_label")).as("correct"))
   }
+
+  /** kNN label-noise screen (the confident-learning-style data audit):
+    * for a probe sample, does each vector's label agree with the STRICT
+    * MAJORITY of its k nearest neighbors' labels? A label class with a
+    * high disagreement rate is mislabeled, under-clustered, or defined
+    * differently than its neighbors — the check a labeled-embedding
+    * corpus runs before training a classifier on it.
+    *
+    * Probes are a caller-chosen sample (stable hash / modulus — the rate
+    * controls cost): the kNN pass is probes × corpus via the shared
+    * brute-force top-k (exact, oracle-checkable). At 100 TB swap the
+    * neighbor source for the LSH-bucketed candidate pairs and treat the
+    * report as an estimate — the aggregation shape is unchanged.
+    *
+    * Output: (label, n_probes, n_clean, noise_ppm) — strict majority
+    * (2·same > k) so an exact tie counts as noisy, never
+    * engine-dependent. */
+  def labelNoiseReport(corpus: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, probes: DataFrame,
+                       k: Int = 5): DataFrame = {
+    val nn = bruteForceTopK(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")),
+      "nid", "nv",
+      probes.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "qid", "qv", k)
+    val per = nn
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("_nl")), Seq("neighbor_id"))
+      .join(corpus.select(col(idCol).as("query_id"),
+        col(labelCol).as("_ql")), Seq("query_id"))
+      .groupBy(col("query_id"), col("_ql"))
+      .agg(count(when(col("_nl") === col("_ql"), 1)).as("_same"),
+        count(lit(1)).as("_nbrs"))
+    val clean = count(when(col("_same") * 2 > col("_nbrs"), 1))
+    per.groupBy(col("_ql").as("label"))
+      .agg(count(lit(1)).as("n_probes"), clean.as("n_clean"),
+        Sampling.intDiv(
+          (count(lit(1)) - clean).cast("decimal(38,0)") * lit(1000000L),
+          count(lit(1)).cast("decimal(38,0)")).as("noise_ppm"))
+  }
 }

@@ -210,6 +210,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 12)
   }
 
+  test("labelNoiseReport: planted mislabel is flagged, clean class is " +
+      "clean, strict majority decides") {
+    // two tight clusters; vec 5 sits in cluster A but carries label 1
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.99f, 0.01f), 0),
+      (3L, Seq(0.98f, 0.02f), 0), (5L, Seq(0.97f, 0.03f), 1),
+      (11L, Seq(0.0f, 1.0f), 1), (12L, Seq(0.01f, 0.99f), 1),
+      (13L, Seq(0.02f, 0.98f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseReport(emb, "vec_id", "embedding",
+        "label", probes = emb, k = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // label 0 probes (1,2,3): all 3 NNs are the other A members + vec 5 —
+    // at least 2 of 3 share label 0 → clean
+    assert(out(0) === ((3L, 3L, 0L)))
+    // label 1 probes: 11,12,13 are clean; 5's NNs are all label 0 → noisy
+    assert(out(1) === ((4L, 3L, 250000L)))
+  }
+
   test("bruteForceTopK: nearest neighbor is the closest vector, self excluded") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
