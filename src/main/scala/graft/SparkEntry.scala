@@ -112,6 +112,9 @@ object SparkEntry {
   private val pcaRounds = 3                       // embedding_pca
   private val vocabCoverageKs = Seq(10, 100, 1000) // vocab_coverage
   private val noiseProbeMod = 17L                 // embedding_label_noise
+  private val blocklistTerms =                    // corpus_blocklist
+    Seq("spark", "vector", "slow")
+  private val bigramSuggestK = 3                  // vocab_bigram_suggest
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
@@ -1518,6 +1521,40 @@ object SparkEntry {
     // over the vocabulary), mass ratios in exact floor-ppm
     "vocab_coverage" -> ((s, dir) =>
       Vocab.coverage(t(s, dir, "documents"), "text", vocabCoverageKs)),
+
+    // DAU / trailing-7-day WAU / floor-ppm stickiness per active day —
+    // the trailing week via a 7-way day fan-out + distinct, never a
+    // distinct-over-range window
+    "events_stickiness" -> ((s, dir) =>
+      EventAnalytics.stickiness(events(s, dir), "user_id",
+        date_trunc("day", col("ts")).cast("date"))),
+
+    // content blocklist screen: violating docs with hit counts and the
+    // sorted matched terms (list rides as a codegen'd array literal)
+    "corpus_blocklist" -> ((s, dir) => driverSafe(
+      TextFunctions.blocklistScreen(t(s, dir, "documents"), "doc_id",
+        "text", blocklistTerms))),
+
+    // top-3 next-token suggestions per context from the bigram table —
+    // WindowGroupLimit partial top-k, (count desc, token) total order
+    "vocab_bigram_suggest" -> ((s, dir) =>
+      Vocab.bigramSuggest(t(s, dir, "documents"), "text",
+        topK = bigramSuggestK)),
+
+    // full-outer reconciliation: CRM active accounts vs the order ledger
+    // (both-only populations are real on this data) — one outer hash
+    // join + one conditional-count aggregate
+    "j8_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") >= 0)
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(
+          count(when(col("c_custkey").isNotNull &&
+            col("o_custkey").isNotNull, 1)).as("n_matched"),
+          count(when(col("o_custkey").isNull, 1)).as("n_customer_only"),
+          count(when(col("c_custkey").isNull, 1)).as("n_order_only"))
+    }),
 
     // per-hour top event types: rank ≤ 3 over a by-hour window plans as
     // WindowGroupLimit (partial top-k before the shuffle)
@@ -3782,6 +3819,46 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    // 7-way day fan-out + distinct ≡ the engine's WAU shape
+    "events_stickiness" ->
+      ("WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "user_id AS u FROM events), " +
+        "dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1), " +
+        "w AS (SELECT DISTINCT day + CAST(o AS INTEGER) AS day, u FROM ud, range(0, 7) t(o)), " +
+        "wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1) " +
+        "SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau, " +
+        "CAST((CAST(dau.dau AS HUGEINT) * 1000000) // wau.wau AS BIGINT) AS stickiness_ppm " +
+        "FROM dau JOIN wau USING (day)"),
+
+    // same array-literal membership test; empty lists cannot occur (the
+    // n_hits > 0 gate) so array_to_string never sees NULL
+    "corpus_blocklist" -> {
+      val bl = blocklistTerms.map("'" + _ + "'").mkString("[", ",", "]")
+      s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        s"CAST(len(list_filter(toks, x -> list_contains($bl, x))) AS BIGINT) AS n_hits, " +
+        s"array_to_string(list_sort(list_filter(list_distinct(toks), x -> list_contains($bl, x))), '|') AS matched_terms " +
+        "FROM t) " +
+        "SELECT doc_id, n_hits, matched_terms FROM h WHERE n_hits > 0"
+    },
+
+    "vocab_bigram_suggest" ->
+      (s"WITH t AS (SELECT $sqlToks AS toks FROM documents), " +
+        "g AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM t), " +
+        "c AS (SELECT string_split(gram, ' ')[1] AS w1, " +
+        "string_split(gram, ' ')[2] AS w2, count(*) AS n FROM g GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rank FROM c) " +
+        s"SELECT w1, w2, n, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $bigramSuggestK"),
+
+    "j8_outer_join" ->
+      ("WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal >= 0), " +
+        "o AS (SELECT DISTINCT o_custkey FROM orders) " +
+        "SELECT count(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 END) AS n_matched, " +
+        "count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_customer_only, " +
+        "count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_order_only " +
+        "FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"),
 
     // top-k per hour with the total (count desc, type) order
     "events_top_types" ->

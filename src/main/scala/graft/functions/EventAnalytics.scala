@@ -376,4 +376,32 @@ object EventAnalytics {
         sum(col("_contrib")).as("score_ppm"),
         min(col("_age_hl")).as("last_age_hl"))
   }
+
+  /** DAU / trailing-7-day WAU / stickiness per active day — the product
+    * health metric, exact and engine-reproducible: stickiness is the
+    * floor-ppm ratio DAU/WAU (bounded by 10⁶ when every weekly user shows
+    * up daily). The trailing week is computed WITHOUT a distinct-over-
+    * range window (which Spark cannot partial-aggregate): each (day,
+    * user) activity row fans out to the ≤ 7 future days whose window it
+    * falls in, then one distinct per target day — shuffle volume is
+    * 7 × |user-days|, never |events|. Days with no activity produce no
+    * row (declared: the report covers ACTIVE days). */
+  def stickiness(events: DataFrame, userId: String,
+                 day: Column): DataFrame = {
+    val userDay = events.select(day.as("day"), col(userId).as("u"))
+      .distinct()
+    val dau = userDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = userDay
+      .select(explode(sequence(lit(0), lit(6))).as("_o"), col("day"),
+        col("u"))
+      .select(date_add(col("day"), col("_o")).as("day"), col("u"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        Sampling.intDiv(col("dau").cast("decimal(38,0)") * lit(1000000L),
+          col("wau").cast("decimal(38,0)")).as("stickiness_ppm"))
+  }
 }

@@ -132,6 +132,27 @@ object TextFunctions {
         Sampling.intDiv(lit(11800000L) * syl, w) - lit(15590000L))
   }
 
+  /** Blocklist screen: docs containing ANY of the given terms, with the
+    * total hit count and the sorted distinct matched terms — the content
+    * gate every crawl pipeline runs (slurs, spam markers, boilerplate
+    * sentinels). The list rides as an array literal inside one codegen'd
+    * filter expression — a few thousand terms is fine; past that switch
+    * the list to a broadcast join on the token explode. Clean docs are
+    * dropped (the report is the violation list, corpus-size-independent
+    * for a healthy corpus). */
+  def blocklistScreen(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val bl = array(terms.map(lit): _*)
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol),
+        size(filter(toks, t => array_contains(bl, t))).cast("long")
+          .as("n_hits"),
+        array_sort(array_intersect(array_distinct(toks), bl))
+          .as("matched_terms"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Tokenizer-fertility report per group (usually language): subword
     * pieces per whitespace word in exact floor-ppm — the multilingual
     * budgeting metric (a language at 3× fertility pays 3× the context

@@ -242,6 +242,29 @@ object Vocab {
       .select(col("token"), col("n_docs"), col("score_us"))
   }
 
+  /** Top-k next-token suggestions per context token from the corpus
+    * bigram table — the "what usually follows this word" probe behind
+    * autocomplete-style QA of a corpus (a context whose top continuations
+    * are template boilerplate is a dedup lead). One bigram aggregate,
+    * then rank ≤ k per context — plans as WindowGroupLimit (partial
+    * top-k before the shuffle), so a hot context token never funnels its
+    * whole continuation set through one reducer. (count desc, token)
+    * total order keeps the suggestion lists engine-exact. */
+  def bigramSuggest(docs: DataFrame, textCol: String,
+                    topK: Int): DataFrame = {
+    val grams = docs
+      .select(explode(TextFunctions.tokenNgrams(
+        TextFunctions.tokens(col(textCol)), 2)).as("gram"))
+      .select(substring_index(col("gram"), " ", 1).as("w1"),
+        substring_index(col("gram"), " ", -1).as("w2"))
+    val counts = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Vocabulary-coverage curve at FIXED candidate sizes — the tokenizer-
     * design question "what vocab size covers X% of the token mass",
     * answered scale-safely: each candidate size k is one

@@ -272,4 +272,31 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().head
     assert(got.getLong(2) == 1000000L && got.getLong(3) == 0L)
   }
+
+  test("stickiness: trailing-7-day WAU, dedup within day, daily user " +
+      "pins 1e6") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val ev = Seq(
+      // user 1 active on day 1 and day 8 (outside each other's window);
+      // user 2 active only day 1 (twice — must dedup); user 3 only day 8
+      (1L, "2024-01-01"), (1L, "2024-01-08"),
+      (2L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-01-08")).toDF("user_id", "d")
+    val out = EventAnalytics.stickiness(ev, "user_id", to_date(col("d")))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // day 1: DAU {1,2}; WAU (days -6..0 → just day 1 activity) = {1,2}
+    assert(out("2024-01-01") === ((2L, 2L, 1000000L)))
+    // day 8: DAU {1,3}; trailing week covers Jan 2-8 → only day-8 users
+    assert(out("2024-01-08") === ((2L, 2L, 1000000L)))
+    // Jan 2-7 had no activity → no rows (active-day semantics)
+    assert(out.size === 2)
+    // add a day-4 event for user 2: its WAU window (Jan 4..) reaches day 8
+    val ev2 = ev.union(Seq((2L, "2024-01-04")).toDF("user_id", "d"))
+    val out2 = EventAnalytics.stickiness(ev2, "user_id", to_date(col("d")))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // day 8 WAU now {1, 2, 3} → stickiness floor(2e6/3)
+    assert(out2("2024-01-08") === ((2L, 3L, 666666L)))
+  }
 }

@@ -116,6 +116,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2).isNullAt(0))
   }
 
+  test("blocklistScreen: hit counts include repeats, matched terms are " +
+      "distinct and sorted, clean docs drop") {
+    val docs = Seq(
+      (1L, "Bad BAD thing"),
+      (2L, "all clean here"),
+      (3L, "worse bad")).toDF("doc_id", "text")
+    val out = TextFunctions.blocklistScreen(docs, "doc_id", "text",
+        Seq("bad", "worse"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[String](2).toList))).toMap
+    assert(out === Map(
+      1L -> ((2L, List("bad"))),          // case-folded, repeat counted
+      3L -> ((2L, List("bad", "worse"))))) // sorted distinct terms
+  }
+
   test("fertilityByGroup: subwords per word in floor-ppm; wordless group " +
       "reports 0") {
     val df = Seq(

@@ -136,6 +136,18 @@ class VocabSpec extends SparkSpec {
     assert(m(2L) === 5L)
   }
 
+  test("bigramSuggest: top continuations per context, count-then-token " +
+      "order, k bound respected") {
+    import spark.implicits._
+    val docs = Seq("a b", "a b", "a c", "a d", "b a").toDF("text")
+    val got = Vocab.bigramSuggest(docs, "text", topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // context a: b (2) then c (alphabetical over the c/d tie); d cut by k
+    assert(got === Array(("a", "b", 2L, 1), ("a", "c", 1L, 2),
+      ("b", "a", 1L, 1)))
+  }
+
   test("perplexityBuckets: ONE repeated doc family scores head, the " +
       "outlier doc lands in tail, counts conserve") {
     import spark.implicits._
