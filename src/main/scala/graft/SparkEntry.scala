@@ -115,6 +115,8 @@ object SparkEntry {
   private val blocklistTerms =                    // corpus_blocklist
     Seq("spark", "vector", "slow")
   private val bigramSuggestK = 3                  // vocab_bigram_suggest
+  private val deleteListMod = 41L                 // privacy_delete_impact
+  private val annFilterLabel = 3                  // ann_filtered_topk
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
@@ -975,6 +977,32 @@ object SparkEntry {
       Sampling.corpusStats(t(s, dir, "documents"), "doc_id", "text")),
 
     // ---- similarity search ----------------------------------------------
+    // right-to-be-forgotten sizing: rows referencing a subject delete
+    // list, per table — one broadcast left join + conditional count each
+    "privacy_delete_impact" -> ((s, dir) => {
+      val victims = events(s, dir)
+        .filter(pmod(col("user_id"), lit(deleteListMod)) === 0)
+        .select(col("user_id"))
+      Privacy.deleteImpact(Seq(
+        ("events", events(s, dir), "user_id"),
+        ("orders", t(s, dir, "orders"), "o_custkey"),
+        ("customer", t(s, dir, "customer"), "c_custkey")),
+        victims, "user_id")
+    }),
+
+    // filtered vector search: the metadata predicate applies BEFORE the
+    // scan (pushed filter), top-k runs over the filtered corpus only
+    "ann_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("label") === annFilterLabel)
+          .select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5)
+    }),
+
     // kNN label-noise audit: probe sample vs strict-majority neighbor
     // vote — the "is this labeled set trainable" check; exact kNN is the
     // oracle mode, the LSH candidate frame is the 100 TB swap-in
@@ -3215,6 +3243,30 @@ object SparkEntry {
     "ann_brute_topk" -> annBruteOracleSql,
 
     "embedding_label_noise" -> labelNoiseOracleSql,
+
+    // same kNN CTE with the label predicate inside the corpus leg
+    "ann_filtered_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.qid, e.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+        s"FROM embeddings e, q WHERE e.label = $annFilterLabel AND e.vec_id <> q.qid) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
+
+    "privacy_delete_impact" -> {
+      def arm(name: String, tbl: String, key: String) =
+        s"SELECT '$name' AS table_name, count(*) AS n_rows, " +
+          "count(CASE WHEN v.vv IS NOT NULL THEN 1 END) AS n_affected, " +
+          "CASE WHEN count(*) > 0 THEN (count(CASE WHEN v.vv IS NOT NULL THEN 1 END) * 1000000) // count(*) " +
+          s"ELSE 0 END AS affected_ppm FROM $tbl x LEFT JOIN v ON x.$key = v.vv"
+      s"WITH v AS (SELECT DISTINCT user_id AS vv FROM events WHERE user_id % $deleteListMod = 0) " +
+        Seq(arm("events", "events", "user_id"),
+          arm("orders", "orders", "o_custkey"),
+          arm("customer", "customer", "c_custkey")).mkString(" UNION ALL ")
+    },
 
     "ann_mmr_topk" -> mmrOracleSql,
 

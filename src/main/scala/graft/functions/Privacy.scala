@@ -37,4 +37,32 @@ object Privacy {
       .withColumn("at_risk",
         (col("group_n") < k || col("l_distinct") < l).cast("long"))
   }
+
+  /** Right-to-be-forgotten IMPACT report: for a subject delete list, how
+    * many rows in each declared table reference a listed subject — the
+    * sizing pass a GDPR/CCPA erasure pipeline runs before rewriting
+    * files (at parquet scale, deletes are partition rewrites; knowing
+    * blast radius per table decides rewrite vs tombstone).
+    *
+    * Each table is ONE left join against the DISTINCT subject list
+    * (row-preserving by construction) + one conditional-count aggregate
+    * — the fkIntegrity shape; the subject list broadcasts. Output:
+    * (table_name, n_rows, n_affected, affected_ppm), |tables| rows. */
+  def deleteImpact(tables: Seq[(String, DataFrame, String)],
+                   subjects: DataFrame, subjectCol: String): DataFrame = {
+    val subj = subjects.select(col(subjectCol).as("_v")).distinct()
+    tables.map { case (name, df, keyCol) =>
+      df.select(col(keyCol).as("_k"))
+        .join(broadcast(subj), col("_k") === col("_v"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("_v").isNotNull, 1)).as("n_affected"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("n_affected"),
+          when(col("n_rows") > 0,
+            Sampling.intDiv(
+              col("n_affected").cast("decimal(38,0)") * lit(1000000L),
+              col("n_rows").cast("decimal(38,0)")))
+            .otherwise(lit(0L)).as("affected_ppm"))
+    }.reduce(_ unionAll _)
+  }
 }

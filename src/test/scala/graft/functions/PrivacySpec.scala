@@ -42,4 +42,19 @@ class PrivacySpec extends SparkSpec {
       Privacy.kAnonymityReport(rows, Nil, "lang", 3, 2)
     }
   }
+
+  test("deleteImpact: per-table affected counts with duplicate subjects " +
+      "collapsed; untouched table reports zero") {
+    import spark.implicits._
+    val victims = Seq(1L, 1L, 2L).toDF("uid") // dup in the request list
+    val ev = Seq(1L, 1L, 2L, 3L, 4L).toDF("user_id")
+    val other = Seq(7L, 8L).toDF("k")
+    val out = Privacy.deleteImpact(Seq(
+        ("ev", ev, "user_id"), ("other", other, "k")), victims, "uid")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 3 of 5 event rows reference subjects 1/2 → floor(3e6/5)
+    assert(out("ev") === ((5L, 3L, 600000L)))
+    assert(out("other") === ((2L, 0L, 0L)))
+  }
 }
