@@ -651,6 +651,17 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => driverSafe(
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))),
 
+    // the one-row business case for dedup: redundant docs/chars if only
+    // the min-id member of each exact group is kept
+    "dedup_savings" -> ((s, dir) =>
+      Dedup.exactDupSavings(t(s, dir, "documents"), "doc_id", "text",
+        "n_chars")),
+
+    // exact-group size histogram in log2 buckets — mega-template vs
+    // many-small-copies shape report
+    "dedup_group_hist" -> ((s, dir) =>
+      Dedup.groupSizeHistogram(t(s, dir, "documents"), "doc_id", "text")),
+
     // case/punctuation-insensitive dedup groups + how many DISTINCT exact
     // fingerprints each normalized group collapsed (what normalization
     // bought over dedup_exact) — same one-shuffle shape
@@ -1549,6 +1560,38 @@ object SparkEntry {
     // over the vocabulary), mass ratios in exact floor-ppm
     "vocab_coverage" -> ((s, dir) =>
       Vocab.coverage(t(s, dir, "documents"), "text", vocabCoverageKs)),
+
+    // classic running-total window: cumulative customer value in
+    // (date, orderkey) total order; per-row µ floor keeps prefix sums
+    // exact integers
+    "w8_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * lit(1000000d)).cast("decimal(38,0)")
+            .as("_p"))
+        .withColumn("cum_value_us", sum(col("_p")).over(w).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("o_date"),
+          col("cum_value_us"))
+    }),
+
+    // day-over-day event-volume delta: lag over the DAYS frame (calendar-
+    // bounded, not data-bounded — the one safe global-window case)
+    "events_daily_delta" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      daily
+        .withColumn("delta",
+          coalesce(col("n_events") - lag(col("n_events"), 1).over(w),
+            lit(0L)))
+    }),
 
     // DAU / trailing-7-day WAU / floor-ppm stickiness per active day —
     // the trailing week via a 7-way day fan-out + distinct, never a
@@ -2627,6 +2670,26 @@ object SparkEntry {
         "array_to_string(list_transform(list_sort(list(doc_id)), " +
         "x -> CAST(x AS VARCHAR)), '|') AS member_ids " +
         "FROM t GROUP BY md5(norm)"),
+
+    // min(row(id, chars)) ≡ the engine's struct min for the kept member
+    "dedup_savings" ->
+      (s"WITH t AS (SELECT doc_id, n_chars, array_to_string($sqlToks, ' ') AS norm FROM documents), " +
+        "g AS (SELECT md5(norm) AS fp, count(*) AS n, " +
+        "sum(CAST(n_chars AS HUGEINT)) AS chars, " +
+        "arg_min(n_chars, doc_id) AS keep_chars FROM t GROUP BY 1) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n - 1) AS BIGINT) AS n_redundant_docs, " +
+        "CAST(sum(chars) AS BIGINT) AS total_chars, " +
+        "CAST(sum(chars - keep_chars) AS BIGINT) AS redundant_chars, " +
+        "CAST(CASE WHEN sum(chars) > 0 THEN (sum(chars - keep_chars) * 1000000) // sum(chars) " +
+        "ELSE 0 END AS BIGINT) AS savings_ppm FROM g"),
+
+    "dedup_group_hist" ->
+      (s"WITH t AS (SELECT array_to_string($sqlToks, ' ') AS norm FROM documents), " +
+        "g AS (SELECT md5(norm) AS fp, count(*) AS n FROM t GROUP BY 1) " +
+        "SELECT CAST(len(bin(n)) AS BIGINT) AS bucket, count(*) AS n_groups, " +
+        "CAST(sum(n) AS BIGINT) AS n_docs, min(n) AS min_size, " +
+        "max(n) AS max_size FROM g GROUP BY 1"),
 
     // same aggressive normalization chain as normalizedFingerprint (the
     // regex is RE2-compatible by design); n_variants counts distinct
@@ -3871,6 +3934,20 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "w8_running_total" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date, " +
+        "CAST(sum(CAST(floor(o_totalprice * 1000000) AS HUGEINT)) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_us " +
+        "FROM orders"),
+
+    "events_daily_delta" ->
+      ("WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "count(*) AS n_events FROM events GROUP BY 1) " +
+        "SELECT day, n_events, COALESCE(n_events - lag(n_events, 1) " +
+        "OVER (ORDER BY day), 0) AS delta FROM d"),
 
     // 7-way day fan-out + distinct ≡ the engine's WAU shape
     "events_stickiness" ->

@@ -140,6 +140,52 @@ object Dedup {
         countDistinct(col("exact_md5")).alias("n_variants"),
         array_sort(collect_list(col(idCol))).alias("member_ids"))
 
+  /** Exact-dup STORAGE-SAVINGS report — the one-row business case for
+    * running dedup at all: how many docs and characters are redundant
+    * copies (everything but the kept min-id member of each exact group).
+    * The kept member's size comes from `min(struct(id, size))` — the
+    * lexicographic struct min is the min-id member, one hash aggregate,
+    * no join back. Output: (n_docs, n_redundant_docs, total_chars,
+    * redundant_chars, savings_ppm), a single row. */
+  def exactDupSavings(docs: DataFrame, idCol: String, textCol: String,
+                      sizeCol: String): DataFrame = {
+    val perGroup = docs
+      .withColumn("_fp", TextFunctions.contentFingerprint(col(textCol)))
+      .groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(sizeCol).cast("decimal(38,0)")).as("_chars"),
+        min(struct(col(idCol), col(sizeCol).as("_sz"))).getField("_sz")
+          .as("_keep_chars"))
+    val agg = perGroup.agg(
+      sum(col("_n")).as("n_docs"),
+      sum(col("_n") - 1).as("n_redundant_docs"),
+      sum(col("_chars")).as("_total"),
+      sum(col("_chars") - col("_keep_chars").cast("decimal(38,0)"))
+        .as("_redundant"))
+    agg.select(col("n_docs"), col("n_redundant_docs"),
+      col("_total").cast("long").as("total_chars"),
+      col("_redundant").cast("long").as("redundant_chars"),
+      when(col("_total") > 0,
+        Sampling.intDiv(col("_redundant") * lit(1000000L), col("_total")))
+        .otherwise(lit(0L)).as("savings_ppm"))
+  }
+
+  /** Group-size histogram of the exact-dup groups in log₂ buckets
+    * (`len(bin(size))`, the degreeHistogram convention): the shape report
+    * that distinguishes "a few mega-templates" from "many small copies"
+    * — they need different dedup strategies. Output is
+    * corpus-size-independent. */
+  def groupSizeHistogram(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs
+      .withColumn("_fp", TextFunctions.contentFingerprint(col(textCol)))
+      .groupBy(col("_fp")).agg(count(lit(1)).as("_n"))
+      .groupBy(length(bin(col("_n"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_n")).as("n_docs"),
+        min(col("_n")).as("min_size"),
+        max(col("_n")).as("max_size"))
+
   /** Canonical-member selection per near-dup group — what a production
     * dedup actually keeps is not the MINIMUM id but the BEST copy: given
     * the component frame from [[componentsFromPairs]] (`id`, `comp`),

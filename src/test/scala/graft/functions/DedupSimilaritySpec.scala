@@ -44,6 +44,32 @@ class DedupSimilaritySpec extends SparkSpec {
       exact(0).getAs[Seq[Long]]("member_ids") === Seq(2L, 4L))
   }
 
+  test("exactDupSavings: redundant docs/chars exclude the kept min-id " +
+      "member; unique docs contribute nothing") {
+    val docs = Seq(
+      (1L, "same text", 9L), (2L, "same text", 9L), (3L, "same text", 9L),
+      (7L, "unique content", 14L)).toDF("doc_id", "text", "n_chars")
+    val r = Dedup.exactDupSavings(docs, "doc_id", "text", "n_chars")
+      .collect().head
+    assert(r.getLong(0) === 4L)           // n_docs
+    assert(r.getLong(1) === 2L)           // redundant: docs 2 and 3
+    assert(r.getLong(2) === 41L)          // total chars
+    assert(r.getLong(3) === 18L)          // 2 × 9 redundant chars
+    assert(r.getLong(4) === 18L * 1000000L / 41L) // floor ppm
+  }
+
+  test("groupSizeHistogram: log2 buckets over exact-group sizes") {
+    val docs = (Seq.tabulate(5)(i => (i.toLong, "big group")) ++
+      Seq((10L, "pair"), (11L, "pair"), (20L, "solo")))
+      .toDF("doc_id", "text")
+    val m = Dedup.groupSizeHistogram(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // size 5 → bucket 3; size 2 → bucket 2; size 1 → bucket 1
+    assert(m === Map(3L -> ((1L, 5L, 5L, 5L)), 2L -> ((1L, 2L, 2L, 2L)),
+      1L -> ((1L, 1L, 1L, 1L))))
+  }
+
   test("canonicalPerGroup: keeps the largest member, ties to the " +
       "smallest id, one row per component") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
