@@ -771,6 +771,35 @@ object SparkEntry {
       TextFunctions.fertilityByGroup(t(s, dir, "documents"), col("lang"),
         col("text"))),
 
+    // split-balance QA: per length bucket, each split's own-total share
+    // (floor-ppm) + max pairwise gap — catches split keys that correlate
+    // with doc length
+    "corpus_split_balance" -> ((s, dir) =>
+      Sampling.splitBalance(t(s, dir, "documents"), col("doc_id"),
+        col("n_chars"))),
+
+    // Pareto concentration: the top decile of customers (by exact integer
+    // order value) and their revenue share — thresholds from the exact
+    // interpolated percentile, the calibrate precedent
+    "orders_pareto" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * lit(1000000d))
+          .cast("decimal(38,0)")).as("_v"))
+        .select(col("o_custkey"), col("_v").cast("double").as("_vd"),
+          col("_v"))
+      val thr = perCust.agg(percentile(col("_vd"), lit(0.9)).as("_thr"))
+      perCust.crossJoin(broadcast(thr))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          count(when(col("_vd") >= col("_thr"), 1)).as("n_top"),
+          floor(min(col("_thr"))).cast("long").as("threshold_us"),
+          Sampling.intDivExact(
+            sum(when(col("_vd") >= col("_thr"), col("_v"))
+              .otherwise(lit(0).cast("decimal(38,0)"))) * lit(1000000L),
+            sum(col("_v"))).as("top_share_ppm"))
+    }),
+
     // leakage-safe split: assignment by DEDUP GROUP, not by doc — a test
     // doc whose near-twin sits in train is contamination a per-doc split
     // cannot see; singletons hash by their own id
@@ -2670,6 +2699,40 @@ object SparkEntry {
         "array_to_string(list_transform(list_sort(list(doc_id)), " +
         "x -> CAST(x AS VARCHAR)), '|') AS member_ids " +
         "FROM t GROUP BY md5(norm)"),
+
+    // same md5 split buckets as corpus_split; shares against each
+    // split's OWN total
+    "corpus_split_balance" ->
+      ("WITH b0 AS (SELECT len(bin(n_chars)) AS bucket, " +
+        "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS s " +
+        "FROM (SELECT n_chars, ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h FROM documents)), " +
+        "per AS (SELECT bucket, count(CASE WHEN s = 'train' THEN 1 END) AS tr, " +
+        "count(CASE WHEN s = 'val' THEN 1 END) AS va, " +
+        "count(CASE WHEN s = 'test' THEN 1 END) AS te FROM b0 GROUP BY 1), " +
+        "tot AS (SELECT count(CASE WHEN s = 'train' THEN 1 END) AS ttr, " +
+        "count(CASE WHEN s = 'val' THEN 1 END) AS tva, " +
+        "count(CASE WHEN s = 'test' THEN 1 END) AS tte FROM b0), " +
+        "sh AS (SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "CASE WHEN ttr > 0 THEN (tr * 1000000) // ttr ELSE 0 END AS train_ppm, " +
+        "CASE WHEN tva > 0 THEN (va * 1000000) // tva ELSE 0 END AS val_ppm, " +
+        "CASE WHEN tte > 0 THEN (te * 1000000) // tte ELSE 0 END AS test_ppm " +
+        "FROM per, tot) " +
+        "SELECT bucket, train_ppm, val_ppm, test_ppm, " +
+        "greatest(abs(train_ppm - val_ppm), abs(train_ppm - test_ppm), " +
+        "abs(val_ppm - test_ppm)) AS max_gap_ppm FROM sh"),
+
+    // per-customer value as exact integer µ, decile threshold from
+    // quantile_cont over the identical doubles
+    "orders_pareto" ->
+      ("WITH pc AS (SELECT o_custkey, " +
+        "sum(CAST(floor(o_totalprice * 1000000) AS HUGEINT)) AS v FROM orders GROUP BY 1), " +
+        "pd AS (SELECT o_custkey, v, CAST(v AS DOUBLE) AS vd FROM pc), " +
+        "th AS (SELECT quantile_cont(vd, 0.9) AS thr FROM pd) " +
+        "SELECT count(*) AS n_customers, " +
+        "count(CASE WHEN vd >= thr THEN 1 END) AS n_top, " +
+        "CAST(floor(min(thr)) AS BIGINT) AS threshold_us, " +
+        "CAST((sum(CASE WHEN vd >= thr THEN v ELSE 0 END) * 1000000) // sum(v) AS BIGINT) AS top_share_ppm " +
+        "FROM pd, th"),
 
     // min(row(id, chars)) ≡ the engine's struct min for the kept member
     "dedup_savings" ->

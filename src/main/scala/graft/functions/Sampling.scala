@@ -73,6 +73,10 @@ object Sampling {
     ((ad - pmod(ad, bd)) / bd).cast("long")
   }
 
+  /** Public alias of [[intDiv]] for query-layer compositions outside this
+    * package (same exact floor-division semantics). */
+  def intDivExact(a: Column, b: Column): Column = intDiv(a, b)
+
   /** Token-BUDGET data mixture — the sampler that answers "give me a
     * `budgetTokens`-token corpus that is X% lang-A, Y% lang-B": each
     * stratum's keep-rate is DERIVED from its token volume so the expected
@@ -133,6 +137,40 @@ object Sampling {
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
+  }
+
+  /** Split-BALANCE QA: does the hash split preserve the corpus's length
+    * distribution? Per log₂ length bucket, each split's share of its own
+    * split total in exact floor-ppm, plus the max pairwise gap — a gap
+    * far above sampling noise means the split key correlates with length
+    * (e.g. ids assigned by ingest batch) and eval metrics will be biased.
+    * One conditional-count aggregate over one scan; the three split
+    * totals ride the same pass and broadcast back as one row. */
+  def splitBalance(docs: DataFrame, key: Column,
+                   size: Column): DataFrame = {
+    val lab = splitLabel(key)
+    val base = docs.select(lab.as("_s"),
+      length(bin(size.cast("long"))).cast("long").as("bucket"))
+    val per = base.groupBy(col("bucket")).agg(
+      count(when(col("_s") === "train", 1)).as("_tr"),
+      count(when(col("_s") === "val", 1)).as("_va"),
+      count(when(col("_s") === "test", 1)).as("_te"))
+    val tot = base.agg(
+      count(when(col("_s") === "train", 1)).as("_ttr"),
+      count(when(col("_s") === "val", 1)).as("_tva"),
+      count(when(col("_s") === "test", 1)).as("_tte"))
+    def share(n: Column, d: Column) =
+      when(d > 0, intDiv(n.cast("decimal(38,0)") * lit(1000000L), d))
+        .otherwise(lit(0L))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        share(col("_tr"), col("_ttr")).as("train_ppm"),
+        share(col("_va"), col("_tva")).as("val_ppm"),
+        share(col("_te"), col("_tte")).as("test_ppm"))
+      .withColumn("max_gap_ppm", greatest(
+        abs(col("train_ppm") - col("val_ppm")),
+        abs(col("train_ppm") - col("test_ppm")),
+        abs(col("val_ppm") - col("test_ppm"))))
   }
 
   /** Leakage-safe split: assign train/val/test by DEDUP GROUP, not by

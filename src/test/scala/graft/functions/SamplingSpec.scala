@@ -366,6 +366,17 @@ class SamplingSpec extends SparkSpec {
     assert(out.length === 3) // only the three cross-source docs qualify
   }
 
+  test("splitBalance: shares are per-split-total floor-ppm and the gap " +
+      "is the max pairwise difference") {
+    // single length bucket → every split's share of its own total is 1e6
+    val docs = (1L to 200L).map(i => (i, 10L)).toDF("doc_id", "n_chars")
+    val rows = Sampling.splitBalance(docs, $"doc_id", $"n_chars").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(1) === 1000000L && r.getLong(2) === 1000000L &&
+      r.getLong(3) === 1000000L && r.getLong(4) === 0L)
+  }
+
   test("sourceConcentration: single-source stratum scores 1e6; an even " +
       "split scores ~1e6/k; shares are exact floor-ppm") {
     val docs = Seq(
