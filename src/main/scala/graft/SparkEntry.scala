@@ -117,6 +117,8 @@ object SparkEntry {
   private val bigramSuggestK = 3                  // vocab_bigram_suggest
   private val deleteListMod = 41L                 // privacy_delete_impact
   private val annFilterLabel = 3                  // ann_filtered_topk
+  private val q3Segment = "BUILDING"              // q3_shipping
+  private val q3Date = "1995-03-15"
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
@@ -1473,11 +1475,11 @@ object SparkEntry {
     // aggregation is order-free; AQE picks the filtered-dim broadcast
     "q3_shipping" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
+        .filter(col("c_mktsegment") === q3Segment)
       val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate").cast("date") < lit("1995-03-15").cast("date"))
+        .filter(col("o_orderdate").cast("date") < lit(q3Date).cast("date"))
       val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast("date") > lit("1995-03-15").cast("date"))
+        .filter(col("l_shipdate").cast("date") > lit(q3Date).cast("date"))
       val revUs = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         * lit(1000000d)).cast("decimal(38,0)")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -2873,10 +2875,10 @@ object SparkEntry {
         "o_orderpriority, " +
         "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS HUGEINT)) AS BIGINT) AS revenue_us " +
         "FROM customer, orders, lineitem " +
-        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey " +
+        s"WHERE c_mktsegment = '$q3Segment' AND c_custkey = o_custkey " +
         "AND l_orderkey = o_orderkey " +
-        "AND CAST(o_orderdate AS DATE) < DATE '1995-03-15' " +
-        "AND CAST(l_shipdate AS DATE) > DATE '1995-03-15' " +
+        s"AND CAST(o_orderdate AS DATE) < DATE '$q3Date' " +
+        s"AND CAST(l_shipdate AS DATE) > DATE '$q3Date' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue_us DESC, l_orderkey LIMIT 10"),
 
     // distinct 5-token windows → md5-prefix 60-bit keys (sqlMd5Long, the
