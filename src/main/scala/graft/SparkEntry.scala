@@ -580,6 +580,12 @@ object SparkEntry {
       Embeddings.topComponentPpm(t(s, dir, "embeddings"), "vec_id",
         "embedding", rounds = pcaRounds).orderBy(col("dim"))),
 
+    // inter-class separability: exact µ² distances between per-label
+    // floor-mean centroids — the "are these classes even separable" check
+    "embedding_class_sep" -> ((s, dir) =>
+      Embeddings.classSeparation(t(s, dir, "embeddings"), "embedding",
+        "label")),
+
     // embedding-batch outlier screen: top-k farthest from the corpus
     // centroid, exact integer µ² distances (floor-mean per dim broadcast
     // back over one posexplode) — the "inspect these before training" list
@@ -674,6 +680,27 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
+    }),
+
+    // near-dup incidence per source: share of each source's docs with at
+    // least one verified near-dup — the "which crawl to dedup first" rank
+    "dedup_rate_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.select(col("doc_id"),
+          TextFunctions.wordShingles(col("text"), 3).as("sh")),
+        "doc_id", "sh", 0.5, maxPosting = 500)
+      val dup = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+        .withColumn("_dup", lit(1L))
+      docs.join(dup, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("_dup")).as("n_dup_docs"),
+          Sampling.intDivExact(
+            count(col("_dup")).cast("decimal(38,0)") * lit(1000000L),
+            count(lit(1))).as("dup_ppm"))
     }),
 
     // cross-source duplication provenance: near-dup pairs lifted to an
@@ -2983,6 +3010,26 @@ object SparkEntry {
         "SELECT CAST(len(bin(degree)) AS BIGINT) AS bucket, " +
         "count(*) AS n_nodes, min(degree) AS min_degree, " +
         "max(degree) AS max_degree FROM deg GROUP BY 1"),
+
+    "dedup_rate_by_source" ->
+      (s"WITH p AS ($jaccardPairsOracleSql), " +
+        "dup AS (SELECT DISTINCT unnest([id_a, id_b]) AS doc_id FROM p) " +
+        "SELECT d.source, count(*) AS n_docs, " +
+        "count(dup.doc_id) AS n_dup_docs, " +
+        "(count(dup.doc_id) * 1000000) // count(*) AS dup_ppm " +
+        "FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id GROUP BY 1"),
+
+    // per-label floor-mean centroids, then pure-integer pair distances
+    "embedding_class_sep" ->
+      ("WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, " +
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_us FROM embeddings), " +
+        "m AS (SELECT label, dim, CAST((sum(CAST(v_us AS HUGEINT)) - " +
+        "((sum(CAST(v_us AS HUGEINT)) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS mu_us " +
+        "FROM e GROUP BY 1, 2) " +
+        "SELECT a.label AS label_a, b.label AS label_b, " +
+        "CAST(sum(CAST(a.mu_us - b.mu_us AS HUGEINT) * (a.mu_us - b.mu_us)) AS BIGINT) AS dist2_us2 " +
+        "FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label " +
+        "GROUP BY 1, 2"),
 
     "dedup_source_matrix" ->
       (s"WITH p AS ($jaccardPairsOracleSql), " +

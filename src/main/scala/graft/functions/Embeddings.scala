@@ -48,6 +48,36 @@ object Embeddings {
       col("min_us"), col("max_us"), col("n_zero"))
   }
 
+  /** Inter-class separability matrix: exact squared distance between
+    * per-label floor-mean centroids, for every unordered label pair — the
+    * companion of the label-noise screen (classes whose centroids nearly
+    * coincide will fail any classifier regardless of label quality; merge
+    * or re-define them before training).
+    *
+    * One corpus-sized pass (posexplode → (label, dim) aggregate, tiny),
+    * then all pair math runs on |labels|·dims rows. Same micro-unit /
+    * pmod-floor discipline as [[dimStats]], so the matrix hash-matches
+    * any engine. Output: (label_a, label_b, dist2_us2), label_a <
+    * label_b. */
+  def classSeparation(df: DataFrame, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val vUs = round(col("_v").cast("double") * lit(1000000d), 0)
+      .cast("long")
+    val expl = df
+      .select(col(labelCol).as("_l"), posexplode(col(vecCol))
+        .as(Seq("dim", "_v")))
+      .select(col("_l"), col("dim").cast("long").as("dim"), vUs.as("v_us"))
+    val mu = expl.groupBy(col("_l"), col("dim")).agg(
+      Sampling.intDiv(sum(col("v_us").cast("decimal(38,0)")),
+        count(lit(1)).cast("decimal(38,0)")).as("mu_us"))
+    val d = (col("a.mu_us") - col("b.mu_us")).cast("decimal(38,0)")
+    mu.as("a")
+      .join(mu.as("b"),
+        col("a.dim") === col("b.dim") && col("a._l") < col("b._l"))
+      .groupBy(col("a._l").as("label_a"), col("b._l").as("label_b"))
+      .agg(sum(d * d).cast("long").as("dist2_us2"))
+  }
+
   /** Top-k embedding outliers by exact squared distance to the corpus
     * centroid — the batch-health companion of [[dimStats]]: a handful of
     * vectors sitting far from everything else usually means a corrupted

@@ -66,6 +66,21 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows(1).getLong(1) === rows(2).getLong(1))
   }
 
+  test("classSeparation: centroid distances are exact, pairs are " +
+      "canonical (label_a < label_b), coincident classes score 0") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),  // centroid (1, 0)
+      (3L, Seq(1.0f, 3.0f), 1), (4L, Seq(1.0f, 5.0f), 1),  // centroid (1, 4)
+      (5L, Seq(1.0f, 0.0f), 2))                             // centroid (1, 0)
+      .toDF("id", "vec", "label")
+    val m = Embeddings.classSeparation(df, "vec", "label").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m === Map(
+      (0, 1) -> 4000000L * 4000000L,
+      (1, 2) -> 4000000L * 4000000L,
+      (0, 2) -> 0L)) // labels 0 and 2 share a centroid — unseparable
+  }
+
   test("topComponentPpm: variance concentrated on one axis loads that " +
       "axis at exactly 1e6 and the dead axis at 0") {
     val df = Seq(
