@@ -119,6 +119,11 @@ object SparkEntry {
   private val annFilterLabel = 3                  // ann_filtered_topk
   private val q3Segment = "BUILDING"              // q3_shipping
   private val q3Date = "1995-03-15"
+  private val kmeansK = 4                         // embedding_kmeans
+  private val kmeansRounds = 2
+  private val epochsBudgetTokens = 100000L        // corpus_epochs
+  private val epochsShares = Seq("en" -> 50, "zh" -> 20) // ordered for SQL
+  private val epochsDefaultShare = 10
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
@@ -579,6 +584,24 @@ object SparkEntry {
     "embedding_pca" -> ((s, dir) =>
       Embeddings.topComponentPpm(t(s, dir, "embeddings"), "vec_id",
         "embedding", rounds = pcaRounds).orderBy(col("dim"))),
+
+    // fully-distributed bounded-round Lloyd k-means, every pass exact
+    // integer — the trainer itself (not just its loss) is differentially
+    // tested; seeds = k lowest ids (the anchor rule)
+    "embedding_kmeans" -> ((s, dir) =>
+      Embeddings.kmeansExact(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = kmeansK, rounds = kmeansRounds)),
+
+    // data-wall forecast: epochs of each stratum available at the target
+    // mixture before the sampler must repeat data
+    "corpus_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.epochsReport(docs, col("lang"), col("n_tok"),
+        budgetTokens = epochsBudgetTokens,
+        sharePctByStratum = epochsShares.toMap,
+        defaultSharePct = epochsDefaultShare)
+    }),
 
     // inter-class separability: exact µ² distances between per-label
     // floor-mean centroids — the "are these classes even separable" check
@@ -3018,6 +3041,51 @@ object SparkEntry {
         "count(dup.doc_id) AS n_dup_docs, " +
         "(count(dup.doc_id) * 1000000) // count(*) AS dup_ppm " +
         "FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id GROUP BY 1"),
+
+    // the Lloyd rounds unrolled as (assign-dist, argmin, floor-mean
+    // centroid) CTE triples over the quantized explode; final assignment
+    // reports per-cell size + exact inertia
+    "embedding_kmeans" -> {
+      val base =
+        "WITH e AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim, " +
+          "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_us FROM embeddings), " +
+          "s AS (SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) - 1 AS cell " +
+          s"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kmeansK)), " +
+          "c0 AS (SELECT s.cell, e.dim, e.v_us AS c_us FROM e JOIN s ON e.id = s.id)"
+      def round(r: Int): String =
+        s"a${r}d AS (SELECT e.id, c.cell, sum(CAST(e.v_us - c.c_us AS HUGEINT) * (e.v_us - c.c_us)) AS dist " +
+          s"FROM e JOIN c${r - 1} c ON e.dim = c.dim GROUP BY 1, 2), " +
+          s"a$r AS (SELECT id, cell, dist FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY id ORDER BY dist, cell) AS rn FROM a${r}d) WHERE rn = 1), " +
+          s"c$r AS (SELECT a.cell, e.dim, CAST((sum(CAST(e.v_us AS HUGEINT)) - " +
+          "((sum(CAST(e.v_us AS HUGEINT)) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS c_us " +
+          s"FROM e JOIN a$r a ON e.id = a.id GROUP BY 1, 2)"
+      val rounds = (1 to kmeansRounds).map(round).mkString(", ")
+      val fr = kmeansRounds + 1
+      val fin =
+        s"a${fr}d AS (SELECT e.id, c.cell, sum(CAST(e.v_us - c.c_us AS HUGEINT) * (e.v_us - c.c_us)) AS dist " +
+          s"FROM e JOIN c$kmeansRounds c ON e.dim = c.dim GROUP BY 1, 2), " +
+          s"a$fr AS (SELECT id, cell, dist FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY id ORDER BY dist, cell) AS rn FROM a${fr}d) WHERE rn = 1)"
+      s"$base, $rounds, $fin " +
+        s"SELECT cell, count(*) AS n_vecs, CAST(sum(dist) AS BIGINT) AS inertia_us2 " +
+        s"FROM a$fr GROUP BY cell"
+    },
+
+    // integer epochs forecast; share CASE mirrors the Scala map
+    "corpus_epochs" -> {
+      val caseArms = epochsShares
+        .map { case (s, p) => s"WHEN stratum = '$s' THEN $p" }
+        .mkString(" ")
+      s"WITH t AS (SELECT lang AS stratum, CAST(len($sqlToks) AS BIGINT) AS nt FROM documents), " +
+        "a AS (SELECT stratum, sum(CAST(nt AS HUGEINT)) AS tok FROM t GROUP BY 1), " +
+        s"b AS (SELECT stratum, CAST(tok AS BIGINT) AS n_tokens, " +
+        s"CAST(CASE $caseArms ELSE $epochsDefaultShare END AS BIGINT) AS share_pct FROM a), " +
+        s"c AS (SELECT *, ($epochsBudgetTokens * share_pct) // 100 AS target_tokens FROM b) " +
+        "SELECT stratum, n_tokens, share_pct, CAST(target_tokens AS BIGINT) AS target_tokens, " +
+        "CAST(CASE WHEN target_tokens > 0 THEN (CAST(n_tokens AS HUGEINT) * 1000000) // target_tokens " +
+        "ELSE 0 END AS BIGINT) AS epochs_ppm FROM c"
+    },
 
     // per-label floor-mean centroids, then pure-integer pair distances
     "embedding_class_sep" ->

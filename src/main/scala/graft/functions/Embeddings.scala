@@ -48,6 +48,66 @@ object Embeddings {
       col("min_us"), col("max_us"), col("n_zero"))
   }
 
+  /** Fully-DISTRIBUTED bounded-round Lloyd k-means in exact integer
+    * arithmetic — the engine-exact complement of `Ivf.train` (which runs
+    * Lloyd driver-locally on a capped sample): here every pass is a
+    * DataFrame job over the whole corpus, so it scales past any driver
+    * sample cap, and because every quantity is a micro-unit integer
+    * (floor-mean centroids, exact µ² distances, (dist, cell) argmin
+    * tie-break) the entire trajectory — not just the final loss — is
+    * bit-reproducible on any engine or partitioning, making an iterative
+    * ML trainer differentially testable end-to-end.
+    *
+    * Seeds are the k lowest-id vectors (SQL-recomputable by design, the
+    * anchor-centroid rule). Per round: one assignment pass (rows×dims×k
+    * product rows — Lloyd's true O(n·k·d) cost — collapsing map-side to
+    * per-(id,cell) partials) and one floor-mean centroid update; the
+    * report is the final assignment's per-cell size and exact inertia.
+    * Per-round localCheckpoint (the iterative-lineage rule); centroid
+    * frames are k·dims rows, broadcast into every join. */
+  def kmeansExact(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, rounds: Int): DataFrame = {
+    val vUs = round(col("_v").cast("double") * lit(1000000d), 0)
+      .cast("long")
+    val expl = df
+      .select(col(idCol).as("_id"), posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("_id"), col("dim").cast("long").as("dim"), vUs.as("v_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedIds = df.select(col(idCol).as("_id")).orderBy(col("_id"))
+      .limit(k)
+      .withColumn("cell",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_id"))).cast("long") - 1)
+    var cents = expl.join(broadcast(seedIds), Seq("_id"))
+      .select(col("cell"), col("dim"), col("v_us").as("c_us"))
+      .localCheckpoint(true)
+    def assign(c: org.apache.spark.sql.DataFrame) = {
+      val d = (col("v_us") - col("c_us")).cast("decimal(38,0)")
+      expl.join(broadcast(c), Seq("dim"))
+        .groupBy(col("_id"), col("cell"))
+        .agg(sum(d * d).as("_dist"))
+        .groupBy(col("_id"))
+        .agg(min(struct(col("_dist"), col("cell"))).as("_b"))
+        .select(col("_id"), col("_b._dist").as("dist"),
+          col("_b.cell").as("cell"))
+    }
+    var r = 0
+    while (r < rounds) {
+      val a = assign(cents).localCheckpoint(true)
+      cents = expl.join(a.select(col("_id"), col("cell")), Seq("_id"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(Sampling.intDiv(sum(col("v_us").cast("decimal(38,0)")),
+          count(lit(1)).cast("decimal(38,0)")).as("c_us"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    val fin = assign(cents)
+    expl.unpersist(false)
+    fin.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).cast("long").as("inertia_us2"))
+  }
+
   /** Inter-class separability matrix: exact squared distance between
     * per-label floor-mean centroids, for every unordered label pair — the
     * companion of the label-noise screen (classes whose centroids nearly

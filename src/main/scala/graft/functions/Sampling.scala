@@ -139,6 +139,34 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Data-wall forecast: for a per-epoch token budget and target mixture
+    * shares, how many epochs of each stratum exist before the sampler
+    * must repeat data — `epochs_ppm = 10⁶ · stratum_tokens / (budget ·
+    * share)`. Below 10⁶ means the stratum runs dry INSIDE one epoch
+    * (up-sampling / repetition territory); well above it means headroom.
+    * The planning companion of [[tokenBudgetMixture]], same integer
+    * discipline. One tiny per-stratum aggregate. */
+  def epochsReport(docs: DataFrame, stratum: Column, nTok: Column,
+                   budgetTokens: Long, sharePctByStratum: Map[String, Int],
+                   defaultSharePct: Int): DataFrame = {
+    val share = coalesce(
+      element_at(map(sharePctByStratum.toSeq.flatMap {
+        case (s, p) => Seq(lit(s), lit(p))
+      }: _*), col("stratum")),
+      lit(defaultSharePct)).cast("long")
+    docs.select(stratum.as("stratum"), nTok.as("_t"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("_t").cast("decimal(38,0)")).as("_tok"))
+      .select(col("stratum"), col("_tok").cast("long").as("n_tokens"),
+        share.as("share_pct"),
+        intDiv(lit(budgetTokens) * share, lit(100L)).as("target_tokens"))
+      .withColumn("epochs_ppm",
+        when(col("target_tokens") > 0,
+          intDiv(col("n_tokens").cast("decimal(38,0)") * lit(1000000L),
+            col("target_tokens")))
+          .otherwise(lit(0L)))
+  }
+
   /** Split-BALANCE QA: does the hash split preserve the corpus's length
     * distribution? Per log₂ length bucket, each split's share of its own
     * split total in exact floor-ppm, plus the max pairwise gap — a gap

@@ -66,6 +66,38 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows(1).getLong(1) === rows(2).getLong(1))
   }
 
+  test("kmeansExact: two planted clusters recover exactly with zero " +
+      "inertia on tight groups; partitioning-invariant") {
+    // seeds = two lowest ids (one per cluster by construction)
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(0.0f, 0.0f)), (4L, Seq(10.0f, 10.0f)),
+      (5L, Seq(0.0f, 0.0f))).toDF("id", "vec")
+    val out = Embeddings.kmeansExact(df, "id", "vec", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(0L -> ((3L, 0L)), 1L -> ((2L, 0L))))
+    val rep = Embeddings.kmeansExact(df.repartition(5), "id", "vec",
+        k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rep === out)
+  }
+
+  test("kmeansExact: a centroid moves to the floor-mean and inertia is " +
+      "the exact integer sum") {
+    // 1D: seeds 1→0.0, 2→4.0; cluster {0, 1} vs {4}: round-1 centroid of
+    // cell 0 = floor((0 + 1e6)/2) = 500000
+    val df = Seq((1L, Seq(0.0f)), (2L, Seq(4.0f)), (3L, Seq(1.0f)))
+      .toDF("id", "vec")
+    val out = Embeddings.kmeansExact(df, "id", "vec", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // final assignment vs c1: cell0 at 500000µ → dists 500000² ×2
+    assert(out(0L) === ((2L, 2L * 500000L * 500000L)))
+    assert(out(1L) === ((1L, 0L)))
+  }
+
   test("classSeparation: centroid distances are exact, pairs are " +
       "canonical (label_a < label_b), coincident classes score 0") {
     val df = Seq(

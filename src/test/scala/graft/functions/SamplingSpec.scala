@@ -366,6 +366,21 @@ class SamplingSpec extends SparkSpec {
     assert(out.length === 3) // only the three cross-source docs qualify
   }
 
+  test("epochsReport: epochs_ppm = 1e6 * tokens / (budget * share / 100); " +
+      "default share applies to unlisted strata") {
+    val docs = Seq(("en", 100L), ("en", 150L), ("de", 30L))
+      .toDF("lang", "n_tok")
+    val m = Sampling.epochsReport(docs, $"lang", $"n_tok",
+        budgetTokens = 1000L, sharePctByStratum = Map("en" -> 50),
+        defaultSharePct = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: 250 tokens, target 500 → half an epoch = 500000 ppm
+    assert(m("en") === ((250L, 50L, 500L, 500000L)))
+    // de: 30 tokens, target 100 → 300000 ppm
+    assert(m("de") === ((30L, 10L, 100L, 300000L)))
+  }
+
   test("splitBalance: shares are per-split-total floor-ppm and the gap " +
       "is the max pairwise difference") {
     // single length bucket → every split's share of its own total is 1e6
