@@ -124,6 +124,8 @@ object SparkEntry {
   private val epochsBudgetTokens = 100000L        // corpus_epochs
   private val epochsShares = Seq("en" -> 50, "zh" -> 20) // ordered for SQL
   private val epochsDefaultShare = 10
+  private val joinForecastK = 10                  // skew_join_forecast
+  private val upsertMod = 10L                     // dim_upsert
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
@@ -1641,6 +1643,34 @@ object SparkEntry {
     // over the vocabulary), mass ratios in exact floor-ppm
     "vocab_coverage" -> ((s, dir) =>
       Vocab.coverage(t(s, dir, "documents"), "text", vocabCoverageKs)),
+
+    // PII/entity inventory: independent per-pattern totals (the audit
+    // before scheduling redaction; patterns are the shared RE2 constants)
+    "text_entity_counts" -> ((s, dir) =>
+      TextFunctions.entityCounts(t(s, dir, "documents"), "text")),
+
+    // join-skew forecast: keys ranked by expected output fanout BEFORE
+    // the join runs — the straggler-reducer early warning
+    "skew_join_forecast" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Skew.joinForecast(
+        ev.filter(col("event_type") === "click"), col("user_id"),
+        ev.filter(col("event_type") === "purchase"), col("user_id"),
+        topK = joinForecastK)
+    }),
+
+    // latest-wins upsert (the MERGE INTO shape): one max(struct) hash
+    // aggregate per key, no per-key sort window
+    "dim_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(1000000d)).as("price_us"),
+        lit(0).as("version"))
+      val updates = base
+        .filter(pmod(col("o_orderkey"), lit(upsertMod)) === 0)
+        .select(col("o_orderkey"), (col("price_us") * 2).as("price_us"),
+          lit(1).as("version"))
+      Scd.upsertLatest(base, updates, Seq("o_orderkey"), "version")
+    }),
 
     // classic running-total window: cumulative customer value in
     // (date, orderkey) total order; per-row µ floor keeps prefix sums
@@ -4114,6 +4144,38 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    // the four shared RE2 pattern constants, counted independently
+    "text_entity_counts" ->
+      (s"WITH p AS (SELECT " +
+        s"len(regexp_extract_all(text, '${TextFunctions.UrlRe}')) AS u, " +
+        s"len(regexp_extract_all(text, '${TextFunctions.EmailRe}')) AS e, " +
+        s"len(regexp_extract_all(text, '${TextFunctions.IpRe}')) AS i, " +
+        s"len(regexp_extract_all(text, '${TextFunctions.PhoneRe}')) AS ph " +
+        "FROM documents) " +
+        "SELECT count(*) AS n_docs, CAST(sum(u) AS BIGINT) AS n_urls, " +
+        "CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ips, " +
+        "CAST(sum(ph) AS BIGINT) AS n_phones, " +
+        "count(CASE WHEN u + e + i + ph > 0 THEN 1 END) AS n_docs_with_any " +
+        "FROM p"),
+
+    "skew_join_forecast" ->
+      ("WITH l AS (SELECT user_id AS key, count(*) AS left_rows FROM events " +
+        "WHERE event_type = 'click' GROUP BY 1), " +
+        "r AS (SELECT user_id AS key, count(*) AS right_rows FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT key, left_rows, right_rows, " +
+        "CAST(CAST(left_rows AS HUGEINT) * right_rows AS BIGINT) AS out_rows " +
+        s"FROM l JOIN r USING (key) ORDER BY out_rows DESC, key LIMIT $joinForecastK"),
+
+    "dim_upsert" ->
+      ("WITH b AS (SELECT o_orderkey, CAST(floor(o_totalprice * 1000000) AS BIGINT) AS price_us, " +
+        "0 AS version FROM orders), " +
+        s"u AS (SELECT o_orderkey, price_us * 2 AS price_us, 1 AS version FROM b WHERE o_orderkey % $upsertMod = 0), " +
+        "al AS (SELECT * FROM b UNION ALL SELECT * FROM u) " +
+        "SELECT o_orderkey, price_us, version FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM al) " +
+        "WHERE rn = 1"),
 
     "w8_running_total" ->
       ("SELECT o_custkey, o_orderkey, " +

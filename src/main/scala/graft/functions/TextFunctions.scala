@@ -196,13 +196,42 @@ object TextFunctions {
     * `user@host`, phone-shaped runs would match the digits of an IP).
     * Patterns are RE2-compatible, so the DuckDB oracle runs the SAME
     * regexes with the 'g' flag. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d \\t().-]{7,}\\d"
+
   def redactPii(text: Column): Column = {
-    val url = regexp_replace(text, "https?://[^\\s]+", "<URL>")
-    val email = regexp_replace(url,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
-      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\+?\\d[\\d \\t().-]{7,}\\d", "<PHONE>")
+    val url = regexp_replace(text, UrlRe, "<URL>")
+    val email = regexp_replace(url, EmailRe, "<EMAIL>")
+    val ip = regexp_replace(email, IpRe, "<IP>")
+    regexp_replace(ip, PhoneRe, "<PHONE>")
+  }
+
+  /** Corpus-level PII/entity INVENTORY — the audit that decides whether
+    * the redaction pass is worth scheduling at all, and the before/after
+    * comparison once it runs. One row: per-pattern total match counts and
+    * how many docs contain any. Counts are INDEPENDENT per pattern
+    * (unlike [[redactPii]]'s sequential chain, a URL containing an email
+    * counts under both — documented, and mirrored by the oracle). One
+    * scan, one aggregate; all four regexes are the shared RE2-compatible
+    * constants. */
+  def entityCounts(docs: org.apache.spark.sql.DataFrame,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val perDoc = docs.select(
+      regexp_count(t, lit(UrlRe)).cast("long").as("_u"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("_e"),
+      regexp_count(t, lit(IpRe)).cast("long").as("_i"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("_p"))
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_u")).as("n_urls"),
+      sum(col("_e")).as("n_emails"),
+      sum(col("_i")).as("n_ips"),
+      sum(col("_p")).as("n_phones"),
+      count(when(col("_u") + col("_e") + col("_i") + col("_p") > 0, 1))
+        .as("n_docs_with_any"))
   }
 
   /** The identical redaction as DuckDB SQL over column `text` — kept next

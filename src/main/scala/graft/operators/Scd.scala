@@ -40,4 +40,21 @@ object Scd {
       .select((key +: stateCols).map(col) ++
         Seq(col("valid_from_us"), col("valid_to_us"), col("is_current")): _*)
   }
+
+  /** Latest-wins UPSERT (the MERGE INTO shape): base ∪ updates, one row
+    * per key, highest `versionCol` wins. The pick is a single
+    * `max(struct(version, payload))` hash aggregate — no per-key sort
+    * window, so a hot key is just a big aggregation group; version ties
+    * fall through to the payload's lexicographic order (deterministic,
+    * never engine-dependent). Both frames must share the base's schema. */
+  def upsertLatest(base: DataFrame, updates: DataFrame,
+                   keyCols: Seq[String], versionCol: String): DataFrame = {
+    val payloadCols = base.columns.filterNot(keyCols.contains).toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    base.unionByName(updates)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col(versionCol).as("_v"), payload.as("_p"))).as("_b"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"_b._p.$c").as(c)): _*)
+  }
 }

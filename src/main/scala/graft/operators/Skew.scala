@@ -77,6 +77,27 @@ object Skew {
     * each matching build row exactly once, under the one salt it drew) —
     * which is what makes it differentially testable against the plain
     * join. Build-side duplicate keys multiply as usual. */
+  /** JOIN-skew forecast: before running an equi-join, rank keys by their
+    * expected output fanout `left_count × right_count` — the diagnostic
+    * that predicts a straggler reducer (one hub key producing 10⁹ rows)
+    * while it is still cheap to fix (salt, filter, or pre-aggregate).
+    * Two per-key counts + one inner join of the two count frames
+    * (key-cardinality-sized, not data-sized) + TakeOrdered top-k. */
+  def joinForecast(left: DataFrame, leftKey: Column,
+                   right: DataFrame, rightKey: Column,
+                   topK: Int): DataFrame = {
+    val lc = left.groupBy(leftKey.as("key"))
+      .agg(count(lit(1)).as("left_rows"))
+    val rc = right.groupBy(rightKey.as("key"))
+      .agg(count(lit(1)).as("right_rows"))
+    lc.join(rc, Seq("key"))
+      .select(col("key"), col("left_rows"), col("right_rows"),
+        (col("left_rows").cast("decimal(38,0)") * col("right_rows"))
+          .cast("long").as("out_rows"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+  }
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  spread: Column, salts: Int): DataFrame = {
     require(salts >= 1, s"bad salts=$salts")

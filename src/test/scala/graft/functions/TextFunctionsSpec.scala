@@ -116,6 +116,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2).isNullAt(0))
   }
 
+  test("entityCounts: independent per-pattern totals and the any-hit " +
+      "doc count") {
+    val docs = Seq(
+      "visit https://x.io and mail a@b.com",
+      "server 10.0.0.1 and 10.0.0.2 up",
+      "all clean").toDF("text")
+    val r = TextFunctions.entityCounts(docs, "text").collect().head
+    assert(r.getLong(0) === 3L)  // n_docs
+    assert(r.getLong(1) === 1L)  // urls
+    assert(r.getLong(2) === 1L)  // emails
+    assert(r.getLong(3) === 2L)  // ips
+    assert(r.getLong(5) === 2L)  // docs with any
+  }
+
   test("blocklistScreen: hit counts include repeats, matched terms are " +
       "distinct and sorted, clean docs drop") {
     val docs = Seq(

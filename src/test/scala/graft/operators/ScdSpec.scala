@@ -41,4 +41,25 @@ class ScdSpec extends SparkSpec {
       .select("valid_from_us").as[Long].collect().toSet
     assert(got === Set(10L, 20L))
   }
+
+  test("upsertLatest: highest version wins per key, base-only keys " +
+      "survive, insert-only keys appear") {
+    val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0))
+      .toDF("k", "v", "version")
+    val updates = Seq((2L, "B2", 1), (9L, "new", 1))
+      .toDF("k", "v", "version")
+    val got = Scd.upsertLatest(base, updates, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(got === Map(1L -> (("a", 0)), 2L -> (("B2", 1)),
+      3L -> (("c", 0)), 9L -> (("new", 1))))
+  }
+
+  test("upsertLatest plans as one aggregate — no window, no join") {
+    val base = Seq((1L, "a", 0)).toDF("k", "v", "version")
+    val up = Seq((1L, "b", 1)).toDF("k", "v", "version")
+    val plan = Scd.upsertLatest(base, up, Seq("k"), "version")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
 }

@@ -81,4 +81,15 @@ class SkewSpec extends SparkSpec {
     assert(rows(0).getString(1) === "mega")
     assert(rows(0).getLong(5) === 8L)
   }
+
+  test("joinForecast: fanout = left x right per key, ranked desc, " +
+      "keys missing on either side drop") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")      // counts 3, 1, 1
+    val r = Seq(1L, 1L, 2L, 2L, 2L, 7L).toDF("k")  // counts 2, 3, 1
+    val rows = Skew.joinForecast(l, $"k", r, $"k", topK = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // key 1: 3×2=6; key 2: 1×3=3; keys 3 and 7 have no partner
+    assert(rows.toSeq === Seq((1L, 3L, 2L, 6L), (2L, 1L, 3L, 3L)))
+  }
 }
