@@ -125,6 +125,7 @@ object SparkEntry {
   private val epochsShares = Seq("en" -> 50, "zh" -> 20) // ordered for SQL
   private val epochsDefaultShare = 10
   private val joinForecastK = 10                  // skew_join_forecast
+  private val trigramTopK = 5                     // text_char_trigrams
   private val upsertMod = 10L                     // dim_upsert
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
@@ -1558,6 +1559,34 @@ object SparkEntry {
       TextFunctions.readabilityByGroup(t(s, dir, "documents"),
         col("source"), col("text"))),
 
+    // grouped exact percentiles: per-language length quartiles (the
+    // calibrate machinery, stratified — approx_percentile at 100 TB)
+    "corpus_length_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.75)).as("p75"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"))),
+
+    // vector-norm health profile: exact Σv_us² per vector, log2-bucketed
+    // — mis-scaled shards and zero vectors stand out immediately
+    "embedding_norm_profile" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(aggregate(col("embedding"), lit(0L).cast("decimal(38,0)"),
+          (acc, v) => {
+            val us = round(v.cast("double") * lit(1000000d), 0).cast("long")
+              .cast("decimal(38,0)")
+            acc + us * us
+          }).as("_n2"))
+        .groupBy(when(col("_n2") === 0, lit(0L))
+          .otherwise(length(bin(col("_n2").cast("long"))).cast("long"))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("_n2")).cast("long").as("min_n2"),
+          max(col("_n2")).cast("long").as("max_n2"))),
+
     // per-language source-concentration report: Simpson Σ(share)² and the
     // top source's share as exact floor-ppm — the "is this stratum one
     // takedown away from collapsing" mixture-design check
@@ -1716,6 +1745,30 @@ object SparkEntry {
     "corpus_blocklist" -> ((s, dir) => driverSafe(
       TextFunctions.blocklistScreen(t(s, dir, "documents"), "doc_id",
         "text", blocklistTerms))),
+
+    // per-language top character trigrams (the classic langid feature):
+    // overlapping trigrams via zip_with over shifted char arrays (HOF
+    // ARGUMENTS — evaluated once per row, the repo's anti-reevaluation
+    // rule), then partial top-k per language
+    "text_char_trigrams" -> ((s, dir) => {
+      val chars = split(col("_t"), "")
+      val t2 = zip_with(chars,
+        slice(chars, lit(2), greatest(size(chars) - 1, lit(0))),
+        (a, b) => concat(a, b))
+      val t3 = zip_with(t2,
+        slice(chars, lit(3), greatest(size(chars) - 2, lit(0))),
+        (a, b) => concat(a, b))
+      val tri = t(s, dir, "documents")
+        .select(col("lang"), lower(col("text")).as("_t"))
+        .select(col("lang"),
+          explode(filter(t3, x => x.isNotNull && length(x) === 3))
+            .as("tri"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))
+      tri.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= trigramTopK)
+    }),
 
     // top-3 next-token suggestions per context from the bigram table —
     // WindowGroupLimit partial top-k, (count desc, token) total order
@@ -3841,6 +3894,36 @@ object SparkEntry {
         "CAST((sum(CAST(gus AS HUGEINT)) - ((sum(CAST(gus AS HUGEINT)) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS mean_fk_us, " +
         "min(gus) AS min_fk_us, max(gus) AS max_fk_us " +
         "FROM g GROUP BY grp"),
+
+    // percentile ≡ quantile_cont on identical BIGINT inputs (the
+    // calibrate precedent), stratified by language
+    "corpus_length_quantiles" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "quantile_cont(n_chars, 0.25) AS p25, " +
+        "quantile_cont(n_chars, 0.5) AS p50, " +
+        "quantile_cont(n_chars, 0.75) AS p75, " +
+        "quantile_cont(n_chars, 0.9) AS p90 " +
+        "FROM documents GROUP BY lang"),
+
+    // the same sequential fold over micro-unit squares; zero vectors get
+    // their own bucket 0
+    "embedding_norm_profile" ->
+      ("WITH n AS (SELECT list_sum(list_transform(embedding, " +
+        "v -> CAST(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS HUGEINT) * " +
+        "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))) AS n2 FROM embeddings) " +
+        "SELECT CASE WHEN n2 = 0 THEN 0 ELSE len(bin(CAST(n2 AS BIGINT))) END AS bucket, " +
+        "count(*) AS n_vecs, CAST(min(n2) AS BIGINT) AS min_n2, " +
+        "CAST(max(n2) AS BIGINT) AS max_n2 FROM n GROUP BY 1"),
+
+    // overlapping char trigrams: starts 1..len-2 via range + substring
+    "text_char_trigrams" ->
+      ("WITH d AS (SELECT lang, lower(text) AS t FROM documents), " +
+        "tri AS (SELECT lang, unnest(list_transform(range(1, greatest(len(t) - 1, 1)), " +
+        "i -> substring(t, CAST(i AS INT), 3))) AS tri FROM d), " +
+        "c AS (SELECT lang, tri, count(*) AS n FROM tri GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY n DESC, tri) AS rank FROM c) " +
+        s"SELECT lang, tri, n, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $trigramTopK"),
 
     // Simpson concentration: all-integer (HUGEINT products, // floor on
     // non-negative operands ≡ the engine's decimal intDiv)
