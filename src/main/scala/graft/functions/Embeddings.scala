@@ -82,10 +82,11 @@ object Embeddings {
       .select(col("cell"), col("dim"), col("v_us").as("c_us"))
       .localCheckpoint(true)
     def assign(c: org.apache.spark.sql.DataFrame) = {
-      val d = (col("v_us") - col("c_us")).cast("decimal(38,0)")
+      // long products, decimal sum (the topComponentPpm bound note)
+      val d = col("v_us") - col("c_us")
       expl.join(broadcast(c), Seq("dim"))
         .groupBy(col("_id"), col("cell"))
-        .agg(sum(d * d).as("_dist"))
+        .agg(sum((d * d).cast("decimal(38,0)")).as("_dist"))
         .groupBy(col("_id"))
         .agg(min(struct(col("_dist"), col("cell"))).as("_b"))
         .select(col("_id"), col("_b._dist").as("dist"),
@@ -192,13 +193,18 @@ object Embeddings {
     val mu = expl.groupBy(col("dim")).agg(
       Sampling.intDiv(sum(col("v_us").cast("decimal(38,0)")),
         count(lit(1)).cast("decimal(38,0)")).as("mu_us"))
+    // per-row products stay LONG (|dv| is ~10⁷ µ for unit-scale
+    // embeddings; the long-safe bound is |dv| < 3·10⁹, and ANSI mode
+    // fails loudly rather than wrapping past it) — only the sum rides
+    // DECIMAL. The decimal multiply was the hot path: 24M interpreted
+    // decimal products per sf0.1 pass before this.
     val dev = expl.join(broadcast(mu), Seq("dim"))
       .select(col("_id"), col("dim"),
-        (col("v_us") - col("mu_us")).cast("decimal(38,0)").as("dv"))
+        (col("v_us") - col("mu_us")).as("dv"))
     val cov = dev.as("a")
       .join(dev.as("b"), col("a._id") === col("b._id"))
       .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-      .agg(sum(col("a.dv") * col("b.dv")).as("c"))
+      .agg(sum((col("a.dv") * col("b.dv")).cast("decimal(38,0)")).as("c"))
       .localCheckpoint(true)
     var v = mu.select(col("dim"),
       lit(1000000L).cast("decimal(38,0)").as("v"))
@@ -231,10 +237,11 @@ object Embeddings {
     val mu = expl.groupBy(col("dim")).agg(
       Sampling.intDiv(sum(col("v_us").cast("decimal(38,0)")),
         count(lit(1)).cast("decimal(38,0)")).as("mu_us"))
-    val dev = (col("v_us") - col("mu_us")).cast("decimal(38,0)")
+    val dev = col("v_us") - col("mu_us")
     expl.join(broadcast(mu), Seq("dim"))
       .groupBy(col(idCol))
-      .agg(sum(dev * dev).cast("long").as("dist2_us2"))
+      .agg(sum((dev * dev).cast("decimal(38,0)")).cast("long")
+        .as("dist2_us2"))
       .orderBy(col("dist2_us2").desc, col(idCol))
       .limit(topK)
   }
