@@ -126,6 +126,8 @@ object SparkEntry {
   private val epochsDefaultShare = 10
   private val joinForecastK = 10                  // skew_join_forecast
   private val trigramTopK = 5                     // text_char_trigrams
+  private val tripleMinSupport = 2L               // orders_basket_triples
+  private val tripleTopK = 20
   private val upsertMod = 10L                     // dim_upsert
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
@@ -546,6 +548,13 @@ object SparkEntry {
     // columns, bucketed by curve prefix — the per-bucket span report shows
     // BOTH columns' min/max tighten, i.e. both predicates prune after a
     // single repartitionByRange(z) write (SCALE.md)
+    // skew-proof layout: quartile-rank each column FIRST, interleave the
+    // 2-bit ranks — every z cell holds between-quantile mass, so files
+    // balance regardless of value skew (the documented 100 TB z-order prep)
+    "layout_rank_zorder" -> ((s, dir) =>
+      Layout.rankZorderSpans(t(s, dir, "lineitem"), "l_extendedprice",
+        "l_quantity")),
+
     "layout_zorder" -> ((s, dir) =>
       Layout.zBucketSpans(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
         bits = zorderBits, prefixBits = zorderPrefix)),
@@ -930,6 +939,12 @@ object SparkEntry {
     "orders_basket_pairs" -> ((s, dir) =>
       Basket.pairStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minSupport = 2, topK = 100)),
+
+    // level-3 A-Priori: item triples with cohesion vs the weakest pair —
+    // nested posexplode emission, basket cap bounds the m³ blowup
+    "orders_basket_triples" -> ((s, dir) =>
+      Basket.tripleStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = tripleMinSupport, topK = tripleTopK)),
 
     // deterministic A/B readout: stable-bucket arm assignment (no stored
     // assignment table), per-arm exact-ppm conversion
@@ -3285,6 +3300,27 @@ object SparkEntry {
         |  (1000000 * n_steps) // tot AS prob_ppm
         |FROM c JOIN t USING (from_type)""".stripMargin,
 
+    // triple emission as a 3-way ordered self-join over capped baskets;
+    // cohesion via HUGEINT // against the least pair support
+    "orders_basket_triples" ->
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem), " +
+        "sz AS (SELECT bid FROM bi GROUP BY bid HAVING count(*) <= 1000), " +
+        "b2 AS (SELECT bi.* FROM bi JOIN sz USING (bid)), " +
+        "p AS (SELECT x.item AS a, y.item AS b, count(*) AS ps FROM b2 x " +
+        "JOIN b2 y ON x.bid = y.bid AND x.item < y.item GROUP BY 1, 2), " +
+        "t AS (SELECT x.item AS a, y.item AS b, z.item AS c, count(*) AS support " +
+        "FROM b2 x JOIN b2 y ON x.bid = y.bid AND x.item < y.item " +
+        "JOIN b2 z ON y.bid = z.bid AND y.item < z.item GROUP BY 1, 2, 3 " +
+        s"HAVING count(*) >= $tripleMinSupport), " +
+        "j AS (SELECT t.*, pab.ps AS pab, pac.ps AS pac, pbc.ps AS pbc FROM t " +
+        "JOIN p pab ON t.a = pab.a AND t.b = pab.b " +
+        "JOIN p pac ON t.a = pac.a AND t.c = pac.b " +
+        "JOIN p pbc ON t.b = pbc.a AND t.c = pbc.b) " +
+        "SELECT a AS item_a, b AS item_b, c AS item_c, support, " +
+        "least(pab, pac, pbc) AS min_pair_support, " +
+        "CAST((CAST(support AS HUGEINT) * 1000000) // least(pab, pac, pbc) AS BIGINT) AS cohesion_ppm " +
+        s"FROM j ORDER BY support DESC, a, b, c LIMIT $tripleTopK"),
+
     "orders_basket_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
         |           FROM lineitem),
@@ -4402,6 +4438,24 @@ object SparkEntry {
         |FROM top""".stripMargin,
 
     "layout_zorder" -> zorderOracleSql,
+
+    // quartile thresholds ≡ percentile; bit ops fully parenthesized
+    // (DuckDB's & and >> bind below =)
+    "layout_rank_zorder" ->
+      ("WITH th AS (SELECT quantile_cont(l_extendedprice, 0.25) AS a1, " +
+        "quantile_cont(l_extendedprice, 0.5) AS a2, " +
+        "quantile_cont(l_extendedprice, 0.75) AS a3, " +
+        "quantile_cont(l_quantity, 0.25) AS b1, " +
+        "quantile_cont(l_quantity, 0.5) AS b2, " +
+        "quantile_cont(l_quantity, 0.75) AS b3 FROM lineitem), " +
+        "r AS (SELECT l_extendedprice AS a, l_quantity AS b, " +
+        "CASE WHEN l_extendedprice <= a1 THEN 0 WHEN l_extendedprice <= a2 THEN 1 " +
+        "WHEN l_extendedprice <= a3 THEN 2 ELSE 3 END AS ra, " +
+        "CASE WHEN l_quantity <= b1 THEN 0 WHEN l_quantity <= b2 THEN 1 " +
+        "WHEN l_quantity <= b3 THEN 2 ELSE 3 END AS rb FROM lineitem, th) " +
+        "SELECT CAST((((ra >> 1) << 3) | ((rb >> 1) << 2) | ((ra & 1) << 1) | (rb & 1)) AS BIGINT) AS bucket, " +
+        "count(*) AS n_rows, min(a) AS min_a, max(a) AS max_a, " +
+        "min(b) AS min_b, max(b) AS max_b FROM r GROUP BY 1"),
 
     "layout_hilbert" -> hilbertOracleSql,
 

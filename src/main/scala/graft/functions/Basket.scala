@@ -57,4 +57,66 @@ object Basket {
       .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
       .limit(topK)
   }
+
+  /** Level-3 A-Priori slice: top-k co-occurring item TRIPLES with a
+    * cohesion score — `support(a,b,c)` against the weakest of the three
+    * pair supports in floor-ppm (a triple that explains most of its
+    * weakest pair is a real bundle, not three pairwise accidents).
+    *
+    * Triple emission extends the grouped-member-list pattern one level
+    * (two nested posexplodes over the sorted basket array, ordered
+    * in-place, NO self-join); the basket-size cap bounds the m³/6 blowup
+    * exactly as the pair cap bounds m²/2. Pair supports come from the
+    * SAME capped frame so the cohesion denominator is consistent.
+    * Output: (item_a < item_b < item_c, support, min_pair_support,
+    * cohesion_ppm). */
+  def tripleStats(items: DataFrame, basketId: String, itemId: String,
+                  minSupport: Long, topK: Int,
+                  maxBasket: Int = 1000): DataFrame = {
+    require(minSupport >= 1 && topK >= 1, "bad minSupport/topK")
+    val capped = items.select(col(basketId).as("bid"), col(itemId).as("item"))
+      .distinct()
+      .groupBy(col("bid"))
+      .agg(sort_array(collect_list(col("item"))).as("_ms"))
+      .filter(size(col("_ms")) <= maxBasket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = capped
+      .select(posexplode(col("_ms")).as(Seq("_i", "item_a")), col("_ms"))
+      .select(col("item_a"),
+        explode(slice(col("_ms"), col("_i") + lit(2), size(col("_ms"))))
+          .as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("ps"))
+    val triples = capped
+      .select(posexplode(col("_ms")).as(Seq("_i", "item_a")), col("_ms"))
+      .select(col("item_a"), col("_ms"), col("_i"),
+        posexplode(slice(col("_ms"), col("_i") + lit(2), size(col("_ms"))))
+          .as(Seq("_j", "item_b")))
+      .select(col("item_a"), col("item_b"),
+        // item_b sits at 1-based position _i + _j + 2, so candidates for
+        // item_c start one past it
+        explode(slice(col("_ms"), col("_i") + col("_j") + lit(3),
+          size(col("_ms")))).as("item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    triples
+      .join(pairs.select(col("item_a"), col("item_b"), col("ps").as("_pab")),
+        Seq("item_a", "item_b"))
+      .join(pairs.select(col("item_a"), col("item_b").as("item_c"),
+        col("ps").as("_pac")), Seq("item_a", "item_c"))
+      .join(pairs.select(col("item_a").as("item_b"),
+        col("item_b").as("item_c"), col("ps").as("_pbc")),
+        Seq("item_b", "item_c"))
+      .withColumn("min_pair_support",
+        least(col("_pab"), col("_pac"), col("_pbc")))
+      .withColumn("cohesion_ppm",
+        Sampling.intDiv(col("support").cast("decimal(38,0)") * lit(1000000L),
+          col("min_pair_support")))
+      .select(col("item_a"), col("item_b"), col("item_c"), col("support"),
+        col("min_pair_support"), col("cohesion_ppm"))
+      .orderBy(col("support").desc, col("item_a"), col("item_b"),
+        col("item_c"))
+      .limit(topK)
+  }
 }

@@ -119,4 +119,36 @@ object Layout {
         min(col(a)).as("min_a"), max(col(a)).as("max_a"),
         min(col(b)).as("min_b"), max(col(b)).as("max_b"))
   }
+
+  /** RANK-normalized z-order spans — the skew-proof form of
+    * [[zBucketSpans]] and the documented 100 TB prep: raw value
+    * interleaving lets a skewed column crowd the curve (most rows share
+    * the top bits and one file takes everything), so each column is first
+    * bucketed by its own exact quartiles (`percentile` ≡ `quantile_cont`,
+    * the calibrate precedent; `approx_percentile` at scale) into a 2-bit
+    * rank, and the CURVE interleaves the ranks. By construction every
+    * z cell holds between-the-quantiles mass — balanced files regardless
+    * of value distribution. Thresholds are one 1-row broadcast; the rest
+    * is a per-row CASE + bit arithmetic + one bucket aggregate. */
+  def rankZorderSpans(df: DataFrame, a: String, b: String): DataFrame = {
+    def pct(c: String, p: Double) = percentile(col(c), lit(p))
+    val th = df.agg(
+      pct(a, 0.25).as("_a1"), pct(a, 0.5).as("_a2"), pct(a, 0.75).as("_a3"),
+      pct(b, 0.25).as("_b1"), pct(b, 0.5).as("_b2"), pct(b, 0.75).as("_b3"))
+    def rank(v: Column, t1: Column, t2: Column, t3: Column): Column =
+      when(v <= t1, 0L).when(v <= t2, 1L).when(v <= t3, 2L).otherwise(3L)
+    df.crossJoin(broadcast(th))
+      .select(col(a), col(b),
+        rank(col(a), col("_a1"), col("_a2"), col("_a3")).as("_ra"),
+        rank(col(b), col("_b1"), col("_b2"), col("_b3")).as("_rb"))
+      .select(col(a), col(b),
+        (shiftleft(shiftright(col("_ra"), 1), 3)
+          .bitwiseOR(shiftleft(shiftright(col("_rb"), 1), 2))
+          .bitwiseOR(shiftleft(col("_ra").bitwiseAND(lit(1L)), 1))
+          .bitwiseOR(col("_rb").bitwiseAND(lit(1L)))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(a)).as("min_a"), max(col(a)).as("max_a"),
+        min(col(b)).as("min_b"), max(col(b)).as("max_b"))
+  }
 }

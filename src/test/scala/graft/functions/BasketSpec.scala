@@ -49,4 +49,31 @@ class BasketSpec extends SparkSpec {
       1, 100, maxBasket = 10)
     assert(capped.collect().isEmpty) // the only multi-item basket is capped
   }
+
+  test("tripleStats: hand-checked support and cohesion; consecutive " +
+      "members are not skipped") {
+    import spark.implicits._
+    // {1,2,3} twice, {1,2,4} once → triple (1,2,3) support 2;
+    // pairs: (1,2)=3, (1,3)=2, (2,3)=2 → min pair 2, cohesion 1e6
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 4L)).toDF("bid", "item")
+    val rows = Basket.tripleStats(items, "bid", "item",
+      minSupport = 2, topK = 10).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 3L)))
+    assert(r.getLong(3) === 2L)       // support
+    assert(r.getLong(4) === 2L)       // min pair support
+    assert(r.getLong(5) === 1000000L) // cohesion
+  }
+
+  test("tripleStats: a 4-item basket emits all C(4,3)=4 triples") {
+    import spark.implicits._
+    val items = (1L to 4L).map(i => (1L, i)).toDF("bid", "item")
+    val rows = Basket.tripleStats(items, "bid", "item",
+      minSupport = 1, topK = 10).collect()
+    assert(rows.length === 4)
+  }
 }

@@ -115,4 +115,20 @@ class LayoutSpec extends SparkSpec {
       assert(r.getLong(5) - r.getLong(4) === 15, "b-span must be a quadrant")
     }
   }
+
+  test("rankZorderSpans balances cells under extreme value skew where " +
+      "raw z-order crowds one bucket") {
+    import spark.implicits._
+    // a is pathologically skewed: 99% of mass at tiny values, a long tail
+    val rows = (1 to 396).map(i => (i % 4 * 1.0, (i % 16).toDouble)) ++
+      Seq((1e9, 0.0), (2e9, 1.0), (3e9, 2.0), (4e9, 3.0))
+    val df = rows.toDF("a", "b")
+    val out = Layout.rankZorderSpans(df, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // quartile ranks split the 400 rows into balanced cells: no single
+    // bucket may hold more than ~2x the even share (400/16 = 25)
+    assert(out.values.max <= 100,
+      s"rank z-order must not crowd one cell: $out")
+    assert(out.values.sum === 400L)
+  }
 }
