@@ -165,19 +165,24 @@ object SparkEntry {
 
   /** DuckDB twin of `TextFunctions.langId` — shared by `text_langid` and
     * the stratified-sampling oracle. */
-  private def langIdOracleSql: String =
-    s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+  /** Shared body (t → s → the argmax pick as CTE `lg`) so text_langid and
+    * corpus_lang_confusion read the same predictor. */
+  private def langIdBodySql: String =
+    s"t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
       "s AS (SELECT doc_id, " +
       "len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS s_de, " +
       "len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS s_en, " +
       "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un','una','por'], x))) AS s_es, " +
       "len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','dans','que'], x))) AS s_fr, " +
       "len(list_filter(toks, x -> list_contains(['的','了','是','我','不','在','有','他','这','就'], x))) AS s_zh " +
-      "FROM t) " +
-      "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_de = m THEN 'de' " +
+      "FROM t), " +
+      "lg AS (SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_de = m THEN 'de' " +
       "WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' " +
       "ELSE 'zh' END AS lang_guess " +
-      "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)"
+      "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s))"
+
+  private def langIdOracleSql: String =
+    s"WITH $langIdBodySql SELECT doc_id, lang_guess FROM lg"
 
   /** DuckDB twin of Dedup.Md5Hasher.md5Long: 60-bit long from the md5 hex
     * prefix — (hex[1,7] << 32) | hex[9,16]; every intermediate < 2^60 so
@@ -988,6 +993,26 @@ object SparkEntry {
       Triangles.kCorePeel(
         Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
         "id_a", "id_b", k = 2, rounds = 3)
+    }),
+
+    // language-ID confusion matrix vs the stored labels — the evaluation
+    // every heuristic gate needs before it filters anything
+    "corpus_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang").as("true_lang"),
+          TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))),
+
+    // local bridges of the near-dup graph: edges with NO common neighbor
+    // — the chain links that merge unrelated families under transitive
+    // closure (the per-edge audit list next to kcore/triangles)
+    "graph_bridges" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Graphs.localBridges(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
+        "id_a", "id_b")
     }),
 
     // takedown blast radius: every doc within <=3 near-dup hops of the
@@ -3663,6 +3688,25 @@ object SparkEntry {
         "FROM t"),
 
     "text_langid" -> langIdOracleSql,
+
+    // same shared predictor body joined back to the stored labels
+    "corpus_lang_confusion" ->
+      (s"WITH $langIdBodySql " +
+        "SELECT d.lang AS true_lang, lg.lang_guess AS pred_lang, " +
+        "count(*) AS n FROM documents d JOIN lg ON d.doc_id = lg.doc_id " +
+        "GROUP BY 1, 2"),
+
+    // bridges = canonical edges minus edges whose endpoints share a
+    // neighbor (wedge join + anti-join)
+    "graph_bridges" ->
+      (s"WITH p AS ($jaccardPairsOracleSql), " +
+        "e AS (SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v " +
+        "FROM p WHERE id_a <> id_b GROUP BY 1, 2), " +
+        "n AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+        "sh AS (SELECT DISTINCT a.u AS u, b.u AS v FROM n a " +
+        "JOIN n b ON a.v = b.v AND a.u < b.u) " +
+        "SELECT e.u AS id_a, e.v AS id_b FROM e LEFT JOIN sh " +
+        "ON e.u = sh.u AND e.v = sh.v WHERE sh.u IS NULL"),
 
     // stratified by detected language at per-stratum rates (en 80 / de 50
     // / default 20): the data-mixture sampler over the langid stratum

@@ -55,6 +55,33 @@ object Graphs {
     visited
   }
 
+  /** LOCAL BRIDGES of the pair graph: edges whose endpoints share NO
+    * common neighbor — on a near-dup candidate graph these are exactly
+    * the chain links that merge two otherwise-unrelated families when
+    * components are collapsed (the transitive-merge risk the k-core and
+    * triangle reports approach from the density side; this is the
+    * per-edge audit list). An edge is in a triangle iff its endpoints
+    * share a neighbor, so bridges = edges ∖ triangle-edges: one
+    * wedge join (degree-bounded by the candidate caps upstream) + one
+    * anti-join. Output: (id_a < id_b) bridge edges. */
+  def localBridges(pairs: DataFrame, idA: String,
+                   idB: String): DataFrame = {
+    val und = pairs
+      .select(least(col(idA), col(idB)).as("u"),
+        greatest(col(idA), col(idB)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbrs = und.union(und.select(col("v"), col("u")))
+    val sharing = nbrs.as("a")
+      .join(nbrs.as("b"), col("a.v") === col("b.v") &&
+        col("a.u") < col("b.u"))
+      .select(col("a.u").as("u"), col("b.u").as("v"))
+      .distinct()
+    und.join(sharing, Seq("u", "v"), "left_anti")
+      .select(col("u").as("id_a"), col("v").as("id_b"))
+  }
+
   /** Log₂-bucketed degree histogram of the pair graph: bucket b holds
     * nodes with degree in [2^(b-1), 2^b). The bucket id is
     * `length(bin(degree))` — a pure string-length-of-binary expression

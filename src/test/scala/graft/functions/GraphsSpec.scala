@@ -28,6 +28,16 @@ class GraphsSpec extends SparkSpec {
     assert(m === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 42L -> 0L))
   }
 
+  test("localBridges: chain links are bridges, triangle edges are not, " +
+      "the triangle-to-chain attachment edge is a bridge") {
+    // triangle 1-2-3 plus a chain 3-4-5
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Graphs.localBridges(g, "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 4L), (4L, 5L)))
+  }
+
   test("degreeHistogram: log2 buckets with reversed-duplicate edges " +
       "collapsed") {
     // star 1-{2,3,4} (deg 3 → bucket 2) + the reversed dup of one edge
