@@ -798,6 +798,40 @@ object SparkEntry {
 
     // the canonical training-data cleaning pipeline, composed from the ops
     // above: quality gate → language gate → exact dedup → kept corpus
+    // the cleaning-pipeline FUNNEL: cumulative survivors at each gate
+    // (total → nonempty → length → quality → language → exact-canonical)
+    // — the one dashboard a corpus refresh is judged by; stages 1-5 ride
+    // ONE conditional-count aggregate, stage 6 adds the dedup group min
+    "corpus_funnel_report" -> ((s, dir) => {
+      val feats = TextFunctions.qualityFeatures(col("text")).toMap
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          feats("n_tokens").as("nt"), feats("alpha_ratio").as("ar"),
+          TextFunctions.langId(col("text")).as("lg"),
+          TextFunctions.contentFingerprint(col("text")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = col("nt") >= 5 && col("ar") > 0.5
+      val e = q && col("lg") === "en"
+      val st = base.agg(
+        count(lit(1)).as("s1"),
+        count(when(col("nt") >= 1, 1)).as("s2"),
+        count(when(col("nt") >= 5, 1)).as("s3"),
+        count(when(q, 1)).as("s4"),
+        count(when(e, 1)).as("s5"))
+      val s6 = base.filter(e).groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("_k"))
+        .agg(count(lit(1)).as("s6"))
+      val names = Seq("total", "nonempty", "min_length", "quality",
+        "english", "exact_canonical")
+      val rows = (1 to 6).map { i =>
+        struct(lit(i.toLong).as("stage"), lit(names(i - 1)).as("stage_name"),
+          col(s"s$i").as("n_docs"))
+      }
+      st.crossJoin(s6)
+        .select(explode(array(rows: _*)).as("_r"))
+        .select(col("_r.*"))
+    }),
+
     "corpus_clean" -> ((s, dir) => {
       val feats = TextFunctions.qualityFeatures(col("text")).toMap
       val scored = t(s, dir, "documents")
@@ -1773,6 +1807,28 @@ object SparkEntry {
             lit(0L)))
     }),
 
+    // seasonal-naive forecast backtest: predict day t's volume with day
+    // t-7 (and t-1 as the naive floor); exact integer MAE in µ per type —
+    // the "is there weekly seasonality worth modeling" answer
+    "events_forecast_naive" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      def lagJoin(offset: Int, name: String) = daily
+        .join(daily.select(col("event_type"),
+          date_add(col("day"), offset).as("day"), col("c").as("_p")),
+          Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"n_$name"),
+          Sampling.intDivExact(
+            sum(abs(col("c") - col("_p")).cast("decimal(38,0)"))
+              * lit(1000000L),
+            count(lit(1))).as(s"mae${name}_us"))
+      lagJoin(7, "w").join(lagJoin(1, "d"), Seq("event_type"))
+    }),
+
     // DAU / trailing-7-day WAU / floor-ppm stickiness per active day —
     // the trailing week via a 7-way day fan-out + distinct, never a
     // distinct-over-range window
@@ -2667,6 +2723,30 @@ object SparkEntry {
         "FILTER (WHERE cs.s IS NOT NULL)), '|'), '') AS customers_canon " +
         "FROM nation n LEFT JOIN cs ON cs.c_nationkey = n.n_nationkey " +
         "GROUP BY n.n_nationkey, n.n_name"),
+
+    // the shared langid body supplies toks + prediction; stages are
+    // conditional counts, the canonical stage groups the gated survivors
+    "corpus_funnel_report" ->
+      (s"WITH $langIdBodySql, " +
+        "f AS (SELECT d.doc_id, len(t.toks) AS nt, " +
+        "length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) / " +
+        "CAST(CASE WHEN length(d.text) = 0 THEN 1 ELSE length(d.text) END AS DOUBLE) AS ar, " +
+        "lg.lang_guess AS lgs, md5(array_to_string(t.toks, ' ')) AS fp " +
+        "FROM documents d JOIN t ON d.doc_id = t.doc_id " +
+        "JOIN lg ON d.doc_id = lg.doc_id), " +
+        "st AS (SELECT count(*) AS s1, " +
+        "count(CASE WHEN nt >= 1 THEN 1 END) AS s2, " +
+        "count(CASE WHEN nt >= 5 THEN 1 END) AS s3, " +
+        "count(CASE WHEN nt >= 5 AND ar > 0.5 THEN 1 END) AS s4, " +
+        "count(CASE WHEN nt >= 5 AND ar > 0.5 AND lgs = 'en' THEN 1 END) AS s5 FROM f), " +
+        "s6 AS (SELECT count(*) AS s6 FROM (SELECT fp FROM f " +
+        "WHERE nt >= 5 AND ar > 0.5 AND lgs = 'en' GROUP BY fp)) " +
+        "SELECT CAST(1 AS BIGINT) AS stage, 'total' AS stage_name, s1 AS n_docs FROM st " +
+        "UNION ALL SELECT 2, 'nonempty', s2 FROM st " +
+        "UNION ALL SELECT 3, 'min_length', s3 FROM st " +
+        "UNION ALL SELECT 4, 'quality', s4 FROM st " +
+        "UNION ALL SELECT 5, 'english', s5 FROM st " +
+        "UNION ALL SELECT 6, 'exact_canonical', s6 FROM s6"),
 
     "corpus_clean" ->
       (s"WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents), " +
@@ -4353,6 +4433,19 @@ object SparkEntry {
         "count(*) AS n_events FROM events GROUP BY 1) " +
         "SELECT day, n_events, COALESCE(n_events - lag(n_events, 1) " +
         "OVER (ORDER BY day), 0) AS delta FROM d"),
+
+    // non-negative MAE numerators → // is exact floor; day+INT arithmetic
+    "events_forecast_naive" ->
+      ("WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "count(*) AS c FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT a.event_type, count(*) AS n_w, " +
+        "CAST((sum(CAST(abs(a.c - b.c) AS HUGEINT)) * 1000000) // count(*) AS BIGINT) AS maew_us " +
+        "FROM d a JOIN d b ON a.event_type = b.event_type AND a.day = b.day + CAST(7 AS INTEGER) GROUP BY 1), " +
+        "o AS (SELECT a.event_type, count(*) AS n_d, " +
+        "CAST((sum(CAST(abs(a.c - b.c) AS HUGEINT)) * 1000000) // count(*) AS BIGINT) AS maed_us " +
+        "FROM d a JOIN d b ON a.event_type = b.event_type AND a.day = b.day + CAST(1 AS INTEGER) GROUP BY 1) " +
+        "SELECT w.event_type, n_w, maew_us, n_d, maed_us " +
+        "FROM w JOIN o ON w.event_type = o.event_type"),
 
     // 7-way day fan-out + distinct ≡ the engine's WAU shape
     "events_stickiness" ->
