@@ -1807,6 +1807,34 @@ object SparkEntry {
             lit(0L)))
     }),
 
+    // session-shape histogram: sessions bucketed by log2 event count,
+    // with exact integer duration stats per bucket — the engagement-
+    // distribution readout on top of the shared sessionizer
+    "events_session_hist" -> ((s, dir) => {
+      val sess = EventStream.sessionize(
+        events(s, dir).withColumn("value",
+          col("value").cast(DecimalType(18, 6))), gapMinutes = 30)
+      sess
+        .select(col("n_events"),
+          (unix_micros(col("session_end")) -
+            unix_micros(col("session_start"))).as("_dur"))
+        .groupBy(length(bin(col("n_events"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          min(col("n_events")).as("min_events"),
+          max(col("n_events")).as("max_events"),
+          Sampling.intDivExact(
+            sum(col("_dur").cast("decimal(38,0)")),
+            count(lit(1))).as("mean_duration_us"))
+    }),
+
+    // supplier-concentration per part: the SAME Simpson operator as
+    // corpus_diversity pointed at the supply chain — single-supplier
+    // parts are the takedown-risk analogue
+    "parts_supplier_diversity" -> ((s, dir) =>
+      Sampling.sourceConcentration(t(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("simpson_ppm").desc, col("stratum")).limit(50)),
+
     // seasonal-naive forecast backtest: predict day t's volume with day
     // t-7 (and t-1 as the naive floor); exact integer MAE in µ per type —
     // the "is there weekly seasonality worth modeling" answer
@@ -4433,6 +4461,34 @@ object SparkEntry {
         "count(*) AS n_events FROM events GROUP BY 1) " +
         "SELECT day, n_events, COALESCE(n_events - lag(n_events, 1) " +
         "OVER (ORDER BY day), 0) AS delta FROM d"),
+
+    // same sessionizer CTE, then the log2 histogram; durations and the
+    // floor-mean all exact integers
+    "events_session_hist" ->
+      ("WITH e AS (SELECT user_id, ts FROM events), " +
+        "g AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns " +
+        "FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e)), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq FROM g), " +
+        "sess AS (SELECT user_id, session_seq, count(*) AS n_events, " +
+        "epoch_us(max(ts)) - epoch_us(min(ts)) AS dur FROM s GROUP BY 1, 2) " +
+        "SELECT CAST(len(bin(n_events)) AS BIGINT) AS bucket, " +
+        "count(*) AS n_sessions, min(n_events) AS min_events, " +
+        "max(n_events) AS max_events, " +
+        "CAST((sum(CAST(dur AS HUGEINT)) - ((sum(CAST(dur AS HUGEINT)) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS mean_duration_us " +
+        "FROM sess GROUP BY 1"),
+
+    // the corpus_diversity Simpson oracle over the supply chain; the
+    // filter keeps fully-single-sourced parts
+    "parts_supplier_diversity" ->
+      ("WITH p AS (SELECT l_partkey AS stratum, l_suppkey AS source, count(*) AS c " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "a AS (SELECT stratum, sum(c) AS n_docs, count(*) AS n_sources, " +
+        "sum(CAST(c AS HUGEINT) * c) AS sq, max(c) AS cmax FROM p GROUP BY 1), " +
+        "r AS (SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, n_sources, " +
+        "CAST((sq * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS simpson_ppm, " +
+        "CAST((CAST(cmax AS HUGEINT) * 1000000) // CAST(n_docs AS HUGEINT) AS BIGINT) AS top_share_ppm FROM a) " +
+        "SELECT * FROM r ORDER BY simpson_ppm DESC, stratum LIMIT 50"),
 
     // non-negative MAE numerators → // is exact floor; day+INT arithmetic
     "events_forecast_naive" ->
