@@ -845,6 +845,43 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
     }),
 
+    // near-dup FAMILY-size histogram: log2 buckets over connected-
+    // component sizes — the shape that picks the dedup strategy (a few
+    // mega-families vs many pairs), the CC analogue of dedup_group_hist
+    "graph_component_hist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Dedup.componentsFromPairs(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
+        iters = 10)
+        .groupBy(col("comp")).agg(count(lit(1)).as("_n"))
+        .groupBy(length(bin(col("_n"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_families"),
+          sum(col("_n")).as("n_docs"),
+          min(col("_n")).as("min_size"),
+          max(col("_n")).as("max_size"))
+    }),
+
+    // vocabulary health: hapax share and type-token ratio in floor-ppm —
+    // a crawl whose hapax share collapses is template-flooded; one token
+    // aggregate, single-row output
+    "vocab_hapax_report" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      counts.agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+        .select(col("n_tokens"), col("vocab_size"), col("n_hapax"),
+          Sampling.intDivExact(
+            col("n_hapax").cast("decimal(38,0)") * lit(1000000L),
+            col("vocab_size")).as("hapax_ppm"),
+          Sampling.intDivExact(
+            col("vocab_size").cast("decimal(38,0)") * lit(1000000L),
+            col("n_tokens")).as("ttr_ppm"))
+    }),
+
     // full dedup pipeline: verified pairs → connected components (groups)
     "dedup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -3093,6 +3130,23 @@ object SparkEntry {
 
     "dedup_groups" ->
       s"$ccCompPrefixSql SELECT id, comp FROM comp",
+
+    // the shared CC prefix, then the same log2 histogram convention
+    "graph_component_hist" ->
+      (s"$ccCompPrefixSql, " +
+        "fam AS (SELECT comp, count(*) AS n FROM comp GROUP BY 1) " +
+        "SELECT CAST(len(bin(n)) AS BIGINT) AS bucket, " +
+        "count(*) AS n_families, CAST(sum(n) AS BIGINT) AS n_docs, " +
+        "min(n) AS min_size, max(n) AS max_size FROM fam GROUP BY 1"),
+
+    "vocab_hapax_report" ->
+      (s"WITH t AS (SELECT $sqlToks AS toks FROM documents), " +
+        "u AS (SELECT unnest(toks) AS tok FROM t), " +
+        "c AS (SELECT tok, count(*) AS c FROM u GROUP BY tok) " +
+        "SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab_size, " +
+        "count(CASE WHEN c = 1 THEN 1 END) AS n_hapax, " +
+        "CAST((count(CASE WHEN c = 1 THEN 1 END) * 1000000) // count(*) AS BIGINT) AS hapax_ppm, " +
+        "CAST((CAST(count(*) AS HUGEINT) * 1000000) // sum(c) AS BIGINT) AS ttr_ppm FROM c"),
 
     // same recursive-CC prefix as dedup_groups, then group-keyed buckets
     "corpus_leak_split" ->
