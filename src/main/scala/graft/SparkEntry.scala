@@ -1634,6 +1634,27 @@ object SparkEntry {
           tb("region"), "r_regionkey")))
     }),
 
+    // relational DIVISION (the ALL-quantifier): orders where EVERY
+    // lineitem shipped by the cutoff, rolled up per priority in exact
+    // floor-ppm — one per-order conditional agg, no anti-join cascade
+    "q4_fill_rate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("_n"),
+          count(when(col("l_shipdate").cast("date") <=
+            lit(q3Date).cast("date"), 1)).as("_ok"))
+        .select(col("l_orderkey"),
+          (col("_n") === col("_ok")).cast("long").as("_full"))
+      t(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("_full")).as("n_fully_shipped"),
+          Sampling.intDivExact(
+            sum(col("_full")).cast("decimal(38,0)") * lit(1000000L),
+            count(lit(1))).as("fill_ppm"))
+    }),
+
     // shipping-priority revenue (the classic 3-way join + top-k): per-row
     // revenue floors to exact integer µ BEFORE the decimal sum, so the
     // aggregation is order-free; AQE picks the filtered-dim broadcast
@@ -3202,6 +3223,18 @@ object SparkEntry {
         arm("nation.n_regionkey", "nation", "n_regionkey", "region", "r_regionkey"))
         .mkString(" UNION ALL ")
     },
+
+    // the ALL-quantifier as a per-order conditional count equality
+    "q4_fill_rate" ->
+      (s"WITH li AS (SELECT l_orderkey, count(*) AS n, " +
+        s"count(CASE WHEN CAST(l_shipdate AS DATE) <= DATE '$q3Date' THEN 1 END) AS ok " +
+        "FROM lineitem GROUP BY 1), " +
+        "f AS (SELECT o_orderpriority, CASE WHEN n = ok THEN 1 ELSE 0 END AS fl " +
+        "FROM orders JOIN li ON o_orderkey = l_orderkey) " +
+        "SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(sum(fl) AS BIGINT) AS n_fully_shipped, " +
+        "CAST((sum(CAST(fl AS HUGEINT)) * 1000000) // count(*) AS BIGINT) AS fill_ppm " +
+        "FROM f GROUP BY 1"),
 
     // per-row floor to integer µ BEFORE the sum (the one multiply chain is
     // bit-identical IEEE in both engines); total-order top-10
