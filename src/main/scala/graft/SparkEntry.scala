@@ -708,7 +708,7 @@ object SparkEntry {
     // exact-group size histogram in log2 buckets — mega-template vs
     // many-small-copies shape report
     "dedup_group_hist" -> ((s, dir) =>
-      Dedup.groupSizeHistogram(t(s, dir, "documents"), "doc_id", "text")),
+      Dedup.groupSizeHistogram(t(s, dir, "documents"), "text")),
 
     // case/punctuation-insensitive dedup groups + how many DISTINCT exact
     // fingerprints each normalized group collapsed (what normalization
@@ -827,9 +827,11 @@ object SparkEntry {
         struct(lit(i.toLong).as("stage"), lit(names(i - 1)).as("stage_name"),
           col(s"s$i").as("n_docs"))
       }
-      st.crossJoin(s6)
-        .select(explode(array(rows: _*)).as("_r"))
-        .select(col("_r.*"))
+      graft.functions.Frames.sealRelease(
+        st.crossJoin(s6)
+          .select(explode(array(rows: _*)).as("_r"))
+          .select(col("_r.*")),
+        base)
     }),
 
     "corpus_clean" -> ((s, dir) => {
@@ -3006,7 +3008,8 @@ object SparkEntry {
         |         GROUP BY a),
         |g AS (SELECT n.name, n.n_rows, COALESCE(c.comp, n.name) AS cluster
         |      FROM n LEFT JOIN comp c ON c.id = n.name)
-        |SELECT cluster, sum(n_rows) AS total_rows, count(*) AS n_variants
+        |SELECT cluster, CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |       count(*) AS n_variants
         |FROM g GROUP BY 1""".stripMargin,
 
     "dim_scd2" ->
@@ -3198,10 +3201,10 @@ object SparkEntry {
       (s"WITH t AS (SELECT lang AS grp, CAST(len($sqlToks) AS BIGINT) AS w, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS b " +
         "FROM documents) " +
-        "SELECT grp, count(*) AS n_docs, sum(w) AS n_words, " +
-        "sum(b) AS n_subwords, " +
-        "CASE WHEN sum(w) > 0 THEN (sum(CAST(b AS HUGEINT)) * 1000000) // sum(CAST(w AS HUGEINT)) " +
-        "ELSE 0 END AS fertility_ppm FROM t GROUP BY grp"),
+        "SELECT grp, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words, " +
+        "CAST(sum(b) AS BIGINT) AS n_subwords, " +
+        "CAST(CASE WHEN sum(w) > 0 THEN (sum(CAST(b AS HUGEINT)) * 1000000) // sum(CAST(w AS HUGEINT)) " +
+        "ELSE 0 END AS BIGINT) AS fertility_ppm FROM t GROUP BY grp"),
 
     // one LEFT JOIN + conditional count per FK edge (parents are PKs, so
     // the join is row-preserving); NULL FKs count as orphans
@@ -4532,7 +4535,10 @@ object SparkEntry {
         s"u AS (SELECT o_orderkey, price_us * 2 AS price_us, 1 AS version FROM b WHERE o_orderkey % $upsertMod = 0), " +
         "al AS (SELECT * FROM b UNION ALL SELECT * FROM u) " +
         "SELECT o_orderkey, price_us, version FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM al) " +
+        // payload (price_us) joins the ORDER BY so the oracle pins the same
+        // max(struct(version, payload)) total order Scd.upsertLatest uses —
+        // without it a version tie would make the oracle nondeterministic
+        "(SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC, price_us DESC) AS rn FROM al) " +
         "WHERE rn = 1"),
 
     "w8_running_total" ->

@@ -43,7 +43,7 @@ object Basket {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-    pairs
+    val out = pairs
       .join(ci.select(col("item").as("item_a"), col("c").as("_ca")), Seq("item_a"))
       .join(ci.select(col("item").as("item_b"), col("c").as("_cb")), Seq("item_b"))
       .crossJoin(broadcast(nb))
@@ -56,6 +56,7 @@ object Basket {
       .select(col("item_a"), col("item_b"), col("support"), col("lift_ppm"))
       .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
       .limit(topK)
+    Frames.sealRelease(out, b)
   }
 
   /** Level-3 A-Priori slice: top-k co-occurring item TRIPLES with a
@@ -63,11 +64,20 @@ object Basket {
     * pair supports in floor-ppm (a triple that explains most of its
     * weakest pair is a real bundle, not three pairwise accidents).
     *
-    * Triple emission extends the grouped-member-list pattern one level
-    * (two nested posexplodes over the sorted basket array, ordered
-    * in-place, NO self-join); the basket-size cap bounds the m³/6 blowup
-    * exactly as the pair cap bounds m²/2. Pair supports come from the
-    * SAME capped frame so the cohesion denominator is consistent.
+    * Candidate generation is PRUNED A-Priori, not enumerate-then-filter:
+    * support is anti-monotone (support(a,b,c) ≤ support of each of its
+    * pairs), so only triples whose three pairs are ALL level-2 frequent
+    * can survive the minSupport filter. The frequent-pair set is
+    * materialized once (small by the standard A-Priori assumption that
+    * level-2 frequent itemsets fit in memory) and broadcast into three
+    * semi-join screens: (a,b) BEFORE the third explode — so a hot basket
+    * near the cap emits m·|freq-pairs-within| candidates instead of m³/6 —
+    * then (b,c) and (a,c) before the count shuffle. The groupBy therefore
+    * shuffles only candidates that can possibly be frequent.
+    *
+    * Pair supports come from the SAME capped frame so the cohesion
+    * denominator is consistent; cohesion joins reuse the broadcast
+    * frequent-pair frame (every pair of a surviving triple is frequent).
     * Output: (item_a < item_b < item_c, support, min_pair_support,
     * cohesion_ppm). */
   def tripleStats(items: DataFrame, basketId: String, itemId: String,
@@ -80,33 +90,44 @@ object Basket {
       .agg(sort_array(collect_list(col("item"))).as("_ms"))
       .filter(size(col("_ms")) <= maxBasket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = capped
+    // level-2 frequent pairs, materialized (capped is read once for this
+    // pass, once for the pruned triple pass)
+    val freq = capped
       .select(posexplode(col("_ms")).as(Seq("_i", "item_a")), col("_ms"))
       .select(col("item_a"),
         explode(slice(col("_ms"), col("_i") + lit(2), size(col("_ms"))))
           .as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("ps"))
-    val triples = capped
+      .filter(col("ps") >= minSupport)
+      .localCheckpoint(true)
+    val ab = capped
       .select(posexplode(col("_ms")).as(Seq("_i", "item_a")), col("_ms"))
       .select(col("item_a"), col("_ms"), col("_i"),
         posexplode(slice(col("_ms"), col("_i") + lit(2), size(col("_ms"))))
           .as(Seq("_j", "item_b")))
+      .join(broadcast(freq.select(col("item_a"), col("item_b"))),
+        Seq("item_a", "item_b"), "left_semi")
+    val triples = ab
       .select(col("item_a"), col("item_b"),
         // item_b sits at 1-based position _i + _j + 2, so candidates for
         // item_c start one past it
         explode(slice(col("_ms"), col("_i") + col("_j") + lit(3),
           size(col("_ms")))).as("item_c"))
+      .join(broadcast(freq.select(col("item_a").as("item_b"),
+        col("item_b").as("item_c"))), Seq("item_b", "item_c"), "left_semi")
+      .join(broadcast(freq.select(col("item_a"),
+        col("item_b").as("item_c"))), Seq("item_a", "item_c"), "left_semi")
       .groupBy(col("item_a"), col("item_b"), col("item_c"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-    triples
-      .join(pairs.select(col("item_a"), col("item_b"), col("ps").as("_pab")),
-        Seq("item_a", "item_b"))
-      .join(pairs.select(col("item_a"), col("item_b").as("item_c"),
-        col("ps").as("_pac")), Seq("item_a", "item_c"))
-      .join(pairs.select(col("item_a").as("item_b"),
-        col("item_b").as("item_c"), col("ps").as("_pbc")),
+    val out = triples
+      .join(broadcast(freq.select(col("item_a"), col("item_b"),
+        col("ps").as("_pab"))), Seq("item_a", "item_b"))
+      .join(broadcast(freq.select(col("item_a"), col("item_b").as("item_c"),
+        col("ps").as("_pac"))), Seq("item_a", "item_c"))
+      .join(broadcast(freq.select(col("item_a").as("item_b"),
+        col("item_b").as("item_c"), col("ps").as("_pbc"))),
         Seq("item_b", "item_c"))
       .withColumn("min_pair_support",
         least(col("_pab"), col("_pac"), col("_pbc")))
@@ -118,5 +139,6 @@ object Basket {
       .orderBy(col("support").desc, col("item_a"), col("item_b"),
         col("item_c"))
       .limit(topK)
+    Frames.sealRelease(out, capped)
   }
 }

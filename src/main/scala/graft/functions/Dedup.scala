@@ -175,8 +175,7 @@ object Dedup {
     * that distinguishes "a few mega-templates" from "many small copies"
     * — they need different dedup strategies. Output is
     * corpus-size-independent. */
-  def groupSizeHistogram(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame =
+  def groupSizeHistogram(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("_fp", TextFunctions.contentFingerprint(col(textCol)))
       .groupBy(col("_fp")).agg(count(lit(1)).as("_n"))

@@ -139,24 +139,6 @@ object Embeddings {
       .agg(sum(d * d).cast("long").as("dist2_us2"))
   }
 
-  /** Top-k embedding outliers by exact squared distance to the corpus
-    * centroid — the batch-health companion of [[dimStats]]: a handful of
-    * vectors sitting far from everything else usually means a corrupted
-    * encode, a mis-normalized shard, or genuine out-of-distribution data
-    * worth inspecting before training.
-    *
-    * Integer-exact so the report hash-matches any engine: components
-    * quantize to micro-units, the per-dimension floor-mean `μ_us` comes
-    * from one tiny aggregate (`dims` rows, broadcast back), and the score
-    * is Σ_j (x_us − μ_us)² summed in DECIMAL — pure integer arithmetic,
-    * no fp accumulation order anywhere. Flooring the mean biases each
-    * deviation by < 1 micro-unit, deterministically and identically in
-    * both engines (DuckDB's `//` after the pmod trick ≡ Spark's intDiv).
-    *
-    * Scale: one posexplode feeding a dims-sized aggregate, one broadcast
-    * join back onto the exploded frame, one per-id aggregate, then
-    * TakeOrderedAndProject for the top-k — no window over the corpus, no
-    * driver collection, shuffles carry O(rows) and O(dims) respectively. */
   /** Top principal component of the embedding corpus by BOUNDED power
     * iteration, entirely in integer fixed-point — the engine-exact PCA
     * probe (is this batch collapsing onto one axis? which dims load it?).
@@ -227,6 +209,24 @@ object Embeddings {
     v.select(col("dim"), col("v").cast("long").as("v_ppm"))
   }
 
+  /** Top-k embedding outliers by exact squared distance to the corpus
+    * centroid — the batch-health companion of [[dimStats]]: a handful of
+    * vectors sitting far from everything else usually means a corrupted
+    * encode, a mis-normalized shard, or genuine out-of-distribution data
+    * worth inspecting before training.
+    *
+    * Integer-exact so the report hash-matches any engine: components
+    * quantize to micro-units, the per-dimension floor-mean `μ_us` comes
+    * from one tiny aggregate (`dims` rows, broadcast back), and the score
+    * is Σ_j (x_us − μ_us)² summed in DECIMAL — pure integer arithmetic,
+    * no fp accumulation order anywhere. Flooring the mean biases each
+    * deviation by < 1 micro-unit, deterministically and identically in
+    * both engines (DuckDB's `//` after the pmod trick ≡ Spark's intDiv).
+    *
+    * Scale: one posexplode feeding a dims-sized aggregate, one broadcast
+    * join back onto the exploded frame, one per-id aggregate, then
+    * TakeOrderedAndProject for the top-k — no window over the corpus, no
+    * driver collection, shuffles carry O(rows) and O(dims) respectively. */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
                        topK: Int = 20): DataFrame = {
     val vUs = round(col("_v").cast("double") * lit(1000000d), 0)

@@ -78,8 +78,10 @@ object Graphs {
         col("a.u") < col("b.u"))
       .select(col("a.u").as("u"), col("b.u").as("v"))
       .distinct()
-    und.join(sharing, Seq("u", "v"), "left_anti")
+    val out = und.join(sharing, Seq("u", "v"), "left_anti")
       .select(col("u").as("id_a"), col("v").as("id_b"))
+    // bridge edges are bounded by the (cap-bounded) pair-graph edge count
+    Frames.sealRelease(out, und)
   }
 
   /** Log₂-bucketed degree histogram of the pair graph: bucket b holds

@@ -165,12 +165,13 @@ object LangModel {
     val th = ce.agg(
       percentile(col("cross_entropy"), lit(1.0 / 3)).as("t1"),
       percentile(col("cross_entropy"), lit(2.0 / 3)).as("t2"))
-    ce.crossJoin(broadcast(th))
+    val out = ce.crossJoin(broadcast(th))
       .select(col("n_bigrams"),
         when(col("cross_entropy") <= col("t1"), "head")
           .when(col("cross_entropy") <= col("t2"), "middle")
           .otherwise("tail").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
+    Frames.sealRelease(out, ce)
   }
 }

@@ -288,7 +288,7 @@ object Vocab {
         .agg(coalesce(sum(col("c")), lit(0L)).cast("decimal(38,0)").as("_s"))
         .select(lit(k.toLong).as("k"), col("_s"))
     }
-    arms.reduce(_ unionAll _)
+    val out = arms.reduce(_ unionAll _)
       .crossJoin(broadcast(total))
       .select(col("k"),
         col("_s").cast("long").as("covered_tokens"),
@@ -296,5 +296,6 @@ object Vocab {
         when(col("_n") > 0,
           Sampling.intDiv(col("_s") * lit(1000000L), col("_n")))
           .otherwise(lit(0L)).as("coverage_ppm"))
+    Frames.sealRelease(out, counts)
   }
 }

@@ -62,7 +62,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val docs = (Seq.tabulate(5)(i => (i.toLong, "big group")) ++
       Seq((10L, "pair"), (11L, "pair"), (20L, "solo")))
       .toDF("doc_id", "text")
-    val m = Dedup.groupSizeHistogram(docs, "doc_id", "text").collect()
+    val m = Dedup.groupSizeHistogram(docs, "text").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))).toMap
     // size 5 → bucket 3; size 2 → bucket 2; size 1 → bucket 1

@@ -1,36 +1,47 @@
 import duckdb, json, sys, glob, os, math
-from decimal import Decimal
+import numpy as np
 outdir, sfdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 oracles = json.load(open(f'{outdir}/oracle_sql.json'))
 
+# Both sides go through pandas (.df()), matching the driver's compare path:
+# DuckDB HUGEINT/DECIMAL surface as float64 there while BIGINT stays int64,
+# so int vs float is a REAL difference — do NOT canonicalize across them.
 def canon(v):
-    if isinstance(v, Decimal): return ('num', float(v))
-    if isinstance(v, float):
-        return ('num', round(v, 9))
-    if isinstance(v, int): return ('num', float(v))
+    if v is None: return None
+    if isinstance(v, (np.floating, float)):
+        if isinstance(v, float) and math.isnan(v): return ('null',)
+        return ('num', round(float(v), 9))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return ('int', int(v))
+    if isinstance(v, np.ndarray): return tuple(canon(x) for x in v.tolist())
     if isinstance(v, list): return tuple(canon(x) for x in v)
+    if isinstance(v, np.bool_): return bool(v)
     return v
+
+def frame(rel):
+    df = rel.df()
+    cols = [c.lower() for c in df.columns]
+    rows = [tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return sorted(tuple(r[i] for i in order) for r in rows)
 
 fails = []
 for name in sorted(os.listdir(outdir)):
     p = os.path.join(outdir, name)
     if not os.path.isdir(p): continue
     files = glob.glob(p + '/*.parquet')
-    r = con.sql(f"SELECT * FROM read_parquet({files})")
-    scols, srows = [c.lower() for c in r.columns], r.fetchall()
+    scols, srows = frame(con.sql(f"SELECT * FROM read_parquet({files})"))
     if name not in oracles:
         print(f"{name:22s} rows-only: {len(srows)} rows")
         continue
     try:
-        o = con.sql(oracles[name])
-        ocols, orows = [c.lower() for c in o.columns], o.fetchall()
+        ocols, orows = frame(con.sql(oracles[name]))
     except Exception as e:
         fails.append(name)
         print(f"{name:22s} FAIL oracle error: {str(e)[:200]}")
