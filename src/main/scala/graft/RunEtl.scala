@@ -24,7 +24,24 @@ import graft.sources.TubeGraphSource
 object RunEtl {
 
   def main(args: Array[String]): Unit = {
+    // rollback mode: re-publish the {alias}_backup index as the new live
+    // version and exit — no translation, no Spark session needed
+    args.collectFirst {
+      case a if a.startsWith("--restore=") => a.stripPrefix("--restore=")
+    }.foreach { alias =>
+      val positional0 = args.filterNot(_.startsWith("--"))
+      require(positional0.nonEmpty,
+        "usage: RunEtl <outDir> --restore=<alias>")
+      val client = new FsEsClient(
+        java.nio.file.Paths.get(positional0.last))
+      EsControl.restore(client, alias) match {
+        case Some(idx) => println(s"restored $alias -> $idx"); return
+        case None => sys.error(s"no ${alias}_backup index to restore")
+      }
+    }
     val force = args.contains("--force")
+    // take a rollback backup of each outgoing live index before publishing
+    val backup = args.contains("--backup")
     // per-index CDC gate from dump-directory mtimes: only indices whose
     // dependency tables changed since their last publish re-run
     val cdc = args.contains("--cdc")
@@ -42,19 +59,20 @@ object RunEtl {
         a.stripPrefix("--bloom-prune-roots=").toLong
     }
     val positional = args.filterNot(_.startsWith("--"))
-    require(positional.length >= 4,
-      "usage: RunEtl <schema.json> <etlMapping.yaml> <dumpsDir> <outDir> " +
-        "[--force] [--source-tx-millis=N] [--cdc] [--bloom-prune-roots=N]")
-    val Array(schemaPath, mappingPath, dumpsDir, outDir) = positional.take(4)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    val (schemaPath, mappingPath, dumpsDir, outDir) =
+      resolveInputs(positional.toSeq, sys.env)
+    val tuning = Settings.sparkTuning(sys.env)
+    val builder = SparkSession.builder()
+      .master(tuning.master)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .appName("graft-etl")
-      .getOrCreate()
+    tuning.executorMemory.foreach(builder.config("spark.executor.memory", _))
+    tuning.driverMemory.foreach(builder.config("spark.driver.memory", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       // the config signal (dictionary + mapping mtimes) rides the table
@@ -72,13 +90,41 @@ object RunEtl {
             .map(p => new java.io.File(p).lastModified()).max))
       val published = run(spark, schemaPath, mappingPath, dumpsDir, outDir,
         latestSourceTxMillis = sourceTx, force = force,
-        perTableTxMillis = cdcSignal, rootBloomPrune = bloomRoots)
+        perTableTxMillis = cdcSignal, rootBloomPrune = bloomRoots,
+        backup = backup)
       if (published.isEmpty)
         println("up to date — nothing published (use --force to override)")
       published.foreach { case (alias, (index, rows)) =>
         println(s"published $alias -> $index ($rows docs)")
       }
     } finally spark.stop()
+  }
+
+  /** Argv+env input resolution (reference settings.py:36-39, 96-100 env
+    * parity): four positional args are authoritative; with only
+    * `<dumpsDir> <outDir>` given, the schema comes from `DICTIONARY_URL`
+    * (plain path or file:// URI) and the mapping from the first
+    * `etlMapping.yaml` on the reference's config search path
+    * (`$XDG_DATA_HOME/gen3/tube` etc.) — so the reference's deployment
+    * scripts drive this entry point without argument changes. `folders`
+    * overrides the search path for tests. */
+  def resolveInputs(positional: Seq[String], env: Map[String, String],
+                    folders: Option[Seq[String]] = None)
+      : (String, String, String, String) = positional match {
+    case Seq(s, m, d, o, _*) => (s, m, d, o)
+    case Seq(d, o) =>
+      val schema = Settings.dictionaryUrl(env).map(Settings.asLocalPath)
+        .getOrElse(sys.error(
+          "no schema.json: pass it positionally or set DICTIONARY_URL"))
+      val mapping = Settings.findPath("etlMapping.yaml", "tube", env, folders)
+        .getOrElse(sys.error(
+          "no etlMapping.yaml: pass it positionally or place it on the " +
+            "gen3/tube config search path"))
+      (schema, mapping, d, o)
+    case _ => sys.error(
+      "usage: RunEtl [<schema.json> <etlMapping.yaml>] <dumpsDir> <outDir> " +
+        "[--force] [--source-tx-millis=N] [--cdc] [--bloom-prune-roots=N] " +
+        "[--backup] | RunEtl <outDir> --restore=<alias>")
   }
 
   /** Full pipeline; returns alias → (published index name, row count) for
@@ -102,7 +148,8 @@ object RunEtl {
           latestSourceTxMillis: Option[Long] = None,
           force: Boolean = false,
           perTableTxMillis: Option[Map[String, Long]] = None,
-          rootBloomPrune: Option[Long] = None)
+          rootBloomPrune: Option[Long] = None,
+          backup: Boolean = false)
       : Map[String, (String, Long)] = {
     val schema = DictionaryLoader.loadFile(schemaPath)
     val mappingYaml = new String(
@@ -139,6 +186,9 @@ object RunEtl {
       mapping.copy(indices = mapping.indices.filter(i => needed(i.name))),
       rootBloomPrune)
     toRun.map { case (m, stamp) =>
+      // --backup: snapshot the outgoing live index first, so a bad publish
+      // is one `--restore=<alias>` away from rollback
+      if (backup) EsControl.backup(client, m.name)
       val (index, rows) = EsPublisher.publishCounted(
         client, m.name, docs(m.name), m.docType, stamp)
       m.name -> (index, rows)

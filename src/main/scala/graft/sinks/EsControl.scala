@@ -16,6 +16,14 @@ trait EsClient {
   /** Atomically re-point `alias` from `old` (possibly empty) to `target`. */
   def flipAlias(alias: String, old: Seq[String], target: String): Unit
   def deleteIndex(name: String): Unit
+  /** Server-side copy of every document (and its mapping) from `source`
+    * into `target` — the `_reindex` API on a live cluster. */
+  def reindex(source: String, target: String): Unit
+  /** Tag `index` with `alias` WITHOUT disturbing the alias's other
+    * targets (ES `put_alias`). */
+  def addAlias(index: String, alias: String): Unit
+  /** Untag `index` from `alias` (ES `delete_alias`). */
+  def removeAlias(index: String, alias: String): Unit
 }
 
 object EsControl {
@@ -47,6 +55,67 @@ object EsControl {
       .drop(keep)
       .foreach { case (n, _) => client.deleteIndex(n) }
     target
+  }
+
+  /** The rollback alias for `alias` (reference versioning.py:15-16
+    * `get_backup_alias`). */
+  def backupAlias(alias: String): String = s"${alias}_backup"
+
+  /** Backup index names carry the version as a PREFIX — `{v}_{alias}`
+    * (reference versioning.py:11-22 `get_backup_index_name` /
+    * `get_backup_version`) — so they can never collide with, or be picked
+    * up by, `nextVersion`'s `{alias}_{n}` suffix pattern. Next backup
+    * version = current backup's prefix + 1, or 0 when none exists. */
+  def nextBackupName(client: EsClient, alias: String): String = {
+    val v = client.aliasTargets(backupAlias(alias)).sorted.lastOption
+      .flatMap(n => "^([0-9]+)_".r.findFirstMatchIn(n)
+        .map(_.group(1).toInt + 1))
+      .getOrElse(0)
+    s"${v}_${alias}"
+  }
+
+  /** S10 backup (reference versioning.py:58-82 `do_backup_index`): copy
+    * the index currently published under `alias` into a fresh
+    * `{v}_{alias}` backup index and move the `{alias}_backup` alias onto
+    * it. The previous backup index, if any, loses the alias but is NOT
+    * deleted — the reference's exact retention behavior. Returns the
+    * backup index name, or None when nothing is published under `alias`. */
+  def backup(client: EsClient, alias: String): Option[String] =
+    client.aliasTargets(alias).headOption.map { src =>
+      val bAlias = backupAlias(alias)
+      val prior = client.aliasTargets(bAlias)
+      val target = nextBackupName(client, alias)
+      client.createIndex(target, "{}")
+      client.reindex(src, target)
+      prior.foreach(p => client.removeAlias(p, bAlias))
+      client.addAlias(target, bAlias)
+      target
+    }
+
+  /** Restore-on-demand (reference versioning.py:140-156 rollback path):
+    * republish the current `{alias}_backup` target as a NEW version of
+    * `alias` — create `{alias}_{n+1}`, reindex the backup into it, flip
+    * the alias. The forward version history stays monotone (a rollback is
+    * itself a publish), so a later fix-forward never collides with the
+    * rolled-back version. Returns the new live index name, or None when
+    * no backup exists. */
+  def restore(client: EsClient, alias: String): Option[String] =
+    client.aliasTargets(backupAlias(alias)).headOption.map { b =>
+      val target = nextVersion(client.indices(), alias)
+      client.createIndex(target, "{}")
+      client.reindex(b, target)
+      client.flipAlias(alias, client.aliasTargets(alias), target)
+      target
+    }
+
+  /** `publish` preceded by a `backup` of the outgoing live index — the
+    * reference's full write cycle when an index already exists
+    * (versioning.py:140-151 `backup_old_index` → create → load → tag). */
+  def publishWithBackup(client: EsClient, alias: String, mappingJson: String,
+                        load: String => Unit,
+                        keep: Int = 1): (Option[String], String) = {
+    val b = backup(client, alias)
+    (b, publish(client, alias, mappingJson, load, keep))
   }
 
   /** S11 — incremental-run gate: skip the whole ETL when the sink already

@@ -56,6 +56,31 @@ final class FsEsClient(val root: Path) extends EsClient {
         .forEach(p => Files.delete(p))
   }
 
+  /** `_reindex` stand-in: recursive copy of the index directory (documents
+    * AND `_mapping.json`, so a later restore carries the real mapping). */
+  def reindex(source: String, target: String): Unit = {
+    val src = root.resolve(source)
+    val dst = root.resolve(target)
+    Files.createDirectories(dst)
+    val s = Files.walk(src)
+    try s.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+  }
+
+  def addAlias(index: String, alias: String): Unit =
+    writeAliases(aliasMap +
+      (alias -> (aliasMap.getOrElse(alias, Nil) :+ index).distinct))
+
+  def removeAlias(index: String, alias: String): Unit = {
+    val rest = aliasMap.getOrElse(alias, Nil).filterNot(_ == index)
+    writeAliases(
+      if (rest.isEmpty) aliasMap - alias else aliasMap + (alias -> rest))
+  }
+
   /** S11 sink-side timestamp, encoded as an alias name `time_{alias}_{ms}`
     * exactly like the reference. Replaces any previous one. */
   def setTimestamp(alias: String, millis: Long): Unit =
@@ -97,5 +122,15 @@ object EsPublisher {
       EsMapping.arrayConfig(docs.schema, docType).getBytes("UTF-8"))
     client.setTimestamp(alias, nowMillis)
     (target, docs.sparkSession.read.parquet(outPath).count())
+  }
+
+  /** `publish` preceded by a backup of the outgoing live index into the
+    * `{alias}_backup`-tagged `{v}_{alias}` index — rollback-ready publish.
+    * Returns (backup index if one was taken, new live index). */
+  def publishWithBackup(client: FsEsClient, alias: String, docs: DataFrame,
+                        docType: String, nowMillis: Long,
+                        keep: Int = 1): (Option[String], String) = {
+    val b = EsControl.backup(client, alias)
+    (b, publish(client, alias, docs, docType, nowMillis, keep))
   }
 }

@@ -162,5 +162,17 @@ class MappingDepsSpec extends SparkSpec {
     assert(fromDisk.keySet === Set("node_person", "node_study",
       "edge_personmemberofstudy", "node_device"))
     assert(fromDisk.values.forall(_ > 0L))
+
+    // --backup publish: the outgoing person_index_2 is snapshotted into a
+    // backup-tagged index, and restore republishes it as the next version
+    val fifth = graft.RunEtl.run(spark, schemaPath.toString,
+      mappingPath.toString, dumps, out, nowMillis = 7000L,
+      perTableTxMillis = Some(times0 + ("node_person" -> 6500L)),
+      backup = true)
+    assert(fifth("person_index")._1 === "person_index_4")
+    assert(client.aliasTargets("person_index_backup") === Seq("0_person_index"))
+    assert(graft.sinks.EsControl.restore(client, "person_index") ===
+      Some("person_index_5"))
+    assert(client.aliasTargets("person_index") === Seq("person_index_5"))
   }
 }

@@ -15,6 +15,15 @@ class EsControlSpec extends AnyFunSuite {
     def flipAlias(alias: String, old: Seq[String], target: String): Unit =
       aliases(alias) = Seq(target)
     def deleteIndex(name: String): Unit = existing -= name
+    val copies = mutable.Buffer[(String, String)]()
+    def reindex(source: String, target: String): Unit =
+      copies += ((source, target))
+    def addAlias(index: String, alias: String): Unit =
+      aliases(alias) = (aliases.getOrElse(alias, Nil) :+ index).distinct
+    def removeAlias(index: String, alias: String): Unit = {
+      val rest = aliases.getOrElse(alias, Nil).filterNot(_ == index)
+      if (rest.isEmpty) aliases -= alias else aliases(alias) = rest
+    }
   }
 
   test("nextVersion: 0 when fresh, max+1 otherwise, ignores other aliases") {
@@ -35,6 +44,46 @@ class EsControlSpec extends AnyFunSuite {
     assert(es.aliasTargets("subject") === Seq("subject_3"))
     // keeps subject_2 for rollback, drops 0 and 1
     assert(es.indices().toSet === Set("subject_2", "subject_3"))
+  }
+
+  test("backup: copies the live index into a version-PREFIXED backup and moves the backup alias") {
+    val es = new FakeEs
+    assert(EsControl.backup(es, "subject") === None) // nothing published
+    es.existing += "subject_0"
+    es.aliases("subject") = Seq("subject_0")
+    assert(EsControl.backup(es, "subject") === Some("0_subject"))
+    assert(es.copies === Seq(("subject_0", "0_subject")))
+    assert(es.aliasTargets("subject_backup") === Seq("0_subject"))
+    // second backup bumps the PREFIX version and re-tags; the old backup
+    // index stays (untagged), matching the reference's retention
+    assert(EsControl.backup(es, "subject") === Some("1_subject"))
+    assert(es.aliasTargets("subject_backup") === Seq("1_subject"))
+    assert(es.indices().contains("0_subject"))
+    // backup names never leak into the forward version sequence
+    assert(EsControl.nextVersion(es.indices(), "subject") === "subject_1")
+  }
+
+  test("restore: republishes the backup as a NEW forward version") {
+    val es = new FakeEs
+    assert(EsControl.restore(es, "subject") === None) // no backup yet
+    es.existing ++= Seq("subject_0", "subject_1", "0_subject")
+    es.aliases("subject") = Seq("subject_1")
+    es.aliases("subject_backup") = Seq("0_subject")
+    assert(EsControl.restore(es, "subject") === Some("subject_2"))
+    assert(es.copies === Seq(("0_subject", "subject_2")))
+    assert(es.aliasTargets("subject") === Seq("subject_2"))
+  }
+
+  test("publishWithBackup: backs up the outgoing index, then runs the publish cycle") {
+    val es = new FakeEs
+    es.existing += "subject_0"
+    es.aliases("subject") = Seq("subject_0")
+    val (b, created) = EsControl.publishWithBackup(es, "subject", "{}",
+      idx => es.loaded += idx, keep = 1)
+    assert(b === Some("0_subject"))
+    assert(created === "subject_1")
+    assert(es.aliasTargets("subject") === Seq("subject_1"))
+    assert(es.aliasTargets("subject_backup") === Seq("0_subject"))
   }
 
   test("needsRun: stale or missing sink timestamp runs; fresh skips; force wins") {

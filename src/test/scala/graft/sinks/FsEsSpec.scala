@@ -59,4 +59,44 @@ class FsEsSpec extends SparkSpec {
     assert(!es.indices().contains("customer_0"))
     assert(es.indices().contains("customer_1"))
   }
+
+  test("backup/restore round-trip: publish v1 → publish v2 with backup → restore v1") {
+    val root: Path = Files.createTempDirectory("fses-bk")
+    val es = new FsEsClient(root)
+
+    // v1: two documents
+    val v0 = EsPublisher.publish(es, "subject", docs, "subject", 1000L)
+    assert(v0 === "subject_0")
+
+    // v2 with backup: a (bad) publish that drops a document
+    val (bk, v1) = EsPublisher.publishWithBackup(es, "subject",
+      docs.limit(1), "subject", nowMillis = 2000L)
+    assert(bk === Some("0_subject"))
+    assert(v1 === "subject_1")
+    assert(es.aliasTargets("subject") === Seq("subject_1"))
+    assert(es.aliasTargets("subject_backup") === Seq("0_subject"))
+    // the backup carries the FULL v1 document set and its mapping
+    assert(spark.read.parquet(root.resolve("0_subject/docs").toString)
+      .count() === 2)
+    assert(Files.exists(root.resolve("0_subject/_mapping.json")))
+    // the live index reflects the bad publish
+    assert(spark.read.parquet(root.resolve("subject_1/docs").toString)
+      .count() === 1)
+
+    // rollback: restore publishes the backup as a NEW forward version
+    val restored = EsControl.restore(es, "subject")
+    assert(restored === Some("subject_2"))
+    assert(es.aliasTargets("subject") === Seq("subject_2"))
+    val back = spark.read.parquet(root.resolve("subject_2/docs").toString)
+    assert(back.count() === 2)
+    assert(back.select("_customer_id").as[String].collect().sorted ===
+      Array("c1", "c2"))
+    // restored mapping is the v1 mapping, not the create-time stub
+    val m = new String(
+      Files.readAllBytes(root.resolve("subject_2/_mapping.json")), "UTF-8")
+    assert(m.contains(""""name":{"type":"keyword""""))
+    // fix-forward after a rollback never collides: next publish is v3
+    val v3 = EsPublisher.publish(es, "subject", docs, "subject", 3000L)
+    assert(v3 === "subject_3")
+  }
 }
