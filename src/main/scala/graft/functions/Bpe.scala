@@ -79,7 +79,7 @@ object Bpe {
     var sym = words
       .select(chars(col(wordCol)).as("sym"),
         col(freqCol).cast("long").as("freq"))
-      .localCheckpoint()
+      .transform(Frames.truncate)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     var done = false
@@ -92,7 +92,7 @@ object Bpe {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         sym = sym.withColumn("sym", mergePair(col("sym"), a, b))
-          .localCheckpoint()
+          .transform(Frames.truncate)
       }
       rounds += 1
     }

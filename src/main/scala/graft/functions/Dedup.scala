@@ -531,14 +531,14 @@ object Dedup {
     // canonical directed edges u→v with u > v; self-loops dropped.
     // iterative algorithms MUST truncate lineage per round — otherwise the
     // plan nests one level per iteration and planning/codegen memory grows
-    // exponentially (observed as driver OOM at ~10 rounds). localCheckpoint
-    // materializes eagerly; swap for checkpoint(reliable) on a cluster with
-    // a checkpoint dir if executor loss must be survivable mid-computation.
+    // exponentially (observed as driver OOM at ~10 rounds). Frames.truncate
+    // upgrades to a reliable checkpoint when the session has a checkpoint
+    // dir, so executor loss mid-iteration is survivable on a cluster.
     var edges = pairs.select(
         greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .transform(Frames.truncate)
     // order-independent set signature; bit_xor can't overflow under ANSI
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
@@ -567,7 +567,7 @@ object Dedup {
         .union(large.select(col("u"), col("v")).join(minS, Seq("u"))
           .select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .transform(Frames.truncate)
       val nextSig = signature(small)
       converged = nextSig == sig
       sig = nextSig

@@ -80,7 +80,7 @@ object Embeddings {
           .orderBy(col("_id"))).cast("long") - 1)
     var cents = expl.join(broadcast(seedIds), Seq("_id"))
       .select(col("cell"), col("dim"), col("v_us").as("c_us"))
-      .localCheckpoint(true)
+      .transform(Frames.truncate)
     def assign(c: org.apache.spark.sql.DataFrame) = {
       // long products, decimal sum (the topComponentPpm bound note)
       val d = col("v_us") - col("c_us")
@@ -94,12 +94,12 @@ object Embeddings {
     }
     var r = 0
     while (r < rounds) {
-      val a = assign(cents).localCheckpoint(true)
+      val a = assign(cents).transform(Frames.truncate)
       cents = expl.join(a.select(col("_id"), col("cell")), Seq("_id"))
         .groupBy(col("cell"), col("dim"))
         .agg(Sampling.intDiv(sum(col("v_us").cast("decimal(38,0)")),
           count(lit(1)).cast("decimal(38,0)")).as("c_us"))
-        .localCheckpoint(true)
+        .transform(Frames.truncate)
       r += 1
     }
     val fin = assign(cents)
@@ -187,10 +187,10 @@ object Embeddings {
       .join(dev.as("b"), col("a._id") === col("b._id"))
       .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
       .agg(sum((col("a.dv") * col("b.dv")).cast("decimal(38,0)")).as("c"))
-      .localCheckpoint(true)
+      .transform(Frames.truncate)
     var v = mu.select(col("dim"),
       lit(1000000L).cast("decimal(38,0)").as("v"))
-      .localCheckpoint(true)
+      .transform(Frames.truncate)
     var r = 0
     while (r < rounds) {
       val w = cov
@@ -203,7 +203,7 @@ object Embeddings {
         .select(col("dim"),
           Sampling.intDiv(col("w") * lit(1000000L), col("mx"))
             .cast("decimal(38,0)").as("v"))
-        .localCheckpoint(true)
+        .transform(Frames.truncate)
       r += 1
     }
     v.select(col("dim"), col("v").cast("long").as("v_ppm"))

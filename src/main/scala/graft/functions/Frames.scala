@@ -19,4 +19,22 @@ private[graft] object Frames {
     cached.foreach(_.unpersist(false))
     r
   }
+
+  /** Per-round lineage truncation for iterative operators (connected
+    * components, PageRank, LPA, k-core, k-means, BPE, MMR, power
+    * iteration). Local mode — and any cluster that has NOT configured a
+    * checkpoint directory — uses `localCheckpoint`: executor-local blocks,
+    * no HDFS round-trip. But localCheckpoint blocks die with their
+    * executor, and on a 1000-executor cluster some executor loss per hour
+    * is the norm — a lost block aborts the whole iteration, because the
+    * lineage needed to recompute it was just truncated away. So when the
+    * session has a reliable checkpoint dir (`sc.setCheckpointDir`, the
+    * standard cluster-side knob), truncation upgrades to `checkpoint()`:
+    * blocks land on the fault-tolerant store and survive executor loss.
+    * Both modes are eager (materialize now) and produce identical data —
+    * only the storage of the truncation point differs. */
+  def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
 }

@@ -37,7 +37,7 @@ object Graphs {
     var visited = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .transform(Frames.truncate)
     var frontier = visited
     var r = 1
     while (r <= rounds) {
@@ -46,8 +46,8 @@ object Graphs {
         .distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
-        .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+        .transform(Frames.truncate)
+      visited = visited.union(next).transform(Frames.truncate)
       frontier = next
       r += 1
     }

@@ -42,10 +42,10 @@ object Lpa {
       .distinct()
     val sym = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+      .transform(Frames.truncate)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint()
+      .transform(Frames.truncate)
     for (_ <- 1 to rounds) {
       val neigh = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")),
@@ -58,7 +58,7 @@ object Lpa {
         .join(top.select(col("src").as("id"), col("_new")), Seq("id"),
           "left_outer")
         .select(col("id"), coalesce(col("_new"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .transform(Frames.truncate)
     }
     labels.select(col("id"), col("lbl").as("community"))
   }

@@ -70,12 +70,12 @@ object PageRank {
       // plan nesting grows per round); every 4th round keeps planning
       // bounded without paying an eager materialization job per round
       if ((i + 1) % 4 == 0 && i + 1 < iters)
-        rank = rank.localCheckpoint()
+        rank = rank.transform(Frames.truncate)
     }
     // ONE eager materialization at the end (vs one per round): the final
     // ranks pin before the edge/degree caches release, so the returned
     // frame never re-derives them
-    if (iters > 0) rank = rank.localCheckpoint()
+    if (iters > 0) rank = rank.transform(Frames.truncate)
     val out = rank.select(col("node"), col("rank").cast("long").as("rank_u12"))
     e.unpersist(false)
     deg.unpersist(false)

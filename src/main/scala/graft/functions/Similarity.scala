@@ -126,13 +126,13 @@ object Similarity {
     val base = cands.select(col(queryId).as("query_id"),
       col(docId).as("doc_id"), col(relCol).cast("double").as("rel"),
       col(vecCol).as("_v"))
-      .localCheckpoint()
+      .transform(Frames.truncate)
     val sims = base.as("a").join(base.as("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.query_id").as("query_id"), col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"), cosine(col("a._v"), col("b._v")).as("sim"))
-      .localCheckpoint()
+      .transform(Frames.truncate)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     var selected = base.limit(0)
@@ -155,7 +155,7 @@ object Similarity {
       // checkpoint the growing selected set too: round r's anti-join
       // replays the whole selected lineage, which is otherwise geometric
       // in k (each pick embeds every earlier pick's plan)
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = selected.unionByName(pick).transform(Frames.truncate)
     }
     selected
   }

@@ -89,14 +89,14 @@ object Triangles {
         greatest(col(idA), col(idB)).as("v"))
       .filter(col("u") < col("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(Frames.truncate)
     for (_ <- 1 to rounds) {
       val keep = degrees(edges).filter(col("degree") >= k)
         .select(col("node"))
       edges = edges
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .transform(Frames.truncate)
     }
     degrees(edges)
   }
