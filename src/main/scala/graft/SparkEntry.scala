@@ -129,6 +129,7 @@ object SparkEntry {
   private val tripleMinSupport = 2L               // orders_basket_triples
   private val tripleTopK = 20
   private val upsertMod = 10L                     // dim_upsert
+  private val waterfillBudgetTokens = 20000L      // corpus_waterfill
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
@@ -883,6 +884,17 @@ object SparkEntry {
             col("vocab_size").cast("decimal(38,0)") * lit(1000000L),
             col("n_tokens")).as("ttr_ppm"))
     }),
+
+    // Zipf shape test: integer-log₂ frequency buckets + exact-integer LS
+    // slope — natural text sits near slope_ppm ≈ −10⁶
+    "vocab_zipf" -> ((s, dir) =>
+      Vocab.zipfFit(t(s, dir, "documents"), "text")),
+
+    // max-min-fair token budget: uniform cap L, alloc = min(mass, L) —
+    // the "clip the head, never starve the tail" mixture policy
+    "corpus_waterfill" -> ((s, dir) =>
+      Sampling.waterfillBudget(t(s, dir, "documents"), "source", "text",
+        waterfillBudgetTokens).orderBy(col("source"))),
 
     // full dedup pipeline: verified pairs → connected components (groups)
     "dedup_groups" -> ((s, dir) => {
@@ -3171,6 +3183,45 @@ object SparkEntry {
         "count(CASE WHEN c = 1 THEN 1 END) AS n_hapax, " +
         "CAST((count(CASE WHEN c = 1 THEN 1 END) * 1000000) // count(*) AS BIGINT) AS hapax_ppm, " +
         "CAST((CAST(count(*) AS HUGEINT) * 1000000) // sum(c) AS BIGINT) AS ttr_ppm FROM c"),
+
+    // DuckDB `//` TRUNCATES negatives while the engine's intDiv FLOORS, so
+    // the (negative) slope division mirrors the pmod floor form explicitly
+    "vocab_zipf" ->
+      (s"WITH t AS (SELECT $sqlToks AS toks FROM documents), " +
+        "u AS (SELECT unnest(toks) AS tok FROM t), " +
+        "c AS (SELECT tok, count(*) AS c FROM u GROUP BY tok), " +
+        "b AS (SELECT CAST(len(bin(c)) AS BIGINT) AS x, count(*) AS n_types FROM c GROUP BY 1), " +
+        "p AS (SELECT x, n_types, CAST(len(bin(n_types)) AS BIGINT) AS y FROM b), " +
+        "a AS (SELECT count(*) AS n, CAST(sum(n_types) AS BIGINT) AS vocab, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx FROM p), " +
+        "sel AS (SELECT n, vocab, CAST(n*sxy - sx*sy AS HUGEINT) * 1000000 AS num, " +
+        "CAST(n*sxx - sx*sx AS HUGEINT) AS den FROM a) " +
+        "SELECT n AS n_buckets, vocab AS vocab_size, " +
+        "CAST(CASE WHEN den = 0 THEN 0 " +
+        "ELSE (num - (((num % den) + den) % den)) // den END AS BIGINT) AS slope_ppm " +
+        "FROM sel"),
+
+    // same closed-form waterfill: sort by mass asc, largest affordable
+    // freeze point (P_k + (n-k)·c_k ≤ B), level = (B − P_k) // (n − k)
+    // (all operands non-negative there, so `//` ≡ floor)
+    "corpus_waterfill" ->
+      (s"WITH d AS (SELECT source, $sqlToks AS toks FROM documents), " +
+        "c AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM d GROUP BY 1), " +
+        "r AS (SELECT source, n_tokens, " +
+        "CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS k, " +
+        "CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref FROM c), " +
+        "t AS (SELECT count(*) AS n, CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS total, " +
+        "COALESCE(max(n_tokens), 0) AS mx FROM c), " +
+        s"ks AS (SELECT COALESCE(max(k), 0) AS kstar FROM r, t WHERE pref + (n - k) * n_tokens <= $waterfillBudgetTokens), " +
+        "ps AS (SELECT COALESCE((SELECT pref FROM r, ks WHERE r.k = ks.kstar), 0) AS prefstar FROM ks), " +
+        s"lv AS (SELECT CASE WHEN t.total <= $waterfillBudgetTokens THEN t.mx " +
+        s"ELSE CAST(($waterfillBudgetTokens - ps.prefstar) // (t.n - ks.kstar) AS BIGINT) END AS level_tokens " +
+        "FROM t, ks, ps) " +
+        "SELECT source, n_tokens, level_tokens, " +
+        "LEAST(n_tokens, level_tokens) AS alloc_tokens, " +
+        "CAST(CASE WHEN n_tokens > level_tokens THEN 1 ELSE 0 END AS BIGINT) AS capped " +
+        "FROM r, lv ORDER BY source"),
 
     // same recursive-CC prefix as dedup_groups, then group-keyed buckets
     "corpus_leak_split" ->

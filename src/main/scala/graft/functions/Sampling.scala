@@ -577,4 +577,62 @@ object Sampling {
       .select(col("query_id").as("anchor_id"), col("rank"),
         col("neighbor_id").as("neg_id"))
   }
+
+  /** Max-min-fair ("waterfilling") token-budget allocation across
+    * sources — the third mixture policy next to [[tokenBudgetMixture]]
+    * (fixed ppm shares) and [[temperatureMix]] (power-law reweighting):
+    * spend a total budget B so every source keeps ALL its tokens up to a
+    * single uniform cap L, the largest level with Σ min(cᵢ, L) ≤ B. Small
+    * sources are never starved by big ones; the head is clipped — the
+    * allocation a data-mixture planner wants when "don't let CommonCrawl
+    * drown the long tail" is the requirement.
+    *
+    * The level has a closed form over sources sorted by mass ascending:
+    * with inclusive prefix sums P_k, take the largest k where freezing
+    * the cap at the k-th smallest mass is affordable
+    * (P_k + (n−k)·c_k ≤ B), then L = (B − P_k) div (n−k); if the whole
+    * corpus fits, L is the largest mass. All integer arithmetic, so the
+    * level and every allocation hash-match any SQL engine.
+    *
+    * Scale: one corpus-sized token-count aggregation; everything after
+    * runs on the |sources|-row frame (window + 1-row folds) — sources
+    * number in the hundreds even at 100 TB, so the single-reducer window
+    * is reducer-trivial by construction.
+    *
+    * Output: (source, n_tokens, level_tokens, alloc_tokens, capped)
+    * ordered by source; Σ alloc_tokens ≤ B always. */
+  def waterfillBudget(docs: DataFrame, sourceCol: String, textCol: String,
+                      budget: Long): DataFrame = {
+    require(budget >= 0, s"negative budget: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").asc, col("source").asc)
+    val ranked = docs
+      .select(col(sourceCol).as("source"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("_nt"))
+      .groupBy(col("source")).agg(sum(col("_nt")).as("n_tokens"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pref", sum(col("n_tokens")).over(w))
+      // |sources| rows with THREE consumers below — materialize once so
+      // the corpus-sized token count isn't re-scanned per consumer
+      .transform(Frames.truncate)
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("total"),
+      coalesce(max(col("n_tokens")), lit(0L)).as("mx"))
+    // largest affordable freeze point (k*, P_k*); (0, 0) when even the
+    // smallest mass as cap is over budget
+    val kstar = ranked.crossJoin(broadcast(tot))
+      .filter(col("pref") + (col("n") - col("k")) * col("n_tokens") <=
+        lit(budget))
+      .agg(max(struct(col("k"), col("pref"))).as("_m"))
+      .select(coalesce(col("_m.k"), lit(0L)).as("kstar"),
+        coalesce(col("_m.pref"), lit(0L)).as("prefstar"))
+    val level = kstar.crossJoin(broadcast(tot))
+      .select(when(col("total") <= budget, col("mx"))
+        .otherwise(intDiv(lit(budget) - col("prefstar"),
+          col("n") - col("kstar"))).as("level_tokens"))
+    ranked.crossJoin(broadcast(level))
+      .select(col("source"), col("n_tokens"), col("level_tokens"),
+        least(col("n_tokens"), col("level_tokens")).as("alloc_tokens"),
+        (col("n_tokens") > col("level_tokens")).cast("long").as("capped"))
+  }
 }

@@ -298,4 +298,49 @@ object Vocab {
           .otherwise(lit(0L)).as("coverage_ppm"))
     Frames.sealRelease(out, counts)
   }
+
+  /** Zipf/power-law shape test of the token-frequency distribution — the
+    * "does this corpus look like natural language or like template flood"
+    * one-row report. Natural text follows freq ∝ rank^-1, which in the
+    * log₂-bucketed view (bucket b = tokens occurring in [2^(b-1), 2^b))
+    * makes log₂(n_types per bucket) fall LINEARLY with b at slope ≈ −1;
+    * boilerplate floods and synthetic grids bend or flatten the line.
+    *
+    * Engine-exact by construction: both "logs" are `length(bin(x))`
+    * (integer log₂, the degreeHistogram convention shared with DuckDB)
+    * and the least-squares slope over the (b, log₂ n_types) points is the
+    * classic nΣxy−ΣxΣy over nΣx²−(Σx)² form in exact integer arithmetic
+    * with one floor division at the end (ppm) — `intDiv`'s pmod form
+    * floors negatives exactly like DuckDB `//`, and a Zipf slope IS
+    * negative. No libm, no fp accumulation.
+    *
+    * Scale: one vocabulary aggregation (Heaps-sublinear), one ≤64-group
+    * bucket aggregate, one 1-row fold. Output: (n_buckets, vocab_size,
+    * slope_ppm) — slope_ppm ≈ −1 000 000 for healthy Zipfian text. */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pts = counts
+      .groupBy(length(bin(col("c"))).cast("long").as("x"))
+      .agg(count(lit(1)).as("n_types"))
+      .select(col("x"), col("n_types"),
+        length(bin(col("n_types"))).cast("long").as("y"))
+    pts.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("n_types")), lit(0L)).as("vocab"),
+      coalesce(sum(col("x")), lit(0L)).as("sx"),
+      coalesce(sum(col("y")), lit(0L)).as("sy"),
+      coalesce(sum(col("x") * col("y")), lit(0L)).as("sxy"),
+      coalesce(sum(col("x") * col("x")), lit(0L)).as("sxx"))
+      .select(
+        col("n").as("n_buckets"),
+        col("vocab").as("vocab_size"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0L))
+          .otherwise(Sampling.intDiv(
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("decimal(38,0)") * lit(1000000L),
+            col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("slope_ppm"))
+  }
 }

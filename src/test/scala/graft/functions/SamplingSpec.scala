@@ -408,4 +408,31 @@ class SamplingSpec extends SparkSpec {
     // fr: (4+1)/9 = 555555.5 → floor 555555; top 2/3 → 666666
     assert(m("fr") === ((3L, 2L, 555555L, 666666L)))
   }
+
+  test("waterfillBudget: uniform cap clips the head, never starves the " +
+      "tail; whole-corpus-fits and over-tight budgets hit the guards") {
+    // masses: s1=2, s2=5, s3=40 tokens (one doc each)
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(("s1", doc(2)), ("s2", doc(5)), ("s3", doc(40)))
+      .toDF("source", "text")
+    def run(b: Long) = Sampling.waterfillBudget(docs, "source", "text", b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // B=17: freeze k*=2 (2+5 kept, affordable), level=(17-7)/1=10 → s3
+    // clipped to 10; Σ alloc = 17 = B exactly
+    val m = run(17L)
+    assert(m("s1") === ((2L, 10L, 2L, 0L)))
+    assert(m("s2") === ((5L, 10L, 5L, 0L)))
+    assert(m("s3") === ((40L, 10L, 10L, 1L)))
+    // B ≥ total: level = max mass, nothing capped
+    val all = run(100L)
+    assert(all("s3") === ((40L, 40L, 40L, 0L)))
+    assert(all.values.forall(_._4 === 0L))
+    // B below n·c_min: k*=0, level = B div n = 1 — every source capped
+    // except those at/below the level
+    val tight = run(5L)
+    assert(tight.values.forall(_._2 === 1L))
+    assert(tight("s1") === ((2L, 1L, 1L, 1L)))
+    assert(tight.values.map(_._3).sum === 3L) // ≤ B, max-min fair
+  }
 }

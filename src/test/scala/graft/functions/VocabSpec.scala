@@ -163,4 +163,20 @@ class VocabSpec extends SparkSpec {
     def n(b: String) = out.get(b).map(_._1).getOrElse(0L)
     assert(n("head") + n("middle") === 8L)
   }
+
+  test("zipfFit: planted two-point power law recovers the exact integer " +
+      "LS slope; flat single-bucket corpus guards to 0") {
+    import spark.implicits._
+    // 8 types once each (bucket x=1, y=len(bin(8))=4) and 1 type 8 times
+    // (bucket x=4, y=len(bin(1))=1): slope = (1-4)/(4-1) = -1 exactly
+    val docs = ((('a' to 'h').map(_.toString) ++ Seq.fill(8)("zz"))
+      .mkString(" ") :: Nil).toDF("text")
+    val r = Vocab.zipfFit(docs, "text").collect()(0)
+    assert(r.getLong(0) === 2L)        // n_buckets
+    assert(r.getLong(1) === 9L)        // vocab_size
+    assert(r.getLong(2) === -1000000L) // slope_ppm = −1.0 exactly
+    // every type at the same frequency → one bucket → zero denominator
+    val flat = Seq("a b c d").toDF("text")
+    assert(Vocab.zipfFit(flat, "text").collect()(0).getLong(2) === 0L)
+  }
 }
