@@ -69,6 +69,10 @@ object RunEtl {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // reliable checkpoints (written when a checkpoint dir is set — see
+      // Frames.truncate) are only garbage-collected with this on; the
+      // default (false) accretes one rdd-<id> dir per iteration round
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .appName("graft-etl")
     tuning.executorMemory.foreach(builder.config("spark.executor.memory", _))
     tuning.driverMemory.foreach(builder.config("spark.driver.memory", _))

@@ -3192,9 +3192,11 @@ object SparkEntry {
         "c AS (SELECT tok, count(*) AS c FROM u GROUP BY tok), " +
         "b AS (SELECT CAST(len(bin(c)) AS BIGINT) AS x, count(*) AS n_types FROM c GROUP BY 1), " +
         "p AS (SELECT x, n_types, CAST(len(bin(n_types)) AS BIGINT) AS y FROM b), " +
-        "a AS (SELECT count(*) AS n, CAST(sum(n_types) AS BIGINT) AS vocab, " +
-        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
-        "CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx FROM p), " +
+        // COALESCEs: a zero-token corpus must yield (0, 0, 0) like the
+        // engine's coalesced sums, not NULLs
+        "a AS (SELECT count(*) AS n, CAST(COALESCE(sum(n_types), 0) AS BIGINT) AS vocab, " +
+        "CAST(COALESCE(sum(x), 0) AS BIGINT) AS sx, CAST(COALESCE(sum(y), 0) AS BIGINT) AS sy, " +
+        "CAST(COALESCE(sum(x*y), 0) AS BIGINT) AS sxy, CAST(COALESCE(sum(x*x), 0) AS BIGINT) AS sxx FROM p), " +
         "sel AS (SELECT n, vocab, CAST(n*sxy - sx*sy AS HUGEINT) * 1000000 AS num, " +
         "CAST(n*sxx - sx*sx AS HUGEINT) AS den FROM a) " +
         "SELECT n AS n_buckets, vocab AS vocab_size, " +

@@ -100,7 +100,7 @@ object Basket {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("ps"))
       .filter(col("ps") >= minSupport)
-      .localCheckpoint(true)
+      .transform(Frames.truncate)
     val ab = capped
       .select(posexplode(col("_ms")).as(Seq("_i", "item_a")), col("_ms"))
       .select(col("item_a"), col("_ms"), col("_i"),

@@ -32,7 +32,12 @@ private[graft] object Frames {
     * standard cluster-side knob), truncation upgrades to `checkpoint()`:
     * blocks land on the fault-tolerant store and survive executor loss.
     * Both modes are eager (materialize now) and produce identical data —
-    * only the storage of the truncation point differs. */
+    * only the storage of the truncation point differs.
+    *
+    * Sessions enabling reliable mode should also set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (RunEtl
+    * does): Spark only deletes superseded reliable-checkpoint files under
+    * that flag, and an iterative operator writes one per round. */
   def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(true)

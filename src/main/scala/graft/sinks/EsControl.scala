@@ -65,13 +65,15 @@ object EsControl {
     * (reference versioning.py:11-22 `get_backup_index_name` /
     * `get_backup_version`) — so they can never collide with, or be picked
     * up by, `nextVersion`'s `{alias}_{n}` suffix pattern. Next backup
-    * version = current backup's prefix + 1, or 0 when none exists. */
+    * version = max over EXISTING `{v}_{alias}` indices + 1 (numeric, the
+    * nextVersion rule) — derived from the index list, NOT the backup
+    * alias: old backups are retained untagged by design, so an
+    * alias-derived version would reset to 0 after any alias loss and
+    * collide with (and then corrupt) a retained backup index. */
   def nextBackupName(client: EsClient, alias: String): String = {
-    val v = client.aliasTargets(backupAlias(alias)).sorted.lastOption
-      .flatMap(n => "^([0-9]+)_".r.findFirstMatchIn(n)
-        .map(_.group(1).toInt + 1))
-      .getOrElse(0)
-    s"${v}_${alias}"
+    val re = s"""^(\\d+)_${java.util.regex.Pattern.quote(alias)}$$""".r
+    val versions = client.indices().collect { case re(v) => v.toInt }
+    s"${if (versions.isEmpty) 0 else versions.max + 1}_${alias}"
   }
 
   /** S10 backup (reference versioning.py:58-82 `do_backup_index`): copy
@@ -107,16 +109,6 @@ object EsControl {
       client.flipAlias(alias, client.aliasTargets(alias), target)
       target
     }
-
-  /** `publish` preceded by a `backup` of the outgoing live index — the
-    * reference's full write cycle when an index already exists
-    * (versioning.py:140-151 `backup_old_index` → create → load → tag). */
-  def publishWithBackup(client: EsClient, alias: String, mappingJson: String,
-                        load: String => Unit,
-                        keep: Int = 1): (Option[String], String) = {
-    val b = backup(client, alias)
-    (b, publish(client, alias, mappingJson, load, keep))
-  }
 
   /** S11 — incremental-run gate: skip the whole ETL when the sink already
     * reflects every committed source transaction (reference

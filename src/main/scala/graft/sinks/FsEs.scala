@@ -57,10 +57,15 @@ final class FsEsClient(val root: Path) extends EsClient {
   }
 
   /** `_reindex` stand-in: recursive copy of the index directory (documents
-    * AND `_mapping.json`, so a later restore carries the real mapping). */
+    * AND `_mapping.json`, so a later restore carries the real mapping).
+    * The target is CLEARED first — parquet part files carry unique names,
+    * so copying into a non-empty target would union stale and new
+    * document sets instead of replacing them (a live-ES reindex writes
+    * into a fresh index; this keeps the stand-in's semantics equal). */
   def reindex(source: String, target: String): Unit = {
     val src = root.resolve(source)
     val dst = root.resolve(target)
+    deleteIndex(target)
     Files.createDirectories(dst)
     val s = Files.walk(src)
     try s.forEach { p =>

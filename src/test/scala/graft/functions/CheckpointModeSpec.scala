@@ -31,9 +31,12 @@ class CheckpointModeSpec extends SparkSpec {
     val sc = spark.sparkContext
     val dir = Files.createTempDirectory("graft-ckpt")
     sc.setCheckpointDir(dir.toString)
+    // a reset failure must not MASK the test result (and the trailing
+    // getCheckpointDir.isEmpty assertion still catches a silent one)
     try body(dir)
-    finally sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
-      .invoke(sc, None)
+    finally scala.util.Try(
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(sc, None))
   }
 
   test("componentsFromPairs and PageRank: reliable mode is bit-identical to local mode") {

@@ -74,16 +74,21 @@ class EsControlSpec extends AnyFunSuite {
     assert(es.aliasTargets("subject") === Seq("subject_2"))
   }
 
-  test("publishWithBackup: backs up the outgoing index, then runs the publish cycle") {
+  test("backup then publish composes into a rollback-ready cycle; a lost backup alias never resets the version") {
     val es = new FakeEs
     es.existing += "subject_0"
     es.aliases("subject") = Seq("subject_0")
-    val (b, created) = EsControl.publishWithBackup(es, "subject", "{}",
+    val b = EsControl.backup(es, "subject")
+    val created = EsControl.publish(es, "subject", "{}",
       idx => es.loaded += idx, keep = 1)
     assert(b === Some("0_subject"))
     assert(created === "subject_1")
     assert(es.aliasTargets("subject") === Seq("subject_1"))
     assert(es.aliasTargets("subject_backup") === Seq("0_subject"))
+    // versioning derives from the INDEX list: even with the backup alias
+    // gone, the next backup never collides with the retained 0_subject
+    es.aliases -= "subject_backup"
+    assert(EsControl.backup(es, "subject") === Some("1_subject"))
   }
 
   test("needsRun: stale or missing sink timestamp runs; fresh skips; force wins") {
