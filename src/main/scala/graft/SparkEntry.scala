@@ -130,6 +130,7 @@ object SparkEntry {
   private val tripleTopK = 20
   private val upsertMod = 10L                     // dim_upsert
   private val waterfillBudgetTokens = 20000L      // corpus_waterfill
+  private val pseudoSalt = "graft-export-1"       // privacy_pseudonymize
   private val topTypesK = 3                       // events_top_types
   private val checksRangeLo = 1L                  // corpus_checks
   private val checksRangeHi = 400L
@@ -1209,6 +1210,16 @@ object SparkEntry {
         ("customer", t(s, dir, "customer"), "c_custkey")),
         victims, "user_id")
     }),
+
+    // GDPR-pseudonymized export: user ids become stable salted md5
+    // tokens (pure codegen projection), grouping survives tokenization
+    "privacy_pseudonymize" -> ((s, dir) =>
+      Privacy.pseudonymize(events(s, dir)
+          .select(col("user_id"), col("event_type")),
+        Seq("user_id"), pseudoSalt)
+        .groupBy(col("user_id").as("pseudonym"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("event_type")).as("n_types"))),
 
     // filtered vector search: the metadata predicate applies BEFORE the
     // scan (pushed filter), top-k runs over the filtered corpus only
@@ -3905,6 +3916,13 @@ object SparkEntry {
           arm("orders", "orders", "o_custkey"),
           arm("customer", "customer", "c_custkey")).mkString(" UNION ALL ")
     },
+
+    "privacy_pseudonymize" ->
+      (s"WITH p AS (SELECT substring(md5('$pseudoSalt' || chr(1) || " +
+        "CAST(user_id AS VARCHAR)), 1, 15) AS pseudonym, event_type " +
+        "FROM events) " +
+        "SELECT pseudonym, count(*) AS n_events, " +
+        "count(DISTINCT event_type) AS n_types FROM p GROUP BY 1"),
 
     "ann_mmr_topk" -> mmrOracleSql,
 

@@ -65,4 +65,33 @@ object Privacy {
             .otherwise(lit(0L)).as("affected_ppm"))
     }.reduce(_ unionAll _)
   }
+
+  /** Deterministic pseudonymization of identifier columns — the
+    * de-identification pass a corpus export runs before leaving the trust
+    * boundary: every identifier is replaced by a stable salted token, so
+    * referential integrity (joins and group-bys across tables exported
+    * with the SAME salt) survives while the raw id does not.
+    *
+    * Token = md5 hex of `salt ⊕ id` (the U+0001 separator prevents
+    * (salt="a", id="bc") / (salt="ab", id="c") ambiguity) — the same
+    * cross-engine md5 kernel as `Sampling.stableBucket`, so any SQL
+    * engine holding the salt recomputes identical tokens. Default keeps
+    * 15 hex chars (60 bits: birthday collision odds ~n²/2⁶¹ — negligible
+    * to ~10⁸ ids); `fullDigest` keeps all 32 for larger populations.
+    *
+    * THREAT MODEL: this is keyed hashing for pseudonymization (GDPR
+    * art. 4(5)), not anonymization — an adversary holding the salt, or a
+    * small enumerable id space, can re-identify. Use a high-entropy
+    * secret salt and rotate per export.
+    *
+    * Pure per-row codegen'd projection: no shuffle, no UDF, scan-bound at
+    * any corpus size. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String,
+                   fullDigest: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "no columns to pseudonymize")
+    cols.foldLeft(df) { (d, c) =>
+      val tok = md5(concat_ws("\u0001", lit(salt), col(c).cast("string")))
+      d.withColumn(c, if (fullDigest) tok else substring(tok, 1, 15))
+    }
+  }
 }

@@ -57,4 +57,39 @@ class PrivacySpec extends SparkSpec {
     assert(out("ev") === ((5L, 3L, 600000L)))
     assert(out("other") === ((2L, 0L, 0L)))
   }
+
+  test("pseudonymize: stable salted tokens preserve joins across tables; " +
+      "salts and digest modes differ; separator kills ambiguity") {
+    import spark.implicits._
+    val ev = Seq((1L, "click"), (1L, "buy"), (2L, "click"))
+      .toDF("user_id", "event_type")
+    val cust = Seq((1L, "Ann"), (2L, "Bo"), (3L, "Cy"))
+      .toDF("user_id", "name")
+    val pEv = Privacy.pseudonymize(ev, Seq("user_id"), "s1")
+    val pCust = Privacy.pseudonymize(cust, Seq("user_id"), "s1")
+    // referential integrity survives: the join keys still line up
+    val joined = pEv.join(pCust, "user_id")
+    assert(joined.count() === 3L)
+    assert(joined.filter($"name" === "Ann").count() === 2L)
+    // the raw id is gone and the token is the md5 prefix of salt␁id
+    val tok1 = pCust.filter($"name" === "Ann").select("user_id")
+      .as[String].head()
+    val md5s1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("s1\u00011".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(tok1 === md5s1.take(15))
+    // a different salt yields disjoint tokens (no cross-export linkage)
+    val pOther = Privacy.pseudonymize(cust, Seq("user_id"), "s2")
+    assert(pOther.join(pCust, "user_id").count() === 0L)
+    // full-digest mode keeps all 32 hex chars
+    val full = Privacy.pseudonymize(cust, Seq("user_id"), "s1",
+      fullDigest = true).select("user_id").as[String].collect()
+    assert(full.forall(_.length === 32))
+    // separator: (salt "a", id "bc") never collides with (salt "ab", "c")
+    val x = Privacy.pseudonymize(Seq("bc").toDF("id"), Seq("id"), "a")
+      .as[String].head()
+    val y = Privacy.pseudonymize(Seq("c").toDF("id"), Seq("id"), "ab")
+      .as[String].head()
+    assert(x !== y)
+  }
 }
