@@ -1172,6 +1172,27 @@ object SparkEntry {
       Similarity.exactDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)),
 
+    // cross-split SEMANTIC leak audit: embedding near-dup pairs whose
+    // endpoints land in different train/val/test splits — the
+    // contamination the n-gram gate can't see (paraphrases). Pair frame
+    // from the oracle-checked near-dup path; split labels are the
+    // deterministic md5 bucket, so the whole audit is engine-exact.
+    // (corpus_leak_split is the FIX — group-aware assignment; this is
+    // the MEASURE of what a naive id-hash split would leak.)
+    "corpus_semantic_leak" -> ((s, dir) => {
+      val pairs = Similarity.exactDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+      pairs.select(
+          least(Sampling.splitLabel(col("id_a")),
+            Sampling.splitLabel(col("id_b"))).as("split_x"),
+          greatest(Sampling.splitLabel(col("id_a")),
+            Sampling.splitLabel(col("id_b"))).as("split_y"))
+        .groupBy(col("split_x"), col("split_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak",
+          (col("split_x") =!= col("split_y")).cast("long"))
+    }),
+
     // RHP-LSH scale path for embedding near-dup — the flagship embedding
     // query: candidate generation is a bucket equi-join (no nested-loop
     // join anywhere in the plan). Oracle-checked exactly: the bucketing is
@@ -3697,6 +3718,26 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
 
     "ann_lsh_topk" -> annLshOracleSql,
+
+    // same near-dup pair CTE as dedup_embedding + the corpus_split md5
+    // bucket per endpoint, normalized to an unordered split pair
+    "corpus_semantic_leak" ->
+      ("WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +
+        "p AS (SELECT id_a, id_b FROM scored WHERE sim >= 0.4), " +
+        "sp AS (SELECT id_a, id_b, " +
+        "CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'val' ELSE 'test' END AS sa, " +
+        "CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' ELSE 'test' END AS sb " +
+        "FROM (SELECT id_a, id_b, " +
+        "('0x' || substring(md5(CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 100 AS ba, " +
+        "('0x' || substring(md5(CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 100 AS bb FROM p)) " +
+        "SELECT least(sa, sb) AS split_x, greatest(sa, sb) AS split_y, " +
+        "count(*) AS n_pairs, " +
+        "CAST(CASE WHEN sa <> sb THEN 1 ELSE 0 END AS BIGINT) AS is_leak " +
+        "FROM sp GROUP BY 1, 2, 4"),
 
     "dedup_embedding" ->
       ("WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
