@@ -2139,6 +2139,18 @@ object SparkEntry {
           col("width"), col("height"), col("duration_ms"),
           round(col("mean_val"), 6).as("mean_val"))),
 
+    // IMAGE near-dup via the 60-bit blockhash perceptual fingerprint:
+    // engine decodes real BMP bytes → blockhash → simhash 16-bit band
+    // join (pigeonhole-exact at hamming ≤ 3); the oracle recomputes the
+    // hash from the generator's pixel formula and brute-forces pairs, so
+    // a decode bug OR a banding recall gap breaks the hash match
+    "media_phash_dedup" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Multimodal.imageBlockhash(
+          Multimodal.syntheticMedia(t(s, dir, "documents"))),
+        "media_id", "phash", hammingMax = 3, maxBucket = 1000000)
+        .withColumn("hamming", col("hamming").cast("long"))),
+
     // ---- events: windowed agg, sessionization, streaming ----------------
     "events_window" -> ((s, dir) => driverSafe(
       EventStream.windowedAgg(
@@ -4582,6 +4594,23 @@ object SparkEntry {
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 10 + doc_id % 50
         |    ELSE (2 + doc_id % 5) * 100 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // blockhash recomputed from the generator's pixel ramp; pairs are
+    // BRUTE-FORCE here (no banding) — equality with the engine's banded
+    // path is exactly the pigeonhole-recall guarantee at hamming ≤ 3
+    "media_phash_dedup" ->
+      ("WITH img AS (SELECT doc_id AS id, 4 + doc_id % 16 AS w, " +
+        "4 + doc_id % 9 AS h FROM documents WHERE doc_id % 3 = 0), " +
+        "hb AS (SELECT id, 3*w*h AS n, " +
+        "list_sum(list_transform(range(0, 3*w*h), j -> (id*7 + j) % 256)) AS total FROM img), " +
+        "ph AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), s -> " +
+        "CASE WHEN list_sum(list_transform(range(s*n//60, (s+1)*n//60), j -> (id*7 + j) % 256)) * n " +
+        "> total * ((s+1)*n//60 - s*n//60) " +
+        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS phash FROM hb) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
+        "FROM ph a JOIN ph b ON a.id < b.id " +
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3"),
 
     // expected decode results recomputed from the generator constants
     // (dims/sample formulas in Multimodal.scala) — NOT from the binary,

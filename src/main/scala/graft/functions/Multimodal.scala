@@ -227,6 +227,67 @@ object Multimodal {
     }
   }
 
+  /** 60-bit blockhash perceptual fingerprint of each IMAGE payload — the
+    * multimodal analogue of the text simhash, enabling image near-dup
+    * detection over opaque binary columns: the decoded logical pixel-byte
+    * stream (raster order, 3·w·h bytes) splits into 60 equal segments
+    * [⌊s·n/60⌋, ⌊(s+1)·n/60⌋), and bit s is set iff the segment's byte
+    * sum exceeds its proportional share of the total — cross-multiplied
+    * (`segSum·n > total·segLen`), pure integer, no division, so the hash
+    * is bit-identical on any engine that can recompute the pixel bytes.
+    * 60 bits (not 64) keeps every `1 << s` and the assembled hash safely
+    * inside signed BIGINT on BOTH engines (the `1::BIGINT << 63` overflow
+    * gotcha). Visually-near images agree on most segment means, so
+    * hamming distance ranks near-duplicates; pair generation reuses the
+    * simhash 16-bit band join ([[graft.functions.Dedup.simhashPairs]] —
+    * pigeonhole-exact for hamming ≤ 3), never all-pairs.
+    *
+    * `mapPartitions` is justified exactly as in [[extractFeatures]]: a
+    * byte-level container decode cannot be a Catalyst expression; the
+    * hash arithmetic after it is trivially per-row. Output:
+    * (media_id, phash). */
+  def imageBlockhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = r.payload
+          val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+          require(p(0) == 'B' && p(1) == 'M', "not a BMP payload")
+          val off = b.getInt(10)
+          val w = b.getInt(18); val h = b.getInt(22)
+          val rowSize = ((3 * w + 3) / 4) * 4
+          val n = 3 * w * h
+          val bytes = new Array[Int](n)
+          var y = 0
+          while (y < h) {
+            val base = off + (h - 1 - y) * rowSize
+            var k = 0
+            while (k < 3 * w) {
+              bytes(y * 3 * w + k) = p(base + k) & 0xFF; k += 1
+            }
+            y += 1
+          }
+          var total = 0L
+          var i = 0
+          while (i < n) { total += bytes(i); i += 1 }
+          var hash = 0L
+          var s = 0
+          while (s < 60) {
+            val lo = (s.toLong * n / 60).toInt
+            val hi = ((s + 1).toLong * n / 60).toInt
+            var seg = 0L
+            var t = lo
+            while (t < hi) { seg += bytes(t); t += 1 }
+            if (seg * n > total * (hi - lo)) hash |= (1L << s)
+            s += 1
+          }
+          (r.media_id, hash)
+        }
+      }.toDF("media_id", "phash")
+  }
+
   /** Frame-sampling plan for video rows: rows explode into (media_id,
     * frame_idx) tasks WITHOUT duplicating payload bytes across frames —
     * the decode stage re-reads the payload once per row, not per frame. */

@@ -20,6 +20,20 @@ final case class EsSinkConfig(
     mappingId: Option[String] = None,
     extra: Map[String, String] = Map.empty)
 
+object EsSinkConfig {
+  /** Env-driven construction through the Settings parity layer (ES_URL /
+    * ES_PORT / ES_USE_SSL / ES_AUTH_USERNAME / ES_AUTH_PASSWORD) — the
+    * reference builds `ES_SPARK_CONFIG` from the same variables
+    * (tube/settings.py:56-77), so a deployment's env configures this sink
+    * with no code changes. */
+  def fromEnv(env: Map[String, String],
+              mappingId: Option[String] = None): EsSinkConfig = {
+    val es = graft.Settings.es(env)
+    EsSinkConfig(nodes = es.url, port = es.port.toInt, ssl = es.useSsl,
+      user = es.authUser, password = es.authPass, mappingId = mappingId)
+  }
+}
+
 /** `DocumentSink` over the es-hadoop Spark connector. The connector is a
   * runtime DataSource resolved by NAME (`org.elasticsearch.spark.sql`), so
   * this compiles and unit-tests with no connector jar and no cluster; on a

@@ -121,4 +121,40 @@ class MultimodalSpec extends SparkSpec {
     // id=2: frames = 2+2%5 = 4 at 10fps -> 400ms; ticks 0,50,...,350
     assert(byMedia(2L) === 8L)
   }
+
+  test("imageBlockhash: decoded-byte hash equals the generator-formula " +
+      "hash; banded pairs equal brute force at hamming <= 3") {
+    val ids = (0L until 90L by 3L) // 30 images
+    val many = ids.map(i => (i, "x", 1L)).toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.syntheticMedia(many)
+    val got = Multimodal.imageBlockhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference hash straight from the pixel ramp (id*7 + j) % 256 —
+    // bypassing the BMP container entirely
+    def refHash(id: Long): Long = {
+      val w = 4 + (id % 16).toInt; val h = 4 + (id % 9).toInt
+      val n = 3 * w * h
+      val bytes = Array.tabulate(n)(j => ((id * 7 + j) % 256).toInt)
+      val total = bytes.map(_.toLong).sum
+      (0 until 60).foldLeft(0L) { (acc, s) =>
+        val lo = (s.toLong * n / 60).toInt
+        val hi = ((s + 1).toLong * n / 60).toInt
+        val seg = bytes.slice(lo, hi).map(_.toLong).sum
+        if (seg * n > total * (hi - lo)) acc | (1L << s) else acc
+      }
+    }
+    ids.foreach(i => assert(got(i) === refHash(i), s"id=$i"))
+    // pigeonhole recall: the 4x16-bit band join finds EVERY pair at
+    // hamming <= 3 that the all-pairs scan finds
+    val banded = Dedup.simhashPairs(
+        Multimodal.imageBlockhash(media), "media_id", "phash",
+        hammingMax = 3, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(refHash(a) ^ refHash(b)) if d <= 3
+    } yield (a, b)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the ramp family genuinely collides
+  }
 }

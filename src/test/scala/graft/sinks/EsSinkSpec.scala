@@ -48,4 +48,22 @@ class EsSinkSpec extends SparkSpec {
     assert(msg.contains("elasticsearch.spark.sql") ||
       msg.contains("Failed to find"))
   }
+
+  test("fromEnv: the reference's ES_* env vars configure the sink") {
+    val cfg = EsSinkConfig.fromEnv(Map(
+      "ES_URL" -> "es.internal", "ES_PORT" -> "443",
+      "ES_AUTH_USERNAME" -> "u", "ES_AUTH_PASSWORD" -> "p"),
+      mappingId = Some("_customer_id"))
+    val opts = new EsSink(cfg).options("subject_0")
+    assert(opts("es.nodes") === "es.internal")
+    assert(opts("es.port") === "443")
+    assert(opts("es.net.ssl") === "true") // port-443 rule from Settings.es
+    assert(opts("es.net.http.auth.user") === "u")
+    assert(opts("es.mapping.id") === "_customer_id")
+    // defaults: reference's esproxy-service:9200, no ssl, no auth keys
+    val dflt = new EsSink(EsSinkConfig.fromEnv(Map.empty)).options("x")
+    assert(dflt("es.nodes") === "esproxy-service")
+    assert(dflt("es.net.ssl") === "false")
+    assert(!dflt.contains("es.net.http.auth.user"))
+  }
 }
