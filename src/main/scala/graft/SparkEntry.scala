@@ -2151,6 +2151,12 @@ object SparkEntry {
         "media_id", "phash", hammingMax = 3, maxBucket = 1000000)
         .withColumn("hamming", col("hamming").cast("long"))),
 
+    // audio dead-air / clipping screen from the real WAV decode; exact
+    // integer ppm — oracle recomputes from the generator's sample formula
+    "media_audio_quality" -> ((s, dir) =>
+      Multimodal.audioQuality(
+        Multimodal.syntheticMedia(t(s, dir, "documents")))),
+
     // ---- events: windowed agg, sessionization, streaming ----------------
     "events_window" -> ((s, dir) => driverSafe(
       EventStream.windowedAgg(
@@ -4611,6 +4617,17 @@ object SparkEntry {
         "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
         "FROM ph a JOIN ph b ON a.id < b.id " +
         "WHERE bit_count(xor(a.phash, b.phash)) <= 3"),
+
+    "media_audio_quality" ->
+      ("WITH aud AS (SELECT doc_id AS id, 8*(10 + doc_id % 50) AS n " +
+        "FROM documents WHERE doc_id % 3 = 1), " +
+        "q AS (SELECT id, n, " +
+        "len(list_filter(range(0, n), k -> abs(((id*13 + k*97) % 65536) - 32768) < 1000)) AS silent, " +
+        "len(list_filter(range(0, n), k -> abs(((id*13 + k*97) % 65536) - 32768) >= 32000)) AS clipped " +
+        "FROM aud) " +
+        "SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(silent * 1000000 // n AS BIGINT) AS silence_ppm, " +
+        "CAST(clipped * 1000000 // n AS BIGINT) AS clip_ppm FROM q"),
 
     // expected decode results recomputed from the generator constants
     // (dims/sample formulas in Multimodal.scala) — NOT from the binary,

@@ -288,6 +288,40 @@ object Multimodal {
       }.toDF("media_id", "phash")
   }
 
+  /** Audio-quality gate over the decoded PCM stream — the speech-corpus
+    * screen that drops dead-air and clipped recordings before training:
+    * per AUDIO row, the exact floor-ppm of samples below the silence
+    * threshold and at/above the clipping threshold (|s| on signed 16-bit
+    * PCM). Integer counts + one floor division each — engine-exact.
+    * Same `mapPartitions` justification as [[extractFeatures]] (RIFF/WAV
+    * container parse). Output: (media_id, n_samples, silence_ppm,
+    * clip_ppm). */
+  def audioQuality(media: DataFrame, silenceThresh: Int = 1000,
+                   clipThresh: Int = 32000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = r.payload
+          val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+          require(new String(p, 0, 4, "US-ASCII") == "RIFF", "not RIFF")
+          val n = b.getInt(40) / 2
+          var silent = 0L; var clipped = 0L
+          var k = 0
+          while (k < n) {
+            val s = math.abs(b.getShort(44 + 2 * k).toInt)
+            if (s < silenceThresh) silent += 1
+            if (s >= clipThresh) clipped += 1
+            k += 1
+          }
+          (r.media_id, n.toLong,
+            if (n > 0) silent * 1000000L / n else 0L,
+            if (n > 0) clipped * 1000000L / n else 0L)
+        }
+      }.toDF("media_id", "n_samples", "silence_ppm", "clip_ppm")
+  }
+
   /** Frame-sampling plan for video rows: rows explode into (media_id,
     * frame_idx) tasks WITHOUT duplicating payload bytes across frames —
     * the decode stage re-reads the payload once per row, not per frame. */

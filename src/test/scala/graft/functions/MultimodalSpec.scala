@@ -157,4 +157,22 @@ class MultimodalSpec extends SparkSpec {
     assert(banded === brute)
     assert(brute.nonEmpty) // the ramp family genuinely collides
   }
+
+  test("audioQuality: decoded counts equal the sample-formula counts") {
+    val ids = Seq(1L, 4L, 7L, 10L, 49L)
+    val many = ids.map(i => (i, "x", 1L)).toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.audioQuality(Multimodal.syntheticMedia(many))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    ids.foreach { id =>
+      val n = 8 * (10 + (id % 50).toInt)
+      val samples = (0 until n)
+        .map(k => math.abs((((id * 13 + k.toLong * 97) % 65536) - 32768).toInt))
+      val silent = samples.count(_ < 1000).toLong
+      val clipped = samples.count(_ >= 32000).toLong
+      assert(got(id) ===
+        ((n.toLong, silent * 1000000L / n, clipped * 1000000L / n)),
+        s"id=$id")
+    }
+  }
 }
