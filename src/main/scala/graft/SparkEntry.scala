@@ -1175,13 +1175,15 @@ object SparkEntry {
     // cross-split SEMANTIC leak audit: embedding near-dup pairs whose
     // endpoints land in different train/val/test splits — the
     // contamination the n-gram gate can't see (paraphrases). Pair frame
-    // from the oracle-checked near-dup path; split labels are the
+    // from the RHP-LSH SCALE path (bucket equi-join — the all-pairs
+    // exact path is quadratic in the corpus; same plane constants as
+    // dedup_embedding_lsh, oracle-mirrored); split labels are the
     // deterministic md5 bucket, so the whole audit is engine-exact.
     // (corpus_leak_split is the FIX — group-aware assignment; this is
     // the MEASURE of what a naive id-hash split would leak.)
     "corpus_semantic_leak" -> ((s, dir) => {
-      val pairs = Similarity.exactDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.4)
+      val pairs = Similarity.embeddingDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, bits = 6, dim = 64)
       pairs.select(
           least(Sampling.splitLabel(col("id_a")),
             Sampling.splitLabel(col("id_b"))).as("split_x"),
@@ -2328,8 +2330,10 @@ object SparkEntry {
       "best AS (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM cd), " +
       "codes AS (SELECT vec_id, m, j FROM best WHERE rn = 1)"
 
-  /** Mirror of `Similarity.embeddingDupPairs(bits = 6, dim = 64)`. */
-  private def rhpLshOracleSql: String = {
+  /** Shared RHP bucket-join pair CTE prefix (`...  s(id_a, id_b, sim)`)
+    * mirroring `Similarity.embeddingDupPairs(bits = 6, dim = 64)` — used
+    * by dedup_embedding_lsh and the semantic-leak audit. */
+  private def rhpLshPairPrefixSql: String = {
     val (planeCols, bucketExpr) = rhpSqlParts(6, 64)
     s"WITH pl AS (SELECT $planeCols), " +
       "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
@@ -2338,9 +2342,13 @@ object SparkEntry {
       "FROM v0, pl), " +
       "s AS (SELECT a.id AS id_a, c.id AS id_b, " +
       "list_sum(list_transform(range(1, 65), d -> a.v[d]::DOUBLE * c.v[d]::DOUBLE)) / (a.n * c.n) AS sim " +
-      "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id) " +
-      "SELECT id_a, id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.4"
+      "FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)"
   }
+
+  /** Mirror of `Similarity.embeddingDupPairs(bits = 6, dim = 64)`. */
+  private def rhpLshOracleSql: String =
+    rhpLshPairPrefixSql +
+      " SELECT id_a, id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.4"
 
   /** Mirror of `Similarity.lshTopK(k = 5, bits = 8, dim = 64,
     * multiProbe = true)` over queries vec_id < 8: recompute buckets, probe
@@ -3737,15 +3745,12 @@ object SparkEntry {
 
     "ann_lsh_topk" -> annLshOracleSql,
 
-    // same near-dup pair CTE as dedup_embedding + the corpus_split md5
-    // bucket per endpoint, normalized to an unordered split pair
+    // same RHP bucket join + pair CTE as dedup_embedding_lsh, then the
+    // corpus_split md5 bucket per endpoint, normalized to an unordered
+    // split pair
     "corpus_semantic_leak" ->
-      ("WITH scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
-        "(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) * " +
-        "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +
-        "p AS (SELECT id_a, id_b FROM scored WHERE sim >= 0.4), " +
+      (rhpLshPairPrefixSql +
+        ", p AS (SELECT id_a, id_b FROM s WHERE sim >= 0.4), " +
         "sp AS (SELECT id_a, id_b, " +
         "CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'val' ELSE 'test' END AS sa, " +
         "CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' ELSE 'test' END AS sb " +
