@@ -2159,6 +2159,12 @@ object SparkEntry {
       Multimodal.audioQuality(
         Multimodal.syntheticMedia(t(s, dir, "documents")))),
 
+    // scene cuts from the real RAWV frame decode: mean abs per-byte diff
+    // per consecutive frame pair in exact milli-units + the cut flag
+    "media_scene_changes" -> ((s, dir) =>
+      Multimodal.sceneChanges(
+        Multimodal.syntheticMedia(t(s, dir, "documents")))),
+
     // ---- events: windowed agg, sessionization, streaming ----------------
     "events_window" -> ((s, dir) => driverSafe(
       EventStream.windowedAgg(
@@ -4622,6 +4628,19 @@ object SparkEntry {
         "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
         "FROM ph a JOIN ph b ON a.id < b.id " +
         "WHERE bit_count(xor(a.phash, b.phash)) <= 3"),
+
+    "media_scene_changes" ->
+      ("WITH vid AS (SELECT doc_id AS id, 4 + doc_id % 8 AS w, " +
+        "4 + doc_id % 6 AS h, 2 + doc_id % 5 AS fr " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "pr AS (SELECT id, fb, f, " +
+        "list_sum(list_transform(range(0, fb), j -> " +
+        "abs(((id*7 + f*1009 + j) % 256) - ((id*7 + (f-1)*1009 + j) % 256)))) AS sad " +
+        "FROM (SELECT id, 3*w*h AS fb, unnest(range(1, fr)) AS f FROM vid)) " +
+        "SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "CAST(sad * 1000 // fb AS BIGINT) AS diff_milli, " +
+        "CAST(CASE WHEN sad * 1000 // fb >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS is_cut " +
+        "FROM pr"),
 
     "media_audio_quality" ->
       ("WITH aud AS (SELECT doc_id AS id, 8*(10 + doc_id % 50) AS n " +

@@ -322,6 +322,46 @@ object Multimodal {
       }.toDF("media_id", "n_samples", "silence_ppm", "clip_ppm")
   }
 
+  /** Scene-change detection over the decoded VIDEO frames — the keyframe
+    * precursor a video-corpus pipeline runs before sampling training
+    * frames (sampling only at fixed ticks oversamples static scenes and
+    * misses cuts): for consecutive frame pairs, the mean absolute
+    * per-byte difference in milli-units, and a cut flag where it clears
+    * `cutThreshMilli`. Exact integers: sumAbsDiff·1000 / frameBytes is
+    * one floor division per pair — engine-exact from the generator
+    * formula or any other decoder. Same `mapPartitions` justification as
+    * [[extractFeatures]]. Output: (media_id, frame_idx [of the LATER
+    * frame], diff_milli, is_cut) — one row per consecutive pair. */
+  def sceneChanges(media: DataFrame,
+                   cutThreshMilli: Long = 30000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.payload
+          val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+          require(new String(p, 0, 4, "US-ASCII") == "RAWV", "not RAWV")
+          val w = b.getInt(4); val h = b.getInt(8)
+          val frames = b.getInt(12)
+          val fb = 3 * w * h
+          (1 until frames).map { f =>
+            var sum = 0L
+            var j = 0
+            while (j < fb) {
+              val prev = p(20 + (f - 1) * fb + j) & 0xFF
+              val cur = p(20 + f * fb + j) & 0xFF
+              sum += math.abs(cur - prev)
+              j += 1
+            }
+            val diffMilli = sum * 1000L / fb
+            (r.media_id, f.toLong, diffMilli,
+              if (diffMilli >= cutThreshMilli) 1L else 0L)
+          }
+        }
+      }.toDF("media_id", "frame_idx", "diff_milli", "is_cut")
+  }
+
   /** Frame-sampling plan for video rows: rows explode into (media_id,
     * frame_idx) tasks WITHOUT duplicating payload bytes across frames —
     * the decode stage re-reads the payload once per row, not per frame. */

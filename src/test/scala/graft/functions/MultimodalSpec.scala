@@ -158,6 +158,32 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty) // the ramp family genuinely collides
   }
 
+  test("sceneChanges: decoded frame diffs equal the formula; one row per " +
+      "consecutive pair; flags split at the threshold") {
+    val ids = Seq(2L, 5L, 8L, 11L, 14L)
+    val many = ids.map(i => (i, "x", 1L)).toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.sceneChanges(Multimodal.syntheticMedia(many))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    ids.foreach { id =>
+      val w = 4 + (id % 8).toInt; val h = 4 + (id % 6).toInt
+      val fr = 2 + (id % 5).toInt; val fb = 3 * w * h
+      assert(got.keys.count(_._1 == id) === fr - 1, s"id=$id pair count")
+      for (f <- 1 until fr) {
+        val sad = (0 until fb).map { j =>
+          math.abs(((id * 7 + f * 1009 + j) % 256) -
+            ((id * 7 + (f - 1) * 1009 + j) % 256))
+        }.sum
+        val milli = sad * 1000L / fb
+        assert(got((id, f.toLong)) ===
+          ((milli, if (milli >= 30000L) 1L else 0L)), s"id=$id f=$f")
+      }
+    }
+    // the threshold genuinely splits the ramp family
+    val flags = got.values.map(_._2).toSet
+    assert(flags === Set(0L, 1L))
+  }
+
   test("audioQuality: decoded counts equal the sample-formula counts") {
     val ids = Seq(1L, 4L, 7L, 10L, 49L)
     val many = ids.map(i => (i, "x", 1L)).toDF("doc_id", "text", "n_chars")
