@@ -2262,6 +2262,20 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // semi-structured props profiling: the reference's `_props` JSON
+    // pattern (S3) applied to the event stream — native JsonToStructs
+    // (codegen'd, no UDF) feeding one hash aggregate
+    "events_props_profile" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT",
+            Map.empty[String, String]).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))),
+
     // stream-stream interval join: click → purchase attribution within a
     // 2 h window; watermarks + the time-bound condition keep state finite,
     // append mode ⇒ exactly the batch interval join (the oracle)
@@ -4628,6 +4642,13 @@ object SparkEntry {
         "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
         "FROM ph a JOIN ph b ON a.id < b.id " +
         "WHERE bit_count(xor(a.phash, b.phash)) <= 3"),
+
+    "events_props_profile" ->
+      ("WITH p AS (SELECT event_type, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+        "SELECT event_type, count(*) AS n_events, count(k) AS n_with_k, " +
+        "min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k " +
+        "FROM p GROUP BY 1"),
 
     "media_scene_changes" ->
       ("WITH vid AS (SELECT doc_id AS id, 4 + doc_id % 8 AS w, " +
