@@ -1732,6 +1732,17 @@ object SparkEntry {
       Profile.columnProfile(t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // EXACT order-statistic quantiles with NO sort anywhere: driver-side
+    // bisection on the value domain, one conditional-count scan per
+    // round, all open quantiles counted in the same scan — the 100 TB
+    // path for contractual percentiles where approx_percentile won't do
+    "orders_price_quantiles_exact" -> ((s, dir) =>
+      Profile.exactQuantilesBisect(
+        t(s, dir, "orders").select(
+          floor(col("o_totalprice") * lit(1000000d)).cast("long")
+            .as("price_us")),
+        "price_us", Seq(500000L, 900000L, 990000L))),
+
     // per-source readability rollup: integer-µ Flesch-Kincaid grade
     // (vowel-run syllables, punctuation-run sentences floored at 1),
     // exact floor-mean — the "word salad" quality gate input
@@ -4313,6 +4324,18 @@ object SparkEntry {
       Seq("doc_id", "text", "lang", "source", "n_chars")
         .map(arm).mkString(" UNION ALL ")
     },
+
+    // type-1 (lower) quantile = k-th order statistic, k = max(1, ⌈q·n⌉):
+    // the oracle materializes it by rank; the engine bisects — same value
+    "orders_price_quantiles_exact" ->
+      ("WITH t AS (SELECT CAST(floor(o_totalprice * 1000000) AS BIGINT) AS v FROM orders), " +
+        "nn AS (SELECT count(*) AS n FROM t), " +
+        "q(q_ppm) AS (VALUES (500000), (900000), (990000)), " +
+        "kk AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm, " +
+        "greatest(1, (q_ppm * n + 999999) // 1000000) AS k FROM q, nn), " +
+        "r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t) " +
+        "SELECT kk.q_ppm, CAST(kk.k AS BIGINT) AS k, r.v AS value " +
+        "FROM kk JOIN r ON r.rn = kk.k ORDER BY q_ppm"),
 
     // each FK term is its own integer floor division; the mean of the
     // (possibly negative) grade sum uses the shared pmod-floor form

@@ -34,4 +34,23 @@ class ProfileSpec extends SparkSpec {
     val rows = Profile.columnProfile(df, Seq("id"), approx = true).collect()
     assert(rows.length === 1 && rows(0).getLong(3) === 2L)
   }
+
+  test("exactQuantilesBisect: equals sorted order statistics, with ties, " +
+      "negatives, nulls, and the q=1 endpoint; empty input yields no rows") {
+    import spark.implicits._
+    val vals = Seq(5L, -3L, 7L, 7L, 7L, 0L, 100L, -3L, 42L, 9L)
+    val df = (vals.map(Option(_)) :+ None).toDF("v") // one NULL, ignored
+    val qs = Seq(1L, 250000L, 500000L, 900000L, 1000000L)
+    val got = Profile.exactQuantilesBisect(df, "v", qs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val k = math.max(1L, (q * vals.size + 999999L) / 1000000L)
+      assert(got(q) === ((k, sorted((k - 1).toInt))), s"q=$q")
+    }
+    assert(got(1000000L)._2 === 100L)  // q=1 is the max
+    assert(got(1L)._2 === -3L)         // tiny q is the min
+    assert(Profile.exactQuantilesBisect(
+      Seq.empty[Long].toDF("v"), "v", Seq(500000L)).count() === 0L)
+  }
 }
