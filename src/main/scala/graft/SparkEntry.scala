@@ -1743,6 +1743,13 @@ object SparkEntry {
             .as("price_us")),
         "price_us", Seq(500000L, 900000L, 990000L))),
 
+    // grouped bisection: per-language exact length cuts, one scan per
+    // round carrying a counter per open (group, quantile) pair
+    "text_length_quantiles_bisect" -> ((s, dir) =>
+      Profile.exactQuantilesBisectByGroup(
+        t(s, dir, "documents").select(col("lang"), col("n_chars")),
+        "lang", "n_chars", Seq(500000L, 900000L))),
+
     // per-source readability rollup: integer-µ Flesch-Kincaid grade
     // (vowel-run syllables, punctuation-run sentences floored at 1),
     // exact floor-mean — the "word salad" quality gate input
@@ -4336,6 +4343,17 @@ object SparkEntry {
         "r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t) " +
         "SELECT kk.q_ppm, CAST(kk.k AS BIGINT) AS k, r.v AS value " +
         "FROM kk JOIN r ON r.rn = kk.k ORDER BY q_ppm"),
+
+    "text_length_quantiles_bisect" ->
+      ("WITH t AS (SELECT lang, n_chars AS v FROM documents), " +
+        "nn AS (SELECT lang, count(*) AS n FROM t GROUP BY 1), " +
+        "q(q_ppm) AS (VALUES (500000), (900000)), " +
+        "kk AS (SELECT lang, CAST(q_ppm AS BIGINT) AS q_ppm, " +
+        "greatest(1, (q_ppm * n + 999999) // 1000000) AS k FROM nn, q), " +
+        "r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn FROM t) " +
+        "SELECT kk.lang AS lang, kk.q_ppm, CAST(kk.k AS BIGINT) AS k, r.v AS value " +
+        "FROM kk JOIN r ON r.lang = kk.lang AND r.rn = kk.k " +
+        "ORDER BY kk.lang, q_ppm"),
 
     // each FK term is its own integer floor division; the mean of the
     // (possibly negative) grade sum uses the shared pmod-floor form

@@ -108,4 +108,50 @@ object Profile {
       .toDF("q_ppm", "k", "value")
       .orderBy(col("q_ppm"))
   }
+
+  /** GROUPED [[exactQuantilesBisect]] for BOUNDED-cardinality group
+    * columns (languages, sources, priorities — driver state is one
+    * bracket per (group, quantile), so |groups| must be driver-small;
+    * an unbounded group column wants the per-group percentile window
+    * instead). Each round is still ONE scan: a single aggregate carrying
+    * a conditional counter per open (group, quantile) pair, map-side
+    * combined. Replaces the "grouped exact percentile needs a per-group
+    * sort buffer" cost for dashboard-grade exact cuts at corpus scale.
+    * Output: (group, q_ppm, k, value) ordered by (group, q_ppm). */
+  def exactQuantilesBisectByGroup(df: DataFrame, groupCol: String,
+                                  valueCol: String,
+                                  qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
+      s"quantiles must be in (0, 1] ppm: $qsPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("long").as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+    val heads = base.groupBy(col("_g"))
+      .agg(count(lit(1)), min(col("_v")), max(col("_v")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1)
+    case class Bracket(g: String, qPpm: Long, k: Long,
+                       var lo: Long, var hi: Long)
+    val brackets = for {
+      (g, (n, mn, mx)) <- heads.toSeq
+      q <- qsPpm
+    } yield Bracket(g, q, math.max(1L, (q * n + 999999L) / 1000000L), mn, mx)
+    while (brackets.exists(b => b.lo < b.hi)) {
+      val open = brackets.filter(b => b.lo < b.hi)
+      val mids = open.map(b => b.lo + (b.hi - b.lo) / 2)
+      val counters = open.zip(mids).map { case (b, m) =>
+        count(when(col("_g") === lit(b.g) && col("_v") <= lit(m), 1))
+      }
+      val row = base.agg(counters.head, counters.tail: _*).collect()(0)
+      open.zip(mids).zipWithIndex.foreach { case ((b, m), j) =>
+        if (row.getLong(j) >= b.k) b.hi = m else b.lo = m + 1
+      }
+    }
+    brackets.map(b => (b.g, b.qPpm, b.k, b.lo))
+      .toDF(groupCol, "q_ppm", "k", "value")
+      .orderBy(col(groupCol), col("q_ppm"))
+  }
 }

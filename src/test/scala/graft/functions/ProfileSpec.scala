@@ -53,4 +53,23 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.exactQuantilesBisect(
       Seq.empty[Long].toDF("v"), "v", Seq(500000L)).count() === 0L)
   }
+
+  test("exactQuantilesBisectByGroup: per-group order statistics match a " +
+      "per-group sort; groups of different sizes and ranges coexist") {
+    import spark.implicits._
+    val rows = Seq("a" -> 10L, "a" -> 20L, "a" -> 30L, "a" -> 40L,
+      "b" -> -5L, "b" -> 1000000L, "b" -> 7L)
+    val got = Profile.exactQuantilesBisectByGroup(
+        rows.toDF("g", "v"), "g", "v", Seq(500000L, 1000000L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    def expect(vs: Seq[Long], q: Long) = {
+      val k = math.max(1L, (q * vs.size + 999999L) / 1000000L)
+      (k, vs.sorted.apply((k - 1).toInt))
+    }
+    assert(got(("a", 500000L)) === expect(Seq(10L, 20L, 30L, 40L), 500000L))
+    assert(got(("a", 1000000L)) === ((4L, 40L)))
+    assert(got(("b", 500000L)) === ((2L, 7L)))
+    assert(got(("b", 1000000L)) === ((3L, 1000000L)))
+  }
 }
