@@ -1931,6 +1931,33 @@ object SparkEntry {
             lit(0L)))
     }),
 
+    // robust anomaly detection on daily counts: median/MAD (exact
+    // order statistics via the grouped bisection op — a single outage
+    // day can't drag a mean/σ gate the way it would spikeFlags' z-test),
+    // flag |x − med| > 3·MAD; counts frame sealed once so the bisect
+    // rounds never rescan raw events
+    "events_robust_anomaly" -> ((s, dir) => {
+      val cnts = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .transform(graft.functions.Frames.truncate)
+      val med = Profile.exactQuantilesBisectByGroup(
+          cnts, "event_type", "n_events", Seq(500000L))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = cnts.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("n_events") - col("med")))
+        .transform(graft.functions.Frames.truncate)
+      val mad = Profile.exactQuantilesBisectByGroup(
+          dev, "event_type", "adev", Seq(500000L))
+        .select(col("event_type"), col("value").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("med"), col("mad"),
+          (abs(col("n_events") - col("med")) > lit(3L) * col("mad"))
+            .cast("long").as("is_anomaly"))
+    }),
+
     // session-shape histogram: sessions bucketed by log2 event count,
     // with exact integer duration stats per bucket — the engagement-
     // distribution readout on top of the shared sessionizer
@@ -4798,6 +4825,25 @@ object SparkEntry {
         "count(*) AS n_events FROM events GROUP BY 1) " +
         "SELECT day, n_events, COALESCE(n_events - lag(n_events, 1) " +
         "OVER (ORDER BY day), 0) AS delta FROM d"),
+
+    // both medians materialized by rank (the type-1 quantile the engine
+    // bisects to); same k for count and deviation medians (same n)
+    "events_robust_anomaly" ->
+      ("WITH c AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "nn AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1), " +
+        "mk AS (SELECT event_type, greatest(1, (500000 * n + 999999) // 1000000) AS k FROM nn), " +
+        "mr AS (SELECT event_type, n_events, row_number() OVER (PARTITION BY event_type ORDER BY n_events) AS rn FROM c), " +
+        "med AS (SELECT mr.event_type AS event_type, mr.n_events AS med FROM mr " +
+        "JOIN mk ON mk.event_type = mr.event_type AND mr.rn = mk.k), " +
+        "d AS (SELECT c.event_type AS event_type, c.day, c.n_events, med.med, " +
+        "abs(c.n_events - med.med) AS adev FROM c JOIN med ON med.event_type = c.event_type), " +
+        "dr AS (SELECT event_type, adev, row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn FROM d), " +
+        "mad AS (SELECT dr.event_type AS event_type, dr.adev AS mad FROM dr " +
+        "JOIN mk ON mk.event_type = dr.event_type AND dr.rn = mk.k) " +
+        "SELECT d.event_type AS event_type, d.day, d.n_events, d.med AS med, mad.mad AS mad, " +
+        "CAST(CASE WHEN abs(d.n_events - d.med) > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly " +
+        "FROM d JOIN mad ON mad.event_type = d.event_type"),
 
     // same sessionizer CTE, then the log2 histogram; durations and the
     // floor-mean all exact integers
