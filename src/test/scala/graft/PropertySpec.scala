@@ -190,4 +190,33 @@ class PropertySpec extends SparkSpec {
       assert(fps(idA).subsetOf(grams(idA)) && fps(idB).subsetOf(grams(idB)))
     }
   }
+
+  test("waterfill invariants on random masses/budgets: never over budget, " +
+      "tail kept whole, head uniformly capped, exact when budget covers all") {
+    val gen = for {
+      masses <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 500L))
+      budget <- Gen.chooseNum(0L, 2000L)
+    } yield (masses.take(8), budget)
+    forAll(gen, n = 12) { case (masses, budget) =>
+      if (budget >= 1 && masses.nonEmpty) {
+        val docs = masses.zipWithIndex.map { case (m, i) =>
+          (s"s$i", Seq.fill(m.toInt)("w").mkString(" "))
+        }.toDF("source", "text")
+        val out = graft.functions.Sampling
+          .waterfillBudget(docs, "source", "text", budget)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        val total = masses.sum
+        val level = out.head._3
+        assert(out.forall(_._3 === level))                 // one level
+        assert(out.map(_._4).sum <= budget || total <= budget)
+        out.foreach { case (_, m, l, a, capped) =>
+          assert(a === math.min(m, l))                     // uniform cap
+          assert(capped === (if (m > l) 1L else 0L))
+        }
+        if (total <= budget)                               // all kept
+          assert(out.forall(r => r._4 === r._2))
+      }
+    }
+  }
 }
