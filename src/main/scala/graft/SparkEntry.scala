@@ -1954,7 +1954,9 @@ object SparkEntry {
       dev.join(broadcast(mad), Seq("event_type"))
         .select(col("event_type"), col("day"), col("n_events"),
           col("med"), col("mad"),
-          (abs(col("n_events") - col("med")) > lit(3L) * col("mad"))
+          // adev IS the deviation the MAD was bisected over — one
+          // definition, no second copy to drift
+          (col("adev") > lit(3L) * col("mad"))
             .cast("long").as("is_anomaly"))
     }),
 

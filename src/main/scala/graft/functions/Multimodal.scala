@@ -135,21 +135,36 @@ object Multimodal {
   /** Real decoders: header parse + full sample/pixel walk. Each validates
     * its magic and layout loudly — a truncated or foreign payload is a data
     * bug, not something to average over silently. */
-  private def decodeBmp(id: Long, p: Array[Byte]): MediaFeature = {
+  /** Shared 24-bit BMP decode: validates the container (magic, bpp) and
+    * returns (w, h, logical pixel bytes in TOP-DOWN raster order —
+    * undoing the bottom-up row storage and the 4-byte row padding).
+    * Single parser for every image consumer, so validation strictness
+    * can't drift between the feature and fingerprint paths. */
+  private def bmpLogicalBytes(p: Array[Byte]): (Int, Int, Array[Int]) = {
     val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
     require(p(0) == 'B' && p(1) == 'M', "not a BMP payload")
     val dataOffset = b.getInt(10)
     val w = b.getInt(18); val h = b.getInt(22)
     require(b.getShort(28) == 24, "expected 24-bit BMP")
     val rowSize = ((3 * w + 3) / 4) * 4
-    val chan = new Array[Long](3) // B, G, R sums
+    val bytes = new Array[Int](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val base = dataOffset + (h - 1 - y) * rowSize
+      var k = 0
+      while (k < 3 * w) { bytes(y * 3 * w + k) = p(base + k) & 0xFF; k += 1 }
+      y += 1
+    }
+    (w, h, bytes)
+  }
+
+  private def decodeBmp(id: Long, p: Array[Byte]): MediaFeature = {
+    val (w, h, bytes) = bmpLogicalBytes(p)
+    val chan = new Array[Long](3) // B, G, R sums (c = j % 3 in raster order)
     var sum = 0L
-    for (fileRow <- 0 until h) {
-      val base = dataOffset + fileRow * rowSize
-      for (x <- 0 until w; c <- 0 until 3) {
-        val v = p(base + x * 3 + c) & 0xFF
-        chan(c) += v; sum += v
-      }
+    var j = 0
+    while (j < bytes.length) {
+      chan(j % 3) += bytes(j); sum += bytes(j); j += 1
     }
     val nPix = 3L * w * h
     val mean = sum.toDouble / nPix
@@ -160,7 +175,11 @@ object Multimodal {
         (chan(2).toDouble / (w * h)).toFloat, p.length.toFloat))
   }
 
-  private def decodeWav(id: Long, p: Array[Byte]): MediaFeature = {
+  /** Shared WAV decode: RIFF chunk walk (LIST/fact chunks between fmt
+    * and data are routine in the wild) + 16-bit-PCM validation, returning
+    * (buffer, dataPos, sample count, rate). Single parser for the
+    * feature and quality paths. */
+  private def wavPcm16(p: Array[Byte]): (ByteBuffer, Int, Int, Int) = {
     val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
     require(new String(p, 0, 4, "US-ASCII") == "RIFF" &&
       new String(p, 8, 4, "US-ASCII") == "WAVE", "not a WAV payload")
@@ -177,7 +196,11 @@ object Multimodal {
       pos += 8 + len + (len & 1) // chunks are word-aligned
     }
     require(dataPos >= 0 && rate > 0 && bits == 16, "unsupported WAV layout")
-    val n = dataLen / 2
+    (b, dataPos, dataLen / 2, rate)
+  }
+
+  private def decodeWav(id: Long, p: Array[Byte]): MediaFeature = {
+    val (b, dataPos, n, rate) = wavPcm16(p)
     var sumAbs = 0L; var sumSq = 0.0
     var k = 0
     while (k < n) {
@@ -252,23 +275,8 @@ object Multimodal {
     media.filter(col("modality") === "image").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val p = r.payload
-          val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-          require(p(0) == 'B' && p(1) == 'M', "not a BMP payload")
-          val off = b.getInt(10)
-          val w = b.getInt(18); val h = b.getInt(22)
-          val rowSize = ((3 * w + 3) / 4) * 4
-          val n = 3 * w * h
-          val bytes = new Array[Int](n)
-          var y = 0
-          while (y < h) {
-            val base = off + (h - 1 - y) * rowSize
-            var k = 0
-            while (k < 3 * w) {
-              bytes(y * 3 * w + k) = p(base + k) & 0xFF; k += 1
-            }
-            y += 1
-          }
+          val (_, _, bytes) = bmpLogicalBytes(r.payload)
+          val n = bytes.length
           var total = 0L
           var i = 0
           while (i < n) { total += bytes(i); i += 1 }
@@ -303,14 +311,13 @@ object Multimodal {
     media.filter(col("modality") === "audio").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val p = r.payload
-          val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-          require(new String(p, 0, 4, "US-ASCII") == "RIFF", "not RIFF")
-          val n = b.getInt(40) / 2
+          // shared chunk-walking parser — a LIST/fact chunk between fmt
+          // and data must not be read as PCM
+          val (b, dataPos, n, _) = wavPcm16(r.payload)
           var silent = 0L; var clipped = 0L
           var k = 0
           while (k < n) {
-            val s = math.abs(b.getShort(44 + 2 * k).toInt)
+            val s = math.abs(b.getShort(dataPos + 2 * k).toInt)
             if (s < silenceThresh) silent += 1
             if (s >= clipThresh) clipped += 1
             k += 1

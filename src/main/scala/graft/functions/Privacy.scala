@@ -90,7 +90,11 @@ object Privacy {
                    fullDigest: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "no columns to pseudonymize")
     cols.foldLeft(df) { (d, c) =>
-      val tok = md5(concat_ws("\u0001", lit(salt), col(c).cast("string")))
+      // concat, NOT concat_ws: it null-propagates, so a NULL id stays
+      // NULL in the export instead of collapsing every null row onto the
+      // constant md5(salt) pseudo-identity (and it matches the SQL twin
+      // `salt || chr(1) || id`, which null-propagates too)
+      val tok = md5(concat(lit(salt), lit("\u0001"), col(c).cast("string")))
       d.withColumn(c, if (fullDigest) tok else substring(tok, 1, 15))
     }
   }
