@@ -1931,6 +1931,34 @@ object SparkEntry {
             lit(0L)))
     }),
 
+    // per-user inter-arrival BURSTINESS histogram: CV² of event gaps in
+    // exact floor-ppm ((nΣx²−Σ²) over Σ², all DECIMAL), log₂-bucketed —
+    // low CV² ≈ metronomic (bots/schedulers), high ≈ bursty humans; the
+    // gap multiset is order-stable under equal timestamps, so the report
+    // is engine-exact. One window + two bounded aggregates.
+    "events_burstiness" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("_us"), col("event_id"))
+      val gaps = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("gap", col("_us") - lag(col("_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      val dec = col("gap").cast("decimal(38,0)")
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(dec).as("sx"),
+          sum(dec * col("gap")).as("sxx"))
+        .filter(col("n") >= 2 && col("sx") > 0)
+        .select(Sampling.intDivExact(
+          (col("n") * col("sxx") - col("sx") * col("sx")) * lit(1000000L),
+          col("sx") * col("sx")).as("cv2_ppm"))
+        .groupBy(length(bin(col("cv2_ppm"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("cv2_ppm")).as("min_cv2_ppm"),
+          max(col("cv2_ppm")).as("max_cv2_ppm"))
+    }),
+
     // robust anomaly detection on daily counts: median/MAD (exact
     // order statistics via the grouped bisection op — a single outage
     // day can't drag a mean/σ gate the way it would spikeFlags' z-test),
@@ -4827,6 +4855,23 @@ object SparkEntry {
         "count(*) AS n_events FROM events GROUP BY 1) " +
         "SELECT day, n_events, COALESCE(n_events - lag(n_events, 1) " +
         "OVER (ORDER BY day), 0) AS delta FROM d"),
+
+    // CV² in exact integer ppm; nΣx²−Σ² and Σ² both ride HUGEINT (gap
+    // sums exceed BIGINT² range); all operands non-negative so `//` ≡
+    // the engine's floor
+    "events_burstiness" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "g AS (SELECT user_id, us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e), " +
+        "st AS (SELECT user_id, count(*) AS n, " +
+        "sum(CAST(gap AS HUGEINT)) AS sx, " +
+        "sum(CAST(gap AS HUGEINT) * gap) AS sxx FROM g " +
+        "WHERE gap IS NOT NULL GROUP BY 1), " +
+        "cv AS (SELECT CAST(((n * sxx - sx * sx) * 1000000) // (sx * sx) AS BIGINT) AS cv2_ppm " +
+        "FROM st WHERE n >= 2 AND sx > 0) " +
+        "SELECT CAST(len(bin(cv2_ppm)) AS BIGINT) AS bucket, " +
+        "count(*) AS n_users, min(cv2_ppm) AS min_cv2_ppm, " +
+        "max(cv2_ppm) AS max_cv2_ppm FROM cv GROUP BY 1"),
 
     // both medians materialized by rank (the type-1 quantile the engine
     // bisects to); same k for count and deviation medians (same n)
