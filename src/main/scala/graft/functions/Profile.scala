@@ -56,17 +56,16 @@ object Profile {
     * interpolation, so it is engine-exact by construction (DuckDB twin:
     * `ORDER BY v LIMIT 1 OFFSET k−1`).
     *
-    * Algorithm: driver-side bisection on the VALUE domain. One pass
-    * computes (n, min, max); then each round runs ONE conditional-count
-    * aggregate (`count(v ≤ mid_q)` for every still-open quantile
-    * simultaneously — a single scan regardless of |qs|) and halves each
-    * bracket toward the smallest value whose rank reaches k. ⌈log₂
-    * range⌉ rounds — ≤ 63 ever, ~30-40 for micro-unit money domains —
-    * each a map-side-combined scalar aggregate: no shuffle beyond the
-    * 1-row fold, no sort anywhere, driver state is |qs| scalar brackets.
-    * At 100 TB that is ~35 cheap scans vs one impossible global sort —
-    * and the scans drop to ~10 if the caller pre-filters to a coarse
-    * histogram bucket first.
+    * Algorithm: driver-side MULTI-WAY search on the VALUE domain. One
+    * pass computes (n, min, max); then each round runs ONE
+    * conditional-count aggregate carrying `Fanout` probes per still-open
+    * quantile (a single scan regardless of |qs|) and narrows each
+    * bracket to the sub-interval where the rank first reaches k.
+    * ⌈log_Fanout range⌉ rounds — ≤ 16 ever at Fanout 16, ~10 for
+    * micro-unit money domains — each a map-side-combined scalar
+    * aggregate: no shuffle beyond the 1-row fold, no sort anywhere,
+    * driver state is |qs| scalar brackets. At 100 TB that is ~10 cheap
+    * scans vs one impossible global sort.
     *
     * Output: (q_ppm, k, value), |qs| rows, ordered by q_ppm. */
   def exactQuantilesBisect(df: DataFrame, valueCol: String,
@@ -84,29 +83,56 @@ object Profile {
       .toDF("q_ppm", "k", "value")
     // k = max(1, ceil(q·n/10⁶)) in exact integer arithmetic
     val ks = qsPpm.map(q => math.max(1L, (q * n + 999999L) / 1000000L))
-    var lo = Array.fill(qsPpm.size)(head.getLong(1))
-    var hi = Array.fill(qsPpm.size)(head.getLong(2))
+    val lo = Array.fill(qsPpm.size)(head.getLong(1))
+    val hi = Array.fill(qsPpm.size)(head.getLong(2))
     while (lo.indices.exists(i => lo(i) < hi(i))) {
       val open = lo.indices.filter(i => lo(i) < hi(i))
-      // one scan counts every open bracket's midpoint simultaneously
-      val mids = open.map { i =>
-        // floor midpoint, safe for any long range (no (lo+hi)/2 overflow)
-        lo(i) + (hi(i) - lo(i)) / 2
-      }
+      // MULTI-WAY search: Fanout−1 evenly-spaced probes per open bracket
+      // in ONE scan — rounds drop from log₂ range to log_Fanout range
+      // (~10 instead of ~39 for a µ-money domain); counters stay trivial
+      val probes = open.map(i => probePoints(lo(i), hi(i)))
+      val flat = probes.flatten
       val counts = base.agg(
-          count(when(col("_v") <= mids.head, 1)),
-          open.tail.zipWithIndex.map { case (_, j) =>
-            count(when(col("_v") <= mids(j + 1), 1)) }: _*)
+          count(when(col("_v") <= flat.head, 1)),
+          flat.tail.map(p => count(when(col("_v") <= p, 1))): _*)
         .collect()(0)
-      open.zipWithIndex.foreach { case (i, j) =>
-        // rank(mid) ≥ k ⇒ the k-th order statistic is ≤ mid
-        if (counts.getLong(j) >= ks(i)) hi(i) = mids(j)
-        else lo(i) = mids(j) + 1
+      var off = 0
+      open.zip(probes).foreach { case (i, ps) =>
+        // smallest probe whose rank reaches k bounds the order statistic
+        val cs = ps.indices.map(j => counts.getLong(off + j))
+        off += ps.length
+        narrow(lo, hi, i, ps, cs, ks(i))
       }
     }
     qsPpm.indices.map(i => (qsPpm(i), ks(i), lo(i)))
       .toDF("q_ppm", "k", "value")
       .orderBy(col("q_ppm"))
+  }
+
+  /** Probes-per-bracket for the multi-way search: Fanout−1 interior
+    * points — wide enough to cut a 2⁶³ domain in ~16 rounds, narrow
+    * enough that counters per scan stay negligible. */
+  private val Fanout = 16L
+
+  private def probePoints(lo: Long, hi: Long): Seq[Long] = {
+    val span = hi - lo // ≥ 1 by the caller's openness check
+    val step = math.max(1L, span / Fanout)
+    // strictly increasing probes in [lo, hi); lo itself is included so a
+    // span-1 bracket still gets one probe and always closes
+    (0L until Fanout).map(i => lo + step * i).filter(_ < hi).distinct
+  }
+
+  /** Shared narrowing rule: with probes p₁<…<p_m and their ranks, the
+    * k-th order statistic lies in (p_{j−1}, p_j] for the smallest j with
+    * rank(p_j) ≥ k — or above p_m when none reaches k. */
+  private def narrow(lo: Array[Long], hi: Array[Long], i: Int,
+                     ps: Seq[Long], cs: Seq[Long], k: Long): Unit = {
+    val j = cs.indexWhere(_ >= k)
+    if (j < 0) lo(i) = ps.last + 1
+    else {
+      hi(i) = ps(j)
+      if (j > 0) lo(i) = ps(j - 1) + 1
+    }
   }
 
   /** GROUPED [[exactQuantilesBisect]] for BOUNDED-cardinality group
@@ -141,13 +167,24 @@ object Profile {
     } yield Bracket(g, q, math.max(1L, (q * n + 999999L) / 1000000L), mn, mx)
     while (brackets.exists(b => b.lo < b.hi)) {
       val open = brackets.filter(b => b.lo < b.hi)
-      val mids = open.map(b => b.lo + (b.hi - b.lo) / 2)
-      val counters = open.zip(mids).map { case (b, m) =>
-        count(when(col("_g") === lit(b.g) && col("_v") <= lit(m), 1))
+      // same multi-way probing as the ungrouped variant, one counter per
+      // (open bracket, probe) in a single scan
+      val probes = open.map(b => probePoints(b.lo, b.hi))
+      val counters = open.zip(probes).flatMap { case (b, ps) =>
+        ps.map(p =>
+          count(when(col("_g") === lit(b.g) && col("_v") <= lit(p), 1)))
       }
       val row = base.agg(counters.head, counters.tail: _*).collect()(0)
-      open.zip(mids).zipWithIndex.foreach { case ((b, m), j) =>
-        if (row.getLong(j) >= b.k) b.hi = m else b.lo = m + 1
+      var off = 0
+      open.zip(probes).foreach { case (b, ps) =>
+        val cs = ps.indices.map(j => row.getLong(off + j))
+        off += ps.length
+        val j = cs.indexWhere(_ >= b.k)
+        if (j < 0) b.lo = ps.last + 1
+        else {
+          b.hi = ps(j)
+          if (j > 0) b.lo = ps(j - 1) + 1
+        }
       }
     }
     brackets.map(b => (b.g, b.qPpm, b.k, b.lo))
