@@ -115,11 +115,14 @@ object Profile {
   private val Fanout = 16L
 
   private def probePoints(lo: Long, hi: Long): Seq[Long] = {
-    val span = hi - lo // ≥ 1 by the caller's openness check
-    val step = math.max(1L, span / Fanout)
+    // BigInt: `hi - lo` overflows signed long when the bracket spans most
+    // of the long domain (a min/max pair near ±2⁶³ — nothing stops a
+    // caller's column from containing both)
+    val step = ((BigInt(hi) - BigInt(lo)) / Fanout).max(1)
     // strictly increasing probes in [lo, hi); lo itself is included so a
     // span-1 bracket still gets one probe and always closes
-    (0L until Fanout).map(i => lo + step * i).filter(_ < hi).distinct
+    (0L until Fanout).map(i => BigInt(lo) + step * i)
+      .filter(p => p >= lo && p < hi).map(_.toLong).distinct
   }
 
   /** Shared narrowing rule: with probes p₁<…<p_m and their ranks, the

@@ -54,6 +54,18 @@ class ProfileSpec extends SparkSpec {
       Seq.empty[Long].toDF("v"), "v", Seq(500000L)).count() === 0L)
   }
 
+  test("exactQuantilesBisect: full-long-domain brackets converge (the " +
+      "hi-lo span overflows signed long)") {
+    import spark.implicits._
+    val vals = Seq(Long.MinValue, -7L, 0L, 9L, Long.MaxValue)
+    val got = Profile.exactQuantilesBisect(vals.toDF("v"), "v",
+        Seq(1L, 500000L, 1000000L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) === Long.MinValue)
+    assert(got(500000L) === 0L)
+    assert(got(1000000L) === Long.MaxValue)
+  }
+
   test("exactQuantilesBisectByGroup: per-group order statistics match a " +
       "per-group sort; groups of different sizes and ranges coexist") {
     import spark.implicits._
