@@ -697,6 +697,15 @@ object SparkEntry {
       s.sql(PricingSql)
     }),
 
+    // TPC-H Q6 shape — the canonical pushdown probe: every predicate
+    // reaches the parquet scan (date range, discount band, quantity cap),
+    // then one scalar aggregate; revenue floors per-row to µ BEFORE the
+    // order-free decimal sum (the q3 discipline)
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(ForecastRevenueSql)
+    }),
+
     // ---- training-data ops: dedup ---------------------------------------
     "dedup_exact" -> ((s, dir) => driverSafe(
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))),
@@ -2895,6 +2904,19 @@ object SparkEntry {
       |WHERE l_shipdate < TIMESTAMP '1999-01-01'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6 shape; the discount band uses ::DOUBLE on the DuckDB side
+    * (bare 0.05 is DECIMAL there) so both engines compare the same IEEE
+    * doubles; the three-way product is left-associated identically. */
+  private val ForecastRevenueSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount * 1000000) AS DECIMAL(38,0))), 0) AS BIGINT) AS revenue_us
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= CAST(0.05 AS DOUBLE)
+      |  AND l_discount <= CAST(0.07 AS DOUBLE)
+      |  AND l_quantity < 24""".stripMargin
+
   /** DuckDB equivalents. Keys must mirror `queries`; column names and array
     * orderings are aligned exactly (driver hash-compares after sorting
     * columns by name). Non-SQL-expressible ops (xxhash64-based LSH/SimHash,
@@ -3199,6 +3221,9 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, s_nationkey, NULL FROM supplier""".stripMargin,
 
     "q1_pricing" -> PricingSql.replace("\n", " "),
+
+    // the SAME SQL text runs on both engines (the q1 pattern)
+    "q6_forecast_revenue" -> ForecastRevenueSql.replace("\n", " "),
 
     "dedup_exact" ->
       (s"WITH t AS (SELECT doc_id, array_to_string($sqlToks, ' ') AS norm " +
