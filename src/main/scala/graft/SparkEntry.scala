@@ -557,7 +557,9 @@ object SparkEntry {
     // single repartitionByRange(z) write (SCALE.md)
     // skew-proof layout: quartile-rank each column FIRST, interleave the
     // 2-bit ranks — every z cell holds between-quantile mass, so files
-    // balance regardless of value skew (the documented 100 TB z-order prep)
+    // balance regardless of value skew (the documented 100 TB z-order
+    // prep). Quartiles via the sort-free lock-step bisection
+    // (Profile.exactQuantileValues) — no percentile aggregate in the plan
     "layout_rank_zorder" -> ((s, dir) =>
       Layout.rankZorderSpans(t(s, dir, "lineitem"), "l_extendedprice",
         "l_quantity")),
@@ -1014,8 +1016,9 @@ object SparkEntry {
       Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
         col("n_chars"), k = 50)),
 
-    // RFM segmentation: threshold quintiles from exact interpolated
-    // percentiles (scale-safe — no global ntile window; ties share buckets)
+    // RFM segmentation: threshold quintiles are exact type-1 quantiles
+    // from the sort-free lock-step bisection over the integer metrics —
+    // no percentile aggregate, no global ntile window; ties share buckets
     "events_rfm" -> ((s, dir) =>
       EventAnalytics.rfmSegments(events(s, dir), "user_id",
         unix_micros(col("ts")), col("value"),
@@ -3687,23 +3690,37 @@ object SparkEntry {
         |  / 281474976710656.0) / n_chars DESC, doc_id
         |LIMIT 50""".stripMargin,
 
-    // RFM: quantile_cont thresholds ≡ Spark percentile (the calibrate
-    // precedent); scores = 1 + #thresholds strictly below
+    // RFM: quintile thresholds are type-1 order statistics (k = ⌈q·n⌉,
+    // materialized by rank — the engine bisects to the same value) over
+    // the exact-integer metrics; scores = 1 + #thresholds strictly below
     "events_rfm" ->
       """WITH u AS (SELECT user_id,
-        |  CAST(max(epoch_us(ts)) AS DOUBLE) AS rec,
-        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS freq,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS rec,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS freq,
         |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
-        |           AS DECIMAL(18,6))) AS DOUBLE) AS mon
+        |           AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mon
         |  FROM events GROUP BY user_id),
+        |nn AS (SELECT count(*) AS n FROM u),
+        |q(q_ppm) AS (VALUES (200000), (400000), (600000), (800000)),
+        |kk AS (SELECT q_ppm, greatest(1, (q_ppm * n + 999999) // 1000000) AS k FROM q, nn),
+        |rr AS (SELECT rec AS v, row_number() OVER (ORDER BY rec) AS rn FROM u),
+        |rf AS (SELECT freq AS v, row_number() OVER (ORDER BY freq) AS rn FROM u),
+        |rm AS (SELECT mon AS v, row_number() OVER (ORDER BY mon) AS rn FROM u),
         |t AS (SELECT
-        |  quantile_cont(rec, 0.2) AS r0, quantile_cont(rec, 0.4) AS r1,
-        |  quantile_cont(rec, 0.6) AS r2, quantile_cont(rec, 0.8) AS r3,
-        |  quantile_cont(freq, 0.2) AS f0, quantile_cont(freq, 0.4) AS f1,
-        |  quantile_cont(freq, 0.6) AS f2, quantile_cont(freq, 0.8) AS f3,
-        |  quantile_cont(mon, 0.2) AS m0, quantile_cont(mon, 0.4) AS m1,
-        |  quantile_cont(mon, 0.6) AS m2, quantile_cont(mon, 0.8) AS m3
-        |  FROM u)
+        |  max(CASE WHEN q_ppm = 200000 THEN rr.v END) AS r0,
+        |  max(CASE WHEN q_ppm = 400000 THEN rr.v END) AS r1,
+        |  max(CASE WHEN q_ppm = 600000 THEN rr.v END) AS r2,
+        |  max(CASE WHEN q_ppm = 800000 THEN rr.v END) AS r3,
+        |  max(CASE WHEN q_ppm = 200000 THEN rf.v END) AS f0,
+        |  max(CASE WHEN q_ppm = 400000 THEN rf.v END) AS f1,
+        |  max(CASE WHEN q_ppm = 600000 THEN rf.v END) AS f2,
+        |  max(CASE WHEN q_ppm = 800000 THEN rf.v END) AS f3,
+        |  max(CASE WHEN q_ppm = 200000 THEN rm.v END) AS m0,
+        |  max(CASE WHEN q_ppm = 400000 THEN rm.v END) AS m1,
+        |  max(CASE WHEN q_ppm = 600000 THEN rm.v END) AS m2,
+        |  max(CASE WHEN q_ppm = 800000 THEN rm.v END) AS m3
+        |  FROM kk JOIN rr ON rr.rn = kk.k JOIN rf ON rf.rn = kk.k
+        |          JOIN rm ON rm.rn = kk.k)
         |SELECT user_id,
         |  1 + (rec > r0)::BIGINT + (rec > r1)::BIGINT + (rec > r2)::BIGINT + (rec > r3)::BIGINT AS r_score,
         |  1 + (freq > f0)::BIGINT + (freq > f1)::BIGINT + (freq > f2)::BIGINT + (freq > f3)::BIGINT AS f_score,
@@ -5087,20 +5104,32 @@ object SparkEntry {
 
     "layout_zorder" -> zorderOracleSql,
 
-    // quartile thresholds ≡ percentile; bit ops fully parenthesized
-    // (DuckDB's & and >> bind below =)
+    // quartile thresholds are type-1 order statistics of the µ-floored
+    // columns (k = ⌈q·n⌉, materialized by rank — the engine bisects to the
+    // same value); bit ops fully parenthesized (DuckDB's & and >> bind
+    // below =)
     "layout_rank_zorder" ->
-      ("WITH th AS (SELECT quantile_cont(l_extendedprice, 0.25) AS a1, " +
-        "quantile_cont(l_extendedprice, 0.5) AS a2, " +
-        "quantile_cont(l_extendedprice, 0.75) AS a3, " +
-        "quantile_cont(l_quantity, 0.25) AS b1, " +
-        "quantile_cont(l_quantity, 0.5) AS b2, " +
-        "quantile_cont(l_quantity, 0.75) AS b3 FROM lineitem), " +
-        "r AS (SELECT l_extendedprice AS a, l_quantity AS b, " +
-        "CASE WHEN l_extendedprice <= a1 THEN 0 WHEN l_extendedprice <= a2 THEN 1 " +
-        "WHEN l_extendedprice <= a3 THEN 2 ELSE 3 END AS ra, " +
-        "CASE WHEN l_quantity <= b1 THEN 0 WHEN l_quantity <= b2 THEN 1 " +
-        "WHEN l_quantity <= b3 THEN 2 ELSE 3 END AS rb FROM lineitem, th) " +
+      ("WITH t AS (SELECT l_extendedprice AS a, l_quantity AS b, " +
+        "CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS ua, " +
+        "CAST(floor(l_quantity * 1000000) AS BIGINT) AS ub FROM lineitem), " +
+        "nn AS (SELECT count(*) AS n FROM t), " +
+        "q(q_ppm) AS (VALUES (250000), (500000), (750000)), " +
+        "kk AS (SELECT q_ppm, greatest(1, (q_ppm * n + 999999) // 1000000) AS k FROM q, nn), " +
+        "rnka AS (SELECT ua AS v, row_number() OVER (ORDER BY ua) AS rn FROM t), " +
+        "rnkb AS (SELECT ub AS v, row_number() OVER (ORDER BY ub) AS rn FROM t), " +
+        "th AS (SELECT " +
+        "max(CASE WHEN q_ppm = 250000 THEN rnka.v END) AS a1, " +
+        "max(CASE WHEN q_ppm = 500000 THEN rnka.v END) AS a2, " +
+        "max(CASE WHEN q_ppm = 750000 THEN rnka.v END) AS a3, " +
+        "max(CASE WHEN q_ppm = 250000 THEN rnkb.v END) AS b1, " +
+        "max(CASE WHEN q_ppm = 500000 THEN rnkb.v END) AS b2, " +
+        "max(CASE WHEN q_ppm = 750000 THEN rnkb.v END) AS b3 " +
+        "FROM kk JOIN rnka ON rnka.rn = kk.k JOIN rnkb ON rnkb.rn = kk.k), " +
+        "r AS (SELECT a, b, " +
+        "CASE WHEN ua <= a1 THEN 0 WHEN ua <= a2 THEN 1 " +
+        "WHEN ua <= a3 THEN 2 ELSE 3 END AS ra, " +
+        "CASE WHEN ub <= b1 THEN 0 WHEN ub <= b2 THEN 1 " +
+        "WHEN ub <= b3 THEN 2 ELSE 3 END AS rb FROM t, th) " +
         "SELECT CAST((((ra >> 1) << 3) | ((rb >> 1) << 2) | ((ra & 1) << 1) | (rb & 1)) AS BIGINT) AS bucket, " +
         "count(*) AS n_rows, min(a) AS min_a, max(a) AS max_a, " +
         "min(b) AS min_b, max(b) AS max_b FROM r GROUP BY 1"),

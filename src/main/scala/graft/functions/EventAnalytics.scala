@@ -173,33 +173,37 @@ object EventAnalytics {
 
   /** RFM (recency / frequency / monetary) customer segmentation
     * (beyond-parity): per-user metrics scored into quintiles by EXACT
-    * interpolated-percentile thresholds — the corpus_calibrate-proven
-    * cross-engine primitive (`percentile` ≡ `quantile_cont`) — instead of
-    * a global `ntile`, which would both funnel every user through one
-    * window reducer AND split tied users arbitrarily. Here ties share a
-    * bucket (score = 1 + #thresholds strictly below), the assignment is a
-    * broadcast compare against a 1-row threshold frame, and the only
-    * data-sized shuffle is the per-user collapse. */
+    * type-1 quantile thresholds, instead of a global `ntile`, which would
+    * both funnel every user through one window reducer AND split tied
+    * users arbitrarily. Here ties share a bucket (score = 1 + #thresholds
+    * strictly below).
+    *
+    * All three metrics are exact integers (µs recency, purchase count,
+    * µ-unit monetary from the DECIMAL sum), so the quintile cuts come
+    * from [[Profile.exactQuantileValues]] — the sort-free value-domain
+    * bisection, all 12 (metric, quantile) brackets searched in lock-step
+    * over ONE persisted 3-long-column projection of the per-user frame.
+    * The thresholds fold into the scoring CASE as LITERALS: no
+    * `percentile` single-buffer sort anywhere, and the only data-sized
+    * shuffle is the per-user collapse — the oracle-checked plan is the
+    * 100 TB plan. */
   def rfmSegments(events: DataFrame, userId: String, tsUs: Column,
                   value: Column, isPurchase: Column): DataFrame = {
     val perUser = events.groupBy(col(userId).as("user_id"))
-      .agg(max(tsUs).cast("double").as("_rec"),
-        sum(isPurchase.cast("long")).cast("double").as("_freq"),
-        sum(when(isPurchase, value).otherwise(lit(0.0))
-          .cast(DecimalType(18, 6))).cast("double").as("_mon"))
-    val qs = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex
-    val thAggs =
-      qs.map { case (q, i) => percentile(col("_rec"), lit(q)).as(s"_r$i") } ++
-        qs.map { case (q, i) => percentile(col("_freq"), lit(q)).as(s"_f$i") } ++
-        qs.map { case (q, i) => percentile(col("_mon"), lit(q)).as(s"_m$i") }
-    val th = perUser.agg(thAggs.head, thAggs.tail: _*)
-    def score(m: Column, pre: String): Column =
-      qs.map { case (_, i) => (m > col(s"_$pre$i")).cast("long") }
+      .agg(max(tsUs).cast("long").as("_rec"),
+        sum(isPurchase.cast("long")).as("_freq"),
+        (sum(when(isPurchase, value).otherwise(lit(0.0))
+          .cast(DecimalType(18, 6))) * lit(1000000)).cast("long").as("_mon"))
+    val qs = Seq(200000L, 400000L, 600000L, 800000L)
+    val th = Profile.exactQuantileValues(
+      perUser, Seq("_rec", "_freq", "_mon"), qs)
+    def score(m: Column, c: String): Column =
+      qs.map(q => (m > th((c, q))).cast("long"))
         .foldLeft(lit(1L))(_ + _)
-    perUser.crossJoin(broadcast(th))
-      .withColumn("r_score", score(col("_rec"), "r"))
-      .withColumn("f_score", score(col("_freq"), "f"))
-      .withColumn("m_score", score(col("_mon"), "m"))
+    perUser
+      .withColumn("r_score", score(col("_rec"), "_rec"))
+      .withColumn("f_score", score(col("_freq"), "_freq"))
+      .withColumn("m_score", score(col("_mon"), "_mon"))
       .select(col("user_id"), col("r_score"), col("f_score"), col("m_score"),
         concat_ws("-", col("r_score"), col("f_score"), col("m_score"))
           .as("segment"))

@@ -81,8 +81,7 @@ object Profile {
     val n = head.getLong(0)
     if (n == 0) return Seq.empty[(Long, Long, Long)]
       .toDF("q_ppm", "k", "value")
-    // k = max(1, ceil(q·n/10⁶)) in exact integer arithmetic
-    val ks = qsPpm.map(q => math.max(1L, (q * n + 999999L) / 1000000L))
+    val ks = qsPpm.map(q => kOf(q, n))
     val lo = Array.fill(qsPpm.size)(head.getLong(1))
     val hi = Array.fill(qsPpm.size)(head.getLong(2))
     while (lo.indices.exists(i => lo(i) < hi(i))) {
@@ -107,6 +106,71 @@ object Profile {
     qsPpm.indices.map(i => (qsPpm(i), ks(i), lo(i)))
       .toDF("q_ppm", "k", "value")
       .orderBy(col("q_ppm"))
+  }
+
+  /** k = max(1, ⌈q·n/10⁶⌉) in overflow-safe arithmetic: q·n exceeds a
+    * signed long once n passes ~9.2e12 rows at q→10⁶ — and ~10¹³ rows is
+    * exactly the population this operator is pitched at (probePoints
+    * already guards the analogous bracket-width overflow with BigInt). */
+  private def kOf(qPpm: Long, n: Long): Long =
+    ((BigInt(qPpm) * n + 999999) / 1000000).max(1).toLong
+
+  /** Driver-side values form of the bisect, several columns of ONE frame
+    * in lock-step: a single projected base is persisted and feeds every
+    * round, and each round runs one aggregate carrying the probes of
+    * every still-open (column, quantile) bracket — so quartiling N
+    * columns costs the same ~log_Fanout(range) cheap scans as one.
+    *
+    * This is the threshold engine behind
+    * [[graft.operators.Layout.rankZorderSpans]] and
+    * [[EventAnalytics.rfmSegments]]: the cut points come back as plain
+    * Scala values and fold into the per-row CASE as LITERALS, so the
+    * oracle-checked plan carries no `percentile` aggregate (no
+    * single-buffer sort) anywhere — the small-SF plan IS the 100 TB plan.
+    *
+    * Columns must be integral-typed (callers µ-floor doubles first) and
+    * each must have ≥1 non-null row. Returns (column, q_ppm) → type-1
+    * quantile value. */
+  def exactQuantileValues(df: DataFrame, valueCols: Seq[String],
+                          qsPpm: Seq[Long]): Map[(String, Long), Long] = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
+      s"quantiles must be in (0, 1] ppm: $qsPpm")
+    val base = df
+      .select(valueCols.map(c => col(c).cast("long").as(c)): _*)
+      .persist()
+    try {
+      val headAggs = valueCols.flatMap(c =>
+        Seq(count(col(c)), min(col(c)), max(col(c))))
+      val head = base.agg(headAggs.head, headAggs.tail: _*).collect()(0)
+      case class B(c: String, q: Long, k: Long, var lo: Long, var hi: Long)
+      val brackets = valueCols.zipWithIndex.flatMap { case (c, ci) =>
+        val n = head.getLong(3 * ci)
+        require(n > 0, s"column $c has no non-null rows")
+        qsPpm.map(q =>
+          B(c, q, kOf(q, n), head.getLong(3 * ci + 1), head.getLong(3 * ci + 2)))
+      }
+      while (brackets.exists(b => b.lo < b.hi)) {
+        val open = brackets.filter(b => b.lo < b.hi)
+        val probes = open.map(b => probePoints(b.lo, b.hi))
+        val counters = open.zip(probes).flatMap { case (b, ps) =>
+          ps.map(p => count(when(col(b.c) <= p, 1)))
+        }
+        val row = base.agg(counters.head, counters.tail: _*).collect()(0)
+        var off = 0
+        open.zip(probes).foreach { case (b, ps) =>
+          val cs = ps.indices.map(j => row.getLong(off + j))
+          off += ps.length
+          val j = cs.indexWhere(_ >= b.k)
+          if (j < 0) b.lo = ps.last + 1
+          else {
+            b.hi = ps(j)
+            if (j > 0) b.lo = ps(j - 1) + 1
+          }
+        }
+      }
+      brackets.map(b => (b.c, b.q) -> b.lo).toMap
+    } finally base.unpersist(false)
   }
 
   /** Probes-per-bracket for the multi-way search: Fanout−1 interior
@@ -167,7 +231,7 @@ object Profile {
     val brackets = for {
       (g, (n, mn, mx)) <- heads.toSeq
       q <- qsPpm
-    } yield Bracket(g, q, math.max(1L, (q * n + 999999L) / 1000000L), mn, mx)
+    } yield Bracket(g, q, kOf(q, n), mn, mx)
     while (brackets.exists(b => b.lo < b.hi)) {
       val open = brackets.filter(b => b.lo < b.hi)
       // same multi-way probing as the ungrouped variant, one counter per

@@ -124,23 +124,36 @@ object Layout {
     * [[zBucketSpans]] and the documented 100 TB prep: raw value
     * interleaving lets a skewed column crowd the curve (most rows share
     * the top bits and one file takes everything), so each column is first
-    * bucketed by its own exact quartiles (`percentile` ≡ `quantile_cont`,
-    * the calibrate precedent; `approx_percentile` at scale) into a 2-bit
-    * rank, and the CURVE interleaves the ranks. By construction every
-    * z cell holds between-the-quantiles mass — balanced files regardless
-    * of value distribution. Thresholds are one 1-row broadcast; the rest
-    * is a per-row CASE + bit arithmetic + one bucket aggregate. */
+    * bucketed by its own EXACT quartiles into a 2-bit rank, and the CURVE
+    * interleaves the ranks. By construction every z cell holds
+    * between-the-quantiles mass — balanced files regardless of value
+    * distribution.
+    *
+    * The quartiles come from
+    * [[graft.functions.Profile.exactQuantileValues]] — the sort-free
+    * value-domain bisection, both columns searched in lock-step over one
+    * persisted 2-column µ-unit projection (`floor(v·10⁶)` makes the
+    * double columns integral; floor of the bit-identical double is
+    * cross-engine-safe). So the thresholds cost ~10 conditional-count
+    * scans of a cached long pair — never a single-buffer `percentile`
+    * sort — and the final plan is a per-row CASE over LITERAL cut points
+    * + bit arithmetic + one bucket aggregate. The oracle-checked plan is
+    * itself the 100 TB plan. */
   def rankZorderSpans(df: DataFrame, a: String, b: String): DataFrame = {
-    def pct(c: String, p: Double) = percentile(col(c), lit(p))
-    val th = df.agg(
-      pct(a, 0.25).as("_a1"), pct(a, 0.5).as("_a2"), pct(a, 0.75).as("_a3"),
-      pct(b, 0.25).as("_b1"), pct(b, 0.5).as("_b2"), pct(b, 0.75).as("_b3"))
-    def rank(v: Column, t1: Column, t2: Column, t3: Column): Column =
-      when(v <= t1, 0L).when(v <= t2, 1L).when(v <= t3, 2L).otherwise(3L)
-    df.crossJoin(broadcast(th))
-      .select(col(a), col(b),
-        rank(col(a), col("_a1"), col("_a2"), col("_a3")).as("_ra"),
-        rank(col(b), col("_b1"), col("_b2"), col("_b3")).as("_rb"))
+    val mu = df.select(col(a), col(b),
+      floor(col(a) * lit(1000000d)).as("_ua"),
+      floor(col(b) * lit(1000000d)).as("_ub"))
+    val qs = Seq(250000L, 500000L, 750000L)
+    val th = graft.functions.Profile.exactQuantileValues(
+      mu, Seq("_ua", "_ub"), qs)
+    def rank(u: Column, c: String): Column =
+      when(u <= th((c, qs(0))), 0L)
+        .when(u <= th((c, qs(1))), 1L)
+        .when(u <= th((c, qs(2))), 2L)
+        .otherwise(3L)
+    mu.select(col(a), col(b),
+        rank(col("_ua"), "_ua").as("_ra"),
+        rank(col("_ub"), "_ub").as("_rb"))
       .select(col(a), col(b),
         (shiftleft(shiftright(col("_ra"), 1), 3)
           .bitwiseOR(shiftleft(shiftright(col("_rb"), 1), 2))

@@ -84,4 +84,28 @@ class ProfileSpec extends SparkSpec {
     assert(got(("b", 500000L)) === ((2L, 7L)))
     assert(got(("b", 1000000L)) === ((3L, 1000000L)))
   }
+
+  test("exactQuantileValues: lock-step multi-column search matches " +
+      "per-column sorted order statistics, nulls excluded per column") {
+    import spark.implicits._
+    val xs = Seq(5L, 1L, 9L, 9L, 2L, 7L, 100L, -4L)
+    val ys = Seq(10L, 30L, 20L, 40L, 50L, 60L, 70L, 80L)
+    val rows = xs.map(Option(_)).zip(ys.map(Option(_))) :+
+      ((None: Option[Long], Some(999L))) // null x row: y still counts
+    val got = Profile.exactQuantileValues(rows.toDF("x", "y"),
+      Seq("x", "y"), Seq(250000L, 500000L, 750000L, 1000000L))
+    def expect(vs: Seq[Long], q: Long): Long = {
+      val k = math.max(1L, (q * vs.size + 999999L) / 1000000L)
+      vs.sorted.apply((k - 1).toInt)
+    }
+    val ysAll = ys :+ 999L
+    Seq(250000L, 500000L, 750000L, 1000000L).foreach { q =>
+      assert(got(("x", q)) === expect(xs, q), s"x q=$q")
+      assert(got(("y", q)) === expect(ysAll, q), s"y q=$q")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.exactQuantileValues(
+        Seq((Option.empty[Long], 1L)).toDF("x", "y"), Seq("x"), Seq(500000L))
+    }
+  }
 }

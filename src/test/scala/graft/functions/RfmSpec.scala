@@ -46,4 +46,16 @@ class RfmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(out.size === 1)
   }
+
+  test("rfm plan carries NO percentile aggregate — quintile thresholds " +
+      "are bisected literals (the 100 TB plan is the plan)") {
+    val ev = (1L to 40L).map(u => (u, u * 10L, "purchase", u * 2.0))
+      .toDF("user_id", "ts_us", "event_type", "value")
+    val df = EventAnalytics.rfmSegments(ev, "user_id", col("ts_us"),
+      col("value"), col("event_type") === "purchase")
+    val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("percentile"),
+      s"threshold percentile leaked back into the plan:\n$plan")
+    assert(df.count() === 40L)
+  }
 }

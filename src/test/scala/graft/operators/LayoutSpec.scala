@@ -131,4 +131,14 @@ class LayoutSpec extends SparkSpec {
       s"rank z-order must not crowd one cell: $out")
     assert(out.values.sum === 400L)
   }
+
+  test("rankZorderSpans plan carries NO percentile aggregate — the " +
+      "thresholds are bisected literals (the 100 TB plan is the plan)") {
+    val rows = (1 to 100).map(i => (i * 1.5, (i % 10).toDouble))
+    val df = Layout.rankZorderSpans(rows.toDF("a", "b"), "a", "b")
+    val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("percentile"),
+      s"threshold percentile leaked back into the plan:\n$plan")
+    assert(df.collect().map(_.getLong(1)).sum === 100L)
+  }
 }
