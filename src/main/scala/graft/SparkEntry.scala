@@ -2252,6 +2252,28 @@ object SparkEntry {
       Multimodal.sceneChanges(
         Multimodal.syntheticMedia(t(s, dir, "documents")))),
 
+    // AUDIO near-dup via the 60-bit energy-envelope fingerprint: real WAV
+    // decode → per-window |PCM| share sign hash → the same simhash band
+    // join as the image path; oracle recomputes the hash from the
+    // generator's sample formula and brute-forces pairs
+    "media_audio_dedup" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Multimodal.audioFingerprint(
+          Multimodal.syntheticMedia(t(s, dir, "documents"))),
+        "media_id", "ahash", hammingMax = 3, maxBucket = 1000000)
+        .withColumn("hamming", col("hamming").cast("long"))),
+
+    // VIDEO near-dup: per-frame 60-segment blockhash, clip signature =
+    // majority vote across frames (trim-robust), banded pair join; the
+    // oracle rebuilds every frame hash and the vote from the generator's
+    // byte formula and brute-forces pairs
+    "media_video_dedup" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Multimodal.videoFingerprint(
+          Multimodal.syntheticMedia(t(s, dir, "documents"))),
+        "media_id", "vhash", hammingMax = 3, maxBucket = 1000000)
+        .withColumn("hamming", col("hamming").cast("long"))),
+
     // ---- events: windowed agg, sessionization, streaming ----------------
     "events_window" -> ((s, dir) => driverSafe(
       EventStream.windowedAgg(
@@ -4802,6 +4824,46 @@ object SparkEntry {
         "CAST(sad * 1000 // fb AS BIGINT) AS diff_milli, " +
         "CAST(CASE WHEN sad * 1000 // fb >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS is_cut " +
         "FROM pr"),
+
+    // energy-envelope hash recomputed from the generator's sample formula;
+    // pairs BRUTE-FORCE (no banding) — equality with the banded engine
+    // path is the pigeonhole-recall guarantee at hamming ≤ 3
+    "media_audio_dedup" ->
+      ("WITH aud AS (SELECT doc_id AS id, 8*(10 + doc_id % 50) AS n " +
+        "FROM documents WHERE doc_id % 3 = 1), " +
+        "hb AS (SELECT id, n, " +
+        "list_sum(list_transform(range(0, n), k -> abs(((id*13 + k*97) % 65536) - 32768))) AS total FROM aud), " +
+        "ph AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), s -> " +
+        "CASE WHEN list_sum(list_transform(range(s*n//60, (s+1)*n//60), k -> abs(((id*13 + k*97) % 65536) - 32768))) * n " +
+        "> total * ((s+1)*n//60 - s*n//60) " +
+        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS ahash FROM hb) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming " +
+        "FROM ph a JOIN ph b ON a.id < b.id " +
+        "WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"),
+
+    // every frame hash + the majority vote rebuilt from the byte formula;
+    // empty 60-segments (fb < 60) yield NULL list_sum → CASE falls to 0,
+    // matching the engine's empty-segment bit 0
+    "media_video_dedup" ->
+      ("WITH vid AS (SELECT doc_id AS id, 4 + doc_id % 8 AS w, " +
+        "4 + doc_id % 6 AS h, 2 + doc_id % 5 AS nf " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "fr AS (SELECT id, nf, 3*w*h AS fb, unnest(range(0, nf)) AS f FROM vid), " +
+        "ft AS (SELECT id, nf, fb, f, " +
+        "list_sum(list_transform(range(0, fb), j -> (id*7 + f*1009 + j) % 256)) AS total FROM fr), " +
+        "fh AS (SELECT id, nf, CAST(list_sum(list_transform(range(0, 60), s -> " +
+        "CASE WHEN list_sum(list_transform(range(s*fb//60, (s+1)*fb//60), j -> (id*7 + f*1009 + j) % 256)) * fb " +
+        "> total * ((s+1)*fb//60 - s*fb//60) " +
+        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS fhash FROM ft), " +
+        "vh0 AS (SELECT id, nf, list(fhash) AS hs FROM fh GROUP BY id, nf), " +
+        "vh AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), s -> " +
+        "CASE WHEN 2 * len(list_filter(hs, x -> ((x >> s) & 1) = 1)) > nf " +
+        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS vhash FROM vh0) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming " +
+        "FROM vh a JOIN vh b ON a.id < b.id " +
+        "WHERE bit_count(xor(a.vhash, b.vhash)) <= 3"),
 
     "media_audio_quality" ->
       ("WITH aud AS (SELECT doc_id AS id, 8*(10 + doc_id % 50) AS n " +

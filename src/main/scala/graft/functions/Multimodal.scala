@@ -276,24 +276,117 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val (_, _, bytes) = bmpLogicalBytes(r.payload)
-          val n = bytes.length
-          var total = 0L
-          var i = 0
-          while (i < n) { total += bytes(i); i += 1 }
-          var hash = 0L
-          var s = 0
-          while (s < 60) {
-            val lo = (s.toLong * n / 60).toInt
-            val hi = ((s + 1).toLong * n / 60).toInt
-            var seg = 0L
-            var t = lo
-            while (t < hi) { seg += bytes(t); t += 1 }
-            if (seg * n > total * (hi - lo)) hash |= (1L << s)
-            s += 1
-          }
-          (r.media_id, hash)
+          (r.media_id, signHash60(bytes.map(_.toLong)))
         }
       }.toDF("media_id", "phash")
+  }
+
+  /** Shared 60-segment proportional-share sign hash — the kernel of every
+    * perceptual fingerprint here ([[imageBlockhash]] over pixel bytes,
+    * [[audioFingerprint]] over |PCM| energies, [[videoFingerprint]] per
+    * frame): values split into 60 equal segments [⌊s·n/60⌋, ⌊(s+1)·n/60⌋)
+    * and bit s is set iff the segment's sum exceeds its proportional
+    * share of the total — cross-multiplied (`segSum·n > total·segLen`),
+    * pure integer, no division, so the hash is bit-identical on any
+    * engine that can recompute the values. 60 bits (not 64) keeps every
+    * `1 << s` inside signed BIGINT on BOTH engines. */
+  private def signHash60(vals: Array[Long]): Long = {
+    val n = vals.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += vals(i); i += 1 }
+    var hash = 0L
+    var s = 0
+    while (s < 60) {
+      val lo = (s.toLong * n / 60).toInt
+      val hi = ((s + 1).toLong * n / 60).toInt
+      var seg = 0L
+      var t = lo
+      while (t < hi) { seg += vals(t); t += 1 }
+      if (seg * n > total * (hi - lo)) hash |= (1L << s)
+      s += 1
+    }
+    hash
+  }
+
+  /** 60-bit audio perceptual fingerprint of each AUDIO payload — the
+    * near-dup signature that catches re-encoded / re-dithered copies of a
+    * recording an exact byte hash misses: the decoded |PCM| stream
+    * (time-domain energy envelope) runs through [[signHash60]] — bit s
+    * says whether window s carries more than its proportional share of
+    * the clip's total energy. Loudness-proportional, so uniform gain
+    * changes preserve the hash; pair generation reuses the simhash
+    * 16-bit band join ([[Dedup.simhashPairs]], pigeonhole-exact at
+    * hamming ≤ 3), never all-pairs. A production swap-in would hash
+    * FFT band energies per window (chromaprint-style) — only the
+    * per-window value array changes, not the signature or join shape.
+    *
+    * `mapPartitions` justified as in [[extractFeatures]] (RIFF container
+    * walk). Output: (media_id, ahash). */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (b, dataPos, n, _) = wavPcm16(r.payload)
+          val abs = new Array[Long](n)
+          var k = 0
+          while (k < n) {
+            abs(k) = math.abs(b.getShort(dataPos + 2 * k).toInt).toLong
+            k += 1
+          }
+          (r.media_id, signHash60(abs))
+        }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** 60-bit video perceptual fingerprint of each VIDEO payload — catches
+    * re-encoded or lightly-trimmed duplicate clips that scene statistics
+    * miss: each decoded frame gets its own [[signHash60]] blockhash over
+    * its raster bytes, and the clip signature is the simhash-style
+    * MAJORITY VOTE across frames (bit s set iff more than half the
+    * frames set it) — so a few inserted/dropped frames flip few
+    * signature bits, exactly the property a trim-robust near-dup key
+    * needs. Pairs via the same banded join as the other fingerprints.
+    *
+    * `mapPartitions` justified as in [[extractFeatures]] (RAWV container
+    * parse). Output: (media_id, vhash). */
+  def videoFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = r.payload
+          val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+          require(new String(p, 0, 4, "US-ASCII") == "RAWV", "not RAWV")
+          val w = b.getInt(4); val h = b.getInt(8)
+          val frames = b.getInt(12)
+          val fb = 3 * w * h
+          val bitVotes = new Array[Int](60)
+          var f = 0
+          while (f < frames) {
+            val vals = new Array[Long](fb)
+            var j = 0
+            while (j < fb) { vals(j) = (p(20 + f * fb + j) & 0xFF).toLong; j += 1 }
+            val fh = signHash60(vals)
+            var s = 0
+            while (s < 60) {
+              if (((fh >> s) & 1L) == 1L) bitVotes(s) += 1
+              s += 1
+            }
+            f += 1
+          }
+          var vhash = 0L
+          var s = 0
+          while (s < 60) {
+            if (2 * bitVotes(s) > frames) vhash |= (1L << s)
+            s += 1
+          }
+          (r.media_id, vhash)
+        }
+      }.toDF("media_id", "vhash")
   }
 
   /** Audio-quality gate over the decoded PCM stream — the speech-corpus

@@ -184,6 +184,76 @@ class MultimodalSpec extends SparkSpec {
     assert(flags === Set(0L, 1L))
   }
 
+  /** Shared 60-segment sign hash straight from a value array — the
+    * reference twin of Multimodal.signHash60, built independently here. */
+  private def refSignHash60(vals: Seq[Long]): Long = {
+    val n = vals.length
+    val total = vals.sum
+    (0 until 60).foldLeft(0L) { (acc, s) =>
+      val lo = (s.toLong * n / 60).toInt
+      val hi = ((s + 1).toLong * n / 60).toInt
+      val seg = vals.slice(lo, hi).sum
+      if (seg * n > total * (hi - lo)) acc | (1L << s) else acc
+    }
+  }
+
+  test("audioFingerprint: decoded-PCM hash equals the generator-formula " +
+      "hash; banded pairs equal brute force at hamming <= 3") {
+    val ids = (1L until 91L by 3L) // 30 audio rows
+    val many = ids.map(i => (i, "x", 1L)).toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.syntheticMedia(many)
+    val got = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def refHash(id: Long): Long = {
+      val n = 8 * (10 + (id % 50).toInt)
+      refSignHash60((0 until n)
+        .map(k => math.abs(((id * 13 + k.toLong * 97) % 65536) - 32768)))
+    }
+    ids.foreach(i => assert(got(i) === refHash(i), s"id=$i"))
+    val banded = Dedup.simhashPairs(
+        Multimodal.audioFingerprint(media), "media_id", "ahash",
+        hammingMax = 3, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(refHash(a) ^ refHash(b)) if d <= 3
+    } yield (a, b)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the phase-shifted envelope family collides
+  }
+
+  test("videoFingerprint: per-frame blockhash + majority vote equals the " +
+      "generator formula; banded pairs equal brute force at hamming <= 3") {
+    val ids = (2L until 92L by 3L) // 30 video rows
+    val many = ids.map(i => (i, "x", 1L)).toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.syntheticMedia(many)
+    val got = Multimodal.videoFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def refHash(id: Long): Long = {
+      val w = 4 + (id % 8).toInt; val h = 4 + (id % 6).toInt
+      val fr = 2 + (id % 5).toInt; val fb = 3 * w * h
+      val frameHashes = (0 until fr).map { f =>
+        refSignHash60((0 until fb)
+          .map(j => (id * 7 + f.toLong * 1009 + j) % 256))
+      }
+      (0 until 60).foldLeft(0L) { (acc, s) =>
+        val votes = frameHashes.count(fh => ((fh >> s) & 1L) == 1L)
+        if (2 * votes > fr) acc | (1L << s) else acc
+      }
+    }
+    ids.foreach(i => assert(got(i) === refHash(i), s"id=$i"))
+    val banded = Dedup.simhashPairs(
+        Multimodal.videoFingerprint(media), "media_id", "vhash",
+        hammingMax = 3, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(refHash(a) ^ refHash(b)) if d <= 3
+    } yield (a, b)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("audioQuality: decoded counts equal the sample-formula counts") {
     val ids = Seq(1L, 4L, 7L, 10L, 49L)
     val many = ids.map(i => (i, "x", 1L)).toDF("doc_id", "text", "n_chars")
