@@ -138,10 +138,42 @@ object SparkEntry {
   private val checksLangSet = Seq("en", "es", "de", "fr")
   private val checksLangThresh = 900000L
   private val checksSourceRe = "^src[0-9]+$"
+  // text_html_extract: the synthesized crawl page — boilerplate nav, a
+  // link-farm "related" block, and a footer around the real text (which
+  // itself carries one legitimate inline link). Shared between the Spark
+  // query and the oracle so the template cannot drift.
+  private val htmlPre = "<html><head><title>Doc "
+  private val htmlMid =
+    "</title><style>.m{color:red}</style><script>var x=1;</script></head>" +
+      "<body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/topics\">Topics</a></nav><div>"
+  private val htmlPost =
+    " See <a href=\"/ref\">the reference guide</a> for details.</div>" +
+      "<div><a href=\"/a1\">Long related article title number one here</a> " +
+      "<a href=\"/a2\">Another long related article headline right here</a></div>" +
+      "<footer><a href=\"/tos\">Terms of Service</a> " +
+      "<a href=\"/privacy\">Privacy Policy</a> (c) Example Corp</footer>" +
+      "</body></html>"
+  private val htmlMaxLinkPpm = 300000L
+  private val htmlMinChars = 25
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  /** DuckDB twin of [[graft.functions.Html.visibleText]] over expression
+    * `x`: tags → space, entity decode in Html.Entities order (`&amp;`
+    * last), whitespace collapse, trim. Patterns interpolate from the SAME
+    * constants the engine compiles, so the two sides cannot drift. */
+  private def sqlVisible(x: String): String = {
+    val decoded = Html.Entities.foldLeft(
+      s"regexp_replace($x, '${Html.TagRe}', ' ', 'g')") {
+      case (acc, (from, to)) =>
+        val toQ = if (to == "'") "''" else to
+        s"replace($acc, '$from', '$toQ')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
 
   /** Shared DuckDB CTE prefix for the DSIR oracles: tokens → hashed
     * unigram+bigram buckets → target (src0) / raw counts → per-raw-doc
@@ -1768,6 +1800,23 @@ object SparkEntry {
     "text_readability" -> ((s, dir) =>
       TextFunctions.readabilityByGroup(t(s, dir, "documents"),
         col("source"), col("text"))),
+
+    // HTML boilerplate extraction: synthesized crawl pages (nav + link
+    // farm + footer around the real text), main content kept by the
+    // integer-ppm link-density × min-length block rule — all native
+    // regexp/HOF expressions, no UDF; the oracle reruns the same
+    // patterns under RE2
+    "text_html_extract" -> ((s, dir) => {
+      val html = concat(lit(htmlPre), col("doc_id").cast("string"),
+        lit(htmlMid), col("text"), lit(htmlPost))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("_h"))
+        .select(col("doc_id"),
+          Html.title(col("_h")).as("title"),
+          Html.mainContent(col("_h"), htmlMaxLinkPpm, htmlMinChars)
+            .as("main_text"))
+        .withColumn("main_chars", length(col("main_text")).cast("long"))
+    }),
 
     // grouped exact percentiles: per-language length quartiles (the
     // calibrate machinery, stratified — approx_percentile at 100 TB)
@@ -4475,6 +4524,24 @@ object SparkEntry {
         "SELECT kk.lang AS lang, kk.q_ppm, CAST(kk.k AS BIGINT) AS k, r.v AS value " +
         "FROM kk JOIN r ON r.lang = kk.lang AND r.rn = kk.k " +
         "ORDER BY kk.lang, q_ppm"),
+
+    // same template, same RE2-safe patterns (shared constants), same
+    // integer-ppm link-density block rule; array_to_string of an empty
+    // kept list COALESCEs to '' to match Spark's array_join
+    "text_html_extract" -> {
+      val vx = sqlVisible("x")
+      val anchors = "COALESCE(array_to_string(regexp_extract_all(x, '" +
+        Html.AnchorRe + "', 1), ' '), '')"
+      val vAnchor = sqlVisible(anchors)
+      s"WITH h AS (SELECT doc_id, '$htmlPre' || doc_id || '$htmlMid' || text || '$htmlPost' AS html FROM documents), " +
+        s"c AS (SELECT doc_id, html, regexp_replace(regexp_replace(html, '${Html.DropContentRe}', ' ', 'g'), '${Html.CommentRe}', ' ', 'g') AS clean FROM h), " +
+        s"k AS (SELECT doc_id, html, list_filter(string_split_regex(clean, '${Html.BlockCloseRe}'), x -> " +
+        s"len($vx) >= $htmlMinChars AND len($vAnchor) * 1000000 <= len($vx) * $htmlMaxLinkPpm) AS kept FROM c), " +
+        s"m AS (SELECT doc_id, ${sqlVisible(s"regexp_extract(html, '${Html.TitleRe}', 1)")} AS title, " +
+        "COALESCE(array_to_string(list_transform(kept, x -> " + vx +
+        "), chr(10)), '') AS main_text FROM k) " +
+        "SELECT doc_id, title, main_text, CAST(len(main_text) AS BIGINT) AS main_chars FROM m"
+    },
 
     // each FK term is its own integer floor division; the mean of the
     // (possibly negative) grade sum uses the shared pmod-floor form
