@@ -156,6 +156,17 @@ object SparkEntry {
       "</body></html>"
   private val htmlMaxLinkPpm = 300000L
   private val htmlMinChars = 25
+  // corpus_url_canonical: synthesized crawl URLs — mixed-case scheme and
+  // host, default port, www., per-doc tracking params, shuffled params,
+  // fragment, trailing slash. The item key folds doc_id (mod 50) so
+  // re-crawl twins of the same article share a canonical URL while every
+  // RAW url stays unique.
+  private val urlP1 = "HTTP://WWW."            // || source ||
+  private val urlP2 = ".Example.COM:80/Articles/" // || doc_id % 7 ||
+  private val urlP3 = "/item-"                 // || doc_id % 30 ||
+  private val urlP4 = "/?utm_source=feed"      // || doc_id ||
+  private val urlP5 = "&ref=tw&b=2&a=1#s"      // || doc_id
+  private val urlDomainCap = 20L
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
@@ -1800,6 +1811,21 @@ object SparkEntry {
     "text_readability" -> ((s, dir) =>
       TextFunctions.readabilityByGroup(t(s, dir, "documents"),
         col("source"), col("text"))),
+
+    // URL canonicalization + per-domain crawl caps: lowercase scheme/host,
+    // strip default port / www. / fragment / tracking params, sort the
+    // survivors, trim trailing slashes — then the per-host report counts
+    // exact re-crawl twins (same canonical, different raw spelling) and
+    // the overshoot past the per-domain cap
+    "corpus_url_canonical" -> ((s, dir) => {
+      val raw = concat(lit(urlP1), col("source"), lit(urlP2),
+        (col("doc_id") % 7).cast("string"), lit(urlP3),
+        (col("doc_id") % 30).cast("string"), lit(urlP4),
+        col("doc_id").cast("string"), lit(urlP5),
+        col("doc_id").cast("string"))
+      Urls.domainReport(t(s, dir, "documents").select(raw.as("url")),
+        "url", urlDomainCap)
+    }),
 
     // HTML boilerplate extraction: synthesized crawl pages (nav + link
     // farm + footer around the real text), main content kept by the
@@ -4524,6 +4550,30 @@ object SparkEntry {
         "SELECT kk.lang AS lang, kk.q_ppm, CAST(kk.k AS BIGINT) AS k, r.v AS value " +
         "FROM kk JOIN r ON r.lang = kk.lang AND r.rn = kk.k " +
         "ORDER BY kk.lang, q_ppm"),
+
+    // canonicalization rerun under RE2 from the SAME regex constants;
+    // rtrim(x, '/') strips all trailing slashes in both engines
+    "corpus_url_canonical" ->
+      (s"WITH u AS (SELECT '$urlP1' || source || '$urlP2' || (doc_id % 7) || '$urlP3' || (doc_id % 30) || '$urlP4' || doc_id || '$urlP5' || doc_id AS url FROM documents), " +
+        s"nf AS (SELECT regexp_replace(url, '${Urls.FragmentRe}', '', 'g') AS n FROM u), " +
+        s"parts AS (SELECT lower(regexp_extract(n, '${Urls.SchemeRe}', 1)) AS scheme, " +
+        s"lower(regexp_extract(n, '${Urls.HostRe}', 1)) AS hostport, " +
+        s"regexp_extract(n, '${Urls.RestRe}', 1) AS pathq FROM nf), " +
+        s"withq AS (SELECT scheme, hostport, pathq, " +
+        s"list_sort(list_filter(string_split(regexp_extract(pathq, '\\?(.*)', 1), '&'), " +
+        s"p -> p <> '' AND NOT regexp_matches(p, '${Urls.TrackingParamRe}'))) AS ps FROM parts), " +
+        s"canon AS (SELECT scheme || '://' || " +
+        s"regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, '${Urls.HttpPortRe}', '') " +
+        s"WHEN scheme = 'https' THEN regexp_replace(hostport, '${Urls.HttpsPortRe}', '') " +
+        s"ELSE hostport END, '${Urls.WwwRe}', '') || " +
+        "(CASE WHEN rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/') = '' THEN '/' " +
+        "ELSE rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/') END) || " +
+        "(CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS cu FROM withq) " +
+        s"SELECT lower(regexp_extract(cu, '${Urls.HostRe}', 1)) AS host, " +
+        "count(*) AS n_docs, count(DISTINCT cu) AS n_canonical, " +
+        "CAST(count(*) - count(DISTINCT cu) AS BIGINT) AS n_dup, " +
+        s"CAST(greatest(count(*) - $urlDomainCap, 0) AS BIGINT) AS suggested_drop " +
+        "FROM canon GROUP BY 1"),
 
     // same template, same RE2-safe patterns (shared constants), same
     // integer-ppm link-density block rule; array_to_string of an empty
