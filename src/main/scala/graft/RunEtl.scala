@@ -35,7 +35,14 @@ object RunEtl {
       val client = new FsEsClient(
         java.nio.file.Paths.get(positional0.last))
       EsControl.restore(client, alias) match {
-        case Some(idx) => println(s"restored $alias -> $idx"); return
+        case Some(idx) =>
+          // rewind the S11 stamp: it was written by the publish being
+          // rolled back, and would otherwise gate-skip the fix-forward
+          // run when sources/config are unchanged (forcing --force)
+          client.clearTimestamp(alias)
+          println(s"restored $alias -> $idx (incremental stamp cleared — " +
+            "next publish will run)")
+          return
         case None => sys.error(s"no ${alias}_backup index to restore")
       }
     }

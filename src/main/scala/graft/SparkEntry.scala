@@ -2449,11 +2449,15 @@ object SparkEntry {
     // semi-structured props profiling: the reference's `_props` JSON
     // pattern (S3) applied to the event stream — native JsonToStructs
     // (codegen'd, no UDF) feeding one hash aggregate
+    // string-path extraction + cast (get_json_object ≡ DuckDB
+    // json_extract_string): a string-valued "5" parses to 5 on BOTH
+    // sides — from_json('k BIGINT') would null it in Spark only.
+    // Residual divergence: MALFORMED props null here but error in DuckDB
+    // (the harness generator only emits well-formed JSON)
     "events_props_profile" -> ((s, dir) =>
       events(s, dir)
         .select(col("event_type"),
-          from_json(col("props"), "k BIGINT",
-            Map.empty[String, String]).getField("k").as("k"))
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           count(col("k")).as("n_with_k"),

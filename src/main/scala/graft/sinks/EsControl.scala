@@ -16,9 +16,16 @@ trait EsClient {
   /** Atomically re-point `alias` from `old` (possibly empty) to `target`. */
   def flipAlias(alias: String, old: Seq[String], target: String): Unit
   def deleteIndex(name: String): Unit
-  /** Server-side copy of every document (and its mapping) from `source`
-    * into `target` — the `_reindex` API on a live cluster. */
+  /** Server-side copy of every DOCUMENT from `source` into `target` — the
+    * `_reindex` API on a live cluster. A live `_reindex` does NOT carry
+    * the source mapping (the target's own mapping — or dynamic mapping —
+    * applies), so callers that need mapping fidelity must create the
+    * target from [[getMapping]] first, as `EsControl.backup`/`restore`
+    * do. */
   def reindex(source: String, target: String): Unit
+  /** The index's current mapping JSON (ES `get_mapping`); "{}" when the
+    * index has none. */
+  def getMapping(index: String): String
   /** Tag `index` with `alias` WITHOUT disturbing the alias's other
     * targets (ES `put_alias`). */
   def addAlias(index: String, alias: String): Unit
@@ -87,7 +94,10 @@ object EsControl {
       val bAlias = backupAlias(alias)
       val prior = client.aliasTargets(bAlias)
       val target = nextBackupName(client, alias)
-      client.createIndex(target, "{}")
+      // create the backup with the SOURCE's actual mapping: a live-ES
+      // _reindex does not carry mappings, and restoring into a
+      // dynamically-mapped index drifts field types (text vs keyword)
+      client.createIndex(target, client.getMapping(src))
       client.reindex(src, target)
       prior.foreach(p => client.removeAlias(p, bAlias))
       client.addAlias(target, bAlias)
@@ -104,7 +114,9 @@ object EsControl {
   def restore(client: EsClient, alias: String): Option[String] =
     client.aliasTargets(backupAlias(alias)).headOption.map { b =>
       val target = nextVersion(client.indices(), alias)
-      client.createIndex(target, "{}")
+      // same mapping-fidelity rule as backup(): the restored live index
+      // gets the backup's real mapping, not dynamic mapping
+      client.createIndex(target, client.getMapping(b))
       client.reindex(b, target)
       client.flipAlias(alias, client.aliasTargets(alias), target)
       target

@@ -56,24 +56,37 @@ final class FsEsClient(val root: Path) extends EsClient {
         .forEach(p => Files.delete(p))
   }
 
-  /** `_reindex` stand-in: recursive copy of the index directory (documents
-    * AND `_mapping.json`, so a later restore carries the real mapping).
-    * The target is CLEARED first — parquet part files carry unique names,
-    * so copying into a non-empty target would union stale and new
-    * document sets instead of replacing them (a live-ES reindex writes
-    * into a fresh index; this keeps the stand-in's semantics equal). */
+  /** `_reindex` stand-in with LIVE-ES semantics: documents copy, the
+    * target's OWN mapping survives — a real `_reindex` never carries the
+    * source mapping (callers create the target from `getMapping` first;
+    * `EsControl.backup`/`restore` do). The target's documents are CLEARED
+    * first — parquet part files carry unique names, so copying into a
+    * non-empty target would union stale and new document sets instead of
+    * replacing them (a live-ES reindex writes into a fresh index; this
+    * keeps the stand-in's semantics equal). */
   def reindex(source: String, target: String): Unit = {
     val src = root.resolve(source)
     val dst = root.resolve(target)
+    val targetMapping =
+      if (Files.exists(dst.resolve("_mapping.json")))
+        Some(Files.readAllBytes(dst.resolve("_mapping.json")))
+      else None
     deleteIndex(target)
     Files.createDirectories(dst)
     val s = Files.walk(src)
     try s.forEach { p =>
       val t = dst.resolve(src.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else if (p.getFileName.toString != "_mapping.json")
+        Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally s.close()
+    targetMapping.foreach(m => Files.write(dst.resolve("_mapping.json"), m))
+  }
+
+  def getMapping(index: String): String = {
+    val f = root.resolve(index).resolve("_mapping.json")
+    if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8") else "{}"
   }
 
   def addAlias(index: String, alias: String): Unit =
@@ -96,6 +109,13 @@ final class FsEsClient(val root: Path) extends EsClient {
     val re = s"""^time_${java.util.regex.Pattern.quote(alias)}_(\\d+)$$""".r
     aliasMap.keys.collect { case re(ms) => ms.toLong }.reduceOption(_ max _)
   }
+
+  /** Drop the S11 stamp entirely — a missing sink timestamp makes
+    * `EsControl.needsRun` always true. Called on rollback: the stamp from
+    * the bad publish would otherwise gate-skip a fix-forward run whose
+    * sources and config are unchanged. */
+  def clearTimestamp(alias: String): Unit =
+    writeAliases(aliasMap.filterNot(_._1.startsWith(s"time_${alias}_")))
 }
 
 /** The reference's whole write phase (tube/etl/outputs/es/writer.py:120-134)

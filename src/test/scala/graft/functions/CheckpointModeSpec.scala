@@ -31,12 +31,21 @@ class CheckpointModeSpec extends SparkSpec {
     val sc = spark.sparkContext
     val dir = Files.createTempDirectory("graft-ckpt")
     sc.setCheckpointDir(dir.toString)
-    // a reset failure must not MASK the test result (and the trailing
-    // getCheckpointDir.isEmpty assertion still catches a silent one)
-    try body(dir)
-    finally scala.util.Try(
-      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
-        .invoke(sc, None))
+    var bodyOk = false
+    try { val r = body(dir); bodyOk = true; r }
+    finally {
+      val reset = scala.util.Try(
+        sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
+          .invoke(sc, None)).isSuccess && sc.getCheckpointDir.isEmpty
+      // fail LOUDLY when the Spark-internal setter is renamed away: a
+      // silent no-op would leave every later suite in this shared JVM
+      // running in reliable-checkpoint mode. Only thrown when the body
+      // itself passed, so a real test failure is never masked.
+      if (!reset && bodyOk)
+        throw new IllegalStateException("checkpointDir reflective reset " +
+          "failed — Spark internal `checkpointDir_$eq` renamed? Later " +
+          "suites would inherit reliable-checkpoint mode.")
+    }
   }
 
   test("componentsFromPairs and PageRank: reliable mode is bit-identical to local mode") {

@@ -9,9 +9,14 @@ class EsControlSpec extends AnyFunSuite {
     val existing = mutable.LinkedHashSet[String]()
     val aliases = mutable.Map[String, Seq[String]]()
     val loaded = mutable.Buffer[String]()
+    val mappings = mutable.Map[String, String]()
     def indices(): Seq[String] = existing.toSeq
     def aliasTargets(alias: String): Seq[String] = aliases.getOrElse(alias, Nil)
-    def createIndex(name: String, mappingJson: String): Unit = existing += name
+    def createIndex(name: String, mappingJson: String): Unit = {
+      existing += name
+      mappings(name) = mappingJson
+    }
+    def getMapping(index: String): String = mappings.getOrElse(index, "{}")
     def flipAlias(alias: String, old: Seq[String], target: String): Unit =
       aliases(alias) = Seq(target)
     def deleteIndex(name: String): Unit = existing -= name
@@ -44,6 +49,17 @@ class EsControlSpec extends AnyFunSuite {
     assert(es.aliasTargets("subject") === Seq("subject_3"))
     // keeps subject_2 for rollback, drops 0 and 1
     assert(es.indices().toSet === Set("subject_2", "subject_3"))
+  }
+
+  test("backup and restore create targets with the SOURCE's mapping — " +
+      "reindex alone never carries one (live-ES semantics)") {
+    val es = new FakeEs
+    es.createIndex("subject_0", """{"subject":{"properties":{}}}""")
+    es.aliases("subject") = Seq("subject_0")
+    val b = EsControl.backup(es, "subject").get
+    assert(es.getMapping(b) === """{"subject":{"properties":{}}}""")
+    val restored = EsControl.restore(es, "subject").get
+    assert(es.getMapping(restored) === """{"subject":{"properties":{}}}""")
   }
 
   test("backup: copies the live index into a version-PREFIXED backup and moves the backup alias") {
