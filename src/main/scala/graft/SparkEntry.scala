@@ -167,10 +167,43 @@ object SparkEntry {
   private val urlP4 = "/?utm_source=feed"      // || doc_id ||
   private val urlP5 = "&ref=tw&b=2&a=1#s"      // || doc_id
   private val urlDomainCap = 20L
+  // corpus_link_graph: three absolute outlinks per doc (messy spellings,
+  // per-link tracking param) + one relative link that the absolute filter
+  // must drop. Canonical target folds doc_id mod 11 so distinct-target
+  // counts differ from raw link counts.
+  private val linkA1 = "<a href=\"HTTP://WWW.src"  // || (doc_id+j)%20 ||
+  private val linkA2 = ".Example.COM:80/page-"     // || doc_id%11 ||
+  private val linkJ1 = "/?utm_j=1&x=1\">t</a><a href=\"/local\">rel</a>"
+  private val linkJ2 = "/?utm_j=2&x=1\">t</a>"
+  private val linkJ3 = "/?utm_j=3&x=1\">t</a>"
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  /** DuckDB CTE chain mirroring [[graft.functions.Urls.canonicalize]]:
+    * computes canonical URL `cu` from column `url` of CTE `src`, carrying
+    * `carry` columns through. Shared by every URL oracle so the
+    * canonicalization SQL cannot drift between them; every regex
+    * interpolates from the SAME constants the engine compiles. */
+  private def sqlCanonChain(src: String, carry: Seq[String]): String = {
+    def sel(cols: String*) = (carry ++ cols).mkString(", ")
+    s"nf AS (SELECT ${sel("regexp_replace(url, '" + Urls.FragmentRe + "', '', 'g') AS n")} FROM $src), " +
+      s"parts AS (SELECT ${sel(
+        s"lower(regexp_extract(n, '${Urls.SchemeRe}', 1)) AS scheme",
+        s"lower(regexp_extract(n, '${Urls.HostRe}', 1)) AS hostport",
+        s"regexp_extract(n, '${Urls.RestRe}', 1) AS pathq")} FROM nf), " +
+      s"withq AS (SELECT ${sel("scheme", "hostport", "pathq",
+        "list_sort(list_filter(string_split(regexp_extract(pathq, '\\?(.*)', 1), '&'), " +
+          s"p -> p <> '' AND NOT regexp_matches(p, '${Urls.TrackingParamRe}'))) AS ps")} FROM parts), " +
+      s"canon AS (SELECT ${sel("scheme || '://' || " +
+        s"regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, '${Urls.HttpPortRe}', '') " +
+        s"WHEN scheme = 'https' THEN regexp_replace(hostport, '${Urls.HttpsPortRe}', '') " +
+        s"ELSE hostport END, '${Urls.WwwRe}', '') || " +
+        "(CASE WHEN rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/') = '' THEN '/' " +
+        "ELSE rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/') END) || " +
+        "(CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS cu")} FROM withq)"
+  }
 
   /** DuckDB twin of [[graft.functions.Html.visibleText]] over expression
     * `x`: tags → space, entity decode in Html.Entities order (`&amp;`
@@ -1825,6 +1858,21 @@ object SparkEntry {
         col("doc_id").cast("string"))
       Urls.domainReport(t(s, dir, "documents").select(raw.as("url")),
         "url", urlDomainCap)
+    }),
+
+    // host-level outlink graph: hrefs harvested from synthesized pages
+    // (HrefRe), relative links dropped, targets canonicalized, one hash
+    // aggregation to (src_host, dst_host) edges with raw link + distinct
+    // canonical-target counts — the crawl-frontier / domain-PageRank input
+    "corpus_link_graph" -> ((s, dir) => {
+      def link(j: Int, tail: String) = concat(lit(linkA1),
+        ((col("doc_id") + j) % 20).cast("string"), lit(linkA2),
+        (col("doc_id") % 11).cast("string"), lit(tail))
+      val html = concat(link(1, linkJ1), link(2, linkJ2), link(3, linkJ3))
+      val links = t(s, dir, "documents")
+        .select(concat(col("source"), lit(".example.com")).as("src_host"),
+          explode(Html.outlinks(html)).as("url"))
+      Urls.linkGraph(links, "src_host", "url")
     }),
 
     // HTML boilerplate extraction: synthesized crawl pages (nav + link
@@ -4555,29 +4603,31 @@ object SparkEntry {
         "FROM kk JOIN r ON r.lang = kk.lang AND r.rn = kk.k " +
         "ORDER BY kk.lang, q_ppm"),
 
-    // canonicalization rerun under RE2 from the SAME regex constants;
-    // rtrim(x, '/') strips all trailing slashes in both engines
+    // canonicalization rerun under RE2 via the shared sqlCanonChain (same
+    // regex constants as the engine); rtrim(x, '/') strips all trailing
+    // slashes in both engines
     "corpus_url_canonical" ->
       (s"WITH u AS (SELECT '$urlP1' || source || '$urlP2' || (doc_id % 7) || '$urlP3' || (doc_id % 30) || '$urlP4' || doc_id || '$urlP5' || doc_id AS url FROM documents), " +
-        s"nf AS (SELECT regexp_replace(url, '${Urls.FragmentRe}', '', 'g') AS n FROM u), " +
-        s"parts AS (SELECT lower(regexp_extract(n, '${Urls.SchemeRe}', 1)) AS scheme, " +
-        s"lower(regexp_extract(n, '${Urls.HostRe}', 1)) AS hostport, " +
-        s"regexp_extract(n, '${Urls.RestRe}', 1) AS pathq FROM nf), " +
-        s"withq AS (SELECT scheme, hostport, pathq, " +
-        s"list_sort(list_filter(string_split(regexp_extract(pathq, '\\?(.*)', 1), '&'), " +
-        s"p -> p <> '' AND NOT regexp_matches(p, '${Urls.TrackingParamRe}'))) AS ps FROM parts), " +
-        s"canon AS (SELECT scheme || '://' || " +
-        s"regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, '${Urls.HttpPortRe}', '') " +
-        s"WHEN scheme = 'https' THEN regexp_replace(hostport, '${Urls.HttpsPortRe}', '') " +
-        s"ELSE hostport END, '${Urls.WwwRe}', '') || " +
-        "(CASE WHEN rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/') = '' THEN '/' " +
-        "ELSE rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/') END) || " +
-        "(CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS cu FROM withq) " +
+        sqlCanonChain("u", Seq.empty) + " " +
         s"SELECT lower(regexp_extract(cu, '${Urls.HostRe}', 1)) AS host, " +
         "count(*) AS n_docs, count(DISTINCT cu) AS n_canonical, " +
         "CAST(count(*) - count(DISTINCT cu) AS BIGINT) AS n_dup, " +
         s"CAST(greatest(count(*) - $urlDomainCap, 0) AS BIGINT) AS suggested_drop " +
         "FROM canon GROUP BY 1"),
+
+    // hrefs re-extracted with the same HrefRe under RE2, relative links
+    // dropped by the same AbsoluteRe, canonicalization via sqlCanonChain
+    "corpus_link_graph" ->
+      (s"WITH h AS (SELECT source || '.example.com' AS src_host, " +
+        s"'$linkA1' || ((doc_id + 1) % 20) || '$linkA2' || (doc_id % 11) || '$linkJ1' || " +
+        s"'$linkA1' || ((doc_id + 2) % 20) || '$linkA2' || (doc_id % 11) || '$linkJ2' || " +
+        s"'$linkA1' || ((doc_id + 3) % 20) || '$linkA2' || (doc_id % 11) || '$linkJ3' AS html FROM documents), " +
+        s"l AS (SELECT src_host, unnest(regexp_extract_all(html, '${Html.HrefRe}', 1)) AS url FROM h), " +
+        s"u AS (SELECT src_host, url FROM l WHERE url <> '' AND regexp_matches(url, '${Urls.AbsoluteRe}')), " +
+        sqlCanonChain("u", Seq("src_host")) + " " +
+        s"SELECT src_host, lower(regexp_extract(cu, '${Urls.HostRe}', 1)) AS dst_host, " +
+        "count(*) AS n_links, count(DISTINCT cu) AS n_targets " +
+        "FROM canon GROUP BY 1, 2"),
 
     // same template, same RE2-safe patterns (shared constants), same
     // integer-ppm link-density block rule; array_to_string of an empty

@@ -75,6 +75,17 @@ object Html {
     length(visibleText(array_join(regexp_extract_all(b, lit(AnchorRe), lit(1)),
       " "))).cast("long")
 
+  /** Double-quoted href attribute values (the overwhelmingly dominant
+    * form; single-quoted attrs would need a second pattern — unmatched
+    * alternation groups extract differently across engines). */
+  val HrefRe: String = "(?i)href=\"([^\"]*)\""
+
+  /** All outlink targets of a page (double-quoted href values, in
+    * document order, non-empty). Callers filter to absolute links /
+    * canonicalize via [[Urls]]. */
+  def outlinks(c: Column): Column =
+    filter(regexp_extract_all(c, lit(HrefRe), lit(1)), u => u =!= "")
+
   /** Main-content extraction: split into blocks at closing block tags,
     * keep blocks with ≥ `minChars` visible characters AND anchor-text
     * density ≤ `maxLinkPpm` (exact integer cross-multiplication:

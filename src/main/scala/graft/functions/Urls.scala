@@ -60,6 +60,25 @@ object Urls {
   def host(url: Column): Column =
     lower(regexp_extract(url, HostRe, 1))
 
+  /** Absolute http(s) test — the pre-filter before [[canonicalize]] on
+    * scraped hrefs (relative links need a base-resolution pass first). */
+  val AbsoluteRe: String = "^(?i)https?://"
+
+  /** Host-level outlink graph over canonicalized link targets: for each
+    * (source host, destination host) edge, the raw link count and the
+    * distinct canonical targets — the crawl-frontier / authority signal
+    * and the input to domain-level PageRank. Relative and non-http links
+    * are dropped (documented: resolution against a base URL is a separate
+    * concern). One filter + projection + one hash aggregation. */
+  def linkGraph(links: DataFrame, srcHostCol: String,
+                urlCol: String): DataFrame =
+    links.filter(col(urlCol).rlike(AbsoluteRe))
+      .select(col(srcHostCol).as("src_host"),
+        canonicalize(col(urlCol)).as("_cu"))
+      .groupBy(col("src_host"), host(col("_cu")).as("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("_cu")).as("n_targets"))
+
   /** Per-domain crawl report over canonicalized URLs: document count,
     * distinct canonical URLs, exact re-crawl duplicates (same canonical,
     * different raw spelling), and the overshoot past the per-domain cap —

@@ -55,6 +55,31 @@ class UrlsSpec extends SparkSpec {
     assert(got("b.com") === ((1L, 1L, 0L, 0L)))
   }
 
+  test("linkGraph: relative links drop, targets canonicalize before " +
+      "host/dedup counting") {
+    val links = Seq(
+      ("a.com", "HTTP://WWW.B.com:80/x?utm_s=1"),
+      ("a.com", "http://b.com/x"),          // same canonical as above
+      ("a.com", "http://b.com/y"),
+      ("a.com", "/relative"),               // dropped
+      ("a.com", "mailto:x@y.z"),            // dropped
+      ("c.com", "https://b.com/z"))
+      .toDF("src_host", "url")
+    val got = Urls.linkGraph(links, "src_host", "url").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("a.com", "b.com") -> ((3L, 2L)),
+      ("c.com", "b.com") -> ((1L, 1L))))
+  }
+
+  test("outlinks harvests double-quoted hrefs in order, skipping empties") {
+    val out = Seq("""<a href="/a">x</a><a href="">e</a><A HREF="/b">y</A>""")
+      .toDF("h").select(graft.functions.Html.outlinks(col("h")).as("u"))
+      .collect()(0).getSeq[String](0)
+    assert(out === Seq("/a", "/b"))
+  }
+
   test("canonicalize plan is pure expressions — no UDF") {
     val df = Seq("http://h.com/x").toDF("u")
       .select(Urls.canonicalize(col("u")))
