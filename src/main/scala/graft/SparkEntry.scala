@@ -176,6 +176,12 @@ object SparkEntry {
   private val linkJ1 = "/?utm_j=1&x=1\">t</a><a href=\"/local\">rel</a>"
   private val linkJ2 = "/?utm_j=2&x=1\">t</a>"
   private val linkJ3 = "/?utm_j=3&x=1\">t</a>"
+  // media_{phash,audio,video}_dedup: the same hot-bucket cap as the text
+  // LSH paths, mirrored in the oracles — an all-alike fingerprint family
+  // (synthetic generators are degenerately self-similar; boilerplate
+  // jingles/test-cards in the wild) otherwise makes the banded join's
+  // pair OUTPUT quadratic (measured 57–75× at 10× data uncapped)
+  private val mediaBandCap = 100
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
@@ -204,6 +210,25 @@ object SparkEntry {
         "ELSE rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/') END) || " +
         "(CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS cu")} FROM withq)"
   }
+
+  /** DuckDB twin of the engine's banded fingerprint pairing
+    * ([[graft.functions.Dedup.simhashPairs]] with `maxBucket =
+    * mediaBandCap`): 4 × 16-bit band keys per 60-bit hash, postings in
+    * over-cap (band, key) buckets dropped — the SAME hot-bucket screen
+    * the engine applies — candidates = distinct pairs sharing a
+    * surviving bucket, then the hamming ≤ 3 filter on full hashes.
+    * `hashCtes` must end with a CTE `ph(id, h)`. Shared by the three
+    * media dedup oracles so the banding/cap SQL cannot drift. */
+  private def sqlBandedHashPairs(hashCtes: String): String =
+    hashCtes + ", " +
+      "keys AS (SELECT id, h, band, (h >> (16*band)) & 65535 AS bk " +
+      "FROM (SELECT id, h, unnest(range(0, 4)) AS band FROM ph)), " +
+      "sized AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bk) AS pn FROM keys) " +
+      s"WHERE pn <= $mediaBandCap), " +
+      "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS ha, b.h AS hb " +
+      "FROM sized a JOIN sized b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id) " +
+      "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
 
   /** DuckDB twin of [[graft.functions.Html.visibleText]] over expression
     * `x`: tags → space, entity decode in Html.Entities order (`&amp;`
@@ -2360,7 +2385,7 @@ object SparkEntry {
       Dedup.simhashPairs(
         Multimodal.imageBlockhash(
           Multimodal.syntheticMedia(t(s, dir, "documents"))),
-        "media_id", "phash", hammingMax = 3, maxBucket = 1000000)
+        "media_id", "phash", hammingMax = 3, maxBucket = mediaBandCap)
         .withColumn("hamming", col("hamming").cast("long"))),
 
     // audio dead-air / clipping screen from the real WAV decode; exact
@@ -2383,7 +2408,7 @@ object SparkEntry {
       Dedup.simhashPairs(
         Multimodal.audioFingerprint(
           Multimodal.syntheticMedia(t(s, dir, "documents"))),
-        "media_id", "ahash", hammingMax = 3, maxBucket = 1000000)
+        "media_id", "ahash", hammingMax = 3, maxBucket = mediaBandCap)
         .withColumn("hamming", col("hamming").cast("long"))),
 
     // VIDEO near-dup: per-frame 60-segment blockhash, clip signature =
@@ -2394,7 +2419,7 @@ object SparkEntry {
       Dedup.simhashPairs(
         Multimodal.videoFingerprint(
           Multimodal.syntheticMedia(t(s, dir, "documents"))),
-        "media_id", "vhash", hammingMax = 3, maxBucket = 1000000)
+        "media_id", "vhash", hammingMax = 3, maxBucket = mediaBandCap)
         .withColumn("hamming", col("hamming").cast("long"))),
 
     // ---- events: windowed agg, sessionization, streaming ----------------
@@ -4959,22 +4984,19 @@ object SparkEntry {
         |    ELSE (2 + doc_id % 5) * 100 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
-    // blockhash recomputed from the generator's pixel ramp; pairs are
-    // BRUTE-FORCE here (no banding) — equality with the engine's banded
-    // path is exactly the pigeonhole-recall guarantee at hamming ≤ 3
-    "media_phash_dedup" ->
-      ("WITH img AS (SELECT doc_id AS id, 4 + doc_id % 16 AS w, " +
-        "4 + doc_id % 9 AS h FROM documents WHERE doc_id % 3 = 0), " +
-        "hb AS (SELECT id, 3*w*h AS n, " +
-        "list_sum(list_transform(range(0, 3*w*h), j -> (id*7 + j) % 256)) AS total FROM img), " +
+    // blockhash recomputed from the generator's pixel ramp; pairs via the
+    // SAME banded join + hot-bucket cap as the engine (sqlBandedHashPairs
+    // — capGroups mirrored; on sub-cap families this equals brute force,
+    // the pigeonhole-recall guarantee at hamming ≤ 3)
+    "media_phash_dedup" -> sqlBandedHashPairs(
+      "WITH img AS (SELECT doc_id AS id, 4 + doc_id % 16 AS w, " +
+        "4 + doc_id % 9 AS hh FROM documents WHERE doc_id % 3 = 0), " +
+        "hb AS (SELECT id, 3*w*hh AS n, " +
+        "list_sum(list_transform(range(0, 3*w*hh), j -> (id*7 + j) % 256)) AS total FROM img), " +
         "ph AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), s -> " +
         "CASE WHEN list_sum(list_transform(range(s*n//60, (s+1)*n//60), j -> (id*7 + j) % 256)) * n " +
         "> total * ((s+1)*n//60 - s*n//60) " +
-        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS phash FROM hb) " +
-        "SELECT a.id AS id_a, b.id AS id_b, " +
-        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
-        "FROM ph a JOIN ph b ON a.id < b.id " +
-        "WHERE bit_count(xor(a.phash, b.phash)) <= 3"),
+        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS h FROM hb)"),
 
     "events_props_profile" ->
       ("WITH p AS (SELECT event_type, " +
@@ -4997,30 +5019,28 @@ object SparkEntry {
         "FROM pr"),
 
     // energy-envelope hash recomputed from the generator's sample formula;
-    // pairs BRUTE-FORCE (no banding) — equality with the banded engine
-    // path is the pigeonhole-recall guarantee at hamming ≤ 3
-    "media_audio_dedup" ->
-      ("WITH aud AS (SELECT doc_id AS id, 8*(10 + doc_id % 50) AS n " +
+    // pairs via the mirrored banded join + hot-bucket cap — the envelope
+    // family is degenerately self-similar, so the cap genuinely binds
+    // here (188 surviving pairs of 9566 uncapped at sf0.01)
+    "media_audio_dedup" -> sqlBandedHashPairs(
+      "WITH aud AS (SELECT doc_id AS id, 8*(10 + doc_id % 50) AS n " +
         "FROM documents WHERE doc_id % 3 = 1), " +
         "hb AS (SELECT id, n, " +
         "list_sum(list_transform(range(0, n), k -> abs(((id*13 + k*97) % 65536) - 32768))) AS total FROM aud), " +
         "ph AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), s -> " +
         "CASE WHEN list_sum(list_transform(range(s*n//60, (s+1)*n//60), k -> abs(((id*13 + k*97) % 65536) - 32768))) * n " +
         "> total * ((s+1)*n//60 - s*n//60) " +
-        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS ahash FROM hb) " +
-        "SELECT a.id AS id_a, b.id AS id_b, " +
-        "CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming " +
-        "FROM ph a JOIN ph b ON a.id < b.id " +
-        "WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"),
+        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS h FROM hb)"),
 
     // every frame hash + the majority vote rebuilt from the byte formula;
     // empty 60-segments (fb < 60) yield NULL list_sum → CASE falls to 0,
-    // matching the engine's empty-segment bit 0
-    "media_video_dedup" ->
-      ("WITH vid AS (SELECT doc_id AS id, 4 + doc_id % 8 AS w, " +
-        "4 + doc_id % 6 AS h, 2 + doc_id % 5 AS nf " +
+    // matching the engine's empty-segment bit 0; pairs via the mirrored
+    // banded join + hot-bucket cap
+    "media_video_dedup" -> sqlBandedHashPairs(
+      "WITH vid AS (SELECT doc_id AS id, 4 + doc_id % 8 AS w, " +
+        "4 + doc_id % 6 AS hh, 2 + doc_id % 5 AS nf " +
         "FROM documents WHERE doc_id % 3 = 2), " +
-        "fr AS (SELECT id, nf, 3*w*h AS fb, unnest(range(0, nf)) AS f FROM vid), " +
+        "fr AS (SELECT id, nf, 3*w*hh AS fb, unnest(range(0, nf)) AS f FROM vid), " +
         "ft AS (SELECT id, nf, fb, f, " +
         "list_sum(list_transform(range(0, fb), j -> (id*7 + f*1009 + j) % 256)) AS total FROM fr), " +
         "fh AS (SELECT id, nf, CAST(list_sum(list_transform(range(0, 60), s -> " +
@@ -5028,13 +5048,9 @@ object SparkEntry {
         "> total * ((s+1)*fb//60 - s*fb//60) " +
         "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS fhash FROM ft), " +
         "vh0 AS (SELECT id, nf, list(fhash) AS hs FROM fh GROUP BY id, nf), " +
-        "vh AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), s -> " +
+        "ph AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), s -> " +
         "CASE WHEN 2 * len(list_filter(hs, x -> ((x >> s) & 1) = 1)) > nf " +
-        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS vhash FROM vh0) " +
-        "SELECT a.id AS id_a, b.id AS id_b, " +
-        "CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming " +
-        "FROM vh a JOIN vh b ON a.id < b.id " +
-        "WHERE bit_count(xor(a.vhash, b.vhash)) <= 3"),
+        "THEN (1::BIGINT << s) ELSE 0 END)) AS BIGINT) AS h FROM vh0)"),
 
     "media_audio_quality" ->
       ("WITH aud AS (SELECT doc_id AS id, 8*(10 + doc_id % 50) AS n " +
