@@ -182,6 +182,12 @@ object SparkEntry {
   // jingles/test-cards in the wild) otherwise makes the banded join's
   // pair OUTPUT quadratic (measured 57–75× at 10× data uncapped)
   private val mediaBandCap = 100
+  // graph_domain_rank: minimal pages whose j-th link targets host
+  // (doc_id·j + j) % 20 — an IRREGULAR directed host graph (out-degrees
+  // collapse where the residues collide, in-degrees spread unevenly), so
+  // PageRank is genuinely non-uniform
+  private val domA = "<a href=\"http://src"   // || (doc_id*j + j) % 20 ||
+  private val domB = ".example.com/\">r</a>"
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
@@ -1900,6 +1906,25 @@ object SparkEntry {
       Urls.linkGraph(links, "src_host", "url")
     }),
 
+    // domain authority: the full crawl composition — href harvest →
+    // canonicalize → host edges → 3-round integer fixed-point PageRank
+    // (the domain-quality prior a crawl scheduler feeds back into
+    // frontier ordering); the oracle rebuilds the host edge set
+    // arithmetically and unrolls the same rounds
+    "graph_domain_rank" -> ((s, dir) => {
+      def hlink(j: Int) = concat(lit(domA),
+        ((col("doc_id") * j + j) % 20).cast("string"), lit(domB))
+      val html = concat(hlink(1), hlink(2), hlink(3))
+      val links = t(s, dir, "documents")
+        .select(concat(lit("src"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com")).as("src_host"),
+          explode(Html.outlinks(html)).as("url"))
+      val edges = Urls.linkGraph(links, "src_host", "url")
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+      PageRank.run(edges, "src", "dst", iters = 3)
+        .select(col("node").as("host"), col("rank_u12"))
+    }),
+
     // HTML boilerplate extraction: synthesized crawl pages (nav + link
     // farm + footer around the real text), main content kept by the
     // integer-ppm link-density × min-length block rule — all native
@@ -3051,14 +3076,18 @@ object SparkEntry {
   /** PageRank oracle: the 3 integer fixed-point rounds unrolled as CTEs —
     * HUGEINT `//` is the same floor division as the engine's DECIMAL(38,0)
     * intDiv, so both sides are bit-exact with no fp anywhere. */
-  private val PageRankSql: String = {
-    val base =
-      "WITH b AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem), " +
-        "e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM b " +
-        "UNION ALL SELECT sk * 2 + 1, pk * 2 FROM b), " +
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
-        "n AS (SELECT src AS node FROM deg), " +
-        "r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n), "
+  /** DuckDB twin of `PageRank.run(iters = 3)` over an arbitrary edge set:
+    * `edgeCtes` must open the WITH clause and end with a CTE `e(src, dst)`
+    * (DISTINCT edges — the engine distincts internally). The three
+    * synchronous rounds unroll with the engine's exact integer
+    * fixed-point arithmetic (HUGEINT `//` ≡ intDiv on the positive
+    * domain). Shared by the part–supplier and domain-link rank oracles. */
+  private def pageRankSqlOver(edgeCtes: String,
+                              nodeAlias: String = "node"): String = {
+    val base = edgeCtes + ", " +
+      "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+      "n AS (SELECT src AS node FROM deg), " +
+      "r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n), "
     val rounds = (1 to 3).map { k =>
       s"i$k AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s " +
         s"FROM r${k - 1} r JOIN deg d ON d.src = r.node " +
@@ -3066,8 +3095,14 @@ object SparkEntry {
         s"r$k AS (SELECT n.node, CAST(150000000000 AS HUGEINT) + " +
         s"(85 * COALESCE(i$k.s, 0)) // 100 AS pr FROM n LEFT JOIN i$k USING (node))"
     }.mkString(", ")
-    base + rounds + " SELECT node, CAST(pr AS BIGINT) AS rank_u12 FROM r3"
+    base + rounds +
+      s" SELECT node AS $nodeAlias, CAST(pr AS BIGINT) AS rank_u12 FROM r3"
   }
+
+  private val PageRankSql: String = pageRankSqlOver(
+    "WITH b AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem), " +
+      "e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM b " +
+      "UNION ALL SELECT sk * 2 + 1, pk * 2 FROM b)")
 
   // sums aggregate as exact DECIMAL (order-independent), then cast to
   // DOUBLE in the final projection so both engines hash identically —
@@ -4639,6 +4674,16 @@ object SparkEntry {
         "CAST(count(*) - count(DISTINCT cu) AS BIGINT) AS n_dup, " +
         s"CAST(greatest(count(*) - $urlDomainCap, 0) AS BIGINT) AS suggested_drop " +
         "FROM canon GROUP BY 1"),
+
+    // host edges rebuilt arithmetically (independent of the href/canonical
+    // route, which corpus_link_graph verifies); same unrolled fixed-point
+    // rounds as graph_pagerank via the shared pageRankSqlOver
+    "graph_domain_rank" -> pageRankSqlOver(
+      "WITH l AS (SELECT 'src' || (doc_id % 20) || '.example.com' AS src, " +
+        "'src' || ((doc_id * j + j) % 20) || '.example.com' AS dst " +
+        "FROM documents CROSS JOIN (VALUES (1), (2), (3)) q(j)), " +
+        "e AS (SELECT DISTINCT src, dst FROM l)",
+      nodeAlias = "host"),
 
     // hrefs re-extracted with the same HrefRe under RE2, relative links
     // dropped by the same AbsoluteRe, canonicalization via sqlCanonChain
