@@ -56,12 +56,31 @@ object Layout {
     * (≈ square) regions than Morton's quadrant jumps, i.e. tighter
     * per-file min/max spans for the same file count.
     *
-    * One `aggregate` HOF over the bit positions threading the packed
-    * (distance, state) accumulator — a single fixed-size expression
-    * whatever `bits` is, evaluated once per row. Columns must be
-    * non-negative and fit `bits` bits (same contract as [[zValue]]). */
+    * Dispatches to the native codegen'd expression (`graft_hilbert`, a
+    * tight 2-long DFA loop inside WholeStageCodegen) when
+    * `GraftExtensions` is registered; the `aggregate`-HOF fold
+    * ([[hilbertValueHof]]) remains as the extension-free fallback and the
+    * bit-parity reference — HOFs evaluate interpreted and materialize a
+    * per-row index array, which made layout_hilbert a top-5 bench cost.
+    * Columns must be non-negative and fit `bits` bits (same contract as
+    * [[zValue]]). */
   def hilbertValue(xc: Column, yc: Column, bits: Int): Column = {
     require(bits >= 1 && 2 * bits <= 62, s"bad bits=$bits")
+    val registered = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_hilbert"))
+    if (registered)
+      call_function("graft_hilbert", xc.cast("long"), yc.cast("long"),
+        lit(bits))
+    else hilbertValueHof(xc, yc, bits)
+  }
+
+  /** The HOF-fold reference implementation of [[hilbertValue]] — one
+    * `aggregate` over the bit positions threading the packed
+    * (distance, state) accumulator; a single fixed-size expression
+    * whatever `bits` is. Kept as the no-extensions fallback and the
+    * parity pin for the native expression. */
+  private[graft] def hilbertValueHof(xc: Column, yc: Column,
+                                     bits: Int): Column = {
     val x = xc.cast("long")
     val y = yc.cast("long")
     // acc packs (d << 2) | state; start d=0, state=0

@@ -88,6 +88,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("native graft_hilbert expression is bit-identical to the HOF fold " +
+      "and stays inside codegen") {
+    val rows = for (a <- 0L to 1000L by 37; b <- 0L to 1000L by 41) yield (a, b)
+    val df = rows.toDF("a", "b").select(
+      Layout.hilbertValue(col("a"), col("b"), 16).as("native"),
+      Layout.hilbertValueHof(col("a"), col("b"), 16).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+    // the dispatch actually picked the native expression (extensions are
+    // registered in the shared test session)
+    val plan = rows.toDF("a", "b")
+      .select(Layout.hilbertValue(col("a"), col("b"), 16))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_hilbert"), plan)
+  }
+
   test("hilbert curve is a bijection that moves one 4-adjacent step") {
     // full 16×16 grid: distances are a permutation of 0..255 and every
     // consecutive pair of curve positions is Manhattan-distance 1 —
