@@ -7,6 +7,7 @@ import graft.schema._
 import graft.operators._
 import graft.pipeline._
 import graft.functions._
+import graft.sources.Warc
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -188,6 +189,9 @@ object SparkEntry {
   // PageRank is genuinely non-uniform
   private val domA = "<a href=\"http://src"   // || (doc_id*j + j) % 20 ||
   private val domB = ".example.com/\">r</a>"
+  // warc_main_text: record URIs for the packed archive blobs
+  private val warcU1 = "http://w"              // || doc_id % 20 ||
+  private val warcU2 = ".example.com/doc/"     // || doc_id
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
@@ -1904,6 +1908,27 @@ object SparkEntry {
         .select(concat(col("source"), lit(".example.com")).as("src_host"),
           explode(Html.outlinks(html)).as("url"))
       Urls.linkGraph(links, "src_host", "url")
+    }),
+
+    // WARC-style archive round trip: pages pack into multi-record archive
+    // blobs (CRLF headers, byte-exact Content-Length) → the byte-offset
+    // record walk parses them back → boilerplate-stripped extraction.
+    // A length/separator bug corrupts every later record in a blob, so
+    // the oracle (which rebuilds the expected output straight from
+    // documents) catches container drift, not just string bugs
+    "warc_main_text" -> ((s, dir) => {
+      val html = concat(lit(htmlPre), col("doc_id").cast("string"),
+        lit(htmlMid), col("text"), lit(htmlPost))
+      val uri = concat(lit(warcU1), (col("doc_id") % 20).cast("string"),
+        lit(warcU2), col("doc_id").cast("string"))
+      val recs = t(s, dir, "documents").select(
+        (col("doc_id") / lit(10)).cast("long").as("batch"),
+        uri.as("uri"), html.as("html"))
+      Warc.parse(Warc.pack(recs, "batch", "uri", "html")).toDF()
+        .select(col("uri"),
+          Html.title(col("html")).as("title"),
+          length(Html.mainContent(col("html"), htmlMaxLinkPpm, htmlMinChars))
+            .cast("long").as("main_chars"))
     }),
 
     // domain authority: the full crawl composition — href harvest →
@@ -4698,6 +4723,25 @@ object SparkEntry {
         s"SELECT src_host, lower(regexp_extract(cu, '${Urls.HostRe}', 1)) AS dst_host, " +
         "count(*) AS n_links, count(DISTINCT cu) AS n_targets " +
         "FROM canon GROUP BY 1, 2"),
+
+    // expected output rebuilt STRAIGHT from documents (no container):
+    // equality with the engine's pack→parse→extract round trip is the
+    // archive-codec correctness claim
+    "warc_main_text" -> {
+      val vx = sqlVisible("x")
+      val anchors = "COALESCE(array_to_string(regexp_extract_all(x, '" +
+        Html.AnchorRe + "', 1), ' '), '')"
+      val vAnchor = sqlVisible(anchors)
+      s"WITH h AS (SELECT '$warcU1' || (doc_id % 20) || '$warcU2' || doc_id AS uri, " +
+        s"'$htmlPre' || doc_id || '$htmlMid' || text || '$htmlPost' AS html FROM documents), " +
+        s"c AS (SELECT uri, html, regexp_replace(regexp_replace(html, '${Html.DropContentRe}', ' ', 'g'), '${Html.CommentRe}', ' ', 'g') AS clean FROM h), " +
+        s"k AS (SELECT uri, html, list_filter(string_split_regex(clean, '${Html.BlockCloseRe}'), x -> " +
+        s"len($vx) >= $htmlMinChars AND len($vAnchor) * 1000000 <= len($vx) * $htmlMaxLinkPpm) AS kept FROM c), " +
+        s"m AS (SELECT uri, ${sqlVisible(s"regexp_extract(html, '${Html.TitleRe}', 1)")} AS title, " +
+        "COALESCE(array_to_string(list_transform(kept, x -> " + vx +
+        "), chr(10)), '') AS main_text FROM k) " +
+        "SELECT uri, title, CAST(len(main_text) AS BIGINT) AS main_chars FROM m"
+    },
 
     // same template, same RE2-safe patterns (shared constants), same
     // integer-ppm link-density block rule; array_to_string of an empty
