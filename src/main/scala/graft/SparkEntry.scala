@@ -810,6 +810,40 @@ object SparkEntry {
       s.sql(PricingSql)
     }),
 
+    // TPC-H Q5 shape — the classic snowflake probe: lineitem fact against
+    // five dims, region filter pruning through nation; every dim side is
+    // broadcast-sized, the only data shuffle is the final n_name agg
+    "q5_local_volume" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(LocalVolumeSql)
+    }),
+
+    // TPC-H Q10 shape — returned-item revenue per customer, top-20 with a
+    // total tie-break order (TakeOrdered, no global sort)
+    "q10_returned" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(ReturnedItemsSql)
+    }),
+
+    // TPC-H Q14 shape — promo revenue split: fact⋈part with conditional
+    // aggregation (the ratio is left in exact µ sums — cross-engine
+    // integer division spellings differ)
+    "q14_promo" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(PromoRevenueSql)
+    }),
+
+    // TPC-H Q18 shape — large-order skim: the HAVING subquery becomes a
+    // semi-join on the aggregated quantity before the 3-way join
+    "q18_large_orders" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(LargeOrdersSql)
+    }),
+
     // TPC-H Q6 shape — the canonical pushdown probe: every predicate
     // reaches the parquet scan (date range, discount band, quantity cap),
     // then one scalar aggregate; revenue floors per-row to µ BEFORE the
@@ -3141,6 +3175,66 @@ object SparkEntry {
       |WHERE l_shipdate < TIMESTAMP '1999-01-01'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q5/Q10/Q14/Q18 shapes, ONE SQL text for both engines (the
+    * PricingSql discipline): revenue floors per-row to µ integers before
+    * the order-free DECIMAL sum; `CAST(1 AS DOUBLE)` instead of a bare
+    * `1.0` (DECIMAL in DuckDB, the known literal-typing gotcha);
+    * timestamp columns compare through CAST(... AS DATE); every top-k
+    * carries a total tie-break order. Date windows sit inside the
+    * generator's 1995–2001 range. */
+  private val LocalVolumeSql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000)
+      |           AS DECIMAL(38,0))) AS BIGINT) AS revenue_us
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  private val ReturnedItemsSql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000)
+      |           AS DECIMAL(38,0))) AS BIGINT) AS revenue_us
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_us DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  private val PromoRevenueSql =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000) AS DECIMAL(38,0))
+      |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT) AS promo_rev_us,
+      |  CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000)
+      |           AS DECIMAL(38,0))) AS BIGINT) AS total_rev_us
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin
+
+  private val LargeOrdersSql =
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date,
+      |  CAST(floor(o_totalprice * 1000000) AS BIGINT) AS totalprice_us,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING),
+      |  CAST(floor(o_totalprice * 1000000) AS BIGINT)
+      |ORDER BY totalprice_us DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   /** TPC-H Q6 shape; the discount band uses ::DOUBLE on the DuckDB side
     * (bare 0.05 is DECIMAL there) so both engines compare the same IEEE
     * doubles; the three-way product is left-associated identically. */
@@ -3458,6 +3552,10 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, s_nationkey, NULL FROM supplier""".stripMargin,
 
     "q1_pricing" -> PricingSql.replace("\n", " "),
+    "q5_local_volume" -> LocalVolumeSql.replace("\n", " "),
+    "q10_returned" -> ReturnedItemsSql.replace("\n", " "),
+    "q14_promo" -> PromoRevenueSql.replace("\n", " "),
+    "q18_large_orders" -> LargeOrdersSql.replace("\n", " "),
 
     // the SAME SQL text runs on both engines (the q1 pattern)
     "q6_forecast_revenue" -> ForecastRevenueSql.replace("\n", " "),

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan audits for the classic TPC-H join shapes: at warehouse scale the
+  * difference between a broadcast dim join and a shuffled one is the whole
+  * query, so the snowflake probes pin the physical strategy, not just the
+  * rows. Runs against the sf0.001 driver testdata (smallest tier). */
+class TpchPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q5: every dimension side broadcasts — no sort-merge join anywhere " +
+      "in the snowflake") {
+    val df = SparkEntry.queries("q5_local_volume")(spark, dir)
+    df.collect() // AQE finalizes the physical plan on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q18: the HAVING subquery executes as a join against the " +
+      "aggregated orderkeys, not a per-row subquery") {
+    val df = SparkEntry.queries("q18_large_orders")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), plan.take(2000))
+    // top-k is a TakeOrdered, never a global sort of the joined fact
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q10: top-20 runs as TakeOrderedAndProject with the total " +
+      "tie-break order") {
+    val df = SparkEntry.queries("q10_returned")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+}
