@@ -192,6 +192,8 @@ object SparkEntry {
   // warc_main_text: record URIs for the packed archive blobs
   private val warcU1 = "http://w"              // || doc_id % 20 ||
   private val warcU2 = ".example.com/doc/"     // || doc_id
+  private val dpSalt = "graft-dp-1"            // privacy_dp_counts
+  private val dpEpsPpm = 693147L               // ε = ln 2
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
@@ -1390,6 +1392,15 @@ object SparkEntry {
         ("customer", t(s, dir, "customer"), "c_custkey")),
         victims, "user_id")
     }),
+
+    // ε-DP released counts (discrete Laplace / two-sided geometric,
+    // Ghosh et al. 2009): noise drawn deterministically by inverse-CDF
+    // lookup of a stable 48-bit hash against driver-computed integer
+    // thresholds — no float noise at release time, both engines replay
+    // the identical draw; true counts never leave the query
+    "privacy_dp_counts" -> ((s, dir) =>
+      Privacy.dpNoisyCounts(events(s, dir), Seq("event_type"), dpSalt,
+        dpEpsPpm)),
 
     // GDPR-pseudonymized export: user ids become stable salted md5
     // tokens (pure codegen projection), grouping survives tokenization
@@ -4448,6 +4459,18 @@ object SparkEntry {
         Seq(arm("events", "events", "user_id"),
           arm("orders", "orders", "o_custkey"),
           arm("customer", "customer", "c_custkey")).mkString(" UNION ALL ")
+    },
+
+    // the SAME driver-computed threshold table interpolates into both
+    // sides (Privacy.dpNoiseTable — no drift possible); the hash key is
+    // event_type || salt exactly as the engine concatenates it
+    "privacy_dp_counts" -> {
+      val table = Privacy.dpNoiseTable(dpEpsPpm)
+      val cases = table.init
+        .map { case (t, j) => s"WHEN u48 < $t THEN $j" }.mkString(" ")
+      s"WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1), " +
+        s"u AS (SELECT event_type, n, ('0x' || substring(md5(event_type || '$dpSalt'), 1, 12))::BIGINT AS u48 FROM c) " +
+        s"SELECT event_type, CAST(greatest(n + CASE $cases ELSE ${table.last._2} END, 0) AS BIGINT) AS noisy_count FROM u"
     },
 
     "privacy_pseudonymize" ->

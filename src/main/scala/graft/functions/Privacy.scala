@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy-risk profiling for training corpora (beyond-parity): before a
@@ -97,5 +97,86 @@ object Privacy {
       val tok = md5(concat(lit(salt), lit("\u0001"), col(c).cast("string")))
       d.withColumn(c, if (fullDigest) tok else substring(tok, 1, 15))
     }
+  }
+
+  /** Inverse-CDF lookup table for the DISCRETE Laplace (two-sided
+    * geometric) mechanism at ε = epsPpm/10⁶, sensitivity 1 — the noise
+    * distribution of Ghosh–Roughgarden–Sundararajan 2009, which is
+    * ε-differentially-private for counting queries and needs no
+    * floating-point noise at release time: P(k) ∝ α^|k| with
+    * α = e^(−ε), inverted into integer thresholds on the 48-bit hash
+    * space. Returns (u48UpperBound, noise) rows with strictly increasing
+    * bounds ending at 2⁴⁸; support truncates where the two-sided tail
+    * drops below 2⁻⁴⁸ (below the resolution of the 48-bit draw).
+    *
+    * The table is computed driver-side ONCE (powers by repeated
+    * multiplication, the lshTuningCurve discipline) and embedded as
+    * LITERALS in both the engine plan and the oracle SQL — the release
+    * is a pure deterministic function of (key, salt), so both engines
+    * agree bit-for-bit and a re-release under a fresh salt is a fresh
+    * draw (each salt spends its own ε budget; account accordingly). */
+  def dpNoiseTable(epsPpm: Long): Seq[(Long, Long)] = {
+    require(epsPpm >= 50000 && epsPpm <= 10000000,
+      s"eps = $epsPpm ppm outside the supported [0.05, 10] range")
+    val alpha = math.exp(-epsPpm.toDouble / 1e6)
+    val p0 = (1 - alpha) / (1 + alpha)
+    val maxU = 1L << 48
+    // smallest K with two-sided tail 2·p0·α^(K+1)/(1−α) < 2⁻⁴⁸, capped
+    // defensively (ε ≥ 0.05 keeps K ≤ ~1600)
+    var k = 0
+    var tail = 1.0 - p0
+    while (tail * 2 / (1 - alpha) > math.pow(2.0, -48) && k < 2000) {
+      k += 1
+      tail *= alpha
+    }
+    val ks = -k to k
+    // P(j) by repeated multiplication from p0 outward
+    val pmf = ks.map { j =>
+      var p = p0
+      var i = 0
+      while (i < math.abs(j)) { p *= alpha; i += 1 }
+      p
+    }
+    val total = pmf.sum
+    var cum = 0.0
+    val rows = ks.zip(pmf).map { case (j, p) =>
+      cum += p / total
+      (math.min(maxU, math.round(cum * maxU)), j.toLong)
+    }
+    // keep only rows that carve a NON-EMPTY u-interval: extreme-tail
+    // noises whose probability rounds below the 48-bit resolution are
+    // dropped (they were unreachable anyway — forcing them to width-1
+    // slots would instead push bounds past 2⁴⁸ and break monotonicity,
+    // the bug the PrivacySpec shape test caught)
+    var lo = 0L
+    val fixed = Vector.newBuilder[(Long, Long)]
+    rows.foreach { case (t, j) =>
+      if (t > lo) { fixed += ((t, j)); lo = t }
+    }
+    val out = fixed.result()
+    if (lo < maxU) out :+ ((maxU, out.last._2)) else out
+  }
+
+  /** ε-DP count release: group by `keyCols`, add discrete-Laplace noise
+    * drawn deterministically by inverse-CDF lookup of the stable 48-bit
+    * md5 of (key, salt), clamp at 0 (post-processing preserves DP).
+    * True counts never appear in the output. One hash aggregation + a
+    * per-row literal lookup chain — no extra shuffle. */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], salt: String,
+                    epsPpm: Long): DataFrame = {
+    require(keyCols.nonEmpty, "no grouping keys")
+    val table = dpNoiseTable(epsPpm)
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val key = concat(
+      keyCols.map(c => col(c).cast("string")) :+ lit(salt): _*)
+    val u = conv(substring(md5(key), 1, 12), 16, 10).cast("long")
+    val noise = table.init
+      .foldLeft(Option.empty[Column]) { case (acc, (t, j)) =>
+        Some(acc.fold(when(u < t, j))(_.when(u < t, j)))
+      }
+      .fold(lit(table.last._2))(_.otherwise(table.last._2))
+    counts.select(keyCols.map(col) :+
+      greatest(col("_n") + noise, lit(0L)).as("noisy_count"): _*)
   }
 }

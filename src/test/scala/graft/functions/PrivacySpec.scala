@@ -92,4 +92,42 @@ class PrivacySpec extends SparkSpec {
       .as[String].head()
     assert(x !== y)
   }
+
+  test("dpNoiseTable: thresholds strictly increase, cover the 48-bit " +
+      "space, and match the two-sided geometric shape") {
+    val eps = 693147L // ln 2 => alpha = 0.5
+    val t = Privacy.dpNoiseTable(eps)
+    assert(t.last._1 === (1L << 48))
+    assert(t.map(_._1) === t.map(_._1).sorted)
+    assert(t.map(_._1).distinct.size === t.size)
+    // noise values strictly increase and both tails reach deep (rows the
+    // 48-bit draw cannot resolve are dropped, so the ends may trim)
+    val ks = t.map(_._2)
+    assert(ks === ks.sorted && ks.distinct.size === ks.size)
+    assert(ks.head <= -40L && ks.last >= 40L, s"${ks.head}..${ks.last}")
+    // P(0) mass = (1-a)/(1+a) = 1/3 at alpha = 1/2, within table rounding
+    val widths = t.map(_._1).zip(0L +: t.map(_._1)).map { case (h, l) => h - l }
+    val p0 = widths(ks.indexOf(0L)).toDouble / (1L << 48)
+    assert(math.abs(p0 - 1.0 / 3) < 1e-6, s"p0=$p0")
+  }
+
+  test("dpNoisyCounts: deterministic per (key, salt), fresh draw under a " +
+      "fresh salt, clamped at zero, noise bounded by the table support") {
+    val eps = 693147L
+    val rows = (1 to 400).flatMap(k => Seq.fill(3)(s"key$k")).toDF("k")
+    val out1 = Privacy.dpNoisyCounts(rows, Seq("k"), "salt-a", eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out2 = Privacy.dpNoisyCounts(rows, Seq("k"), "salt-a", eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out1 === out2) // replayable release
+    val outB = Privacy.dpNoisyCounts(rows, Seq("k"), "salt-b", eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out1 !== outB) // a new salt is a new draw
+    val kMax = Privacy.dpNoiseTable(eps).last._2
+    val noises = out1.values.map(_ - 3L)
+    assert(noises.forall(n => n >= -3L && n <= kMax)) // clamp floor is 0
+    // the draw is roughly centred: mean |noise| for alpha=.5 is ~1
+    val meanAbs = noises.map(n => math.abs(n).toDouble).sum / noises.size
+    assert(meanAbs < 3.0, s"meanAbs=$meanAbs")
+  }
 }
