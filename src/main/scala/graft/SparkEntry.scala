@@ -194,6 +194,24 @@ object SparkEntry {
   private val warcU2 = ".example.com/doc/"     // || doc_id
   private val dpSalt = "graft-dp-1"            // privacy_dp_counts
   private val dpEpsPpm = 693147L               // ε = ln 2
+  private val pprSeeds =                        // graph_ppr_seeds
+    Seq("src3.example.com", "src7.example.com")
+
+  /** The synthesized host link graph shared by graph_domain_rank and
+    * graph_ppr_seeds: href harvest → absolute filter → canonicalize →
+    * (src_host, dst_host) edges, link targets folding (doc_id·j + j) % 20
+    * so the graph is irregular. */
+  private def domainEdges(s: SparkSession, dir: String): DataFrame = {
+    def hlink(j: Int) = concat(lit(domA),
+      ((col("doc_id") * j + j) % 20).cast("string"), lit(domB))
+    val html = concat(hlink(1), hlink(2), hlink(3))
+    val links = t(s, dir, "documents")
+      .select(concat(lit("src"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com")).as("src_host"),
+        explode(Html.outlinks(html)).as("url"))
+    Urls.linkGraph(links, "src_host", "url")
+      .select(col("src_host").as("src"), col("dst_host").as("dst"))
+  }
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
@@ -821,6 +839,15 @@ object SparkEntry {
       s.sql(LocalVolumeSql)
     }),
 
+    // TPC-H Q7 shape — cross-nation shipping volume by year: the
+    // disjunctive nation-pair predicate + two aliased joins against the
+    // same dim (both broadcast)
+    "q7_nation_volume" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(NationVolumeSql)
+    }),
+
     // TPC-H Q10 shape — returned-item revenue per customer, top-20 with a
     // total tie-break order (TakeOrdered, no global sort)
     "q10_returned" -> ((s, dir) => {
@@ -1392,6 +1419,9 @@ object SparkEntry {
         ("customer", t(s, dir, "customer"), "c_custkey")),
         victims, "user_id")
     }),
+
+    // (the host edge frame shared by graph_domain_rank / graph_ppr_seeds
+    // is built by the private domainEdges helper below the queries map)
 
     // ε-DP released counts (discrete Laplace / two-sided geometric,
     // Ghosh et al. 2009): noise drawn deterministically by inverse-CDF
@@ -1981,19 +2011,18 @@ object SparkEntry {
     // (the domain-quality prior a crawl scheduler feeds back into
     // frontier ordering); the oracle rebuilds the host edge set
     // arithmetically and unrolls the same rounds
-    "graph_domain_rank" -> ((s, dir) => {
-      def hlink(j: Int) = concat(lit(domA),
-        ((col("doc_id") * j + j) % 20).cast("string"), lit(domB))
-      val html = concat(hlink(1), hlink(2), hlink(3))
-      val links = t(s, dir, "documents")
-        .select(concat(lit("src"), (col("doc_id") % 20).cast("string"),
-          lit(".example.com")).as("src_host"),
-          explode(Html.outlinks(html)).as("url"))
-      val edges = Urls.linkGraph(links, "src_host", "url")
-        .select(col("src_host").as("src"), col("dst_host").as("dst"))
-      PageRank.run(edges, "src", "dst", iters = 3)
-        .select(col("node").as("host"), col("rank_u12"))
-    }),
+    "graph_domain_rank" -> ((s, dir) =>
+      PageRank.run(domainEdges(s, dir), "src", "dst", iters = 3)
+        .select(col("node").as("host"), col("rank_u12"))),
+
+    // PERSONALIZED PageRank from seed domains over the same host graph:
+    // teleport mass lands only on the seeds (one exact integer floor for
+    // the per-seed share), rank = proximity to the trusted set — the
+    // crawl-frontier prioritizer / TrustRank-style spam demoter
+    "graph_ppr_seeds" -> ((s, dir) =>
+      PageRank.runPersonalized(domainEdges(s, dir), "src", "dst",
+          iters = 3, seeds = pprSeeds)
+        .select(col("node").as("host"), col("rank_u12"))),
 
     // HTML boilerplate extraction: synthesized crawl pages (nav + link
     // farm + footer around the real text), main content kept by the
@@ -3169,6 +3198,39 @@ object SparkEntry {
       s" SELECT node AS $nodeAlias, CAST(pr AS BIGINT) AS rank_u12 FROM r3"
   }
 
+  /** The domain-link host edge set, rebuilt arithmetically for the rank
+    * oracles (must end with `e(src, dst)` for pageRankSqlOver/pprSqlOver). */
+  private val domainEdgeCtes: String =
+    "WITH l AS (SELECT 'src' || (doc_id % 20) || '.example.com' AS src, " +
+      "'src' || ((doc_id * j + j) % 20) || '.example.com' AS dst " +
+      "FROM documents CROSS JOIN (VALUES (1), (2), (3)) q(j)), " +
+      "e AS (SELECT DISTINCT src, dst FROM l)"
+
+  /** DuckDB twin of `PageRank.runPersonalized(iters = 3, dampingPct = 85)`:
+    * teleport CASE over the seed IN-list, per-seed share by the SAME
+    * nested integer floors as the engine, r0 = the teleport vector. */
+  private def pprSqlOver(edgeCtes: String, seeds: Seq[String],
+                         nodeAlias: String): String = {
+    val inList = seeds.map(s => s"'$s'").mkString(", ")
+    val base = edgeCtes + ", " +
+      "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+      "n AS (SELECT src AS node FROM deg), " +
+      s"tp AS (SELECT node, CAST(CASE WHEN node IN ($inList) THEN " +
+      s"(15 * 1000000000000 * (SELECT count(*) FROM n)) // 100 // ${seeds.size} " +
+      "ELSE 0 END AS HUGEINT) AS t FROM n), " +
+      "r0 AS (SELECT node, t AS pr FROM tp), "
+    val rounds = (1 to 3).map { k =>
+      s"i$k AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s " +
+        s"FROM r${k - 1} r JOIN deg d ON d.src = r.node " +
+        s"JOIN e ON e.src = r.node GROUP BY e.dst), " +
+        s"r$k AS (SELECT n.node, tp.t + " +
+        s"(85 * COALESCE(i$k.s, 0)) // 100 AS pr " +
+        s"FROM n JOIN tp USING (node) LEFT JOIN i$k USING (node))"
+    }.mkString(", ")
+    base + rounds +
+      s" SELECT node AS $nodeAlias, CAST(pr AS BIGINT) AS rank_u12 FROM r3"
+  }
+
   private val PageRankSql: String = pageRankSqlOver(
     "WITH b AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem), " +
       "e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM b " +
@@ -3205,6 +3267,21 @@ object SparkEntry {
       |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
       |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
       |GROUP BY n_name""".stripMargin
+
+  private val NationVolumeSql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(rev_us) AS BIGINT) AS revenue_us
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+      |    CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000)
+      |         AS DECIMAL(38,0)) AS rev_us
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
 
   private val ReturnedItemsSql =
     """SELECT c_custkey, c_name, n_name,
@@ -3564,6 +3641,7 @@ object SparkEntry {
 
     "q1_pricing" -> PricingSql.replace("\n", " "),
     "q5_local_volume" -> LocalVolumeSql.replace("\n", " "),
+    "q7_nation_volume" -> NationVolumeSql.replace("\n", " "),
     "q10_returned" -> ReturnedItemsSql.replace("\n", " "),
     "q14_promo" -> PromoRevenueSql.replace("\n", " "),
     "q18_large_orders" -> LargeOrdersSql.replace("\n", " "),
@@ -4824,11 +4902,13 @@ object SparkEntry {
     // host edges rebuilt arithmetically (independent of the href/canonical
     // route, which corpus_link_graph verifies); same unrolled fixed-point
     // rounds as graph_pagerank via the shared pageRankSqlOver
-    "graph_domain_rank" -> pageRankSqlOver(
-      "WITH l AS (SELECT 'src' || (doc_id % 20) || '.example.com' AS src, " +
-        "'src' || ((doc_id * j + j) % 20) || '.example.com' AS dst " +
-        "FROM documents CROSS JOIN (VALUES (1), (2), (3)) q(j)), " +
-        "e AS (SELECT DISTINCT src, dst FROM l)",
+    "graph_domain_rank" -> pageRankSqlOver(domainEdgeCtes,
+      nodeAlias = "host"),
+
+    // same edge set, teleport restricted to the seed hosts: the per-seed
+    // share mirrors the engine's nested integer floors
+    // (15·10¹²·N) // 100 // |S|, and r0 IS the teleport vector
+    "graph_ppr_seeds" -> pprSqlOver(domainEdgeCtes, pprSeeds,
       nodeAlias = "host"),
 
     // hrefs re-extracted with the same HrefRe under RE2, relative links

@@ -81,4 +81,61 @@ object PageRank {
     deg.unpersist(false)
     out
   }
+
+  /** PERSONALIZED PageRank: the teleport mass lands only on the `seeds`
+    * instead of uniformly — rank measures proximity to the seed set, the
+    * crawl-frontier prioritizer ("how close is this domain to my trusted
+    * domains") and the seed-expansion primitive behind TrustRank-style
+    * spam demotion.
+    *
+    * Same integer fixed-point discipline as [[run]]; the total teleport
+    * mass (100−d)%·N·10¹² splits equally over the |S| seeds in ONE exact
+    * floor: ⌊(100−d)·10¹²·N / 100 / |S|⌋ (two nested integer divisions in
+    * that order — oracles mirror it). N comes from one 1-row count of the
+    * node frame (driver-side scalar, not a collect of data). Seeds absent
+    * from the graph get no mass (documented; pass graph nodes). Non-seed
+    * nodes start at 0 — r₀ is itself the teleport vector.
+    *
+    * Output: (node, rank_u12). */
+  def runPersonalized(edges: DataFrame, src: String, dst: String,
+                      iters: Int, seeds: Seq[String],
+                      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100,
+      s"bad params iters=$iters dampingPct=$dampingPct")
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    val e = edges.select(col(src).cast("string").as("src"),
+        col(dst).cast("string").as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
+    val n = nodes.count()
+    val seedTeleport =
+      (BigInt(100 - dampingPct) * BigInt("1000000000000") * n / 100 /
+        seeds.size).toLong
+    val teleport = when(col("node").isin(seeds: _*), lit(seedTeleport))
+      .otherwise(lit(0L)).cast(DecimalType(38, 0))
+    var rank = nodes.withColumn("rank", teleport)
+    for (i <- 0 until iters) {
+      val inSum = rank
+        .join(deg, rank("node") === deg("src"))
+        .select(col("src"), intDiv(col("rank"), col("outdeg")).as("contrib"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("in_sum"))
+      rank = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (teleport +
+            intDiv(lit(dampingPct.toLong) *
+              coalesce(col("in_sum"), lit(0).cast(DecimalType(38, 0))),
+              lit(100L))).as("rank"))
+      if ((i + 1) % 4 == 0 && i + 1 < iters)
+        rank = rank.transform(Frames.truncate)
+    }
+    if (iters > 0) rank = rank.transform(Frames.truncate)
+    val out = rank.select(col("node"), col("rank").cast("long").as("rank_u12"))
+    e.unpersist(false)
+    deg.unpersist(false)
+    out
+  }
 }

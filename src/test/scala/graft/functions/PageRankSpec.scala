@@ -73,4 +73,38 @@ class PageRankSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got.values.toSet === Set(1000000000000L))
   }
+
+  test("personalized: teleport mass lands only on seeds, proximity " +
+      "decays along the directed cycle, unreachable nodes stay at zero") {
+    import spark.implicits._
+    // directed cycle a -> b -> c -> a plus an isolated 2-cycle x <-> y
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val got = PageRank.runPersonalized(e, "src", "dst", iters = 3,
+        seeds = Seq("a"))
+      .as[(String, Long)].collect().toMap
+    // r0 is the teleport vector: only a holds mass; 3 rounds push it one
+    // hop per round, decaying by the damping factor — and the component
+    // not reachable from the seed gets NOTHING
+    assert(got("a") > got("b") && got("b") > got("c") && got("c") > 0L)
+    assert(got("x") === 0L && got("y") === 0L)
+    // a keeps at least its own teleport share: (15%·N·10¹²)/1, N = 5
+    assert(got("a") >= 15L * 1000000000000L * 5 / 100)
+    // deterministic under repartitioning
+    val again = PageRank.runPersonalized(e.repartition(7), "src", "dst",
+        iters = 3, seeds = Seq("a"))
+      .as[(String, Long)].collect().toMap
+    assert(again === got)
+  }
+
+  test("personalized: iters = 0 IS the teleport vector with the exact " +
+      "per-seed integer share") {
+    val e = undirected(("a", "b"), ("b", "c"), ("c", "d"))
+    val got = PageRank.runPersonalized(e, "src", "dst", iters = 0,
+        seeds = Seq("a", "c"))
+      .as[(String, Long)].collect().toMap
+    // (15% · 4 nodes · 10¹²) / 2 seeds, floored once per division
+    val share = 15L * 1000000000000L * 4 / 100 / 2
+    assert(got === Map("a" -> share, "b" -> 0L, "c" -> share, "d" -> 0L))
+  }
 }
