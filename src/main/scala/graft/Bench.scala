@@ -48,8 +48,13 @@ object Bench {
     // min-of-2 read 340 s on a ~177 s engine because one stall covered
     // both back-to-back reps of query after query — and a full-budget
     // sweep leaves the defense mechanism no time to run)
+    // 0.6: a contended 209-query sweep measured ~395 s even with the
+    // tail degraded at 0.7·420 — leaving the re-time pass zero budget in
+    // exactly the run that needed it (retimed: 0, total read 226 s on a
+    // ~180 s engine). At 0.6 the contended sweep ends ~360 s and the
+    // worst movers still get fresh-session re-times.
     val sweepBudget = budgetSecs *
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_FRAC", "0.7").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_FRAC", "0.6").toDouble
     // optional comma-separated query filter — fresh-JVM measurement of a
     // subset (the scale experiments re-time outliers in isolation: one
     // long-lived session accumulates cache/GC state that can inflate

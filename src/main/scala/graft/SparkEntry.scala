@@ -4547,7 +4547,7 @@ object SparkEntry {
       val cases = table.init
         .map { case (t, j) => s"WHEN u48 < $t THEN $j" }.mkString(" ")
       s"WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1), " +
-        s"u AS (SELECT event_type, n, ('0x' || substring(md5(event_type || '$dpSalt'), 1, 12))::BIGINT AS u48 FROM c) " +
+        s"u AS (SELECT event_type, n, ('0x' || substring(md5(event_type || chr(1) || '$dpSalt'), 1, 12))::BIGINT AS u48 FROM c) " +
         s"SELECT event_type, CAST(greatest(n + CASE $cases ELSE ${table.last._2} END, 0) AS BIGINT) AS noisy_count FROM u"
     },
 

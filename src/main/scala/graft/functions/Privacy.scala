@@ -168,8 +168,13 @@ object Privacy {
     val table = dpNoiseTable(epsPpm)
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
+    //  separators: ("a","bc") and ("ab","c") must draw different
+    // noise (the pseudonymize separator lesson); concat (not concat_ws)
+    // so a NULL key column nulls u and the noise falls to the table's
+    // last row deterministically rather than colliding groups
     val key = concat(
-      keyCols.map(c => col(c).cast("string")) :+ lit(salt): _*)
+      keyCols.flatMap(c => Seq(col(c).cast("string"), lit("\u0001"))) :+
+        lit(salt): _*)
     val u = conv(substring(md5(key), 1, 12), 16, 10).cast("long")
     val noise = table.init
       .foldLeft(Option.empty[Column]) { case (acc, (t, j)) =>
