@@ -909,6 +909,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500)
     }),
 
+    // EXACT similarity join by prefix filtering (SSJoin/PPJoin): candidates
+    // only from each doc's rarest n−⌈t·n⌉+1 shingles — LOSSLESS by theorem,
+    // so the oracle brute-forces ALL pairs with NO posting cap and
+    // hash-equality certifies the filter dropped nothing (the no-recall-
+    // knob alternative to dedup_jaccard's capped inverted index)
+    "dedup_jaccard_exactjoin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "sh", 0.5)
+    }),
+
     // near-dup incidence per source: share of each source's docs with at
     // least one verified near-dup — the "which crawl to dedup first" rank
     "dedup_rate_by_source" -> ((s, dir) => {
@@ -3748,6 +3759,20 @@ object SparkEntry {
         "SELECT id_a, id_b, round(cos, 6) AS cos FROM c WHERE cos >= 0.8"),
 
     "dedup_jaccard" -> jaccardPairsOracleSql,
+
+    // deliberately NO posting cap anywhere: the brute-force truth is what
+    // proves the engine's prefix filter lossless
+    "dedup_jaccard_exactjoin" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
+        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "scored AS (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
+        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) " +
+        "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5"),
 
     // same CTE prefix as the jaccard oracle (postings capped identically),
     // then both directions with integer floor-ppm containment

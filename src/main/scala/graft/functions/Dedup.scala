@@ -292,6 +292,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
   }
 
+  /** EXACT Jaccard similarity join via PREFIX FILTERING (the SSJoin /
+    * PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    * sort every document's shingles by GLOBAL rarity (document frequency
+    * ascending, shingle as tie-break — one total order shared by all
+    * docs), and generate candidates only from each document's first
+    * n − ⌈t·n⌉ + 1 entries. That prefix is LOSSLESS for Jaccard ≥ t:
+    * any qualifying pair must overlap in at least ⌈t·max(|A|,|B|)⌉
+    * shingles, so skipping the prefix entirely would require more
+    * disjoint tail tokens than the threshold allows — candidate
+    * completeness is a theorem, not a recall knob. The differential
+    * oracle exploits exactly that: it brute-forces ALL pairs with NO
+    * posting cap, so hash-equality certifies the filter dropped nothing.
+    *
+    * Contrast with [[ngramJaccardPairs]] (inverted index over every
+    * shingle + hot-posting cap): the cap bounds worst-case fan-out but
+    * sacrifices recall on boilerplate families; prefix filtering instead
+    * joins only on each doc's RAREST tokens — short posting lists by
+    * construction — and pays one array_intersect verification per
+    * surviving candidate. At 100 TB the df frame is a broadcast-sized
+    * vocabulary aggregate and every stage is an ordinary equi-join /
+    * hash aggregation; no caps to tune, no quadratic hot bucket unless
+    * the corpus genuinely is one near-dup family.
+    *
+    * Output: (id_a, id_b, jaccard) — identical shape and rounding to
+    * [[ngramJaccardPairs]]. */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+                               shingleCol: String,
+                               threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val base = docs.select(col(idCol).as("id"), col(shingleCol).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val posting = base.select(col("id"), explode(col("shs")).as("sh"))
+    val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = posting.join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), x => x.getField("sh")).as("sorted_sh"),
+        size(col("ord")).as("n"))
+    val prefLen =
+      (col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
+    val prefixes = ordered.select(col("id"),
+      explode(slice(col("sorted_sh"), lit(1), prefLen)).as("sh"))
+    val cand = bucketPairs(prefixes, Seq("sh"), col("id"))
+      .select(col("_a").as("id_a"), col("_b").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Cross-source duplication provenance matrix: which sources copy from
     * which. Near-dup pairs lift to their documents' source labels and
     * aggregate into an unordered source×source matrix — the audit that

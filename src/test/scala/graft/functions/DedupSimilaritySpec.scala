@@ -138,6 +138,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
   }
 
+  test("prefixFilterJaccardPairs: equals uncapped brute force (the " +
+      "lossless theorem), including on a hot-shingle family where the " +
+      "capped inverted index WOULD lose pairs") {
+    // 15 near-identical docs: 5 shared shingles (df = 15, HOT) + 2 unique
+    // per doc => pairwise jaccard 5/9 >= 0.5 THROUGH the hot shingles only
+    val fam = (1L to 15L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta u$i v$i"))
+    val far = Seq((101L, "totally different words about engines and planners"))
+    val docs = (fam ++ far).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    def brute(d: org.apache.spark.sql.DataFrame) = {
+      val rows = d.select(col("doc_id"), col("sh")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      (for {
+        (a, sa) <- rows; (b, sb) <- rows if a < b
+        c = (sa & sb).size
+        j = c.toDouble / (sa.size + sb.size - c) if j >= 0.5
+      } yield (a, b, math.rint(j * 1e6) / 1e6)).toSet
+    }
+    val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "sh", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute(docs))
+    assert(got.nonEmpty)
+    // the capped route with a tiny cap drops hot-shingle evidence — the
+    // exact join must NOT (that is its reason to exist)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5,
+      maxPosting = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size < got.size)
+  }
+
+  test("prefixFilterJaccardPairs: threshold 1.0 (exact duplicates only) " +
+      "uses a single-token prefix and still finds every exact pair") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "one two three four five seven")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "sh", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("containmentPairs: an embedded snippet scores 1e6 toward its host " +
       "while jaccard stays below threshold") {
     val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
