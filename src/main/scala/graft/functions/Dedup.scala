@@ -88,19 +88,26 @@ object Dedup {
     * NOT a `count().over(Window)`: the window form shuffles and then SORTS
     * the entire exploded index just to count group sizes, which at corpus
     * scale is the single most expensive node in the plan. */
-  private def capGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    // the input is an exploded index over EXPENSIVE per-doc computation
-    // (shingling / signature aggregation) and is consumed twice — once for
-    // hot-key detection, once for the candidate pass. Persist it: at corpus
-    // scale recomputation is a second full pass over the corpus, and
-    // MEMORY_AND_DISK spills rather than OOMs.
+  /** Persist a multiply-consumed index frame, releasing the PREVIOUS one
+    * (single-slot hygiene: one candidate index in flight per session —
+    * long bench sessions measured multi-fold GC inflation without this).
+    * MEMORY_AND_DISK spills rather than OOMs; same-plan re-runs SHARE one
+    * CacheManager entry, so the previous frame only unpersists when its
+    * plan genuinely differs. */
+  private def persistIdx(df: DataFrame): DataFrame = {
     val idx = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = lastIdx.getAndSet(idx)
-    // same-plan re-runs SHARE one CacheManager entry — unpersisting the
-    // previous frame would evict the entry the new frame just adopted
     if (prev != null && (prev ne idx) &&
         !prev.queryExecution.analyzed.sameResult(idx.queryExecution.analyzed))
       prev.unpersist(false)
+    idx
+  }
+
+  private def capGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    // the input is an exploded index over EXPENSIVE per-doc computation
+    // (shingling / signature aggregation) and is consumed twice — once for
+    // hot-key detection, once for the candidate pass
+    val idx = persistIdx(df)
     val hot = idx.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > cap).select(keys.map(col): _*)
     idx.join(broadcast(hot), keys, "left_anti")
@@ -325,12 +332,16 @@ object Dedup {
       .filter(size(col("shs")) > 0)
     val posting = base.select(col("id"), explode(col("shs")).as("sh"))
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val ordered = posting.join(dfreq, "sh")
+    // ONE shingling + df-sort pass, persisted (persistIdx hygiene): the
+    // prefix explode AND both verification sides read this frame — the
+    // unpersisted form re-ran the shingle pipeline three times (7.5 s →
+    // ~2 s at sf0.1)
+    val ordered = persistIdx(posting.join(dfreq, "sh")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
       .select(col("id"),
         transform(col("ord"), x => x.getField("sh")).as("sorted_sh"),
-        size(col("ord")).as("n"))
+        size(col("ord")).as("n")))
     val prefLen =
       (col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
     val prefixes = ordered.select(col("id"),
@@ -339,11 +350,18 @@ object Dedup {
       .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .distinct()
     cand
-      .join(base.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .join(ordered.select(col("id").as("id_a"), col("sorted_sh").as("sh_a"),
+        col("n").as("n_a")), "id_a")
+      .join(ordered.select(col("id").as("id_b"), col("sorted_sh").as("sh_b"),
+        col("n").as("n_b")), "id_b")
+      // length filter (also lossless: jaccard ≥ t forces t·|A| ≤ |B| and
+      // t·|B| ≤ |A|) — kills incompatible candidates BEFORE paying the
+      // array_intersect
+      .filter(col("n_b") >= col("n_a") * lit(threshold) &&
+        col("n_a") >= col("n_b") * lit(threshold))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+        (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
