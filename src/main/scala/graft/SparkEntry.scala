@@ -962,6 +962,18 @@ object SparkEntry {
         maxPosting = 500)
     }),
 
+    // EXACT containment join via one-sided prefix filtering: src's rarest
+    // n−⌈t·n⌉+1 shingles must hit dst's FULL set — lossless by theorem,
+    // capless brute-force oracle certifies it (the audit-grade companion
+    // of dedup_containment's capped screen; directions emerge from each
+    // side's own prefix)
+    "dedup_containment_exactjoin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Dedup.prefixFilterContainmentPairs(docs, "doc_id", "sh",
+        containThreshPpm)
+    }),
+
     // token-weighted near-dup: tf-idf cosine over the df-capped vocabulary
     // — rare tokens dominate (catches boilerplate + unique payload), idf
     // in integer micro-units so every sum is order-independent
@@ -3785,6 +3797,22 @@ object SparkEntry {
         "sized AS (SELECT doc_id, s FROM (SELECT *, count(*) OVER (PARTITION BY s) AS pn FROM posting) WHERE pn <= 500), " +
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
         "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "pf AS (SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b " +
+        "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id), " +
+        "dir AS (SELECT id_a AS src, id_b AS dst, (1000000 * common) // n_a AS cont_ppm FROM pf " +
+        "UNION ALL SELECT id_b, id_a, (1000000 * common) // n_b FROM pf) " +
+        s"SELECT src, dst, CAST(cont_ppm AS BIGINT) AS cont_ppm FROM dir WHERE cont_ppm >= $containThreshPpm"),
+
+    // the capless truth: same CTEs as dedup_containment but NO posting
+    // cap — equality proves the one-sided prefix filter lossless
+    "dedup_containment_exactjoin" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
+        "sizes AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+        "posting AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
         "pf AS (SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b " +
         "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id), " +
         "dir AS (SELECT id_a AS src, id_b AS dst, (1000000 * common) // n_a AS cont_ppm FROM pf " +

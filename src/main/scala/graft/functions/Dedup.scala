@@ -446,6 +446,54 @@ object Dedup {
       .filter(col("cont_ppm") >= threshPpm)
   }
 
+  /** EXACT containment join via ONE-SIDED prefix filtering — the
+    * audit-grade companion of [[containmentPairs]] exactly as
+    * [[prefixFilterJaccardPairs]] is to [[ngramJaccardPairs]]:
+    * containment(src→dst) ≥ t forces overlap ≥ ⌈t·|src|⌉, so src's
+    * rarest |src| − ⌈t·|src|⌉ + 1 shingles (global df order) must
+    * intersect dst's FULL set — candidates join src prefixes against the
+    * uncapped inverted index, completeness is a theorem, and the oracle
+    * brute-forces every pair capless to certify it. Directionality is
+    * inherent (a snippet's prefix finds its host; the host's prefix need
+    * not find the snippet), so both directions emerge naturally from
+    * each side's own prefix. ⌈t·n⌉ is exact integer arithmetic
+    * ((n·ppm + 999999) div 10⁶ — no float boundary). Output shape
+    * matches [[containmentPairs]]: (src, dst, cont_ppm). */
+  def prefixFilterContainmentPairs(docs: DataFrame, idCol: String,
+                                   shingleCol: String,
+                                   threshPpm: Long): DataFrame = {
+    require(threshPpm > 0 && threshPpm <= 1000000, s"bad ppm $threshPpm")
+    val base = docs.select(col(idCol).as("id"), col(shingleCol).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val posting = base.select(col("id"), explode(col("shs")).as("sh"))
+    val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = persistIdx(posting.join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), x => x.getField("sh")).as("sorted_sh"),
+        size(col("ord")).as("n")))
+    val prefLen = col("n") -
+      expr(s"(n * ${threshPpm}L + 999999L) div 1000000L") + lit(1)
+    val prefixes = ordered.select(col("id").as("src"),
+      explode(slice(col("sorted_sh"), lit(1), prefLen)).as("sh"))
+    val fullIdx = ordered.select(col("id").as("dst"),
+      explode(col("sorted_sh")).as("sh"))
+    val cand = prefixes.join(fullIdx, "sh")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    cand
+      .join(ordered.select(col("id").as("src"), col("sorted_sh").as("sh_s"),
+        col("n").as("n_src")), "src")
+      .join(ordered.select(col("id").as("dst"),
+        col("sorted_sh").as("sh_d")), "dst")
+      .withColumn("common", size(array_intersect(col("sh_s"), col("sh_d"))))
+      .withColumn("cont_ppm", expr("(1000000L * common) div n_src"))
+      .filter(col("cont_ppm") >= threshPpm)
+      .select(col("src"), col("dst"), col("cont_ppm"))
+  }
+
   /** Token-weighted near-dup: tf-idf COSINE over the df-capped vocabulary
     * (SpotSigs-style) — the weighted complement of [[ngramJaccardPairs]]:
     * Jaccard treats every shingle equally, cosine lets rare tokens

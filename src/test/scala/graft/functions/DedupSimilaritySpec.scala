@@ -181,6 +181,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("prefixFilterContainmentPairs: equals uncapped brute force; finds " +
+      "a snippet embedded in MANY hosts through hot shingles where the " +
+      "capped route goes blind") {
+    // one 5-token snippet fully embedded in 12 hosts: every snippet
+    // shingle has df = 13 (hot); containment(snippet→host) = 1e6
+    val snippet = "alpha beta gamma delta epsilon"
+    val hosts = (1L to 12L).map(i =>
+      (i, s"$snippet extra$i filler$i words$i here$i more$i tail$i"))
+    val docs = (hosts :+ ((99L, snippet))).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val got = Dedup.prefixFilterContainmentPairs(docs, "doc_id", "sh",
+        600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth in-process
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a != b
+      c = (sa & sb).size
+      ppm = 1000000L * c / sa.size if ppm >= 600000L
+    } yield (a, b, ppm)).toSet
+    assert(got === brute)
+    // the snippet is contained in every host (12 directional rows)
+    assert(got.count(_._1 == 99L) === 12)
+    // a capped route with a small cap cannot see hot-shingle evidence
+    val capped = Dedup.containmentPairs(docs, "doc_id", "sh", 600000L,
+      maxPosting = 2).collect()
+    assert(capped.length < got.size)
+  }
+
   test("containmentPairs: an embedded snippet scores 1e6 toward its host " +
       "while jaccard stays below threshold") {
     val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
