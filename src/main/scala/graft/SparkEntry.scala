@@ -865,6 +865,16 @@ object SparkEntry {
       s.sql(PromoRevenueSql)
     }),
 
+    // TPC-H Q19 shape — the disjunction-of-conjunctions predicate probe:
+    // three (brand, size, quantity-band) clauses OR'd across the
+    // fact⋈part join; the join-independent parts must still push to the
+    // scans while the cross-table disjunction evaluates post-join
+    "q19_discounted" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(DiscountedRevenueSql)
+    }),
+
     // TPC-H Q18 shape — large-order skim: the HAVING subquery becomes a
     // semi-join on the aggregated quantity before the 3-way join
     "q18_large_orders" -> ((s, dir) => {
@@ -3331,6 +3341,19 @@ object SparkEntry {
       |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
       |  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin
 
+  private val DiscountedRevenueSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000)
+      |           AS DECIMAL(38,0))) AS BIGINT) AS revenue_us
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND ((p_brand = 'Brand#1' AND p_size <= 15
+      |        AND l_quantity >= 1 AND l_quantity <= 15)
+      |    OR (p_brand = 'Brand#2' AND p_size <= 25
+      |        AND l_quantity >= 10 AND l_quantity <= 25)
+      |    OR (p_brand = 'Brand#3' AND p_size <= 40
+      |        AND l_quantity >= 20 AND l_quantity <= 35))""".stripMargin
+
   private val LargeOrdersSql =
     """SELECT c_custkey, o_orderkey,
       |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date,
@@ -3668,6 +3691,7 @@ object SparkEntry {
     "q10_returned" -> ReturnedItemsSql.replace("\n", " "),
     "q14_promo" -> PromoRevenueSql.replace("\n", " "),
     "q18_large_orders" -> LargeOrdersSql.replace("\n", " "),
+    "q19_discounted" -> DiscountedRevenueSql.replace("\n", " "),
 
     // the SAME SQL text runs on both engines (the q1 pattern)
     "q6_forecast_revenue" -> ForecastRevenueSql.replace("\n", " "),
