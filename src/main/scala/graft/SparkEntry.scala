@@ -1152,25 +1152,27 @@ object SparkEntry {
         col("n_chars"))),
 
     // Pareto concentration: the top decile of customers (by exact integer
-    // order value) and their revenue share — thresholds from the exact
-    // interpolated percentile, the calibrate precedent
+    // order value) and their revenue share — the p90 cut is an exact
+    // type-1 quantile from the sort-free lock-step bisection
+    // (Profile.exactQuantileValues) folded in as a LITERAL, so the plan
+    // carries no percentile aggregate (no single-buffer sort) — the
+    // rfm/rank_zorder precedent
     "orders_pareto" -> ((s, dir) => {
       val perCust = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * lit(1000000d))
           .cast("decimal(38,0)")).as("_v"))
-        .select(col("o_custkey"), col("_v").cast("double").as("_vd"),
-          col("_v"))
-      val thr = perCust.agg(percentile(col("_vd"), lit(0.9)).as("_thr"))
-      perCust.crossJoin(broadcast(thr))
-        .agg(
-          count(lit(1)).as("n_customers"),
-          count(when(col("_vd") >= col("_thr"), 1)).as("n_top"),
-          floor(min(col("_thr"))).cast("long").as("threshold_us"),
-          Sampling.intDivExact(
-            sum(when(col("_vd") >= col("_thr"), col("_v"))
-              .otherwise(lit(0).cast("decimal(38,0)"))) * lit(1000000L),
-            sum(col("_v"))).as("top_share_ppm"))
+        .select(col("o_custkey"), col("_v"), col("_v").cast("long").as("_vl"))
+      val thr = Profile.exactQuantileValues(perCust, Seq("_vl"),
+        Seq(900000L))(("_vl", 900000L))
+      perCust.agg(
+        count(lit(1)).as("n_customers"),
+        count(when(col("_vl") >= lit(thr), 1)).as("n_top"),
+        min(lit(thr)).as("threshold_us"),
+        Sampling.intDivExact(
+          sum(when(col("_vl") >= lit(thr), col("_v"))
+            .otherwise(lit(0).cast("decimal(38,0)"))) * lit(1000000L),
+          sum(col("_v"))).as("top_share_ppm"))
     }),
 
     // leakage-safe split: assignment by DEDUP GROUP, not by doc — a test
@@ -1464,6 +1466,20 @@ object SparkEntry {
     "privacy_dp_counts" -> ((s, dir) =>
       Privacy.dpNoisyCounts(events(s, dir), Seq("event_type"), dpSalt,
         dpEpsPpm)),
+
+    // DP release over a PUBLIC fixed domain (the mode the contract
+    // demands when the key set itself is sensitive): negative-balance
+    // customers per nation, domain = the full 25-nation dimension —
+    // nations with no such customer still emit a row with a noised ZERO,
+    // so the released key set is data-independent
+    "privacy_dp_counts_domain" -> ((s, dir) => {
+      val neg = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"))
+      Privacy.dpNoisyCounts(neg, Seq("n_name"), dpSalt, dpEpsPpm,
+        Some(t(s, dir, "nation").select(col("n_name"))))
+    }),
 
     // GDPR-pseudonymized export: user ids become stable salted md5
     // tokens (pure codegen projection), grouping survives tokenization
@@ -3726,18 +3742,20 @@ object SparkEntry {
         "greatest(abs(train_ppm - val_ppm), abs(train_ppm - test_ppm), " +
         "abs(val_ppm - test_ppm)) AS max_gap_ppm FROM sh"),
 
-    // per-customer value as exact integer µ, decile threshold from
-    // quantile_cont over the identical doubles
+    // per-customer value as exact integer µ, decile cut as the type-1
+    // order statistic at k = max(1, ⌈0.9·n⌉) — the rfm oracle pattern
     "orders_pareto" ->
       ("WITH pc AS (SELECT o_custkey, " +
         "sum(CAST(floor(o_totalprice * 1000000) AS HUGEINT)) AS v FROM orders GROUP BY 1), " +
-        "pd AS (SELECT o_custkey, v, CAST(v AS DOUBLE) AS vd FROM pc), " +
-        "th AS (SELECT quantile_cont(vd, 0.9) AS thr FROM pd) " +
+        "nn AS (SELECT count(*) AS n FROM pc), " +
+        "kk AS (SELECT greatest(1, (900000 * n + 999999) // 1000000) AS k FROM nn), " +
+        "rr AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM pc), " +
+        "th AS (SELECT CAST(rr.v AS BIGINT) AS thr FROM rr JOIN kk ON rr.rn = kk.k) " +
         "SELECT count(*) AS n_customers, " +
-        "count(CASE WHEN vd >= thr THEN 1 END) AS n_top, " +
-        "CAST(floor(min(thr)) AS BIGINT) AS threshold_us, " +
-        "CAST((sum(CASE WHEN vd >= thr THEN v ELSE 0 END) * 1000000) // sum(v) AS BIGINT) AS top_share_ppm " +
-        "FROM pd, th"),
+        "count(CASE WHEN v >= thr THEN 1 END) AS n_top, " +
+        "CAST(min(thr) AS BIGINT) AS threshold_us, " +
+        "CAST((sum(CASE WHEN v >= thr THEN v ELSE 0 END) * 1000000) // sum(v) AS BIGINT) AS top_share_ppm " +
+        "FROM pc, th"),
 
     // min(row(id, chars)) ≡ the engine's struct min for the kept member
     "dedup_savings" ->
@@ -4626,6 +4644,21 @@ object SparkEntry {
       s"WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1), " +
         s"u AS (SELECT event_type, n, ('0x' || substring(md5(event_type || chr(1) || '$dpSalt'), 1, 12))::BIGINT AS u48 FROM c) " +
         s"SELECT event_type, CAST(greatest(n + CASE $cases ELSE ${table.last._2} END, 0) AS BIGINT) AS noisy_count FROM u"
+    },
+
+    // domain mode: LEFT JOIN from the public nation dimension so absent
+    // keys carry a noised zero — the identical threshold-table CASE
+    "privacy_dp_counts_domain" -> {
+      val table = Privacy.dpNoiseTable(dpEpsPpm)
+      val cases = table.init
+        .map { case (t, j) => s"WHEN u48 < $t THEN $j" }.mkString(" ")
+      s"WITH c AS (SELECT n_name, count(*) AS n FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE c_acctbal < 0 GROUP BY 1), " +
+        "d AS (SELECT DISTINCT n_name FROM nation), " +
+        "j AS (SELECT d.n_name, COALESCE(c.n, 0) AS n FROM d LEFT JOIN c USING (n_name)), " +
+        s"u AS (SELECT n_name, n, ('0x' || substring(md5(n_name || chr(1) || '$dpSalt'), 1, 12))::BIGINT AS u48 FROM j) " +
+        s"SELECT n_name, CAST(greatest(n + CASE $cases ELSE ${table.last._2} END, 0) AS BIGINT) AS noisy_count FROM u"
     },
 
     "privacy_pseudonymize" ->

@@ -72,15 +72,20 @@ object Dedup {
         (40503L * (i + 7)) & 0xFFFFFFFL)
   }
 
-  /** The most recent capGroups index cache, released on the NEXT call:
-    * a long-lived session running many pipelines holds at most ONE stale
-    * index cache instead of accumulating them until LRU thrash.
+  /** Per-call-site cache slots for candidate-index frames, each released
+    * on that SITE's next call: a long-lived session running many pipelines
+    * holds at most one stale index cache per operator instead of
+    * accumulating them until LRU thrash — and building (say) a containment
+    * plan no longer evicts a still-unexecuted jaccard plan's cached index
+    * (the slots are independent). Within ONE operator, only one candidate
+    * index may be in flight at a time: interleaving two un-executed plans
+    * from the same call site reverts the first to recompute (safe — Spark
+    * recomputes, never corrupts — just slower).
     * (A localCheckpoint would self-release via the ContextCleaner, but it
     * stores row-format blocks — measured ~2× slower on the jaccard path
-    * than the columnar cache; unpersisting a frame another in-flight query
-    * still references is safe — Spark recomputes, never corrupts.) */
-  private val lastIdx =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    * than the columnar cache.) */
+  private val idxSlots =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Skew guard behind every candidate join: drop rows whose key-group
     * exceeds `cap`. Implemented as hash-agg for the (by construction tiny —
@@ -89,14 +94,15 @@ object Dedup {
     * the entire exploded index just to count group sizes, which at corpus
     * scale is the single most expensive node in the plan. */
   /** Persist a multiply-consumed index frame, releasing the PREVIOUS one
-    * (single-slot hygiene: one candidate index in flight per session —
-    * long bench sessions measured multi-fold GC inflation without this).
+    * cached under the same `slot` (per-call-site hygiene: one candidate
+    * index in flight per operator — long bench sessions measured
+    * multi-fold GC inflation without any release).
     * MEMORY_AND_DISK spills rather than OOMs; same-plan re-runs SHARE one
     * CacheManager entry, so the previous frame only unpersists when its
     * plan genuinely differs. */
-  private def persistIdx(df: DataFrame): DataFrame = {
+  private def persistIdx(slot: String, df: DataFrame): DataFrame = {
     val idx = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastIdx.getAndSet(idx)
+    val prev = idxSlots.put(slot, idx)
     if (prev != null && (prev ne idx) &&
         !prev.queryExecution.analyzed.sameResult(idx.queryExecution.analyzed))
       prev.unpersist(false)
@@ -107,7 +113,7 @@ object Dedup {
     // the input is an exploded index over EXPENSIVE per-doc computation
     // (shingling / signature aggregation) and is consumed twice — once for
     // hot-key detection, once for the candidate pass
-    val idx = persistIdx(df)
+    val idx = persistIdx("capGroups", df)
     val hot = idx.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > cap).select(keys.map(col): _*)
     idx.join(broadcast(hot), keys, "left_anti")
@@ -336,7 +342,7 @@ object Dedup {
     // prefix explode AND both verification sides read this frame — the
     // unpersisted form re-ran the shingle pipeline three times (7.5 s →
     // ~2 s at sf0.1)
-    val ordered = persistIdx(posting.join(dfreq, "sh")
+    val ordered = persistIdx("jaccardJoin", posting.join(dfreq, "sh")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
       .select(col("id"),
@@ -467,7 +473,7 @@ object Dedup {
       .filter(size(col("shs")) > 0)
     val posting = base.select(col("id"), explode(col("shs")).as("sh"))
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val ordered = persistIdx(posting.join(dfreq, "sh")
+    val ordered = persistIdx("containmentJoin", posting.join(dfreq, "sh")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
       .select(col("id"),

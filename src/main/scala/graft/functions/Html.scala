@@ -90,16 +90,23 @@ object Html {
     * keep blocks with ≥ `minChars` visible characters AND anchor-text
     * density ≤ `maxLinkPpm` (exact integer cross-multiplication:
     * `linkChars·10⁶ ≤ textChars·maxLinkPpm`), join the survivors'
-    * visible text with newlines. Empty result is '' (not NULL). */
+    * visible text with newlines. Empty result is '' (not NULL).
+    *
+    * Single regex pass per block: one `transform` scores every block into
+    * a `struct(visible, link_chars)` so the regex-heavy [[visibleText]] /
+    * [[linkChars]] kernels run exactly once each, and the filter/project
+    * stages only touch the precomputed struct fields. */
   def mainContent(html: Column, maxLinkPpm: Long = 300000L,
                   minChars: Int = 25): Column = {
     val clean = regexp_replace(regexp_replace(html, DropContentRe, " "),
       CommentRe, " ")
     val blocks = split(clean, BlockCloseRe)
-    val kept = filter(blocks, b =>
-      length(visibleText(b)).cast("long") >= lit(minChars.toLong) &&
-        linkChars(b) * lit(1000000L) <=
-          length(visibleText(b)).cast("long") * lit(maxLinkPpm))
-    array_join(transform(kept, b => visibleText(b)), "\n")
+    val scored = transform(blocks, b =>
+      struct(visibleText(b).as("visible"), linkChars(b).as("link_chars")))
+    val kept = filter(scored, s =>
+      length(s("visible")).cast("long") >= lit(minChars.toLong) &&
+        s("link_chars") * lit(1000000L) <=
+          length(s("visible")).cast("long") * lit(maxLinkPpm))
+    array_join(transform(kept, s => s("visible")), "\n")
   }
 }

@@ -161,13 +161,41 @@ object Privacy {
     * drawn deterministically by inverse-CDF lookup of the stable 48-bit
     * md5 of (key, salt), clamp at 0 (post-processing preserves DP).
     * True counts never appear in the output. One hash aggregation + a
-    * per-row literal lookup chain — no extra shuffle. */
+    * per-row literal lookup chain — no extra shuffle (with a `domain`,
+    * plus one broadcast-able outer join against it).
+    *
+    * PRIVACY CONTRACT — the key SET is released as-is, so the guarantee
+    * holds only when the released keys are public knowledge:
+    *  - Pass `domain` (the fixed, public key universe — e.g. an enum
+    *    dimension table) and the release emits EXACTLY the domain's
+    *    keys: absent keys get a noised ZERO count, so presence/absence
+    *    of any individual's rows cannot change which keys appear. This
+    *    is the mode to use whenever the key domain is knowable up
+    *    front. Keys in the data but outside `domain` are NOT released
+    *    (the domain defines the release, by construction public).
+    *  - With `domain = None`, rows are emitted only for keys present in
+    *    the data — removing the sole contributor of a key removes that
+    *    key's row entirely, which distinguishes adjacent datasets with
+    *    certainty. Only use this mode when the key column itself is
+    *    public/non-sensitive (e.g. a fixed event-type enum where every
+    *    value is known to occur).
+    * Independently of the mode, the table's 2⁻⁴⁸ tail truncation makes
+    * the mechanism (ε, δ≈2⁻⁴⁸)-DP rather than pure ε-DP — the extreme
+    * tail of the geometric is unreachable from the 48-bit draw. */
   def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], salt: String,
-                    epsPpm: Long): DataFrame = {
+                    epsPpm: Long, domain: Option[DataFrame] = None): DataFrame = {
     require(keyCols.nonEmpty, "no grouping keys")
     val table = dpNoiseTable(epsPpm)
-    val counts = df.groupBy(keyCols.map(col): _*)
+    val observed = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
+    // left join FROM the public domain: every domain key gets a row
+    // (absent → noised zero), keys outside the domain are dropped
+    val counts = domain.fold(observed) { dom =>
+      dom.select(keyCols.map(col): _*).distinct()
+        .join(observed, keyCols, "left")
+        .select(keyCols.map(col) :+
+          coalesce(col("_n"), lit(0L)).as("_n"): _*)
+    }
     //  separators: ("a","bc") and ("ab","c") must draw different
     // noise (the pseudonymize separator lesson); concat (not concat_ws)
     // so a NULL key column nulls u and the noise falls to the table's

@@ -88,10 +88,19 @@ object Warc {
           pos = line._2
           val l = line._1
           if (l.isEmpty) done = true
-          else if (l.startsWith("WARC-Target-URI: "))
-            uri = l.stripPrefix("WARC-Target-URI: ")
-          else if (l.startsWith("Content-Length: "))
-            len = l.stripPrefix("Content-Length: ").toInt
+          else {
+            // header names are case-insensitive with optional whitespace
+            // around the value (RFC-style field lines) — external WARC
+            // producers emit e.g. `content-length:123`
+            val ci = l.indexOf(':')
+            if (ci > 0) {
+              val name = l.substring(0, ci).trim
+                .toLowerCase(java.util.Locale.ROOT)
+              val value = l.substring(ci + 1).trim
+              if (name == "warc-target-uri") uri = value
+              else if (name == "content-length") len = value.toInt
+            }
+          }
         }
         require(uri != null && len >= 0, "record missing URI/Content-Length")
         require(pos + len + 4 <= bytes.length,
