@@ -892,6 +892,34 @@ object SparkEntry {
       s.sql(ForecastRevenueSql)
     }),
 
+    // TPC-H Q13 shape — outer-join count distribution (filter in ON)
+    "q13_order_dist" -> ((s, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(OrderDistSql)
+    }),
+
+    // TPC-H Q17 shape — correlated per-part average decorrelation
+    "q17_small_qty" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(SmallQtySql)
+    }),
+
+    // TPC-H Q21 shape — self semi-join + self anti-join on the fact
+    "q21_sole_return" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "orders", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(SoleReturnSql)
+    }),
+
+    // TPC-H Q22 shape — scalar-avg gate + anti-join on restricted orders
+    "q22_dormant_customers" -> ((s, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(DormantCustomersSql)
+    }),
+
     // ---- training-data ops: dedup ---------------------------------------
     "dedup_exact" -> ((s, dir) => driverSafe(
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))),
@@ -3398,6 +3426,74 @@ object SparkEntry {
       |  AND l_discount <= CAST(0.07 AS DOUBLE)
       |  AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q13 shape — the LEFT OUTER + count-distribution probe: the
+    * exclusion filter lives in the JOIN's ON clause (a WHERE would turn
+    * the outer join inner and lose the zero-order customers), then two
+    * stacked aggregations. The synthetic orders table has no o_comment,
+    * so the exclusion is the priority class — same plan shape. */
+  private val OrderDistSql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q17 shape — the correlated scalar subquery (per-part average
+    * quantity) the optimizer must decorrelate into an aggregate + join
+    * rather than re-running per row. `5 * l_quantity < avg` spells
+    * `l_quantity < 0.2·avg` without a 0.2 literal (DECIMAL in DuckDB,
+    * DOUBLE in Spark); quantities are integral doubles so every sum —
+    * hence the avg — is order-independent and bit-identical. */
+  private val SmallQtySql =
+    """SELECT CAST(sum(CAST(floor(l_extendedprice * 1000000) AS DECIMAL(38,0))) AS BIGINT) AS revenue_us,
+      |  count(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size <= 10
+      |  AND 5 * l_quantity < (SELECT avg(l_quantity) FROM lineitem l2
+      |                        WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q21 shape — EXISTS + NOT EXISTS against the SAME fact (the
+    * classic multi-self-semi/anti-join planning trap). The synthetic
+    * lineitem has no receipt/commit dates, so "kept the order waiting"
+    * becomes "sole returned line in a multi-supplier finished order" —
+    * identical correlation structure, non-degenerate at every SF. */
+  private val SoleReturnSql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey AND n_regionkey = 0
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape — anti-join gated by a scalar-average subquery. The
+    * synthetic customers all have at least one order (and no c_phone),
+    * so "never ordered" becomes "no order since 2000" and the country
+    * code is the nation key — the anti-join + avg-gate plan is what's
+    * under test. */
+  private val DormantCustomersSql =
+    """SELECT cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(floor(c_acctbal * 1000000) AS DECIMAL(38,0))) AS BIGINT) AS totacctbal_us
+      |FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+      |      FROM customer
+      |      WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+      |        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                         WHERE c_acctbal > CAST(0 AS DOUBLE)
+      |                           AND c_nationkey IN (1, 5, 9, 13, 17, 21))
+      |        AND NOT EXISTS (SELECT 1 FROM orders
+      |                        WHERE o_custkey = c_custkey
+      |                          AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')) custsale
+      |GROUP BY cntrycode""".stripMargin
+
   /** DuckDB equivalents. Keys must mirror `queries`; column names and array
     * orderings are aligned exactly (driver hash-compares after sorting
     * columns by name). Non-SQL-expressible ops (xxhash64-based LSH/SimHash,
@@ -3708,6 +3804,10 @@ object SparkEntry {
     "q14_promo" -> PromoRevenueSql.replace("\n", " "),
     "q18_large_orders" -> LargeOrdersSql.replace("\n", " "),
     "q19_discounted" -> DiscountedRevenueSql.replace("\n", " "),
+    "q13_order_dist" -> OrderDistSql.replace("\n", " "),
+    "q17_small_qty" -> SmallQtySql.replace("\n", " "),
+    "q21_sole_return" -> SoleReturnSql.replace("\n", " "),
+    "q22_dormant_customers" -> DormantCustomersSql.replace("\n", " "),
 
     // the SAME SQL text runs on both engines (the q1 pattern)
     "q6_forecast_revenue" -> ForecastRevenueSql.replace("\n", " "),

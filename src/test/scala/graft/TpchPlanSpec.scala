@@ -36,4 +36,47 @@ class TpchPlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("q13: the exclusion filter stays in the outer join (zero-order " +
+      "customers survive) and the join is hash, not nested-loop") {
+    val df = SparkEntry.queries("q13_order_dist")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q17: the correlated per-part average decorrelates into an " +
+      "aggregate + join — no nested-loop, no cartesian") {
+    val df = SparkEntry.queries("q17_small_qty")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the per-part avg exists as a real aggregate feeding a join
+    assert("HashAggregate".r.findAllIn(plan).nonEmpty, plan.take(2000))
+  }
+
+  test("q21: EXISTS plans as a hash LeftSemi and NOT EXISTS as a hash " +
+      "LeftAnti against the same fact") {
+    val df = SparkEntry.queries("q21_sole_return")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q22: the dormancy NOT EXISTS plans as a hash LeftAnti; the " +
+      "average gate is a one-shot scalar subquery, not a per-row loop") {
+    val df = SparkEntry.queries("q22_dormant_customers")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
