@@ -217,6 +217,16 @@ object SparkEntry {
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
+  /** DuckDB CTE chain mirroring [[graft.functions.Dedup.paragraphFingerprints]]
+    * (blank-line segments, 40-token block fallback, md5 fingerprints);
+    * yields CTE `fps(doc_id, fp)`. Shared by both paragraph oracles. */
+  private val sqlParagraphFps =
+    "segs AS (SELECT doc_id, unnest(string_split_regex(text, '\\n{2,}')) AS seg FROM documents), " +
+      "ptoks AS (SELECT doc_id, list_filter(string_split_regex(lower(seg), '\\s+'), x -> len(x) > 0) AS tk FROM segs), " +
+      "nz AS (SELECT doc_id, tk FROM ptoks WHERE len(tk) > 0), " +
+      "blocks AS (SELECT doc_id, unnest(range(((len(tk) - 1) // 40) + 1)) AS gi, tk FROM nz), " +
+      "fps AS (SELECT doc_id, md5(array_to_string(tk[(gi*40+1):(gi*40+40)], ' ')) AS fp FROM blocks)"
+
   /** DuckDB CTE chain mirroring [[graft.functions.Urls.canonicalize]]:
     * computes canonical URL `cu` from column `url` of CTE `src`, carrying
     * `carry` columns through. Shared by every URL oracle so the
@@ -1029,6 +1039,17 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringDupReport(t(s, dir, "documents"), "doc_id", "text",
         n = 5, hasher = Dedup.Md5Hasher)),
+
+    // paragraph-level near-dup, the middle granularity: blank-line blocks
+    // (over-long segments split into fixed 40-token blocks), md5
+    // fingerprints, per-doc cross-document duplicated-paragraph share —
+    // the boilerplate-paragraph killer; linear group-bys, no pair join
+    "dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDupReport(t(s, dir, "documents"), "doc_id", "text")),
+
+    // its provenance twin: every shared paragraph's spread and id bracket
+    "dedup_paragraph_prov" -> ((s, dir) =>
+      Dedup.paragraphProvenance(t(s, dir, "documents"), "doc_id", "text")),
 
     // the span-level FIX: remove cross-document repeated 5-token spans,
     // keep the unique remainder (vs dropping whole docs)
@@ -4118,6 +4139,26 @@ object SparkEntry {
         "CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared, " +
         "round(CASE WHEN len(b.ws) > 0 THEN COALESCE(n_shared, 0)::DOUBLE / len(b.ws) ELSE 0.0 END, 6) AS shared_ratio " +
         "FROM w b LEFT JOIN hits USING (doc_id)"),
+
+    // paragraphs: blank-line segments, 40-token block fallback, md5 of
+    // the space-joined block — the identical slicing the engine codegens
+    "dedup_paragraph" ->
+      (s"WITH $sqlParagraphFps, " +
+        "shared AS (SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2), " +
+        "hits AS (SELECT f.doc_id, count(*) AS n_dup FROM fps f JOIN shared s ON f.fp = s.fp GROUP BY 1), " +
+        "tot AS (SELECT doc_id, count(*) AS n_par FROM fps GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(n_par AS BIGINT) AS n_paragraphs, " +
+        "CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_paragraphs, " +
+        "CAST((COALESCE(n_dup, 0) * 1000000) // n_par AS BIGINT) AS dup_share_ppm " +
+        "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"),
+
+    "dedup_paragraph_prov" ->
+      (s"WITH $sqlParagraphFps " +
+        "SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_occurrences, " +
+        "CAST(min(doc_id) AS BIGINT) AS first_doc_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS last_doc_id " +
+        "FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2"),
 
     // CDC: boundary after token i when md5Long(3-gram ending at i) % 16
     // = 0; chunks = spans between boundaries; shared = chunk fingerprint

@@ -919,6 +919,84 @@ object Dedup {
         .otherwise(array_sort(array_distinct(wmins))).as("fps"))
   }
 
+  /** Paragraph segmentation + fingerprinting — the practical middle
+    * granularity between [[substringDupReport]]'s fixed n-token windows
+    * and whole-document fingerprints: crawl pipelines kill boilerplate at
+    * the PARAGRAPH level (a legal footer repeated across a domain leaves
+    * the articles unique but poisons n-gram stats if kept).
+    *
+    * Segmentation rule: split at blank lines (≥2 consecutive newlines —
+    * the [[Html.mainContent]] output joins blocks with single newlines,
+    * so its blocks survive as units), then any segment longer than
+    * `blockTokens` tokens further splits into fixed `blockTokens`-token
+    * blocks — the scale guard that keeps a 10 MB single-paragraph page
+    * from becoming one unsharable fingerprint. Fingerprint = md5 of the
+    * normalized (lowercased, whitespace-collapsed) block — engine-exact,
+    * no seed.
+    *
+    * Strictly per-row codegen'd work (split + HOF slicing + md5); no
+    * shuffle until the caller aggregates. Empty/whitespace-only segments
+    * vanish; a doc with no tokens yields no rows.
+    *
+    * Output: (idCol, fp) — one row per paragraph OCCURRENCE (a block
+    * repeated inside one doc keeps its multiplicity). */
+  def paragraphFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            blockTokens: Int = 40): DataFrame = {
+    require(blockTokens >= 1, s"bad blockTokens $blockTokens")
+    val segs = docs
+      .select(col(idCol), explode(split(col(textCol), "\\n{2,}")).as("_seg"))
+      .select(col(idCol), TextFunctions.tokens(col("_seg")).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+    segs.select(col(idCol), explode(
+        transform(sequence(lit(0),
+            floor((size(col("_tk")) - 1) / lit(blockTokens)).cast("int")),
+          i => array_join(
+            slice(col("_tk"), i * lit(blockTokens) + 1, lit(blockTokens)),
+            " "))).as("_para"))
+      .select(col(idCol), md5(col("_para")).as("fp"))
+  }
+
+  /** Per-doc duplicated-paragraph share: of a document's paragraphs, how
+    * many carry a fingerprint seen in ≥2 DISTINCT documents (intra-doc
+    * repetition alone is not duplication — the [[stripSharedSpans]]
+    * rule). Share in exact floor-ppm. Two linear shuffles (fingerprint
+    * doc-frequency + the join back); no pair enumeration anywhere, so no
+    * hot-bucket cap is needed at any scale.
+    *
+    * Output: (idCol, n_paragraphs, n_dup_paragraphs, dup_share_ppm). */
+  def paragraphDupReport(docs: DataFrame, idCol: String, textCol: String,
+                         blockTokens: Int = 40): DataFrame = {
+    val fps = paragraphFingerprints(docs, idCol, textCol, blockTokens)
+    val shared = fps.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("fp"), lit(1).as("_hit"))
+    fps.join(shared, Seq("fp"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paragraphs"),
+        count(col("_hit")).as("n_dup_paragraphs"))
+      .withColumn("dup_share_ppm",
+        expr("(n_dup_paragraphs * 1000000L) div n_paragraphs"))
+  }
+
+  /** Cross-doc paragraph provenance: every fingerprint shared by ≥2
+    * distinct documents, with its spread (`n_docs`), total occurrence
+    * count and the id bracket ([min, max] doc ids — the canonical-source
+    * pointer without collecting unbounded member arrays; a domain-wide
+    * boilerplate paragraph at corpus scale can sit in millions of docs,
+    * so the report carries COUNTS, not membership lists).
+    *
+    * Output: (fp, n_docs, n_occurrences, first_doc_id, last_doc_id). */
+  def paragraphProvenance(docs: DataFrame, idCol: String, textCol: String,
+                          blockTokens: Int = 40): DataFrame =
+    paragraphFingerprints(docs, idCol, textCol, blockTokens)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("first_doc_id"),
+        max(col(idCol)).as("last_doc_id"))
+      .filter(col("n_docs") >= 2)
+
   /** Content-defined chunking (the rsync / LBFS primitive, Muthitacharoen
     * et al. SOSP'01): cut each document AFTER token i whenever the hash of
     * the `window` tokens ending at i ≡ 0 (mod `divisor`), yielding
