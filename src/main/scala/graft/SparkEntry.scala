@@ -194,6 +194,80 @@ object SparkEntry {
   private val warcU2 = ".example.com/doc/"     // || doc_id
   private val dpSalt = "graft-dp-1"            // privacy_dp_counts
   private val dpEpsPpm = 693147L               // ε = ln 2
+  // corpus_robots_screen: per-host robots bodies — a decoy named-agent
+  // group the star resolution must SKIP, mixed-case/lowercase directives,
+  // a crawl delay, /private + /item-{h%3} disallows with an
+  // /item-{h%3}/ok allow override, an empty-value no-op Disallow, and a
+  // full "/" block on h%7==0 hosts. Frontier: four synthesized links per
+  // doc — partial-segment prefix hits (item-10 vs item-1, the REP
+  // subtlety), an always-blocked /private, the allow override, and an
+  // untouched /public path.
+  private val robotsHdr = "# graft politeness\nUser-agent: fetchbot\n" +
+    "Disallow: /\n\nUser-agent: *\nCrawl-Delay: "   // || 1 + h%5
+  private val robotsMid = "\ndisallow: /private\nDisallow: /item-" // || h%3
+  private val robotsAllowPre = "\nAllow: /item-"    // || h%3
+  private val robotsAllowSuf = "/ok\nDisallow:\n"
+  private val robotsBlockAll = "Disallow: /\n"
+
+  /** A string literal for DuckDB with embedded newlines spelled as
+    * chr(10) — oracle SQL must stay single-line. */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+  /** DuckDB CTE chain mirroring [[robotsInputs]] + the Robots parse/
+    * screen pipeline: bodies rebuilt from the SAME constants (newlines as
+    * chr(10)), the same window-math star-group resolution, the same
+    * longest-prefix/allow-on-tie pick (row_number vs the engine's struct
+    * max — identical order). Yields CTEs `scr(url, host, allowed,
+    * matched_prefix)` and `rdelays(host, crawl_delay_s)`. */
+  private def sqlRobotsScr: String =
+    s"hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents), " +
+      s"rb AS (SELECT 'src' || h || '.example.com' AS host, ${sqlLit(robotsHdr)} || (1 + h % 5) || ${sqlLit(robotsMid)} || (h % 3) || ${sqlLit(robotsAllowPre)} || (h % 3) || ${sqlLit(robotsAllowSuf)} || CASE WHEN h % 7 = 0 THEN ${sqlLit(robotsBlockAll)} ELSE '' END AS body FROM hosts), " +
+      "rlines AS (SELECT host, unnest(string_split_regex(body, '\\r?\\n')) AS ln, generate_subscripts(string_split_regex(body, '\\r?\\n'), 1) AS pos FROM rb), " +
+      "rpl AS (SELECT host, pos, trim(regexp_replace(ln, '#.*', '', 'g')) AS line FROM rlines), " +
+      s"rdl AS (SELECT host, pos, lower(regexp_extract(line, '${Robots.DirectiveRe}', 1)) AS dir, trim(regexp_extract(line, '${Robots.ValueRe}', 1)) AS val FROM rpl), " +
+      "rga AS (SELECT *, CASE WHEN dir = 'user-agent' THEN 1 ELSE 0 END AS is_ua FROM rdl), " +
+      "rgb AS (SELECT *, CASE WHEN is_ua = 1 AND COALESCE(lag(is_ua) OVER (PARTITION BY host ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS starts FROM rga), " +
+      "rgc AS (SELECT *, sum(starts) OVER (PARTITION BY host ORDER BY pos) AS gid FROM rgb), " +
+      "rstar AS (SELECT DISTINCT host, gid FROM rgc WHERE is_ua = 1 AND val = '*'), " +
+      "rrules AS (SELECT host, val AS prefix, CASE WHEN dir = 'allow' THEN 1 ELSE 0 END AS is_allow FROM rgc JOIN rstar USING (host, gid) WHERE gid > 0 AND dir IN ('allow', 'disallow') AND val <> ''), " +
+      "rdelays AS (SELECT host, max(CAST(val AS BIGINT)) AS crawl_delay_s FROM rgc JOIN rstar USING (host, gid) WHERE dir = 'crawl-delay' AND regexp_matches(val, '^[0-9]+$') GROUP BY 1), " +
+      "rf0 AS (SELECT unnest(['http://src' || (doc_id % 20) || '.example.com/item-' || (doc_id % 11) || '/x' || doc_id, " +
+      "'http://src' || ((doc_id + 3) % 20) || '.example.com/private/p' || doc_id, " +
+      "'http://src' || ((doc_id + 5) % 20) || '.example.com/item-' || (((doc_id + 5) % 20) % 3) || '/ok/p' || doc_id, " +
+      "'http://src' || (doc_id % 20) || '.example.com/public/' || doc_id]) AS url FROM documents), " +
+      s"rff AS (SELECT url, lower(regexp_extract(url, '${Urls.HostRe}', 1)) AS host, CASE WHEN regexp_extract(regexp_extract(url, '${Urls.RestRe}', 1), '^([^?]*)', 1) = '' THEN '/' ELSE regexp_extract(regexp_extract(url, '${Urls.RestRe}', 1), '^([^?]*)', 1) END AS path FROM rf0), " +
+      "rmm AS (SELECT rff.url, rff.host, r.prefix, r.is_allow, row_number() OVER (PARTITION BY rff.url ORDER BY len(r.prefix) DESC, r.is_allow DESC) AS rn FROM rff JOIN rrules r ON rff.host = r.host AND starts_with(rff.path, r.prefix)), " +
+      "rbest AS (SELECT url, prefix, is_allow FROM rmm WHERE rn = 1), " +
+      "scr AS (SELECT rff.url, rff.host, COALESCE(b.is_allow = 1, TRUE) AS allowed, b.prefix AS matched_prefix FROM rff LEFT JOIN rbest b ON rff.url = b.url)"
+
+  /** The synthesized (robots bodies, outlink frontier) pair shared by the
+    * two robots queries — hosts are the 20 link-graph hosts, bodies and
+    * links derive deterministically from doc ids (constants above, the
+    * oracle re-derives both in SQL). */
+  private def robotsInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val h = col("h")
+    val robots = docs.select((col("doc_id") % 20).as("h")).distinct()
+      .select(
+        concat(lit("src"), h.cast("string"), lit(".example.com")).as("host"),
+        concat(lit(robotsHdr), (lit(1) + h % 5).cast("string"),
+          lit(robotsMid), (h % 3).cast("string"),
+          lit(robotsAllowPre), (h % 3).cast("string"), lit(robotsAllowSuf),
+          when(h % 7 === 0, lit(robotsBlockAll)).otherwise(lit("")))
+          .as("body"))
+    val d = col("doc_id")
+    def u(hostExpr: Column, tail: Column) = concat(lit("http://src"),
+      hostExpr.cast("string"), lit(".example.com"), tail)
+    val frontier = docs.select(explode(array(
+      u(d % 20, concat(lit("/item-"), (d % 11).cast("string"), lit("/x"),
+        d.cast("string"))),
+      u((d + 3) % 20, concat(lit("/private/p"), d.cast("string"))),
+      u((d + 5) % 20, concat(lit("/item-"), (((d + 5) % 20) % 3).cast("string"),
+        lit("/ok/p"), d.cast("string"))),
+      u(d % 20, concat(lit("/public/"), d.cast("string"))))).as("url"))
+    (robots, frontier)
+  }
   private val pprSeeds =                        // graph_ppr_seeds
     Seq("src3.example.com", "src7.example.com")
 
@@ -2081,6 +2155,28 @@ object SparkEntry {
         .select(concat(col("source"), lit(".example.com")).as("src_host"),
           explode(Html.outlinks(html)).as("url"))
       Urls.linkGraph(links, "src_host", "url")
+    }),
+
+    // robots politeness screen: parse per-host robots bodies (star-group
+    // resolution via window math), screen the frontier with longest-
+    // prefix-wins / allow-on-tie, report per-host allowed/blocked counts
+    // + the effective crawl delay
+    "corpus_robots_screen" -> ((s, dir) => {
+      val (robots, frontier) = robotsInputs(s, dir)
+      Robots.hostReport(
+        Robots.screen(frontier, Robots.parseRules(robots, "host", "body"),
+          "url"),
+        Robots.crawlDelays(robots, "host", "body"))
+    }),
+
+    // the fetcher's kill list: every blocked frontier URL with the rule
+    // prefix that blocked it
+    "corpus_robots_blocked" -> ((s, dir) => {
+      val (robots, frontier) = robotsInputs(s, dir)
+      Robots.screen(frontier, Robots.parseRules(robots, "host", "body"),
+          "url")
+        .filter(!col("allowed"))
+        .select(col("host"), col("url"), col("matched_prefix"))
     }),
 
     // WARC-style archive round trip: pages pack into multi-record archive
@@ -5161,6 +5257,19 @@ object SparkEntry {
     // (15·10¹²·N) // 100 // |S|, and r0 IS the teleport vector
     "graph_ppr_seeds" -> pprSqlOver(domainEdgeCtes, pprSeeds,
       nodeAlias = "host"),
+
+    // robots: bodies + frontier rebuilt from the shared constants, the
+    // same star-group window math and longest-prefix/allow-tie pick
+    "corpus_robots_screen" ->
+      (s"WITH $sqlRobotsScr " +
+        "SELECT s.host, count(CASE WHEN allowed THEN 1 END) AS n_allowed, " +
+        "count(CASE WHEN NOT allowed THEN 1 END) AS n_blocked, " +
+        "CAST(COALESCE(max(d.crawl_delay_s), 0) AS BIGINT) AS crawl_delay_s " +
+        "FROM scr s LEFT JOIN rdelays d ON s.host = d.host GROUP BY s.host"),
+
+    "corpus_robots_blocked" ->
+      (s"WITH $sqlRobotsScr " +
+        "SELECT host, url, matched_prefix FROM scr WHERE NOT allowed"),
 
     // hrefs re-extracted with the same HrefRe under RE2, relative links
     // dropped by the same AbsoluteRe, canonicalization via sqlCanonChain

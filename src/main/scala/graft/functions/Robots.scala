@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt politeness layer (beyond-parity) — the screen between the
+  * outlink frontier ([[Urls.linkGraph]]) and the fetcher: parse each
+  * host's robots body into Allow/Disallow/Crawl-delay rules, then screen
+  * candidate URLs with the classic longest-prefix-wins resolution.
+  *
+  * Grammar scope (the 1994 REP core as standardized by RFC 9309 §2):
+  * `User-agent` lines open groups (adjacent user-agent lines share one
+  * group); `Allow:`/`Disallow:`/`Crawl-delay:` lines bind to the group
+  * they follow; only the wildcard group (`User-agent: *`) applies here —
+  * named-agent groups are parsed and skipped. `#` comments strip to end
+  * of line; header names are case-insensitive; empty Allow/Disallow
+  * values are no-ops; rules before any User-agent line are ignored.
+  * Matching is LITERAL path-prefix (the original REP rule) with RFC 9309
+  * resolution: the longest matching prefix decides, Allow wins a length
+  * tie, no match ⇒ allowed. `*`/`$` wildcards are out of scope —
+  * documented, not silently mis-matched: a rule value containing them is
+  * kept as a literal.
+  *
+  * Scale shape: parsing is per-host window work over line positions
+  * (robots bodies are small by definition — RFC 9309 requires parsers to
+  * honor only the first 500 KiB); the screen aggregates rules to ONE
+  * array row per host and hash-joins that tiny frame to the frontier
+  * (broadcast at any real scale), so the per-URL decision is a per-row
+  * array reduction — no explode-join blowup on the frontier side. */
+object Robots {
+
+  val DirectiveRe: String = "^([A-Za-z][A-Za-z-]*)\\s*:"
+  val ValueRe: String = "^[A-Za-z][A-Za-z-]*\\s*:\\s*(.*)$"
+
+  /** Parse robots bodies into per-host wildcard-group rules.
+    * Input: one row per host — (hostCol, bodyCol).
+    * Output: (host, prefix, is_allow INT 0/1) — one row per effective
+    * Allow/Disallow rule of the `*` group. */
+  def parseRules(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+    val lines = linesOf(robots, hostCol, bodyCol)
+    val starRules = lines
+      .filter(col("_in_star") && (col("_dir") === "allow" ||
+        col("_dir") === "disallow") && col("_val") =!= "")
+    starRules.select(col(hostCol).as("host"), col("_val").as("prefix"),
+      when(col("_dir") === "allow", 1).otherwise(0).as("is_allow"))
+  }
+
+  /** Per-host Crawl-delay of the `*` group, in whole seconds; when a host
+    * declares several (multiple star groups), the MAXIMUM applies — the
+    * politest reading. Hosts without a parseable delay are absent. */
+  def crawlDelays(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
+    linesOf(robots, hostCol, bodyCol)
+      .filter(col("_in_star") && col("_dir") === "crawl-delay" &&
+        col("_val").rlike("^[0-9]+$"))
+      .groupBy(col(hostCol).as("host"))
+      .agg(max(col("_val").cast("long")).as("crawl_delay_s"))
+
+  /** Shared line/group scan: split the body into lines, strip comments,
+    * parse directive/value, and resolve RFC 9309 groups — a User-agent
+    * line whose predecessor is not one STARTS a group, adjacent
+    * User-agent lines share the group, and a group is "star" iff any of
+    * its User-agent values is `*`. Window math over line position —
+    * per-host frames are bounded by the body size. */
+  private def linesOf(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+    val raw = robots.select(col(hostCol),
+      posexplode(split(col(bodyCol), "\r?\n")).as(Seq("_pos", "_raw")))
+    val parsed = raw
+      .withColumn("_line", trim(regexp_replace(col("_raw"), "#.*", "")))
+      .withColumn("_dir", lower(regexp_extract(col("_line"), DirectiveRe, 1)))
+      .withColumn("_val", trim(regexp_extract(col("_line"), ValueRe, 1)))
+    val w = Window.partitionBy(col(hostCol)).orderBy(col("_pos"))
+    val grouped = parsed
+      .withColumn("_is_ua", (col("_dir") === "user-agent").cast("int"))
+      .withColumn("_starts",
+        (col("_is_ua") === 1 &&
+          coalesce(lag(col("_is_ua"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("_gid", sum(col("_starts")).over(w))
+    val starGroups = grouped
+      .filter(col("_is_ua") === 1 && col("_val") === "*")
+      .select(col(hostCol), col("_gid")).distinct()
+      .withColumn("_star", lit(true))
+    grouped.join(starGroups, Seq(hostCol, "_gid"), "left_outer")
+      .withColumn("_in_star",
+        coalesce(col("_star"), lit(false)) && col("_gid") > 0)
+  }
+
+  /** Screen an outlink frontier against parsed rules: for each URL,
+    * the longest rule prefix of its host that literally prefixes the
+    * URL path decides (Allow wins a tie); no matching rule ⇒ allowed.
+    * Hosts with no robots rules allow everything.
+    *
+    * The rules aggregate to one array row per host (bounded by body
+    * size) and broadcast to the frontier; the decision is a per-row
+    * lexicographic `array_max` over (prefix length, is_allow) — struct
+    * ordering gives longest-then-allow exactly.
+    *
+    * Output: frontier columns + (host, path, allowed BOOLEAN,
+    * matched_prefix STRING nullable). */
+  def screen(frontier: DataFrame, rules: DataFrame, urlCol: String): DataFrame = {
+    val byHost = rules.groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("is_allow"))).as("_rules"))
+    val withPath = frontier
+      .withColumn("host", Urls.host(col(urlCol)))
+      .withColumn("path", {
+        val p = regexp_extract(
+          regexp_extract(col(urlCol), Urls.RestRe, 1), "^([^?]*)", 1)
+        when(p === "", "/").otherwise(p)
+      })
+    withPath.join(broadcast(byHost), Seq("host"), "left_outer")
+      .withColumn("_m", filter(coalesce(col("_rules"),
+          array().cast("array<struct<prefix:string,is_allow:int>>")),
+        r => startswith(col("path"), r.getField("prefix"))))
+      .withColumn("_best", array_max(transform(col("_m"),
+        r => struct(length(r.getField("prefix")).as("l"),
+          r.getField("is_allow").as("a"),
+          r.getField("prefix").as("p")))))
+      .withColumn("allowed",
+        size(col("_m")) === 0 || col("_best").getField("a") === 1)
+      .withColumn("matched_prefix", col("_best").getField("p"))
+      .drop("_rules", "_m", "_best")
+  }
+
+  /** Per-host politeness report over a screened frontier: allowed and
+    * blocked URL counts plus the host's effective crawl delay (0 when
+    * the host declares none). One hash aggregation. */
+  def hostReport(screened: DataFrame, delays: DataFrame): DataFrame =
+    screened.groupBy(col("host"))
+      .agg(
+        count(when(col("allowed"), 1)).as("n_allowed"),
+        count(when(!col("allowed"), 1)).as("n_blocked"))
+      .join(delays, Seq("host"), "left_outer")
+      .withColumn("crawl_delay_s", coalesce(col("crawl_delay_s"), lit(0L)))
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing + screening semantics: group resolution, the
+  * longest-prefix / allow-on-tie pick, and the politeness report. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def screenOf(body: String, urls: Seq[String]) = {
+    val robots = Seq(("h.example.com", body)).toDF("host", "body")
+    val frontier = urls.toDF("url")
+    Robots.screen(frontier, Robots.parseRules(robots, "host", "body"), "url")
+      .select($"url", $"allowed", $"matched_prefix")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), Option(r.getString(2)))).toMap
+  }
+
+  test("named-agent groups are skipped; only the star group's rules bind") {
+    val body = "User-agent: fetchbot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /private\n"
+    val s = screenOf(body, Seq(
+      "http://h.example.com/open/page",
+      "http://h.example.com/private/x"))
+    assert(s("http://h.example.com/open/page")._1)
+    assert(!s("http://h.example.com/private/x")._1)
+    assert(s("http://h.example.com/private/x")._2.contains("/private"))
+  }
+
+  test("longest prefix wins and Allow wins a length tie") {
+    val body = "User-agent: *\nDisallow: /a\nAllow: /a/ok\n" +
+      "Allow: /b\nDisallow: /b\n"
+    val s = screenOf(body, Seq(
+      "http://h.example.com/a/x",      // /a disallow
+      "http://h.example.com/a/ok/x",   // /a/ok allow overrides
+      "http://h.example.com/b/x"))     // tie at len 2 → allow
+    assert(!s("http://h.example.com/a/x")._1)
+    assert(s("http://h.example.com/a/ok/x")._1)
+    assert(s("http://h.example.com/b/x")._1)
+  }
+
+  test("literal prefixes match partial path segments (the REP subtlety)") {
+    val s = screenOf("User-agent: *\nDisallow: /item-1\n", Seq(
+      "http://h.example.com/item-10/x", // "/item-1" IS a prefix
+      "http://h.example.com/item-2/x"))
+    assert(!s("http://h.example.com/item-10/x")._1)
+    assert(s("http://h.example.com/item-2/x")._1)
+  }
+
+  test("rules before any User-agent line and empty-value rules are " +
+      "no-ops; a host with no rules allows everything") {
+    val s = screenOf("Disallow: /\nUser-agent: *\nDisallow:\n", Seq(
+      "http://h.example.com/anything",
+      "http://other.example.com/x"))
+    assert(s.values.forall(_._1))
+  }
+
+  test("adjacent User-agent lines share a group; comments strip; " +
+      "directives are case-insensitive") {
+    val body = "# hi\nUser-agent: fetchbot\nUSER-AGENT: *  # both\n" +
+      "DISALLOW: /secret\n"
+    val s = screenOf(body, Seq("http://h.example.com/secret/x"))
+    assert(!s("http://h.example.com/secret/x")._1)
+  }
+
+  test("crawl delay: max across star groups, non-numeric values ignored, " +
+      "report defaults absent hosts to 0") {
+    val robots = Seq(
+      ("a.example.com", "User-agent: *\nCrawl-delay: 3\n\n" +
+        "User-agent: *\nCrawl-delay: 7\nCrawl-delay: soon\n"),
+      ("b.example.com", "User-agent: *\nDisallow: /x\n")
+    ).toDF("host", "body")
+    val frontier = Seq("http://a.example.com/p", "http://b.example.com/p")
+      .toDF("url")
+    val rep = Robots.hostReport(
+      Robots.screen(frontier, Robots.parseRules(robots, "host", "body"),
+        "url"),
+      Robots.crawlDelays(robots, "host", "body"))
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_allowed"), r.getAs[Long]("n_blocked"),
+          r.getAs[Long]("crawl_delay_s"))).toMap
+    assert(rep("a.example.com") == ((1L, 0L, 7L)))
+    assert(rep("b.example.com") == ((1L, 0L, 0L)))
+  }
+
+  test("root path: a bare host URL screens as path '/'") {
+    val s = screenOf("User-agent: *\nDisallow: /\n", Seq(
+      "http://h.example.com"))
+    assert(!s("http://h.example.com")._1)
+  }
+}
