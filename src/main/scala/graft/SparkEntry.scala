@@ -2877,6 +2877,19 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"),
           col("c_mktsegment"))
+    }),
+
+    // streaming ingest dedup screen: corpus_ingest's exact+LSH existence
+    // probes applied ON ARRIVAL — new docs (stable bucket ≥ 80) stream
+    // against the persisted old-corpus index; same output, same oracle
+    // (the batch-twin streaming-oracle pattern); flag aggregation is the
+    // only state and flags are monotone, so redelivery is idempotent
+    "events_stream_ingest_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      EventStream.runStreamingIngestScreen(s, dir, "documents.parquet",
+        t(s, dir, "documents").schema, docs.filter(bucket < 80),
+        bucket >= 80, "doc_id", "text", hasher = Dedup.Md5Hasher)
     }))
 
   /** DuckDB bucket recomputation for the RHP-LSH paths: the SAME
@@ -5100,6 +5113,10 @@ object SparkEntry {
         "FROM sc ORDER BY sc.pmi DESC, g LIMIT 50"),
 
     "corpus_ingest" -> ingestOracleSql,
+
+    // the streaming screen computes corpus_ingest's exact output (same
+    // split, same Md5 kernels) — one oracle text, batch AND stream
+    "events_stream_ingest_screen" -> ingestOracleSql,
 
     // fixed power-of-two ladder (never 2^ceil(log2 n): libm log2 is not
     // boundary-exact across engines); batches fill in stable doc order

@@ -257,6 +257,33 @@ object Dedup {
               slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band", "band_key")))
 
+  /** Per-row MinHash signature — the STATELESS twin of
+    * [[minhashSignatures]] for streaming probes: identical salted mins,
+    * computed as array HOFs over the doc's own pre-hashed shingle array
+    * instead of an explode + groupBy (which would be a stateful streaming
+    * aggregation). `hashedShingles` must be a MATERIALIZED column of
+    * `hasher(shingle)` longs (the HOF re-eval trap — passing the raw
+    * hash expression would recompute it k times). Callers filter empty
+    * shingle sets first (`array_min([])` is null), mirroring the batch
+    * path where explode drops them. Interpreted HOF per row — acceptable
+    * on an ingest stream's arrival rate; the batch kernel remains the
+    * corpus-scale default. */
+  def rowMinhashSignature(hashedShingles: Column, k: Int,
+                          hasher: Hasher = XxHasher): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hashedShingles, h => hasher.salted(h, i)))): _*)
+
+  /** Per-row LSH band keys of a row signature — [[lshBands]] semantics
+    * packaged as an array of (band, band_key) structs so a stream can
+    * explode and equi-join them against a static band index. Bit-equal
+    * to the batch keys: same slices, same `hashArray(slice, band)`. */
+  def rowBandKeys(sig: Column, bands: Int, rowsPerBand: Int,
+                  hasher: Hasher = XxHasher): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        hasher.hashArray(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b)
+          .as("band_key")))
+
   /** In-bucket pair emission: group the (already capped) inverted index
     * into one sorted member list per key — ONE shuffle, no sort-merge
     * self-join — then explode ordered pairs in place: member i pairs with

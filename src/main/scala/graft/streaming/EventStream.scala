@@ -442,6 +442,104 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming ingest dedup SCREEN — the arrival-time twin of
+    * [[graft.functions.Dedup.ingestDedupReport]]: each new document is
+    * probed on arrival against a PERSISTED static corpus index — the
+    * exact content-fingerprint set (left join ⇒ `exact_dup`) and the
+    * MinHash LSH band-key set (per-row signature + banding, explode,
+    * left join ⇒ any collision = `near_cand`). Both probes are
+    * stream-static equi-joins: stateless, planned per micro-batch
+    * against the cached static side (the [[enrichStream]] pattern). The
+    * per-row signature kernel ([[graft.functions.Dedup.rowMinhashSignature]])
+    * keeps the stream side shuffle-free up to the single stateful op —
+    * the flag-collapse aggregation, a watermarked tumbling window keyed
+    * by doc id, so state is bounded by docs-per-horizon and evicted as
+    * the watermark passes. Flags are monotone (max of booleans), which
+    * makes the screen REDELIVERY-IDEMPOTENT: an at-least-once source
+    * re-dropping a document re-aggregates to the same decision.
+    * Emits (idCol, exact_dup, near_cand) in update mode. */
+  def ingestScreenStream(newDocs: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         watermark: String, windowLen: String,
+                         hasher: graft.functions.Dedup.Hasher): DataFrame = {
+    import graft.functions.{Dedup, TextFunctions}
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val oldFp = corpus
+      .select(TextFunctions.contentFingerprint(col(textCol)).as("_fp"))
+      .distinct().persist(lvl)
+    val oldBands = Dedup.lshBands(
+        Dedup.minhashSignatures(
+          corpus.select(col(idCol),
+            TextFunctions.wordShingles(col(textCol), 3).as("_sh")),
+          idCol, "_sh", 64, hasher),
+        idCol, "sig", 16, 4, hasher)
+      .select(col("band"), col("band_key")).distinct().persist(lvl)
+    val base = newDocs.select(col(idCol), col(textCol), col("ts"))
+    val exactProbe = base
+      .withColumn("_fp", TextFunctions.contentFingerprint(col(textCol)))
+      .join(oldFp.withColumn("_e", lit(true)), Seq("_fp"), "left_outer")
+      .select(col(idCol), col("ts"),
+        coalesce(col("_e"), lit(false)).as("_ex"),
+        lit(null).cast("boolean").as("_nr"))
+    val bandProbe = base
+      .withColumn("_sh", TextFunctions.wordShingles(col(textCol), 3))
+      .filter(size(col("_sh")) > 0) // batch twin: explode drops these
+      .withColumn("_shh", transform(col("_sh"), s => hasher(s)))
+      .withColumn("_sig", Dedup.rowMinhashSignature(col("_shh"), 64, hasher))
+      .select(col(idCol), col("ts"),
+        explode(Dedup.rowBandKeys(col("_sig"), 16, 4, hasher)).as("_bk"))
+      .select(col(idCol), col("ts"),
+        col("_bk.band").as("band"), col("_bk.band_key").as("band_key"))
+      .join(oldBands.withColumn("_h", lit(true)),
+        Seq("band", "band_key"), "left_outer")
+      .select(col(idCol), col("ts"),
+        lit(null).cast("boolean").as("_ex"),
+        coalesce(col("_h"), lit(false)).as("_nr"))
+    exactProbe.unionByName(bandProbe)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col(idCol))
+      .agg(max(col("_ex")).as("exact_dup"), max(col("_nr")).as("_near"))
+      .select(col(idCol), col("exact_dup"),
+        coalesce(col("_near"), lit(false)).as("near_cand"))
+  }
+
+  /** Drain [[ingestScreenStream]] over a parquet drop-zone: documents
+    * matching `newPred` stream in (arrival time synthesized
+    * deterministically from the id — a landing zone would carry a real
+    * ingest timestamp), the rest of the table is the static corpus the
+    * CALLER passes. The memory-sink emissions collapse by max — legal
+    * because the flags are monotone — and `keep` derives from the final
+    * flags, exactly the batch report's rule. */
+  def runStreamingIngestScreen(spark: SparkSession, dir: String, glob: String,
+                               schema: StructType, corpus: DataFrame,
+                               newPred: org.apache.spark.sql.Column,
+                               idCol: String, textCol: String,
+                               hasher: graft.functions.Dedup.Hasher,
+                               watermark: String = "1 hour",
+                               windowLen: String = "1 hour",
+                               queryName: String = "graft_ingest_screen")
+      : DataFrame = {
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .filter(newPred)
+      .withColumn("ts", expr(s"timestamp_micros($idCol)"))
+    val screened = ingestScreenStream(stream, corpus, idCol, textCol,
+      watermark, windowLen, hasher)
+    withStreamingPartitions(spark, 2) {
+      val q = screened.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+      .groupBy(col(idCol))
+      .agg(max(col("exact_dup")).as("exact_dup"),
+        max(col("near_cand")).as("near_cand"))
+      .withColumn("keep", !col("exact_dup") && !col("near_cand"))
+  }
+
   /** Sessionization (batch): gap-based sessions per user — a capability
     * the reference lacks entirely; standard Spark window pattern. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {

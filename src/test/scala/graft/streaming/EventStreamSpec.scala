@@ -170,6 +170,44 @@ class EventStreamSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 7L), (6L, 3L), (6L, 4L)))
   }
 
+  test("streaming ingest screen: exact and near dups flagged against the " +
+      "static corpus, redelivered drops collapse to one idempotent " +
+      "decision per doc, output equals the batch report") {
+    import graft.functions.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("evingest")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus text about spark engines"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact
+      (11L, "the quick brown fox jumps over the lazy dog today"),   // near
+      (12L, "entirely novel document with its own words only here"))
+      .toDF("doc_id", "text")
+    // at-least-once: the SAME new docs land twice (two drop files)
+    fresh.write.parquet(dir.toString + "/drop")
+    fresh.write.mode("append").parquet(dir.toString + "/drop")
+    val schema = spark.read.parquet(dir.toString + "/drop").schema
+    val out = EventStream.runStreamingIngestScreen(spark,
+      dir.toString + "/drop", "*.parquet", schema, corpus,
+      lit(true), "doc_id", "text", Dedup.Md5Hasher,
+      queryName = "graft_ingest_spec")
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_cand"),
+        r.getAs[Boolean]("keep")))).toMap
+    assert(rows.size === 3) // one decision per doc despite redelivery
+    assert(rows(10L)._1 && !rows(10L)._3)        // exact dup, dropped
+    assert(rows(11L)._2 && !rows(11L)._3)        // near candidate, dropped
+    assert(rows(12L) === ((false, false, true))) // novel, kept
+    // parity: the batch report over the same split agrees flag-for-flag
+    val batch = Dedup.ingestDedupReport(corpus, fresh, "doc_id", "text",
+        hasher = Dedup.Md5Hasher)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_cand"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(rows === batch)
+  }
+
   test("stream-static enrichment: every event flows exactly once, dim " +
       "attributes attach, missing dim rows leave nulls") {
     val dir = java.nio.file.Files.createTempDirectory("evenrich")
