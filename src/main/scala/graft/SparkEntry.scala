@@ -1004,6 +1004,34 @@ object SparkEntry {
       s.sql(DormantCustomersSql)
     }),
 
+    // TPC-H Q2 shape — correlated min over the shared derived table
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      Seq("lineitem", "part", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(MinCostSupplierSql)
+    }),
+
+    // TPC-H Q20 shape — nested semi-join chain with a HAVING gate
+    "q20_excess_stock" -> ((s, dir) => {
+      Seq("supplier", "nation", "lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(ExcessStockSql)
+    }),
+
+    // TPC-H Q11 shape — groups gated by a global aggregate of themselves
+    "q11_important_parts" -> ((s, dir) => {
+      Seq("lineitem", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(ImportantPartsSql)
+    }),
+
+    // TPC-H Q15 shape — equality with the max over the aggregated view
+    "q15_top_supplier" -> ((s, dir) => {
+      Seq("lineitem", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(TopSupplierSql)
+    }),
+
     // ---- training-data ops: dedup ---------------------------------------
     "dedup_exact" -> ((s, dir) => driverSafe(
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))),
@@ -2177,6 +2205,17 @@ object SparkEntry {
           "url")
         .filter(!col("allowed"))
         .select(col("host"), col("url"), col("matched_prefix"))
+    }),
+
+    // the politeness layer's output artifact: allowed URLs queued per
+    // host with earliest start offsets respecting the crawl delay — the
+    // window partitions BY HOST, so the plan scales with hosts
+    "corpus_fetch_schedule" -> ((s, dir) => {
+      val (robots, frontier) = robotsInputs(s, dir)
+      Robots.fetchSchedule(
+        Robots.screen(frontier, Robots.parseRules(robots, "host", "body"),
+          "url"),
+        Robots.crawlDelays(robots, "host", "body"))
     }),
 
     // WARC-style archive round trip: pages pack into multi-record archive
@@ -3624,6 +3663,77 @@ object SparkEntry {
       |                          AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')) custsale
       |GROUP BY cntrycode""".stripMargin
 
+  /** TPC-H Q2 shape — the correlated "min over the same derived table"
+    * pick: the cheapest supplier(s) per part must come from a scalar
+    * subquery over the SAME aggregate the outer query reads (the
+    * synthetic schema has no partsupp, so per-(part, supplier) unit cost
+    * derives from lineitem). The optimizer must decorrelate into a
+    * per-part min + join, and reuse — not recompute — the CTE. Unit
+    * costs floor to µ integers (identical IEEE arithmetic both
+    * engines); the top-20 order carries a full tie-break. */
+  private val MinCostSupplierSql =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |    CAST(min(floor(l_extendedprice * 1000000 / l_quantity)) AS BIGINT) AS cost_us
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_name, p_partkey, cost_us
+      |FROM ps JOIN part ON p_partkey = l_partkey
+      |        JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE p_size <= 5
+      |  AND cost_us = (SELECT min(ps2.cost_us) FROM ps ps2
+      |                 WHERE ps2.l_partkey = ps.l_partkey)
+      |ORDER BY cost_us, p_partkey, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q20 shape — the nested semi-join chain: supplier IN (fact
+    * grouped+HAVING) where the fact filters by part IN (dim filter).
+    * Both INs must plan as hash semi-joins feeding each other, with the
+    * HAVING aggregate BELOW the outer semi-join. Quantity threshold
+    * sums as exact DECIMAL. */
+  private val ExcessStockSql =
+    """SELECT s_name, s_suppkey
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_regionkey = 1
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      |      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      |ORDER BY s_name""".stripMargin
+
+  /** TPC-H Q11 shape — group rows filtered by a GLOBAL aggregate over
+    * the same derived table (the share-of-total trap: the optimizer
+    * must compute the total once, not per group). The gate is spelled
+    * division-free (`value·1000 > total` ≡ `value > total/1000`) so no
+    * decimal-division scale rules can diverge between engines. */
+  private val ImportantPartsSql =
+    """WITH pv AS (SELECT l_partkey,
+      |    sum(CAST(floor(l_extendedprice * 1000000) AS DECIMAL(38,0))) AS value_us
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  WHERE s_nationkey < 5 GROUP BY 1)
+      |SELECT l_partkey, CAST(value_us AS BIGINT) AS value_us
+      |FROM pv
+      |WHERE value_us * 1000 > (SELECT sum(value_us) FROM pv)
+      |ORDER BY value_us DESC, l_partkey
+      |LIMIT 25""".stripMargin
+
+  /** TPC-H Q15 shape — the top-revenue row(s) selected by EQUALITY with
+    * the max over the same aggregated view (ties all surface — no
+    * arbitrary top-1); exact µ-integer revenue makes the equality
+    * engine-stable. */
+  private val TopSupplierSql =
+    """WITH rev AS (SELECT l_suppkey,
+      |    sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000)
+      |        AS DECIMAL(38,0))) AS total_us
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(total_us AS BIGINT) AS total_us
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_us = (SELECT max(total_us) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** DuckDB equivalents. Keys must mirror `queries`; column names and array
     * orderings are aligned exactly (driver hash-compares after sorting
     * columns by name). Non-SQL-expressible ops (xxhash64-based LSH/SimHash,
@@ -3938,6 +4048,10 @@ object SparkEntry {
     "q17_small_qty" -> SmallQtySql.replace("\n", " "),
     "q21_sole_return" -> SoleReturnSql.replace("\n", " "),
     "q22_dormant_customers" -> DormantCustomersSql.replace("\n", " "),
+    "q2_min_cost_supplier" -> MinCostSupplierSql.replace("\n", " "),
+    "q20_excess_stock" -> ExcessStockSql.replace("\n", " "),
+    "q11_important_parts" -> ImportantPartsSql.replace("\n", " "),
+    "q15_top_supplier" -> TopSupplierSql.replace("\n", " "),
 
     // the SAME SQL text runs on both engines (the q1 pattern)
     "q6_forecast_revenue" -> ForecastRevenueSql.replace("\n", " "),
@@ -5287,6 +5401,15 @@ object SparkEntry {
     "corpus_robots_blocked" ->
       (s"WITH $sqlRobotsScr " +
         "SELECT host, url, matched_prefix FROM scr WHERE NOT allowed"),
+
+    "corpus_fetch_schedule" ->
+      (s"WITH $sqlRobotsScr, " +
+        "sched AS (SELECT s.host, s.url, " +
+        "row_number() OVER (PARTITION BY s.host ORDER BY s.url) - 1 AS fetch_seq, " +
+        "COALESCE(d.crawl_delay_s, 0) AS delay " +
+        "FROM scr s LEFT JOIN rdelays d ON s.host = d.host WHERE s.allowed) " +
+        "SELECT host, url, CAST(fetch_seq AS BIGINT) AS fetch_seq, " +
+        "CAST(fetch_seq * delay AS BIGINT) AS offset_s FROM sched"),
 
     // hrefs re-extracted with the same HrefRe under RE2, relative links
     // dropped by the same AbsoluteRe, canonicalization via sqlCanonChain

@@ -131,4 +131,23 @@ object Robots {
         count(when(!col("allowed"), 1)).as("n_blocked"))
       .join(delays, Seq("host"), "left_outer")
       .withColumn("crawl_delay_s", coalesce(col("crawl_delay_s"), lit(0L)))
+
+  /** Fetch schedule — the politeness layer's OUTPUT artifact: each
+    * allowed URL gets its position in the host's fetch queue
+    * (deterministic URL order) and the earliest start offset respecting
+    * the host's crawl delay (`seq · delay`). One window per host — the
+    * partition key IS the politeness domain, so the sort is local to
+    * each host's own queue and the plan scales with hosts, not with the
+    * frontier. Blocked URLs never enter the queue.
+    * Output: (host, url, fetch_seq, offset_s). */
+  def fetchSchedule(screened: DataFrame, delays: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("url"))
+    screened.filter(col("allowed"))
+      .join(delays, Seq("host"), "left_outer")
+      .withColumn("crawl_delay_s", coalesce(col("crawl_delay_s"), lit(0L)))
+      .withColumn("fetch_seq", (row_number().over(w) - 1).cast("long"))
+      .select(col("host"), col("url"), col("fetch_seq"),
+        (col("fetch_seq") * col("crawl_delay_s")).as("offset_s"))
+  }
 }

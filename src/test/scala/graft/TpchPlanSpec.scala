@@ -70,6 +70,26 @@ class TpchPlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q2: the correlated per-part min decorrelates (no nested-loop, " +
+      "no cartesian) and the top-20 is a TakeOrdered") {
+    val df = SparkEntry.queries("q2_min_cost_supplier")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q20: both IN subqueries plan as hash LeftSemi joins with the " +
+      "HAVING aggregate below the outer one") {
+    val df = SparkEntry.queries("q20_excess_stock")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q22: the dormancy NOT EXISTS plans as a hash LeftAnti; the " +
       "average gate is a one-shot scalar subquery, not a per-row loop") {
     val df = SparkEntry.queries("q22_dormant_customers")(spark, dir)

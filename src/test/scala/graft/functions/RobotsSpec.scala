@@ -89,4 +89,25 @@ class RobotsSpec extends SparkSpec {
       "http://h.example.com"))
     assert(!s("http://h.example.com")._1)
   }
+
+  test("fetch schedule: allowed URLs queue per host in URL order with " +
+      "delay-spaced offsets; blocked URLs never enter the queue") {
+    val robots = Seq(
+      ("a.example.com", "User-agent: *\nCrawl-delay: 5\nDisallow: /no\n"),
+      ("b.example.com", "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "body")
+    val frontier = Seq(
+      "http://a.example.com/p2", "http://a.example.com/p1",
+      "http://a.example.com/no/x", "http://b.example.com/x"
+    ).toDF("url")
+    val sched = Robots.fetchSchedule(
+      Robots.screen(frontier, Robots.parseRules(robots, "host", "body"),
+        "url"),
+      Robots.crawlDelays(robots, "host", "body"))
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Long]("fetch_seq"), r.getAs[Long]("offset_s")))).toMap
+    assert(sched.size == 2) // /no and all of b.example.com blocked
+    assert(sched("http://a.example.com/p1") == ((0L, 0L)))
+    assert(sched("http://a.example.com/p2") == ((1L, 5L)))
+  }
 }
