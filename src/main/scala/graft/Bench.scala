@@ -35,15 +35,13 @@ object Bench {
     // exists beats a slightly cleaner one that might not. min-of-2 walls
     // measured 188–286 s. Diagnosing stalls locally: REPS=3 + BUDGET_SECS
     // raised.
-    // default reps: 2, but a >200-query suite's min-of-2 sweep eats the
-    // whole wall budget on a contended hour and starves the re-time pass
-    // (the defense that exists for exactly those hours) — so past 200
-    // queries the sweep defaults to single-rep and the budget goes to
-    // fresh-session re-times of the slowest movers instead. Explicit
-    // SPARK_GRAFT_BENCH_REPS always wins.
-    val defaultReps = if (SparkEntry.queries.size > 200) "1" else "2"
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", defaultReps)
-      .toInt.max(1)
+    // default stays min-of-2 at EVERY suite size: a single-rep sweep was
+    // measured (227 queries, back-to-back hours) at median_vs_clean 1.45
+    // with the re-time pass only reaching 29 queries, while the min-of-2
+    // sweep in the adjacent hour read 1.06 — single-shot bias dominates
+    // anything it saves, and SWEEP_FRAC=0.6 already guarantees the
+    // re-time pass its budget on contended hours.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // hard wall-budget backstop: a bench that produces NO number is worth
     // less than a noisy one, so once the suite has spent this many seconds,
     // remaining queries drop to a single rep — the JSON line always prints

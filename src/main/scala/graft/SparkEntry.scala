@@ -1863,6 +1863,14 @@ object SparkEntry {
         col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // Gopher-style intra-doc repetition (Rae et al. 2021 §A1.1): top
+    // n-gram share per doc for n=1..3 — the generator-spam signal that
+    // shape features and cross-doc dedup both miss; one tagged explode,
+    // two linear shuffles
+    "text_repetition" -> ((s, dir) =>
+      TextFunctions.repetitionReport(t(s, dir, "documents"), "doc_id",
+        "text")),
+
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_guess"))),
@@ -5063,6 +5071,25 @@ object SparkEntry {
         "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS avg_word_len, " +
         "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio_en " +
         "FROM t"),
+
+    // same tagged gram union, same floor-ppm top shares
+    "text_repetition" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "g1 AS (SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t), " +
+        "g2 AS (SELECT doc_id, 2 AS n, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS g FROM t), " +
+        "g3 AS (SELECT doc_id, 3 AS n, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS g FROM t), " +
+        "u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3), " +
+        "c AS (SELECT doc_id, n, g, count(*) AS cnt FROM u GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, " +
+        "CAST(COALESCE(sum(CASE WHEN n = 1 THEN cnt END), 0) AS BIGINT) AS n_unigrams, " +
+        "CAST(COALESCE((max(CASE WHEN n = 1 THEN cnt END) * 1000000) // sum(CASE WHEN n = 1 THEN cnt END), 0) AS BIGINT) AS top_unigram_ppm, " +
+        "CAST(COALESCE(sum(CASE WHEN n = 2 THEN cnt END), 0) AS BIGINT) AS n_bigrams, " +
+        "CAST(COALESCE((max(CASE WHEN n = 2 THEN cnt END) * 1000000) // sum(CASE WHEN n = 2 THEN cnt END), 0) AS BIGINT) AS top_bigram_ppm, " +
+        "CAST(COALESCE(sum(CASE WHEN n = 3 THEN cnt END), 0) AS BIGINT) AS n_trigrams, " +
+        "CAST(COALESCE((max(CASE WHEN n = 3 THEN cnt END) * 1000000) // sum(CASE WHEN n = 3 THEN cnt END), 0) AS BIGINT) AS top_trigram_ppm " +
+        "FROM c GROUP BY doc_id"),
 
     "text_langid" -> langIdOracleSql,
 

@@ -72,6 +72,48 @@ object TextFunctions {
     array_max(array(und +: scored: _*)).getField("lang")
   }
 
+  /** Intra-document repetition signals (the Gopher quality rules, Rae et
+    * al. 2021 §A1.1: documents dominated by one repeated phrase are
+    * generator spam / boilerplate even when length and punctuation look
+    * fine): for n = 1, 2, 3, the document's n-gram count and the share of
+    * it taken by the single most frequent n-gram, in exact floor-ppm.
+    * Complements [[qualityFeatures]] (shape signals) and the cross-doc
+    * dedup stack (this is WITHIN-doc repetition, which dedup ignores by
+    * design).
+    *
+    * One corpus scan: the three gram sizes explode TAGGED into one frame
+    * (multiplicity kept — a repeated phrase must count every time), one
+    * groupBy counts (doc, n, gram), one conditional aggregation pivots to
+    * the per-doc row. Docs shorter than n tokens report 0 for that n.
+    * Output: (idCol, n_unigrams, top_unigram_ppm, n_bigrams,
+    * top_bigram_ppm, n_trigrams, top_trigram_ppm). */
+  def repetitionReport(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val tagged = docs
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), explode(flatten(array((1 to 3).map(n =>
+        transform(tokenNgrams(col("_t"), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("_x"))
+      .select(col(idCol), col("_x.n").as("_n"), col("_x.g").as("_g"))
+    val counts = tagged.groupBy(col(idCol), col("_n"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+    def tot(n: Int) = sum(when(col("_n") === n, col("_c")))
+    def top(n: Int) = max(when(col("_n") === n, col("_c")))
+    def ppm(n: Int, name: String) =
+      coalesce(expr(s"(_top$n * 1000000L) div _tot$n"), lit(0L)).as(name)
+    counts.groupBy(col(idCol))
+      .agg(tot(1).as("_tot1"), top(1).as("_top1"),
+        tot(2).as("_tot2"), top(2).as("_top2"),
+        tot(3).as("_tot3"), top(3).as("_top3"))
+      .select(col(idCol),
+        coalesce(col("_tot1"), lit(0L)).as("n_unigrams"),
+        ppm(1, "top_unigram_ppm"),
+        coalesce(col("_tot2"), lit(0L)).as("n_bigrams"),
+        ppm(2, "top_bigram_ppm"),
+        coalesce(col("_tot3"), lit(0L)).as("n_trigrams"),
+        ppm(3, "top_trigram_ppm"))
+  }
+
   /** Quality-score feature columns (length, alpha/punct/space ratios,
     * word stats). Compose into a gate like
     * `quality.filter($"alpha_ratio" > 0.8 && $"n_tokens" > 50)`. */
