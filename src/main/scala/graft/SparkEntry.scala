@@ -1863,11 +1863,11 @@ object SparkEntry {
         col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
     }),
 
-    // Gopher-style intra-doc repetition (Rae et al. 2021 §A1.1): top
-    // n-gram share per doc for n=1..3 — the generator-spam signal that
-    // shape features and cross-doc dedup both miss; one tagged explode,
-    // two linear shuffles
-    "text_repetition" -> ((s, dir) =>
+    // Gopher-style intra-doc repetition ACROSS gram sizes (Rae et al.
+    // 2021 §A1.1): top n-gram share per doc for n=1..3 in one tagged
+    // explode — text_repetition's bigram profile widened to the
+    // unigram/trigram signals the Gopher gates actually threshold
+    "text_repetition_ngram" -> ((s, dir) =>
       TextFunctions.repetitionReport(t(s, dir, "documents"), "doc_id",
         "text")),
 
@@ -5073,7 +5073,7 @@ object SparkEntry {
         "FROM t"),
 
     // same tagged gram union, same floor-ppm top shares
-    "text_repetition" ->
+    "text_repetition_ngram" ->
       (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
         "g1 AS (SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t), " +
         "g2 AS (SELECT doc_id, 2 AS n, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +

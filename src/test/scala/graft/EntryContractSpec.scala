@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guards for SparkEntry: every oracle points at a real
+  * query, and the SOURCE text declares each query/oracle key exactly once
+  * — a Scala Map literal silently keeps the last duplicate, so a repeated
+  * key would swap in a different query under an existing name with no
+  * compile error (it happened: a second `text_repetition` shadowed the
+  * first until this scan existed). */
+class EntryContractSpec extends AnyFunSuite {
+
+  test("every oracleSql key has a queries entry and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+    assert((q -- o).isEmpty, s"queries without oracles (rows-only — add an " +
+      s"oracle or document why): ${(q -- o).toSeq.sorted}")
+  }
+
+  test("SparkEntry source declares each query and oracle key exactly once") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val qKeys = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val qDups = qKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(qDups.isEmpty, s"duplicate query keys (last silently wins): $qDups")
+    assert(qKeys.size == SparkEntry.queries.size,
+      s"source declares ${qKeys.size} queries, map holds ${SparkEntry.queries.size}")
+  }
+}
