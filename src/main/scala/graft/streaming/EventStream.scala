@@ -29,8 +29,7 @@ trait StreamSource {
 final class FileStreamSource(dir: String, glob: String, schema: StructType)
     extends StreamSource {
   def load(spark: SparkSession): DataFrame =
-    EventStream.normalizeTs(spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir))
+    EventStream.normalizeTs(EventStream.streamRead(spark, dir, glob, schema))
 }
 
 /** Kafka source: requires the `spark-sql-kafka` connector on the classpath
@@ -55,6 +54,23 @@ object EventStream {
     * nanoseconds. This shim restores a proper TimestampType (micros) `ts`
     * so all window/watermark logic is type-correct. No-op when `ts` is
     * already a timestamp. */
+  /** Streaming read of a drop-zone: `glob` names either loose files in
+    * `dir` (the landing-area shape) or a table DIRECTORY (a Spark-written
+    * dataset of part files). `pathGlobFilter` matches LEAF file names
+    * only, so a directory named like the glob would otherwise stream as
+    * silently EMPTY — caught at 10× scale, where the ramp's documents
+    * table is a part-file directory while the sf0.01/0.1 tables are
+    * single files. */
+  private[streaming] def streamRead(spark: SparkSession, dir: String,
+                                    glob: String,
+                                    schema: StructType): DataFrame = {
+    val asDir = new java.io.File(dir, glob)
+    if (asDir.isDirectory)
+      spark.readStream.schema(schema).parquet(asDir.getPath)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+  }
+
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType =>
       // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 53-bit
@@ -519,8 +535,7 @@ object EventStream {
                                windowLen: String = "1 hour",
                                queryName: String = "graft_ingest_screen")
       : DataFrame = {
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir)
+    val stream = streamRead(spark, dir, glob, schema)
       .filter(newPred)
       .withColumn("ts", expr(s"timestamp_micros($idCol)"))
     val screened = ingestScreenStream(stream, corpus, idCol, textCol,

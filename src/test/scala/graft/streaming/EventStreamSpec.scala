@@ -208,6 +208,29 @@ class EventStreamSpec extends SparkSpec {
     assert(rows === batch)
   }
 
+  test("drop-zone glob naming a table DIRECTORY streams its part files " +
+      "(pathGlobFilter matches leaf names only — a dataset directory " +
+      "named like the glob used to stream silently empty)") {
+    import graft.functions.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("evdirshape")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "totally different new words here"))
+      .toDF("doc_id", "text")
+    // table-directory shape: dir/docs.parquet is a DIRECTORY of parts
+    fresh.repartition(3).write.parquet(dir.toString + "/docs.parquet")
+    val schema = spark.read.parquet(dir.toString + "/docs.parquet").schema
+    val out = EventStream.runStreamingIngestScreen(spark,
+      dir.toString, "docs.parquet", schema, corpus,
+      lit(true), "doc_id", "text", Dedup.Md5Hasher,
+      queryName = "graft_dirshape_spec")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("exact_dup")).toMap
+    assert(out === Map(10L -> true, 11L -> false))
+  }
+
   test("stream-static enrichment: every event flows exactly once, dim " +
       "attributes attach, missing dim rows leave nulls") {
     val dir = java.nio.file.Files.createTempDirectory("evenrich")
