@@ -202,6 +202,8 @@ object SparkEntry {
   // doc — partial-segment prefix hits (item-10 vs item-1, the REP
   // subtlety), an always-blocked /private, the allow override, and an
   // untouched /public path.
+  private val robotsSitemapPre = "Sitemap: http://src" // || h ||
+  private val robotsSitemapSuf = ".example.com/sitemap.xml\n"
   private val robotsHdr = "# graft politeness\nUser-agent: fetchbot\n" +
     "Disallow: /\n\nUser-agent: *\nCrawl-Delay: "   // || 1 + h%5
   private val robotsMid = "\ndisallow: /private\nDisallow: /item-" // || h%3
@@ -222,7 +224,7 @@ object SparkEntry {
     * matched_prefix)` and `rdelays(host, crawl_delay_s)`. */
   private def sqlRobotsScr: String =
     s"hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents), " +
-      s"rb AS (SELECT 'src' || h || '.example.com' AS host, ${sqlLit(robotsHdr)} || (1 + h % 5) || ${sqlLit(robotsMid)} || (h % 3) || ${sqlLit(robotsAllowPre)} || (h % 3) || ${sqlLit(robotsAllowSuf)} || CASE WHEN h % 7 = 0 THEN ${sqlLit(robotsBlockAll)} ELSE '' END AS body FROM hosts), " +
+      s"rb AS (SELECT 'src' || h || '.example.com' AS host, ${sqlLit(robotsSitemapPre)} || h || ${sqlLit(robotsSitemapSuf)} || ${sqlLit(robotsHdr)} || (1 + h % 5) || ${sqlLit(robotsMid)} || (h % 3) || ${sqlLit(robotsAllowPre)} || (h % 3) || ${sqlLit(robotsAllowSuf)} || CASE WHEN h % 7 = 0 THEN ${sqlLit(robotsBlockAll)} ELSE '' END AS body FROM hosts), " +
       "rlines AS (SELECT host, unnest(string_split_regex(body, '\\r?\\n')) AS ln, generate_subscripts(string_split_regex(body, '\\r?\\n'), 1) AS pos FROM rb), " +
       "rpl AS (SELECT host, pos, trim(regexp_replace(ln, '#.*', '', 'g')) AS line FROM rlines), " +
       s"rdl AS (SELECT host, pos, lower(regexp_extract(line, '${Robots.DirectiveRe}', 1)) AS dir, trim(regexp_extract(line, '${Robots.ValueRe}', 1)) AS val FROM rpl), " +
@@ -251,7 +253,9 @@ object SparkEntry {
     val robots = docs.select((col("doc_id") % 20).as("h")).distinct()
       .select(
         concat(lit("src"), h.cast("string"), lit(".example.com")).as("host"),
-        concat(lit(robotsHdr), (lit(1) + h % 5).cast("string"),
+        concat(lit(robotsSitemapPre), h.cast("string"),
+          lit(robotsSitemapSuf),
+          lit(robotsHdr), (lit(1) + h % 5).cast("string"),
           lit(robotsMid), (h % 3).cast("string"),
           lit(robotsAllowPre), (h % 3).cast("string"), lit(robotsAllowSuf),
           when(h % 7 === 0, lit(robotsBlockAll)).otherwise(lit("")))
@@ -1030,6 +1034,13 @@ object SparkEntry {
       Seq("lineitem", "supplier")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(TopSupplierSql)
+    }),
+
+    // TPC-H Q16 shape — NOT IN ⇒ null-aware anti join + count distinct
+    "q16_supplier_count" -> ((s, dir) => {
+      Seq("lineitem", "supplier", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(SupplierCountSql)
     }),
 
     // ---- training-data ops: dedup ---------------------------------------
@@ -2213,6 +2224,13 @@ object SparkEntry {
           "url")
         .filter(!col("allowed"))
         .select(col("host"), col("url"), col("matched_prefix"))
+    }),
+
+    // group-independent Sitemap pointers (RFC 9309 §2.3 non-group
+    // records) — the crawl seeder's input
+    "corpus_sitemaps" -> ((s, dir) => {
+      val (robots, _) = robotsInputs(s, dir)
+      Robots.sitemaps(robots, "host", "body")
     }),
 
     // the politeness layer's output artifact: allowed URLs queued per
@@ -3709,6 +3727,21 @@ object SparkEntry {
       |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
       |ORDER BY s_name""".stripMargin
 
+  /** TPC-H Q16 shape — NOT IN over a subquery, the NULL-AWARE anti-join
+    * planning case (semantically distinct from NOT EXISTS: one NULL in
+    * the subquery empties the result, so the planner needs the
+    * null-aware variant — Spark only supports it broadcast-side), plus
+    * a count-distinct over the surviving join. The exclusion list is
+    * broadcast-sized by construction (negative-balance suppliers). */
+  private val SupplierCountSql =
+    """SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_size <= 10
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_type, p_size
+      |LIMIT 20""".stripMargin
+
   /** TPC-H Q11 shape — group rows filtered by a GLOBAL aggregate over
     * the same derived table (the share-of-total trap: the optimizer
     * must compute the total once, not per group). The gate is spelled
@@ -4060,6 +4093,7 @@ object SparkEntry {
     "q20_excess_stock" -> ExcessStockSql.replace("\n", " "),
     "q11_important_parts" -> ImportantPartsSql.replace("\n", " "),
     "q15_top_supplier" -> TopSupplierSql.replace("\n", " "),
+    "q16_supplier_count" -> SupplierCountSql.replace("\n", " "),
 
     // the SAME SQL text runs on both engines (the q1 pattern)
     "q6_forecast_revenue" -> ForecastRevenueSql.replace("\n", " "),
@@ -5428,6 +5462,11 @@ object SparkEntry {
     "corpus_robots_blocked" ->
       (s"WITH $sqlRobotsScr " +
         "SELECT host, url, matched_prefix FROM scr WHERE NOT allowed"),
+
+    "corpus_sitemaps" ->
+      (s"WITH $sqlRobotsScr " +
+        "SELECT host, val AS sitemap_url FROM rdl " +
+        "WHERE dir = 'sitemap' AND val <> ''"),
 
     "corpus_fetch_schedule" ->
       (s"WITH $sqlRobotsScr, " +

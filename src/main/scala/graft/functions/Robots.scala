@@ -56,6 +56,16 @@ object Robots {
       .groupBy(col(hostCol).as("host"))
       .agg(max(col("_val").cast("long")).as("crawl_delay_s"))
 
+  /** Sitemap pointers: `Sitemap:` lines are GROUP-INDEPENDENT (RFC 9309
+    * §2.3: a non-group record — it applies regardless of which
+    * user-agent group surrounds it), so they collect from anywhere in
+    * the file, including before the first group or inside a named-agent
+    * group the rule parser skips. One row per declaration. */
+  def sitemaps(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
+    linesOf(robots, hostCol, bodyCol)
+      .filter(col("_dir") === "sitemap" && col("_val") =!= "")
+      .select(col(hostCol).as("host"), col("_val").as("sitemap_url"))
+
   /** Shared line/group scan: split the body into lines, strip comments,
     * parse directive/value, and resolve RFC 9309 groups — a User-agent
     * line whose predecessor is not one STARTS a group, adjacent

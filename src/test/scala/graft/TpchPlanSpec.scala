@@ -90,6 +90,16 @@ class TpchPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q16: NOT IN plans as a broadcast null-aware anti join, not a " +
+      "nested loop") {
+    val df = SparkEntry.queries("q16_supplier_count")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("q22: the dormancy NOT EXISTS plans as a hash LeftAnti; the " +
       "average gate is a one-shot scalar subquery, not a per-row loop") {
     val df = SparkEntry.queries("q22_dormant_customers")(spark, dir)

@@ -90,6 +90,21 @@ class RobotsSpec extends SparkSpec {
     assert(!s("http://h.example.com")._1)
   }
 
+  test("sitemaps are group-independent: collected before any group and " +
+      "inside skipped named-agent groups; never parsed as rules") {
+    val robots = Seq(("h.example.com",
+      "Sitemap: http://h.example.com/a.xml\n" +
+        "User-agent: fetchbot\nSitemap: http://h.example.com/b.xml\n" +
+        "Disallow: /\nUser-agent: *\nAllow: /\n")).toDF("host", "body")
+    val sm = Robots.sitemaps(robots, "host", "body")
+      .collect().map(_.getAs[String]("sitemap_url")).sorted.toSeq
+    assert(sm == Seq("http://h.example.com/a.xml",
+      "http://h.example.com/b.xml"))
+    // and the sitemap lines did not leak into the rule set
+    val rules = Robots.parseRules(robots, "host", "body").collect()
+    assert(rules.map(_.getAs[String]("prefix")).toSet == Set("/"))
+  }
+
   test("fetch schedule: allowed URLs queue per host in URL order with " +
       "delay-spaced offsets; blocked URLs never enter the queue") {
     val robots = Seq(
