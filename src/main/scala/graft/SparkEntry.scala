@@ -1043,6 +1043,27 @@ object SparkEntry {
       s.sql(SupplierCountSql)
     }),
 
+    // TPC-H Q8 shape — conditional market share inside the snowflake
+    "q8_market_share" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(MarketShareSql)
+    }),
+
+    // TPC-H Q9 shape — 5-way join, derived profit, nation×year rollup
+    "q9_product_profit" -> ((s, dir) => {
+      Seq("lineitem", "orders", "part", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(ProfitSql)
+    }),
+
+    // TPC-H Q12 shape — two-way conditional counts on a lateness window
+    "q12_late_lines" -> ((s, dir) => {
+      Seq("orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(LateLinesSql)
+    }),
+
     // ---- training-data ops: dedup ---------------------------------------
     "dedup_exact" -> ((s, dir) => driverSafe(
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))),
@@ -3727,6 +3748,63 @@ object SparkEntry {
       |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
       |ORDER BY s_name""".stripMargin
 
+  /** TPC-H Q8 shape — national market share: one conditional share
+    * inside a grouped aggregate over a 6-way snowflake (share emitted as
+    * exact µ sums + floor-ppm — no decimal division). */
+  private val MarketShareSql =
+    """WITH vol AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+      |    CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000)
+      |        AS DECIMAL(38,0)) AS rev_us,
+      |    s_nationkey AS supp_nation
+      |  FROM lineitem, orders, customer, supplier, nation n1, region
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND l_suppkey = s_suppkey AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA')
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 3 THEN rev_us ELSE 0 END) AS BIGINT) AS nation_rev_us,
+      |  CAST(sum(rev_us) AS BIGINT) AS total_rev_us
+      |FROM vol GROUP BY o_year""".stripMargin
+
+  /** TPC-H Q9 shape — product-type profit by supplier nation and order
+    * year: the widest join in the suite (fact + orders + part + supplier
+    * + nation) with a two-term profit expression. The synthetic schema
+    * has no partsupp, so unit cost derives from p_retailprice (µ·0.4) —
+    * the SHAPE (5-way join, derived measure, nation×year rollup) is
+    * what's under test. All-integer amount arithmetic. */
+  private val ProfitSql =
+    """WITH profit AS (
+      |  SELECT n_name AS nation,
+      |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+      |    CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 1000000)
+      |        AS DECIMAL(38,0))
+      |      - CAST(floor(p_retailprice * 400000) AS DECIMAL(38,0))
+      |        * CAST(l_quantity AS DECIMAL(18,0)) AS amount_us
+      |  FROM lineitem, orders, part, supplier, nation
+      |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      |    AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND p_type = 'PROMO')
+      |SELECT nation, o_year, CAST(sum(amount_us) AS BIGINT) AS profit_us
+      |FROM profit GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC
+      |LIMIT 30""".stripMargin
+
+  /** TPC-H Q12 shape — two-way conditional counts over a date-window
+    * join (late-shipped lines by priority class; the synthetic lineitem
+    * has no shipmode/receiptdate, so the class is the order priority and
+    * lateness is ship−order ≥ 60 days). */
+  private val LateLinesSql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      |  AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+      |GROUP BY l_returnflag""".stripMargin
+
   /** TPC-H Q16 shape — NOT IN over a subquery, the NULL-AWARE anti-join
     * planning case (semantically distinct from NOT EXISTS: one NULL in
     * the subquery empties the result, so the planner needs the
@@ -4094,6 +4172,9 @@ object SparkEntry {
     "q11_important_parts" -> ImportantPartsSql.replace("\n", " "),
     "q15_top_supplier" -> TopSupplierSql.replace("\n", " "),
     "q16_supplier_count" -> SupplierCountSql.replace("\n", " "),
+    "q8_market_share" -> MarketShareSql.replace("\n", " "),
+    "q9_product_profit" -> ProfitSql.replace("\n", " "),
+    "q12_late_lines" -> LateLinesSql.replace("\n", " "),
 
     // the SAME SQL text runs on both engines (the q1 pattern)
     "q6_forecast_revenue" -> ForecastRevenueSql.replace("\n", " "),
