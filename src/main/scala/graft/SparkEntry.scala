@@ -1447,6 +1447,14 @@ object SparkEntry {
       EventAnalytics.abMetrics(events(s, dir), "user_id",
         col("event_type") === "purchase", arms = 2)),
 
+    // CUPED variance reduction (Deng et al. 2013): view spend as the
+    // surrogate covariate for purchase spend — exact decimal sums, one
+    // fixed IEEE expression tree for θ/means, broadcast pooled stats
+    "events_ab_cuped" -> ((s, dir) =>
+      EventAnalytics.cupedAbMetrics(events(s, dir), "user_id",
+        col("event_type") === "view", col("event_type") === "purchase",
+        col("value"), arms = 2)),
+
     // top session journeys: 30-min-gap sessionization → first-5-step
     // path strings → session counts → TakeOrderedAndProject top-20;
     // both windows ride one user-keyed shuffle, total (ts, id) order
@@ -1965,6 +1973,56 @@ object SparkEntry {
     // top-100 vocabulary by frequency (ties broken by token): orderBy +
     // limit plans as TakeOrderedAndProject — per-partition partial top-K
     // merged on the driver, NO global sort — the scale-safe global top-K
+    // OOV rate per source vs the corpus top-16 vocabulary (count-desc,
+    // token tie-break — the vocab_topk rule): the tokenizer-coverage /
+    // domain-shift triage signal. TakeOrdered vocab → broadcast join →
+    // one linear aggregation
+    "vocab_oov_by_source" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_n"))
+        .orderBy(col("_n").desc, col("tok")).limit(16)
+        .select(col("tok"), lit(1).as("_in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("_in").isNull, 1)).as("n_oov"))
+        .withColumn("oov_ppm", expr("(n_oov * 1000000L) div n_tokens"))
+    }),
+
+    // train/test length-distribution drift: the EXACT two-sample KS
+    // statistic — cumulative counts over the per-value HISTOGRAM (the
+    // window input is |distinct lengths|, not the corpus), gap kept as
+    // exact integer cross-products, the final ratio one fixed IEEE
+    // division over exact decimal sums (the CUPED discipline)
+    "corpus_split_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+          Sampling.splitLabel(col("doc_id")).as("split"), col("n_chars"))
+        .filter(col("split").isin("train", "test"))
+      val hist = d.groupBy(col("n_chars")).agg(
+        count(when(col("split") === "train", 1)).as("_tr"),
+        count(when(col("split") === "test", 1)).as("_te"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = d.agg(
+        count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "test", 1)).as("n_test"))
+      hist
+        .withColumn("_ctr", sum(col("_tr")).over(w).cast("decimal(38,0)"))
+        .withColumn("_cte", sum(col("_te")).over(w).cast("decimal(38,0)"))
+        .crossJoin(broadcast(tot))
+        .withColumn("_gap", abs(col("_ctr") * col("n_test") -
+          col("_cte") * col("n_train")))
+        .groupBy(col("n_train"), col("n_test"))
+        .agg(max(struct(col("_gap").as("g"),
+          (-col("n_chars")).as("negv"))).as("_m"))
+        .select(col("n_train"), col("n_test"),
+          floor(col("_m").getField("g").cast("double") * lit(1000000d) /
+            (col("n_train").cast("double") * col("n_test").cast("double")))
+            .cast("long").as("ks_ppm"),
+          (-col("_m").getField("negv")).cast("long").as("ks_at_chars"))
+    }),
+
     "vocab_topk" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -4823,6 +4881,27 @@ object SparkEntry {
         |  (1000000 * CAST(sum(conv) AS BIGINT)) // count(*) AS conv_ppm
         |FROM a GROUP BY arm""".stripMargin,
 
+    // CUPED: identical exact decimal sums, identical IEEE expression
+    // tree for theta / means, identical final floors
+    "events_ab_cuped" ->
+      """WITH pu AS (SELECT user_id,
+        |  COALESCE(sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 1000000) AS DECIMAL(18,0)) END), 0) AS x,
+        |  COALESCE(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000000) AS DECIMAL(18,0)) END), 0) AS y,
+        |  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+        |  CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |  CAST(sum(x * x) AS DOUBLE) AS sxx FROM pu),
+        |th AS (SELECT CASE WHEN sxx - sx * sx / n > 0
+        |  THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) ELSE 0 END AS theta,
+        |  sx / n AS xbar FROM g),
+        |a AS (SELECT arm, count(*) AS n_users, CAST(sum(x) AS DOUBLE) AS asx,
+        |  CAST(sum(y) AS DOUBLE) AS asy FROM pu GROUP BY arm)
+        |SELECT arm, n_users,
+        |  CAST(floor(asy / n_users) AS BIGINT) AS mean_y_us,
+        |  CAST(floor(asy / n_users - theta * (asx / n_users - xbar)) AS BIGINT) AS adj_mean_y_us
+        |FROM a, th""".stripMargin,
+
     "events_paths" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
         |           FROM events),
@@ -5265,6 +5344,35 @@ object SparkEntry {
       (s"WITH t AS (SELECT unnest($sqlToks) AS token FROM documents) " +
         "SELECT token, count(*) AS n FROM t GROUP BY token " +
         "ORDER BY n DESC, token LIMIT 100"),
+
+    "vocab_oov_by_source" ->
+      (s"WITH tk AS (SELECT source, unnest($sqlToks) AS tok FROM documents), " +
+        "v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk GROUP BY 1 " +
+        "ORDER BY n DESC, tok LIMIT 16)), " +
+        "j AS (SELECT source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov " +
+        "FROM tk LEFT JOIN v ON tk.tok = v.tok) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm " +
+        "FROM j GROUP BY source"),
+
+    // exact two-sample KS over the length histogram: integer cumulative
+    // cross-products, one final IEEE division, min-value tie-break
+    "corpus_split_drift" ->
+      ("WITH d AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, n_chars " +
+        "FROM (SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b, n_chars FROM documents)), " +
+        "f AS (SELECT * FROM d WHERE split IN ('train', 'test')), " +
+        "h AS (SELECT n_chars, sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr, " +
+        "sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te FROM f GROUP BY 1), " +
+        "c AS (SELECT n_chars, sum(tr) OVER (ORDER BY n_chars) AS ctr, " +
+        "sum(te) OVER (ORDER BY n_chars) AS cte FROM h), " +
+        "tot AS (SELECT sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train, " +
+        "sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test FROM f), " +
+        "g AS (SELECT c.n_chars, abs(ctr * n_test - cte * n_train) AS gap FROM c, tot), " +
+        "m AS (SELECT max(gap) AS mg, min(n_chars) FILTER (WHERE gap = (SELECT max(gap) FROM g)) AS at_v FROM g) " +
+        "SELECT CAST(n_train AS BIGINT) AS n_train, CAST(n_test AS BIGINT) AS n_test, " +
+        "CAST(floor(CAST(mg AS DOUBLE) * 1000000 / (CAST(n_train AS DOUBLE) * CAST(n_test AS DOUBLE))) AS BIGINT) AS ks_ppm, " +
+        "CAST(at_v AS BIGINT) AS ks_at_chars FROM tot, m"),
 
     "vocab_cms_topk" ->
       (s"WITH toks AS (SELECT unnest($sqlToks) AS token FROM documents), " +

@@ -273,6 +273,57 @@ object EventAnalytics {
         expr("(1000000L * n_converters) div n_users"))
   }
 
+  /** CUPED-adjusted A/B metrics (Deng et al. WSDM 2013 — variance
+    * reduction with pre-experiment / surrogate covariates): per user,
+    * covariate X = µ-value under `xCond`, outcome Y = µ-value under
+    * `yCond`; θ = cov(X,Y)/var(X) pooled over ALL users, and each arm
+    * reports its raw and adjusted outcome mean — adjusted mean =
+    * ȳ_arm − θ·(x̄_arm − x̄). Unbiased because arm assignment (the
+    * stable hash bucket) is independent of X.
+    *
+    * Engine-exactness discipline: every sum is an exact DECIMAL over
+    * µ-floored integers; θ, the means and the adjustment are then a
+    * FIXED expression tree of IEEE divisions over those exact sums, so
+    * both engines compose bit-identical doubles and the final µ-floors
+    * cannot straddle (the MMR floor lesson). Two aggregations over one
+    * persisted per-user frame + a broadcast of the 1-row pooled stats —
+    * no extra shuffle at any scale. Degenerate var(X) = 0 ⇒ θ = 0 (the
+    * adjustment vanishes instead of dividing by zero).
+    * Output: (arm, n_users, mean_y_us, adj_mean_y_us). */
+  def cupedAbMetrics(events: DataFrame, userId: String, xCond: Column,
+                     yCond: Column, value: Column, arms: Int): DataFrame = {
+    require(arms >= 2, "an experiment needs at least two arms")
+    val vUs = floor(value * lit(1000000d)).cast("decimal(18,0)")
+    val zero = lit(0).cast("decimal(18,0)")
+    val perUser = events.groupBy(col(userId).as("_user"))
+      .agg(coalesce(sum(when(xCond, vUs)), zero).as("_x"),
+        coalesce(sum(when(yCond, vUs)), zero).as("_y"))
+      .withColumn("arm", Sampling.stableBucket(col("_user"), arms))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pooled = perUser.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_y")).cast("double").as("_sxy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"))
+    val th = pooled.select(
+      when(col("_sxx") - col("_sx") * col("_sx") / col("_n") > 0,
+        (col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("_n")))
+        .otherwise(lit(0d)).as("_theta"),
+      (col("_sx") / col("_n")).as("_xbar"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_x")).cast("double").as("_asx"),
+        sum(col("_y")).cast("double").as("_asy"))
+      .crossJoin(broadcast(th))
+      .select(col("arm"), col("n_users"),
+        floor(col("_asy") / col("n_users")).cast("long").as("mean_y_us"),
+        floor(col("_asy") / col("n_users") -
+          col("_theta") * (col("_asx") / col("n_users") - col("_xbar")))
+          .cast("long").as("adj_mean_y_us"))
+  }
+
   def linearAttribution(touches: DataFrame, touchId: String,
                         conversions: DataFrame, convId: String,
                         key: String, touchUs: String, convUs: String,
