@@ -299,4 +299,50 @@ class EventAnalyticsSpec extends SparkSpec {
     // day 8 WAU now {1, 2, 3} → stickiness floor(2e6/3)
     assert(out2("2024-01-08") === ((2L, 3L, 666666L)))
   }
+
+  test("cupedAbMetrics: with a perfectly correlated covariate (y = 2x) " +
+      "the adjusted means collapse to the pooled outcome mean") {
+    // users chosen so stableBucket splits them across both arms; x per
+    // user varies, y = 2x exactly ⇒ θ = 2 and y − θ(x − x̄) = 2x̄ for
+    // every user — adjusted means equal across arms even though raw
+    // means differ
+    val users = (1L to 40L)
+    val rows = users.flatMap { u =>
+      val x = (u % 7 + 1).toDouble // covariate value
+      Seq((u, "view", x), (u, "purchase", 2 * x))
+    }
+    import spark.implicits._
+    val ev = rows.toDF("user_id", "event_type", "value")
+    val out = EventAnalytics.cupedAbMetrics(ev, "user_id",
+        col("event_type") === "view", col("event_type") === "purchase",
+        col("value"), arms = 2)
+      .collect().map(r => r.getAs[Long]("arm") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("mean_y_us"),
+          r.getAs[Long]("adj_mean_y_us")))).toMap
+    assert(out.size == 2)
+    val Seq(a, b) = out.values.toSeq
+    assert(a._1 + b._1 == 40L)
+    // pooled mean of y in µ = 2·x̄·1e6; both adjusted means hit it
+    val xbar = users.map(u => (u % 7 + 1).toDouble).sum / 40
+    val pooled = math.floor(2 * xbar * 1e6).toLong
+    assert(a._3 == pooled && b._3 == pooled,
+      s"adjusted means $a $b, pooled $pooled")
+    // and the raw means genuinely differed (the adjustment did work)
+    assert(a._2 != b._2)
+  }
+
+  test("cupedAbMetrics: zero covariate variance degrades to raw means " +
+      "(theta = 0, no division by zero)") {
+    import spark.implicits._
+    val ev = (1L to 10L).flatMap(u =>
+      Seq((u, "view", 5.0), (u, "purchase", u.toDouble)))
+      .toDF("user_id", "event_type", "value")
+    val out = EventAnalytics.cupedAbMetrics(ev, "user_id",
+        col("event_type") === "view", col("event_type") === "purchase",
+        col("value"), arms = 2)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(
+      r.getAs[Long]("adj_mean_y_us") == r.getAs[Long]("mean_y_us")))
+  }
 }

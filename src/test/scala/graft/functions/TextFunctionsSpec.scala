@@ -176,4 +176,24 @@ class TextFunctionsSpec extends SparkSpec {
     // "hi": w=1, syl=1, s=1 → 390000 + 11800000 - 15590000
     assert(m("b")._1 === 1L && m("b")._2 === -3400000L)
   }
+
+  test("repetitionReport: top n-gram shares with multiplicity; short " +
+      "docs report zero for missing gram sizes") {
+    import spark.implicits._
+    val docs = Seq(
+      // "spam spam spam eggs": uni 4 (top spam 3), bi 3 (top "spam spam"
+      // 2), tri 2 (each once)
+      (1L, "spam spam spam eggs"),
+      (2L, "one two"),   // no trigrams
+      (3L, "solo")       // unigram only
+    ).toDF("doc_id", "text")
+    val m = TextFunctions.repetitionReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (
+        (r.getAs[Long]("n_unigrams"), r.getAs[Long]("top_unigram_ppm"),
+          r.getAs[Long]("n_bigrams"), r.getAs[Long]("top_bigram_ppm"),
+          r.getAs[Long]("n_trigrams"), r.getAs[Long]("top_trigram_ppm")))).toMap
+    assert(m(1L) === ((4L, 750000L, 3L, 666666L, 2L, 500000L)))
+    assert(m(2L) === ((2L, 500000L, 1L, 1000000L, 0L, 0L)))
+    assert(m(3L) === ((1L, 1000000L, 0L, 0L, 0L, 0L)))
+  }
 }
