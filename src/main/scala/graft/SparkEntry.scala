@@ -2487,6 +2487,12 @@ object SparkEntry {
     "corpus_ppl_buckets" -> ((s, dir) =>
       LangModel.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")),
 
+    // DoReMi-style mixture reweighting: one exponentiated-gradient step
+    // from uniform — sources the corpus LM finds hard get up-weighted
+    "corpus_doremi_weights" -> ((s, dir) =>
+      LangModel.doremiSourceWeights(t(s, dir, "documents"), "doc_id",
+        "text", "source")),
+
     // vocabulary-coverage curve at fixed candidate sizes: each k is one
     // TakeOrdered top-k over the count frame (never a global rank window
     // over the vocabulary), mass ratios in exact floor-ppm
@@ -5826,6 +5832,29 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, " +
         "coalesce(round(CAST(s.s AS DOUBLE) / s.n_bigrams, 6), 0.0) AS cross_entropy " +
         "FROM d LEFT JOIN s USING (doc_id)"),
+
+    // same per-doc CE body + round(6) as text_perplexity, then the
+    // source rollup and the one-step EG update — exp rides the same
+    // cross-engine-libm precedent as the model's ln
+    "corpus_doremi_weights" ->
+      (s"WITH $pplBodySql, " +
+        "ce AS (SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(round(CAST(s.s AS DOUBLE) / s.n_bigrams, 6), 0.0) AS ce " +
+        "FROM d LEFT JOIN s USING (doc_id)), " +
+        "srcm AS (SELECT doc_id, source FROM documents), " +
+        "bs AS (SELECT source, CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams, " +
+        "sum(CAST(ce AS DECIMAL(27,12)) * n_bigrams) AS sv " +
+        "FROM ce JOIN srcm USING (doc_id) GROUP BY source), " +
+        "tot AS (SELECT CAST(sum(sv) AS DOUBLE) AS st, CAST(sum(n_bigrams) AS DOUBLE) AS bt FROM bs), " +
+        "sc AS (SELECT source, n_bigrams, CASE WHEN n_bigrams > 0 " +
+        "THEN CAST(sv AS DOUBLE) / n_bigrams ELSE 0.0 END AS avgv FROM bs), " +
+        "sc2 AS (SELECT source, n_bigrams, avgv, " +
+        "CAST(exp(1.0 * (avgv - st / bt)) AS DECIMAL(27,12)) AS e FROM sc, tot), " +
+        "nrm AS (SELECT sum(e) AS en FROM sc2) " +
+        "SELECT source, n_bigrams, " +
+        "CAST(floor(avgv * 1000000) AS BIGINT) AS avg_nll_us, " +
+        "CAST(floor(CAST(e AS DOUBLE) * 1000000 / CAST(en AS DOUBLE)) AS BIGINT) AS weight_ppm " +
+        "FROM sc2, nrm"),
 
     // shared per-doc cross-entropy body, then exact tercile thresholds
     // (quantile_cont ≡ percentile, the calibrate precedent; the 1/3 and

@@ -145,6 +145,51 @@ object LangModel {
     crossEntropy(docs, idCol, textCol, trainBigram(toks, "toks"))
   }
 
+  /** DoReMi-flavoured mixture reweighting (Xie et al., NeurIPS 2023 —
+    * Domain Reweighting with Minimax Optimization, simplified to ONE
+    * exponentiated-gradient step from a uniform reference): per source,
+    * the bigram-weighted average self-LM NLL; its EXCESS over the
+    * corpus average is the hardness signal, and the updated mixture is
+    * w_s ∝ exp(η · excess_s), normalized to ppm. Sources whose text the
+    * corpus LM finds hard get up-weighted — the standard
+    * train-on-what-you-miss mixture heuristic, here as a single
+    * deterministic pass rather than the paper's proxy-model loop.
+    *
+    * Determinism: per-doc cross-entropies are the ORACLE-PROVEN
+    * [[crossEntropy]] values (rounded to 6), aggregated as exact
+    * decimals; averages and the EG step are then one fixed IEEE
+    * expression tree (the CUPED discipline; `exp` rides the same
+    * cross-engine-libm precedent as the LM's `ln`). Three small
+    * aggregations over one persisted per-source frame (|sources| rows)
+    * + two 1-row broadcasts — corpus cost is the one LM scoring pass.
+    * Output: (source, n_bigrams, avg_nll_us, weight_ppm). */
+  def doremiSourceWeights(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, eta: Double = 1.0): DataFrame = {
+    val ce = selfCrossEntropy(docs, idCol, textCol)
+    val bySrc = docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(ce, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("cross_entropy").cast("decimal(27,12)") * col("n_bigrams"))
+          .as("_sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = bySrc.agg(sum(col("_sv")).cast("double").as("_st"),
+      sum(col("n_bigrams")).cast("double").as("_bt"))
+    val scored = bySrc.crossJoin(broadcast(tot))
+      .withColumn("_avg", when(col("n_bigrams") > 0,
+        col("_sv").cast("double") / col("n_bigrams")).otherwise(lit(0d)))
+      .withColumn("_e",
+        exp(lit(eta) * (col("_avg") - col("_st") / col("_bt")))
+          .cast("decimal(27,12)"))
+    val norm = scored.agg(sum(col("_e")).as("_en"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_bigrams"),
+        floor(col("_avg") * lit(1000000d)).cast("long").as("avg_nll_us"),
+        floor(col("_e").cast("double") * lit(1000000d) /
+          col("_en").cast("double")).cast("long").as("weight_ppm"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): split
     * the corpus into head / middle / tail by exact TERCILES of the
     * self-LM cross-entropy — the standard "keep the head, maybe sample
