@@ -178,35 +178,55 @@ object Embeddings {
     // per-row products stay LONG (|dv| is ~10⁷ µ for unit-scale
     // embeddings; the long-safe bound is |dv| < 3·10⁹, and ANSI mode
     // fails loudly rather than wrapping past it) — only the sum rides
-    // DECIMAL. The decimal multiply was the hot path: 24M interpreted
-    // decimal products per sf0.1 pass before this.
-    val dev = expl.join(broadcast(mu), Seq("dim"))
-      .select(col("_id"), col("dim"),
-        (col("v_us") - col("mu_us")).as("dv"))
-    val cov = dev.as("a")
-      .join(dev.as("b"), col("a._id") === col("b._id"))
-      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-      .agg(sum((col("a.dv") * col("b.dv")).cast("decimal(38,0)")).as("c"))
-      .transform(Frames.truncate)
-    var v = mu.select(col("dim"),
-      lit(1000000L).cast("decimal(38,0)").as("v"))
-      .transform(Frames.truncate)
+    // DECIMAL. Scatter matrix WITHOUT a corpus self-join: deviations
+    // stay an ARRAY per row (means broadcast as one array row), and the
+    // (i, j) products come from two CHAINED generators over that array —
+    // dims² rows per vector flow straight into a map-side-combined hash
+    // aggregate with only dims² groups, so nothing corpus-sized ever
+    // shuffles. The previous dev⋈dev-on-id form shuffled the whole
+    // exploded frame through a join first.
+    val muArr = mu
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu_us"))))
+        .as("_ms"))
+      .select(transform(col("_ms"), m => m.getField("mu_us")).as("_mu"))
+    val dev = df.crossJoin(broadcast(muArr))
+      .select(zip_with(col(vecCol).cast("array<double>"), col("_mu"),
+        (x, m) => round(x * lit(1000000d), 0).cast("long") - m).as("_dv"))
+    val cov = dev
+      .select(posexplode(col("_dv")).as(Seq("_i", "_a")), col("_dv"))
+      .select(col("_i").cast("long").as("i"), col("_a"),
+        posexplode(col("_dv")).as(Seq("_j", "_b")))
+      .groupBy(col("i"), col("_j").cast("long").as("j"))
+      .agg(sum((col("_a") * col("_b")).cast("decimal(38,0)")).as("c"))
+    // the matvec rounds run DRIVER-SIDE over the collected dims²-row
+    // scatter matrix (bounded by dims, never by the corpus — the
+    // Profile.exactQuantileValues / Pq anchor-table precedent): exact
+    // BigInt products, the same floor division as Sampling.intDiv, and
+    // the result folds back as a literal frame. The distributed form
+    // paid an eager checkpoint per round for a 64×64 matrix — 3.1 s of
+    // pure iteration overhead at sf0.1.
+    val covRows = cov.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigInt(r.getDecimal(2).toBigInteger))
+      .toMap
+    val dims = mu.select(col("dim")).collect().map(_.getLong(0)).sorted
+    def floorDiv(a: BigInt, b: BigInt): BigInt = {
+      val m = ((a % b) + b) % b
+      (a - m) / b
+    }
+    var vVec = dims.map(_ => BigInt(1000000L))
     var r = 0
     while (r < rounds) {
-      val w = cov
-        .join(broadcast(v.select(col("dim").as("j"), col("v"))), Seq("j"))
-        .groupBy(col("i").as("dim"))
-        .agg(sum(col("c") * col("v")).as("w"))
-      val mx = w.agg(greatest(max(abs(col("w"))), lit(1).cast("decimal(38,0)"))
-        .as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("dim"),
-          Sampling.intDiv(col("w") * lit(1000000L), col("mx"))
-            .cast("decimal(38,0)").as("v"))
-        .transform(Frames.truncate)
+      val w = dims.indices.map(i => dims.indices.foldLeft(BigInt(0)) {
+        case (acc, j) =>
+          acc + covRows.getOrElse((dims(i), dims(j)), BigInt(0)) * vVec(j)
+      })
+      val mx = w.map(_.abs).max.max(BigInt(1))
+      vVec = w.map(x => floorDiv(x * 1000000L, mx)).toArray
       r += 1
     }
-    v.select(col("dim"), col("v").cast("long").as("v_ppm"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    dims.zip(vVec.map(_.toLong)).toSeq.toDF("dim", "v_ppm")
   }
 
   /** Top-k embedding outliers by exact squared distance to the corpus
