@@ -2546,6 +2546,34 @@ object SparkEntry {
           col("cum_value_us"))
     }),
 
+    // SCD type-2 from a change feed: collapse each user's event stream
+    // into validity intervals per run of equal event_type (island
+    // detection via lag + running change count), valid_to = the next
+    // run's start (NULL = current). Both windows ride ONE user-keyed
+    // shuffle; (ts, event_id) order makes equal-timestamp runs
+    // deterministic. The warehouse dimension-versioning pattern.
+    "w9_scd2_intervals" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wRow = W.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wGrp = W.partitionBy(col("user_id")).orderBy(col("_grp"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("_chg",
+          when(lag(col("event_type"), 1).over(wRow).isNull ||
+            lag(col("event_type"), 1).over(wRow) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("_grp", sum(col("_chg")).over(wRow))
+        .groupBy(col("user_id"), col("_grp"), col("event_type"))
+        .agg(min(col("ts_us")).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(wGrp))
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("n_events"))
+    }),
+
     // day-over-day event-volume delta: lag over the DAYS frame (calendar-
     // bounded, not data-bounded — the one safe global-window case)
     "events_daily_delta" -> ((s, dir) => {
@@ -6220,6 +6248,20 @@ object SparkEntry {
         "count(*) AS n_events FROM events GROUP BY 1) " +
         "SELECT day, n_events, COALESCE(n_events - lag(n_events, 1) " +
         "OVER (ORDER BY day), 0) AS delta FROM d"),
+
+    // same island detection, same (ts, event_id) tie-break
+    "w9_scd2_intervals" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events), " +
+        "c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL " +
+        "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS grp FROM c), " +
+        "runs AS (SELECT user_id, grp, event_type, " +
+        "CAST(min(ts_us) AS BIGINT) AS valid_from_us, count(*) AS n_events " +
+        "FROM g GROUP BY 1, 2, 3) " +
+        "SELECT user_id, event_type, valid_from_us, " +
+        "lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to_us, " +
+        "CAST(n_events AS BIGINT) AS n_events FROM runs"),
 
     // CV² in exact integer ppm; nΣx²−Σ² and Σ² both ride HUGEINT (gap
     // sums exceed BIGINT² range); all operands non-negative so `//` ≡
