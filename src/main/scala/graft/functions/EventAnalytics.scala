@@ -312,7 +312,7 @@ object EventAnalytics {
           (col("_sxx") - col("_sx") * col("_sx") / col("_n")))
         .otherwise(lit(0d)).as("_theta"),
       (col("_sx") / col("_n")).as("_xbar"))
-    perUser.groupBy(col("arm"))
+    val out = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("_x")).cast("double").as("_asx"),
         sum(col("_y")).cast("double").as("_asy"))
@@ -322,6 +322,9 @@ object EventAnalytics {
         floor(col("_asy") / col("n_users") -
           col("_theta") * (col("_asx") / col("n_users") - col("_xbar")))
           .cast("long").as("adj_mean_y_us"))
+    // seal + release: the per-user frame must not outlive the query
+    // (the session-accumulation lesson behind Frames.sealRelease)
+    graft.functions.Frames.sealRelease(out, perUser)
   }
 
   def linearAttribution(touches: DataFrame, touchId: String,

@@ -183,11 +183,12 @@ object LangModel {
         exp(lit(eta) * (col("_avg") - col("_st") / col("_bt")))
           .cast("decimal(27,12)"))
     val norm = scored.agg(sum(col("_e")).as("_en"))
-    scored.crossJoin(broadcast(norm))
+    val out = scored.crossJoin(broadcast(norm))
       .select(col("source"), col("n_bigrams"),
         floor(col("_avg") * lit(1000000d)).cast("long").as("avg_nll_us"),
         floor(col("_e").cast("double") * lit(1000000d) /
           col("_en").cast("double")).cast("long").as("weight_ppm"))
+    Frames.sealRelease(out, bySrc)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): split

@@ -474,10 +474,15 @@ object EventStream {
     * makes the screen REDELIVERY-IDEMPOTENT: an at-least-once source
     * re-dropping a document re-aggregates to the same decision.
     * Emits (idCol, exact_dup, near_cand) in update mode. */
-  def ingestScreenStream(newDocs: DataFrame, corpus: DataFrame,
-                         idCol: String, textCol: String,
-                         watermark: String, windowLen: String,
-                         hasher: graft.functions.Dedup.Hasher): DataFrame = {
+  /** Build the persisted static corpus index the ingest screen probes:
+    * (exact content-fingerprint set, LSH band-key set). Both frames are
+    * PERSISTED — micro-batches re-read the static side, so the caller
+    * must hold them for the life of the streaming query and unpersist
+    * them when it stops ([[runStreamingIngestScreen]] does). */
+  def buildCorpusDedupIndex(corpus: DataFrame, idCol: String,
+                            textCol: String,
+                            hasher: graft.functions.Dedup.Hasher)
+      : (DataFrame, DataFrame) = {
     import graft.functions.{Dedup, TextFunctions}
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val oldFp = corpus
@@ -490,6 +495,15 @@ object EventStream {
           idCol, "_sh", 64, hasher),
         idCol, "sig", 16, 4, hasher)
       .select(col("band"), col("band_key")).distinct().persist(lvl)
+    (oldFp, oldBands)
+  }
+
+  def ingestScreenStream(newDocs: DataFrame, oldFp: DataFrame,
+                         oldBands: DataFrame,
+                         idCol: String, textCol: String,
+                         watermark: String, windowLen: String,
+                         hasher: graft.functions.Dedup.Hasher): DataFrame = {
+    import graft.functions.{Dedup, TextFunctions}
     val base = newDocs.select(col(idCol), col(textCol), col("ts"))
     val exactProbe = base
       .withColumn("_fp", TextFunctions.contentFingerprint(col(textCol)))
@@ -538,15 +552,23 @@ object EventStream {
     val stream = streamRead(spark, dir, glob, schema)
       .filter(newPred)
       .withColumn("ts", expr(s"timestamp_micros($idCol)"))
-    val screened = ingestScreenStream(stream, corpus, idCol, textCol,
-      watermark, windowLen, hasher)
-    withStreamingPartitions(spark, 2) {
-      val q = screened.writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(queryName)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    val (oldFp, oldBands) = buildCorpusDedupIndex(corpus, idCol, textCol,
+      hasher)
+    val screened = ingestScreenStream(stream, oldFp, oldBands, idCol,
+      textCol, watermark, windowLen, hasher)
+    try {
+      withStreamingPartitions(spark, 2) {
+        val q = screened.writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(queryName)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally {
+      // the index must not outlive the drained query (the
+      // session-accumulation lesson behind Frames.sealRelease)
+      oldFp.unpersist(false); oldBands.unpersist(false)
     }
     spark.table(queryName)
       .groupBy(col(idCol))
