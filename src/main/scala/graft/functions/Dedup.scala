@@ -952,12 +952,15 @@ object Dedup {
     * the PARAGRAPH level (a legal footer repeated across a domain leaves
     * the articles unique but poisons n-gram stats if kept).
     *
-    * Segmentation rule: split at blank lines (≥2 consecutive newlines —
-    * the [[Html.mainContent]] output joins blocks with single newlines,
-    * so its blocks survive as units), then any segment longer than
-    * `blockTokens` tokens further splits into fixed `blockTokens`-token
-    * blocks — the scale guard that keeps a 10 MB single-paragraph page
-    * from becoming one unsharable fingerprint. Fingerprint = md5 of the
+    * Segmentation rule: split at blank lines (≥2 consecutive newlines,
+    * the crawl-corpus paragraph convention; note [[Html.mainContent]]
+    * joins its kept blocks with SINGLE newlines, so its output arrives
+    * as one segment and falls through to the fixed-block fallback —
+    * split it on '\n' first if block-as-paragraph granularity is
+    * wanted), then any segment longer than `blockTokens` tokens further
+    * splits into fixed `blockTokens`-token blocks — the scale guard that
+    * keeps a 10 MB single-paragraph page from becoming one unsharable
+    * fingerprint. Fingerprint = md5 of the
     * normalized (lowercased, whitespace-collapsed) block — engine-exact,
     * no seed.
     *
