@@ -3787,16 +3787,25 @@ object SparkEntry {
     * synthetic customers all have at least one order (and no c_phone),
     * so "never ordered" becomes "no order since 2000" and the country
     * code is the nation key — the anti-join + avg-gate plan is what's
-    * under test. */
+    * under test. The average gate is spelled DIVISION-FREE over exact
+    * µ-floored integers (`bal·n > Σbal` ≡ `bal > avg`): a raw
+    * `avg(double)` is accumulation-order-dependent and a customer on
+    * the boundary could flip between engines — or between Spark runs. */
   private val DormantCustomersSql =
     """SELECT cntrycode, count(*) AS numcust,
-      |  CAST(sum(CAST(floor(c_acctbal * 1000000) AS DECIMAL(38,0))) AS BIGINT) AS totacctbal_us
-      |FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+      |  CAST(sum(bal_us) AS BIGINT) AS totacctbal_us
+      |FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+      |        CAST(floor(c_acctbal * 1000000) AS DECIMAL(38,0)) AS bal_us
       |      FROM customer
       |      WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
-      |        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
-      |                         WHERE c_acctbal > CAST(0 AS DOUBLE)
-      |                           AND c_nationkey IN (1, 5, 9, 13, 17, 21))
+      |        AND CAST(floor(c_acctbal * 1000000) AS DECIMAL(38,0)) *
+      |            (SELECT count(*) FROM customer
+      |             WHERE c_acctbal > CAST(0 AS DOUBLE)
+      |               AND c_nationkey IN (1, 5, 9, 13, 17, 21)) >
+      |            (SELECT sum(CAST(floor(c_acctbal * 1000000) AS DECIMAL(38,0)))
+      |             FROM customer
+      |             WHERE c_acctbal > CAST(0 AS DOUBLE)
+      |               AND c_nationkey IN (1, 5, 9, 13, 17, 21))
       |        AND NOT EXISTS (SELECT 1 FROM orders
       |                        WHERE o_custkey = c_custkey
       |                          AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')) custsale

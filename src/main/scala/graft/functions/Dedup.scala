@@ -109,11 +109,15 @@ object Dedup {
     idx
   }
 
-  private def capGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private def capGroups(slot: String, df: DataFrame, keys: Seq[String],
+                        cap: Int): DataFrame = {
     // the input is an exploded index over EXPENSIVE per-doc computation
     // (shingling / signature aggregation) and is consumed twice — once for
-    // hot-key detection, once for the candidate pass
-    val idx = persistIdx("capGroups", df)
+    // hot-key detection, once for the candidate pass. `slot` names the
+    // CALLING operator: a shared helper-level slot would let one
+    // operator's plan-build evict another's still-unexecuted cached
+    // index (the per-call-site guarantee the docstring above makes)
+    val idx = persistIdx(slot, df)
     val hot = idx.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > cap).select(keys.map(col): _*)
     idx.join(broadcast(hot), keys, "left_anti")
@@ -304,7 +308,8 @@ object Dedup {
     * than maxBucket are dropped (skew guard). */
   def lshCandidates(banded: DataFrame, idCol: String,
                     maxBucket: Int = 1000): DataFrame =
-    bucketPairs(capGroups(banded, Seq("band", "band_key"), maxBucket),
+    bucketPairs(capGroups("lshCandidates", banded,
+        Seq("band", "band_key"), maxBucket),
         Seq("band", "band_key"), col(idCol))
       .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .distinct()
@@ -317,7 +322,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, shingleCol: String,
                         threshold: Double, maxPosting: Int = 1000): DataFrame = {
     val sizes = docs.select(col(idCol).alias("id"), size(col(shingleCol)).alias("n_sh"))
-    val posting = capGroups(
+    val posting = capGroups("jaccardPairs",
       docs.select(col(idCol).alias("id"), explode(col(shingleCol)).alias("sh")),
       Seq("sh"), maxPosting)
     val common = bucketPairs(posting, Seq("sh"), col("id"))
@@ -457,7 +462,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, shingleCol: String,
                        threshPpm: Long, maxPosting: Int = 1000): DataFrame = {
     val sizes = docs.select(col(idCol).alias("id"), size(col(shingleCol)).alias("n_sh"))
-    val posting = capGroups(
+    val posting = capGroups("containmentPairs",
       docs.select(col(idCol).alias("id"), explode(col(shingleCol)).alias("sh")),
       Seq("sh"), maxPosting)
     val common = bucketPairs(posting, Seq("sh"), col("id"))
@@ -549,7 +554,7 @@ object Dedup {
     val tf = docs
       .select(col(idCol).as("id"), explode(col(tokCol)).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val capped = capGroups(tf, Seq("tok"), maxPosting)
+    val capped = capGroups("tfidfCosinePairs", tf, Seq("tok"), maxPosting)
     val dfCounts = capped.groupBy("tok").agg(count(lit(1)).as("df"))
     val weighted = capped.join(dfCounts, "tok")
       .crossJoin(broadcast(nDocs))
@@ -756,7 +761,8 @@ object Dedup {
     val banded = docs.select(
       col(idCol).alias("id"), col(simhashCol).alias("sh64"),
       posexplode(bandKeys).as(Seq("band", "band_key")))
-    val sized = capGroups(banded, Seq("band", "band_key"), maxBucket)
+    val sized = capGroups("simhashPairs", banded,
+      Seq("band", "band_key"), maxBucket)
     // member = struct(id, sh64): sort_array orders by id (first field), so
     // the in-bucket slice pairing keeps id_a < id_b
     bucketPairs(sized, Seq("band", "band_key"), struct(col("id"), col("sh64")))

@@ -205,8 +205,12 @@ object Embeddings {
     // the result folds back as a literal frame. The distributed form
     // paid an eager checkpoint per round for a 64×64 matrix — 3.1 s of
     // pure iteration overhead at sf0.1.
+    // null cells (a dimension that is null in every vector) drop out,
+    // matching the previous distributed form where null products simply
+    // vanished from the next round's sum
     val covRows = cov.collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> BigInt(r.getDecimal(2).toBigInteger))
+      .flatMap(r => Option(r.getDecimal(2))
+        .map(d => (r.getLong(0), r.getLong(1)) -> BigInt(d.toBigInteger)))
       .toMap
     val dims = mu.select(col("dim")).collect().map(_.getLong(0)).sorted
     def floorDiv(a: BigInt, b: BigInt): BigInt = {

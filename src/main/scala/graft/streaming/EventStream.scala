@@ -64,9 +64,19 @@ object EventStream {
   private[streaming] def streamRead(spark: SparkSession, dir: String,
                                     glob: String,
                                     schema: StructType): DataFrame = {
-    val asDir = new java.io.File(dir, glob)
-    if (asDir.isDirectory)
-      spark.readStream.schema(schema).parquet(asDir.getPath)
+    // Hadoop FileSystem, not java.io.File: drop zones live on hdfs://
+    // s3a:// etc., where a local-File check would always say "not a
+    // directory" and silently re-open the empty-stream hole. A glob
+    // with wildcards never names a single directory, and any listing
+    // failure falls back to the plain glob-filtered read.
+    val isDir = try {
+      val p = new org.apache.hadoop.fs.Path(dir, glob)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    } catch { case _: Throwable => false }
+    if (isDir)
+      spark.readStream.schema(schema)
+        .parquet(new org.apache.hadoop.fs.Path(dir, glob).toString)
     else spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
   }

@@ -27,5 +27,16 @@ class EntryContractSpec extends AnyFunSuite {
     assert(qDups.isEmpty, s"duplicate query keys (last silently wins): $qDups")
     assert(qKeys.size == SparkEntry.queries.size,
       s"source declares ${qKeys.size} queries, map holds ${SparkEntry.queries.size}")
+    // oracle keys last-win just as silently: every oracle key must be
+    // declared as `"key" ->` exactly TWICE in the source — once in
+    // queries, once in oracleSql. A third arrow declaration means a
+    // duplicate oracle entry is shadowing (or being shadowed by) another.
+    val arrowKeys = """"([a-z0-9_]+)" ->""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val bad = SparkEntry.oracleSql.keySet.toSeq.sorted
+      .filter(k => arrowKeys.getOrElse(k, 0) != 2)
+    assert(bad.isEmpty, s"oracle keys not declared exactly twice " +
+      s"(query + oracle): ${bad.map(k => s"$k=${arrowKeys(k)}")}")
   }
 }

@@ -54,8 +54,12 @@ class TpchPlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    // the per-part avg exists as a real aggregate feeding a join
-    assert("HashAggregate".r.findAllIn(plan).nonEmpty, plan.take(2000))
+    // the decorrelated per-part avg is its OWN aggregate pair feeding a
+    // join, on top of the outer query's final aggregate pair — a single
+    // aggregate in the plan would mean the correlation collapsed into
+    // something else entirely
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(2000))
+    assert(plan.contains("avg("), plan.take(2000))
   }
 
   test("q21: EXISTS plans as a hash LeftSemi and NOT EXISTS as a hash " +
