@@ -2546,6 +2546,31 @@ object SparkEntry {
           col("cum_value_us"))
     }),
 
+    // MERGE INTO / SCD-1 upsert as a snapshot rewrite: the 2001 order
+    // activity updates each customer's balance and stamps a last_status
+    // (null-in-update = no change); synthetic onboarding rows exercise
+    // the insert leg; untouched customers carry forward. One full-outer
+    // join — the MERGE shape that scales without a table format
+    "j8_merge_upsert" -> ((s, dir) => {
+      val target = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"),
+        floor(col("c_acctbal") * lit(1000000d)).cast("long").as("acctbal_us"),
+        col("c_mktsegment"))
+      val changed = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >=
+          lit("2001-01-01").cast("date"))
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+          sum(floor(col("o_totalprice") * lit(1000000d))
+            .cast("decimal(38,0)")).cast("long").as("acctbal_us"))
+      val updates = changed.select(col("o_custkey").as("c_custkey"),
+          col("last_status"), col("acctbal_us"))
+        .unionByName(changed.select(
+          (col("o_custkey") + lit(1000000L)).as("c_custkey"),
+          col("last_status"), lit(0L).as("acctbal_us")))
+      Merge.upsert(target, updates, "c_custkey")
+    }),
+
     // SCD type-2 from a change feed: collapse each user's event stream
     // into validity intervals per run of equal event_type (island
     // detection via lag + running change count), valid_to = the next
@@ -6257,6 +6282,21 @@ object SparkEntry {
         "count(*) AS n_events FROM events GROUP BY 1) " +
         "SELECT day, n_events, COALESCE(n_events - lag(n_events, 1) " +
         "OVER (ORDER BY day), 0) AS delta FROM d"),
+
+    // same full-outer shape, same arg_max version stamp
+    "j8_merge_upsert" ->
+      ("WITH tgt AS (SELECT c_custkey, c_name, " +
+        "CAST(floor(c_acctbal * 1000000) AS BIGINT) AS acctbal_us, c_mktsegment FROM customer), " +
+        "up0 AS (SELECT o_custkey AS c_custkey, " +
+        "arg_max(o_orderstatus, o_orderkey) AS last_status, " +
+        "CAST(sum(CAST(floor(o_totalprice * 1000000) AS HUGEINT)) AS BIGINT) AS acctbal_us " +
+        "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01' GROUP BY 1), " +
+        "up AS (SELECT * FROM up0 UNION ALL " +
+        "SELECT c_custkey + 1000000, last_status, 0 FROM up0) " +
+        "SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey, " +
+        "t.c_name, COALESCE(u.acctbal_us, t.acctbal_us) AS acctbal_us, " +
+        "t.c_mktsegment, u.last_status " +
+        "FROM tgt t FULL OUTER JOIN up u ON t.c_custkey = u.c_custkey"),
 
     // same island detection, same (ts, event_id) tie-break
     "w9_scd2_intervals" ->
