@@ -2030,6 +2030,39 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)),
 
+    // HyperLogLog distinct-vocabulary sketch, md5-register deterministic
+    // (Hll.scala): per-source sketches PLUS the '__all' row MERGED from
+    // the per-source registers (register-wise max — mergeability is the
+    // whole point of the sketch at 100 TB: m longs per group, partial-agg
+    // friendly); each row rides with the exact distinct count so the
+    // realized error is part of the verified output
+    "vocab_hll" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("source"), explode(docTokens(col("text"))).as("term"))
+      val regs = Hll.registers(terms, "term", Seq("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val allRegs = Hll.merged(regs, "source", "__all")
+      val est = Hll.estimate(
+        regs.unionByName(allRegs.select(regs.columns.map(col): _*)),
+        Seq("source"))
+      val dt = terms.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = dt.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+        .unionByName(dt.select(col("term")).distinct()
+          .agg(count(lit(1)).as("n_exact")).withColumn("source", lit("__all")))
+      def exactDiv(num: Column, den: Column): Column =
+        ((num - pmod(num, den)) / den).cast("long")
+      val out = est.join(exact, "source")
+        .select(col("source"), col("n_exact"), col("zero_regs"),
+          col("raw_est"), col("est"),
+          exactDiv(abs(col("est") - col("n_exact")) * lit(1000000L),
+            col("n_exact")).as("err_ppm"))
+        .transform(Frames.truncate)
+      regs.unpersist(false)
+      dt.unpersist(false)
+      out
+    }),
+
     // count-min sketch heavy hitters: fixed depth×width counter frame
     // (corpus-size-independent state — the mergeable monitoring sketch),
     // estimates for the exact top-100 tokens ride next to their true
@@ -2353,6 +2386,14 @@ object SparkEntry {
       PageRank.run(domainEdges(s, dir), "src", "dst", iters = 3)
         .select(col("node").as("host"), col("rank_u12"))),
 
+    // HITS hubs & authorities over the same host graph — the companion
+    // centrality (directory pages vs content pages) in max-normalized
+    // integer fixed point: each half-round is one join + one agg + one
+    // 1-row max broadcast; the oracle unrolls the same 2 rounds
+    "graph_hits" -> ((s, dir) =>
+      PageRank.hits(domainEdges(s, dir), "src", "dst", iters = 2)
+        .select(col("node").as("host"), col("hub_u12"), col("auth_u12"))),
+
     // PERSONALIZED PageRank from seed domains over the same host graph:
     // teleport mass lands only on the seeds (one exact integer floor for
     // the per-seed share), rank = proximity to the trusted set — the
@@ -2439,6 +2480,24 @@ object SparkEntry {
         (2L, "window batch agg")).toDF("qid", "qtext")
       Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
         qs, "qid", "qtext", k = 10)
+    }),
+
+    // NDCG@10 / MRR / P@10 evaluation of the BM25 run against synthetic
+    // graded judgments rel = (doc_id·7 + qid) mod 4 — the offline
+    // ranking-eval harness (RankEval): discount ladder as µ literals,
+    // gains as shifts, NDCG/MRR as exact floor-division ppm
+    "text_ndcg_eval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark join"), (1L, "table scan fast"),
+        (2L, "window batch agg")).toDF("qid", "qtext")
+      val ranked = Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+        qs, "qid", "qtext", k = 10)
+      val rels = t(s, dir, "documents").select(col("doc_id"))
+        .crossJoin(broadcast(qs.select(col("qid").as("query_id"))))
+        .select(col("query_id"), col("doc_id"),
+          pmod(col("doc_id") * 7 + col("query_id"), lit(4L)).as("rel"))
+      RankEval.metrics(ranked, "query_id", "rank", "doc_id",
+        rels, "rel", k = 10)
     }),
 
     // conjunctive boolean retrieval: intersect-via-count — one posting
@@ -3606,6 +3665,32 @@ object SparkEntry {
     }.mkString(", ")
     base + rounds +
       s" SELECT node AS $nodeAlias, CAST(pr AS BIGINT) AS rank_u12 FROM r3"
+  }
+
+  /** DuckDB twin of `PageRank.hits(iters = 2)`: the same max-normalized
+    * integer half-rounds unrolled — raw sums over the directed edges,
+    * COALESCE 0 for sink/source-less nodes, rescale by a scalar-subquery
+    * max exactly as the engine's broadcast 1-row max. */
+  private def hitsSqlOver(edgeCtes: String,
+                          nodeAlias: String = "node"): String = {
+    val base = edgeCtes + ", " +
+      "hn AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+      "h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS h FROM hn), "
+    val rounds = (1 to 2).map { k =>
+      s"a${k}r AS (SELECT hn.node, COALESCE(x.s, 0) AS ar FROM hn LEFT JOIN " +
+        s"(SELECT e.dst AS node, sum(h.h) AS s FROM h${k - 1} h " +
+        s"JOIN e ON e.src = h.node GROUP BY e.dst) x USING (node)), " +
+        s"a$k AS (SELECT node, (ar * CAST(1000000000000 AS HUGEINT)) // " +
+        s"(SELECT max(ar) FROM a${k}r) AS a FROM a${k}r), " +
+        s"h${k}r AS (SELECT hn.node, COALESCE(x.s, 0) AS hr FROM hn LEFT JOIN " +
+        s"(SELECT e.src AS node, sum(a.a) AS s FROM a$k a " +
+        s"JOIN e ON e.dst = a.node GROUP BY e.src) x USING (node)), " +
+        s"h$k AS (SELECT node, (hr * CAST(1000000000000 AS HUGEINT)) // " +
+        s"(SELECT max(hr) FROM h${k}r) AS h FROM h${k}r)"
+    }.mkString(", ")
+    base + rounds +
+      s" SELECT h2.node AS $nodeAlias, CAST(h2.h AS BIGINT) AS hub_u12, " +
+      "CAST(a2.a AS BIGINT) AS auth_u12 FROM h2 JOIN a2 USING (node)"
   }
 
   /** The domain-link host edge set, rebuilt arithmetically for the rank
@@ -5413,6 +5498,41 @@ object SparkEntry {
         "SELECT token, count(*) AS n FROM t GROUP BY token " +
         "ORDER BY n DESC, token LIMIT 100"),
 
+    // HLL registers recomputed from the same md5-prefix longs: register =
+    // low 6 bits, rho = 55 − len(bin(high 54 bits)) clamped at 30, the
+    // '__all' row merged register-wise, the α numerator and the
+    // linear-counting table as driver-computed literals
+    "vocab_hll" -> {
+      val m = 64
+      val lcVals = Hll.linearCountingTable(m).zipWithIndex
+        .map { case (e, i) => s"(${i + 1}, $e)" }.mkString(", ")
+      val aNum = Hll.alphaNumerator(m)
+      s"WITH tok AS (SELECT source, unnest($sqlToks) AS term FROM documents), " +
+        "dt AS (SELECT DISTINCT source, term FROM tok), " +
+        s"hh AS (SELECT source, ${sqlMd5Long("term")} AS h FROM dt), " +
+        "rr AS (SELECT source, (h & 63) AS reg, " +
+        "least(CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - len(bin(h >> 6)) END, 30) AS rho FROM hh), " +
+        "regs AS (SELECT source, reg, max(rho) AS mr FROM rr GROUP BY source, reg), " +
+        "uregs AS (SELECT * FROM regs UNION ALL " +
+        "SELECT '__all' AS source, reg, max(mr) AS mr FROM regs GROUP BY reg), " +
+        "dom AS (SELECT s.source, r.range AS reg FROM " +
+        s"(SELECT DISTINCT source FROM uregs) s CROSS JOIN range($m) r), " +
+        "filled AS (SELECT d.source, COALESCE(u.mr, 0) AS rho FROM dom d " +
+        "LEFT JOIN uregs u ON u.source = d.source AND u.reg = d.reg), " +
+        "fold AS (SELECT source, sum((CAST(1 AS BIGINT) << (30 - rho))) AS sm, " +
+        "sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v FROM filled GROUP BY source), " +
+        s"lc(lv, le) AS (VALUES $lcVals), " +
+        s"es AS (SELECT source, v, $aNum // sm AS raw_est, " +
+        s"CASE WHEN ($aNum // sm) <= ${5L * m / 2} AND v > 0 THEN lc.le " +
+        s"ELSE $aNum // sm END AS est FROM fold LEFT JOIN lc ON lc.lv = fold.v), " +
+        "ex AS (SELECT source, count(*) AS n_exact FROM dt GROUP BY source " +
+        "UNION ALL SELECT '__all', count(DISTINCT term) FROM dt) " +
+        "SELECT es.source, ex.n_exact, CAST(es.v AS BIGINT) AS zero_regs, " +
+        "CAST(es.raw_est AS BIGINT) AS raw_est, CAST(es.est AS BIGINT) AS est, " +
+        "CAST((abs(es.est - ex.n_exact) * 1000000) // ex.n_exact AS BIGINT) AS err_ppm " +
+        "FROM es JOIN ex ON es.source = ex.source"
+    },
+
     "vocab_oov_by_source" ->
       (s"WITH tk AS (SELECT source, unnest($sqlToks) AS tok FROM documents), " +
         "v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk GROUP BY 1 " +
@@ -5707,6 +5827,10 @@ object SparkEntry {
     "graph_ppr_seeds" -> pprSqlOver(domainEdgeCtes, pprSeeds,
       nodeAlias = "host"),
 
+    // same edge set, the 2 HITS half-rounds unrolled with scalar-subquery
+    // max rescales mirroring the engine's broadcast 1-row max
+    "graph_hits" -> hitsSqlOver(domainEdgeCtes, nodeAlias = "host"),
+
     // robots: bodies + frontier rebuilt from the shared constants, the
     // same star-group window math and longest-prefix/allow-tie pick
     "corpus_robots_screen" ->
@@ -5854,6 +5978,43 @@ object SparkEntry {
     // both engines; per-term scores summed as DECIMAL so accumulation
     // order cannot matter)
     "text_bm25_topk" -> bm25TopkOracleSql,
+
+    // ranking eval over the SAME bm25 run CTE: graded rel =
+    // (doc_id·7 + qid) mod 4, the ⌊10⁶/log₂(i+1)⌋ discount ladder as a
+    // VALUES table (RankEval.discountsMu literals), gains as shifts,
+    // NDCG/MRR as BIGINT floor division
+    "text_ndcg_eval" -> {
+      val discVals = RankEval.discountsMu(10).zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+      s"WITH ranked AS ($bm25TopkOracleSql), " +
+        "rels AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id, " +
+        "(d.doc_id * 7 + q.query_id) % 4 AS rel FROM documents d " +
+        "CROSS JOIN (VALUES (0), (1), (2)) q(query_id)), " +
+        s"disc(dr, dmu) AS (VALUES $discVals), " +
+        "tk AS (SELECT r.query_id, r.rank, COALESCE(rl.rel, 0) AS rel " +
+        "FROM ranked r LEFT JOIN rels rl ON rl.query_id = r.query_id " +
+        "AND rl.doc_id = r.doc_id WHERE r.rank <= 10), " +
+        "run AS (SELECT query_id, sum(((1 << rel) - 1) * dmu) AS dcg_mu, " +
+        "min(CASE WHEN rel >= 2 THEN rank END) AS fr, " +
+        "sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS nrt " +
+        "FROM tk JOIN disc ON disc.dr = tk.rank GROUP BY query_id), " +
+        "ideal AS (SELECT query_id, sum(((1 << rel) - 1) * dmu) AS idcg_mu " +
+        "FROM (SELECT query_id, rel, doc_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY rel DESC, doc_id) AS ir FROM rels) i " +
+        "JOIN disc ON disc.dr = i.ir WHERE i.ir <= 10 GROUP BY query_id), " +
+        "pool AS (SELECT query_id, sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) " +
+        "AS n_rel_pool FROM rels GROUP BY query_id) " +
+        "SELECT query_id, CAST(COALESCE(run.dcg_mu, 0) AS BIGINT) AS dcg_mu, " +
+        "CAST(ideal.idcg_mu AS BIGINT) AS idcg_mu, " +
+        "CAST(CASE WHEN ideal.idcg_mu > 0 THEN " +
+        "(COALESCE(run.dcg_mu, 0) * 1000000) // ideal.idcg_mu ELSE 0 END " +
+        "AS BIGINT) AS ndcg_ppm, " +
+        "CAST(CASE WHEN run.fr IS NOT NULL THEN 1000000 // run.fr ELSE 0 END " +
+        "AS BIGINT) AS mrr_ppm, " +
+        "CAST(COALESCE(run.nrt, 0) * 100000 AS BIGINT) AS prec_ppm, " +
+        "CAST(pool.n_rel_pool AS BIGINT) AS n_rel_pool " +
+        "FROM ideal JOIN pool USING (query_id) LEFT JOIN run USING (query_id)"
+    },
 
     // contrastive negatives: the same 48-bit md5 draw, smallest-k per
     // anchor (h ASC ≡ the Spark side's -h DESC)

@@ -138,4 +138,73 @@ object PageRank {
     deg.unpersist(false)
     out
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over DIRECTED edges —
+    * the companion centrality to PageRank for link graphs where pointing
+    * WELL matters as much as being pointed at (crawl seed-list curation:
+    * hubs are the directory pages worth re-crawling, authorities the
+    * content worth keeping).
+    *
+    * Same integer fixed-point discipline as [[run]]: scores live in u12
+    * units and each half-round is one equi-join + one aggregation. The
+    * textbook L2 normalization is replaced by MAX normalization — after
+    * each half-round scores rescale so the maximum is 10¹² via one 1-row
+    * max aggregate broadcast back (⌊s·10¹²/max⌋, exact floor division in
+    * DECIMAL(38,0)) — which preserves the ranking and the fixed point of
+    * the iteration while keeping every quantity an exact integer (L2
+    * needs a square root; max is closed under integers). Headroom: raw
+    * sums are ≤ N·10¹², rescale multiplies by 10¹² → ≤ N·10²⁴ ≪ 10³⁸.
+    *
+    * h₀(u) = 10¹²;
+    * aₖ(v) = norm(Σ_{u→v} hₖ₋₁(u));  hₖ(u) = norm(Σ_{u→v} aₖ(v)).
+    *
+    * Nodes with no in-edges get authority 0 (and symmetrically for hubs) —
+    * the LEFT join against the node frame keeps them in the output.
+    *
+    * Output: (node, hub_u12, auth_u12). */
+  def hits(edges: DataFrame, src: String, dst: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, s"bad iters=$iters")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val one12 = lit(1000000000000L).cast(DecimalType(38, 0))
+    // rescale so max = 10¹²: one 1-row max, broadcast back
+    def maxNorm(scored: DataFrame, c: String): DataFrame = {
+      val mx = scored.agg(max(col(c)).as("_mx"))
+      scored.crossJoin(broadcast(mx))
+        .select(col("node"), intDiv(col(c) * one12, col("_mx")).as(c))
+    }
+    var hub = nodes.withColumn("hub", one12)
+    var auth: DataFrame = null
+    for (i <- 0 until iters) {
+      val aRaw = hub.join(e, hub("node") === e("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
+      auth = maxNorm(
+        nodes.join(aRaw, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("auth"), lit(0).cast(DecimalType(38, 0))).as("auth")),
+        "auth")
+      val hRaw = auth.join(e, auth("node") === e("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
+      hub = maxNorm(
+        nodes.join(hRaw, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("hub"), lit(0).cast(DecimalType(38, 0))).as("hub")),
+        "hub")
+      if (i + 1 < iters) {
+        hub = hub.transform(Frames.truncate)
+        auth = auth.transform(Frames.truncate)
+      }
+    }
+    val out = hub.join(auth, "node")
+      .select(col("node"), col("hub").cast("long").as("hub_u12"),
+        col("auth").cast("long").as("auth_u12"))
+      .transform(Frames.truncate)
+    e.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
 }

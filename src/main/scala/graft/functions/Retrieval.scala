@@ -248,3 +248,79 @@ object Fusion {
         col("rrf_e12"), col("hits"))
   }
 }
+
+/** Offline ranking-quality evaluation (NDCG@k / MRR / precision@k) for the
+  * retrieval stack — the eval harness that closes the loop on Bm25 /
+  * Fusion / ANN serving: given a ranked run and graded relevance
+  * judgments, score each query (Järvelin & Kekäläinen, TOIS 2002).
+  *
+  * Everything is exact integer arithmetic so runs hash-match across
+  * engines: the 1/log₂(rank+1) discount ladder is precomputed driver-side
+  * as µ literals (no transcendental evaluates at query time), gains are
+  * 2^rel − 1 via shifts, and NDCG/MRR emit as exact floor-division ppm.
+  *
+  * Scale shape: the run is filtered to rank ≤ k BEFORE the judgment join
+  * (k rows per query), judgments join on (query, doc) — qrels are
+  * human-labeled and inherently per-query-bounded, so the ideal-DCG
+  * row_number window partitions into small groups; nothing windows over
+  * corpus-sized frames. */
+object RankEval {
+
+  /** Discount ladder ⌊10⁶ / log₂(i+1)⌋ for i = 1..k. */
+  def discountsMu(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Metrics per query.
+    *
+    * `ranked` — a run: (queryCol, rankCol 1-based, docCol);
+    * `rels` — graded judgments over the candidate pool:
+    * (queryCol, docCol, relCol ≥ 0); docs missing from `rels` count as
+    * rel 0, rel ≥ 2 counts as "relevant" for MRR/precision.
+    *
+    * Output: (queryCol, dcg_mu, idcg_mu, ndcg_ppm, mrr_ppm, prec_ppm,
+    * n_rel_pool). */
+  def metrics(ranked: DataFrame, queryCol: String, rankCol: String,
+              docCol: String, rels: DataFrame, relCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && 1000000 % k == 0, s"k=$k must divide 10^6")
+    val discArr = array(discountsMu(k).map(lit): _*)
+    def gain(c: Column): Column =
+      expr(s"shiftleft(1, CAST($relCol AS INT))").cast("long") - lit(1L)
+    def exactDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+
+    val topk = ranked.filter(col(rankCol) <= k)
+      .join(rels, Seq(queryCol, docCol), "left")
+      .withColumn(relCol, coalesce(col(relCol), lit(0L)))
+    val runAgg = topk.groupBy(col(queryCol)).agg(
+      sum(gain(col(relCol)) *
+        element_at(discArr, col(rankCol).cast("int"))).as("dcg_mu"),
+      min(when(col(relCol) >= 2, col(rankCol))).as("_first_rel"),
+      sum(when(col(relCol) >= 2, 1L).otherwise(0L)).as("_n_rel_top"))
+
+    val ideal = rels.withColumn("_ir", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(queryCol))
+          .orderBy(col(relCol).desc, col(docCol))))
+      .filter(col("_ir") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col(relCol)) *
+        element_at(discArr, col("_ir").cast("int"))).as("idcg_mu"))
+    val pool = rels.groupBy(col(queryCol))
+      .agg(sum(when(col(relCol) >= 2, 1L).otherwise(0L)).as("n_rel_pool"))
+
+    ideal.join(pool, Seq(queryCol))
+      .join(runAgg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("dcg_mu"), lit(0L)).as("dcg_mu"),
+        col("idcg_mu"),
+        when(col("idcg_mu") > 0,
+          exactDiv(coalesce(col("dcg_mu"), lit(0L)) * lit(1000000L),
+            col("idcg_mu"))).otherwise(lit(0L)).as("ndcg_ppm"),
+        when(col("_first_rel").isNotNull,
+          exactDiv(lit(1000000L), col("_first_rel").cast("long")))
+          .otherwise(lit(0L)).as("mrr_ppm"),
+        (coalesce(col("_n_rel_top"), lit(0L)) *
+          lit(1000000L / k)).as("prec_ppm"),
+        col("n_rel_pool"))
+  }
+}
