@@ -93,6 +93,10 @@ object SparkEntry {
     Seq(("click", 1L), ("view", 2L), ("purchase", 10L), ("signup", 5L))
   private val saltedJoinSalts = 8
   private val lpaRounds = 3                       // graph_communities
+  private val linkPredictCap = 8                  // graph_link_predict
+  private val perceptronRounds = 3                // text_langid_perceptron
+  private val heapsCheckpoints = 8                // vocab_heaps
+  private val cohortWeekUs = 7L * 86400000000L    // events_cohort_ltv
   private val chi2TopK = 40                       // corpus_feature_select
   private val containThreshPpm = 600000L          // dedup_containment
   private val boolQueryLits =                     // text_boolean_search
@@ -1915,6 +1919,33 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_guess"))),
 
+    // trainable linear gate: full-batch integer perceptron on ppm text
+    // features (bias/stopword/word-len/alpha/digit) vs the en-label —
+    // each round ONE 6-number aggregate under literal weights (mean
+    // update ⌊Σ/N⌋ keeps weights corpus-size-independent); the oracle
+    // unrolls the same 3 rounds as 1-row CTEs
+    "text_langid_perceptron" -> ((s, dir) => {
+      val sw = array(TextFunctions.stopwords("en").map(lit): _*)
+      def ppm(num: Column, den: Column): Column =
+        Sampling.intDivExact(num.cast("long") * 1000000L,
+          greatest(den.cast("long"), lit(1L)))
+      val feats = t(s, dir, "documents")
+        .select(col("lang"), col("text"), docTokens(col("text")).as("_toks"))
+        .select(when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          lit(1000000L).as("f_bias"),
+          ppm(size(filter(col("_toks"), tk => array_contains(sw, tk))),
+            size(col("_toks"))).as("f_stop"),
+          ppm(aggregate(col("_toks"), lit(0L), (a, tk) => a + length(tk)),
+            size(col("_toks"))).as("f_awl"),
+          ppm(length(regexp_replace(col("text"), "[^A-Za-z]", "")),
+            length(col("text"))).as("f_alpha"),
+          ppm(length(regexp_replace(col("text"), "[^0-9]", "")),
+            length(col("text"))).as("f_digit"))
+      Perceptron.trainStats(feats, "y",
+        Seq("f_bias", "f_stop", "f_awl", "f_alpha", "f_digit"),
+        rounds = perceptronRounds)
+    }),
+
     // data-mixture sampler: per-language keep rates (en 80% / de 50% /
     // others 20%), membership a pure function of (doc_id, stratum rate) —
     // one scan-stage predicate, no shuffle, no strata counting
@@ -2062,6 +2093,14 @@ object SparkEntry {
       dt.unpersist(false)
       out
     }),
+
+    // Heaps'-law vocabulary-growth fit (Zipf's companion, same integer
+    // log2-bucket least squares): 8 doc-id-prefix checkpoints, each a
+    // conditional sum in ONE scan (token totals) + ONE first-occurrence
+    // aggregation (vocab sizes) — no per-prefix rescans
+    "vocab_heaps" -> ((s, dir) =>
+      Vocab.heapsFit(t(s, dir, "documents"), "doc_id", "text",
+        checkpoints = heapsCheckpoints)),
 
     // count-min sketch heavy hitters: fixed depth×width counter frame
     // (corpus-size-independent state — the mergeable monitoring sketch),
@@ -2393,6 +2432,14 @@ object SparkEntry {
     "graph_hits" -> ((s, dir) =>
       PageRank.hits(domainEdges(s, dir), "src", "dst", iters = 2)
         .select(col("node").as("host"), col("hub_u12"), col("auth_u12"))),
+
+    // common-neighbor link prediction on the undirected host graph:
+    // wedge-join candidates under the per-node adjacency cap (cap binds
+    // on this graph and is mirrored in the oracle), true-degree Jaccard,
+    // total-order top-k
+    "graph_link_predict" -> ((s, dir) =>
+      Graphs.linkPredict(domainEdges(s, dir), "src", "dst",
+        maxNeighbors = linkPredictCap, topK = 20)),
 
     // PERSONALIZED PageRank from seed domains over the same host graph:
     // teleport mass lands only on the seeds (one exact integer floor for
@@ -3029,6 +3076,33 @@ object SparkEntry {
     "events_retention" -> ((s, dir) =>
       EventAnalytics.retention(events(s, dir), "user_id",
         unix_micros(col("ts")), bucketUs = 86400000000L)),
+
+    // cohort lifetime-value matrix: signup week × age week → active
+    // users + µ-exact revenue + running LTV (window over the bounded
+    // cohort×age frame, never over raw events)
+    "events_cohort_ltv" -> ((s, dir) => {
+      val wk = lit(cohortWeekUs)
+      val ev = events(s, dir).select(col("user_id"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), wk))
+          .as("wk_us"),
+        floor(col("value") * 1000000).cast("long").as("val_us"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk_us")).as("cohort_us"))
+      val cell = ev.join(cohort, "user_id")
+        .select(col("cohort_us"),
+          Sampling.intDivExact(col("wk_us") - col("cohort_us"), wk)
+            .as("age_wk"),
+          col("user_id"), col("val_us"))
+        .groupBy(col("cohort_us"), col("age_wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          sum(col("val_us").cast(DecimalType(38, 0))).as("_rev"))
+      cell.select(col("cohort_us"), col("age_wk"), col("n_active"),
+        col("_rev").cast("long").as("rev_us"),
+        sum(col("_rev")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cohort_us")).orderBy(col("age_wk")))
+          .cast("long").as("cum_rev_us"))
+    }),
 
     // crosstab via groupBy().pivot() with EXPLICIT pivot values (no
     // pre-scan job; plans as one partial-aggregated shuffle)
@@ -5440,6 +5514,57 @@ object SparkEntry {
 
     "text_langid" -> langIdOracleSql,
 
+    // perceptron: the same ppm features, then each round as 1-row CTEs —
+    // update sums + n_mis under w_{k-1}, mean-update weights with the
+    // signed pmod floor, accuracy under w_k
+    "text_langid_perceptron" -> {
+      val swList = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+      def fdiv(a: String, b: String) =
+        s"(($a - ((($a % $b) + $b) % $b)) // $b)"
+      val m = "y*(w.wb*fb + w.ws*fs + w.ww*fw + w.wa*fa + w.wd*fd)"
+      val base =
+        s"WITH d0 AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+          s"$sqlToks AS toks, text FROM documents), " +
+          "d AS (SELECT y, CAST(1000000 AS BIGINT) AS fb, " +
+          s"CAST((len(list_filter(toks, t -> list_contains([$swList], t))) * 1000000) " +
+          "// greatest(len(toks), 1) AS BIGINT) AS fs, " +
+          "CAST((COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) * 1000000) " +
+          "// greatest(len(toks), 1) AS BIGINT) AS fw, " +
+          "CAST((len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000) " +
+          "// greatest(len(text), 1) AS BIGINT) AS fa, " +
+          "CAST((len(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000) " +
+          "// greatest(len(text), 1) AS BIGINT) AS fd FROM d0), " +
+          "nn AS (SELECT count(*) AS n FROM d), " +
+          "w0 AS (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS ws, " +
+          "CAST(0 AS BIGINT) AS ww, CAST(0 AS BIGINT) AS wa, CAST(0 AS BIGINT) AS wd), "
+      val rounds = (1 to perceptronRounds).map { k =>
+        val pw = s"w${k - 1}"
+        s"u$k AS (SELECT " +
+          Seq("fb" -> "ub", "fs" -> "us", "fw" -> "uw", "fa" -> "ua",
+            "fd" -> "ud").map { case (f, u) =>
+            s"CAST(sum(CASE WHEN $m <= 0 THEN y*$f ELSE 0 END) AS BIGINT) AS $u"
+          }.mkString(", ") +
+          s", CAST(sum(CASE WHEN $m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nm " +
+          s"FROM d CROSS JOIN $pw w), " +
+          s"w$k AS (SELECT " +
+          Seq(("wb", "ub"), ("ws", "us"), ("ww", "uw"), ("wa", "ua"),
+            ("wd", "ud")).map { case (wc, u) =>
+            s"w.$wc + ${fdiv(s"u.$u", "nn.n")} AS $wc"
+          }.mkString(", ") +
+          s" FROM u$k u CROSS JOIN $pw w CROSS JOIN nn), " +
+          s"a$k AS (SELECT CAST(sum(CASE WHEN $m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok " +
+          s"FROM d CROSS JOIN w$k w)"
+      }.mkString(", ")
+      val rows = (1 to perceptronRounds).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS round, w.wb AS w_f_bias, " +
+          "w.ws AS w_f_stop, w.ww AS w_f_awl, w.wa AS w_f_alpha, " +
+          s"w.wd AS w_f_digit, u$k.nm AS n_mis, " +
+          s"CAST((a$k.ok * 1000000) // nn.n AS BIGINT) AS acc_ppm " +
+          s"FROM w$k w CROSS JOIN u$k CROSS JOIN a$k CROSS JOIN nn"
+      }.mkString(" UNION ALL ")
+      base + rounds + " " + rows
+    },
+
     // same shared predictor body joined back to the stored labels
     "corpus_lang_confusion" ->
       (s"WITH $langIdBodySql " +
@@ -5532,6 +5657,37 @@ object SparkEntry {
         "CAST((abs(es.est - ex.n_exact) * 1000000) // ex.n_exact AS BIGINT) AS err_ppm " +
         "FROM es JOIN ex ON es.source = ex.source"
     },
+
+    // Heaps' fit: the same prefix cutoffs (⌊max·i/8⌋), first-occurrence
+    // vocab counts, len(bin()) log2 buckets and pmod-floored LS slope as
+    // vocab_zipf's oracle
+    "vocab_heaps" ->
+      (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "dn AS (SELECT doc_id, len(toks) AS nt FROM d), " +
+        "mx AS (SELECT max(doc_id) AS m FROM dn), " +
+        s"cps AS (SELECT CAST(r.range AS BIGINT) AS cp, " +
+        s"(mx.m * r.range) // $heapsCheckpoints AS cutoff_id " +
+        s"FROM range(1, ${heapsCheckpoints + 1}) r CROSS JOIN mx), " +
+        "tkp AS (SELECT c.cp, c.cutoff_id, CAST(sum(CASE WHEN dn.doc_id <= c.cutoff_id " +
+        "THEN dn.nt ELSE 0 END) AS BIGINT) AS prefix_tokens " +
+        "FROM cps c CROSS JOIN dn GROUP BY 1, 2), " +
+        "fo AS (SELECT term, min(doc_id) AS fd FROM " +
+        "(SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY term), " +
+        "vp AS (SELECT c.cp, CAST(sum(CASE WHEN fo.fd <= c.cutoff_id " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS prefix_vocab " +
+        "FROM cps c CROSS JOIN fo GROUP BY 1), " +
+        "pts AS (SELECT cp, cutoff_id, prefix_tokens, prefix_vocab, " +
+        "CAST(len(bin(prefix_tokens)) AS BIGINT) AS x, " +
+        "CAST(len(bin(prefix_vocab)) AS BIGINT) AS y " +
+        "FROM tkp JOIN vp USING (cp)), " +
+        "ls AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts), " +
+        "sl AS (SELECT CAST(n*sxy - sx*sy AS HUGEINT) * 1000000 AS num, " +
+        "CAST(n*sxx - sx*sx AS HUGEINT) AS den FROM ls) " +
+        "SELECT cp, CAST(cutoff_id AS BIGINT) AS cutoff_id, prefix_tokens, " +
+        "prefix_vocab, CAST(CASE WHEN den = 0 THEN 0 " +
+        "ELSE (num - (((num % den) + den) % den)) // den END AS BIGINT) AS slope_ppm " +
+        "FROM pts CROSS JOIN sl"),
 
     "vocab_oov_by_source" ->
       (s"WITH tk AS (SELECT source, unnest($sqlToks) AS tok FROM documents), " +
@@ -5830,6 +5986,27 @@ object SparkEntry {
     // same edge set, the 2 HITS half-rounds unrolled with scalar-subquery
     // max rescales mirroring the engine's broadcast 1-row max
     "graph_hits" -> hitsSqlOver(domainEdgeCtes, nodeAlias = "host"),
+
+    // link prediction: same symmetrized edges, per-node adjacency cap by
+    // the same row_number order, wedge join, true-degree Jaccard
+    "graph_link_predict" ->
+      (s"$domainEdgeCtes, " +
+        "und AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM e " +
+        "UNION ALL SELECT dst, src FROM e) WHERE u <> v), " +
+        "dg AS (SELECT u AS node, count(*) AS degree FROM und GROUP BY u), " +
+        "cap AS (SELECT u, v FROM (SELECT u, v, row_number() OVER " +
+        "(PARTITION BY u ORDER BY v) AS rn FROM und) " +
+        s"WHERE rn <= $linkPredictCap), " +
+        "w AS (SELECT a.v AS id_a, b.v AS id_b, count(*) AS cn FROM cap a " +
+        "JOIN cap b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2), " +
+        "ne AS (SELECT w.id_a, w.id_b, w.cn FROM w LEFT JOIN und " +
+        "ON und.u = w.id_a AND und.v = w.id_b WHERE und.u IS NULL), " +
+        "sc AS (SELECT id_a, id_b, CAST(cn AS BIGINT) AS cn, " +
+        "da.degree AS deg_a, db.degree AS deg_b, " +
+        "CAST((cn * 1000000) // (da.degree + db.degree - cn) AS BIGINT) AS jaccard_ppm " +
+        "FROM ne JOIN dg da ON da.node = id_a JOIN dg db ON db.node = id_b) " +
+        "SELECT id_a, id_b, cn, deg_a, deg_b, jaccard_ppm FROM sc " +
+        "ORDER BY jaccard_ppm DESC, cn DESC, id_a, id_b LIMIT 20"),
 
     // robots: bodies + frontier rebuilt from the shared constants, the
     // same star-group window math and longest-prefix/allow-tie pick
@@ -6647,6 +6824,20 @@ object SparkEntry {
         |  (a.bucket_us - c.cohort_us) // 86400000000 AS bucket_offset,
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // cohort LTV: week buckets, µ-floored revenue, running window over
+    // the cohort×age cells (default RANGE frame — age_wk is unique per
+    // cohort so it equals ROWS)
+    "events_cohort_ltv" ->
+      (s"WITH a AS (SELECT user_id, epoch_us(ts) - epoch_us(ts) % $cohortWeekUs AS wk_us, " +
+        "CAST(floor(value * 1000000) AS BIGINT) AS val_us FROM events), " +
+        "c AS (SELECT user_id, min(wk_us) AS cohort_us FROM a GROUP BY 1), " +
+        s"cell AS (SELECT c.cohort_us, (a.wk_us - c.cohort_us) // $cohortWeekUs AS age_wk, " +
+        "count(DISTINCT a.user_id) AS n_active, sum(a.val_us) AS rev " +
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2) " +
+        "SELECT cohort_us, age_wk, n_active, CAST(rev AS BIGINT) AS rev_us, " +
+        "CAST(sum(rev) OVER (PARTITION BY cohort_us ORDER BY age_wk) AS BIGINT) AS cum_rev_us " +
+        "FROM cell"),
 
     "w5_set_ops" ->
       """WITH b AS (SELECT c_custkey AS k FROM customer

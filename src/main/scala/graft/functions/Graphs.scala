@@ -104,4 +104,62 @@ object Graphs {
         min(col("degree")).as("min_degree"),
         max(col("degree")).as("max_degree"))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg, CIKM'03)
+    * over an undirected graph: candidate pairs are NON-adjacent nodes
+    * sharing ≥ 1 neighbor, scored by common-neighbor count and neighbor
+    * Jaccard — the crawl-frontier "which hosts probably link soon" / ER
+    * "which records probably co-refer" primitive.
+    *
+    * Scale shape: candidates come from a WEDGE join (adjacency joined to
+    * itself on the center node), never from all pairs. A hub of degree d
+    * emits d² wedges, so each node's adjacency list is CAPPED at
+    * `maxNeighbors` by deterministic order (smallest neighbor first —
+    * the hot-bucket cap rule; mirrored in oracles) before the join;
+    * Jaccard denominators still use TRUE degrees, so the cap only
+    * screens candidates, it never distorts a reported score. Existing
+    * edges are removed with one left_anti against the (symmetric) edge
+    * set; the global top-k has a total tie-break order.
+    *
+    * Output: (id_a < id_b, cn, deg_a, deg_b, jaccard_ppm). */
+  def linkPredict(edges: DataFrame, src: String, dst: String,
+                  maxNeighbors: Int = 64, topK: Int = 20): DataFrame = {
+    require(maxNeighbors >= 1 && topK >= 1)
+    val und = edges
+      .select(col(src).as("u"), col(dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val capped = und
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("v"))))
+      .filter(col("_rn") <= maxNeighbors)
+      .select(col("u"), col("v"))
+    val wedges = capped.as("a").join(capped.as("b"), Seq("u"))
+      .filter(col("a.v") < col("b.v"))
+      .select(col("a.v").as("id_a"), col("b.v").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cn"))
+    val cand = wedges.join(und,
+        wedges("id_a") === und("u") && wedges("id_b") === und("v"),
+        "left_anti")
+    val out = cand
+      .join(deg.select(col("node").as("id_a"), col("degree").as("deg_a")),
+        Seq("id_a"))
+      .join(deg.select(col("node").as("id_b"), col("degree").as("deg_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cn"), col("deg_a"),
+        col("deg_b"),
+        Sampling.intDiv(col("cn") * lit(1000000L),
+          col("deg_a") + col("deg_b") - col("cn")).as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("id_a"),
+        col("id_b"))
+      .limit(topK)
+    Frames.sealRelease(out, und)
+  }
 }

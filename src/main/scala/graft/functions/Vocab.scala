@@ -343,4 +343,76 @@ object Vocab {
             col("n") * col("sxx") - col("sx") * col("sx")))
           .as("slope_ppm"))
   }
+
+  /** Heaps'-law vocabulary-growth profile V(n) ≈ K·n^β (Heaps 1978): the
+    * capacity-planning curve for vocabulary/embedding tables ("how many
+    * new types will the next 10 TB add"). Zipf's companion — both fit on
+    * the same integer log₂ buckets (`length(bin(x))`, identical in Spark
+    * and DuckDB) with the same integer least squares, so the estimates
+    * are engine-exact.
+    *
+    * The corpus prefix order is doc-id order; `checkpoints` prefix
+    * cutoffs at ⌊maxId·i/cp⌋ become driver literals (one 1-row max — the
+    * PPR-n pattern), so the whole profile is TWO single-scan conditional
+    * aggregations: prefix token totals from the per-doc frame, prefix
+    * vocabulary sizes from the term → min(doc_id) first-occurrence frame
+    * (count(first_occ ≤ cutoff) — no per-prefix rescan, no window).
+    *
+    * Output: one row per checkpoint (cp, cutoff_id, prefix_tokens,
+    * prefix_vocab) with the shared slope_ppm (β in ppm) on every row. */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+               checkpoints: Int = 8): DataFrame = {
+    require(checkpoints >= 2 && checkpoints <= 32, s"bad cp=$checkpoints")
+    val d = docs.select(col(idCol).cast("long").as("_id"),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("_id"), size(col("_toks")).cast("long").as("_nt"),
+        col("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxId = d.agg(max(col("_id"))).head().getLong(0)
+    val cuts = (1 to checkpoints).map(i => maxId * i / checkpoints)
+
+    val tokAgg = d.agg(
+      cuts.zipWithIndex.map { case (c, i) =>
+        sum(when(col("_id") <= c, col("_nt")).otherwise(0L)).as(s"t$i")
+      }.head,
+      cuts.zipWithIndex.tail.map { case (c, i) =>
+        sum(when(col("_id") <= c, col("_nt")).otherwise(0L)).as(s"t$i")
+      }: _*)
+    val firstOcc = d.select(col("_id"), explode(col("_toks")).as("_tok"))
+      .groupBy(col("_tok")).agg(min(col("_id")).as("_fd"))
+    val vocAgg = firstOcc.agg(
+      cuts.zipWithIndex.map { case (c, i) =>
+        sum(when(col("_fd") <= c, 1L).otherwise(0L)).as(s"v$i")
+      }.head,
+      cuts.zipWithIndex.tail.map { case (c, i) =>
+        sum(when(col("_fd") <= c, 1L).otherwise(0L)).as(s"v$i")
+      }: _*)
+
+    val stackExpr = "stack(" + checkpoints + ", " +
+      cuts.zipWithIndex.map { case (c, i) =>
+        s"CAST(${i + 1} AS BIGINT), CAST($c AS BIGINT), t$i, v$i"
+      }.mkString(", ") + ") as (cp, cutoff_id, prefix_tokens, prefix_vocab)"
+    val pts = tokAgg.crossJoin(vocAgg).select(expr(stackExpr))
+      .withColumn("x", length(bin(col("prefix_tokens"))).cast("long"))
+      .withColumn("y", length(bin(col("prefix_vocab"))).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slope = pts.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0L))
+          .otherwise(Sampling.intDiv(
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("decimal(38,0)") * lit(1000000L),
+            col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("slope_ppm"))
+    val out = pts
+      .select(col("cp"), col("cutoff_id"), col("prefix_tokens"),
+        col("prefix_vocab"))
+      .crossJoin(broadcast(slope))
+      .transform(Frames.truncate)
+    d.unpersist(false)
+    pts.unpersist(false)
+    out
+  }
 }
