@@ -94,6 +94,11 @@ object SparkEntry {
   private val saltedJoinSalts = 8
   private val lpaRounds = 3                       // graph_communities
   private val linkPredictCap = 8                  // graph_link_predict
+  private val featHashD = 1024                    // text_feature_hashing
+  private val currQsPpm = Seq(250000L, 500000L, 750000L) // corpus_curriculum
+  private val zoneFiles = 16                      // layout_zonemap_prune
+  private val zoneLoUs = 852076800000000L         // 1997-01-01T00:00Z µs
+  private val zoneHiUs = 867715200000000L         // 1997-07-01T00:00Z µs
   private val perceptronRounds = 3                // text_langid_perceptron
   private val heapsCheckpoints = 8                // vocab_heaps
   private val cohortWeekUs = 7L * 86400000000L    // events_cohort_ltv
@@ -798,6 +803,48 @@ object SparkEntry {
     "layout_hilbert" -> ((s, dir) =>
       Layout.hilbertBucketSpans(t(s, dir, "lineitem"), "l_partkey",
         "l_suppkey", bits = hilbertBits, prefixBits = hilbertPrefix)),
+
+    // zone-map pruning report — WHY you sort/z-order before writing: the
+    // same orders under (a) natural key-range files and (b) date-sorted
+    // files (boundaries = exact bisect quantile cuts, driver literals, no
+    // global sort window), per-file min/max zone maps, and the fraction
+    // of files a half-year predicate can skip in each layout
+    "layout_zonemap_prune" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(unix_micros(col("o_orderdate").cast("timestamp")).as("k_us"),
+          col("o_orderkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (minK, maxK) = (mm.getLong(0), mm.getLong(1))
+      val span = (maxK - minK) / zoneFiles + 1
+      val cutQs = (1 until zoneFiles).map(i => 1000000L * i / zoneFiles)
+      val cuts = Profile.exactQuantileValues(o, Seq("k_us"), cutQs)
+      val sortedFile = cutQs.map(q =>
+        when(col("k_us") > cuts(("k_us", q)), 1L).otherwise(0L))
+        .reduce(_ + _)
+      def report(fileId: Column, tag: String): DataFrame = {
+        val zones = o.groupBy(fileId.as("f"))
+          .agg(min(col("k_us")).as("mn"), max(col("k_us")).as("mx"),
+            count(lit(1)).as("nr"))
+          .withColumn("cand",
+            col("mx") >= zoneLoUs && col("mn") < zoneHiUs)
+        zones.agg(count(lit(1)).as("n_files"),
+          sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidate_files"),
+          sum(when(col("cand"), col("nr")).otherwise(0L)).as("rows_scanned"),
+          sum(col("nr")).as("rows_total"))
+          .select(lit(tag).as("layout"), col("n_files"),
+            col("n_candidate_files"), col("rows_scanned"), col("rows_total"),
+            Sampling.intDivExact(
+              (col("n_files") - col("n_candidate_files")) * lit(1000000L),
+              col("n_files")).as("prune_ppm"))
+      }
+      val out = report(Sampling.intDivExact(col("o_orderkey") - minK,
+          lit(span)), "natural")
+        .unionByName(report(sortedFile, "sorted"))
+        .transform(Frames.truncate)
+      o.unpersist(false)
+      out
+    }),
 
     // k-anonymity + l-diversity report over released corpus metadata: do
     // (source, length-bucket) groups stay ≥5-strong, and does each still
@@ -2102,6 +2149,35 @@ object SparkEntry {
       Vocab.heapsFit(t(s, dir, "documents"), "doc_id", "text",
         checkpoints = heapsCheckpoints)),
 
+    // hashing-trick audit (Weinberger et al., ICML'09): terms → md5
+    // buckets mod D, top-20 most-collided buckets riding with the global
+    // collision stats — the "is D big enough" check before a
+    // feature-hashed model ships; one vocab-sized groupBy, output bounded
+    "text_feature_hashing" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(explode(docTokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      val buckets = terms
+        .groupBy(pmod(Dedup.Md5Hasher(col("term")), lit(featHashD.toLong))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val summary = buckets.agg(
+        sum(col("n_terms")).as("vocab_size"),
+        count(lit(1)).as("buckets_used"))
+        .select(col("vocab_size"), col("buckets_used"),
+          Sampling.intDivExact(
+            (col("vocab_size") - col("buckets_used")) * lit(1000000L),
+            col("vocab_size")).as("collision_ppm"))
+      val out = buckets
+        .orderBy(col("n_terms").desc, col("bucket"))
+        .limit(20)
+        .crossJoin(broadcast(summary))
+        .transform(Frames.truncate)
+      buckets.unpersist(false)
+      out
+    }),
+
     // count-min sketch heavy hitters: fixed depth×width counter frame
     // (corpus-size-independent state — the mergeable monitoring sketch),
     // estimates for the exact top-100 tokens ride next to their true
@@ -2195,6 +2271,36 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", batchSize = 8, shards = 4)),
+
+    // curriculum staging: exact FK-grade quartile thresholds via the
+    // bisect path (driver literals, NO percentile aggregate / corpus
+    // sort), 4 difficulty stages with token budgets and exact floor-mean
+    // grades — the easy→hard training-order planner
+    "corpus_curriculum" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_toks"),
+          TextFunctions.fkGradeUs(col("text")).as("fk_us"))
+        .filter(col("fk_us").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = Profile.exactQuantileValues(base, Seq("fk_us"), currQsPpm)
+      val Seq(t1, t2, t3) = currQsPpm.map(q => qs(("fk_us", q)))
+      val stage = when(col("fk_us") <= t1, 0L).when(col("fk_us") <= t2, 1L)
+        .when(col("fk_us") <= t3, 2L).otherwise(3L)
+      val out = base.groupBy(stage.as("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("token_sum"),
+          min(col("fk_us")).as("fk_min_us"),
+          max(col("fk_us")).as("fk_max_us"),
+          Sampling.intDivExact(sum(col("fk_us").cast(DecimalType(38, 0))),
+            count(lit(1))).as("fk_mean_us"))
+        .select(col("stage"), col("n_docs"), col("token_sum"),
+          col("fk_min_us"), col("fk_max_us"), col("fk_mean_us"),
+          lit(t1).as("q25_us"), lit(t2).as("q50_us"), lit(t3).as("q75_us"))
+        .transform(Frames.truncate)
+      base.unpersist(false)
+      out
+    }),
 
     // nearest-centroid label propagation: per-label mean centroids from
     // the labeled 80% (stable buckets), held-out 20% classified by best
@@ -5689,6 +5795,51 @@ object SparkEntry {
         "ELSE (num - (((num % den) + den) % den)) // den END AS BIGINT) AS slope_ppm " +
         "FROM pts CROSS JOIN sl"),
 
+    // hashing trick: same md5-prefix longs mod D, same top-20 order
+    "text_feature_hashing" ->
+      (s"WITH tt AS (SELECT unnest($sqlToks) AS term FROM documents), " +
+        "tc AS (SELECT term, count(*) AS tf FROM tt GROUP BY term), " +
+        s"bk AS (SELECT ${sqlMd5Long("term")} % $featHashD AS bucket, " +
+        "count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf " +
+        "FROM tc GROUP BY 1), " +
+        "sm AS (SELECT CAST(sum(n_terms) AS BIGINT) AS vocab_size, " +
+        "count(*) AS buckets_used FROM bk) " +
+        "SELECT b.bucket, b.n_terms, b.total_tf, sm.vocab_size, " +
+        "sm.buckets_used, CAST(((sm.vocab_size - sm.buckets_used) * 1000000) " +
+        "// sm.vocab_size AS BIGINT) AS collision_ppm " +
+        "FROM (SELECT * FROM bk ORDER BY n_terms DESC, bucket LIMIT 20) b " +
+        "CROSS JOIN sm"),
+
+    // curriculum: same FK kernel as text_readability's oracle, type-1
+    // quartile thresholds by the rank-k form (≡ the engine's bisect
+    // literals), same stage CASE and pmod floor-mean
+    "corpus_curriculum" ->
+      (s"WITH t AS (SELECT CAST(len($sqlToks) AS BIGINT) AS w, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl, " +
+        "greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s " +
+        "FROM documents), " +
+        "g AS (SELECT w, (390000 * w) // s + (11800000 * syl) // w " +
+        "- 15590000 AS fk FROM t WHERE w > 0), " +
+        "nn AS (SELECT count(*) AS n FROM g), " +
+        s"q(q_ppm) AS (VALUES ${currQsPpm.map(q => s"($q)").mkString(", ")}), " +
+        "kk AS (SELECT q_ppm, greatest(1, (q_ppm * n + 999999) // 1000000) AS kr " +
+        "FROM nn, q), " +
+        "r AS (SELECT fk, row_number() OVER (ORDER BY fk) AS rn FROM g), " +
+        "th AS (SELECT max(CASE WHEN q_ppm = 250000 THEN fk END) AS t1, " +
+        "max(CASE WHEN q_ppm = 500000 THEN fk END) AS t2, " +
+        "max(CASE WHEN q_ppm = 750000 THEN fk END) AS t3 " +
+        "FROM kk JOIN r ON r.rn = kk.kr), " +
+        "st AS (SELECT CASE WHEN fk <= th.t1 THEN 0 WHEN fk <= th.t2 THEN 1 " +
+        "WHEN fk <= th.t3 THEN 2 ELSE 3 END AS stage, w, fk, " +
+        "th.t1, th.t2, th.t3 FROM g CROSS JOIN th) " +
+        "SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_docs, " +
+        "CAST(sum(w) AS BIGINT) AS token_sum, min(fk) AS fk_min_us, " +
+        "max(fk) AS fk_max_us, " +
+        "CAST((sum(CAST(fk AS HUGEINT)) - ((sum(CAST(fk AS HUGEINT)) % count(*)) " +
+        "+ count(*)) % count(*)) // count(*) AS BIGINT) AS fk_mean_us, " +
+        "t1 AS q25_us, t2 AS q50_us, t3 AS q75_us " +
+        "FROM st GROUP BY stage, t1, t2, t3"),
+
     "vocab_oov_by_source" ->
       (s"WITH tk AS (SELECT source, unnest($sqlToks) AS tok FROM documents), " +
         "v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk GROUP BY 1 " +
@@ -6901,6 +7052,37 @@ object SparkEntry {
         "min(b) AS min_b, max(b) AS max_b FROM r GROUP BY 1"),
 
     "layout_hilbert" -> hilbertOracleSql,
+
+    // zone maps: natural files = key ranges over the min/max key span,
+    // sorted files = count-of-cuts-below (cuts ≡ the engine's bisect
+    // literals via the rank-k form), same candidate predicate
+    "layout_zonemap_prune" -> {
+      val sumry = (z: String) =>
+        s"(SELECT count(*) AS nf, " +
+          s"CAST(sum(CASE WHEN mx >= $zoneLoUs AND mn < $zoneHiUs THEN 1 ELSE 0 END) AS BIGINT) AS nc, " +
+          s"CAST(sum(CASE WHEN mx >= $zoneLoUs AND mn < $zoneHiUs THEN nr ELSE 0 END) AS BIGINT) AS rs, " +
+          s"CAST(sum(nr) AS BIGINT) AS rt FROM $z)"
+      s"WITH o AS (SELECT epoch_us(o_orderdate) AS k, o_orderkey FROM orders), " +
+        "mm AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o), " +
+        s"nat AS (SELECT (o.o_orderkey - mm.mn) // ((mm.mx - mm.mn) // $zoneFiles + 1) AS f, o.k " +
+        "FROM o CROSS JOIN mm), " +
+        "nz AS (SELECT f, min(k) AS mn, max(k) AS mx, count(*) AS nr FROM nat GROUP BY f), " +
+        "nn AS (SELECT count(*) AS n FROM o), " +
+        s"kk AS (SELECT CAST(i.range AS BIGINT) AS i, " +
+        s"greatest(1, ((1000000 * i.range // $zoneFiles) * n + 999999) // 1000000) AS kr " +
+        s"FROM range(1, $zoneFiles) i CROSS JOIN nn), " +
+        "r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM o), " +
+        "cts AS (SELECT list(r.k ORDER BY r.k) AS cl FROM kk JOIN r ON r.rn = kk.kr), " +
+        "srt AS (SELECT len(list_filter(cts.cl, c -> c < o.k)) AS f, o.k " +
+        "FROM o CROSS JOIN cts), " +
+        "sz AS (SELECT f, min(k) AS mn, max(k) AS mx, count(*) AS nr FROM srt GROUP BY f) " +
+        s"SELECT 'natural' AS layout, CAST(nf AS BIGINT) AS n_files, nc AS n_candidate_files, " +
+        "rs AS rows_scanned, rt AS rows_total, " +
+        s"CAST(((nf - nc) * 1000000) // nf AS BIGINT) AS prune_ppm FROM ${sumry("nz")} " +
+        "UNION ALL " +
+        s"SELECT 'sorted', CAST(nf AS BIGINT), nc, rs, rt, " +
+        s"CAST(((nf - nc) * 1000000) // nf AS BIGINT) FROM ${sumry("sz")}"
+    },
 
     "corpus_kanon" ->
       s"""WITH t AS (SELECT source, (n_chars >> $kanonShift) AS len_bucket, lang
