@@ -95,6 +95,8 @@ object SparkEntry {
   private val lpaRounds = 3                       // graph_communities
   private val linkPredictCap = 8                  // graph_link_predict
   private val featHashD = 1024                    // text_feature_hashing
+  private val bootReplicas = 32                   // corpus_bootstrap_ci
+  private val dayUs = 86400000000L
   private val currQsPpm = Seq(250000L, 500000L, 750000L) // corpus_curriculum
   private val zoneFiles = 16                      // layout_zonemap_prune
   private val zoneLoUs = 852076800000000L         // 1997-01-01T00:00Z µs
@@ -2302,6 +2304,46 @@ object SparkEntry {
       out
     }),
 
+    // deterministic half-sample bootstrap (random subsampling, Hartigan
+    // 1969 flavor): 32 md5-keyed half-replicas of the corpus evaluated in
+    // ONE scan (64 conditional aggregates — no B-fold rescan), replica
+    // means ranked on the 32-row frame only — a metric's sampling spread
+    // without any RNG state, reproducible across engines and reruns
+    "corpus_bootstrap_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = bootReplicas
+      def kq(qPpm: Long) = math.max(1L, (qPpm * B + 999999L) / 1000000L)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+      val repAggs = (0 until B).flatMap { b =>
+        val member =
+          pmod(Dedup.Md5Hasher(col("doc_id"), lit(b)), lit(2L)) === 0
+        Seq(sum(when(member, col("v")).otherwise(0L)
+            .cast(DecimalType(38, 0))).as(s"s$b"),
+          sum(when(member, 1L).otherwise(0L)).as(s"c$b"))
+      } ++ Seq(sum(col("v").cast(DecimalType(38, 0))).as("fs"),
+        count(lit(1)).as("fc"))
+      val wide = d.agg(repAggs.head, repAggs.tail: _*)
+      val stackExpr = s"stack($B, " + (0 until B)
+        .map(b => s"CAST($b AS BIGINT), s$b, c$b").mkString(", ") +
+        ") as (b, s, c)"
+      val ranked = wide.select(expr(stackExpr))
+        .select(col("b"), Sampling.intDivExact(col("s") * lit(1000000L),
+          greatest(col("c"), lit(1L))).as("mean_us"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("mean_us"), col("b")))) // 32-row frame only
+      val picks = ranked.agg(
+        max(when(col("rn") === kq(100000), col("mean_us"))).as("boot_p10_us"),
+        max(when(col("rn") === kq(500000), col("mean_us"))).as("boot_p50_us"),
+        max(when(col("rn") === kq(900000), col("mean_us"))).as("boot_p90_us"))
+      wide.select(Sampling.intDivExact(col("fs") * lit(1000000L), col("fc"))
+          .as("full_mean_us"), lit(B.toLong).as("n_replicas"))
+        .crossJoin(broadcast(picks))
+        .select(col("full_mean_us"), col("n_replicas"), col("boot_p10_us"),
+          col("boot_p50_us"), col("boot_p90_us"),
+          (col("boot_p90_us") - col("boot_p10_us")).as("spread_us"))
+    }),
+
     // nearest-centroid label propagation: per-label mean centroids from
     // the labeled 80% (stable buckets), held-out 20% classified by best
     // cosine with a best-minus-second confidence margin — doubles as a
@@ -3182,6 +3224,56 @@ object SparkEntry {
     "events_retention" -> ((s, dir) =>
       EventAnalytics.retention(events(s, dir), "user_id",
         unix_micros(col("ts")), bucketUs = 86400000000L)),
+
+    // day-of-week seasonal profile (epoch-day mod 7 index): per-weekday
+    // event share and value index vs the all-days mean, every ratio an
+    // exact integer over the DECIMAL sums — the seasonality-correction
+    // input for the anomaly/forecast queries
+    "events_seasonality" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        pmod(Sampling.intDivExact(unix_micros(col("ts")), lit(dayUs)),
+          lit(7L)).as("weekday"),
+        floor(col("value") * 1000000).cast("long").as("val_us"))
+      val wd = ev.groupBy(col("weekday"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("val_us").cast(DecimalType(38, 0))).as("_sum"))
+      val tot = wd.agg(sum(col("n_events")).as("_n_all"),
+        sum(col("_sum")).as("_sum_all"))
+      wd.crossJoin(broadcast(tot))
+        .select(col("weekday"), col("n_events"),
+          col("_sum").cast("long").as("value_sum_us"),
+          Sampling.intDivExact(col("n_events") * lit(1000000L),
+            col("_n_all")).as("share_ppm"),
+          Sampling.intDivExact(
+            col("_sum") * col("_n_all").cast(DecimalType(38, 0)) *
+              lit(1000000L),
+            col("n_events").cast(DecimalType(38, 0)) * col("_sum_all"))
+            .as("value_index_ppm"))
+    }),
+
+    // per-event ML feature extraction: trailing RANGE-frame windows over
+    // each user's own timeline (7d/30d behavior counts, µ-exact spend)
+    // plus the purchase-in-next-24h label window — the churn/propensity
+    // training-frame builder; frames are VALUE ranges so duplicate
+    // timestamps resolve identically in both engines
+    "events_user_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"),
+        floor(col("value") * 1000000).cast("long").as("val_us"))
+      def uw(lo: Long, hi: Long) = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us")).rangeBetween(lo, hi)
+      val w7 = uw(-7L * dayUs, -1L)
+      val w30 = uw(-30L * dayUs, -1L)
+      val wNext = uw(1L, dayUs)
+      ev.select(col("event_id"), col("user_id"), col("t_us"),
+        count(lit(1)).over(w7).as("n_events_7d"),
+        coalesce(sum(when(col("event_type") === "click", 1L)
+          .otherwise(0L)).over(w7), lit(0L)).as("clicks_7d"),
+        coalesce(sum(col("val_us")).over(w30), lit(0L)).as("value_30d_us"),
+        coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).over(wNext), lit(0L)).as("purchases_next_24h"))
+    }),
 
     // cohort lifetime-value matrix: signup week × age week → active
     // users + µ-exact revenue + running LTV (window over the bounded
@@ -5840,6 +5932,31 @@ object SparkEntry {
         "t1 AS q25_us, t2 AS q50_us, t3 AS q75_us " +
         "FROM st GROUP BY stage, t1, t2, t3"),
 
+    // bootstrap: the same md5(doc_id ∥ \x01 ∥ b) % 2 membership, replica
+    // means as integer floors, rank-k picks over the 32-row frame
+    "corpus_bootstrap_ci" -> {
+      val B = bootReplicas
+      def kq(qPpm: Long) = math.max(1L, (qPpm * B + 999999L) / 1000000L)
+      val mexpr = sqlMd5Long(
+        "CAST(doc_id AS VARCHAR) || chr(1) || CAST(b.range AS VARCHAR)")
+      s"WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents), " +
+        s"reps AS (SELECT CAST(b.range AS BIGINT) AS b, " +
+        s"CAST(sum(CASE WHEN ($mexpr) % 2 = 0 THEN v ELSE 0 END) AS HUGEINT) AS s, " +
+        s"sum(CASE WHEN ($mexpr) % 2 = 0 THEN 1 ELSE 0 END) AS c " +
+        s"FROM d CROSS JOIN range($B) b GROUP BY 1), " +
+        "m AS (SELECT b, (s * 1000000) // greatest(c, 1) AS mean_us FROM reps), " +
+        "r AS (SELECT b, mean_us, row_number() OVER (ORDER BY mean_us, b) AS rn FROM m), " +
+        s"p AS (SELECT max(CASE WHEN rn = ${kq(100000)} THEN mean_us END) AS p10, " +
+        s"max(CASE WHEN rn = ${kq(500000)} THEN mean_us END) AS p50, " +
+        s"max(CASE WHEN rn = ${kq(900000)} THEN mean_us END) AS p90 FROM r), " +
+        "f AS (SELECT (CAST(sum(v) AS HUGEINT) * 1000000) // count(*) AS fm FROM d) " +
+        "SELECT CAST(f.fm AS BIGINT) AS full_mean_us, " +
+        s"CAST($B AS BIGINT) AS n_replicas, " +
+        "CAST(p.p10 AS BIGINT) AS boot_p10_us, CAST(p.p50 AS BIGINT) AS boot_p50_us, " +
+        "CAST(p.p90 AS BIGINT) AS boot_p90_us, " +
+        "CAST(p.p90 - p.p10 AS BIGINT) AS spread_us FROM f CROSS JOIN p"
+    },
+
     "vocab_oov_by_source" ->
       (s"WITH tk AS (SELECT source, unnest($sqlToks) AS tok FROM documents), " +
         "v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk GROUP BY 1 " +
@@ -6975,6 +7092,39 @@ object SparkEntry {
         |  (a.bucket_us - c.cohort_us) // 86400000000 AS bucket_offset,
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // seasonality: epoch-day mod 7 buckets, exact integer ratios over
+    // HUGEINT sums
+    "events_seasonality" ->
+      ("WITH e AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS weekday, " +
+        "CAST(floor(value * 1000000) AS BIGINT) AS val_us FROM events), " +
+        "wd AS (SELECT weekday, count(*) AS n_events, " +
+        "CAST(sum(val_us) AS HUGEINT) AS sm FROM e GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_events) AS HUGEINT) AS n_all, " +
+        "CAST(sum(sm) AS HUGEINT) AS sum_all FROM wd) " +
+        "SELECT weekday, n_events, CAST(sm AS BIGINT) AS value_sum_us, " +
+        "CAST((n_events * 1000000) // n_all AS BIGINT) AS share_ppm, " +
+        "CAST((sm * n_all * 1000000) // (n_events * sum_all) AS BIGINT) " +
+        "AS value_index_ppm FROM wd CROSS JOIN tot"),
+
+    // user features: identical VALUE-range frames (peers resolve by
+    // value, not row order), empty sum frames coalesced to 0
+    "events_user_features" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, " +
+        "event_type, CAST(floor(value * 1000000) AS BIGINT) AS val_us " +
+        "FROM events) " +
+        "SELECT event_id, user_id, t_us, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY t_us " +
+        "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS n_events_7d, " +
+        "CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY t_us " +
+        "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS clicks_7d, " +
+        "CAST(COALESCE(sum(val_us) OVER (PARTITION BY user_id ORDER BY t_us " +
+        "RANGE BETWEEN 2592000000000 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS value_30d_us, " +
+        "CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY t_us " +
+        "RANGE BETWEEN 1 FOLLOWING AND 86400000000 FOLLOWING), 0) AS BIGINT) " +
+        "AS purchases_next_24h FROM e"),
 
     // cohort LTV: week buckets, µ-floored revenue, running window over
     // the cohort×age cells (default RANGE frame — age_wk is unique per
