@@ -99,8 +99,10 @@ object SparkEntry {
   private val dayUs = 86400000000L
   private val currQsPpm = Seq(250000L, 500000L, 750000L) // corpus_curriculum
   private val zoneFiles = 16                      // layout_zonemap_prune
-  private val zoneLoUs = 852076800000000L         // 1997-01-01T00:00Z µs
-  private val zoneHiUs = 867715200000000L         // 1997-07-01T00:00Z µs
+  // epoch DAYS, not µs: the day domain is ~2²² narrower, so the bisect
+  // cut search converges in ~3 conditional-count rounds instead of ~12
+  private val zoneLoD = 9862L                     // 1997-01-01
+  private val zoneHiD = 10043L                    // 1997-07-01
   private val perceptronRounds = 3                // text_langid_perceptron
   private val heapsCheckpoints = 8                // vocab_heaps
   private val cohortWeekUs = 7L * 86400000000L    // events_cohort_ltv
@@ -813,23 +815,24 @@ object SparkEntry {
     // of files a half-year predicate can skip in each layout
     "layout_zonemap_prune" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-        .select(unix_micros(col("o_orderdate").cast("timestamp")).as("k_us"),
-          col("o_orderkey"))
+        .select(Sampling.intDivExact(
+            unix_micros(col("o_orderdate").cast("timestamp")), lit(dayUs))
+          .as("k_d"), col("o_orderkey"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
       val (minK, maxK) = (mm.getLong(0), mm.getLong(1))
       val span = (maxK - minK) / zoneFiles + 1
       val cutQs = (1 until zoneFiles).map(i => 1000000L * i / zoneFiles)
-      val cuts = Profile.exactQuantileValues(o, Seq("k_us"), cutQs)
+      val cuts = Profile.exactQuantileValues(o, Seq("k_d"), cutQs)
       val sortedFile = cutQs.map(q =>
-        when(col("k_us") > cuts(("k_us", q)), 1L).otherwise(0L))
+        when(col("k_d") > cuts(("k_d", q)), 1L).otherwise(0L))
         .reduce(_ + _)
       def report(fileId: Column, tag: String): DataFrame = {
         val zones = o.groupBy(fileId.as("f"))
-          .agg(min(col("k_us")).as("mn"), max(col("k_us")).as("mx"),
+          .agg(min(col("k_d")).as("mn"), max(col("k_d")).as("mx"),
             count(lit(1)).as("nr"))
           .withColumn("cand",
-            col("mx") >= zoneLoUs && col("mn") < zoneHiUs)
+            col("mx") >= zoneLoD && col("mn") < zoneHiD)
         zones.agg(count(lit(1)).as("n_files"),
           sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidate_files"),
           sum(when(col("cand"), col("nr")).otherwise(0L)).as("rows_scanned"),
@@ -7209,10 +7212,10 @@ object SparkEntry {
     "layout_zonemap_prune" -> {
       val sumry = (z: String) =>
         s"(SELECT count(*) AS nf, " +
-          s"CAST(sum(CASE WHEN mx >= $zoneLoUs AND mn < $zoneHiUs THEN 1 ELSE 0 END) AS BIGINT) AS nc, " +
-          s"CAST(sum(CASE WHEN mx >= $zoneLoUs AND mn < $zoneHiUs THEN nr ELSE 0 END) AS BIGINT) AS rs, " +
+          s"CAST(sum(CASE WHEN mx >= $zoneLoD AND mn < $zoneHiD THEN 1 ELSE 0 END) AS BIGINT) AS nc, " +
+          s"CAST(sum(CASE WHEN mx >= $zoneLoD AND mn < $zoneHiD THEN nr ELSE 0 END) AS BIGINT) AS rs, " +
           s"CAST(sum(nr) AS BIGINT) AS rt FROM $z)"
-      s"WITH o AS (SELECT epoch_us(o_orderdate) AS k, o_orderkey FROM orders), " +
+      s"WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS k, o_orderkey FROM orders), " +
         "mm AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o), " +
         s"nat AS (SELECT (o.o_orderkey - mm.mn) // ((mm.mx - mm.mn) // $zoneFiles + 1) AS f, o.k " +
         "FROM o CROSS JOIN mm), " +

