@@ -1971,6 +1971,14 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_guess"))),
 
+    // public crawl-quality rule pack (Gopher Table A1 + C4 §2.2 +
+    // encoding hygiene) as ONE scan + |sources| aggregate: per-rule
+    // violation counts and the Gopher-gated keep count — the standardized
+    // pretraining filter recipe over this corpus
+    "text_rule_screen" -> ((s, dir) =>
+      TextFunctions.qualityRuleScreen(t(s, dir, "documents"),
+        "text", "source")),
+
     // trainable linear gate: full-batch integer perceptron on ppm text
     // features (bias/stopword/word-len/alpha/digit) vs the en-label —
     // each round ONE 6-number aggregate under literal weights (mean
@@ -5714,6 +5722,46 @@ object SparkEntry {
         "FROM c GROUP BY doc_id"),
 
     "text_langid" -> langIdOracleSql,
+
+    // rule pack: same predicates, thresholds interpolated from the
+    // TextFunctions constants so the two sides cannot drift
+    "text_rule_screen" -> {
+      val swList = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+      import TextFunctions._
+      "WITH d AS (SELECT source, text AS t, " + sqlToks + " AS toks FROM documents), " +
+        "b AS (SELECT source, t, toks, CAST(len(toks) AS BIGINT) AS nw FROM d), " +
+        "f AS (SELECT source, nw, " +
+        "(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) * 1000000) " +
+        "// greatest(nw, 1) AS mlus, " +
+        s"len(list_filter(list_distinct(toks), x -> list_contains([$swList], x))) AS nstop, " +
+        "(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1000000) " +
+        "// greatest(nw, 1) AS appm, " +
+        "len(t) - len(replace(t, '#', '')) AS nhash, " +
+        "(len(t) - len(replace(t, '...', ''))) // 3 AS nell, " +
+        "len(regexp_extract_all(t, '[.!?]+')) AS nsent, " +
+        "(contains(t, '{') OR contains(t, '}')) AS fbrace, " +
+        "contains(lower(t), 'lorem ipsum') AS florem, " +
+        "(contains(t, '�') OR regexp_matches(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS fenc " +
+        "FROM b), " +
+        s"g AS (SELECT source, (nw < $RuleWcLo OR nw > $RuleWcHi) AS fwc, " +
+        s"(mlus < $RuleWlLoUs OR mlus > $RuleWlHiUs) AS fwl, " +
+        s"(nstop < $RuleMinStop) AS fstop, (appm < $RuleAlphaMinPpm) AS falpha, " +
+        s"(((nhash + nell) * 1000000) // greatest(nw, 1) > $RuleSymMaxPpm) AS fsym, " +
+        s"(nsent < $RuleMinSent) AS fsent, fbrace, florem, fenc FROM f) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN fwc THEN 1 ELSE 0 END) AS BIGINT) AS r_word_count, " +
+        "CAST(sum(CASE WHEN fwl THEN 1 ELSE 0 END) AS BIGINT) AS r_word_len, " +
+        "CAST(sum(CASE WHEN fstop THEN 1 ELSE 0 END) AS BIGINT) AS r_stopwords, " +
+        "CAST(sum(CASE WHEN falpha THEN 1 ELSE 0 END) AS BIGINT) AS r_alpha, " +
+        "CAST(sum(CASE WHEN fsym THEN 1 ELSE 0 END) AS BIGINT) AS r_symbols, " +
+        "CAST(sum(CASE WHEN fsent THEN 1 ELSE 0 END) AS BIGINT) AS r_sentences, " +
+        "CAST(sum(CASE WHEN fbrace THEN 1 ELSE 0 END) AS BIGINT) AS r_brace, " +
+        "CAST(sum(CASE WHEN florem THEN 1 ELSE 0 END) AS BIGINT) AS r_lorem, " +
+        "CAST(sum(CASE WHEN fenc THEN 1 ELSE 0 END) AS BIGINT) AS r_encoding, " +
+        "CAST(sum(CASE WHEN NOT fwc AND NOT fwl AND NOT fstop AND NOT falpha " +
+        "AND NOT fsym THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM g GROUP BY source"
+    },
 
     // perceptron: the same ppm features, then each round as 1-row CTEs —
     // update sums + n_mis under w_{k-1}, mean-update weights with the

@@ -364,4 +364,66 @@ object TextFunctions {
   /** Character n-gram shingles (distinct) — robust to tokenization noise. */
   def charShingles(text: Column, n: Int): Column =
     shinglesOf(split(lower(trim(text)), ""), n, "")
+
+  // ---- public crawl-quality rule pack -----------------------------------
+  // Gopher (Rae et al. 2021, Table A1) + C4 (Raffel et al. 2020, §2.2) +
+  // encoding hygiene, as integer/boolean predicates both engines share.
+  val RuleWcLo = 50L          // Gopher: 50 ≤ words ≤ 100 000
+  val RuleWcHi = 100000L
+  val RuleWlLoUs = 3000000L   // Gopher: mean word length in [3, 10] chars
+  val RuleWlHiUs = 10000000L
+  val RuleMinStop = 2         // Gopher: ≥ 2 distinct English stopwords
+  val RuleAlphaMinPpm = 800000L // Gopher: ≥ 80% words contain a letter
+  val RuleSymMaxPpm = 100000L // Gopher: '#'/'…' symbols ≤ 10% of words
+  val RuleMinSent = 3         // C4: ≥ 3 sentences
+
+  /** Per-group crawl-quality rule report: one scan, one |groups|-sized
+    * aggregate; each `r_*` column counts docs violating that rule and
+    * `n_kept` counts docs passing every GOPHER rule (the C4 flags are
+    * line-granular screens in the original recipe, so they are reported
+    * but do not gate keep — documented divergence). The encoding rule
+    * flags U+FFFD replacement chars and C0 controls (tab/newlines
+    * excluded). */
+  def qualityRuleScreen(docs: org.apache.spark.sql.DataFrame,
+                        textCol: String,
+                        groupCol: String): org.apache.spark.sql.DataFrame = {
+    val sw = array(stopwords("en").map(lit): _*)
+    val base = docs.select(col(groupCol), col(textCol).as("_t"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col(groupCol), col("_t"), col("_toks"),
+        size(col("_toks")).cast("long").as("_nw"))
+    val nwSafe = greatest(col("_nw"), lit(1L))
+    val meanLenUs = Sampling.intDiv(
+      aggregate(col("_toks"), lit(0L), (a, t) => a + length(t)) *
+        lit(1000000L), nwSafe)
+    val nStop = size(array_intersect(array_distinct(col("_toks")), sw))
+    val alphaPpm = Sampling.intDiv(
+      size(filter(col("_toks"), t => t.rlike("[A-Za-z]"))).cast("long") *
+        lit(1000000L), nwSafe)
+    val nHash = length(col("_t")) - length(replace(col("_t"), lit("#")))
+    val nEll = Sampling.intDiv(
+      length(col("_t")) - length(replace(col("_t"), lit("..."))), lit(3L))
+    val symPpm = Sampling.intDiv((nHash + nEll).cast("long") * lit(1000000L),
+      nwSafe)
+    val nSent = size(regexp_extract_all(col("_t"), lit("[.!?]+"), lit(0)))
+    val fWc = col("_nw") < RuleWcLo || col("_nw") > RuleWcHi
+    val fWl = meanLenUs < RuleWlLoUs || meanLenUs > RuleWlHiUs
+    val fStop = nStop < RuleMinStop
+    val fAlpha = alphaPpm < RuleAlphaMinPpm
+    val fSym = symPpm > RuleSymMaxPpm
+    val fSent = nSent < RuleMinSent
+    val fBrace = col("_t").contains("{") || col("_t").contains("}")
+    val fLorem = lower(col("_t")).contains("lorem ipsum")
+    val fEnc = col("_t").contains("�") ||
+      col("_t").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    def cnt(f: Column) = sum(when(f, 1L).otherwise(0L))
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(fWc).as("r_word_count"), cnt(fWl).as("r_word_len"),
+        cnt(fStop).as("r_stopwords"), cnt(fAlpha).as("r_alpha"),
+        cnt(fSym).as("r_symbols"), cnt(fSent).as("r_sentences"),
+        cnt(fBrace).as("r_brace"), cnt(fLorem).as("r_lorem"),
+        cnt(fEnc).as("r_encoding"),
+        cnt(!fWc && !fWl && !fStop && !fAlpha && !fSym).as("n_kept"))
+  }
 }
