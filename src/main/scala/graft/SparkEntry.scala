@@ -96,6 +96,7 @@ object SparkEntry {
   private val linkPredictCap = 8                  // graph_link_predict
   private val featHashD = 1024                    // text_feature_hashing
   private val bootReplicas = 32                   // corpus_bootstrap_ci
+  private val annNprobes = Seq(1, 2, 4, 8)        // ann_nprobe_curve
   private val dayUs = 86400000000L
   private val currQsPpm = Seq(250000L, 500000L, 750000L) // corpus_curriculum
   private val zoneFiles = 16                      // layout_zonemap_prune
@@ -1539,6 +1540,65 @@ object SparkEntry {
         "id_a", "id_b", rounds = lpaRounds)
     }),
 
+    // modularity Q of the LPA partition (Newman & Girvan 2004) in exact
+    // integer arithmetic: per community, Q-contribution = (4·m·e_c −
+    // d_c²)/(4m²) in signed floor-ppm over DECIMAL — "did the community
+    // pass find real structure". Edge/degree tallies are two label joins;
+    // m rides as a 1-row broadcast
+    "graph_modularity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5,
+          maxPosting = 500)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comm = Lpa.communities(pairs, "id_a", "id_b", rounds = lpaRounds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val und = pairs
+        .select(least(col("id_a"), col("id_b")).as("u"),
+          greatest(col("id_a"), col("id_b")).as("v"))
+        .filter(col("u") < col("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mm = und.agg(count(lit(1)).cast(DecimalType(38, 0)).as("m"))
+      val eIn = und
+        .join(comm.select(col("id").as("u"), col("community").as("ca")),
+          Seq("u"))
+        .join(comm.select(col("id").as("v"), col("community").as("cb")),
+          Seq("v"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("e_in"))
+      val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+        .join(comm, Seq("id"))
+        .groupBy(col("community")).agg(count(lit(1)).as("d_sum"))
+      val nNodes = comm.groupBy(col("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val cells = nNodes.join(deg, Seq("community"))
+        .join(eIn, Seq("community"), "left")
+        .crossJoin(broadcast(mm))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+          (lit(4).cast(DecimalType(38, 0)) * col("m") *
+            coalesce(col("e_in"), lit(0L)).cast(DecimalType(38, 0)) -
+            col("d_sum").cast(DecimalType(38, 0)) * col("d_sum"))
+            .as("_num"),
+          (lit(4).cast(DecimalType(38, 0)) * col("m") * col("m"))
+            .as("_den"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qTot = cells
+        .agg(sum(col("_num")).as("_ns"), max(col("_den")).as("_d"))
+        .select(Sampling.intDivExact(col("_ns") * lit(1000000L), col("_d"))
+          .as("q_total_ppm"))
+      val out = cells.select(col("community"), col("n_nodes"), col("e_in"),
+          col("d_sum"),
+          Sampling.intDivExact(col("_num") * lit(1000000L), col("_den"))
+            .as("contrib_ppm"))
+        .crossJoin(broadcast(qTot))
+        .transform(Frames.truncate)
+      Seq(pairs, comm, und, cells).foreach(_.unpersist(false))
+      out
+    }),
+
     // bounded 3-round 2-core peel of the same graph: the density filter
     // separating a genuine duplicate core from its borderline halo
     "graph_kcore" -> ((s, dir) => {
@@ -1783,6 +1843,36 @@ object SparkEntry {
 
     // recall@5 evaluation: multi-probe LSH vs exact brute force — the
     // tuning loop for every ANN knob, itself exactly oracle-checked
+    // recall-vs-nprobe tradeoff curve for the anchor-mode IVF index: one
+    // brute-force truth (persisted), four probe widths, macro totals +
+    // floor-ppm recall per row — the knob-tuning table an ANN deployment
+    // reads before picking its latency/recall point
+    "ann_nprobe_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(corpus, "nid", "nv",
+          qs, "qid", "qv", k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = annNprobes.map { np =>
+        val approx = Ivf.topK(corpus, "nid", "nv", qs, "qid", "qv",
+          k = 5, numCells = 16, nprobe = np, iters = 0, salts = 1)
+        Similarity.recallAtK(approx, exact)
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_exact")).as("n_exact"),
+            sum(col("n_hit")).as("n_hit"))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+            col("n_exact"), col("n_hit"),
+            Sampling.intDivExact(col("n_hit") * lit(1000000L),
+              col("n_exact")).as("recall_ppm"))
+      }
+      val out = rows.reduce(_ unionByName _).transform(Frames.truncate)
+      exact.unpersist(false)
+      out
+    }),
+
     "ann_recall_report" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
@@ -3790,6 +3880,31 @@ object SparkEntry {
       "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
       "WHERE rn <= 5"
 
+  /** The anchor-mode IVF pipeline (centroids = 16 lowest-id vectors,
+    * cosine assignment, `nprobe` probed cells, top-5) as one nestable
+    * SQL text — shared by ann_ivf_topk (nprobe = 4) and every leg of
+    * ann_nprobe_curve. */
+  private def ivfAnchorOracleSql(nprobe: Int): String =
+    "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec, " +
+      "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm " +
+      "FROM embeddings ORDER BY vec_id LIMIT 16), " +
+      "n AS (SELECT vec_id, embedding, " +
+      "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nn FROM embeddings), " +
+      "asg AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cid AS cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (e.nn * c.cnorm) DESC, c.cid) AS rn " +
+      "FROM n e CROSS JOIN cent c) WHERE rn = 1), " +
+      "probes AS (SELECT qid, cell FROM (SELECT q.vec_id AS qid, c.cid AS cell, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (q.nn * c.cnorm) DESC, c.cid) AS rn " +
+      s"FROM n q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= $nprobe), " +
+      "sc AS (SELECT p.qid, e.vec_id AS nid, " +
+      "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) / (e.nn * q.nn) AS sim " +
+      "FROM probes p JOIN asg a ON a.cell = p.cell JOIN n e ON e.vec_id = a.vec_id " +
+      "JOIN n q ON q.vec_id = p.qid WHERE e.vec_id <> p.qid) " +
+      "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc) WHERE rn <= 5"
+
   /** Mirror of `Similarity.labelNoiseReport` over the `% $noiseProbeMod`
     * probe sample: the same brute-force cosine kNN CTE shape as
     * [[annBruteOracleSql]], then strict-majority label agreement. */
@@ -5054,6 +5169,35 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql,
 
     "graph_communities" -> lpaOracleSql,
+
+    // modularity over the same LPA partition CTE: per-community edge and
+    // degree tallies, the exact (4·m·e_c − d_c²) numerators in HUGEINT,
+    // signed pmod floors for the ppm divisions
+    "graph_modularity" ->
+      (s"WITH c AS ($lpaOracleSql), " +
+        s"p AS ($jaccardPairsOracleSql), " +
+        "e AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v " +
+        "FROM p WHERE id_a <> id_b), " +
+        "mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e), " +
+        "ein AS (SELECT la.community AS community, count(*) AS e_in FROM e " +
+        "JOIN c la ON la.id = e.u JOIN c lb ON lb.id = e.v " +
+        "WHERE la.community = lb.community GROUP BY 1), " +
+        "deg AS (SELECT c.community, count(*) AS d_sum FROM " +
+        "(SELECT u AS x FROM e UNION ALL SELECT v FROM e) t " +
+        "JOIN c ON c.id = t.x GROUP BY 1), " +
+        "nn AS (SELECT community, count(*) AS n_nodes FROM c GROUP BY 1), " +
+        "cells AS (SELECT nn.community, nn.n_nodes, " +
+        "CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, deg.d_sum, " +
+        "4 * mm.m * CAST(COALESCE(ein.e_in, 0) AS HUGEINT) - " +
+        "CAST(deg.d_sum AS HUGEINT) * deg.d_sum AS num, " +
+        "4 * mm.m * mm.m AS den FROM nn JOIN deg USING (community) " +
+        "LEFT JOIN ein USING (community) CROSS JOIN mm), " +
+        "qt AS (SELECT CAST((sum(num) * 1000000 - (((sum(num) * 1000000 % max(den)) " +
+        "+ max(den)) % max(den))) // max(den) AS BIGINT) AS q_total_ppm FROM cells) " +
+        "SELECT community, n_nodes, e_in, CAST(d_sum AS BIGINT) AS d_sum, " +
+        "CAST((num * 1000000 - (((num * 1000000 % den) + den) % den)) // den " +
+        "AS BIGINT) AS contrib_ppm, qt.q_total_ppm " +
+        "FROM cells CROSS JOIN qt"),
 
     // BFS rounds unrolled as frontier CTEs (the kcore/pagerank pattern);
     // each frontier excludes everything reached earlier
@@ -6631,26 +6775,24 @@ object SparkEntry {
     // assignment (ties → lowest cid), each query probes its 4
     // cosine-nearest cells, probed candidates ranked top-5 (ties → nid) —
     // the full train→index→probe→top-k pipeline recomputed in SQL
-    "ann_ivf_topk" ->
-      ("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec, " +
-        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm " +
-        "FROM embeddings ORDER BY vec_id LIMIT 16), " +
-        "n AS (SELECT vec_id, embedding, " +
-        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nn FROM embeddings), " +
-        "asg AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cid AS cell, " +
-        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (e.nn * c.cnorm) DESC, c.cid) AS rn " +
-        "FROM n e CROSS JOIN cent c) WHERE rn = 1), " +
-        "probes AS (SELECT qid, cell FROM (SELECT q.vec_id AS qid, c.cid AS cell, " +
-        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-        "list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (q.nn * c.cnorm) DESC, c.cid) AS rn " +
-        "FROM n q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= 4), " +
-        "sc AS (SELECT p.qid, e.vec_id AS nid, " +
-        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) / (e.nn * q.nn) AS sim " +
-        "FROM probes p JOIN asg a ON a.cell = p.cell JOIN n e ON e.vec_id = a.vec_id " +
-        "JOIN n q ON q.vec_id = p.qid WHERE e.vec_id <> p.qid) " +
-        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
-        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc) WHERE rn <= 5"),
+    "ann_ivf_topk" -> ivfAnchorOracleSql(4),
+
+    // the same IVF pipeline at each probe width, macro recall vs the
+    // brute-force CTE (shared `ex` leg), floor-ppm
+    "ann_nprobe_curve" -> {
+      val legs = annNprobes.map { np =>
+        s"SELECT CAST($np AS BIGINT) AS nprobe, count(*) AS n_queries, " +
+          "CAST(sum(n_exact) AS BIGINT) AS n_exact, " +
+          "CAST(sum(n_hit) AS BIGINT) AS n_hit, " +
+          "CAST((sum(n_hit) * 1000000) // sum(n_exact) AS BIGINT) AS recall_ppm " +
+          "FROM (SELECT ex.query_id, count(*) AS n_exact, " +
+          s"count(ap.neighbor_id) AS n_hit FROM ex LEFT JOIN " +
+          s"(SELECT query_id, neighbor_id FROM (${ivfAnchorOracleSql(np)})) ap " +
+          "ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id " +
+          "GROUP BY ex.query_id)"
+      }
+      s"WITH ex AS ($annBruteOracleSql) " + legs.mkString(" UNION ALL ")
+    },
 
     // anchor cells = the 8 lowest-id vectors; L2 assignment argmax
     // (2·v·c − |c|²) with ties to the lowest cell id, cosine pair filter;
