@@ -97,6 +97,10 @@ object SparkEntry {
   private val featHashD = 1024                    // text_feature_hashing
   private val bootReplicas = 32                   // corpus_bootstrap_ci
   private val annNprobes = Seq(1, 2, 4, 8)        // ann_nprobe_curve
+  private val sweepThresholds =                   // dedup_threshold_sweep
+    Seq(0.25, 0.5, 0.75, 0.9)
+  private val vadThresh = 16384L                  // media_audio_segments
+  private val vadFrame = 8
   private val dayUs = 86400000000L
   private val currQsPpm = Seq(250000L, 500000L, 750000L) // corpus_curriculum
   private val zoneFiles = 16                      // layout_zonemap_prune
@@ -1538,6 +1542,31 @@ object SparkEntry {
       Lpa.communities(
         Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
         "id_a", "id_b", rounds = lpaRounds)
+    }),
+
+    // similarity-threshold sweep over ONE capped pair frame (computed at
+    // the loosest threshold, persisted): per candidate threshold, the
+    // surviving pair count and distinct affected docs — the dial-setting
+    // table read before committing a dedup threshold
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "sh",
+          sweepThresholds.min, maxPosting = 500)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = sweepThresholds.map { tv =>
+        val f = pairs.filter(col("jaccard") >= tv)
+        val aff = f.select(explode(array(col("id_a"), col("id_b"))).as("d"))
+          .distinct().agg(count(lit(1)).as("docs_affected"))
+        f.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(aff))
+          .select(lit(math.round(tv * 1000000)).as("t_ppm"),
+            col("n_pairs"), col("docs_affected"))
+      }
+      val out = rows.reduce(_ unionByName _).transform(Frames.truncate)
+      pairs.unpersist(false)
+      out
     }),
 
     // modularity Q of the LPA partition (Newman & Girvan 2004) in exact
@@ -3270,6 +3299,25 @@ object SparkEntry {
       Multimodal.audioQuality(
         Multimodal.syntheticMedia(t(s, dir, "documents")))),
 
+    // voice-activity segments from the real PCM decode: per-frame mean
+    // |s| energies (codec emits frame rows; everything after is plain
+    // DataFrame work), threshold, then gaps-and-islands — the
+    // speech-span extractor that feeds ASR training crops
+    "media_audio_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val en = Multimodal.audioFrameEnergies(
+        Multimodal.syntheticMedia(t(s, dir, "documents")), frame = vadFrame)
+      en.filter(col("energy_mean") >= vadThresh)
+        .withColumn("_grp", col("frame_idx") -
+          row_number().over(Window.partitionBy(col("media_id"))
+            .orderBy(col("frame_idx"))).cast("long"))
+        .groupBy(col("media_id"), col("_grp"))
+        .agg(min(col("frame_idx")).as("seg_start"),
+          max(col("frame_idx")).as("seg_end"),
+          count(lit(1)).as("n_frames"))
+        .drop("_grp")
+    }),
+
     // scene cuts from the real RAWV frame decode: mean abs per-byte diff
     // per consecutive frame pair in exact milli-units + the cut flag
     "media_scene_changes" -> ((s, dir) =>
@@ -3743,7 +3791,11 @@ object SparkEntry {
       "reach AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), " +
       "comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)"
 
-  private def jaccardPairsOracleSql: String =
+  private def jaccardPairsOracleSql: String = jaccardPairsOracleSqlAt(0.5)
+
+  /** The capped shingle-Jaccard pair pipeline at an arbitrary threshold
+    * (dedup_threshold_sweep reuses it at 0.25). */
+  private def jaccardPairsOracleSqlAt(threshold: Double): String =
     s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) " +
       "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs FROM t), " +
@@ -3754,7 +3806,8 @@ object SparkEntry {
       "FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
       "scored AS (SELECT id_a, id_b, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard " +
       "FROM pairs JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id) " +
-      "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5"
+      "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored " +
+      s"WHERE jaccard >= CAST($threshold AS DOUBLE)"
 
   /** Mirror of `Lpa.communities(rounds = lpaRounds)` over the jaccard pair
     * graph: the synchronous rounds unrolled as CTE triples (neighbor-label
@@ -5169,6 +5222,37 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql,
 
     "graph_communities" -> lpaOracleSql,
+
+    // sweep: the pair pipeline once at the loosest threshold, UNION ALL
+    // legs with the same double-literal comparisons
+    "dedup_threshold_sweep" -> {
+      val legs = sweepThresholds.map { tv =>
+        val t = s"CAST($tv AS DOUBLE)"
+        s"SELECT CAST(${math.round(tv * 1000000)} AS BIGINT) AS t_ppm, " +
+          s"(SELECT count(*) FROM p WHERE jaccard >= $t) AS n_pairs, " +
+          "(SELECT count(*) FROM (SELECT DISTINCT d FROM " +
+          s"(SELECT id_a AS d FROM p WHERE jaccard >= $t " +
+          s"UNION ALL SELECT id_b FROM p WHERE jaccard >= $t))) AS docs_affected"
+      }
+      s"WITH p AS (${jaccardPairsOracleSqlAt(sweepThresholds.min)}) " +
+        legs.mkString(" UNION ALL ")
+    },
+
+    // VAD segments: frame energies recomputed from the generator sample
+    // formula, same threshold and gaps-and-islands grouping
+    "media_audio_segments" ->
+      ("WITH aud AS (SELECT doc_id AS id, (10 + doc_id % 50) AS nf " +
+        "FROM documents WHERE doc_id % 3 = 1), " +
+        "fr AS (SELECT id, unnest(range(0, nf)) AS f FROM aud), " +
+        s"en AS (SELECT id, f, list_sum(list_transform(range(0, $vadFrame), " +
+        s"j -> abs(((id*13 + (f*$vadFrame + j)*97) % 65536) - 32768))) // $vadFrame AS e " +
+        "FROM fr), " +
+        s"v AS (SELECT id, f FROM en WHERE e >= $vadThresh), " +
+        "g AS (SELECT id, f, f - row_number() OVER " +
+        "(PARTITION BY id ORDER BY f) AS grp FROM v) " +
+        "SELECT id AS media_id, CAST(min(f) AS BIGINT) AS seg_start, " +
+        "CAST(max(f) AS BIGINT) AS seg_end, count(*) AS n_frames " +
+        "FROM g GROUP BY id, grp"),
 
     // modularity over the same LPA partition CTE: per-community edge and
     // degree tallies, the exact (4·m·e_c − d_c²) numerators in HUGEINT,

@@ -389,6 +389,32 @@ object Multimodal {
       }.toDF("media_id", "vhash")
   }
 
+  /** Per-frame mean-|PCM| energies from the real WAV decode — the
+    * voice-activity-detection input: frame f covers samples
+    * [f·frame, (f+1)·frame), energy = ⌊Σ|s|/frame⌋ (exact integer). The
+    * byte-level container parse is the `mapPartitions` justification
+    * (same as [[extractFeatures]]); everything downstream (thresholding,
+    * gaps-and-islands segmentation) is ordinary DataFrame work on the
+    * emitted frame rows. Output: (media_id, frame_idx, energy_mean). */
+  def audioFrameEnergies(media: DataFrame, frame: Int = 8): DataFrame = {
+    require(frame >= 1, s"bad frame=$frame")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "audio").as[MediaRow]
+      .flatMap { r =>
+        val (b, dataPos, n, _) = wavPcm16(r.payload)
+        (0 until n / frame).map { f =>
+          var sum = 0L
+          var j = 0
+          while (j < frame) {
+            sum += math.abs(b.getShort(dataPos + 2 * (f * frame + j)).toInt)
+            j += 1
+          }
+          (r.media_id, f.toLong, sum / frame)
+        }
+      }.toDF("media_id", "frame_idx", "energy_mean")
+  }
+
   /** Audio-quality gate over the decoded PCM stream — the speech-corpus
     * screen that drops dead-air and clipped recordings before training:
     * per AUDIO row, the exact floor-ppm of samples below the silence

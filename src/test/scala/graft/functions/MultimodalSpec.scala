@@ -271,4 +271,21 @@ class MultimodalSpec extends SparkSpec {
         s"id=$id")
     }
   }
+
+  test("audio frame energies match the generator formula exactly") {
+    val got = Multimodal.audioFrameEnergies(
+      Multimodal.syntheticMedia(docs), frame = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // audio ids are doc_id % 3 == 1 -> 1L only in the fixture
+    val n = 8 * (10 + 1 % 50)
+    val want = (0 until n / 8).map { f =>
+      val sum = (0 until 8).map { j =>
+        math.abs(((1L * 13 + (f * 8 + j).toLong * 97) % 65536) - 32768)
+      }.sum
+      (1L, f.toLong) -> sum / 8
+    }.toMap
+    assert(got === want)
+    // frames partition the sample stream: every frame index present
+    assert(got.keys.map(_._2).toSeq.sorted === (0L until n / 8).toSeq)
+  }
 }
