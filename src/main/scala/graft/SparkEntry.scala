@@ -101,6 +101,20 @@ object SparkEntry {
     Seq(0.25, 0.5, 0.75, 0.9)
   private val vadThresh = 16384L                  // media_audio_segments
   private val vadFrame = 8
+  /** schema_fk_discovery candidates: (child table, child col, parent
+    * table, parent col) — 7 real TPC-H FKs + one negative control. The
+    * SAME list generates the engine unions and the oracle legs. */
+  private val fkCandidates = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    // negative control: orderkeys range far past the customer key space,
+    // so inclusion lands well under 10^6 and looks_fk stays 0
+    ("orders", "o_orderkey", "customer", "c_custkey"))
   private val dayUs = 86400000000L
   private val currQsPpm = Seq(250000L, 500000L, 750000L) // corpus_curriculum
   private val zoneFiles = 16                      // layout_zonemap_prune
@@ -763,6 +777,63 @@ object SparkEntry {
       val edges = fwd.union(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       PageRank.run(edges, "src", "dst", iters = 3)
+    }),
+
+    // foreign-key DISCOVERY (schema profiling, Rostin et al. 2009 class):
+    // for each candidate column pair, distinct counts, inclusion
+    // coefficient and parent-uniqueness — the real FKs score
+    // inclusion = 10^6 with a unique parent, the planted negative
+    // control does not; one distinct + left-join-count per candidate
+    "schema_fk_discovery" -> ((s, dir) => {
+      val rows = fkCandidates.map { case (ct, cc, pt, pc) =>
+        val child = t(s, dir, ct).select(col(cc).as("k")).distinct()
+        val parent = t(s, dir, pt).select(col(pc).as("k"))
+        val pd = parent.distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats = child
+          .join(pd.withColumn("_hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child_distinct"),
+            count(col("_hit")).as("n_matched"))
+          .crossJoin(broadcast(
+            pd.agg(count(lit(1)).as("n_parent_distinct"))))
+          .crossJoin(broadcast(parent.agg(count(lit(1)).as("parent_rows"))))
+        val row = stats.select(lit(s"$ct.$cc->$pt.$pc").as("candidate"),
+          col("n_child_distinct"), col("n_parent_distinct"),
+          col("parent_rows"), col("n_matched"),
+          Sampling.intDivExact(col("n_matched") * lit(1000000L),
+            greatest(col("n_child_distinct"), lit(1L)))
+            .as("inclusion_ppm"),
+          when(col("n_matched") === col("n_child_distinct") &&
+            col("n_parent_distinct") === col("parent_rows"), 1L)
+            .otherwise(0L).as("looks_fk"))
+          .transform(Frames.truncate) // eager: pd cache safe to drop after
+        pd.unpersist(false)
+        row
+      }
+      rows.reduce(_ unionByName _)
+    }),
+
+    // repeat-purchase profile: per customer exact order count + mean
+    // inter-order gap in µ-days (span // (n−1)), rolled up by order-count
+    // bucket — the TPC-H-side loyalty/cadence analysis
+    "orders_repeat_rate" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        Sampling.intDivExact(
+          unix_micros(col("o_orderdate").cast("timestamp")), lit(dayUs))
+          .as("d"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (max(col("d")) - min(col("d"))).as("_span"))
+        .select(col("n_orders"),
+          when(col("n_orders") > 1,
+            Sampling.intDivExact(col("_span") * lit(1000000L),
+              col("n_orders") - 1)).otherwise(lit(0L)).as("gap_us"))
+      per.groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"),
+          Sampling.intDivExact(sum(col("gap_us").cast(DecimalType(38, 0))),
+            count(lit(1))).as("mean_gap_days_us"),
+          min(col("gap_us")).as("min_gap_days_us"),
+          max(col("gap_us")).as("max_gap_days_us"))
     }),
 
     // ---- W3/W4: union-by-name + distinct with null-fill ------------------
@@ -5222,6 +5293,38 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql,
 
     "graph_communities" -> lpaOracleSql,
+
+    // fk discovery: legs generated from the SAME candidate list
+    "schema_fk_discovery" -> {
+      val legs = fkCandidates.map { case (ct, cc, pt, pc) =>
+        s"SELECT '$ct.$cc->$pt.$pc' AS candidate, " +
+          s"(SELECT count(DISTINCT $cc) FROM $ct) AS n_child_distinct, " +
+          s"(SELECT count(DISTINCT $pc) FROM $pt) AS n_parent_distinct, " +
+          s"(SELECT count(*) FROM $pt) AS parent_rows, " +
+          s"(SELECT count(*) FROM (SELECT DISTINCT $cc AS k FROM $ct) c " +
+          s"JOIN (SELECT DISTINCT $pc AS k FROM $pt) p USING (k)) AS n_matched"
+      }
+      "SELECT candidate, n_child_distinct, n_parent_distinct, parent_rows, " +
+        "n_matched, CAST((n_matched * 1000000) // greatest(n_child_distinct, 1) " +
+        "AS BIGINT) AS inclusion_ppm, " +
+        "CAST(CASE WHEN n_matched = n_child_distinct AND " +
+        "n_parent_distinct = parent_rows THEN 1 ELSE 0 END AS BIGINT) AS looks_fk " +
+        s"FROM (${legs.mkString(" UNION ALL ")})"
+    },
+
+    // repeat rate: day floors, span // (n−1), exact floor-means
+    "orders_repeat_rate" ->
+      ("WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS d " +
+        "FROM orders), " +
+        "per AS (SELECT o_custkey, count(*) AS n_orders, " +
+        "max(d) - min(d) AS span FROM o GROUP BY 1), " +
+        "g AS (SELECT n_orders, CASE WHEN n_orders > 1 THEN " +
+        "(span * 1000000) // (n_orders - 1) ELSE 0 END AS gap FROM per) " +
+        "SELECT n_orders, count(*) AS n_customers, " +
+        "CAST(CAST(sum(gap) AS HUGEINT) // count(*) AS BIGINT) AS mean_gap_days_us, " +
+        "CAST(min(gap) AS BIGINT) AS min_gap_days_us, " +
+        "CAST(max(gap) AS BIGINT) AS max_gap_days_us " +
+        "FROM g GROUP BY n_orders"),
 
     // sweep: the pair pipeline once at the loosest threshold, UNION ALL
     // legs with the same double-literal comparisons
