@@ -97,6 +97,11 @@ object SparkEntry {
   private val featHashD = 1024                    // text_feature_hashing
   private val bootReplicas = 32                   // corpus_bootstrap_ci
   private val annNprobes = Seq(1, 2, 4, 8)        // ann_nprobe_curve
+  // text_ndcg_eval: judgments exist only for this bounded doc-id pool —
+  // qrels are per-query-bounded by construction, which is RankEval's
+  // documented scale precondition (the ideal-DCG window partitions must
+  // never hold a corpus)
+  private val ndcgPoolMax = 100L
   private val sweepThresholds =                   // dedup_threshold_sweep
     Seq(0.25, 0.5, 0.75, 0.9)
   private val vadThresh = 16384L                  // media_audio_segments
@@ -786,9 +791,13 @@ object SparkEntry {
     // control does not; one distinct + left-join-count per candidate
     "schema_fk_discovery" -> ((s, dir) => {
       val rows = fkCandidates.map { case (ct, cc, pt, pc) =>
-        val child = t(s, dir, ct).select(col(cc).as("k")).distinct()
+        // NULL keys are excluded like SQL count(DISTINCT): a null child
+        // value is not a reference, and count(lit(1)) after distinct
+        // would otherwise count the null row the oracle doesn't
+        val child = t(s, dir, ct).select(col(cc).as("k"))
+          .filter(col("k").isNotNull).distinct()
         val parent = t(s, dir, pt).select(col(pc).as("k"))
-        val pd = parent.distinct()
+        val pd = parent.filter(col("k").isNotNull).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stats = child
           .join(pd.withColumn("_hit", lit(1)), Seq("k"), "left")
@@ -2332,7 +2341,7 @@ object SparkEntry {
         .unionByName(dt.select(col("term")).distinct()
           .agg(count(lit(1)).as("n_exact")).withColumn("source", lit("__all")))
       def exactDiv(num: Column, den: Column): Column =
-        ((num - pmod(num, den)) / den).cast("long")
+        Sampling.intDivExact(num, den)
       val out = est.join(exact, "source")
         .select(col("source"), col("n_exact"), col("zero_regs"),
           col("raw_est"), col("est"),
@@ -2524,7 +2533,11 @@ object SparkEntry {
           sum(when(member, 1L).otherwise(0L)).as(s"c$b"))
       } ++ Seq(sum(col("v").cast(DecimalType(38, 0))).as("fs"),
         count(lit(1)).as("fc"))
+      // truncate: wide (the 66-aggregate scan) feeds BOTH the ranked
+      // subtree and the final full-mean select — without it the whole
+      // scan re-executes per consumer (the hits() lesson)
       val wide = d.agg(repAggs.head, repAggs.tail: _*)
+        .transform(Frames.truncate)
       val stackExpr = s"stack($B, " + (0 until B)
         .map(b => s"CAST($b AS BIGINT), s$b, c$b").mkString(", ") +
         ") as (b, s, c)"
@@ -2784,8 +2797,9 @@ object SparkEntry {
 
     // common-neighbor link prediction on the undirected host graph:
     // wedge-join candidates under the per-node adjacency cap (cap binds
-    // on this graph and is mirrored in the oracle), true-degree Jaccard,
-    // total-order top-k
+    // on this graph and is mirrored in the oracle; cn is a capped-
+    // adjacency lower bound, only the Jaccard denominator is true
+    // degree), total-order top-k
     "graph_link_predict" -> ((s, dir) =>
       Graphs.linkPredict(domainEdges(s, dir), "src", "dst",
         maxNeighbors = linkPredictCap, topK = 20)),
@@ -2889,6 +2903,7 @@ object SparkEntry {
       val ranked = Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
         qs, "qid", "qtext", k = 10)
       val rels = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < ndcgPoolMax)
         .crossJoin(broadcast(qs.select(col("qid").as("query_id"))))
         .select(col("query_id"), col("doc_id"),
           pmod(col("doc_id") * 7 + col("query_id"), lit(4L)).as("rel"))
@@ -6816,7 +6831,7 @@ object SparkEntry {
       s"WITH ranked AS ($bm25TopkOracleSql), " +
         "rels AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id, " +
         "(d.doc_id * 7 + q.query_id) % 4 AS rel FROM documents d " +
-        "CROSS JOIN (VALUES (0), (1), (2)) q(query_id)), " +
+        s"CROSS JOIN (VALUES (0), (1), (2)) q(query_id) WHERE d.doc_id < $ndcgPoolMax), " +
         s"disc(dr, dmu) AS (VALUES $discVals), " +
         "tk AS (SELECT r.query_id, r.rank, COALESCE(rl.rel, 0) AS rel " +
         "FROM ranked r LEFT JOIN rels rl ON rl.query_id = r.query_id " +

@@ -115,9 +115,10 @@ object Graphs {
     * itself on the center node), never from all pairs. A hub of degree d
     * emits d² wedges, so each node's adjacency list is CAPPED at
     * `maxNeighbors` by deterministic order (smallest neighbor first —
-    * the hot-bucket cap rule; mirrored in oracles) before the join;
-    * Jaccard denominators still use TRUE degrees, so the cap only
-    * screens candidates, it never distorts a reported score. Existing
+    * the hot-bucket cap rule; mirrored in oracles) before the join.
+    * Common-neighbor counts are therefore computed over the CAPPED
+    * adjacency (a lower bound once the cap binds — the standard screen
+    * tradeoff); only the Jaccard DENOMINATOR uses true degrees. Existing
     * edges are removed with one left_anti against the (symmetric) edge
     * set; the global top-k has a total tie-break order.
     *

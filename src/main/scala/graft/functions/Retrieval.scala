@@ -284,10 +284,15 @@ object RankEval {
               k: Int): DataFrame = {
     require(k >= 1 && 1000000 % k == 0, s"k=$k must divide 10^6")
     val discArr = array(discountsMu(k).map(lit): _*)
+    // 2^rel − 1 on the ARGUMENT column (long shift, clamped at 62 so a
+    // malformed grade cannot wrap the shift); exact decimal floors via
+    // the shared Sampling kernel — a bare long/long divide runs through
+    // IEEE double and can round across the floor boundary past 2^53
     def gain(c: Column): Column =
-      expr(s"shiftleft(1, CAST($relCol AS INT))").cast("long") - lit(1L)
+      call_function("shiftleft", lit(1L),
+        least(c, lit(62L)).cast("int")) - lit(1L)
     def exactDiv(num: Column, den: Column): Column =
-      ((num - pmod(num, den)) / den).cast("long")
+      Sampling.intDivExact(num, den)
 
     val topk = ranked.filter(col(rankCol) <= k)
       .join(rels, Seq(queryCol, docCol), "left")

@@ -368,7 +368,10 @@ object Vocab {
       .select(col("_id"), size(col("_toks")).cast("long").as("_nt"),
         col("_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxId = d.agg(max(col("_id"))).head().getLong(0)
+    val maxIdRow = d.agg(max(col("_id"))).head()
+    require(!maxIdRow.isNullAt(0),
+      s"heapsFit: $idCol has no non-null rows (empty corpus?)")
+    val maxId = maxIdRow.getLong(0)
     val cuts = (1 to checkpoints).map(i => maxId * i / checkpoints)
 
     val tokAgg = d.agg(
