@@ -234,11 +234,14 @@ object SparkEntry {
   // corpus_robots_screen: per-host robots bodies — a decoy named-agent
   // group the star resolution must SKIP, mixed-case/lowercase directives,
   // a crawl delay, /private + /item-{h%3} disallows with an
-  // /item-{h%3}/ok allow override, an empty-value no-op Disallow, and a
-  // full "/" block on h%7==0 hosts. Frontier: four synthesized links per
-  // doc — partial-segment prefix hits (item-10 vs item-1, the REP
-  // subtlety), an always-blocked /private, the allow override, and an
-  // untouched /public path.
+  // /item-{h%3}/ok allow override, an empty-value no-op Disallow,
+  // RFC 9309 §2.2.3 wildcard rules (an anchored `/*.tmp$` disallow and a
+  // `/private/*/pub` allow that out-specifies the literal /private), and
+  // a full "/" block on h%7==0 hosts. Frontier: seven synthesized links
+  // per doc — partial-segment prefix hits (item-10 vs item-1, the REP
+  // subtlety), an always-blocked /private, the allow override, an
+  // untouched /public path, a .tmp (anchor fires), a .tmpx (anchor must
+  // NOT fire), and a /private/w{d}/pub (wildcard allow wins).
   private val robotsSitemapPre = "Sitemap: http://src" // || h ||
   private val robotsSitemapSuf = ".example.com/sitemap.xml\n"
   private val robotsHdr = "# graft politeness\nUser-agent: fetchbot\n" +
@@ -246,6 +249,8 @@ object SparkEntry {
   private val robotsMid = "\ndisallow: /private\nDisallow: /item-" // || h%3
   private val robotsAllowPre = "\nAllow: /item-"    // || h%3
   private val robotsAllowSuf = "/ok\nDisallow:\n"
+  private val robotsWild =
+    "Disallow: /*.tmp$\nAllow: /private/*/pub\n"
   private val robotsBlockAll = "Disallow: /\n"
 
   /** A string literal for DuckDB with embedded newlines spelled as
@@ -261,7 +266,7 @@ object SparkEntry {
     * matched_prefix)` and `rdelays(host, crawl_delay_s)`. */
   private def sqlRobotsScr: String =
     s"hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents), " +
-      s"rb AS (SELECT 'src' || h || '.example.com' AS host, ${sqlLit(robotsSitemapPre)} || h || ${sqlLit(robotsSitemapSuf)} || ${sqlLit(robotsHdr)} || (1 + h % 5) || ${sqlLit(robotsMid)} || (h % 3) || ${sqlLit(robotsAllowPre)} || (h % 3) || ${sqlLit(robotsAllowSuf)} || CASE WHEN h % 7 = 0 THEN ${sqlLit(robotsBlockAll)} ELSE '' END AS body FROM hosts), " +
+      s"rb AS (SELECT 'src' || h || '.example.com' AS host, ${sqlLit(robotsSitemapPre)} || h || ${sqlLit(robotsSitemapSuf)} || ${sqlLit(robotsHdr)} || (1 + h % 5) || ${sqlLit(robotsMid)} || (h % 3) || ${sqlLit(robotsAllowPre)} || (h % 3) || ${sqlLit(robotsAllowSuf)} || ${sqlLit(robotsWild)} || CASE WHEN h % 7 = 0 THEN ${sqlLit(robotsBlockAll)} ELSE '' END AS body FROM hosts), " +
       "rlines AS (SELECT host, unnest(string_split_regex(body, '\\r?\\n')) AS ln, generate_subscripts(string_split_regex(body, '\\r?\\n'), 1) AS pos FROM rb), " +
       "rpl AS (SELECT host, pos, trim(regexp_replace(ln, '#.*', '', 'g')) AS line FROM rlines), " +
       s"rdl AS (SELECT host, pos, lower(regexp_extract(line, '${Robots.DirectiveRe}', 1)) AS dir, trim(regexp_extract(line, '${Robots.ValueRe}', 1)) AS val FROM rpl), " +
@@ -270,13 +275,20 @@ object SparkEntry {
       "rgc AS (SELECT *, sum(starts) OVER (PARTITION BY host ORDER BY pos) AS gid FROM rgb), " +
       "rstar AS (SELECT DISTINCT host, gid FROM rgc WHERE is_ua = 1 AND val = '*'), " +
       "rrules AS (SELECT host, val AS prefix, CASE WHEN dir = 'allow' THEN 1 ELSE 0 END AS is_allow FROM rgc JOIN rstar USING (host, gid) WHERE gid > 0 AND dir IN ('allow', 'disallow') AND val <> ''), " +
+      // the engine's per-rule wildcard compile, RE2-for-RE2: trailing $
+      // anchors, specials escaped (replacement \\\1 = backslash + octet),
+      // * -> .* — byte-identical regex text to Robots.screen's
+      "rrx AS (SELECT host, prefix, is_allow, (contains(prefix, '*') OR ends_with(prefix, '$')) AS wild, '^' || replace(regexp_replace(CASE WHEN ends_with(prefix, '$') THEN substr(prefix, 1, len(prefix) - 1) ELSE prefix END, '([.\\[\\]{}()\\\\^$|?+])', '\\\\\\1', 'g'), '*', '.*') || CASE WHEN ends_with(prefix, '$') THEN '$' ELSE '' END AS rx FROM rrules), " +
       "rdelays AS (SELECT host, max(CAST(val AS BIGINT)) AS crawl_delay_s FROM rgc JOIN rstar USING (host, gid) WHERE dir = 'crawl-delay' AND regexp_matches(val, '^[0-9]+$') GROUP BY 1), " +
       "rf0 AS (SELECT unnest(['http://src' || (doc_id % 20) || '.example.com/item-' || (doc_id % 11) || '/x' || doc_id, " +
       "'http://src' || ((doc_id + 3) % 20) || '.example.com/private/p' || doc_id, " +
       "'http://src' || ((doc_id + 5) % 20) || '.example.com/item-' || (((doc_id + 5) % 20) % 3) || '/ok/p' || doc_id, " +
-      "'http://src' || (doc_id % 20) || '.example.com/public/' || doc_id]) AS url FROM documents), " +
+      "'http://src' || (doc_id % 20) || '.example.com/public/' || doc_id, " +
+      "'http://src' || (doc_id % 20) || '.example.com/files/f' || doc_id || '.tmp', " +
+      "'http://src' || ((doc_id + 7) % 20) || '.example.com/files/f' || doc_id || '.tmpx', " +
+      "'http://src' || ((doc_id + 3) % 20) || '.example.com/private/w' || doc_id || '/pub']) AS url FROM documents), " +
       s"rff AS (SELECT url, lower(regexp_extract(url, '${Urls.HostRe}', 1)) AS host, CASE WHEN regexp_extract(regexp_extract(url, '${Urls.RestRe}', 1), '^([^?]*)', 1) = '' THEN '/' ELSE regexp_extract(regexp_extract(url, '${Urls.RestRe}', 1), '^([^?]*)', 1) END AS path FROM rf0), " +
-      "rmm AS (SELECT rff.url, rff.host, r.prefix, r.is_allow, row_number() OVER (PARTITION BY rff.url ORDER BY len(r.prefix) DESC, r.is_allow DESC) AS rn FROM rff JOIN rrules r ON rff.host = r.host AND starts_with(rff.path, r.prefix)), " +
+      "rmm AS (SELECT rff.url, rff.host, r.prefix, r.is_allow, row_number() OVER (PARTITION BY rff.url ORDER BY len(r.prefix) DESC, r.is_allow DESC, r.prefix DESC) AS rn FROM rff JOIN rrx r ON rff.host = r.host AND ((NOT r.wild AND starts_with(rff.path, r.prefix)) OR (r.wild AND regexp_matches(rff.path, r.rx)))), " +
       "rbest AS (SELECT url, prefix, is_allow FROM rmm WHERE rn = 1), " +
       "scr AS (SELECT rff.url, rff.host, COALESCE(b.is_allow = 1, TRUE) AS allowed, b.prefix AS matched_prefix FROM rff LEFT JOIN rbest b ON rff.url = b.url)"
 
@@ -295,6 +307,7 @@ object SparkEntry {
           lit(robotsHdr), (lit(1) + h % 5).cast("string"),
           lit(robotsMid), (h % 3).cast("string"),
           lit(robotsAllowPre), (h % 3).cast("string"), lit(robotsAllowSuf),
+          lit(robotsWild),
           when(h % 7 === 0, lit(robotsBlockAll)).otherwise(lit("")))
           .as("body"))
     val d = col("doc_id")
@@ -306,7 +319,12 @@ object SparkEntry {
       u((d + 3) % 20, concat(lit("/private/p"), d.cast("string"))),
       u((d + 5) % 20, concat(lit("/item-"), (((d + 5) % 20) % 3).cast("string"),
         lit("/ok/p"), d.cast("string"))),
-      u(d % 20, concat(lit("/public/"), d.cast("string"))))).as("url"))
+      u(d % 20, concat(lit("/public/"), d.cast("string"))),
+      u(d % 20, concat(lit("/files/f"), d.cast("string"), lit(".tmp"))),
+      u((d + 7) % 20, concat(lit("/files/f"), d.cast("string"),
+        lit(".tmpx"))),
+      u((d + 3) % 20, concat(lit("/private/w"), d.cast("string"),
+        lit("/pub"))))).as("url"))
     (robots, frontier)
   }
   private val pprSeeds =                        // graph_ppr_seeds
@@ -3033,10 +3051,14 @@ object SparkEntry {
         .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
           sum(floor(col("o_totalprice") * lit(1000000d))
             .cast("decimal(38,0)")).cast("long").as("acctbal_us"))
+      // insert-leg keys live in the NEGATIVE key space: custkeys are
+      // positive at every SF, so -o_custkey can never collide with a
+      // real key or duplicate across the union (an additive offset
+      // would collide once custkeys exceed it — scale-safety rule)
       val updates = changed.select(col("o_custkey").as("c_custkey"),
           col("last_status"), col("acctbal_us"))
         .unionByName(changed.select(
-          (col("o_custkey") + lit(1000000L)).as("c_custkey"),
+          (-col("o_custkey")).as("c_custkey"),
           col("last_status"), lit(0L).as("acctbal_us")))
       Merge.upsert(target, updates, "c_custkey")
     }),
@@ -7293,7 +7315,7 @@ object SparkEntry {
         "CAST(sum(CAST(floor(o_totalprice * 1000000) AS HUGEINT)) AS BIGINT) AS acctbal_us " +
         "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01' GROUP BY 1), " +
         "up AS (SELECT * FROM up0 UNION ALL " +
-        "SELECT c_custkey + 1000000, last_status, 0 FROM up0) " +
+        "SELECT -c_custkey, last_status, 0 FROM up0) " +
         "SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey, " +
         "t.c_name, COALESCE(u.acctbal_us, t.acctbal_us) AS acctbal_us, " +
         "t.c_mktsegment, u.last_status " +

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * named-agent groups are parsed and skipped. `#` comments strip to end
   * of line; header names are case-insensitive; empty Allow/Disallow
   * values are no-ops; rules before any User-agent line are ignored.
-  * Matching is LITERAL path-prefix (the original REP rule) with RFC 9309
-  * resolution: the longest matching prefix decides, Allow wins a length
-  * tie, no match ⇒ allowed. `*`/`$` wildcards are out of scope —
-  * documented, not silently mis-matched: a rule value containing them is
-  * kept as a literal.
+  * Matching implements RFC 9309 §2.2.3 in full: a rule value is a
+  * path-prefix pattern where `*` matches any character sequence and a
+  * TRAILING `$` anchors end-of-path (`$` elsewhere is a literal octet);
+  * resolution picks the longest matching rule value (octet length of
+  * the raw value, wildcards included — the reference REP library's
+  * rule), Allow wins a length tie, no match ⇒ allowed. Wildcard-free
+  * rules take the cheap `startswith` path; wildcard rules compile once
+  * per rule (on the tiny per-host rules frame, not per frontier row)
+  * to an RE2-safe regex: specials escaped, `*`→`.*`, `^` start anchor.
   *
   * Scale shape: parsing is per-host window work over line positions
   * (robots bodies are small by definition — RFC 9309 requires parsers to
@@ -98,18 +102,37 @@ object Robots {
   /** Screen an outlink frontier against parsed rules: for each URL,
     * the longest rule prefix of its host that literally prefixes the
     * URL path decides (Allow wins a tie); no matching rule ⇒ allowed.
-    * Hosts with no robots rules allow everything.
+    * Hosts with no robots rules allow everything. Rule values carry
+    * RFC 9309 §2.2.3 wildcards: `*` matches any sequence, a trailing
+    * `$` anchors end-of-path; specificity is the RAW value's octet
+    * length, wildcards included.
     *
     * The rules aggregate to one array row per host (bounded by body
     * size) and broadcast to the frontier; the decision is a per-row
     * lexicographic `array_max` over (prefix length, is_allow) — struct
-    * ordering gives longest-then-allow exactly.
+    * ordering gives longest-then-allow exactly. Wildcard-free rules
+    * (the overwhelming majority in real files) match via `startswith`;
+    * only wildcard rules pay the regex.
     *
     * Output: frontier columns + (host, path, allowed BOOLEAN,
     * matched_prefix STRING nullable). */
   def screen(frontier: DataFrame, rules: DataFrame, urlCol: String): DataFrame = {
-    val byHost = rules.groupBy(col("host"))
-      .agg(collect_list(struct(col("prefix"), col("is_allow"))).as("_rules"))
+    // wildcard compilation rides the RULES frame (rows = rules, tiny),
+    // never the frontier: a trailing `$` anchors, every other regex
+    // special is escaped, `*` becomes `.*`, `^` pins the prefix start.
+    val anchored = endswith(col("prefix"), lit("$"))
+    val rxBody = regexp_replace(
+      when(anchored, expr("substring(prefix, 1, length(prefix) - 1)"))
+        .otherwise(col("prefix")),
+      "([.\\[\\]{}()\\\\^$|?+])", "\\\\$1")
+    val compiled = rules
+      .withColumn("wild", col("prefix").contains("*") || anchored)
+      .withColumn("rx", concat(lit("^"),
+        regexp_replace(rxBody, "\\*", ".*"),
+        when(anchored, lit("$")).otherwise(lit(""))))
+    val byHost = compiled.groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("is_allow"),
+        col("wild"), col("rx"))).as("_rules"))
     val withPath = frontier
       .withColumn("host", Urls.host(col(urlCol)))
       .withColumn("path", {
@@ -119,8 +142,11 @@ object Robots {
       })
     withPath.join(broadcast(byHost), Seq("host"), "left_outer")
       .withColumn("_m", filter(coalesce(col("_rules"),
-          array().cast("array<struct<prefix:string,is_allow:int>>")),
-        r => startswith(col("path"), r.getField("prefix"))))
+          array().cast(
+            "array<struct<prefix:string,is_allow:int,wild:boolean,rx:string>>")),
+        r => when(r.getField("wild"),
+            regexp_like(col("path"), r.getField("rx")))
+          .otherwise(startswith(col("path"), r.getField("prefix")))))
       .withColumn("_best", array_max(transform(col("_m"),
         r => struct(length(r.getField("prefix")).as("l"),
           r.getField("is_allow").as("a"),
@@ -148,16 +174,19 @@ object Robots {
     * the host's crawl delay (`seq · delay`). One window per host — the
     * partition key IS the politeness domain, so the sort is local to
     * each host's own queue and the plan scales with hosts, not with the
-    * frontier. Blocked URLs never enter the queue.
-    * Output: (host, url, fetch_seq, offset_s). */
-  def fetchSchedule(screened: DataFrame, delays: DataFrame): DataFrame = {
+    * frontier. Blocked URLs never enter the queue. `urlCol` names the
+    * frontier's URL column, mirroring [[screen]]'s parameterization —
+    * the two form a pipeline and must agree.
+    * Output: (host, <urlCol>, fetch_seq, offset_s). */
+  def fetchSchedule(screened: DataFrame, delays: DataFrame,
+      urlCol: String = "url"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host")).orderBy(col("url"))
+      .partitionBy(col("host")).orderBy(col(urlCol))
     screened.filter(col("allowed"))
       .join(delays, Seq("host"), "left_outer")
       .withColumn("crawl_delay_s", coalesce(col("crawl_delay_s"), lit(0L)))
       .withColumn("fetch_seq", (row_number().over(w) - 1).cast("long"))
-      .select(col("host"), col("url"), col("fetch_seq"),
+      .select(col("host"), col(urlCol), col("fetch_seq"),
         (col("fetch_seq") * col("crawl_delay_s")).as("offset_s"))
   }
 }

@@ -73,7 +73,7 @@ object EventStream {
       val p = new org.apache.hadoop.fs.Path(dir, glob)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.exists(p) && fs.getFileStatus(p).isDirectory
-    } catch { case _: Throwable => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
     if (isDir)
       spark.readStream.schema(schema)
         .parquet(new org.apache.hadoop.fs.Path(dir, glob).toString)

@@ -48,6 +48,55 @@ class RobotsSpec extends SparkSpec {
     assert(s("http://h.example.com/item-2/x")._1)
   }
 
+  test("RFC 9309 wildcards: * matches any sequence, trailing $ anchors " +
+      "end-of-path") {
+    val body = "User-agent: *\nDisallow: /*.tmp$\nDisallow: /dl/*/x\n"
+    val s = screenOf(body, Seq(
+      "http://h.example.com/files/a.tmp",  // ends .tmp → blocked
+      "http://h.example.com/files/a.tmpx", // $ anchor fails → allowed
+      "http://h.example.com/dl/v1/x",      // mid-path * → blocked
+      "http://h.example.com/dl/v1/y"))
+    assert(!s("http://h.example.com/files/a.tmp")._1)
+    assert(s("http://h.example.com/files/a.tmp")._2.contains("/*.tmp$"))
+    assert(s("http://h.example.com/files/a.tmpx")._1)
+    assert(!s("http://h.example.com/dl/v1/x")._1)
+    assert(s("http://h.example.com/dl/v1/y")._1)
+  }
+
+  test("wildcard Allow beats a shorter literal Disallow; regex specials " +
+      "in rule values stay literal octets") {
+    val body = "User-agent: *\nDisallow: /private\n" +
+      "Allow: /private/*/pub\nDisallow: /a(b)\n"
+    val s = screenOf(body, Seq(
+      "http://h.example.com/private/x",
+      "http://h.example.com/private/u1/pub",
+      "http://h.example.com/a(b)/c",   // parens are literal
+      "http://h.example.com/ab/c"))    // must NOT match /a(b)
+    assert(!s("http://h.example.com/private/x")._1)
+    assert(s("http://h.example.com/private/u1/pub")._1)
+    assert(!s("http://h.example.com/a(b)/c")._1)
+    assert(s("http://h.example.com/ab/c")._1)
+  }
+
+  test("specificity counts wildcard octets; Allow wins the exact tie") {
+    // "/p*" and "/pq" are both 3 octets: on /pq/x both match → tie →
+    // Allow wins; on /pr/x only the wildcard matches → blocked
+    val body = "User-agent: *\nDisallow: /p*\nAllow: /pq\n"
+    val s = screenOf(body, Seq(
+      "http://h.example.com/pq/x",
+      "http://h.example.com/pr/x"))
+    assert(s("http://h.example.com/pq/x")._1)
+    assert(!s("http://h.example.com/pr/x")._1)
+  }
+
+  test("'/$' blocks exactly the root and nothing else") {
+    val s = screenOf("User-agent: *\nDisallow: /$\n", Seq(
+      "http://h.example.com",      // path '/' → blocked
+      "http://h.example.com/x"))   // longer → allowed
+    assert(!s("http://h.example.com")._1)
+    assert(s("http://h.example.com/x")._1)
+  }
+
   test("rules before any User-agent line and empty-value rules are " +
       "no-ops; a host with no rules allows everything") {
     val s = screenOf("Disallow: /\nUser-agent: *\nDisallow:\n", Seq(
