@@ -806,25 +806,37 @@ object SparkEntry {
     // for each candidate column pair, distinct counts, inclusion
     // coefficient and parent-uniqueness — the real FKs score
     // inclusion = 10^6 with a unique parent, the planted negative
-    // control does not; one distinct + left-join-count per candidate
+    // control does not. ONE unioned plan for all candidates (a
+    // candidate tag rides every row), not a job per candidate: the
+    // contended-hour bench showed sequential small jobs absorb
+    // scheduler stalls multiplicatively, and the union shapes are
+    // identical so Spark runs the whole profile as one job set
     "schema_fk_discovery" -> ((s, dir) => {
-      val rows = fkCandidates.map { case (ct, cc, pt, pc) =>
-        // NULL keys are excluded like SQL count(DISTINCT): a null child
-        // value is not a reference, and count(lit(1)) after distinct
-        // would otherwise count the null row the oracle doesn't
-        val child = t(s, dir, ct).select(col(cc).as("k"))
-          .filter(col("k").isNotNull).distinct()
-        val parent = t(s, dir, pt).select(col(pc).as("k"))
-        val pd = parent.filter(col("k").isNotNull).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val stats = child
-          .join(pd.withColumn("_hit", lit(1)), Seq("k"), "left")
-          .agg(count(lit(1)).as("n_child_distinct"),
-            count(col("_hit")).as("n_matched"))
-          .crossJoin(broadcast(
-            pd.agg(count(lit(1)).as("n_parent_distinct"))))
-          .crossJoin(broadcast(parent.agg(count(lit(1)).as("parent_rows"))))
-        val row = stats.select(lit(s"$ct.$cc->$pt.$pc").as("candidate"),
+      // NULL keys are excluded like SQL count(DISTINCT): a null child
+      // value is not a reference. Keys cast to long to unify the union
+      // schema (all TPC-H keys are integral).
+      val children = fkCandidates.map { case (ct, cc, pt, pc) =>
+        t(s, dir, ct).select(lit(s"$ct.$cc->$pt.$pc").as("candidate"),
+          col(cc).cast("long").as("k")).filter(col("k").isNotNull)
+      }.reduce(_ unionByName _).distinct()
+      val parents = fkCandidates.map { case (ct, cc, pt, pc) =>
+        t(s, dir, pt).select(lit(s"$ct.$cc->$pt.$pc").as("candidate"),
+          col(pc).cast("long").as("k"))
+      }.reduce(_ unionByName _)
+      // per-candidate parent profile: total rows (nulls included) and
+      // distinct non-null keys — 8 groups, one aggregation
+      val parentStats = parents.groupBy(col("candidate"))
+        .agg(count(lit(1)).as("parent_rows"),
+          count_distinct(col("k")).as("n_parent_distinct"))
+      val parentDistinct = parents.filter(col("k").isNotNull).distinct()
+      children
+        .join(parentDistinct.withColumn("_hit", lit(1)),
+          Seq("candidate", "k"), "left")
+        .groupBy(col("candidate"))
+        .agg(count(lit(1)).as("n_child_distinct"),
+          count(col("_hit")).as("n_matched"))
+        .join(broadcast(parentStats), Seq("candidate"))
+        .select(col("candidate"),
           col("n_child_distinct"), col("n_parent_distinct"),
           col("parent_rows"), col("n_matched"),
           Sampling.intDivExact(col("n_matched") * lit(1000000L),
@@ -833,11 +845,6 @@ object SparkEntry {
           when(col("n_matched") === col("n_child_distinct") &&
             col("n_parent_distinct") === col("parent_rows"), 1L)
             .otherwise(0L).as("looks_fk"))
-          .transform(Frames.truncate) // eager: pd cache safe to drop after
-        pd.unpersist(false)
-        row
-      }
-      rows.reduce(_ unionByName _)
     }),
 
     // repeat-purchase profile: per customer exact order count + mean
