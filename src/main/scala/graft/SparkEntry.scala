@@ -2354,12 +2354,20 @@ object SparkEntry {
     "vocab_hll" -> ((s, dir) => {
       val terms = t(s, dir, "documents")
         .select(col("source"), explode(docTokens(col("text"))).as("term"))
-      val regs = Hll.registers(terms, "term", Seq("source"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val allRegs = Hll.merged(regs, "source", "__all")
-      val est = Hll.estimate(
-        regs.unionByName(allRegs.select(regs.columns.map(col): _*)),
-        Seq("source"))
+      // ONE pass, ONE hash aggregate: the graft_hll_regs
+      // TypedImperativeAggregate folds terms into m-byte register
+      // buffers map-side (no distinct, no (group, reg) shuffle) and
+      // rollup's grand-total group IS the '__all' merged sketch —
+      // mergeability for free via the partial-agg contract
+      val regs = terms
+        .rollup(col("source"))
+        .agg(Hll.sketchAgg("term").as("_regs"),
+          grouping(col("source")).as("_gt")) // grouping() only resolves
+        .select(                             // inside the Aggregate
+          when(col("_gt") === 1, lit("__all"))
+            .otherwise(col("source")).as("source"),
+          col("_regs"))
+      val est = Hll.estimateFromRegs(regs, "_regs")
       val dt = terms.distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = dt.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
@@ -2373,7 +2381,6 @@ object SparkEntry {
           exactDiv(abs(col("est") - col("n_exact")) * lit(1000000L),
             col("n_exact")).as("err_ppm"))
         .transform(Frames.truncate)
-      regs.unpersist(false)
       dt.unpersist(false)
       out
     }),

@@ -44,5 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_regs"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_regs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_hll_regs takes exactly 2 arguments (hash60, m)")
+        HllSketchAgg(children.head, children(1))
+          .toAggregateExpression()
+      }))
   }
 }

@@ -119,4 +119,42 @@ object Hll {
         element_at(lcArr, col("zero_regs").cast("int")))
         .otherwise(raw).as("est")): _*)
   }
+
+  /** The sketch as a Column: graft's [[graft.expressions.HllSketchAgg]]
+    * TypedImperativeAggregate over the shared md5 60-bit hash — a TRUE
+    * partial aggregate whose buffer is the m-byte register array, so the
+    * shuffle carries one blob per group (vs [[registers]]'s up-to-m rows)
+    * and no pre-`distinct` is needed (duplicates cannot raise a register
+    * max). Register values are bit-identical to [[registers]] — pinned by
+    * `HllSketchSpec`. Requires the `GraftExtensions` session extension. */
+  def sketchAgg(termCol: String, m: Int = 64): org.apache.spark.sql.Column = {
+    requireM(m)
+    call_function("graft_hll_regs",
+      Dedup.Md5Hasher(col(termCol).cast("string")), lit(m))
+  }
+
+  /** Estimates from a per-group register ARRAY column (what [[sketchAgg]]
+    * evals to): the same integer estimator as [[estimate]], computed as a
+    * per-row fold over the m-element array — the HOF-interpreted cost
+    * rides GROUP rows, not corpus rows. Appends (zero_regs, raw_est, est);
+    * bit-identical outputs to [[estimate]] on equal registers. */
+  def estimateFromRegs(regs: DataFrame, regsCol: String,
+                       m: Int = 64): DataFrame = {
+    requireM(m)
+    val lcArr = array(linearCountingTable(m).map(lit): _*)
+    val s = expr(s"aggregate($regsCol, CAST(0 AS BIGINT), " +
+      s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), $RhoCap - r))")
+    val zeros = expr(s"CAST(size(filter($regsCol, r -> r = 0)) AS BIGINT)")
+    val aNum = lit(alphaNumerator(m)).cast(DecimalType(38, 0))
+    val withS = regs.withColumn("zero_regs", zeros)
+      .withColumn("_s", s.cast(DecimalType(38, 0)))
+    val raw = ((aNum - pmod(aNum, col("_s"))) / col("_s")).cast("long")
+    withS
+      .withColumn("raw_est", raw)
+      .withColumn("est",
+        when(col("raw_est") <= lit(5L * m / 2) && col("zero_regs") > 0,
+          element_at(lcArr, col("zero_regs").cast("int")))
+          .otherwise(col("raw_est")))
+      .drop("_s", regsCol)
+  }
 }
