@@ -1357,6 +1357,15 @@ object SparkEntry {
       Dedup.stripSharedSpans(t(s, dir, "documents"), "doc_id", "text",
         n = 5, hasher = Dedup.Md5Hasher)),
 
+    // EXACT substring dedup (Lee et al. 2022 ExactSubstr semantics), the
+    // audit-grade companion to dedup_substring: maximal covered runs with
+    // exact token extents, from fixed-depth suffix-prefix buckets keyed
+    // by FULL md5 (no 60-bit screen); corpus-wide occurrence counts, so
+    // intra-doc verbatim repeats count as duplication
+    "dedup_substring_exact" -> ((s, dir) =>
+      Dedup.exactSubstrRuns(t(s, dir, "documents"), "doc_id", "text",
+        minLen = 5)),
+
     // content-defined chunking (rsync/LBFS, Muthitacharoen et al.
     // SOSP'01): variable chunks cut where the rolling 3-token hash ≡ 0
     // mod 16, so boundaries move with the content and near-identical
@@ -5312,6 +5321,24 @@ object SparkEntry {
         "COALESCE(n_shared, 0) AS n_shared, " +
         "round(CASE WHEN COALESCE(n_chunks, 0) > 0 THEN COALESCE(n_shared, 0)::DOUBLE / n_chunks ELSE 0.0 END, 6) AS shared_ratio " +
         "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN per USING (doc_id)"),
+
+    // exact-substring runs: same positioned windows keyed by FULL md5,
+    // occurrence (not doc) counts, then textbook island detection over
+    // duplicated window starts — gap > 5 opens a new run; run_len =
+    // last_start − first_start + 5 (union of length-5 intervals)
+    "dedup_substring_exact" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "wins AS (SELECT doc_id, i - 1 AS p, " +
+        "md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) AS h " +
+        "FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)), " +
+        "dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2), " +
+        "st AS (SELECT doc_id, p FROM wins JOIN dup USING (h)), " +
+        "g AS (SELECT doc_id, p, CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 5 THEN 1 ELSE 0 END AS nw " +
+        "FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY p)), " +
+        "r AS (SELECT doc_id, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS run FROM g) " +
+        "SELECT doc_id, CAST(min(p) AS BIGINT) AS run_start, " +
+        "CAST(max(p) - min(p) + 5 AS BIGINT) AS run_len, " +
+        "count(*) AS n_dup_windows FROM r GROUP BY doc_id, run"),
 
     // positioned windows → shared-window doc-frequency set → covered
     // position sets (range(p, p+5), end-exclusive ≡ the engine's

@@ -918,6 +918,65 @@ object Dedup {
         size(col("_cov")).cast("long").as("n_removed"))
   }
 
+  /** EXACT substring-duplication runs — the audit-grade companion to
+    * [[substringDupReport]] (the same relationship `prefixFilterJaccardPairs`
+    * bears to the capped LSH screen): per document, every MAXIMAL span
+    * covered by corpus-duplicated substrings of ≥ `minLen` tokens, with
+    * its exact token extent. Lee et al. 2022's ExactSubstr semantics:
+    * a position is covered iff some length-`minLen` substring through it
+    * occurs ≥ 2 times ANYWHERE in the corpus (intra-document repeats
+    * count — they are still verbatim duplication), and the removal/report
+    * unit is the union of covered intervals. That union is computed
+    * EXACTLY from fixed-depth suffix buckets: bucketing every suffix by
+    * its depth-`minLen` token prefix and keeping buckets of size ≥ 2 is
+    * precisely "some duplicated substring of length ≥ minLen starts
+    * here" — a repeated substring of length ℓ ≥ minLen contains a
+    * repeated depth-minLen prefix at each of its first ℓ−minLen+1
+    * positions, so maximal covered intervals (and their lengths, which
+    * the windowed report cannot see past its fixed n) are recovered
+    * without materializing full suffixes or an LCP array.
+    *
+    * Exactness: bucket keys are FULL 128-bit md5 hex of the window text
+    * (not the 60-bit screening prefix) — cross-engine recomputable and
+    * collision-free at any realistic corpus size.
+    *
+    * Scale shape: one posexplode (linear in tokens), one partial-agg'd
+    * occurrence count, one semi-join back (hot boilerplate windows are
+    * join skew — AQE splits them), then island detection per document
+    * (window partitioned BY DOC, sorted by position — the per-doc frame
+    * is bounded by doc length). Nothing pairwise, nothing quadratic.
+    *
+    * Output: one row per maximal run — (idCol, run_start, run_len,
+    * n_dup_windows); documents with no covered span are absent. */
+  def exactSubstrRuns(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val wins = toks.select(col(idCol),
+        posexplode(TextFunctions.tokenNgrams(col("_toks"), minLen))
+          .as(Seq("_p", "_w")))
+      .withColumn("_h", md5(col("_w"))).drop("_w")
+    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2).select(col("_h"))
+    val starts = wins.join(dup, Seq("_h")).select(col(idCol), col("_p"))
+    // union of length-minLen intervals sorted by start: starts p, p'
+    // share an island iff p' − p ≤ minLen (overlap or touch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_p"))
+    starts
+      .withColumn("_gap", col("_p") - lag(col("_p"), 1).over(w))
+      .withColumn("_new",
+        when(col("_gap").isNull || col("_gap") > minLen, 1).otherwise(0))
+      .withColumn("_run", sum(col("_new")).over(w))
+      .groupBy(col(idCol), col("_run"))
+      .agg(min(col("_p")).cast("long").as("run_start"),
+        (max(col("_p")) - min(col("_p")) + minLen).cast("long")
+          .as("run_len"),
+        count(lit(1)).as("n_dup_windows"))
+      .select(col(idCol), col("run_start"), col("run_len"),
+        col("n_dup_windows"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
     * algorithm): hash every word n-gram, then keep the MINIMUM hash of
