@@ -1984,6 +1984,22 @@ object SparkEntry {
         "qid", "qv", k = 5, bits = 8, dim = 64, multiProbe = true)
     }),
 
+    // graph-based ANN: deterministic NN-descent k-NN graph (LSH-bucket
+    // init in md5 order, 2 unrolled neighbor-of-neighbor rounds, md5
+    // reverse caps, id tie-breaks) — the graph is built for the WHOLE
+    // corpus (that is the artifact at scale); the probe rows < 8 are
+    // what the oracle re-derives and recall is measured in AnnGraphSpec
+    "ann_graph_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.nnDescentGraph(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv", k = 5, rounds = 2, bits = 4, dim = 64,
+        initWindow = 4)
+        .filter(col("node_id") < 8)
+        .select(col("node_id").as("query_id"), col("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     // recall@5 evaluation: multi-probe LSH vs exact brute force — the
     // tuning loop for every ANN knob, itself exactly oracle-checked
     // recall-vs-nprobe tradeoff curve for the anchor-mode IVF index: one
@@ -4131,6 +4147,40 @@ object SparkEntry {
       "ORDER BY sim DESC, nid) AS rn FROM s) WHERE rn <= 5"
   }
 
+  /** DuckDB unroll of `Similarity.nnDescentGraph` (k=5, rounds=2,
+    * bits=4, dim=64, initWindow=4): same md5-ordered bucket init, same
+    * md5-capped reverse edges, same neighbor-of-neighbor expansion and
+    * (sim DESC, id ASC) top-k cuts — the PageRank fixed-rounds oracle
+    * pattern applied to a graph build. */
+  private def annGraphOracleSql: String = {
+    val (planeCols, bucketExpr) = rhpSqlParts(4, 64)
+    val simExpr = "list_sum(list_transform(range(1, 65), " +
+      "d -> x.v[d]::DOUBLE * y.v[d]::DOUBLE)) / (x.n * y.n)"
+    def roundCtes(r: Int): String = {
+      val prev = s"g${r - 1}"
+      s"rev$r AS (SELECT node, nbr FROM (SELECT g.nbr AS node, g.node AS nbr, " +
+        s"row_number() OVER (PARTITION BY g.nbr ORDER BY ${sqlMd5Long("g.node::VARCHAR")}, g.node) AS rr FROM $prev g) WHERE rr <= 5), " +
+        s"rel$r AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM $prev UNION ALL SELECT node, nbr FROM rev$r)), " +
+        s"non$r AS (SELECT r1.node, r2.nbr FROM rel$r r1 JOIN rel$r r2 ON r1.nbr = r2.node WHERE r1.node <> r2.nbr), " +
+        s"cand$r AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM non$r UNION ALL SELECT node, nbr FROM $prev)), " +
+        s"sc$r AS (SELECT c.node, c.nbr, $simExpr AS sim FROM cand$r c JOIN b x ON x.id = c.node JOIN b y ON y.id = c.nbr), " +
+        s"g$r AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc$r) WHERE rn <= 5)"
+    }
+    s"WITH pl AS (SELECT $planeCols), " +
+      "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+      s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
+      "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
+      "FROM v0, pl), " +
+      s"ordd AS (SELECT bucket, id, row_number() OVER (PARTITION BY bucket ORDER BY ${sqlMd5Long("id::VARCHAR")}, id) AS rn FROM b), " +
+      "fwd AS (SELECT a.id AS node, c.id AS nbr FROM ordd a JOIN ordd c ON a.bucket = c.bucket AND c.rn - a.rn BETWEEN 1 AND 4), " +
+      "cand0 AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM fwd UNION ALL SELECT nbr AS node, node AS nbr FROM fwd)), " +
+      s"sc0 AS (SELECT c.node, c.nbr, $simExpr AS sim FROM cand0 c JOIN b x ON x.id = c.node JOIN b y ON y.id = c.nbr), " +
+      "g0 AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc0) WHERE rn <= 5), " +
+      roundCtes(1) + ", " + roundCtes(2) + " " +
+      "SELECT node AS query_id, CAST(rn AS INTEGER) AS rank, nbr AS neighbor_id, round(sim, 6) AS sim " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM g2) WHERE node < 8"
+  }
+
   /** Mirror of the md5-hasher `dedup_minhash_lsh` query: md5-prefix long
     * per shingle, the 64-function LCG family (constants from
     * Dedup.Md5Hasher.saltConsts baked into the SQL text), md5-hashed band
@@ -5808,6 +5858,8 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
 
     "ann_lsh_topk" -> annLshOracleSql,
+
+    "ann_graph_topk" -> annGraphOracleSql,
 
     // same RHP bucket join + pair CTE as dedup_embedding_lsh, then the
     // corpus_split md5 bucket per endpoint, normalized to an unordered

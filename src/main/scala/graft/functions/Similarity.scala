@@ -615,4 +615,96 @@ object Similarity {
           (count(lit(1)) - clean).cast("decimal(38,0)") * lit(1000000L),
           count(lit(1)).cast("decimal(38,0)")).as("noise_ppm"))
   }
+
+  /** Deterministic NN-descent k-NN GRAPH (Dong, Moses & Li, WWW'11) —
+    * the neighbor-graph ANN family member: build every point's top-k
+    * cosine neighbors by iterative neighbor-of-neighbor refinement,
+    * the approach that wins the high-recall regime where cell/bucket
+    * methods (IVF/LSH) must over-probe.
+    *
+    * Determinized for the differential oracle (the PageRank/k-means
+    * precedent — bounded unrollable rounds, explicit tie-breaks):
+    *   - init: LSH buckets ([[rhpSignature]]); within each bucket,
+    *     members sort by (md5(id), id) and each links to the next
+    *     `initWindow` members (both directions) — ≤ initWindow
+    *     candidates per point per side, never the quadratic bucket.
+    *   - round: reverse edges capped at k per target in (md5, id)
+    *     order (the reverse-sample of the paper, determinized), then
+    *     candidates = neighbors-of-neighbors ∪ current edges, rescored
+    *     and cut to top-k by (sim DESC, id ASC).
+    *   - `rounds` is FIXED (not convergence-tested) so an oracle can
+    *     unroll the identical computation.
+    *
+    * Scale shape: every stage is bounded per node — init ≤ 2·initWindow
+    * edges, rounds join ≤ 2k-degree relations so candidates ≤ 4k² per
+    * node — and the per-node top-k windows run on frames bounded by
+    * construction (no salting needed, unlike corpus-wide top-k). Each
+    * round persists + truncates lineage ([[Frames.truncate]]).
+    *
+    * Output: one row per graph edge — (node_id, rank, neighbor_id,
+    * sim), rank 1..k by descending cosine. */
+  def nnDescentGraph(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, rounds: Int, bits: Int, dim: Int,
+                     initWindow: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    require(initWindow >= 1, "initWindow must be >= 1")
+    val b = corpus.select(col(idCol).as("_nid"), col(vecCol).as("_nv"))
+      .withColumn("_nn", norm(col("_nv")))
+      .withColumn("_bucket", rhpSignature(col("_nv"), bits, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(b.select(col("_nid").as("node"), col("_nv").as("_v1"),
+        col("_nn").as("_n1")), Seq("node"))
+      .join(b.select(col("_nid").as("nbr"), col("_nv").as("_v2"),
+        col("_nn").as("_n2")), Seq("nbr"))
+      .withColumn("sim", cosinePrenormed(col("_v1"), col("_v2"),
+        col("_n1"), col("_n2")))
+      .select(col("node"), col("nbr"), col("sim"))
+
+    val wNode = Window.partitionBy(col("node"))
+      .orderBy(col("sim").desc, col("nbr").asc)
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("_r", row_number().over(wNode))
+      .filter(col("_r") <= k).drop("_r")
+
+    val wBucket = Window.partitionBy(col("_bucket"))
+      .orderBy(Dedup.Md5Hasher(col("_nid").cast("string")), col("_nid"))
+    val ord = b.select(col("_bucket"), col("_nid"))
+      .withColumn("_rn", row_number().over(wBucket))
+    val fwd = ord
+      .join(ord.select(col("_bucket"), col("_rn").as("_rn2"),
+        col("_nid").as("_nid2")), Seq("_bucket"))
+      .filter((col("_rn2") - col("_rn")).between(1, initWindow))
+      .select(col("_nid").as("node"), col("_nid2").as("nbr"))
+    val initPairs = fwd
+      .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct()
+
+    var g = Frames.truncate(topK(score(initPairs)))
+    (1 to rounds).foreach { _ =>
+      val rev = g.select(col("nbr").as("node"), col("node").as("nbr"))
+        .withColumn("_r", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(Dedup.Md5Hasher(col("nbr").cast("string")), col("nbr"))))
+        .filter(col("_r") <= k).drop("_r")
+      val rel = g.select(col("node"), col("nbr")).unionByName(rev).distinct()
+      val non = rel.select(col("node"), col("nbr").as("_mid"))
+        .join(rel.select(col("node").as("_mid"), col("nbr").as("_cand")),
+          Seq("_mid"))
+        .filter(col("node") =!= col("_cand"))
+        .select(col("node"), col("_cand").as("nbr"))
+      val cand = non.unionByName(g.select(col("node"), col("nbr"))).distinct()
+      val next = Frames.truncate(topK(score(cand)))
+      g.unpersist(false)
+      g = next
+    }
+    val out = g
+      .withColumn("rank", row_number().over(wNode))
+      .select(col("node").as("node_id"), col("rank"), col("nbr")
+        .as("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .transform(Frames.truncate)
+    b.unpersist(false)
+    out
+  }
 }
