@@ -88,6 +88,17 @@ object Bench {
         spark.catalog.clearCache()
       } catch { case _: Throwable => () }
     }
+    // the pinned-clean map is read BEFORE the sweep: it both caps sweep
+    // reps (below) and ranks the reserved re-time pass
+    val cleanPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN",
+      "BENCH_CLEAN.json")
+    val cleanMap: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(cleanPath)), "UTF-8")
+      val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)""".r
+      pair.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
     val suiteStart = System.nanoTime()
     def elapsedSecs: Double = (System.nanoTime() - suiteStart) / 1e9
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -95,9 +106,21 @@ object Bench {
       try exhaust(fn, sfDir) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // SWEEP-REP CAP: a first rep reading > 5× its pinned clean time is a
+    // stall, and repeating a stalled query inside the same contended
+    // window mostly measures the stall again (BENCH_r08: one query read
+    // 130 s against a 4.5 s clean pin and its second rep burned budget the
+    // re-time pass then lacked). Skip its remaining reps and DEFER it to
+    // the reserved re-time pass, which runs under a fresh session.
+    val mustRetime = collection.mutable.Set.empty[String]
     val firstPass = selected.map { case (name, fn) =>
       val overBudget = elapsedSecs > sweepBudget
-      val times = (0 until (if (overBudget) 1 else reps)).map(_ => timeOnce(fn))
+      val t1 = timeOnce(fn)
+      val stalled = cleanMap.get(name).exists(c => c > 0.05 && t1 > 5.0 * c)
+      if (stalled) mustRetime += name
+      val times =
+        if (overBudget || stalled) Seq(t1)
+        else t1 +: (1 until reps).map(_ => timeOnce(fn))
       resetSessionState()
       name -> times.min
     }
@@ -117,9 +140,38 @@ object Bench {
     // full pass improves nothing by >20%.
     var results = collection.mutable.LinkedHashMap(firstPass.toSeq: _*)
     val retimed = collection.mutable.Map.empty[String, Int]
-    if (elapsedSecs + 10.0 < budgetSecs && results.nonEmpty) {
+    // RESERVED RE-TIME: the opportunistic loop below is gated on budget
+    // left over, which is zero on exactly the hours that need it most
+    // (BENCH_r08 shipped retimed:0 with 10–29× inflated tails because the
+    // contended sweep alone blew the 420 s budget). So the top movers
+    // vs the pinned clean map ALWAYS get one fresh-session re-time, even
+    // past budget — bounded extra wall: at most RESERVE_SECS. Movers
+    // rank by t/clean (deferred stalls first; queries absent from the
+    // clean map rank by raw seconds so new heavy queries still qualify).
+    if (results.nonEmpty) {
       spark.stop()
       spark = makeSession()
+      val reserveSecs = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_RESERVE_SECS", "75").toDouble
+      val reserveK = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_RESERVE_K", "10").toInt
+      def moverScore(name: String, t: Double): Double =
+        (if (mustRetime(name)) 1e9 else 0.0) +
+          cleanMap.get(name).filter(_ > 0.05).map(t / _).getOrElse(t)
+      val reserveStart = elapsedSecs
+      val movers = results.toSeq
+        .map { case (n, t) => (n, t, moverScore(n, t)) }
+        .filter { case (_, t, s) => t > 0.5 && s >= 1.5 }
+        .sortBy(-_._3).take(reserveK)
+      for ((name, cur, _) <- movers
+           if elapsedSecs - reserveStart < reserveSecs) {
+        val t = timeOnce(selected(name))
+        resetSessionState()
+        retimed(name) = retimed.getOrElse(name, 0) + 1
+        if (t < cur) results(name) = t
+      }
+    }
+    if (elapsedSecs + 10.0 < budgetSecs && results.nonEmpty) {
       var improving = true
       var budgetLeft = true
       while (improving && budgetLeft) {
@@ -155,21 +207,14 @@ object Bench {
     // reference was measured deep in a warm 222-query session, so a
     // small BENCH_ONLY subset (cold JIT, first-query listing costs)
     // reads 1.5-2× against it even on an idle box.
-    val cleanPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN",
-      "BENCH_CLEAN.json")
-    val medianVsClean: Option[Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(cleanPath)), "UTF-8")
-      val pair = """"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)""".r
-      val clean = pair.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val medianVsClean: Option[Double] = {
       val ratios = results.toSeq.collect {
-        case (name, t) if clean.get(name).exists(_ > 0.05) =>
-          t / clean(name)
+        case (name, t) if cleanMap.get(name).exists(_ > 0.05) =>
+          t / cleanMap(name)
       }.sorted
       if (ratios.size < 10) None
       else Some(ratios(ratios.size / 2))
-    } catch { case _: Throwable => None }
+    }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would corrupt the JSON
     def fmt(v: Double): String =
