@@ -5,9 +5,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def makeSession(): SparkSession = {
+      // initialPartitionNum >> cpus: shuffles START fine-grained so big-SF
+      // stages never pin a whole corpus partition in one task's memory
+      // (the sf10 audit measured dedup_jaccard_exactjoin super-linear
+      // purely from 32-partition spill pressure), and AQE coalesces small
+      // stages back down so small-SF costs don't move. This is the
+      // standard cluster posture: partitions scale with data, not cores.
+      val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+        (cpus.toInt * 8).max(128).toString)
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          initParts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.extensions", "graft.expressions.GraftExtensions")

@@ -368,7 +368,17 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
     val base = docs.select(col(idCol).as("id"), col(shingleCol).as("shs"))
       .filter(size(col("shs")) > 0)
-    val posting = base.select(col("id"), explode(col("shs")).as("sh"))
+    // shingles become md5-60-bit LONGS before any shuffle: the sf10 audit
+    // measured the string-keyed df join + sorted string arrays spilling
+    // super-linearly at the second decade (~30 B/shingle × 3 shuffles vs
+    // 8 B). Completeness is untouched — the prefix theorem holds under
+    // ANY global total order, and a hash collision can only MERGE two
+    // shingles (raising df / adding a candidate / inflating a common
+    // count), never hide a true pair. The capless string-space oracle
+    // therefore certifies collision-freeness on the corpus along with
+    // filter losslessness (the dedup_substring_exact md5 contract).
+    val posting = base.select(col("id"), explode(col("shs")).as("_s"))
+      .select(col("id"), Md5Hasher(col("_s")).as("sh"))
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // ONE shingling + df-sort pass, persisted (persistIdx hygiene): the
     // prefix explode AND both verification sides read this frame — the
@@ -503,7 +513,10 @@ object Dedup {
     require(threshPpm > 0 && threshPpm <= 1000000, s"bad ppm $threshPpm")
     val base = docs.select(col(idCol).as("id"), col(shingleCol).as("shs"))
       .filter(size(col("shs")) > 0)
-    val posting = base.select(col("id"), explode(col("shs")).as("sh"))
+    // md5-60-bit shingle keys, as in [[prefixFilterJaccardPairs]]: same
+    // volume argument, same can-only-add-candidates exactness contract
+    val posting = base.select(col("id"), explode(col("shs")).as("_s"))
+      .select(col("id"), Md5Hasher(col("_s")).as("sh"))
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ordered = persistIdx("containmentJoin", posting.join(dfreq, "sh")
       .groupBy(col("id"))
