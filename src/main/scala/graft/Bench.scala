@@ -5,14 +5,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def makeSession(): SparkSession = {
-      // initialPartitionNum >> cpus: shuffles START fine-grained so big-SF
-      // stages never pin a whole corpus partition in one task's memory
-      // (the sf10 audit measured dedup_jaccard_exactjoin super-linear
-      // purely from 32-partition spill pressure), and AQE coalesces small
-      // stages back down so small-SF costs don't move. This is the
-      // standard cluster posture: partitions scale with data, not cores.
-      val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
-        (cpus.toInt * 8).max(128).toString)
+      // initialPartitionNum: the cluster-side knob for data-scaled
+      // shuffle granularity (set ≈ input/128 MB on a real cluster). The
+      // default stays = cpus on this box: the sf10 A/B measured 8× cpus
+      // as PURE overhead — no benefit at sf10 (292.8 → 354.8 s on the
+      // string-keyed exactjoin; the md5-long hashing was the real fix)
+      // and a 1.4–3× regression at sf0.1 on iterative/persisted queries
+      // (events_rfm 3.7 → 9.3 s, orders_pareto 2.2 → 6.6 s: persisted
+      // and checkpointed frames keep the inflated partition count and
+      // every round pays the tiny-task scheduling, which AQE's
+      // post-shuffle coalescing cannot reach).
+      val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus)
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)

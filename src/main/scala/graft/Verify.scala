@@ -10,11 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // shuffles start fine-grained, AQE coalesces small stages back —
-      // keeps per-task memory bounded as SF grows (see Bench.makeSession)
+      // data-scaled shuffle granularity knob for cluster runs; default =
+      // cpus on this box (see the measured A/B in Bench.makeSession)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
-          (cpus.toInt * 8).max(128).toString))
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
