@@ -122,6 +122,7 @@ object SparkEntry {
     ("orders", "o_orderkey", "customer", "c_custkey"))
   private val dayUs = 86400000000L
   private val currQsPpm = Seq(250000L, 500000L, 750000L) // corpus_curriculum
+  private val packCapacity = 512L                 // corpus_pack_windows
   private val zoneFiles = 16                      // layout_zonemap_prune
   // epoch DAYS, not µs: the day domain is ~2²² narrower, so the bisect
   // cut search converges in ~3 conditional-count rounds instead of ~12
@@ -2043,6 +2044,21 @@ object SparkEntry {
         Similarity.bruteForceTopK(corpus, "nid", "nv", qs, "qid", "qv", k = 5))
     }),
 
+    // the same recall loop for the NN-descent graph: how close the
+    // 2-round refined graph sits to brute truth on the probe rows
+    "ann_graph_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.recallAtK(
+        Similarity.nnDescentGraph(corpus, "nid", "nv", k = 5, rounds = 2,
+          bits = 4, dim = 64, initWindow = 4)
+          .filter(col("node_id") < 8)
+          .select(col("node_id").as("query_id"), col("neighbor_id")),
+        Similarity.bruteForceTopK(corpus, "nid", "nv", qs, "qid", "qv", k = 5))
+    }),
+
     // MMR diversified re-rank of the brute-force shortlist (λ = 0.7,
     // k = 3): the greedy trajectory is engine-exact (bit-identical
     // cosines, IEEE λ-arithmetic, id tie-breaks), so the oracle unrolls
@@ -2569,6 +2585,49 @@ object SparkEntry {
         .transform(Frames.truncate)
       base.unpersist(false)
       out
+    }),
+
+    // sequence-packing report (LLM pretraining concat-and-chunk): per
+    // source, documents concatenate in doc_id order into one token
+    // stream sliced into fixed 512-token context windows — the report a
+    // training job reads before packing a shard: window count, share of
+    // docs straddling a window boundary (attention-mask fragmentation),
+    // and tail-window waste. ONE source-keyed window cumsum (the
+    // partition key IS the shard, packing is per-shard by definition) +
+    // one aggregation; everything exact integers
+    "corpus_pack_windows" -> ((s, dir) => {
+      val C = packCapacity
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val per = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(docTokens(col("text"))).cast("long").as("n"))
+        .withColumn("_cum", sum(col("n")).over(w))
+        .withColumn("_start", col("_cum") - col("n"))
+        // a doc straddles a boundary iff its token span [start, cum)
+        // crosses a multiple of C; zero-token docs never straddle
+        .withColumn("_straddle",
+          when(col("n") > 0 &&
+            Sampling.intDivExact(col("_start"), lit(C)) =!=
+              Sampling.intDivExact(col("_cum") - 1, lit(C)), 1L)
+            .otherwise(0L))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(col("_straddle")).as("n_boundary_docs"))
+        .withColumn("n_windows",
+          Sampling.intDivExact(col("total_tokens") + lit(C - 1), lit(C)))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_windows"), col("n_boundary_docs"),
+          Sampling.intDivExact(col("n_boundary_docs") * lit(1000000L),
+            greatest(col("n_docs"), lit(1L))).as("boundary_ppm"),
+          Sampling.intDivExact(
+            (col("n_windows") * lit(C) - col("total_tokens")) *
+              lit(1000000L),
+            greatest(col("n_windows") * lit(C), lit(1L))).as("waste_ppm"))
     }),
 
     // deterministic half-sample bootstrap (random subsampling, Hartigan
@@ -6144,6 +6203,15 @@ object SparkEntry {
         "FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id " +
         "AND ex.neighbor_id = ap.neighbor_id GROUP BY ex.query_id"),
 
+    // same recall shape over the NN-descent graph probe rows
+    "ann_graph_recall" ->
+      (s"WITH ap AS ($annGraphOracleSql), ex AS ($annBruteOracleSql) " +
+        "SELECT ex.query_id, count(*) AS n_exact, " +
+        "count(ap.neighbor_id) AS n_hit, " +
+        "round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall " +
+        "FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id " +
+        "AND ex.neighbor_id = ap.neighbor_id GROUP BY ex.query_id"),
+
     "text_tokens" ->
       (s"WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents) " +
         "SELECT doc_id, len(toks) AS n_tokens, " +
@@ -6413,6 +6481,21 @@ object SparkEntry {
         "// sm.vocab_size AS BIGINT) AS collision_ppm " +
         "FROM (SELECT * FROM bk ORDER BY n_terms DESC, bucket LIMIT 20) b " +
         "CROSS JOIN sm"),
+
+    // packing: same per-source cumsum window, same straddle rule
+    // (span crosses a multiple of C), all operands non-negative so
+    // DuckDB's truncating // equals the engine's floor division
+    "corpus_pack_windows" ->
+      (s"WITH d AS (SELECT source, doc_id, CAST(len($sqlToks) AS BIGINT) AS n FROM documents), " +
+        "c AS (SELECT source, n, sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM d), " +
+        s"s AS (SELECT source, n, cum, cum - n AS strt FROM c), " +
+        "m AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens, " +
+        s"CAST(count(CASE WHEN n > 0 AND (strt // $packCapacity) <> ((cum - 1) // $packCapacity) THEN 1 END) AS BIGINT) AS n_boundary_docs " +
+        "FROM s GROUP BY 1), " +
+        s"w AS (SELECT source, n_docs, total_tokens, CAST((total_tokens + ${packCapacity - 1}) // $packCapacity AS BIGINT) AS n_windows, n_boundary_docs FROM m) " +
+        "SELECT source, n_docs, total_tokens, n_windows, n_boundary_docs, " +
+        "CAST(n_boundary_docs * 1000000 // greatest(n_docs, 1) AS BIGINT) AS boundary_ppm, " +
+        s"CAST((n_windows * $packCapacity - total_tokens) * 1000000 // greatest(n_windows * $packCapacity, 1) AS BIGINT) AS waste_ppm FROM w"),
 
     // curriculum: same FK kernel as text_readability's oracle, type-1
     // quartile thresholds by the rank-k form (≡ the engine's bisect
