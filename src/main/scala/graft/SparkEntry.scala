@@ -2044,6 +2044,45 @@ object SparkEntry {
         Similarity.bruteForceTopK(corpus, "nid", "nv", qs, "qid", "qv", k = 5))
     }),
 
+    // hard-negative mining for embedding training (triplet/contrastive
+    // batches): per probe anchor, the nearest SAME-label neighbor (the
+    // positive) and the nearest OTHER-label neighbor (the hard negative)
+    // with the floor-µ margin between them — the pair-construction pass
+    // an embedding trainer runs over the corpus. One broadcast scan
+    // (the brute-force shape), top-1 per side via a partial-agg struct
+    // max (sim, then lowest id on ties) — no corpus-wide window
+    "embedding_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nv"), col("label").as("nl"))
+        .withColumn("_cn", Similarity.norm(col("nv")))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("ql"))
+        .withColumn("_qn", Similarity.norm(col("qv")))
+      val scored = corpus.join(broadcast(qs))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("sim", Similarity.cosinePrenormed(col("nv"),
+          col("qv"), col("_cn"), col("_qn")))
+      def top1(df: DataFrame) = df
+        .groupBy(col("qid"), col("ql"))
+        .agg(max(struct(col("sim"), (-col("nid")).as("negid"))).as("_b"))
+        .select(col("qid"), col("ql"),
+          (-col("_b").getField("negid")).as("nid"),
+          col("_b").getField("sim").as("sim"))
+      val pos = top1(scored.filter(col("nl") === col("ql")))
+        .select(col("qid"), col("ql"), col("nid").as("pos_id"),
+          col("sim").as("_ps"))
+      val neg = top1(scored.filter(col("nl") =!= col("ql")))
+        .select(col("qid"), col("nid").as("neg_id"), col("sim").as("_ns"))
+      pos.join(neg, Seq("qid"))
+        .select(col("qid").as("anchor_id"), col("ql").as("label"),
+          col("pos_id"), round(col("_ps"), 6).as("pos_sim"),
+          col("neg_id"), round(col("_ns"), 6).as("neg_sim"),
+          floor((col("_ps") - col("_ns")) * lit(1000000d)).cast("long")
+            .as("margin_us"))
+    }),
+
     // the same recall loop for the NN-descent graph: how close the
     // 2-round refined graph sits to brute truth on the probe rows
     "ann_graph_recall" -> ((s, dir) => {
@@ -6202,6 +6241,25 @@ object SparkEntry {
         "round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall " +
         "FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id " +
         "AND ex.neighbor_id = ap.neighbor_id GROUP BY ex.query_id"),
+
+    // hard negatives: the labelNoise brute cosine CTE, split by label
+    // match, top-1 per side by (sim DESC, nid) ≡ the engine's struct max
+    "embedding_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "sc AS (SELECT q.qid, q.ql, e.vec_id AS nid, e.label AS nl, " +
+        "list_sum(list_transform(range(1, 65), d -> e.embedding[d]::DOUBLE * q.qv[d]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), d -> e.embedding[d]::DOUBLE * e.embedding[d]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), d -> q.qv[d]::DOUBLE * q.qv[d]::DOUBLE)))) AS sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+        "p AS (SELECT qid, ql, nid AS pos_id, sim AS ps FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc WHERE nl = ql) WHERE rn = 1), " +
+        "n AS (SELECT qid, nid AS neg_id, sim AS ns FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc WHERE nl <> ql) WHERE rn = 1) " +
+        "SELECT p.qid AS anchor_id, p.ql AS label, p.pos_id, " +
+        "round(p.ps, 6) AS pos_sim, n.neg_id, round(n.ns, 6) AS neg_sim, " +
+        "CAST(floor((p.ps - n.ns) * 1000000) AS BIGINT) AS margin_us " +
+        "FROM p JOIN n ON p.qid = n.qid"),
 
     // same recall shape over the NN-descent graph probe rows
     "ann_graph_recall" ->
