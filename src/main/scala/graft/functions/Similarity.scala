@@ -704,6 +704,10 @@ object Similarity {
       .select(col("node").as("node_id"), col("rank"), col("nbr")
         .as("neighbor_id"), round(col("sim"), 6).as("sim"))
       .transform(Frames.truncate)
+    // truncate above is eager, so the final round's blocks (and the
+    // corpus index) release before the caller consumes the graph —
+    // the persists-die-at-query-end hygiene rule
+    g.unpersist(false)
     b.unpersist(false)
     out
   }
