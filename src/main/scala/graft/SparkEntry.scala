@@ -2044,6 +2044,22 @@ object SparkEntry {
         Similarity.bruteForceTopK(corpus, "nid", "nv", qs, "qid", "qv", k = 5))
     }),
 
+    // the SERVING path of graph ANN: greedy beam search over the
+    // NN-descent graph (HNSW-style query loop, single layer) — NO
+    // corpus scan at query time; 3 unrolled expand→score→top-8 rounds
+    // from the md5-min entry point, final top-5
+    "ann_graph_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"))
+      val graph = Similarity.nnDescentGraph(corpus, "nid", "nv", k = 5,
+        rounds = 2, bits = 4, dim = 64, initWindow = 4)
+      Similarity.graphBeamSearch(graph, corpus, "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5, beamWidth = 8, steps = 3)
+    }),
+
     // hard-negative mining for embedding training (triplet/contrastive
     // batches): per probe anchor, the nearest SAME-label neighbor (the
     // positive) and the nearest OTHER-label neighbor (the hard negative)
@@ -4250,7 +4266,9 @@ object SparkEntry {
     * md5-capped reverse edges, same neighbor-of-neighbor expansion and
     * (sim DESC, id ASC) top-k cuts — the PageRank fixed-rounds oracle
     * pattern applied to a graph build. */
-  private def annGraphOracleSql: String = {
+  /** The shared CTE chain ending at g2 (the refined graph) — prefix for
+    * both the graph probe oracle and the beam-search oracle. */
+  private def annGraphCtes: String = {
     val (planeCols, bucketExpr) = rhpSqlParts(4, 64)
     val simExpr = "list_sum(list_transform(range(1, 65), " +
       "d -> x.v[d]::DOUBLE * y.v[d]::DOUBLE)) / (x.n * y.n)"
@@ -4264,7 +4282,7 @@ object SparkEntry {
         s"sc$r AS (SELECT c.node, c.nbr, $simExpr AS sim FROM cand$r c JOIN b x ON x.id = c.node JOIN b y ON y.id = c.nbr), " +
         s"g$r AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc$r) WHERE rn <= 5)"
     }
-    s"WITH pl AS (SELECT $planeCols), " +
+    s"pl AS (SELECT $planeCols), " +
       "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
       s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
       "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
@@ -4274,9 +4292,33 @@ object SparkEntry {
       "cand0 AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM fwd UNION ALL SELECT nbr AS node, node AS nbr FROM fwd)), " +
       s"sc0 AS (SELECT c.node, c.nbr, $simExpr AS sim FROM cand0 c JOIN b x ON x.id = c.node JOIN b y ON y.id = c.nbr), " +
       "g0 AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc0) WHERE rn <= 5), " +
-      roundCtes(1) + ", " + roundCtes(2) + " " +
+      roundCtes(1) + ", " + roundCtes(2)
+  }
+
+  private def annGraphOracleSql: String =
+    s"WITH $annGraphCtes " +
       "SELECT node AS query_id, CAST(rn AS INTEGER) AS rank, nbr AS neighbor_id, round(sim, 6) AS sim " +
       "FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM g2) WHERE node < 8"
+
+  /** Beam-search unroll on top of [[annGraphCtes]]: same entry point
+    * (global md5-min id), 3 expand→score→top-8 rounds, final top-5 —
+    * byte-identical semantics to `Similarity.graphBeamSearch`. */
+  private def annGraphSearchOracleSql: String = {
+    val sim = "list_sum(list_transform(range(1, 65), " +
+      "d -> x.v[d]::DOUBLE * qq.qv[d]::DOUBLE)) / (x.n * qq.qn)"
+    def step(i: Int): String =
+      s"ex$i AS (SELECT bm.qid, g.nbr AS nid FROM bm${i - 1} bm JOIN g2 g ON g.node = bm.nid), " +
+        s"cd$i AS (SELECT DISTINCT qid, nid FROM (SELECT qid, nid FROM bm${i - 1} UNION ALL SELECT qid, nid FROM ex$i)), " +
+        s"ss$i AS (SELECT c.qid, c.nid, $sim AS sim FROM cd$i c JOIN b x ON x.id = c.nid JOIN qq ON qq.qid = c.qid WHERE c.nid <> c.qid), " +
+        s"bm$i AS (SELECT qid, nid FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ss$i) WHERE rn <= 8)"
+    s"WITH $annGraphCtes, " +
+      s"ent AS (SELECT id AS nid FROM b ORDER BY ${sqlMd5Long("id::VARCHAR")}, id LIMIT 1), " +
+      "qq AS (SELECT id AS qid, v AS qv, n AS qn FROM b WHERE id < 8), " +
+      "bm0 AS (SELECT qid, nid FROM qq, ent), " +
+      step(1) + ", " + step(2) + ", " + step(3) + ", " +
+      s"fin AS (SELECT c.qid, c.nid, $sim AS sim FROM bm3 c JOIN b x ON x.id = c.nid JOIN qq ON qq.qid = c.qid WHERE c.nid <> c.qid) " +
+      "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM fin) WHERE rn <= 5"
   }
 
   /** Mirror of the md5-hasher `dedup_minhash_lsh` query: md5-prefix long
@@ -5958,6 +6000,8 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracleSql,
 
     "ann_graph_topk" -> annGraphOracleSql,
+
+    "ann_graph_search" -> annGraphSearchOracleSql,
 
     // same RHP bucket join + pair CTE as dedup_embedding_lsh, then the
     // corpus_split md5 bucket per endpoint, normalized to an unordered

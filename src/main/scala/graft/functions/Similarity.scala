@@ -711,4 +711,67 @@ object Similarity {
     b.unpersist(false)
     out
   }
+
+  /** Greedy BEAM SEARCH over a k-NN graph — the SERVING path of graph
+    * ANN (the HNSW/NSG query loop, single-layer): start every query at
+    * a deterministic entry point (the md5-min corpus id), then `steps`
+    * unrollable rounds of expand-neighbors → score → keep the best
+    * `beamWidth` by (sim DESC, id ASC). The simplification vs the
+    * textbook loop is declared: no visited-set (each round re-ranks
+    * beam ∪ neighbors(beam), which is monotone non-worsening and keeps
+    * the computation a pure function SQL can unroll), fixed rounds
+    * instead of convergence.
+    *
+    * Scale shape: the graph is the big artifact; the search is tiny —
+    * per query per round ≤ beamWidth·(k+1) candidates, expanded by one
+    * equi-join against the graph and scored against the broadcast query
+    * vectors. No corpus scan at query time at all: that is the whole
+    * point of serving from a graph.
+    *
+    * Output: (query_id, rank, neighbor_id, sim), self-matches excluded. */
+  def graphBeamSearch(graph: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, queries: DataFrame, queryId: String,
+                      queryVec: String, k: Int, beamWidth: Int,
+                      steps: Int): DataFrame = {
+    require(beamWidth >= k, "beamWidth must be >= k")
+    require(steps >= 1, "steps must be >= 1")
+    val b = corpus.select(col(idCol).as("_nid"), col(vecCol).as("_nv"))
+      .withColumn("_nn", norm(col("_nv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))
+      .withColumn("_qn", norm(col("qv")))
+    val g = graph.select(col("node_id").as("nid"),
+      col("neighbor_id").as("_nbr"))
+    val entry = b.select(col("_nid").as("nid"))
+      .orderBy(Dedup.Md5Hasher(col("nid").cast("string")), col("nid"))
+      .limit(1)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(b.withColumnRenamed("_nid", "nid"), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosinePrenormed(col("_nv"), col("qv"),
+        col("_nn"), col("_qn")))
+      .select(col("qid"), col("nid"), col("sim"))
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    var beam = q.select(col("qid")).crossJoin(broadcast(entry))
+    (1 to steps).foreach { _ =>
+      val expanded = beam.join(g, Seq("nid"))
+        .select(col("qid"), col("_nbr").as("nid"))
+      val cand = beam.select(col("qid"), col("nid"))
+        .unionByName(expanded).distinct()
+      beam = score(cand)
+        .withColumn("_r", row_number().over(wQ))
+        .filter(col("_r") <= beamWidth)
+        .select(col("qid"), col("nid"))
+    }
+    val out = score(beam)
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .transform(Frames.truncate)
+    b.unpersist(false)
+    out
+  }
 }
