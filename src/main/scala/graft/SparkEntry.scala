@@ -830,13 +830,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("parent_rows"),
           count_distinct(col("k")).as("n_parent_distinct"))
       val parentDistinct = parents.filter(col("k").isNotNull).distinct()
-      children
+      val childStats = children
         .join(parentDistinct.withColumn("_hit", lit(1)),
           Seq("candidate", "k"), "left")
         .groupBy(col("candidate"))
         .agg(count(lit(1)).as("n_child_distinct"),
           count(col("_hit")).as("n_matched"))
-        .join(broadcast(parentStats), Seq("candidate"))
+      // candidate scaffold: an empty (or all-NULL-key) leg must still
+      // report a zero-count row — the oracle's scalar-subquery legs
+      // always emit one row per candidate, and a profiler that silently
+      // drops a candidate reads as "not checked", not "empty"
+      import s.implicits._
+      val scaffold = fkCandidates
+        .map { case (ct, cc, pt, pc) => s"$ct.$cc->$pt.$pc" }
+        .toDF("candidate")
+      scaffold
+        .join(broadcast(childStats), Seq("candidate"), "left")
+        .join(broadcast(parentStats), Seq("candidate"), "left")
+        .select(col("candidate"),
+          coalesce(col("n_child_distinct"), lit(0L)).as("n_child_distinct"),
+          coalesce(col("n_parent_distinct"), lit(0L)).as("n_parent_distinct"),
+          coalesce(col("parent_rows"), lit(0L)).as("parent_rows"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"))
         .select(col("candidate"),
           col("n_child_distinct"), col("n_parent_distinct"),
           col("parent_rows"), col("n_matched"),

@@ -965,10 +965,13 @@ object Dedup {
                       minLen: Int): DataFrame = {
     val toks = docs.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("_toks"))
-    val wins = toks.select(col(idCol),
+    // persisted: both the occurrence count and the semi-join side read
+    // this frame — unpersisted, the tokenize + posexplode + md5 pipeline
+    // would run twice over the corpus (the jaccardJoin lesson)
+    val wins = persistIdx("exactSubstr", toks.select(col(idCol),
         posexplode(TextFunctions.tokenNgrams(col("_toks"), minLen))
           .as(Seq("_p", "_w")))
-      .withColumn("_h", md5(col("_w"))).drop("_w")
+      .withColumn("_h", md5(col("_w"))).drop("_w"))
     val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2).select(col("_h"))
     val starts = wins.join(dup, Seq("_h")).select(col(idCol), col("_p"))

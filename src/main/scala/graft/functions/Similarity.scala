@@ -760,10 +760,14 @@ object Similarity {
         .select(col("qid"), col("_nbr").as("nid"))
       val cand = beam.select(col("qid"), col("nid"))
         .unionByName(expanded).distinct()
-      beam = score(cand)
+      // truncate per step: beam is referenced TWICE per round (union +
+      // expansion), so an untruncated plan doubles per step — the same
+      // shared-subtree rule the NN-descent rounds follow; the frame is
+      // queries × beamWidth rows, so materializing it is free
+      beam = Frames.truncate(score(cand)
         .withColumn("_r", row_number().over(wQ))
         .filter(col("_r") <= beamWidth)
-        .select(col("qid"), col("nid"))
+        .select(col("qid"), col("nid")))
     }
     val out = score(beam)
       .withColumn("rank", row_number().over(wQ))
