@@ -863,6 +863,45 @@ object SparkEntry {
             .otherwise(0L).as("looks_fk"))
     }),
 
+    // generic column profiler (the first thing a warehouse runs on an
+    // unknown table): per column — rows, nulls, exact distinct, and
+    // integral min/max (money µ-floored, dates as epoch days; string
+    // columns carry NULL bounds rather than engine-formatted text).
+    // ONE scan: all five distincts ride one multi-distinct aggregate
+    // (Spark's Expand plan — 5× the scan rows map-side, the standard
+    // trade for single-pass profiling), then a stack() unpivot of the
+    // 1-row result
+    "schema_column_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("c1"),
+        col("o_custkey").cast("long").as("c2"),
+        floor(col("o_totalprice") * lit(1000000d)).cast("long").as("c3"),
+        Sampling.intDivExact(
+          unix_micros(col("o_orderdate").cast("timestamp")), lit(dayUs))
+          .as("c4"),
+        col("o_orderstatus").as("c5"))
+      val a = o.agg(
+        count(lit(1)).as("n"),
+        count(col("c1")).as("nn1"), count_distinct(col("c1")).as("nd1"),
+        min(col("c1")).as("mi1"), max(col("c1")).as("ma1"),
+        count(col("c2")).as("nn2"), count_distinct(col("c2")).as("nd2"),
+        min(col("c2")).as("mi2"), max(col("c2")).as("ma2"),
+        count(col("c3")).as("nn3"), count_distinct(col("c3")).as("nd3"),
+        min(col("c3")).as("mi3"), max(col("c3")).as("ma3"),
+        count(col("c4")).as("nn4"), count_distinct(col("c4")).as("nd4"),
+        min(col("c4")).as("mi4"), max(col("c4")).as("ma4"),
+        count(col("c5")).as("nn5"), count_distinct(col("c5")).as("nd5"))
+      a.selectExpr(
+        "stack(5, " +
+          "'o_orderkey', n, n - nn1, nd1, mi1, ma1, " +
+          "'o_custkey', n, n - nn2, nd2, mi2, ma2, " +
+          "'o_totalprice_us', n, n - nn3, nd3, mi3, ma3, " +
+          "'o_orderdate_day', n, n - nn4, nd4, mi4, ma4, " +
+          "'o_orderstatus', n, n - nn5, nd5, CAST(NULL AS BIGINT), " +
+          "CAST(NULL AS BIGINT)) " +
+          "AS (col_name, n_rows, n_null, n_distinct, min_v, max_v)")
+    }),
+
     // repeat-purchase profile: per customer exact order count + mean
     // inter-order gap in µ-days (span // (n−1)), rolled up by order-count
     // bucket — the TPC-H-side loyalty/cadence analysis
@@ -5594,6 +5633,16 @@ object SparkEntry {
         "n_parent_distinct = parent_rows THEN 1 ELSE 0 END AS BIGINT) AS looks_fk " +
         s"FROM (${legs.mkString(" UNION ALL ")})"
     },
+
+    // column profiler: one scalar leg per column, same µ-floor / epoch-
+    // day domains; string column bounds are NULL on both sides
+    "schema_column_profile" ->
+      ("SELECT 'o_orderkey' AS col_name, count(*) AS n_rows, count(*) - count(o_orderkey) AS n_null, " +
+        "count(DISTINCT o_orderkey) AS n_distinct, CAST(min(o_orderkey) AS BIGINT) AS min_v, CAST(max(o_orderkey) AS BIGINT) AS max_v FROM orders " +
+        "UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey), CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'o_totalprice_us', count(*), count(*) - count(o_totalprice), count(DISTINCT CAST(floor(o_totalprice * 1000000) AS BIGINT)), CAST(min(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT), CAST(max(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'o_orderdate_day', count(*), count(*) - count(o_orderdate), count(DISTINCT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000), CAST(min(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS BIGINT), CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders"),
 
     // repeat rate: day floors, span // (n−1), exact floor-means
     "orders_repeat_rate" ->
