@@ -117,7 +117,15 @@ object Bench {
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try exhaust(fn, sfDir) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // hygiene BETWEEN REPS, not just between queries (outside the timer):
+      // persist-heavy queries (the dedup exactjoins persist a candidate
+      // index) would otherwise plan-match rep 1's still-cached frames in
+      // rep 2, and min-of-2 records a warm-cache time the engine never
+      // produces fresh — the r9 judge measured the containment pin at
+      // 0.69 s cached vs 3.6–3.8 s in two independent fresh runs
+      resetSessionState()
+      t
     }
     // SWEEP-REP CAP: a first rep reading > 5× its pinned clean time is a
     // stall, and repeating a stalled query inside the same contended
@@ -134,7 +142,6 @@ object Bench {
       val times =
         if (overBudget || stalled) Seq(t1)
         else t1 +: (1 until reps).map(_ => timeOnce(fn))
-      resetSessionState()
       name -> times.min
     }
     // OUTLIER RE-TIME PASS: min-of-REPS is defenseless when one scheduler
@@ -158,9 +165,14 @@ object Bench {
     // (BENCH_r08 shipped retimed:0 with 10–29× inflated tails because the
     // contended sweep alone blew the 420 s budget). So the top movers
     // vs the pinned clean map ALWAYS get one fresh-session re-time, even
-    // past budget — bounded extra wall: at most RESERVE_SECS. Movers
-    // rank by t/clean (deferred stalls first; queries absent from the
-    // clean map rank by raw seconds so new heavy queries still qualify).
+    // past budget — bounded extra wall: at most RESERVE_SECS plus the one
+    // re-time admitted under the per-query cost gate below (a mover whose
+    // expected fresh cost no longer fits the remaining reserve is skipped,
+    // so a single stalled re-time can no longer overshoot arbitrarily —
+    // r08 measured a 130 s single re-time against the 75 s reserve).
+    // Movers rank by t/clean (deferred stalls first; queries absent from
+    // the clean map rank by raw seconds so new heavy queries still
+    // qualify).
     // one fresh session shared by both re-time passes, created lazily so
     // a run with nothing to re-time never pays the restart
     var sessionFresh = false
@@ -186,12 +198,16 @@ object Bench {
         .sortBy(-_._3).take(reserveK)
       if (movers.nonEmpty) ensureFreshSession()
       val reserveStart = elapsedSecs
-      for ((name, cur, _) <- movers
-           if elapsedSecs - reserveStart < reserveSecs) {
-        val t = timeOnce(selected(name))
-        resetSessionState()
-        retimed(name) = retimed.getOrElse(name, 0) + 1
-        if (t < cur) results(name) = t
+      for ((name, cur, _) <- movers) {
+        // per-query cost gate: predict the fresh re-time by the clean pin
+        // (the sweep's own `cur` is the inflated reading for exactly the
+        // queries that land here); skip movers that no longer fit
+        val est = cleanMap.get(name).filter(_ > 0.05).getOrElse(cur)
+        if (elapsedSecs - reserveStart + est < reserveSecs) {
+          val t = timeOnce(selected(name))
+          retimed(name) = retimed.getOrElse(name, 0) + 1
+          if (t < cur) results(name) = t
+        }
       }
     }
     if (elapsedSecs + 10.0 < budgetSecs && results.nonEmpty) {
@@ -207,7 +223,6 @@ object Bench {
           if (elapsedSecs + 2.0 * cur + 5.0 > budgetSecs) budgetLeft = false
           else if (cur > 0.5 && retimed.getOrElse(name, 0) < 3) {
             val t = timeOnce(selected(name))
-            resetSessionState()
             retimed(name) = retimed.getOrElse(name, 0) + 1
             if (t < cur) {
               results(name) = t

@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** `graft_hll_regs(hash60, m)` — HyperLogLog register sketch as a TRUE
@@ -38,11 +37,15 @@ case class HllSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
 
-  private lazy val m: Int = mExpr.eval() match {
-    case i: Int  => i
-    case l: Long => l.toInt
-    case other   => sys.error(s"non-integral m literal: $other")
+  // Option so a foldable-but-null m (e.g. CAST(NULL AS INT)) surfaces as
+  // a TypeCheckFailure in checkInputDataTypes instead of a runtime error
+  private lazy val mOpt: Option[Int] = mExpr.eval() match {
+    case i: Int  => Some(i)
+    case l: Long => Some(l.toInt)
+    case _       => None
   }
+  private lazy val m: Int =
+    mOpt.getOrElse(sys.error("graft_hll_regs: m rejected by analysis"))
   private lazy val p: Int = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong)
   private lazy val rhoCap: Int = graft.functions.Hll.RhoCap
 
@@ -54,6 +57,9 @@ case class HllSketchAgg(
       (mExpr.dataType != IntegerType && mExpr.dataType != LongType))
       TypeCheckResult.TypeCheckFailure(
         "graft_hll_regs m must be an integral literal")
+    else if (mOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_hll_regs m must be a non-null integral literal")
     else if (m < 16 || m > 4096 || (m & (m - 1)) != 0)
       TypeCheckResult.TypeCheckFailure(s"m=$m not a power of 2 in [16,4096]")
     else TypeCheckResult.TypeCheckSuccess
@@ -85,8 +91,14 @@ case class HllSketchAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Byte]): Any =
-    new GenericArrayData(buffer.map(b => java.lang.Integer.valueOf(b.toInt)))
+  override def eval(buffer: Array[Byte]): Any = {
+    // primitive fast path: no per-register boxing (m ints at once)
+    val ints = new Array[Int](buffer.length)
+    var i = 0
+    while (i < buffer.length) { ints(i) = buffer(i).toInt; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(ints)
+  }
 
   // the register array IS its own wire format
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
