@@ -2101,7 +2101,9 @@ object SparkEntry {
     // the SERVING path of graph ANN: greedy beam search over the
     // NN-descent graph (HNSW-style query loop, single layer) — NO
     // corpus scan at query time; 3 unrolled expand→score→top-8 rounds
-    // from the md5-min entry point, final top-5
+    // seeded from the md5-min entry point of EVERY occupied LSH bucket
+    // (≤ 2^4 seeds — a disconnected graph region stays reachable),
+    // final top-5
     "ann_graph_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("nid"),
@@ -2111,7 +2113,7 @@ object SparkEntry {
       Similarity.graphBeamSearch(graph, corpus, "nid", "nv",
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        "qid", "qv", k = 5, beamWidth = 8, steps = 3)
+        "qid", "qv", k = 5, beamWidth = 8, steps = 3, bits = 4, dim = 64)
     }),
 
     // hard-negative mining for embedding training (triplet/contrastive
@@ -3895,15 +3897,16 @@ object SparkEntry {
     * literals plus the sign-bit bucket expression, so the approximate scale
     * paths are EXACTLY verifiable instead of rows-only. Returns the plane
     * CTE column list and the bucket expression over a vector column `v`. */
-  private def rhpSqlParts(bits: Int, dim: Int): (String, String) = {
-    val planes = Similarity.rhpPlaneComponents(bits, dim)
+  private def rhpSqlParts(bits: Int, dim: Int, table: Int = 0,
+                          pfx: String = "p"): (String, String) = {
+    val planes = Similarity.rhpPlaneComponents(bits, dim, table)
     val planeCols = planes.zipWithIndex.map { case (p, i) =>
       p.map(x => if (x > 0) "1" else "-1")
-        .mkString("[", ",", s"]::DOUBLE[] AS p$i")
+        .mkString("[", ",", s"]::DOUBLE[] AS $pfx$i")
     }.mkString(", ")
     val bucketExpr = (0 until bits).map { i =>
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
-        s"d -> v[d]::DOUBLE * p$i[d])) >= 0 THEN ${1L << i} ELSE 0 END)"
+        s"d -> v[d]::DOUBLE * $pfx$i[d])) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
     (planeCols, bucketExpr)
   }
@@ -4324,6 +4327,7 @@ object SparkEntry {
     * both the graph probe oracle and the beam-search oracle. */
   private def annGraphCtes: String = {
     val (planeCols, bucketExpr) = rhpSqlParts(4, 64)
+    val (planeCols2, bucket2Expr) = rhpSqlParts(4, 64, table = 1, pfx = "q")
     val simExpr = "list_sum(list_transform(range(1, 65), " +
       "d -> x.v[d]::DOUBLE * y.v[d]::DOUBLE)) / (x.n * y.n)"
     def roundCtes(r: Int): String = {
@@ -4336,13 +4340,15 @@ object SparkEntry {
         s"sc$r AS (SELECT c.node, c.nbr, $simExpr AS sim FROM cand$r c JOIN b x ON x.id = c.node JOIN b y ON y.id = c.nbr), " +
         s"g$r AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc$r) WHERE rn <= 5)"
     }
-    s"pl AS (SELECT $planeCols), " +
+    s"pl AS (SELECT $planeCols), pl2 AS (SELECT $planeCols2), " +
       "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
-      s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
+      s"b AS (SELECT id, v, $bucketExpr AS bucket, $bucket2Expr AS bucket2, " +
       "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
-      "FROM v0, pl), " +
+      "FROM v0, pl, pl2), " +
       s"ordd AS (SELECT bucket, id, row_number() OVER (PARTITION BY bucket ORDER BY ${sqlMd5Long("id::VARCHAR")}, id) AS rn FROM b), " +
-      "fwd AS (SELECT a.id AS node, c.id AS nbr FROM ordd a JOIN ordd c ON a.bucket = c.bucket AND c.rn - a.rn BETWEEN 1 AND 4), " +
+      s"ordd2 AS (SELECT bucket2, id, row_number() OVER (PARTITION BY bucket2 ORDER BY ${sqlMd5Long("id::VARCHAR")}, id) AS rn FROM b), " +
+      "fwd AS (SELECT a.id AS node, c.id AS nbr FROM ordd a JOIN ordd c ON a.bucket = c.bucket AND c.rn - a.rn BETWEEN 1 AND 4 " +
+      "UNION ALL SELECT a.id AS node, c.id AS nbr FROM ordd2 a JOIN ordd2 c ON a.bucket2 = c.bucket2 AND c.rn - a.rn BETWEEN 1 AND 4), " +
       "cand0 AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM fwd UNION ALL SELECT nbr AS node, node AS nbr FROM fwd)), " +
       s"sc0 AS (SELECT c.node, c.nbr, $simExpr AS sim FROM cand0 c JOIN b x ON x.id = c.node JOIN b y ON y.id = c.nbr), " +
       "g0 AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc0) WHERE rn <= 5), " +
@@ -4354,19 +4360,21 @@ object SparkEntry {
       "SELECT node AS query_id, CAST(rn AS INTEGER) AS rank, nbr AS neighbor_id, round(sim, 6) AS sim " +
       "FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM g2) WHERE node < 8"
 
-  /** Beam-search unroll on top of [[annGraphCtes]]: same entry point
-    * (global md5-min id), 3 expand→score→top-8 rounds, final top-5 —
-    * byte-identical semantics to `Similarity.graphBeamSearch`. */
+  /** Beam-search unroll on top of [[annGraphCtes]]: same entry set
+    * (md5-min id per occupied LSH bucket), 3 expand→score→top-8 rounds,
+    * final top-5 — byte-identical semantics to
+    * `Similarity.graphBeamSearch`. */
   private def annGraphSearchOracleSql: String = {
     val sim = "list_sum(list_transform(range(1, 65), " +
       "d -> x.v[d]::DOUBLE * qq.qv[d]::DOUBLE)) / (x.n * qq.qn)"
     def step(i: Int): String =
       s"ex$i AS (SELECT bm.qid, g.nbr AS nid FROM bm${i - 1} bm JOIN g2 g ON g.node = bm.nid), " +
         s"cd$i AS (SELECT DISTINCT qid, nid FROM (SELECT qid, nid FROM bm${i - 1} UNION ALL SELECT qid, nid FROM ex$i)), " +
-        s"ss$i AS (SELECT c.qid, c.nid, $sim AS sim FROM cd$i c JOIN b x ON x.id = c.nid JOIN qq ON qq.qid = c.qid WHERE c.nid <> c.qid), " +
+        s"ss$i AS (SELECT c.qid, c.nid, $sim AS sim FROM cd$i c JOIN b x ON x.id = c.nid JOIN qq ON qq.qid = c.qid), " +
         s"bm$i AS (SELECT qid, nid FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ss$i) WHERE rn <= 8)"
     s"WITH $annGraphCtes, " +
-      s"ent AS (SELECT id AS nid FROM b ORDER BY ${sqlMd5Long("id::VARCHAR")}, id LIMIT 1), " +
+      s"ent AS (SELECT id AS nid FROM (SELECT id, row_number() OVER " +
+      s"(PARTITION BY bucket ORDER BY ${sqlMd5Long("id::VARCHAR")}, id) AS er FROM b) WHERE er = 1), " +
       "qq AS (SELECT id AS qid, v AS qv, n AS qn FROM b WHERE id < 8), " +
       "bm0 AS (SELECT qid, nid FROM qq, ent), " +
       step(1) + ", " + step(2) + ", " + step(3) + ", " +

@@ -162,10 +162,16 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane components for (plane, dimension) — pure
     * integer hashing, no RNG state, reproducible across runs/executors.
+    * `table` selects an INDEPENDENT plane family (plane indices offset by
+    * table·bits — the multi-table LSH lever): two tables partition the
+    * space differently, so bucket-local structures built per table
+    * overlap and compose (the NN-descent init uses this to keep its
+    * candidate graph connected across any one table's bucket walls).
     * Public so the differential oracle can embed the SAME planes as SQL
     * literals and recompute buckets engine-independently. */
-  def rhpPlaneComponents(bits: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until bits).map { p =>
+  def rhpPlaneComponents(bits: Int, dim: Int, table: Int = 0): Seq[Seq[Double]] =
+    (0 until bits).map { p0 =>
+      val p = p0 + table * bits
       (0 until dim).map { d =>
         val h = ((p.toLong * 1125899906842597L + d * 2654435761L) ^ 0x9E3779B97F4A7C15L)
         if (java.lang.Long.bitCount(h & 0xFFFFFFL) % 2 == 0) 1.0 else -1.0
@@ -173,8 +179,8 @@ object Similarity {
     }
 
   /** Random-hyperplane signature: B sign bits packed into a long. */
-  def rhpSignature(vec: Column, bits: Int, dim: Int): Column = {
-    val planes: Seq[Column] = rhpPlaneComponents(bits, dim).zipWithIndex.map {
+  def rhpSignature(vec: Column, bits: Int, dim: Int, table: Int = 0): Column = {
+    val planes: Seq[Column] = rhpPlaneComponents(bits, dim, table).zipWithIndex.map {
       case (comps, p) =>
         val planeArr = array(comps.map(lit): _*)
         when(dot(vec, planeArr) >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -624,10 +630,18 @@ object Similarity {
     *
     * Determinized for the differential oracle (the PageRank/k-means
     * precedent — bounded unrollable rounds, explicit tie-breaks):
-    *   - init: LSH buckets ([[rhpSignature]]); within each bucket,
-    *     members sort by (md5(id), id) and each links to the next
-    *     `initWindow` members (both directions) — ≤ initWindow
-    *     candidates per point per side, never the quadratic bucket.
+    *   - init: TWO independent LSH tables ([[rhpSignature]] tables 0
+    *     and 1); within each bucket of each table, members sort by
+    *     (md5(id), id) and each links to the next `initWindow` members
+    *     (both directions) — ≤ 2·initWindow candidates per point per
+    *     side, never the quadratic bucket. Two tables, not one, because
+    *     the refinement below is CLOSED under the init's connectivity:
+    *     neighbor-of-neighbor candidates can never cross a component
+    *     boundary, so a single table's bucket walls would persist into
+    *     the final graph as missing edges (measured on a ring manifold:
+    *     nodes at bucket boundaries kept one-sided neighborhoods and
+    *     beam search recall cliffed). Overlapping tables chain buckets
+    *     together and the defect disappears.
     *   - round: reverse edges capped at k per target in (md5, id)
     *     order (the reverse-sample of the paper, determinized), then
     *     candidates = neighbors-of-neighbors ∪ current edges, rescored
@@ -635,7 +649,7 @@ object Similarity {
     *   - `rounds` is FIXED (not convergence-tested) so an oracle can
     *     unroll the identical computation.
     *
-    * Scale shape: every stage is bounded per node — init ≤ 2·initWindow
+    * Scale shape: every stage is bounded per node — init ≤ 4·initWindow
     * edges, rounds join ≤ 2k-degree relations so candidates ≤ 4k² per
     * node — and the per-node top-k windows run on frames bounded by
     * construction (no salting needed, unlike corpus-wide top-k). Each
@@ -652,6 +666,7 @@ object Similarity {
     val b = corpus.select(col(idCol).as("_nid"), col(vecCol).as("_nv"))
       .withColumn("_nn", norm(col("_nv")))
       .withColumn("_bucket", rhpSignature(col("_nv"), bits, dim))
+      .withColumn("_bucket2", rhpSignature(col("_nv"), bits, dim, table = 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def score(pairs: DataFrame): DataFrame = pairs
@@ -669,15 +684,18 @@ object Similarity {
       .withColumn("_r", row_number().over(wNode))
       .filter(col("_r") <= k).drop("_r")
 
-    val wBucket = Window.partitionBy(col("_bucket"))
-      .orderBy(Dedup.Md5Hasher(col("_nid").cast("string")), col("_nid"))
-    val ord = b.select(col("_bucket"), col("_nid"))
-      .withColumn("_rn", row_number().over(wBucket))
-    val fwd = ord
-      .join(ord.select(col("_bucket"), col("_rn").as("_rn2"),
-        col("_nid").as("_nid2")), Seq("_bucket"))
-      .filter((col("_rn2") - col("_rn")).between(1, initWindow))
-      .select(col("_nid").as("node"), col("_nid2").as("nbr"))
+    def windowLinks(bucketCol: String): DataFrame = {
+      val wBucket = Window.partitionBy(col(bucketCol))
+        .orderBy(Dedup.Md5Hasher(col("_nid").cast("string")), col("_nid"))
+      val ord = b.select(col(bucketCol), col("_nid"))
+        .withColumn("_rn", row_number().over(wBucket))
+      ord
+        .join(ord.select(col(bucketCol), col("_rn").as("_rn2"),
+          col("_nid").as("_nid2")), Seq(bucketCol))
+        .filter((col("_rn2") - col("_rn")).between(1, initWindow))
+        .select(col("_nid").as("node"), col("_nid2").as("nbr"))
+    }
+    val fwd = windowLinks("_bucket").unionByName(windowLinks("_bucket2"))
     val initPairs = fwd
       .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr")))
       .distinct()
@@ -714,25 +732,34 @@ object Similarity {
 
   /** Greedy BEAM SEARCH over a k-NN graph — the SERVING path of graph
     * ANN (the HNSW/NSG query loop, single-layer): start every query at
-    * a deterministic entry point (the md5-min corpus id), then `steps`
-    * unrollable rounds of expand-neighbors → score → keep the best
-    * `beamWidth` by (sim DESC, id ASC). The simplification vs the
-    * textbook loop is declared: no visited-set (each round re-ranks
-    * beam ∪ neighbors(beam), which is monotone non-worsening and keeps
-    * the computation a pure function SQL can unroll), fixed rounds
-    * instead of convergence.
+    * a deterministic SET of entry points — the md5-min corpus id per
+    * LSH bucket ([[rhpSignature]], the same `bits`/`dim` family the
+    * graph build's init used) — then `steps` unrollable rounds of
+    * expand-neighbors → score → keep the best `beamWidth` by
+    * (sim DESC, id ASC). Multi-entry is the recall safety net a greedy
+    * graph walk needs: a single global entry point makes any
+    * disconnected (or merely badly-linked) graph region unreachable and
+    * recall cliffs silently; one md5-min per LSH bucket seeds every
+    * coarse direction of the space for at most 2^bits extra beam rows
+    * in round 1, after which the beamWidth cut applies as usual. The
+    * simplification vs the textbook loop is declared: no visited-set
+    * (each round re-ranks beam ∪ neighbors(beam), which is monotone
+    * non-worsening and keeps the computation a pure function SQL can
+    * unroll), fixed rounds instead of convergence.
     *
     * Scale shape: the graph is the big artifact; the search is tiny —
-    * per query per round ≤ beamWidth·(k+1) candidates, expanded by one
-    * equi-join against the graph and scored against the broadcast query
-    * vectors. No corpus scan at query time at all: that is the whole
-    * point of serving from a graph.
+    * per query per round ≤ beamWidth·(k+1) candidates (round 1:
+    * ≤ 2^bits·(k+1)), expanded by one equi-join against the graph and
+    * scored against the broadcast query vectors. The entry set is a
+    * ≤ 2^bits-row aggregate of one corpus scan, computed once and
+    * broadcast. No corpus scan at query time beyond that: that is the
+    * whole point of serving from a graph.
     *
     * Output: (query_id, rank, neighbor_id, sim), self-matches excluded. */
   def graphBeamSearch(graph: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, queries: DataFrame, queryId: String,
                       queryVec: String, k: Int, beamWidth: Int,
-                      steps: Int): DataFrame = {
+                      steps: Int, bits: Int, dim: Int): DataFrame = {
     require(beamWidth >= k, "beamWidth must be >= k")
     require(steps >= 1, "steps must be >= 1")
     val b = corpus.select(col(idCol).as("_nid"), col(vecCol).as("_nv"))
@@ -742,19 +769,30 @@ object Similarity {
       .withColumn("_qn", norm(col("qv")))
     val g = graph.select(col("node_id").as("nid"),
       col("neighbor_id").as("_nbr"))
-    val entry = b.select(col("_nid").as("nid"))
-      .orderBy(Dedup.Md5Hasher(col("nid").cast("string")), col("nid"))
-      .limit(1)
+    // one entry per occupied LSH bucket, md5-min within the bucket —
+    // deterministic, ≤ 2^bits rows, one bounded window over the corpus
+    val wE = Window.partitionBy(col("_bucket"))
+      .orderBy(Dedup.Md5Hasher(col("_nid").cast("string")), col("_nid"))
+    val entries = b
+      .withColumn("_bucket", rhpSignature(col("_nv"), bits, dim))
+      .withColumn("_er", row_number().over(wE))
+      .filter(col("_er") === 1)
+      .select(col("_nid").as("nid"))
+    // self-matches are kept DURING traversal and excluded only from the
+    // final ranking (the textbook HNSW behavior): for a query that is
+    // itself a corpus member, its own graph node is the best possible
+    // hub — its edges point at exactly its true top-k — and filtering
+    // it mid-walk was measured to halve recall on clustered data
     def score(cand: DataFrame): DataFrame = cand
       .join(b.withColumnRenamed("_nid", "nid"), Seq("nid"))
       .join(broadcast(q), Seq("qid"))
-      .filter(col("nid") =!= col("qid"))
       .withColumn("sim", cosinePrenormed(col("_nv"), col("qv"),
         col("_nn"), col("_qn")))
       .select(col("qid"), col("nid"), col("sim"))
     val wQ = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
-    var beam = q.select(col("qid")).crossJoin(broadcast(entry))
+    var beam = q.select(col("qid")).crossJoin(broadcast(entries))
+    var beamPersisted: DataFrame = null
     (1 to steps).foreach { _ =>
       val expanded = beam.join(g, Seq("nid"))
         .select(col("qid"), col("_nbr").as("nid"))
@@ -764,17 +802,26 @@ object Similarity {
       // expansion), so an untruncated plan doubles per step — the same
       // shared-subtree rule the NN-descent rounds follow; the frame is
       // queries × beamWidth rows, so materializing it is free
-      beam = Frames.truncate(score(cand)
+      val next = Frames.truncate(score(cand)
         .withColumn("_r", row_number().over(wQ))
         .filter(col("_r") <= beamWidth)
         .select(col("qid"), col("nid")))
+      // release the previous step's checkpoint blocks NOW (truncate is
+      // eager, so `next` no longer needs them) — mirrors the NN-descent
+      // round loop; without this every step's beam lingers until the
+      // context cleaner gets around to it
+      if (beamPersisted != null) beamPersisted.unpersist(false)
+      beamPersisted = next
+      beam = next
     }
     val out = score(beam)
+      .filter(col("nid") =!= col("qid"))
       .withColumn("rank", row_number().over(wQ))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
         col("nid").as("neighbor_id"), round(col("sim"), 6).as("sim"))
       .transform(Frames.truncate)
+    if (beamPersisted != null) beamPersisted.unpersist(false)
     b.unpersist(false)
     out
   }

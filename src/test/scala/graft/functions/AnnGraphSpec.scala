@@ -71,4 +71,90 @@ class AnnGraphSpec extends SparkSpec {
     val b = graphOf(2, parts = 7).collect().map(_.toString).sorted.toSeq
     assert(a === b)
   }
+
+  /** Smooth ring manifold — the NAVIGABLE corpus a graph walk needs:
+    * every vector unique, 5-NN graph ≈ angular neighbors, connected.
+    * (The clustered corpus above is deliberately degenerate for beam
+    * purposes: its period-7 jitter makes duplicate groups whose 5-NN
+    * cliques have no outgoing edges — good for testing seeding, useless
+    * for testing navigation.) */
+  private def ringCorpus(n: Int = 160) = {
+    val rows = (0 until n).map { i =>
+      val th = 2.0 * math.Pi * i / n
+      val v = Array(10.0 * math.cos(th), 10.0 * math.sin(th),
+        1.0, 1.0, 1.0, 1.0, 1.0, 1.0).map(_.toFloat)
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("nid", "nv")
+  }
+
+  test("beam search over the refined graph reaches brute-truth recall " +
+      "from the multi-entry seed set (navigable manifold)") {
+    val c = ringCorpus()
+    val g = Similarity.nnDescentGraph(c, "nid", "nv", k = 5, rounds = 4,
+      bits = 4, dim = dim, initWindow = 3)
+    val qs = c.filter(col("nid") % 10 === 0)
+      .select(col("nid").as("qid"), col("nv").as("qv"))
+    val approx = Similarity.graphBeamSearch(g, c, "nid", "nv", qs,
+        "qid", "qv", k = 5, beamWidth = 8, steps = 14, bits = 6, dim = dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(c, "nid", "nv", qs,
+      "qid", "qv", k = 5)
+    val per = Similarity.recallAtK(approx, exact).collect()
+    val r = per.map(_.getLong(2)).sum.toDouble / per.map(_.getLong(1)).sum
+    assert(r >= 0.85, s"beam recall@5 = $r")
+  }
+
+  test("two-table init keeps the graph connected across bucket walls: " +
+      "ring nodes get BOTH-sided neighborhoods") {
+    // single-table regression shape: on the ring, a node at an LSH-bucket
+    // boundary kept only one-sided edges (89 -> {90..94}) because
+    // neighbor-of-neighbor refinement cannot cross an init component.
+    // With two tables every node's graph top-5 must be {±1, ±2} plus one
+    // of ±3 (the d=3 cosines tie in exact math and split by float ULPs,
+    // so either side is a correct rank-5) for at least 95% of nodes.
+    val n = 160
+    val g = Similarity.nnDescentGraph(ringCorpus(n), "nid", "nv", k = 5,
+      rounds = 6, bits = 4, dim = dim, initWindow = 3)
+    val got = g.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val perfect = (0 until n).count { i =>
+      def pos(d: Int) = ((i + d) % n + n) % n.toLong
+      val core = Set(pos(1), pos(-1), pos(2), pos(-2))
+      got.get(i.toLong).exists(s =>
+        core.subsetOf(s) && (s - pos(3) - pos(-3)) == core)
+    }
+    assert(perfect >= (n * 0.95).toInt,
+      s"only $perfect/$n nodes have both-sided angular top-5")
+  }
+
+  test("multi-entry seeding reaches graph regions a single global entry " +
+      "cannot (disconnected components stay servable)") {
+    val c = corpus()
+    // a deliberately DISCONNECTED graph: edges only within each cluster
+    // (node -> next two ids in the same 40-block). A walk from any single
+    // entry point can never leave that entry's cluster.
+    val intra = (for {
+      cl <- 0 until 4
+      i <- 0 until 40
+      d <- 1 to 2
+    } yield ((cl * 40 + i).toLong, (cl * 40 + (i + d) % 40).toLong))
+      .toDF("node_id", "neighbor_id")
+    // one query per cluster, offset so the query is not its own answer
+    val qs = c.filter(col("nid") % 40 === 7)
+      .select(col("nid").as("qid"), col("nv").as("qv"))
+    val res = Similarity.graphBeamSearch(intra, c, "nid", "nv", qs,
+        "qid", "qv", k = 3, beamWidth = 8, steps = 5, bits = 4, dim = dim)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect()
+    assert(res.length === 4)
+    // every query's best hit must come from ITS OWN cluster — only
+    // possible if every cluster's component received an entry seed
+    res.foreach { row =>
+      val q = row.getLong(0); val n = row.getLong(1)
+      assert(q / 40 === n / 40,
+        s"query $q served from foreign cluster by neighbor $n")
+    }
+  }
 }
