@@ -730,6 +730,145 @@ object Similarity {
     out
   }
 
+  /** INCREMENTAL maintenance for the NN-descent graph — the append path
+    * that lets a growing corpus update its k-NN graph without a full
+    * rebuild (the [[Ivf.appendToIndex]] operational precedent, applied
+    * to the graph-ANN family). Semantics: new vectors are linked in by
+    * exactly the rebuild's init rule (md5-window links inside both LSH
+    * tables' buckets, restricted to pairs that TOUCH a new node), then
+    * `rounds` NN-descent refinement rounds run restricted to the
+    * AFFECTED BALL — the new nodes plus everything graph-adjacent to a
+    * previously-affected node, which grows by one hop per round. Nodes
+    * outside the ball keep their edge lists verbatim, so the cost is
+    * O(|Δ| · (2k)^rounds) candidate work instead of a corpus-wide
+    * rebuild.
+    *
+    * DECLARED DELTA vs a from-scratch rebuild: inside the ball the
+    * refinement sees the same candidates a rebuild would (plus the
+    * already-refined old edges, which is strictly more information);
+    * outside the ball an old node whose true top-k should now include a
+    * new vector learns of it only if it is within `rounds` reverse hops
+    * of the insertion region — the same locality bound a rebuild's
+    * fixed `rounds` impose on information flow from any single init
+    * edge. AppendGraphSpec pins the resulting recall to within 0.05 of
+    * the rebuilt graph on a planted manifold.
+    *
+    * `graph` must be the (node_id, rank, neighbor_id, sim) output of
+    * [[nnDescentGraph]] (or a prior append) over `oldCorpus` with the
+    * SAME k/bits/dim/initWindow; new ids must be disjoint from old ids.
+    *
+    * Scale shape: the two init windows are per-bucket sorts of the
+    * union corpus (linear, same as a rebuild's init — this is the cheap
+    * stage); every refinement join is restricted by a semi-join on the
+    * affected set before it fans out, so round cost tracks |Δ|, not
+    * corpus size. Per-round lineage truncation as in the rebuild. */
+  def appendToGraph(graph: DataFrame, oldCorpus: DataFrame,
+                    newVectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int, rounds: Int, bits: Int, dim: Int,
+                    initWindow: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    val all = oldCorpus.select(col(idCol), col(vecCol))
+      .unionByName(newVectors.select(col(idCol), col(vecCol)))
+    val newIds = newVectors.select(col(idCol).as("_newid"))
+    val b = all.select(col(idCol).as("_nid"), col(vecCol).as("_nv"))
+      .withColumn("_nn", norm(col("_nv")))
+      .withColumn("_bucket", rhpSignature(col("_nv"), bits, dim))
+      .withColumn("_bucket2", rhpSignature(col("_nv"), bits, dim, table = 1))
+      .join(newIds, col("_nid") === col("_newid"), "left")
+      .withColumn("_isnew", col("_newid").isNotNull)
+      .drop("_newid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(b.select(col("_nid").as("node"), col("_nv").as("_v1"),
+        col("_nn").as("_n1")), Seq("node"))
+      .join(b.select(col("_nid").as("nbr"), col("_nv").as("_v2"),
+        col("_nn").as("_n2")), Seq("nbr"))
+      .withColumn("sim", cosinePrenormed(col("_v1"), col("_v2"),
+        col("_n1"), col("_n2")))
+      .select(col("node"), col("nbr"), col("sim"))
+
+    val wNode = Window.partitionBy(col("node"))
+      .orderBy(col("sim").desc, col("nbr").asc)
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("_r", row_number().over(wNode))
+      .filter(col("_r") <= k).drop("_r")
+
+    // rebuild-identical init links, kept only where a new node is touched
+    def windowLinks(bucketCol: String): DataFrame = {
+      val wBucket = Window.partitionBy(col(bucketCol))
+        .orderBy(Dedup.Md5Hasher(col("_nid").cast("string")), col("_nid"))
+      val ord = b.select(col(bucketCol), col("_nid"), col("_isnew"))
+        .withColumn("_rn", row_number().over(wBucket))
+      ord
+        .join(ord.select(col(bucketCol), col("_rn").as("_rn2"),
+          col("_nid").as("_nid2"), col("_isnew").as("_isnew2")),
+          Seq(bucketCol))
+        .filter((col("_rn2") - col("_rn")).between(1, initWindow) &&
+          (col("_isnew") || col("_isnew2")))
+        .select(col("_nid").as("node"), col("_nid2").as("nbr"))
+    }
+    val fwd = windowLinks("_bucket").unionByName(windowLinks("_bucket2"))
+    val seed = fwd
+      .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct()
+
+    val gOld = graph.select(col("node_id").as("node"),
+      col("neighbor_id").as("nbr"), col("sim"))
+    var affected = Frames.truncate(seed.select(col("node")).distinct())
+    // splice the ball: in-ball nodes rank over (new candidates ∪ their
+    // existing edges), RESCORED — the stored graph carries round-6 sims,
+    // so reusing them beside fresh unrounded scores would leave duplicate
+    // (node, nbr) rows in the top-k cut; everyone else keeps their list
+    def splice(g: DataFrame, aff: DataFrame, cand: DataFrame): DataFrame = {
+      val inBallEdges = g.join(aff, Seq("node"), "left_semi")
+        .select(col("node"), col("nbr"))
+      val outBall = g.join(aff, Seq("node"), "left_anti")
+      Frames.truncate(
+        topK(score(cand.unionByName(inBallEdges).distinct()))
+          .unionByName(outBall))
+    }
+    var g = splice(gOld, affected, seed)
+    (1 to rounds).foreach { _ =>
+      // grow the ball by one graph hop (both directions)
+      val touch = g.join(affected, Seq("node"), "left_semi")
+        .select(col("nbr").as("node"))
+        .unionByName(g.join(
+          affected.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+          .select(col("node")))
+        .unionByName(affected.select(col("node")))
+        .distinct()
+      val nextAffected = Frames.truncate(touch)
+      // rebuild-identical round, first hop restricted to the ball
+      val rev = g.select(col("nbr").as("node"), col("node").as("nbr"))
+        .withColumn("_r", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(Dedup.Md5Hasher(col("nbr").cast("string")), col("nbr"))))
+        .filter(col("_r") <= k).drop("_r")
+      val rel = g.select(col("node"), col("nbr")).unionByName(rev).distinct()
+      val non = rel.join(nextAffected, Seq("node"), "left_semi")
+        .select(col("node"), col("nbr").as("_mid"))
+        .join(rel.select(col("node").as("_mid"), col("nbr").as("_cand")),
+          Seq("_mid"))
+        .filter(col("node") =!= col("_cand"))
+        .select(col("node"), col("_cand").as("nbr"))
+      val next = splice(g, nextAffected, non)
+      g.unpersist(false)
+      affected.unpersist(false)
+      g = next
+      affected = nextAffected
+    }
+    val out = g
+      .withColumn("rank", row_number().over(wNode))
+      .select(col("node").as("node_id"), col("rank"),
+        col("nbr").as("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .transform(Frames.truncate)
+    g.unpersist(false)
+    affected.unpersist(false)
+    b.unpersist(false)
+    out
+  }
+
   /** Greedy BEAM SEARCH over a k-NN graph — the SERVING path of graph
     * ANN (the HNSW/NSG query loop, single-layer): start every query at
     * a deterministic SET of entry points — the md5-min corpus id per

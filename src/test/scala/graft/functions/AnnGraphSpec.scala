@@ -128,6 +128,43 @@ class AnnGraphSpec extends SparkSpec {
       s"only $perfect/$n nodes have both-sided angular top-5")
   }
 
+  test("appendToGraph: incremental insert tracks the full rebuild " +
+      "(recall within 0.05) and keeps every shape invariant") {
+    val n = 160
+    val full = ringCorpus(n)
+    val old = full.filter(col("nid") % 8 =!= 3)
+    val neu = full.filter(col("nid") % 8 === 3)
+    val g0 = Similarity.nnDescentGraph(old, "nid", "nv", k = 5,
+      rounds = 4, bits = 4, dim = dim, initWindow = 3)
+    val appended = Similarity.appendToGraph(g0, old, neu, "nid", "nv",
+      k = 5, rounds = 4, bits = 4, dim = dim, initWindow = 3).cache()
+    val rebuilt = Similarity.nnDescentGraph(full, "nid", "nv", k = 5,
+      rounds = 4, bits = 4, dim = dim, initWindow = 3)
+    // shape invariants on the appended graph
+    assert(appended.filter(col("node_id") === col("neighbor_id")).count() === 0)
+    val per = appended.groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n"), min(col("rank")).as("lo"),
+        max(col("rank")).as("hi"))
+    assert(per.count() === n)
+    assert(per.filter(col("n") > 5 || col("lo") =!= 1 ||
+      col("hi") =!= col("n")).count() === 0)
+    // recall vs brute truth: append within 0.05 of the rebuild
+    val qs = full.select(col("nid").as("qid"), col("nv").as("qv"))
+    val truth = Similarity.bruteForceTopK(full, "nid", "nv", qs,
+      "qid", "qv", k = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(
+          g.select(col("node_id").as("query_id"), col("neighbor_id")), truth)
+        .agg(sum(col("n_hit")).cast("double") / sum(col("n_exact")))
+        .as[Double].head()
+    val ra = recallOf(appended)
+    val rr = recallOf(rebuilt)
+    truth.unpersist()
+    appended.unpersist()
+    assert(ra >= rr - 0.05, s"append recall $ra vs rebuild $rr")
+  }
+
   test("multi-entry seeding reaches graph regions a single global entry " +
       "cannot (disconnected components stay servable)") {
     val c = corpus()
