@@ -250,14 +250,36 @@ object SparkEntry {
   private val robotsMid = "\ndisallow: /private\nDisallow: /item-" // || h%3
   private val robotsAllowPre = "\nAllow: /item-"    // || h%3
   private val robotsAllowSuf = "/ok\nDisallow:\n"
+  // RFC 9309 §2.2.2 normalization fixtures: the /caf%C3%A9/ disallow must
+  // block raw-UTF-8 /café/ paths (encoded-rule vs raw-path), the lowercase
+  // %c3%a9 rule must still win as the longest match (hex-digit case), the
+  // /café/okay allow ties the 11-octet disallow ONLY under octet_length
+  // (10 chars vs 11 chars — char-length semantics would block it), and
+  // the anchored *%C3%A9.log$ exercises wildcards in the hex domain
   private val robotsWild =
-    "Disallow: /*.tmp$\nAllow: /private/*/pub\n"
+    "Disallow: /*.tmp$\nAllow: /private/*/pub\n" +
+      "Disallow: /caf%C3%A9/\nDisallow: /caf%c3%a9/priv%C3%A9\n" +
+      "Allow: /café/okay\nDisallow: /*%C3%A9.log$\n"
   private val robotsBlockAll = "Disallow: /\n"
 
   /** A string literal for DuckDB with embedded newlines spelled as
     * chr(10) — oracle SQL must stay single-line. */
   private def sqlLit(s: String): String =
     "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+  /** DuckDB twin of [[graft.functions.Robots.canonHex]]: uppercase hex of
+    * the percent-decoded octet sequence (`%XX` → octet XX, other chars →
+    * their UTF-8 octets, a bare `%` → octet 0x25). `e` is any string
+    * expression; `v` names the lambda variable and must not collide with
+    * an enclosing lambda. */
+  private def sqlCanonHex(e: String, v: String = "s"): String =
+    // COALESCE: DuckDB array_to_string([]) is NULL (a %-free string has
+    // an empty tail list) and would NULL the whole concatenation
+    s"(upper(hex(encode(string_split($e, '%')[1]))) || COALESCE(array_to_string(" +
+      s"list_transform(string_split($e, '%')[2:], $v -> " +
+      s"CASE WHEN regexp_matches($v, '^[0-9A-Fa-f]{2}') " +
+      s"THEN upper($v[1:2]) || upper(hex(encode($v[3:]))) " +
+      s"ELSE '25' || upper(hex(encode($v))) END), ''), ''))"
 
   /** DuckDB CTE chain mirroring [[robotsInputs]] + the Robots parse/
     * screen pipeline: bodies rebuilt from the SAME constants (newlines as
@@ -276,10 +298,12 @@ object SparkEntry {
       "rgc AS (SELECT *, sum(starts) OVER (PARTITION BY host ORDER BY pos) AS gid FROM rgb), " +
       "rstar AS (SELECT DISTINCT host, gid FROM rgc WHERE is_ua = 1 AND val = '*'), " +
       "rrules AS (SELECT host, val AS prefix, CASE WHEN dir = 'allow' THEN 1 ELSE 0 END AS is_allow FROM rgc JOIN rstar USING (host, gid) WHERE gid > 0 AND dir IN ('allow', 'disallow') AND val <> ''), " +
-      // the engine's per-rule wildcard compile, RE2-for-RE2: trailing $
-      // anchors, specials escaped (replacement \\\1 = backslash + octet),
-      // * -> .* — byte-identical regex text to Robots.screen's
-      "rrx AS (SELECT host, prefix, is_allow, (contains(prefix, '*') OR ends_with(prefix, '$')) AS wild, '^' || replace(regexp_replace(CASE WHEN ends_with(prefix, '$') THEN substr(prefix, 1, len(prefix) - 1) ELSE prefix END, '([.\\[\\]{}()\\\\^$|?+])', '\\\\\\1', 'g'), '*', '.*') || CASE WHEN ends_with(prefix, '$') THEN '$' ELSE '' END AS rx FROM rrules), " +
+      // the engine's per-rule wildcard compile in the CANONICAL HEX
+      // domain (RFC 9309 §2.2.2): trailing $ anchors, segments between
+      // *s canonicalize via sqlCanonHex (alphabet [0-9A-F] — nothing to
+      // escape), * -> (?:..)* (whole octets) — same regex text as
+      // Robots.screen's
+      s"rrx AS (SELECT host, prefix, is_allow, (contains(prefix, '*') OR ends_with(prefix, '$$')) AS wild, ${sqlCanonHex("prefix")} AS pfx_hex, '^' || array_to_string(list_transform(string_split(CASE WHEN ends_with(prefix, '$$') THEN substr(prefix, 1, len(prefix) - 1) ELSE prefix END, '*'), seg -> ${sqlCanonHex("seg", "s2")}), '(?:..)*') || CASE WHEN ends_with(prefix, '$$') THEN '$$' ELSE '' END AS rx FROM rrules), " +
       "rdelays AS (SELECT host, max(CAST(val AS BIGINT)) AS crawl_delay_s FROM rgc JOIN rstar USING (host, gid) WHERE dir = 'crawl-delay' AND regexp_matches(val, '^[0-9]+$') GROUP BY 1), " +
       "rf0 AS (SELECT unnest(['http://src' || (doc_id % 20) || '.example.com/item-' || (doc_id % 11) || '/x' || doc_id, " +
       "'http://src' || ((doc_id + 3) % 20) || '.example.com/private/p' || doc_id, " +
@@ -287,9 +311,16 @@ object SparkEntry {
       "'http://src' || (doc_id % 20) || '.example.com/public/' || doc_id, " +
       "'http://src' || (doc_id % 20) || '.example.com/files/f' || doc_id || '.tmp', " +
       "'http://src' || ((doc_id + 7) % 20) || '.example.com/files/f' || doc_id || '.tmpx', " +
-      "'http://src' || ((doc_id + 3) % 20) || '.example.com/private/w' || doc_id || '/pub']) AS url FROM documents), " +
+      "'http://src' || ((doc_id + 3) % 20) || '.example.com/private/w' || doc_id || '/pub', " +
+      "'http://src' || (doc_id % 20) || '.example.com/café/menu' || doc_id, " +
+      "'http://src' || ((doc_id + 9) % 20) || '.example.com/café/okay' || doc_id, " +
+      "'http://src' || ((doc_id + 11) % 20) || '.example.com/café/privé' || doc_id, " +
+      "'http://src' || ((doc_id + 13) % 20) || '.example.com/logs/entré' || doc_id || '.log']) AS url FROM documents), " +
       s"rff AS (SELECT url, lower(regexp_extract(url, '${Urls.HostRe}', 1)) AS host, CASE WHEN regexp_extract(regexp_extract(url, '${Urls.RestRe}', 1), '^([^?]*)', 1) = '' THEN '/' ELSE regexp_extract(regexp_extract(url, '${Urls.RestRe}', 1), '^([^?]*)', 1) END AS path FROM rf0), " +
-      "rmm AS (SELECT rff.url, rff.host, r.prefix, r.is_allow, row_number() OVER (PARTITION BY rff.url ORDER BY len(r.prefix) DESC, r.is_allow DESC, r.prefix DESC) AS rn FROM rff JOIN rrx r ON rff.host = r.host AND ((NOT r.wild AND starts_with(rff.path, r.prefix)) OR (r.wild AND regexp_matches(rff.path, r.rx)))), " +
+      s"rfh AS (SELECT *, ${sqlCanonHex("path")} AS path_hex FROM rff), " +
+      // octet specificity: strlen = BYTES in DuckDB (mirrors the engine's
+      // octet_length), matching runs on the canonical hex domain
+      "rmm AS (SELECT rfh.url, rfh.host, r.prefix, r.is_allow, row_number() OVER (PARTITION BY rfh.url ORDER BY strlen(r.prefix) DESC, r.is_allow DESC, r.prefix DESC) AS rn FROM rfh JOIN rrx r ON rfh.host = r.host AND ((NOT r.wild AND starts_with(rfh.path_hex, r.pfx_hex)) OR (r.wild AND regexp_matches(rfh.path_hex, r.rx)))), " +
       "rbest AS (SELECT url, prefix, is_allow FROM rmm WHERE rn = 1), " +
       "scr AS (SELECT rff.url, rff.host, COALESCE(b.is_allow = 1, TRUE) AS allowed, b.prefix AS matched_prefix FROM rff LEFT JOIN rbest b ON rff.url = b.url)"
 
@@ -325,7 +356,12 @@ object SparkEntry {
       u((d + 7) % 20, concat(lit("/files/f"), d.cast("string"),
         lit(".tmpx"))),
       u((d + 3) % 20, concat(lit("/private/w"), d.cast("string"),
-        lit("/pub"))))).as("url"))
+        lit("/pub"))),
+      u(d % 20, concat(lit("/café/menu"), d.cast("string"))),
+      u((d + 9) % 20, concat(lit("/café/okay"), d.cast("string"))),
+      u((d + 11) % 20, concat(lit("/café/privé"), d.cast("string"))),
+      u((d + 13) % 20, concat(lit("/logs/entré"), d.cast("string"),
+        lit(".log"))))).as("url"))
     (robots, frontier)
   }
   private val pprSeeds =                        // graph_ppr_seeds

@@ -16,15 +16,19 @@ import org.apache.spark.sql.functions._
   * named-agent groups are parsed and skipped. `#` comments strip to end
   * of line; header names are case-insensitive; empty Allow/Disallow
   * values are no-ops; rules before any User-agent line are ignored.
-  * Matching implements RFC 9309 §2.2.3 in full: a rule value is a
-  * path-prefix pattern where `*` matches any character sequence and a
+  * Matching implements RFC 9309 §2.2.2–§2.2.3 in full: rule values and
+  * paths are compared PERCENT-ENCODING-NORMALIZED (both sides reduce
+  * to their decoded octet sequence — see [[canonHex]] — so `%c3%a9`,
+  * `%C3%A9` and a raw `é` all match each other); a rule value is a
+  * path-prefix pattern where `*` matches any octet sequence and a
   * TRAILING `$` anchors end-of-path (`$` elsewhere is a literal octet);
   * resolution picks the longest matching rule value (octet length of
   * the raw value, wildcards included — the reference REP library's
   * rule), Allow wins a length tie, no match ⇒ allowed. Wildcard-free
-  * rules take the cheap `startswith` path; wildcard rules compile once
-  * per rule (on the tiny per-host rules frame, not per frontier row)
-  * to an RE2-safe regex: specials escaped, `*`→`.*`, `^` start anchor.
+  * rules take the cheap `startswith` path (on canonical hex);
+  * wildcard rules compile once per rule (on the tiny per-host rules
+  * frame, not per frontier row) to a hex-domain regex — the [0-9A-F]
+  * alphabet needs no escaping, `*`→`(?:..)*`, `^` start anchor.
   *
   * Scale shape: parsing is per-host window work over line positions
   * (robots bodies are small by definition — RFC 9309 requires parsers to
@@ -99,40 +103,67 @@ object Robots {
         coalesce(col("_star"), lit(false)) && col("_gid") > 0)
   }
 
+  /** Canonical percent-encoding-normalized comparison form (RFC 9309
+    * §2.2.2): the UPPERCASE HEX of the string's decoded octet sequence —
+    * every `%XX` triple contributes the octet XX, every other character
+    * contributes its UTF-8 octets. One representation unifies the three
+    * normalizations the RFC asks for at once: hex-digit case (`%c3` ≡
+    * `%C3`), encoded-vs-unreserved (`%41` ≡ `A`), and raw-UTF-8-vs-
+    * encoded (`é` ≡ `%C3%A9`) — and because the result alphabet is
+    * [0-9A-F] only, wildcard rules compile to regexes with NO escaping.
+    * A `%` not followed by two hex digits is a literal octet 0x25.
+    * Matching in the hex domain is byte-aligned: prefixes are
+    * even-length and `*` becomes `(?:..)*` (whole octets). */
+  def canonHex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val segs = split(c, "%", -1)
+    concat(
+      upper(hex(encode(element_at(segs, 1), "UTF-8"))),
+      array_join(transform(slice(segs, lit(2), size(segs)), seg =>
+        when(seg.rlike("^[0-9A-Fa-f]{2}"),
+          concat(upper(substring(seg, 1, 2)),
+            upper(hex(encode(substring(seg, 3, Int.MaxValue), "UTF-8")))))
+          .otherwise(concat(lit("25"),
+            upper(hex(encode(seg, "UTF-8")))))), ""))
+  }
+
   /** Screen an outlink frontier against parsed rules: for each URL,
-    * the longest rule prefix of its host that literally prefixes the
-    * URL path decides (Allow wins a tie); no matching rule ⇒ allowed.
-    * Hosts with no robots rules allow everything. Rule values carry
-    * RFC 9309 §2.2.3 wildcards: `*` matches any sequence, a trailing
-    * `$` anchors end-of-path; specificity is the RAW value's octet
-    * length, wildcards included.
+    * the longest rule prefix of its host that prefixes the URL path —
+    * both sides compared PERCENT-ENCODING-NORMALIZED per RFC 9309
+    * §2.2.2 (see [[canonHex]]) — decides (Allow wins a tie); no
+    * matching rule ⇒ allowed. Hosts with no robots rules allow
+    * everything. Rule values carry RFC 9309 §2.2.3 wildcards: `*`
+    * matches any sequence, a trailing `$` anchors end-of-path;
+    * specificity is the RAW value's OCTET length (RFC 9309 "most
+    * octets"; wildcards and percent escapes count as written).
     *
     * The rules aggregate to one array row per host (bounded by body
     * size) and broadcast to the frontier; the decision is a per-row
-    * lexicographic `array_max` over (prefix length, is_allow) — struct
+    * lexicographic `array_max` over (prefix octets, is_allow) — struct
     * ordering gives longest-then-allow exactly. Wildcard-free rules
-    * (the overwhelming majority in real files) match via `startswith`;
-    * only wildcard rules pay the regex.
+    * (the overwhelming majority in real files) match via `startswith`
+    * on the canonical hex; only wildcard rules pay the regex.
     *
     * Output: frontier columns + (host, path, allowed BOOLEAN,
-    * matched_prefix STRING nullable). */
+    * matched_prefix STRING nullable — the raw rule value). */
   def screen(frontier: DataFrame, rules: DataFrame, urlCol: String): DataFrame = {
     // wildcard compilation rides the RULES frame (rows = rules, tiny),
-    // never the frontier: a trailing `$` anchors, every other regex
-    // special is escaped, `*` becomes `.*`, `^` pins the prefix start.
+    // never the frontier: a trailing `$` anchors, segments between `*`s
+    // canonicalize to hex (alphabet [0-9A-F] — nothing to escape),
+    // `*` becomes `(?:..)*` (any whole octets), `^` pins the start.
     val anchored = endswith(col("prefix"), lit("$"))
-    val rxBody = regexp_replace(
-      when(anchored, expr("substring(prefix, 1, length(prefix) - 1)"))
-        .otherwise(col("prefix")),
-      "([.\\[\\]{}()\\\\^$|?+])", "\\\\$1")
+    val rxBody = when(anchored,
+        expr("substring(prefix, 1, length(prefix) - 1)"))
+      .otherwise(col("prefix"))
     val compiled = rules
       .withColumn("wild", col("prefix").contains("*") || anchored)
+      .withColumn("pfx_hex", canonHex(col("prefix")))
       .withColumn("rx", concat(lit("^"),
-        regexp_replace(rxBody, "\\*", ".*"),
+        array_join(transform(split(rxBody, "\\*", -1), s => canonHex(s)),
+          "(?:..)*"),
         when(anchored, lit("$")).otherwise(lit(""))))
     val byHost = compiled.groupBy(col("host"))
-      .agg(collect_list(struct(col("prefix"), col("is_allow"),
-        col("wild"), col("rx"))).as("_rules"))
+      .agg(collect_list(struct(col("prefix"), col("pfx_hex"),
+        col("is_allow"), col("wild"), col("rx"))).as("_rules"))
     val withPath = frontier
       .withColumn("host", Urls.host(col(urlCol)))
       .withColumn("path", {
@@ -141,20 +172,22 @@ object Robots {
         when(p === "", "/").otherwise(p)
       })
     withPath.join(broadcast(byHost), Seq("host"), "left_outer")
+      .withColumn("_ph", canonHex(col("path")))
       .withColumn("_m", filter(coalesce(col("_rules"),
           array().cast(
-            "array<struct<prefix:string,is_allow:int,wild:boolean,rx:string>>")),
+            "array<struct<prefix:string,pfx_hex:string,is_allow:int," +
+              "wild:boolean,rx:string>>")),
         r => when(r.getField("wild"),
-            regexp_like(col("path"), r.getField("rx")))
-          .otherwise(startswith(col("path"), r.getField("prefix")))))
+            regexp_like(col("_ph"), r.getField("rx")))
+          .otherwise(startswith(col("_ph"), r.getField("pfx_hex")))))
       .withColumn("_best", array_max(transform(col("_m"),
-        r => struct(length(r.getField("prefix")).as("l"),
+        r => struct(octet_length(r.getField("prefix")).as("l"),
           r.getField("is_allow").as("a"),
           r.getField("prefix").as("p")))))
       .withColumn("allowed",
         size(col("_m")) === 0 || col("_best").getField("a") === 1)
       .withColumn("matched_prefix", col("_best").getField("p"))
-      .drop("_rules", "_m", "_best")
+      .drop("_rules", "_m", "_best", "_ph")
   }
 
   /** Per-host politeness report over a screened frontier: allowed and

@@ -154,6 +154,56 @@ class RobotsSpec extends SparkSpec {
     assert(rules.map(_.getAs[String]("prefix")).toSet == Set("/"))
   }
 
+  test("RFC 9309 §2.2.2 percent-encoding normalization: encoded rules " +
+      "match raw UTF-8 paths in any hex case; unreserved escapes decode") {
+    val body = "User-agent: *\nDisallow: /caf%C3%A9/\n" +
+      "Disallow: /x/priv%c3%a9\nDisallow: /%64ocs\n"
+    val s = screenOf(body, Seq(
+      "http://h.example.com/café/menu",    // raw é vs %C3%A9 rule
+      "http://h.example.com/caf%C3%A9/m",  // encoded path, encoded rule
+      "http://h.example.com/caf%c3%a9/m",  // lowercase-hex path
+      "http://h.example.com/x/privé1",     // lowercase-hex RULE
+      "http://h.example.com/docs/a",       // %64 = 'd' (unreserved)
+      "http://h.example.com/cafe/menu"))   // plain ASCII must NOT match
+    assert(!s("http://h.example.com/café/menu")._1)
+    assert(!s("http://h.example.com/caf%C3%A9/m")._1)
+    assert(!s("http://h.example.com/caf%c3%a9/m")._1)
+    assert(!s("http://h.example.com/x/privé1")._1)
+    assert(!s("http://h.example.com/docs/a")._1)
+    assert(s("http://h.example.com/cafe/menu")._1)
+  }
+
+  test("specificity is raw OCTET length: a 10-char/11-octet UTF-8 Allow " +
+      "ties an 11-char/11-octet encoded Disallow and wins the tie") {
+    // char-length semantics would rank the Disallow (11 chars) above the
+    // Allow (10 chars) and block the URL — the RFC asks for octets
+    val body = "User-agent: *\nDisallow: /caf%C3%A9/\nAllow: /café/okay\n"
+    val s = screenOf(body, Seq(
+      "http://h.example.com/café/okay1",
+      "http://h.example.com/café/other"))
+    assert(s("http://h.example.com/café/okay1")._1)
+    assert(!s("http://h.example.com/café/other")._1)
+  }
+
+  test("wildcards compose with percent normalization: an encoded anchored " +
+      "rule blocks raw-UTF-8 paths") {
+    val s = screenOf("User-agent: *\nDisallow: /*%C3%A9.log$\n", Seq(
+      "http://h.example.com/logs/entré.log",
+      "http://h.example.com/logs/entré.log.1", // anchor must not fire
+      "http://h.example.com/logs/entre.log"))  // no é → no match
+    assert(!s("http://h.example.com/logs/entré.log")._1)
+    assert(s("http://h.example.com/logs/entré.log.1")._1)
+    assert(s("http://h.example.com/logs/entre.log")._1)
+  }
+
+  test("a bare % without two hex digits is a literal octet") {
+    val s = screenOf("User-agent: *\nDisallow: /100%zone\n", Seq(
+      "http://h.example.com/100%zone/a",
+      "http://h.example.com/100zone/a"))
+    assert(!s("http://h.example.com/100%zone/a")._1)
+    assert(s("http://h.example.com/100zone/a")._1)
+  }
+
   test("fetch schedule: allowed URLs queue per host in URL order with " +
       "delay-spaced offsets; blocked URLs never enter the queue") {
     val robots = Seq(
