@@ -2573,6 +2573,33 @@ object SparkEntry {
       out
     }),
 
+    // incremental-sketch merge law, end to end: two corpus snapshots
+    // (stable md5 buckets <80 / >=80 — the corpus_delta split), a sketch
+    // per snapshot, register-wise merge (Hll.mergeRegs), and an
+    // INDEPENDENTLY computed whole-corpus sketch; merge_exact pins
+    // sketch(A) ⊔ sketch(B) ≡ sketch(A ∪ B) per source — the property
+    // that lets a persisted sketch artifact absorb corpus growth without
+    // rescanning history (Hll.writeSketch/readSketch, spec-verified)
+    "vocab_hll_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      def sketch(d: DataFrame, rc: String) = d
+        .select(col("source"), explode(docTokens(col("text"))).as("term"))
+        .groupBy(col("source")).agg(Hll.sketchAgg("term").as(rc))
+      val a = sketch(docs.filter(bucket < 80), "_ra")
+      val b = sketch(docs.filter(bucket >= 80), "_rb")
+      val merged = a.join(b, Seq("source"), "full_outer")
+        .select(col("source"), Hll.mergeRegs(col("_ra"), col("_rb"))
+          .as("_regs"))
+      val full = sketch(docs, "_rf")
+      val joined = merged.join(full, Seq("source"))
+        .withColumn("merge_exact", col("_regs") === col("_rf"))
+        .drop("_rf")
+      Hll.estimateFromRegs(joined, "_regs")
+        .select(col("source"), col("zero_regs"), col("raw_est"),
+          col("est"), col("merge_exact"))
+    }),
+
     // Heaps'-law vocabulary-growth fit (Zipf's companion, same integer
     // log2-bucket least squares): 8 doc-id-prefix checkpoints, each a
     // conditional sum in ONE scan (token totals) + ONE first-occurrence
@@ -6644,6 +6671,44 @@ object SparkEntry {
         "CAST(es.raw_est AS BIGINT) AS raw_est, CAST(es.est AS BIGINT) AS est, " +
         "CAST((abs(es.est - ex.n_exact) * 1000000) // ex.n_exact AS BIGINT) AS err_ppm " +
         "FROM es JOIN ex ON es.source = ex.source"
+    },
+
+    // delta-merge law: per-snapshot register CTEs (same md5 buckets as
+    // corpus_delta's split), register-wise max merge, and an independent
+    // whole-corpus register set; merge_exact = full-outer register
+    // compare with implicit zeros
+    "vocab_hll_delta" -> {
+      val m = 64
+      val lcVals = Hll.linearCountingTable(m).zipWithIndex
+        .map { case (e, i) => s"(${i + 1}, $e)" }.mkString(", ")
+      val aNum = Hll.alphaNumerator(m)
+      s"WITH tok AS (SELECT source, ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk, unnest($sqlToks) AS term FROM documents), " +
+        "dts AS (SELECT DISTINCT source, term, bk < 80 AS is_old FROM tok), " +
+        s"hhs AS (SELECT source, is_old, ${sqlMd5Long("term")} AS h FROM dts), " +
+        "rrs AS (SELECT source, is_old, (h & 63) AS reg, " +
+        "least(CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - len(bin(h >> 6)) END, 30) AS rho FROM hhs), " +
+        "snaps AS (SELECT source, is_old, reg, max(rho) AS mr FROM rrs GROUP BY 1, 2, 3), " +
+        "mrg AS (SELECT source, reg, max(mr) AS mr FROM snaps GROUP BY 1, 2), " +
+        // independent whole-corpus registers: from the raw rows, not the
+        // per-snapshot aggregates
+        "fullr AS (SELECT source, (h & 63) AS reg, max(least(CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - len(bin(h >> 6)) END, 30)) AS mr " +
+        s"FROM (SELECT source, ${sqlMd5Long("term")} AS h FROM (SELECT DISTINCT source, term FROM tok)) GROUP BY 1, 2), " +
+        "cmp AS (SELECT COALESCE(a.source, f.source) AS source, COALESCE(a.mr, 0) AS ma, COALESCE(f.mr, 0) AS mf " +
+        "FROM mrg a FULL OUTER JOIN fullr f ON a.source = f.source AND a.reg = f.reg), " +
+        "eqq AS (SELECT source, min(CASE WHEN ma = mf THEN 1 ELSE 0 END) = 1 AS merge_exact FROM cmp GROUP BY source), " +
+        "dom AS (SELECT s.source, r.range AS reg FROM " +
+        s"(SELECT DISTINCT source FROM mrg) s CROSS JOIN range($m) r), " +
+        "filled AS (SELECT d.source, COALESCE(u.mr, 0) AS rho FROM dom d " +
+        "LEFT JOIN mrg u ON u.source = d.source AND u.reg = d.reg), " +
+        "fold AS (SELECT source, sum((CAST(1 AS BIGINT) << (30 - rho))) AS sm, " +
+        "sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v FROM filled GROUP BY source), " +
+        s"lc(lv, le) AS (VALUES $lcVals), " +
+        s"es AS (SELECT source, v, $aNum // sm AS raw_est, " +
+        s"CASE WHEN ($aNum // sm) <= ${5L * m / 2} AND v > 0 THEN lc.le " +
+        s"ELSE $aNum // sm END AS est FROM fold LEFT JOIN lc ON lc.lv = fold.v) " +
+        "SELECT es.source, CAST(es.v AS BIGINT) AS zero_regs, " +
+        "CAST(es.raw_est AS BIGINT) AS raw_est, CAST(es.est AS BIGINT) AS est, " +
+        "eqq.merge_exact FROM es JOIN eqq ON es.source = eqq.source"
     },
 
     // Heaps' fit: the same prefix cutoffs (⌊max·i/8⌋), first-occurrence

@@ -133,6 +133,35 @@ object Hll {
       Dedup.Md5Hasher(col(termCol).cast("string")), lit(m))
   }
 
+  /** Register-wise merge of two register ARRAY columns (the HLL
+    * mergeability law: max per register) — `sketch(A) ⊔ sketch(B) ≡
+    * sketch(A ∪ B)`, which is what makes a PERSISTED sketch an
+    * incremental artifact: growing corpora update distinct counts by
+    * merging the new snapshot's sketch into the stored one, never
+    * rescanning history. Null-safe on either side (a group absent from
+    * one snapshot contributes an all-zero sketch). */
+  def mergeRegs(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column,
+                m: Int = 64): org.apache.spark.sql.Column = {
+    requireM(m)
+    val zero = array_repeat(lit(0), m)
+    zip_with(coalesce(a, zero), coalesce(b, zero), (x, y) => greatest(x, y))
+  }
+
+  /** Persist a per-group sketch frame — (groupCols…, `regsCol`
+    * array<int> length m) as produced by [[sketchAgg]] — as a parquet
+    * artifact (the [[CorpusDelta]] snapshot pattern applied to sketch
+    * state). Overwrites: the artifact is a register state, not a log —
+    * merge BEFORE writing ([[mergeRegs]] with the previous
+    * [[readSketch]]) to accumulate across runs. */
+  def writeSketch(regs: DataFrame, path: String): Unit =
+    regs.write.mode("overwrite").parquet(path)
+
+  /** Read a sketch artifact back ([[writeSketch]]'s inverse). */
+  def readSketch(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Estimates from a per-group register ARRAY column (what [[sketchAgg]]
     * evals to): the same integer estimator as [[estimate]], computed as a
     * per-row fold over the m-element array — the HOF-interpreted cost

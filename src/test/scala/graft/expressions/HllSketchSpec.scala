@@ -63,6 +63,35 @@ class HllSketchSpec extends SparkSpec {
     assert(viaRollup === viaUnion)
   }
 
+  test("sketch persistence round-trip + cross-run merge: stored sketch " +
+      "merged with a new snapshot's sketch equals the union's sketch") {
+    val snapA = terms("g1", 800).union(terms("g2", 50, "u"))
+    val snapB = terms("g1", 400, "w").union(terms("g3", 90, "v"))
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(Hll.sketchAgg("term", m).as("_regs"))
+    val dir = java.nio.file.Files.createTempDirectory("hll_sketch").toString
+    // run 1: sketch snapshot A, persist the artifact
+    Hll.writeSketch(sk(snapA), dir)
+    // run 2: read the artifact back, merge in snapshot B's sketch —
+    // NO rescan of snapshot A anywhere on this path
+    val merged = Hll.readSketch(spark, dir)
+      .withColumnRenamed("_regs", "_ra")
+      .join(sk(snapB).withColumnRenamed("_regs", "_rb"),
+        Seq("g"), "full_outer")
+      .select(col("g"), Hll.mergeRegs(col("_ra"), col("_rb"), m).as("_regs"))
+    val union = sk(snapA.union(snapB))
+    val got = Hll.estimateFromRegs(merged, "_regs", m)
+      .orderBy("g").collect().map(_.toString).toSeq
+    val want = Hll.estimateFromRegs(union, "_regs", m)
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(got === want)
+    // and register-level equality, not just equal estimates
+    val regsEq = merged.withColumnRenamed("_regs", "_m")
+      .join(union.withColumnRenamed("_regs", "_u"), Seq("g"))
+      .filter(not(col("_m") === col("_u"))).count()
+    assert(regsEq === 0)
+  }
+
   test("null terms are skipped; duplicates cannot move a register") {
     val withNulls = Seq(("g", Some("x1")), ("g", None), ("g", Some("x2")),
       ("g", Some("x1"))).toDF("g", "term")
