@@ -360,6 +360,19 @@ object Dedup {
     * hash aggregation; no caps to tune, no quadratic hot bucket unless
     * the corpus genuinely is one near-dup family.
     *
+    * EXACTNESS CONTRACT (modulo 60-bit hashing): shingles are keyed by
+    * their md5-prefix 60-bit longs before any shuffle (the sf10 volume
+    * fix), so "exact" means exact over the HASHED shingle space. A
+    * collision can only MERGE two distinct shingles — raising a df,
+    * adding a candidate, or inflating a common-shingle count, i.e. a
+    * possible FALSE POSITIVE pair or an over-estimated jaccard — it can
+    * NEVER hide a true pair (no false negatives, for any corpus). On
+    * the tested corpora the capless string-space differential oracle
+    * certifies collision-freeness outright; a deployment that needs the
+    * no-false-positives direction on arbitrary corpora should verify
+    * surviving pairs against raw shingles (one extra join) or key by
+    * the full 128-bit md5 as [[exactSubstrRuns]] does.
+    *
     * Output: (id_a, id_b, jaccard) — identical shape and rounding to
     * [[ngramJaccardPairs]]. */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
@@ -505,7 +518,12 @@ object Dedup {
     * inherent (a snippet's prefix finds its host; the host's prefix need
     * not find the snippet), so both directions emerge naturally from
     * each side's own prefix. ⌈t·n⌉ is exact integer arithmetic
-    * ((n·ppm + 999999) div 10⁶ — no float boundary). Output shape
+    * ((n·ppm + 999999) div 10⁶ — no float boundary). Shingles are keyed
+    * by md5-prefix 60-bit longs — [[prefixFilterJaccardPairs]]'s
+    * exactness contract applies verbatim: a collision can inflate an
+    * overlap (possible false-positive pair / over-estimated cont_ppm)
+    * but can never hide a true pair; the capless oracle certifies
+    * collision-freeness on the tested corpora. Output shape
     * matches [[containmentPairs]]: (src, dst, cont_ppm). */
   def prefixFilterContainmentPairs(docs: DataFrame, idCol: String,
                                    shingleCol: String,
