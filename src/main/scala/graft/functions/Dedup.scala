@@ -544,12 +544,36 @@ object Dedup {
         size(col("ord")).as("n")))
     val prefLen = col("n") -
       expr(s"(n * ${threshPpm}L + 999999L) div 1000000L") + lit(1)
-    val prefixes = ordered.select(col("id").as("src"),
-      explode(slice(col("sorted_sh"), lit(1), prefLen)).as("sh"))
-    val fullIdx = ordered.select(col("id").as("dst"),
-      explode(col("sorted_sh")).as("sh"))
+    // POSITIONAL filtering (the PPJoin lever, Xiao et al. WWW'08, §3.2,
+    // adapted to one-sided containment): a qualifying pair's FIRST
+    // shared shingle in the global rarity order sits at 0-based
+    // positions (_i, _j), and every overlap element sits at or after it
+    // on both sides, so overlap ≤ min(n_src−_i, n_dst−_j). Candidates
+    // failing that bound against the required ⌈t·n_src⌉ drop BEFORE the
+    // distinct shuffle — lossless (the bound is a theorem; dropping a
+    // generating occurrence keeps the pair if any occurrence passes,
+    // and the first shared element always does for a true pair). On the
+    // synthetic corpus the candidate set is already overlap-plausible
+    // (sf10 audit: 48.5 M join rows → 46.2 M distinct pairs, exactly
+    // 100× the sf0.1 counts), so this bound prunes little THERE — its
+    // job is the degenerate corpus: a boilerplate family whose hot
+    // shingles sort LATE (df-ascending order) has small n−pos
+    // remainders, and the bound caps exactly the fan-out the uncapped
+    // index would otherwise pay. Measured stage profile at sf10 (the
+    // audit's fix-before-landing investigation): index build ~24 s,
+    // candidate join 4 s, distinct 12 s, array verification ~122 s —
+    // every stage linear in ROWS; the verification's wall excess is
+    // ~74 GB of sorted-array shuffle spilling on the single 128 GiB
+    // box, the same memory-ceiling class as the jaccard twin (SCALE.md).
+    val prefixes = ordered.select(col("id").as("src"), col("n").as("n_src"),
+      posexplode(slice(col("sorted_sh"), lit(1), prefLen))
+        .as(Seq("_i", "sh")))
+    val fullIdx = ordered.select(col("id").as("dst"), col("n").as("n_dst"),
+      posexplode(col("sorted_sh")).as(Seq("_j", "sh")))
+    val minOv = expr(s"(n_src * ${threshPpm}L + 999999L) div 1000000L")
     val cand = prefixes.join(fullIdx, "sh")
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") =!= col("dst") &&
+        least(col("n_src") - col("_i"), col("n_dst") - col("_j")) >= minOv)
       .select(col("src"), col("dst"))
       .distinct()
     cand
