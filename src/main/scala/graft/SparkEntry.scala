@@ -2191,6 +2191,35 @@ object SparkEntry {
             .as("margin_us"))
     }),
 
+    // KNN-Shapley data valuation (Jia et al. VLDB'19): exact closed-form
+    // Shapley value of every training vector for a 5-NN classifier on
+    // the 8 probe rows — quantized to integer qq units per term so the
+    // suffix sums are order-free. Top-20 most valuable points: the
+    // "which examples help validation" report
+    "embedding_knn_shapley" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnShapleyValues(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+          k = 5)
+        .groupBy(col("nid"), col("label"))
+        .agg(sum(col("value_qq")).as("total_value_qq"))
+        .orderBy(col("total_value_qq").desc, col("nid").asc)
+        .limit(20)
+    }),
+
+    // the label-level rollup of the same valuation: which CLASS of
+    // training data carries the probe set — the mixture-weight signal
+    // (negative totals = labels that actively hurt these probes)
+    "embedding_value_by_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnShapleyValues(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+          k = 5)
+        .groupBy(col("label"))
+        .agg(countDistinct(col("nid")).as("n_points"),
+          sum(col("value_qq")).as("total_value_qq"))
+    }),
+
     // the same recall loop for the NN-descent graph: how close the
     // 2-round refined graph sits to brute truth on the probe rows
     "ann_graph_recall" -> ((s, dir) => {
@@ -4418,6 +4447,29 @@ object SparkEntry {
       roundCtes(1) + ", " + roundCtes(2)
   }
 
+  /** DuckDB unroll of `Similarity.knnShapleyValues` (k=5, qq = 10⁻¹²
+    * quantization): same (sim DESC, nid) rank order, same pmod-floored
+    * per-term integers, same suffix sums (order-free over integers).
+    * Yields CTE `sv(qid, nid, label, value_qq)`. */
+  private def knnShapleyCtes: String = {
+    val nrm = "sqrt(list_sum(list_transform(range(1, 65), " +
+      "d -> embedding[d]::DOUBLE * embedding[d]::DOUBLE)))"
+    val sim = "list_sum(list_transform(range(1, 65), " +
+      "d -> c.v[d]::DOUBLE * q.qv[d]::DOUBLE)) / (c.n * q.qn)"
+    val a = "((m - mn)::HUGEINT * least(rnk, 5) * 1000000000000)"
+    val b = "((5 * rnk)::HUGEINT)"
+    val floorDiv = s"(($a - ((($a % $b) + $b) % $b)) // $b)"
+    s"c AS (SELECT vec_id AS nid, embedding AS v, label, $nrm AS n FROM embeddings), " +
+      s"q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql, $nrm AS qn FROM embeddings WHERE vec_id < 8), " +
+      s"sc AS (SELECT q.qid, c.nid, c.label, q.ql, $sim AS sim FROM c, q WHERE c.nid <> q.qid), " +
+      "rk AS (SELECT qid, nid, label, CASE WHEN label = ql THEN 1 ELSE 0 END AS m, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk, " +
+      "count(*) OVER (PARTITION BY qid) AS nn, " +
+      "lead(CASE WHEN label = ql THEN 1 ELSE 0 END) OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS mn FROM sc), " +
+      s"tm AS (SELECT qid, nid, label, rnk, CASE WHEN mn IS NULL THEN (m::HUGEINT * 1000000000000) // nn ELSE $floorDiv END AS t FROM rk), " +
+      "sv AS (SELECT qid, nid, label, CAST(sum(t) OVER (PARTITION BY qid ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS value_qq FROM tm)"
+  }
+
   private def annGraphOracleSql: String =
     s"WITH $annGraphCtes " +
       "SELECT node AS query_id, CAST(rn AS INTEGER) AS rank, nbr AS neighbor_id, round(sim, 6) AS sim " +
@@ -6135,6 +6187,18 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracleSql,
 
     "ann_graph_topk" -> annGraphOracleSql,
+
+    // KNN-Shapley unroll: same (sim DESC, nid) ranks, same pmod-floored
+    // qq terms, same order-free integer suffix sums
+    "embedding_knn_shapley" ->
+      (s"WITH $knnShapleyCtes " +
+        "SELECT nid, label, CAST(sum(value_qq) AS BIGINT) AS total_value_qq " +
+        "FROM sv GROUP BY 1, 2 ORDER BY 3 DESC, 1 LIMIT 20"),
+
+    "embedding_value_by_label" ->
+      (s"WITH $knnShapleyCtes " +
+        "SELECT label, count(DISTINCT nid) AS n_points, " +
+        "CAST(sum(value_qq) AS BIGINT) AS total_value_qq FROM sv GROUP BY 1"),
 
     "ann_graph_search" -> annGraphSearchOracleSql,
 

@@ -730,6 +730,73 @@ object Similarity {
     out
   }
 
+  /** KNN-SHAPLEY data valuation (Jia, Dao, Wang et al., VLDB 2019 —
+    * "Efficient Task-Specific Data Valuation for Nearest Neighbor
+    * Algorithms"): the exact, closed-form Shapley value of every
+    * training point for a K-NN classifier's accuracy on a probe set —
+    * the data-valuation pass a pipeline runs to find which examples
+    * (and which labels/sources, after aggregation) actually help a
+    * validation set, and which are dead weight or harmful (negative
+    * value). Unlike Monte-Carlo Shapley this is EXACT in one
+    * O(N log N)-per-probe pass: with training points sorted by distance
+    * to the probe (rank i = 1 nearest … N farthest, m_i = 1 iff the
+    * label matches the probe's),
+    *   s_N = m_N / N,
+    *   s_i = s_{i+1} + (m_i − m_{i+1})/K · min(i, K)/i,
+    * i.e. a suffix sum over the similarity-ranked scan.
+    *
+    * Determinized for the differential oracle: ranks order by
+    * (cosine DESC, id ASC) — the shared brute-force tie-break — and
+    * every term is floored to integer MICRO-MICRO units (qq, 10⁻¹²)
+    * via exact decimal floor division BEFORE summing, so the suffix
+    * sums are order-free integer sums (the vocab_zipf pmod-floor
+    * discipline; the quantization error is ≤ N·10⁻¹² per probe,
+    * declared). Probes broadcast onto ONE corpus scan (the brute-force
+    * shape); the per-probe rank window is the same corpus-sized sort a
+    * brute-force top-N pays — at 100 TB run it over a stable-bucket
+    * sample of probes and/or corpus, the aggregation shape unchanged.
+    *
+    * Output: (query_id, nid, label, rank, value_qq) — one row per
+    * (probe, training point). Σ value_qq over a probe ≈ the K-NN
+    * accuracy on it (the Shapley efficiency axiom, quantized). */
+  def knnShapleyValues(corpus: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, probes: DataFrame, queryId: String,
+                       queryVec: String, queryLabel: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col(labelCol).as("_nl"))
+      .withColumn("_cn", norm(col("nv")))
+    val q = probes.select(col(queryId).as("qid"), col(queryVec).as("qv"),
+        col(queryLabel).as("_ql"))
+      .withColumn("_qn", norm(col("qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val wAll = Window.partitionBy(col("qid"))
+    val qq = lit(1000000000000L)
+    val scored = c.join(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosinePrenormed(col("nv"), col("qv"),
+        col("_cn"), col("_qn")))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("_m", (col("_nl") === col("_ql")).cast("long"))
+      .withColumn("_mn", lead(col("_m"), 1).over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    // per-rank term, floored to qq units (exact integer from here on):
+    // rank N carries the base case m_N/N, ranks below the recursion step
+    val term = when(col("_mn").isNull,
+        Sampling.intDivExact(col("_m") * qq, col("_n")))
+      .otherwise(Sampling.intDivExact(
+        (col("_m") - col("_mn")) * least(col("rank"), lit(k.toLong)) * qq,
+        lit(k.toLong) * col("rank")))
+    scored
+      .withColumn("_t", term)
+      .withColumn("value_qq", sum(col("_t")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .select(col("qid").as("query_id"), col("nid"), col("_nl").as("label"),
+        col("rank"), col("value_qq"))
+  }
+
   /** INCREMENTAL maintenance for the NN-descent graph — the append path
     * that lets a growing corpus update its k-NN graph without a full
     * rebuild (the [[Ivf.appendToIndex]] operational precedent, applied
