@@ -3288,6 +3288,30 @@ object SparkEntry {
     "vocab_coverage" -> ((s, dir) =>
       Vocab.coverage(t(s, dir, "documents"), "text", vocabCoverageKs)),
 
+    // Unicode normalization screen (UAX #15 via the codegen'd
+    // graft_normalize expression): composed vs decomposed variants of
+    // the same per-doc payload are raw-UNEQUAL and must become
+    // NFC-EQUAL, with the decomposed side losing exactly its combining
+    // marks in codepoint length — the text-canonicalization pass a
+    // multilingual corpus runs before hashing/dedup. Fixtures are
+    // synthesized from doc_id (the shared-constants robots pattern) so
+    // the oracle rebuilds the identical inputs with chr() literals
+    "corpus_nfc_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def payload(variant: Column) = concat(lit("doc"),
+        col("doc_id").cast("string"), lit(" "), variant)
+      // e+U+0301, A+U+030A, o+U+0301 — each composes under NFC
+      val d = payload(lit("café Å róle"))
+      val p = payload(lit("café Å róle"))
+      def nfc(c: Column) = TextFunctions.normalizeUnicode(c)
+      docs.select(d.as("d"), p.as("p"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("d") === col("p"), 1)).as("n_raw_equal"),
+          count(when(nfc(col("d")) === nfc(col("p")), 1)).as("n_nfc_equal"),
+          sum(length(col("d"))).as("len_raw"),
+          sum(length(nfc(col("d")))).as("len_nfc"))
+    }),
+
     // PII/entity inventory: independent per-pattern totals (the audit
     // before scheduling redaction; patterns are the shared RE2 constants)
     "text_entity_counts" -> ((s, dir) =>
@@ -7771,6 +7795,21 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    // same per-doc payloads rebuilt with chr() (769 = U+0301 combining
+    // acute, 778 = U+030A combining ring; 233/197/243 = the precomposed
+    // twins), DuckDB's UAX#15 nfc_normalize vs the engine's
+    // graft_normalize expression
+    "corpus_nfc_normalize" ->
+      ("WITH f AS (SELECT " +
+        "'doc' || doc_id || ' cafe' || chr(769) || ' A' || chr(778) || ' ro' || chr(769) || 'le' AS d, " +
+        "'doc' || doc_id || ' caf' || chr(233) || ' ' || chr(197) || ' r' || chr(243) || 'le' AS p " +
+        "FROM documents) " +
+        "SELECT count(*) AS n_docs, " +
+        "count(CASE WHEN d = p THEN 1 END) AS n_raw_equal, " +
+        "count(CASE WHEN nfc_normalize(d) = nfc_normalize(p) THEN 1 END) AS n_nfc_equal, " +
+        "CAST(sum(length(d)) AS BIGINT) AS len_raw, " +
+        "CAST(sum(length(nfc_normalize(d))) AS BIGINT) AS len_nfc FROM f"),
 
     // the four shared RE2 pattern constants, counted independently
     "text_entity_counts" ->

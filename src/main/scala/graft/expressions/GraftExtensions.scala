@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[GraftNormalize].getName, "graft_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_normalize takes exactly 2 arguments (str, form)")
+        GraftNormalize(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hll_regs"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_regs"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

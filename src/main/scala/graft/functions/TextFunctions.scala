@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** UAX #15 Unicode normalization via the native codegen'd
+    * [[graft.expressions.GraftNormalize]] expression (requires the
+    * `GraftExtensions` session extension) — run BEFORE tokenization /
+    * fingerprinting on multilingual corpora: composed vs decomposed
+    * accents and compatibility forms otherwise make visually-identical
+    * text hash, dedup and match differently. NFC is the cross-engine
+    * oracle-checkable form (DuckDB `nfc_normalize`); NFD/NFKC/NFKD are
+    * spec-verified. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    call_function("graft_normalize", text, lit(form))
+
   /** Whitespace tokens of the lowercased text, empty tokens dropped.
     * Filtering (not a trim guard) because Spark `trim` strips only spaces —
     * leading tabs/newlines would otherwise yield an empty first token
