@@ -1564,6 +1564,27 @@ object SparkEntry {
       Sampling.waterfillBudget(t(s, dir, "documents"), "source", "text",
         waterfillBudgetTokens).orderBy(col("source"))),
 
+    // incremental exact-dup maintenance: group STATE (md5, keep_id,
+    // group_size — array-free, persistable) built per snapshot and
+    // merged (min/sum are associative, so append ∪ ≡ rebuild EXACTLY);
+    // the output compares the merged state against an independent
+    // whole-corpus rebuild row-for-row
+    "dedup_groups_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      val merged = Dedup.mergeGroupsState(
+        Dedup.exactGroupsState(docs.filter(bucket < 80), "doc_id", "text"),
+        Dedup.exactGroupsState(docs.filter(bucket >= 80), "doc_id", "text"))
+      val full = Dedup.exactGroupsState(docs, "doc_id", "text")
+        .select(col("content_md5"), col("keep_id").as("_fk"),
+          col("group_size").as("_fs"))
+      merged.join(full, Seq("content_md5"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"),
+          count(when(col("keep_id") === col("_fk") &&
+            col("group_size") === col("_fs"), 1)).as("n_merge_exact"))
+    }),
+
     // full dedup pipeline: verified pairs → connected components (groups)
     "dedup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -5514,6 +5535,19 @@ object SparkEntry {
 
     "dedup_groups" ->
       s"$ccCompPrefixSql SELECT id, comp FROM comp",
+
+    // per-snapshot states (same md5 bucket split as corpus_delta),
+    // least/sum full-outer merge, independent whole-corpus rebuild
+    "dedup_groups_delta" ->
+      (s"WITH t AS (SELECT doc_id, ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk, $sqlToks AS toks FROM documents), " +
+        "fp AS (SELECT doc_id, bk, md5(COALESCE(array_to_string(toks, ' '), '')) AS f FROM t), " +
+        "sa AS (SELECT f, min(doc_id) AS k, count(*) AS c FROM fp WHERE bk < 80 GROUP BY f), " +
+        "sb AS (SELECT f, min(doc_id) AS k, count(*) AS c FROM fp WHERE bk >= 80 GROUP BY f), " +
+        "m AS (SELECT COALESCE(sa.f, sb.f) AS f, least(sa.k, sb.k) AS k, COALESCE(sa.c, 0) + COALESCE(sb.c, 0) AS c FROM sa FULL OUTER JOIN sb ON sa.f = sb.f), " +
+        "fl AS (SELECT f, min(doc_id) AS k, count(*) AS c FROM fp GROUP BY f) " +
+        "SELECT count(*) AS n_groups, CAST(sum(m.c) AS BIGINT) AS n_docs, " +
+        "count(CASE WHEN fl.k = m.k AND fl.c = m.c THEN 1 END) AS n_merge_exact " +
+        "FROM m JOIN fl ON m.f = fl.f"),
 
     // the shared CC prefix, then the same log2 histogram convention
     "graph_component_hist" ->

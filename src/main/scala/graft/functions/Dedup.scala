@@ -135,6 +135,42 @@ object Dedup {
         count(lit(1)).alias("group_size"),
         array_sort(collect_list(col(idCol))).alias("member_ids"))
 
+  /** SCALABLE exact-group STATE — the persistable projection of
+    * [[exactGroups]]: (content_md5, keep_id, group_size), no member
+    * arrays (an array-free state row per group is what survives 100 TB;
+    * membership stays derivable by re-fingerprinting any doc against
+    * the state). This is the artifact the incremental path stores
+    * between runs ([[mergeGroupsState]]; parquet via plain write/read —
+    * the [[graft.functions.Hll.writeSketch]] snapshot pattern). */
+  def exactGroupsState(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs
+      .withColumn("content_md5", TextFunctions.contentFingerprint(col(textCol)))
+      .groupBy(col("content_md5"))
+      .agg(min(col(idCol)).alias("keep_id"),
+        count(lit(1)).alias("group_size"))
+
+  /** Merge two exact-group states — the incremental-dedup append path:
+    * fingerprint ONLY the new snapshot ([[exactGroupsState]]) and merge
+    * into the stored state, never rescanning history. Because the group
+    * key is a pure row function and (min, sum) are associative and
+    * commutative, append ∪ ≡ rebuild EXACTLY (not approximately — the
+    * spec asserts frame equality), for any split of the corpus into
+    * snapshots. One full-outer equi-join on the 128-bit key; with both
+    * states stored bucketed by content_md5 the exchange disappears
+    * entirely ([[graft.sources.Bucketing]]). */
+  def mergeGroupsState(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("content_md5"), col("keep_id").as("_ka"),
+      col("group_size").as("_sa"))
+    val r = b.select(col("content_md5"), col("keep_id").as("_kb"),
+      col("group_size").as("_sb"))
+    l.join(r, Seq("content_md5"), "full_outer")
+      .select(col("content_md5"),
+        least(col("_ka"), col("_kb")).as("keep_id"), // least skips nulls
+        (coalesce(col("_sa"), lit(0L)) + coalesce(col("_sb"), lit(0L)))
+          .as("group_size"))
+  }
+
   /** Normalization-canonical dedup groups: like [[exactGroups]] but keyed
     * on the aggressive fingerprint (case/punctuation-insensitive — see
     * `TextFunctions.normalizedFingerprint`), reporting per group how many

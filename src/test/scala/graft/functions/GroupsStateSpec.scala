@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental exact-dup group state: append ∪ ≡ rebuild EXACTLY, with
+  * duplicate groups deliberately spanning the snapshot boundary. */
+class GroupsStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma"),
+    (2L, "alpha  beta\tgamma"), // whitespace-normalized dup of 1
+    (3L, "unique one"),
+    (4L, "shared text"),
+    (5L, "shared text"),
+    (6L, "shared text"),        // group of 3 spanning both snapshots
+    (7L, "unique two")
+  ).toDF("doc_id", "text")
+
+  private def state(df: org.apache.spark.sql.DataFrame) =
+    Dedup.exactGroupsState(df, "doc_id", "text")
+
+  test("merge of snapshot states equals the whole-corpus rebuild " +
+      "row-for-row, including groups that span the boundary") {
+    val old = docs.filter($"doc_id" <= 4)
+    val neu = docs.filter($"doc_id" > 4)
+    val merged = Dedup.mergeGroupsState(state(old), state(neu))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val rebuilt = state(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(merged === rebuilt)
+    // the boundary-spanning group resolved to the OLD snapshot's min id
+    val shared = rebuilt.filter(_._3 === 3L)
+    assert(shared.length === 1 && shared.head._2 === 4L)
+    // the whitespace variants collapsed (group of 2, keep_id 1)
+    assert(rebuilt.count(_._3 === 2L) === 1)
+  }
+
+  test("merging with an empty state is the identity; merge is " +
+      "commutative") {
+    val empty = state(docs.filter(lit(false)))
+    val s = state(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.mergeGroupsState(s, empty)) === rows(s))
+    assert(rows(Dedup.mergeGroupsState(empty, s)) === rows(s))
+    val a = state(docs.filter($"doc_id" % 2 === 0))
+    val b = state(docs.filter($"doc_id" % 2 === 1))
+    assert(rows(Dedup.mergeGroupsState(a, b)) ===
+      rows(Dedup.mergeGroupsState(b, a)))
+  }
+
+  test("three-way incremental chain equals one rebuild (associativity)") {
+    val s1 = state(docs.filter($"doc_id" <= 2))
+    val s2 = state(docs.filter($"doc_id".between(3, 5)))
+    val s3 = state(docs.filter($"doc_id" > 5))
+    val chained = Dedup.mergeGroupsState(
+      Dedup.mergeGroupsState(s1, s2), s3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(chained === state(docs).collect().map(_.toString).sorted.toSeq)
+  }
+}
