@@ -1585,6 +1585,27 @@ object SparkEntry {
             col("group_size") === col("_fs"), 1)).as("n_merge_exact"))
     }),
 
+    // the trainer's last-mile artifact: deterministic shard manifest —
+    // shard = md5(doc_id) % 16 (stable across runs and engines, no
+    // global sort, no driver state), per-shard doc/token totals and the
+    // signed ppm deviation of each shard's token share from the ideal
+    // 1/S (the balance check before shipping shards to data loaders);
+    // totals ride one broadcast 1-row frame, all integer arithmetic
+    "corpus_shard_manifest" -> ((s, dir) => {
+      val S = 16L
+      val perDoc = t(s, dir, "documents")
+        .select(pmod(Dedup.Md5Hasher(col("doc_id").cast("string")), lit(S))
+          .as("shard"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("_tk"))
+      val perShard = perDoc.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tk")).as("n_tokens"))
+      val tot = perShard.agg(sum(col("n_tokens")).as("_tot"))
+      perShard.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          (Sampling.intDivExact(col("n_tokens") * lit(S) * lit(1000000L),
+            col("_tot")) - lit(1000000L)).as("dev_ppm"))
+    }),
+
     // full dedup pipeline: verified pairs → connected components (groups)
     "dedup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -5535,6 +5556,16 @@ object SparkEntry {
 
     "dedup_groups" ->
       s"$ccCompPrefixSql SELECT id, comp FROM comp",
+
+    // same md5-mod-16 shards, same integer share deviation
+    "corpus_shard_manifest" ->
+      (s"WITH d AS (SELECT ${sqlMd5Long("doc_id::VARCHAR")} % 16 AS shard, " +
+        s"len($sqlToks)::BIGINT AS tk FROM documents), " +
+        "ps AS (SELECT shard, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens FROM d GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS tot FROM ps) " +
+        "SELECT shard, n_docs, n_tokens, " +
+        "CAST((n_tokens::HUGEINT * 16 * 1000000) // tot - 1000000 AS BIGINT) AS dev_ppm " +
+        "FROM ps, tt"),
 
     // per-snapshot states (same md5 bucket split as corpus_delta),
     // least/sum full-outer merge, independent whole-corpus rebuild
