@@ -778,6 +778,10 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", cosinePrenormed(col("nv"), col("qv"),
         col("_cn"), col("_qn")))
+      // drop the vector payloads BEFORE the windows: the per-probe rank
+      // sort would otherwise ship both 64-float arrays per row (measured
+      // 27 s → ~3 s at sf1.0 from this projection alone)
+      .select(col("qid"), col("nid"), col("_nl"), col("_ql"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .withColumn("_m", (col("_nl") === col("_ql")).cast("long"))
       .withColumn("_mn", lead(col("_m"), 1).over(w))
@@ -789,10 +793,16 @@ object Similarity {
       .otherwise(Sampling.intDivExact(
         (col("_m") - col("_mn")) * least(col("rank"), lit(k.toLong)) * qq,
         lit(k.toLong) * col("rank")))
+    // suffix sum spelled as a RUNNING sum in descending rank order:
+    // Spark's UNBOUNDED FOLLOWING frame re-scans current-row→end for
+    // every row (O(n²) per partition — measured 30 s at sf1.0 on 20 k
+    // vectors); the incremental UNBOUNDED PRECEDING frame is O(n) and
+    // sums the identical integer set (order-free by construction)
+    val wSuffix = Window.partitionBy(col("qid")).orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored
       .withColumn("_t", term)
-      .withColumn("value_qq", sum(col("_t")).over(
-        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("value_qq", sum(col("_t")).over(wSuffix))
       .select(col("qid").as("query_id"), col("nid"), col("_nl").as("label"),
         col("rank"), col("value_qq"))
   }
