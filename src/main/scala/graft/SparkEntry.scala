@@ -1585,6 +1585,43 @@ object SparkEntry {
             col("group_size") === col("_fs"), 1)).as("n_merge_exact"))
     }),
 
+    // the DATA CARD: the per-source release artifact every corpus ships —
+    // size, exact-dup rate, Gopher-gate keep rate, dominant language —
+    // composed from the already-oracle-proven signals (contentFingerprint
+    // groups, qualityRuleScreen, langId) in one plan: four hash
+    // aggregates over scans + one small argmax, everything ppm-exact
+    "corpus_datacard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      val fp = docs.select(col("source"),
+        TextFunctions.contentFingerprint(col("text")).as("_f"))
+      val gs = fp.groupBy(col("_f")).agg(count(lit(1)).as("_gs"))
+      val dup = fp.join(gs, "_f").groupBy(col("source"))
+        .agg(count(when(col("_gs") > 1, 1)).as("_dup"))
+      val keep = TextFunctions.qualityRuleScreen(docs, "text", "source")
+        .select(col("source"), col("n_kept"))
+      val lang = docs.select(col("source"),
+          TextFunctions.langId(col("text")).as("_lg"))
+        .groupBy(col("source"), col("_lg")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("source"))
+        .agg(min_by(struct(col("_lg"), col("_c")),
+          struct((-col("_c")).as("_nc"), col("_lg"))).as("_t"))
+        .select(col("source"), col("_t").getField("_lg").as("top_lang"),
+          col("_t").getField("_c").as("_lc"))
+      base.join(dup, "source").join(keep, "source").join(lang, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          Sampling.intDivExact(col("_dup") * lit(1000000L), col("n_docs"))
+            .as("dup_doc_ppm"),
+          Sampling.intDivExact(col("n_kept") * lit(1000000L), col("n_docs"))
+            .as("gopher_keep_ppm"),
+          col("top_lang"),
+          Sampling.intDivExact(col("_lc") * lit(1000000L), col("n_docs"))
+            .as("top_lang_ppm"))
+    }),
+
     // the trainer's last-mile artifact: deterministic shard manifest —
     // shard = md5(doc_id) % 16 (stable across runs and engines, no
     // global sort, no driver state), per-shard doc/token totals and the
@@ -5556,6 +5593,38 @@ object SparkEntry {
 
     "dedup_groups" ->
       s"$ccCompPrefixSql SELECT id, comp FROM comp",
+
+    // data card: langIdBodySql's predictor + the rule-screen predicates
+    // (same interpolated constants) + md5 group sizes, composed per source
+    "corpus_datacard" -> {
+      val swList = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+      import TextFunctions._
+      s"WITH $langIdBodySql, " +
+        "lgs AS (SELECT d0.source, lg.lang_guess FROM lg JOIN documents d0 ON lg.doc_id = d0.doc_id), " +
+        "lcnt AS (SELECT source, lang_guess, count(*) AS c FROM lgs GROUP BY 1, 2), " +
+        "ltop AS (SELECT source, lang_guess AS top_lang, c FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang_guess) AS rn FROM lcnt) WHERE rn = 1), " +
+        s"bs AS (SELECT source, count(*) AS n_docs, CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+        s"fps AS (SELECT source, md5(COALESCE(array_to_string($sqlToks, ' '), '')) AS f FROM documents), " +
+        "gsz AS (SELECT f, count(*) AS gs FROM fps GROUP BY 1), " +
+        "dups AS (SELECT source, count(CASE WHEN gs > 1 THEN 1 END) AS dup FROM fps JOIN gsz USING (f) GROUP BY 1), " +
+        s"rb AS (SELECT source, text AS tx, $sqlToks AS toks FROM documents), " +
+        "rf AS (SELECT source, CAST(len(toks) AS BIGINT) AS nw, " +
+        "(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) * 1000000) // greatest(CAST(len(toks) AS BIGINT), 1) AS mlus, " +
+        s"len(list_filter(list_distinct(toks), x -> list_contains([$swList], x))) AS nstop, " +
+        "(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1000000) // greatest(CAST(len(toks) AS BIGINT), 1) AS appm, " +
+        "len(tx) - len(replace(tx, '#', '')) AS nhash, " +
+        "(len(tx) - len(replace(tx, '...', ''))) // 3 AS nell FROM rb), " +
+        s"rg AS (SELECT source, (nw < $RuleWcLo OR nw > $RuleWcHi) AS fwc, " +
+        s"(mlus < $RuleWlLoUs OR mlus > $RuleWlHiUs) AS fwl, " +
+        s"(nstop < $RuleMinStop) AS fstop, (appm < $RuleAlphaMinPpm) AS falpha, " +
+        s"(((nhash + nell) * 1000000) // greatest(nw, 1) > $RuleSymMaxPpm) AS fsym FROM rf), " +
+        "keeps AS (SELECT source, CAST(sum(CASE WHEN NOT fwc AND NOT fwl AND NOT fstop AND NOT falpha AND NOT fsym THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM rg GROUP BY source) " +
+        "SELECT bs.source, bs.n_docs, bs.n_tokens, " +
+        "CAST((dup * 1000000) // n_docs AS BIGINT) AS dup_doc_ppm, " +
+        "CAST((n_kept * 1000000) // n_docs AS BIGINT) AS gopher_keep_ppm, " +
+        "top_lang, CAST((c * 1000000) // n_docs AS BIGINT) AS top_lang_ppm " +
+        "FROM bs JOIN dups USING (source) JOIN keeps USING (source) JOIN ltop USING (source)"
+    },
 
     // same md5-mod-16 shards, same integer share deviation
     "corpus_shard_manifest" ->
