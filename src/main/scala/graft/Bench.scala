@@ -198,12 +198,25 @@ object Bench {
         .sortBy(-_._3).take(reserveK)
       if (movers.nonEmpty) ensureFreshSession()
       val reserveStart = elapsedSecs
+      // queries with NO clean pin (added after the last re-pin) have no
+      // cost estimate but are exactly the new-heavy-query case the
+      // reserve exists for — their sweep reading is the inflated one, so
+      // gating on it would skip them (the r08 failure shape). Allow ONE
+      // unestimated re-time per run: bounded overshoot, fresh number.
+      var unknownUsed = false
       for ((name, cur, _) <- movers) {
         // per-query cost gate: predict the fresh re-time by the clean pin
         // (the sweep's own `cur` is the inflated reading for exactly the
-        // queries that land here); skip movers that no longer fit
-        val est = cleanMap.get(name).filter(_ > 0.05).getOrElse(cur)
-        if (elapsedSecs - reserveStart + est < reserveSecs) {
+        // queries that land here); skip pinned movers that no longer fit
+        val est = cleanMap.get(name).filter(_ > 0.05)
+        val admit = est match {
+          case Some(e) => elapsedSecs - reserveStart + e < reserveSecs
+          case None =>
+            if (unknownUsed || elapsedSecs - reserveStart >= reserveSecs)
+              false
+            else { unknownUsed = true; true }
+        }
+        if (admit) {
           val t = timeOnce(selected(name))
           retimed(name) = retimed.getOrElse(name, 0) + 1
           if (t < cur) results(name) = t

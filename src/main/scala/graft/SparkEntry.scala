@@ -1639,7 +1639,11 @@ object SparkEntry {
       val tot = perShard.agg(sum(col("n_tokens")).as("_tot"))
       perShard.crossJoin(broadcast(tot))
         .select(col("shard"), col("n_docs"), col("n_tokens"),
-          (Sampling.intDivExact(col("n_tokens") * lit(S) * lit(1000000L),
+          // numerator in DECIMAL before the multiplies: a 100 TB corpus
+          // (~1.5e12 tokens/shard) would wrap n_tokens·16·10⁶ in long
+          // arithmetic while the oracle's HUGEINT stays exact
+          (Sampling.intDivExact(
+            col("n_tokens").cast("decimal(38,0)") * lit(S * 1000000L),
             col("_tot")) - lit(1000000L)).as("dev_ppm"))
     }),
 

@@ -42,4 +42,26 @@ private[graft] object Frames {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** Free the storage behind a [[truncate]]d frame NOW. `Dataset
+    * .unpersist` is a cache-manager call and a NO-OP for checkpoint
+    * blocks (the persisted RDD behind a `LogicalRDD` plan is not an
+    * `InMemoryRelation` entry), so iterative loops that "unpersist"
+    * their previous round's truncated frame were really waiting on the
+    * ContextCleaner to GC the reference — bounded, but lazy. This walks
+    * the (shallow, public) RDD dependency chain from the frame's
+    * execution RDD to the persisted ancestor and unpersists it
+    * directly. Safe on any frame: if no persisted ancestor is found
+    * within a few hops, it does nothing. */
+  def release(df: DataFrame): Unit = {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    var r: org.apache.spark.rdd.RDD[_] = df.queryExecution.toRdd
+    var depth = 0
+    while (r.getStorageLevel == none && r.dependencies.nonEmpty &&
+        depth < 8) {
+      r = r.dependencies.head.rdd
+      depth += 1
+    }
+    if (r.getStorageLevel != none) r.unpersist(false)
+  }
 }

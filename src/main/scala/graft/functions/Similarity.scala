@@ -714,7 +714,7 @@ object Similarity {
         .select(col("node"), col("_cand").as("nbr"))
       val cand = non.unionByName(g.select(col("node"), col("nbr"))).distinct()
       val next = Frames.truncate(topK(score(cand)))
-      g.unpersist(false)
+      Frames.release(g) // checkpoint blocks — Dataset.unpersist is a no-op
       g = next
     }
     val out = g
@@ -725,7 +725,7 @@ object Similarity {
     // truncate above is eager, so the final round's blocks (and the
     // corpus index) release before the caller consumes the graph —
     // the persists-die-at-query-end hygiene rule
-    g.unpersist(false)
+    Frames.release(g)
     b.unpersist(false)
     out
   }
@@ -868,9 +868,14 @@ object Similarity {
 
     val wNode = Window.partitionBy(col("node"))
       .orderBy(col("sim").desc, col("nbr").asc)
-    def topK(scored: DataFrame): DataFrame = scored
-      .withColumn("_r", row_number().over(wNode))
-      .filter(col("_r") <= k).drop("_r")
+    // rank assigned HERE, inside the ball, from unrounded sims — and
+    // carried verbatim for out-of-ball rows: re-ranking untouched nodes
+    // from the stored round-6 sims could flip near-tie orders a rebuild
+    // (which ranks on unrounded sims) would not, and would make even an
+    // empty append not an identity
+    def topKRanked(scored: DataFrame): DataFrame = scored
+      .withColumn("rank", row_number().over(wNode))
+      .filter(col("rank") <= k)
 
     // rebuild-identical init links, kept only where a new node is touched
     def windowLinks(bucketCol: String): DataFrame = {
@@ -892,18 +897,20 @@ object Similarity {
       .distinct()
 
     val gOld = graph.select(col("node_id").as("node"),
-      col("neighbor_id").as("nbr"), col("sim"))
+      col("neighbor_id").as("nbr"), col("sim"), col("rank"))
     var affected = Frames.truncate(seed.select(col("node")).distinct())
     // splice the ball: in-ball nodes rank over (new candidates ∪ their
     // existing edges), RESCORED — the stored graph carries round-6 sims,
     // so reusing them beside fresh unrounded scores would leave duplicate
     // (node, nbr) rows in the top-k cut; everyone else keeps their list
+    // AND their rank verbatim
     def splice(g: DataFrame, aff: DataFrame, cand: DataFrame): DataFrame = {
       val inBallEdges = g.join(aff, Seq("node"), "left_semi")
         .select(col("node"), col("nbr"))
       val outBall = g.join(aff, Seq("node"), "left_anti")
+        .select(col("node"), col("nbr"), col("sim"), col("rank"))
       Frames.truncate(
-        topK(score(cand.unionByName(inBallEdges).distinct()))
+        topKRanked(score(cand.unionByName(inBallEdges).distinct()))
           .unionByName(outBall))
     }
     var g = splice(gOld, affected, seed)
@@ -930,18 +937,17 @@ object Similarity {
         .filter(col("node") =!= col("_cand"))
         .select(col("node"), col("_cand").as("nbr"))
       val next = splice(g, nextAffected, non)
-      g.unpersist(false)
-      affected.unpersist(false)
+      Frames.release(g) // checkpoint blocks — Dataset.unpersist is a no-op
+      Frames.release(affected)
       g = next
       affected = nextAffected
     }
     val out = g
-      .withColumn("rank", row_number().over(wNode))
       .select(col("node").as("node_id"), col("rank"),
         col("nbr").as("neighbor_id"), round(col("sim"), 6).as("sim"))
       .transform(Frames.truncate)
-    g.unpersist(false)
-    affected.unpersist(false)
+    Frames.release(g)
+    Frames.release(affected)
     b.unpersist(false)
     out
   }
@@ -1026,7 +1032,7 @@ object Similarity {
       // eager, so `next` no longer needs them) — mirrors the NN-descent
       // round loop; without this every step's beam lingers until the
       // context cleaner gets around to it
-      if (beamPersisted != null) beamPersisted.unpersist(false)
+      if (beamPersisted != null) Frames.release(beamPersisted)
       beamPersisted = next
       beam = next
     }
@@ -1037,7 +1043,7 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"),
         col("nid").as("neighbor_id"), round(col("sim"), 6).as("sim"))
       .transform(Frames.truncate)
-    if (beamPersisted != null) beamPersisted.unpersist(false)
+    if (beamPersisted != null) Frames.release(beamPersisted)
     b.unpersist(false)
     out
   }

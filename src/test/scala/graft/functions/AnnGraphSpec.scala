@@ -165,6 +165,18 @@ class AnnGraphSpec extends SparkSpec {
     assert(ra >= rr - 0.05, s"append recall $ra vs rebuild $rr")
   }
 
+  test("appendToGraph with an EMPTY delta is the exact identity — " +
+      "untouched nodes keep sims AND ranks verbatim") {
+    val old = ringCorpus(80)
+    val g0 = Similarity.nnDescentGraph(old, "nid", "nv", k = 5,
+      rounds = 2, bits = 4, dim = dim, initWindow = 3)
+    val empty = old.filter(col("nid") < 0)
+    val appended = Similarity.appendToGraph(g0, old, empty, "nid", "nv",
+      k = 5, rounds = 2, bits = 4, dim = dim, initWindow = 3)
+    assert(appended.collect().map(_.toString).sorted.toSeq ===
+      g0.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("multi-entry seeding reaches graph regions a single global entry " +
       "cannot (disconnected components stay servable)") {
     val c = corpus()

@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Frames.release actually frees checkpoint storage — and documents the
+  * trap it exists for: Dataset.unpersist is a no-op on truncated frames. */
+class FramesReleaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("Dataset.unpersist does NOT free a localCheckpoint's blocks; " +
+      "Frames.release does") {
+    val before = persistedIds
+    val df = Frames.truncate(
+      (1 to 1000).toDF("x").withColumn("y", col("x") * 2))
+    val added = persistedIds -- before
+    assert(added.nonEmpty, "truncate should persist an RDD")
+    // the documented trap: unpersist leaves the checkpoint blocks alone
+    df.unpersist(true)
+    assert((persistedIds -- before) == added,
+      "Dataset.unpersist unexpectedly freed the checkpoint (Spark " +
+        "behavior changed — release may be simplifiable)")
+    Frames.release(df)
+    assert((persistedIds -- before).isEmpty,
+      s"release left persistent RDDs: ${persistedIds -- before}")
+  }
+
+  test("release is a safe no-op on a plain un-persisted frame") {
+    val before = persistedIds
+    Frames.release((1 to 10).toDF("x"))
+    assert(persistedIds == before)
+  }
+}
