@@ -1585,6 +1585,38 @@ object SparkEntry {
             col("group_size") === col("_fs"), 1)).as("n_merge_exact"))
     }),
 
+    // POPULATION STABILITY INDEX between corpus snapshots — the standard
+    // production drift metric: doc-length distributions (log2 buckets,
+    // the shared len(bin()) convention) of the old/new md5 snapshots,
+    // Laplace-smoothed shares, per-bucket (p−q)·ln(p/q) terms in µ8
+    // units (terms are non-negative; per-term flooring makes any
+    // downstream total an order-free integer sum). ln rides the
+    // cross-engine-libm precedent; shares are single IEEE divisions
+    "corpus_psi_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Profile.psiTerms(docs.select(
+        length(bin(TextFunctions.tokenCount(col("text")).cast("long")))
+          .as("bucket"),
+        (Sampling.stableBucket(col("doc_id")) < 80).as("_old")),
+        "bucket", "_old")
+    }),
+
+    // EMBEDDING-SPACE drift: the same PSI over IVF cell shares — "did the
+    // new snapshot move in representation space", the drift check a
+    // retrieval/embedding deployment runs on every refresh. Cells are
+    // the dedup_semantic anchor assignment (iters=0 ≡ lowest-id seeds, so
+    // the oracle recomputes them); snapshots are the md5 80/20 split
+    "embedding_psi_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Ivf.train(emb, "vec_id", "embedding", 8, iters = 0,
+        metric = "l2")
+      val asg = Ivf.cellAssignments(emb, "vec_id", "embedding", cents,
+        metric = "l2")
+      Profile.psiTerms(asg.select(col("cell"),
+        (Sampling.stableBucket(col("vec_id")) < 80).as("_old")),
+        "cell", "_old")
+    }),
+
     // the DATA CARD: the per-source release artifact every corpus ships —
     // size, exact-dup rate, Gopher-gate keep rate, dominant language —
     // composed from the already-oracle-proven signals (contentFingerprint
@@ -5597,6 +5629,39 @@ object SparkEntry {
 
     "dedup_groups" ->
       s"$ccCompPrefixSql SELECT id, comp FROM comp",
+
+    // PSI: same log2 buckets, Laplace smoothing and IEEE share divisions;
+    // ln is the shared libm, terms floored to µ8 before any summation
+    "corpus_psi_drift" ->
+      (s"WITH t AS (SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 AS old, " +
+        s"len(bin(len($sqlToks)::BIGINT)) AS bucket FROM documents), " +
+        "c AS (SELECT bucket, count(CASE WHEN old THEN 1 END) AS n_old, " +
+        "count(CASE WHEN NOT old THEN 1 END) AS n_new FROM t GROUP BY 1), " +
+        "tt AS (SELECT sum(n_old) AS toc, sum(n_new) AS tnc, count(*) AS nb FROM c) " +
+        "SELECT bucket, n_old, n_new, " +
+        "CAST(floor(((n_old + 1)::DOUBLE / (toc + nb)::DOUBLE - (n_new + 1)::DOUBLE / (tnc + nb)::DOUBLE) * " +
+        "ln(((n_old + 1)::DOUBLE / (toc + nb)::DOUBLE) / ((n_new + 1)::DOUBLE / (tnc + nb)::DOUBLE)) * 100000000) AS BIGINT) AS psi_term_u8 " +
+        "FROM c, tt"),
+
+    // embedding PSI: the corpus_cluster anchor-assignment CTEs + the
+    // corpus_psi_drift share/ln/µ8 convention
+    "embedding_psi_drift" ->
+      ("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm " +
+        "FROM embeddings ORDER BY vec_id LIMIT 8), " +
+        "sc AS (SELECT e.vec_id, c.cid, " +
+        "2.0 * list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) - c.cnorm * c.cnorm AS s " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1), " +
+        "tg AS (SELECT cell, ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 AS old FROM asg), " +
+        "c AS (SELECT cell, count(CASE WHEN old THEN 1 END) AS n_old, " +
+        "count(CASE WHEN NOT old THEN 1 END) AS n_new FROM tg GROUP BY 1), " +
+        "tt AS (SELECT sum(n_old) AS toc, sum(n_new) AS tnc, count(*) AS nb FROM c) " +
+        "SELECT cell, n_old, n_new, " +
+        "CAST(floor(((n_old + 1)::DOUBLE / (toc + nb)::DOUBLE - (n_new + 1)::DOUBLE / (tnc + nb)::DOUBLE) * " +
+        "ln(((n_old + 1)::DOUBLE / (toc + nb)::DOUBLE) / ((n_new + 1)::DOUBLE / (tnc + nb)::DOUBLE)) * 100000000) AS BIGINT) AS psi_term_u8 " +
+        "FROM c, tt"),
 
     // data card: langIdBodySql's predictor + the rule-screen predicates
     // (same interpolated constants) + md5 group sizes, composed per source

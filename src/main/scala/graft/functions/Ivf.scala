@@ -116,6 +116,17 @@ object Ivf {
       .toDF("cid", "cvec", "cnorm")
   }
 
+  /** Public cell-assignment view — (idCol, cell) for every corpus
+    * vector under the given centroids: the building block for
+    * cluster-share monitoring (embedding-space PSI drift), mixture
+    * design, and any per-cell rollup that does not need the vectors.
+    * Same broadcast-assignment shape as [[index]], minus the payload. */
+  def cellAssignments(corpus: DataFrame, corpusId: String,
+                      corpusVec: String, centroids: DataFrame,
+                      metric: String = "cosine"): DataFrame =
+    index(corpus, corpusId, corpusVec, centroids, metric)
+      .select(col(corpusId), col("cell"))
+
   /** Quantized corpus: one row per vector with its cell id and norm. */
   private[functions] def index(corpus: DataFrame, corpusId: String,
                                corpusVec: String, centroids: DataFrame,

@@ -258,4 +258,36 @@ object Profile {
       .toDF(groupCol, "q_ppm", "k", "value")
       .orderBy(col(groupCol), col("q_ppm"))
   }
+
+  /** POPULATION STABILITY INDEX terms between two tagged populations —
+    * the standard production drift metric (total PSI < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 drifted): per bucket,
+    * (p − q)·ln(p/q) with Laplace-smoothed shares
+    * p = (n_old+1)/(Σn_old + B), q likewise (B = observed buckets — the
+    * smoothing keeps single-sided buckets finite). Terms are emitted in
+    * µ8 (10⁻⁸) units, FLOORED per bucket — PSI terms are non-negative
+    * by construction, so any downstream total is an order-free integer
+    * sum. `ln` rides the cross-engine-libm precedent; shares are single
+    * IEEE divisions (oracle-exact).
+    *
+    * Input: one row per item — (bucketCol, oldCol BOOLEAN). One hash
+    * aggregate (≤ B rows) + a broadcast 1-row total; corpus-size-
+    * independent output. Output: (bucketCol, n_old, n_new,
+    * psi_term_u8). */
+  def psiTerms(tagged: DataFrame, bucketCol: String,
+               oldCol: String): DataFrame = {
+    val counts = tagged.groupBy(col(bucketCol))
+      .agg(count(when(col(oldCol), 1)).as("n_old"),
+        count(when(!col(oldCol), 1)).as("n_new"))
+    val tot = counts.agg(sum(col("n_old")).as("_to"),
+      sum(col("n_new")).as("_tn"), count(lit(1)).as("_nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("_p", (col("n_old") + 1).cast("double") /
+        (col("_to") + col("_nb")).cast("double"))
+      .withColumn("_q", (col("n_new") + 1).cast("double") /
+        (col("_tn") + col("_nb")).cast("double"))
+      .select(col(bucketCol), col("n_old"), col("n_new"),
+        floor((col("_p") - col("_q")) * log(col("_p") / col("_q")) *
+          lit(100000000d)).cast("long").as("psi_term_u8"))
+  }
 }
