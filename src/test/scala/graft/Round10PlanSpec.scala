@@ -64,6 +64,25 @@ class Round10PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("distinct"), plan.take(3000))
   }
 
+  test("PSI drift queries: one bucket-keyed hash aggregate + a broadcast " +
+      "1-row total — no window, no sort-merge join, output ≤ B rows") {
+    for (q <- Seq("corpus_psi_drift", "embedding_psi_drift")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = finalPlan(df)
+      assert(!plan.contains("Window"), s"$q: ${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin"), s"$q: ${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1500)}")
+    }
+  }
+
+  test("corpus_datacard: every signal is a hash aggregate; the final " +
+      "assembly joins 20-source frames — no corpus-sized join") {
+    val df = SparkEntry.queries("corpus_datacard")(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("graphBeamSearch's entry seeding is a bounded window over the " +
       "corpus, and the beam never scans the corpus after seeding") {
     // structural stand-in at spec scale: the ann_graph_search plan must
