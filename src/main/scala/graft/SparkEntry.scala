@@ -3427,6 +3427,40 @@ object SparkEntry {
           sum(length(nfc(col("d")))).as("len_nfc"))
     }),
 
+    // Flesch READING-EASE profile per source (206.835 −
+    // 1.015·words/sentence − 84.6·syllables/word — the ease companion
+    // of text_readability's Flesch-Kincaid GRADE; same vowel-run
+    // syllable proxy, opposite direction: higher = easier). Everything
+    // in exact integer µ units (per-doc floor ratios, then
+    // floor-averaged per source — order-free), one scan + one aggregate
+    "text_reading_ease" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = TextFunctions.tokenCount(col("text")).cast("long")
+      val sents = greatest(regexp_count(col("text"), lit("[.!?]+")),
+        lit(1)).cast("long")
+      val syl = greatest(regexp_count(lower(col("text")), lit("[aeiou]+")),
+        lit(1)).cast("long")
+      val perDoc = docs
+        .select(col("source"), w.as("_w"), sents.as("_s"), syl.as("_y"))
+        .filter(col("_w") > 0)
+        .select(col("source"),
+          Sampling.intDivExact(col("_w") * lit(1000000L), col("_s"))
+            .as("_a"),
+          Sampling.intDivExact(col("_y") * lit(1000000L), col("_w"))
+            .as("_b"))
+        .withColumn("_f", lit(206835000L) -
+          Sampling.intDivExact(lit(1015L) * col("_a"), lit(1000L)) -
+          Sampling.intDivExact(lit(846L) * col("_b"), lit(10L)))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          Sampling.intDivExact(sum(col("_a")), count(lit(1)))
+            .as("avg_wps_us"),
+          Sampling.intDivExact(sum(col("_b")), count(lit(1)))
+            .as("avg_spw_us"),
+          Sampling.intDivExact(sum(col("_f")), count(lit(1)))
+            .as("avg_flesch_u"))
+    }),
+
     // PII/entity inventory: independent per-pattern totals (the audit
     // before scheduling redaction; patterns are the shared RE2 constants)
     "text_entity_counts" -> ((s, dir) =>
@@ -8013,6 +8047,22 @@ object SparkEntry {
         "count(CASE WHEN nfc_normalize(d) = nfc_normalize(p) THEN 1 END) AS n_nfc_equal, " +
         "CAST(sum(length(d)) AS BIGINT) AS len_raw, " +
         "CAST(sum(length(nfc_normalize(d))) AS BIGINT) AS len_nfc FROM f"),
+
+    // reading ease: vowel-run syllable proxy, [.!?]+ sentence runs, all
+    // floor divisions on non-negative operands except the final
+    // per-source average (pmod form — scores can be negative)
+    "text_reading_ease" ->
+      (s"WITH d AS (SELECT source, CAST(len($sqlToks) AS BIGINT) AS w, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s, " +
+        "CAST(greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) AS BIGINT) AS y " +
+        "FROM documents), " +
+        "p AS (SELECT source, (w * 1000000) // s AS a, (y * 1000000) // w AS b FROM d WHERE w > 0), " +
+        "f AS (SELECT source, a, b, 206835000 - (1015 * a) // 1000 - (846 * b) // 10 AS fu FROM p), " +
+        "g AS (SELECT source, count(*) AS n_docs, sum(a) AS sa, sum(b) AS sb, sum(fu) AS sf FROM f GROUP BY 1) " +
+        "SELECT source, n_docs, CAST(sa // n_docs AS BIGINT) AS avg_wps_us, " +
+        "CAST(sb // n_docs AS BIGINT) AS avg_spw_us, " +
+        "CAST((sf - (((sf % n_docs) + n_docs) % n_docs)) // n_docs AS BIGINT) AS avg_flesch_u " +
+        "FROM g"),
 
     // the four shared RE2 pattern constants, counted independently
     "text_entity_counts" ->
