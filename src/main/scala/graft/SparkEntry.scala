@@ -97,6 +97,13 @@ object SparkEntry {
   private val featHashD = 1024                    // text_feature_hashing
   private val bootReplicas = 32                   // corpus_bootstrap_ci
   private val annNprobes = Seq(1, 2, 4, 8)        // ann_nprobe_curve
+  // internal NN-descent frontier width (the paper's build K) and init
+  // window: on the near-random synthetic embeddings a k=5 frontier
+  // saturates at recall ≈ 0.25 regardless of rounds; buildK=20 with a
+  // degree-32 init reaches 0.85 in 2 rounds (measured, round 11) —
+  // shared by all three ann_graph_* queries and their oracles
+  private val annGraphBuildK = 20
+  private val annGraphInitWindow = 8
   // text_ndcg_eval: judgments exist only for this bounded doc-id pool —
   // qrels are per-query-bounded by construction, which is RankEval's
   // documented scale precondition (the ideal-DCG window partitions must
@@ -2200,7 +2207,7 @@ object SparkEntry {
       Similarity.nnDescentGraph(
         emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
         "nid", "nv", k = 5, rounds = 2, bits = 4, dim = 64,
-        initWindow = 4)
+        initWindow = annGraphInitWindow, buildK = annGraphBuildK)
         .filter(col("node_id") < 8)
         .select(col("node_id").as("query_id"), col("rank"),
           col("neighbor_id"), col("sim"))
@@ -2260,7 +2267,8 @@ object SparkEntry {
       val corpus = emb.select(col("vec_id").as("nid"),
         col("embedding").as("nv"))
       val graph = Similarity.nnDescentGraph(corpus, "nid", "nv", k = 5,
-        rounds = 2, bits = 4, dim = 64, initWindow = 4)
+        rounds = 2, bits = 4, dim = 64, initWindow = annGraphInitWindow,
+        buildK = annGraphBuildK)
       Similarity.graphBeamSearch(graph, corpus, "nid", "nv",
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
@@ -2344,7 +2352,8 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.recallAtK(
         Similarity.nnDescentGraph(corpus, "nid", "nv", k = 5, rounds = 2,
-          bits = 4, dim = 64, initWindow = 4)
+          bits = 4, dim = 64, initWindow = annGraphInitWindow,
+          buildK = annGraphBuildK)
           .filter(col("node_id") < 8)
           .select(col("node_id").as("query_id"), col("neighbor_id")),
         Similarity.bruteForceTopK(corpus, "nid", "nv", qs, "qid", "qv", k = 5))
@@ -4584,26 +4593,30 @@ object SparkEntry {
   }
 
   /** DuckDB unroll of `Similarity.nnDescentGraph` (k=5, rounds=2,
-    * bits=4, dim=64, initWindow=4): same md5-ordered bucket init, same
-    * md5-capped reverse edges, same neighbor-of-neighbor expansion and
-    * (sim DESC, id ASC) top-k cuts — the PageRank fixed-rounds oracle
-    * pattern applied to a graph build. */
-  /** The shared CTE chain ending at g2 (the refined graph) — prefix for
-    * both the graph probe oracle and the beam-search oracle. */
+    * bits=4, dim=64, initWindow=[[annGraphInitWindow]],
+    * buildK=[[annGraphBuildK]]): same
+    * md5-ordered bucket init, same md5-capped reverse edges, same
+    * neighbor-of-neighbor expansion, internal top-buildK cuts with the
+    * final cut to k — the PageRank fixed-rounds oracle pattern applied
+    * to a graph build. */
+  /** The shared CTE chain ending at gf (the refined graph, cut to k=5
+    * with ranks) — prefix for both the graph probe oracle and the
+    * beam-search oracle. */
   private def annGraphCtes: String = {
     val (planeCols, bucketExpr) = rhpSqlParts(4, 64)
     val (planeCols2, bucket2Expr) = rhpSqlParts(4, 64, table = 1, pfx = "q")
+    val bk = annGraphBuildK
     val simExpr = "list_sum(list_transform(range(1, 65), " +
       "d -> x.v[d]::DOUBLE * y.v[d]::DOUBLE)) / (x.n * y.n)"
     def roundCtes(r: Int): String = {
       val prev = s"g${r - 1}"
       s"rev$r AS (SELECT node, nbr FROM (SELECT g.nbr AS node, g.node AS nbr, " +
-        s"row_number() OVER (PARTITION BY g.nbr ORDER BY ${sqlMd5Long("g.node::VARCHAR")}, g.node) AS rr FROM $prev g) WHERE rr <= 5), " +
+        s"row_number() OVER (PARTITION BY g.nbr ORDER BY ${sqlMd5Long("g.node::VARCHAR")}, g.node) AS rr FROM $prev g) WHERE rr <= $bk), " +
         s"rel$r AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM $prev UNION ALL SELECT node, nbr FROM rev$r)), " +
         s"non$r AS (SELECT r1.node, r2.nbr FROM rel$r r1 JOIN rel$r r2 ON r1.nbr = r2.node WHERE r1.node <> r2.nbr), " +
         s"cand$r AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM non$r UNION ALL SELECT node, nbr FROM $prev)), " +
         s"sc$r AS (SELECT c.node, c.nbr, $simExpr AS sim FROM cand$r c JOIN b x ON x.id = c.node JOIN b y ON y.id = c.nbr), " +
-        s"g$r AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc$r) WHERE rn <= 5)"
+        s"g$r AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc$r) WHERE rn <= $bk)"
     }
     s"pl AS (SELECT $planeCols), pl2 AS (SELECT $planeCols2), " +
       "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
@@ -4612,12 +4625,13 @@ object SparkEntry {
       "FROM v0, pl, pl2), " +
       s"ordd AS (SELECT bucket, id, row_number() OVER (PARTITION BY bucket ORDER BY ${sqlMd5Long("id::VARCHAR")}, id) AS rn FROM b), " +
       s"ordd2 AS (SELECT bucket2, id, row_number() OVER (PARTITION BY bucket2 ORDER BY ${sqlMd5Long("id::VARCHAR")}, id) AS rn FROM b), " +
-      "fwd AS (SELECT a.id AS node, c.id AS nbr FROM ordd a JOIN ordd c ON a.bucket = c.bucket AND c.rn - a.rn BETWEEN 1 AND 4 " +
-      "UNION ALL SELECT a.id AS node, c.id AS nbr FROM ordd2 a JOIN ordd2 c ON a.bucket2 = c.bucket2 AND c.rn - a.rn BETWEEN 1 AND 4), " +
+      s"fwd AS (SELECT a.id AS node, c.id AS nbr FROM ordd a JOIN ordd c ON a.bucket = c.bucket AND c.rn - a.rn BETWEEN 1 AND $annGraphInitWindow " +
+      s"UNION ALL SELECT a.id AS node, c.id AS nbr FROM ordd2 a JOIN ordd2 c ON a.bucket2 = c.bucket2 AND c.rn - a.rn BETWEEN 1 AND $annGraphInitWindow), " +
       "cand0 AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM fwd UNION ALL SELECT nbr AS node, node AS nbr FROM fwd)), " +
       s"sc0 AS (SELECT c.node, c.nbr, $simExpr AS sim FROM cand0 c JOIN b x ON x.id = c.node JOIN b y ON y.id = c.nbr), " +
-      "g0 AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc0) WHERE rn <= 5), " +
-      roundCtes(1) + ", " + roundCtes(2)
+      s"g0 AS (SELECT node, nbr, sim FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM sc0) WHERE rn <= $bk), " +
+      roundCtes(1) + ", " + roundCtes(2) + ", " +
+      "gf AS (SELECT node, nbr, sim, rn FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM g2) WHERE rn <= 5)"
   }
 
   /** DuckDB unroll of `Similarity.knnShapleyValues` (k=5, qq = 10⁻¹²
@@ -4646,7 +4660,7 @@ object SparkEntry {
   private def annGraphOracleSql: String =
     s"WITH $annGraphCtes " +
       "SELECT node AS query_id, CAST(rn AS INTEGER) AS rank, nbr AS neighbor_id, round(sim, 6) AS sim " +
-      "FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rn FROM g2) WHERE node < 8"
+      "FROM gf WHERE node < 8"
 
   /** Beam-search unroll on top of [[annGraphCtes]]: same entry set
     * (md5-min id per occupied LSH bucket), 3 expand→score→top-8 rounds,
@@ -4656,7 +4670,7 @@ object SparkEntry {
     val sim = "list_sum(list_transform(range(1, 65), " +
       "d -> x.v[d]::DOUBLE * qq.qv[d]::DOUBLE)) / (x.n * qq.qn)"
     def step(i: Int): String =
-      s"ex$i AS (SELECT bm.qid, g.nbr AS nid FROM bm${i - 1} bm JOIN g2 g ON g.node = bm.nid), " +
+      s"ex$i AS (SELECT bm.qid, g.nbr AS nid FROM bm${i - 1} bm JOIN gf g ON g.node = bm.nid), " +
         s"cd$i AS (SELECT DISTINCT qid, nid FROM (SELECT qid, nid FROM bm${i - 1} UNION ALL SELECT qid, nid FROM ex$i)), " +
         s"ss$i AS (SELECT c.qid, c.nid, $sim AS sim FROM cd$i c JOIN b x ON x.id = c.nid JOIN qq ON qq.qid = c.qid), " +
         s"bm$i AS (SELECT qid, nid FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM ss$i) WHERE rn <= 8)"

@@ -53,6 +53,25 @@ class AnnGraphSpec extends SparkSpec {
     assert(r4 >= 0.85, s"recall@5 after 4 rounds = $r4 (r0=$r0, r2=$r2)")
   }
 
+  test("realistic-corpus floor: the production build config (buildK=20, " +
+      "initWindow=8, 2 rounds) reaches recall >= 0.6 on the near-random " +
+      "driver embeddings — the regime where a k-wide frontier saturates " +
+      "at ~0.25") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val g = Similarity.nnDescentGraph(c, "nid", "nv", k = 5, rounds = 2,
+        bits = 4, dim = 64, initWindow = 8, buildK = 20)
+      .select(col("node_id").as("query_id"), col("neighbor_id"))
+    val qs = c.select(col("nid").as("qid"), col("nv").as("qv"))
+    val exact = Similarity.bruteForceTopK(c, "nid", "nv", qs,
+      "qid", "qv", k = 5)
+    val r = Similarity.recallAtK(g, exact)
+      .agg(sum(col("n_hit")).cast("double") / sum(col("n_exact")))
+      .as[Double].head()
+    assert(r >= 0.6, s"corpus-wide recall@5 = $r on the realistic corpus")
+  }
+
   test("graph shape: every node present, at most k ranked neighbors, " +
       "no self-edges, ranks contiguous from 1") {
     val g = graphOf(2).cache()
@@ -166,13 +185,16 @@ class AnnGraphSpec extends SparkSpec {
   }
 
   test("appendToGraph with an EMPTY delta is the exact identity — " +
-      "untouched nodes keep sims AND ranks verbatim") {
+      "untouched nodes keep sims AND ranks verbatim (buildK path too)") {
     val old = ringCorpus(80)
+    // buildK > k exercises the widened-frontier path: internal cuts at
+    // buildK, published artifact still k-wide — an empty delta must stay
+    // a byte-exact identity through it
     val g0 = Similarity.nnDescentGraph(old, "nid", "nv", k = 5,
-      rounds = 2, bits = 4, dim = dim, initWindow = 3)
+      rounds = 2, bits = 4, dim = dim, initWindow = 3, buildK = 10)
     val empty = old.filter(col("nid") < 0)
     val appended = Similarity.appendToGraph(g0, old, empty, "nid", "nv",
-      k = 5, rounds = 2, bits = 4, dim = dim, initWindow = 3)
+      k = 5, rounds = 2, bits = 4, dim = dim, initWindow = 3, buildK = 10)
     assert(appended.collect().map(_.toString).sorted.toSeq ===
       g0.collect().map(_.toString).sorted.toSeq)
   }
