@@ -446,17 +446,34 @@ object Dedup {
     val cand = bucketPairs(prefixes, Seq("sh"), col("id"))
       .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .distinct()
-    cand
-      .join(ordered.select(col("id").as("id_a"), col("sorted_sh").as("sh_a"),
-        col("n").as("n_a")), "id_a")
-      .join(ordered.select(col("id").as("id_b"), col("sorted_sh").as("sh_b"),
-        col("n").as("n_b")), "id_b")
-      // length filter (also lossless: jaccard ≥ t forces t·|A| ≤ |B| and
-      // t·|B| ≤ |A|) — kills incompatible candidates BEFORE paying the
-      // array_intersect
+    // VERIFY-SHUFFLE DISCIPLINE (the sf10 single-box ceiling fix): the
+    // candidate frame is ~100× the survivor count, so per-pair array
+    // payload dominates the stage. Three levers, all result-identical:
+    //   1. sizes attach FIRST (scalar joins) so the lossless length
+    //      filter (jaccard ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|) kills
+    //      incompatible candidates BEFORE any array moves;
+    //   2. only the SMALLER side's array rides the pair frame (intersect
+    //      is symmetric; |A∩B| ≤ min — the big side attaches at its own
+    //      doc-keyed join, shipped once per doc, not once per pair);
+    //   3. both array joins are SHUFFLED HASH joins — sort-merge would
+    //      SORT the array-laden stream, and sorting the wide frame is
+    //      exactly the measured 74 GB spill at sf10.
+    val sizes = ordered.select(col("id"), col("n"))
+    val sized = cand
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .filter(col("n_b") >= col("n_a") * lit(threshold) &&
         col("n_a") >= col("n_b") * lit(threshold))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("_sm", when(col("n_a") <= col("n_b"), col("id_a"))
+        .otherwise(col("id_b")))
+      .withColumn("_bg", when(col("n_a") <= col("n_b"), col("id_b"))
+        .otherwise(col("id_a")))
+    sized
+      .join(ordered.select(col("id").as("_sm"),
+        col("sorted_sh").as("sh_s")).hint("shuffle_hash"), "_sm")
+      .join(ordered.select(col("id").as("_bg"),
+        col("sorted_sh").as("sh_b")).hint("shuffle_hash"), "_bg")
+      .withColumn("common", size(array_intersect(col("sh_s"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -607,20 +624,52 @@ object Dedup {
     val fullIdx = ordered.select(col("id").as("dst"), col("n").as("n_dst"),
       posexplode(col("sorted_sh")).as(Seq("_j", "sh")))
     val minOv = expr(s"(n_src * ${threshPpm}L + 999999L) div 1000000L")
+    // VERIFY-SHUFFLE DISCIPLINE (the sf10 single-box ceiling fix — the
+    // measured 74 GB array shuffle): verification is restructured to be
+    // result-identical while moving a fraction of the bytes.
+    //   1. UNORDERED verification: |src ∩ dst| is symmetric, and the
+    //      prefix theorem says any direction with cont ≥ t generated its
+    //      own candidate — so a direction that was NOT generated cannot
+    //      pass the threshold. Verifying each unordered pair once and
+    //      emitting both directions afterwards therefore yields the
+    //      exact same row set, at half the verify rows when both
+    //      directions were candidates (snippet↔host pairs usually are).
+    //   2. only the SMALLER side's array rides the pair frame; the big
+    //      side attaches at its own doc-keyed join (once per doc).
+    //   3. SHUFFLED HASH joins for both array attaches — sort-merge
+    //      would sort the array-laden stream, which is exactly what
+    //      spilled on the single box.
     val cand = prefixes.join(fullIdx, "sh")
       .filter(col("src") =!= col("dst") &&
         least(col("n_src") - col("_i"), col("n_dst") - col("_j")) >= minOv)
-      .select(col("src"), col("dst"))
+      .select(least(col("src"), col("dst")).as("_lo"),
+        greatest(col("src"), col("dst")).as("_hi"))
       .distinct()
-    cand
-      .join(ordered.select(col("id").as("src"), col("sorted_sh").as("sh_s"),
-        col("n").as("n_src")), "src")
-      .join(ordered.select(col("id").as("dst"),
-        col("sorted_sh").as("sh_d")), "dst")
-      .withColumn("common", size(array_intersect(col("sh_s"), col("sh_d"))))
-      .withColumn("cont_ppm", expr("(1000000L * common) div n_src"))
+    val sizes = ordered.select(col("id"), col("n"))
+    val sized = cand
+      .join(sizes.select(col("id").as("_lo"), col("n").as("n_lo")), "_lo")
+      .join(sizes.select(col("id").as("_hi"), col("n").as("n_hi")), "_hi")
+      .withColumn("_sm", when(col("n_lo") <= col("n_hi"), col("_lo"))
+        .otherwise(col("_hi")))
+      .withColumn("_bg", when(col("n_lo") <= col("n_hi"), col("_hi"))
+        .otherwise(col("_lo")))
+    sized
+      .join(ordered.select(col("id").as("_sm"),
+        col("sorted_sh").as("sh_s")).hint("shuffle_hash"), "_sm")
+      .join(ordered.select(col("id").as("_bg"),
+        col("sorted_sh").as("sh_b")).hint("shuffle_hash"), "_bg")
+      .withColumn("common", size(array_intersect(col("sh_s"), col("sh_b"))))
+      // both directions from the one verified pair — each direction's
+      // ppm uses ITS OWN src size; the threshold filter reproduces
+      // exactly the directed rows the theorem guarantees were generated
+      .select(explode(array(
+        struct(col("_lo").as("src"), col("_hi").as("dst"),
+          col("common"), col("n_lo").as("n_src")),
+        struct(col("_hi").as("src"), col("_lo").as("dst"),
+          col("common"), col("n_hi").as("n_src")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"),
+        expr("(1000000L * d.common) div d.n_src").as("cont_ppm"))
       .filter(col("cont_ppm") >= threshPpm)
-      .select(col("src"), col("dst"), col("cont_ppm"))
   }
 
   /** Token-weighted near-dup: tf-idf COSINE over the df-capped vocabulary
