@@ -267,8 +267,20 @@ object Profile {
     * smoothing keeps single-sided buckets finite). Terms are emitted in
     * µ8 (10⁻⁸) units, FLOORED per bucket — PSI terms are non-negative
     * by construction, so any downstream total is an order-free integer
-    * sum. `ln` rides the cross-engine-libm precedent; shares are single
-    * IEEE divisions (oracle-exact).
+    * sum.
+    *
+    * EXACTNESS CONTINGENCY (declared): p, q, and p/q are IEEE double
+    * operations every engine computes bit-identically, but `ln(p/q)` is
+    * the platform libm — the ONE term in this metric whose floor is
+    * correct-by-libm rather than correct-by-integer-arithmetic (PSI is
+    * DEFINED on ln; quantizing it through this repo's len(bin()) log₂
+    * ladder would change the metric, not harden it). The floored µ8
+    * value of two ≤1-ulp libms can only disagree when the true term
+    * sits within ~2·10⁻⁷ µ8-units of an integer boundary (error ≤
+    * |p−q| · ulp(ln r) · 10⁸); DriftSpec pins the engine's floors to a
+    * 50-digit reference ln across adversarial count ratios and asserts
+    * the boundary distance, so a regression in either engine's libm
+    * surfaces as a spec/oracle failure, not silent drift.
     *
     * Input: one row per item — (bucketCol, oldCol BOOLEAN). One hash
     * aggregate (≤ B rows) + a broadcast 1-row total; corpus-size-

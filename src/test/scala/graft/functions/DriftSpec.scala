@@ -39,4 +39,74 @@ class DriftSpec extends SparkSpec {
     assert(t.values.forall(_ >= 0L))
     assert(t.contains("only_new")) // no NaN/∞ dropped the bucket
   }
+
+  /** 50-digit ln of an exactly-represented double, via range reduction
+    * to [0.75, 1.5] and the atanh series — the independent reference the
+    * libm contingency is pinned against. */
+  private def lnRef(x: Double): BigDecimal = {
+    import java.math.MathContext
+    val mc = new MathContext(50)
+    val ln2 = BigDecimal(
+      "0.69314718055994530941723212145817656807550013436026", mc)
+    var m = BigDecimal(new java.math.BigDecimal(x, mc)) // exact double value
+    var n = 0
+    while (m > BigDecimal("1.5")) { m = m / 2; n += 1 }
+    while (m < BigDecimal("0.75")) { m = m * 2; n -= 1 }
+    val y = (m - 1) / (m + 1)
+    val y2 = y * y
+    var term = y
+    var sum = BigDecimal(0)
+    var k = 0
+    val tail = BigDecimal(java.math.BigDecimal.ONE.movePointLeft(60))
+    while (term.abs > tail) { // 10^-60 tail cutoff
+      sum += term / (2 * k + 1)
+      term = (term * y2).round(mc)
+      k += 1
+    }
+    ln2 * n + sum * 2
+  }
+
+  test("libm contingency pin: engine µ8 floors equal the 50-digit " +
+      "reference across adversarial count ratios, with boundary " +
+      "distance far above the 2e-7 two-libm disagreement window") {
+    // two-bucket tables sweeping p/q from near-1 ties to ~2000× skews,
+    // including single-sided buckets (Laplace extremes)
+    val configs = Seq(
+      (100000L, 99999L, 7L, 7L), (1L, 100000L, 3L, 3L),
+      (999L, 1000L, 123456L, 123455L), (0L, 50000L, 50000L, 0L),
+      (17L, 4099L, 65537L, 19L), (2L, 3L, 5L, 7L),
+      (123L, 45677L, 987L, 65L), (31L, 29L, 49999L, 49993L))
+    configs.foreach { case (a1, a0, b1, b0) =>
+      val rows =
+        Seq.fill(a1.toInt)(("a", true)) ++ Seq.fill(a0.toInt)(("a", false)) ++
+        Seq.fill(b1.toInt)(("b", true)) ++ Seq.fill(b0.toInt)(("b", false))
+      val got = terms(rows)
+      val (to, tn, nb) = (a1 + b1, a0 + b0, 2L)
+      Seq(("a", a1, a0), ("b", b1, b0)).foreach { case (bk, nOld, nNew) =>
+        // the engine's own IEEE pipeline: p, q, r are bit-identical in
+        // every engine; ONLY ln(r) goes through libm
+        val p = (nOld + 1).toDouble / (to + nb).toDouble
+        val q = (nNew + 1).toDouble / (tn + nb).toDouble
+        val r = p / q
+        val scaled = (BigDecimal(new java.math.BigDecimal(p)) -
+          BigDecimal(new java.math.BigDecimal(q))) * lnRef(r) *
+          BigDecimal(100000000L)
+        val expect = scaled.setScale(0, BigDecimal.RoundingMode.FLOOR)
+          .toLongExact
+        // near-tie configs (p ≈ q) have true terms of ~1e-11 µ8 units:
+        // their distance-to-boundary IS the term, and the meaningful pin
+        // is floor = 0 (a libm sign flip would read -1). Away from the
+        // tie the distance assertion guards the declared 2e-7 window.
+        if (scaled > BigDecimal("0.001")) {
+          val dist = (scaled - expect).min(expect + 1 - scaled)
+          assert(dist > BigDecimal("0.000001"),
+            s"config ($a1,$a0,$b1,$b0)/$bk sits $dist from a µ8 boundary " +
+              "— pick a different adversarial config")
+        }
+        assert(got(bk) === expect,
+          s"config ($a1,$a0,$b1,$b0)/$bk: engine ${got(bk)} != reference " +
+            s"$expect (libm ln drifted past the declared window)")
+      }
+    }
+  }
 }
