@@ -207,8 +207,13 @@ object Bench {
       for ((name, cur, _) <- movers) {
         // per-query cost gate: predict the fresh re-time by the clean pin
         // (the sweep's own `cur` is the inflated reading for exactly the
-        // queries that land here); skip pinned movers that no longer fit
-        val est = cleanMap.get(name).filter(_ > 0.05)
+        // queries that land here); skip pinned movers that no longer fit.
+        // A tiny pin (≤ 0.05 s) is still an ESTIMATE — floored, not
+        // dropped: stalled tiny queries rank first by ratio, and letting
+        // them fall into the None branch would burn the single
+        // unknown-slot the reserve keeps for genuinely UNPINNED heavy
+        // queries (the r08 failure shape the slot exists for)
+        val est = cleanMap.get(name).map(math.max(_, 0.05))
         val admit = est match {
           case Some(e) => elapsedSecs - reserveStart + e < reserveSecs
           case None =>

@@ -322,7 +322,8 @@ object SparkEntry {
       "'http://src' || (doc_id % 20) || '.example.com/café/menu' || doc_id, " +
       "'http://src' || ((doc_id + 9) % 20) || '.example.com/café/okay' || doc_id, " +
       "'http://src' || ((doc_id + 11) % 20) || '.example.com/café/privé' || doc_id, " +
-      "'http://src' || ((doc_id + 13) % 20) || '.example.com/logs/entré' || doc_id || '.log']) AS url FROM documents), " +
+      "'http://src' || ((doc_id + 13) % 20) || '.example.com/logs/entré' || doc_id || '.log', " +
+      "'http://src' || ((doc_id + 15) % 20) || '.example.com/logs/e' || doc_id || 'ntré.log']) AS url FROM documents), " +
       s"rff AS (SELECT url, lower(regexp_extract(url, '${Urls.HostRe}', 1)) AS host, CASE WHEN regexp_extract(regexp_extract(url, '${Urls.RestRe}', 1), '^([^?]*)', 1) = '' THEN '/' ELSE regexp_extract(regexp_extract(url, '${Urls.RestRe}', 1), '^([^?]*)', 1) END AS path FROM rf0), " +
       s"rfh AS (SELECT *, ${sqlCanonHex("path")} AS path_hex FROM rff), " +
       // octet specificity: strlen = BYTES in DuckDB (mirrors the engine's
@@ -368,7 +369,13 @@ object SparkEntry {
       u((d + 9) % 20, concat(lit("/café/okay"), d.cast("string"))),
       u((d + 11) % 20, concat(lit("/café/privé"), d.cast("string"))),
       u((d + 13) % 20, concat(lit("/logs/entré"), d.cast("string"),
-        lit(".log"))))).as("url"))
+        lit(".log"))),
+      // MATCH direction of the anchored hex wildcard (*%C3%A9.log$):
+      // the entry above can never match it (digits sit between é and
+      // .log), so this one ends in é.log — both rule outcomes are
+      // oracle-verified, not just the non-match
+      u((d + 15) % 20, concat(lit("/logs/e"), d.cast("string"),
+        lit("ntré.log"))))).as("url"))
     (robots, frontier)
   }
   private val pprSeeds =                        // graph_ppr_seeds

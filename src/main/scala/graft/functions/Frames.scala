@@ -51,8 +51,18 @@ private[graft] object Frames {
     * ContextCleaner to GC the reference — bounded, but lazy. This walks
     * the (shallow, public) RDD dependency chain from the frame's
     * execution RDD to the persisted ancestor and unpersists it
-    * directly. Safe on any frame: if no persisted ancestor is found
-    * within a few hops, it does nothing. */
+    * directly.
+    *
+    * CONTRACT: only frames returned by [[truncate]] (whose consumers
+    * have already been eagerly truncated) release anything. The walk
+    * verifies the found ancestor IS a checkpoint-materialized RDD
+    * (`isCheckpointed`) before unpersisting — a derived frame built over
+    * someone else's merely-`persist`ed dataset finds that shared cache
+    * entry first, and freeing it would be wrong twice over: the cache
+    * may still be in use, and for `localCheckpoint` blocks the persisted
+    * copy is the ONLY copy (later consumers die with "Checkpoint block
+    * not found" rather than recompute). Non-truncated frames are
+    * therefore a guaranteed no-op, not a best-effort release. */
   def release(df: DataFrame): Unit = {
     val none = org.apache.spark.storage.StorageLevel.NONE
     var r: org.apache.spark.rdd.RDD[_] = df.queryExecution.toRdd
@@ -62,6 +72,6 @@ private[graft] object Frames {
       r = r.dependencies.head.rdd
       depth += 1
     }
-    if (r.getStorageLevel != none) r.unpersist(false)
+    if (r.getStorageLevel != none && r.isCheckpointed) r.unpersist(false)
   }
 }

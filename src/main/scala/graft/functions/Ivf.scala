@@ -123,9 +123,15 @@ object Ivf {
     * Same broadcast-assignment shape as [[index]], minus the payload. */
   def cellAssignments(corpus: DataFrame, corpusId: String,
                       corpusVec: String, centroids: DataFrame,
-                      metric: String = "cosine"): DataFrame =
-    index(corpus, corpusId, corpusVec, centroids, metric)
+                      metric: String = "cosine"): DataFrame = {
+    // assign() directly — [[index]] would join the full vector payload
+    // back onto the assignments only for this view to drop it (a
+    // corpus-sized vector shuffle bought nothing for a cell-share rollup)
+    val cvecs = withNorm(corpus.select(col(corpusId), col(corpusVec)),
+      corpusVec, "_cn")
+    assign(cvecs, corpusId, corpusVec, "_cn", centroids, metric)
       .select(col(corpusId), col("cell"))
+  }
 
   /** Quantized corpus: one row per vector with its cell id and norm. */
   private[functions] def index(corpus: DataFrame, corpusId: String,

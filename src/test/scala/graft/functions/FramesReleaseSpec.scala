@@ -33,4 +33,21 @@ class FramesReleaseSpec extends SparkSpec {
     Frames.release((1 to 10).toDF("x"))
     assert(persistedIds == before)
   }
+
+  test("release does NOT free a shared persist()ed cache reached through " +
+      "a derived frame (only checkpoint-materialized ancestors qualify)") {
+    val before = persistedIds
+    val shared = (1 to 1000).toDF("x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shared.count() // materialize the cache entry
+    val added = persistedIds -- before
+    assert(added.nonEmpty)
+    // a derived (non-truncated) frame: its dependency walk finds the
+    // shared cache first — release must refuse to touch it
+    val derived = shared.select(col("x") * 2)
+    Frames.release(derived)
+    assert((persistedIds -- before) == added,
+      "release freed a merely-cached shared dataset still in use")
+    shared.unpersist(true)
+  }
 }
