@@ -1668,6 +1668,22 @@ object SparkEntry {
             .as("top_lang_ppm"))
     }),
 
+    // INCREMENTAL datacard — the capstone of the incremental family
+    // (groups delta + HLL delta + CorpusDelta): the release artifact
+    // assembled from two per-snapshot mergeable states (md5 80/20 split,
+    // the shared convention) must equal the full-scan artifact — which
+    // is exactly what its oracle computes. Every state column is a sum
+    // of per-doc functions, so merge ≡ rebuild by associativity; dup
+    // groups split ACROSS snapshots only surface at merge, the case a
+    // naive per-snapshot datacard gets wrong
+    "corpus_datacard_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      CorpusDelta.datacardFromState(CorpusDelta.mergeDatacardState(
+        CorpusDelta.datacardState(docs.filter(bucket < 80), "text", "source"),
+        CorpusDelta.datacardState(docs.filter(bucket >= 80), "text", "source")))
+    }),
+
     // the trainer's last-mile artifact: deterministic shard manifest —
     // shard = md5(doc_id) % 16 (stable across runs and engines, no
     // global sort, no driver state), per-shard doc/token totals and the
@@ -4664,6 +4680,43 @@ object SparkEntry {
       "sv AS (SELECT qid, nid, label, CAST(sum(t) OVER (PARTITION BY qid ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS value_qq FROM tm)"
   }
 
+  /** The one-shot data-card artifact over the FULL documents table —
+    * langIdBodySql's predictor + the rule-screen predicates (same
+    * interpolated constants) + md5 group sizes, composed per source.
+    * Shared verbatim by corpus_datacard (one-shot build) and
+    * corpus_datacard_delta (merged per-snapshot states): the delta
+    * query passing THIS oracle is the proof that
+    * artifact(A∪B) ≡ assemble(merge(state(A), state(B))). */
+  private def datacardOracleSql: String = {
+    val swList = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+    import TextFunctions._
+    s"WITH $langIdBodySql, " +
+      "lgs AS (SELECT d0.source, lg.lang_guess FROM lg JOIN documents d0 ON lg.doc_id = d0.doc_id), " +
+      "lcnt AS (SELECT source, lang_guess, count(*) AS c FROM lgs GROUP BY 1, 2), " +
+      "ltop AS (SELECT source, lang_guess AS top_lang, c FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang_guess) AS rn FROM lcnt) WHERE rn = 1), " +
+      s"bs AS (SELECT source, count(*) AS n_docs, CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+      s"fps AS (SELECT source, md5(COALESCE(array_to_string($sqlToks, ' '), '')) AS f FROM documents), " +
+      "gsz AS (SELECT f, count(*) AS gs FROM fps GROUP BY 1), " +
+      "dups AS (SELECT source, count(CASE WHEN gs > 1 THEN 1 END) AS dup FROM fps JOIN gsz USING (f) GROUP BY 1), " +
+      s"rb AS (SELECT source, text AS tx, $sqlToks AS toks FROM documents), " +
+      "rf AS (SELECT source, CAST(len(toks) AS BIGINT) AS nw, " +
+      "(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) * 1000000) // greatest(CAST(len(toks) AS BIGINT), 1) AS mlus, " +
+      s"len(list_filter(list_distinct(toks), x -> list_contains([$swList], x))) AS nstop, " +
+      "(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1000000) // greatest(CAST(len(toks) AS BIGINT), 1) AS appm, " +
+      "len(tx) - len(replace(tx, '#', '')) AS nhash, " +
+      "(len(tx) - len(replace(tx, '...', ''))) // 3 AS nell FROM rb), " +
+      s"rg AS (SELECT source, (nw < $RuleWcLo OR nw > $RuleWcHi) AS fwc, " +
+      s"(mlus < $RuleWlLoUs OR mlus > $RuleWlHiUs) AS fwl, " +
+      s"(nstop < $RuleMinStop) AS fstop, (appm < $RuleAlphaMinPpm) AS falpha, " +
+      s"(((nhash + nell) * 1000000) // greatest(nw, 1) > $RuleSymMaxPpm) AS fsym FROM rf), " +
+      "keeps AS (SELECT source, CAST(sum(CASE WHEN NOT fwc AND NOT fwl AND NOT fstop AND NOT falpha AND NOT fsym THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM rg GROUP BY source) " +
+      "SELECT bs.source, bs.n_docs, bs.n_tokens, " +
+      "CAST((dup * 1000000) // n_docs AS BIGINT) AS dup_doc_ppm, " +
+      "CAST((n_kept * 1000000) // n_docs AS BIGINT) AS gopher_keep_ppm, " +
+      "top_lang, CAST((c * 1000000) // n_docs AS BIGINT) AS top_lang_ppm " +
+      "FROM bs JOIN dups USING (source) JOIN keeps USING (source) JOIN ltop USING (source)"
+  }
+
   private def annGraphOracleSql: String =
     s"WITH $annGraphCtes " +
       "SELECT node AS query_id, CAST(rn AS INTEGER) AS rank, nbr AS neighbor_id, round(sim, 6) AS sim " +
@@ -5720,35 +5773,12 @@ object SparkEntry {
 
     // data card: langIdBodySql's predictor + the rule-screen predicates
     // (same interpolated constants) + md5 group sizes, composed per source
-    "corpus_datacard" -> {
-      val swList = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
-      import TextFunctions._
-      s"WITH $langIdBodySql, " +
-        "lgs AS (SELECT d0.source, lg.lang_guess FROM lg JOIN documents d0 ON lg.doc_id = d0.doc_id), " +
-        "lcnt AS (SELECT source, lang_guess, count(*) AS c FROM lgs GROUP BY 1, 2), " +
-        "ltop AS (SELECT source, lang_guess AS top_lang, c FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang_guess) AS rn FROM lcnt) WHERE rn = 1), " +
-        s"bs AS (SELECT source, count(*) AS n_docs, CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
-        s"fps AS (SELECT source, md5(COALESCE(array_to_string($sqlToks, ' '), '')) AS f FROM documents), " +
-        "gsz AS (SELECT f, count(*) AS gs FROM fps GROUP BY 1), " +
-        "dups AS (SELECT source, count(CASE WHEN gs > 1 THEN 1 END) AS dup FROM fps JOIN gsz USING (f) GROUP BY 1), " +
-        s"rb AS (SELECT source, text AS tx, $sqlToks AS toks FROM documents), " +
-        "rf AS (SELECT source, CAST(len(toks) AS BIGINT) AS nw, " +
-        "(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) * 1000000) // greatest(CAST(len(toks) AS BIGINT), 1) AS mlus, " +
-        s"len(list_filter(list_distinct(toks), x -> list_contains([$swList], x))) AS nstop, " +
-        "(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1000000) // greatest(CAST(len(toks) AS BIGINT), 1) AS appm, " +
-        "len(tx) - len(replace(tx, '#', '')) AS nhash, " +
-        "(len(tx) - len(replace(tx, '...', ''))) // 3 AS nell FROM rb), " +
-        s"rg AS (SELECT source, (nw < $RuleWcLo OR nw > $RuleWcHi) AS fwc, " +
-        s"(mlus < $RuleWlLoUs OR mlus > $RuleWlHiUs) AS fwl, " +
-        s"(nstop < $RuleMinStop) AS fstop, (appm < $RuleAlphaMinPpm) AS falpha, " +
-        s"(((nhash + nell) * 1000000) // greatest(nw, 1) > $RuleSymMaxPpm) AS fsym FROM rf), " +
-        "keeps AS (SELECT source, CAST(sum(CASE WHEN NOT fwc AND NOT fwl AND NOT fstop AND NOT falpha AND NOT fsym THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM rg GROUP BY source) " +
-        "SELECT bs.source, bs.n_docs, bs.n_tokens, " +
-        "CAST((dup * 1000000) // n_docs AS BIGINT) AS dup_doc_ppm, " +
-        "CAST((n_kept * 1000000) // n_docs AS BIGINT) AS gopher_keep_ppm, " +
-        "top_lang, CAST((c * 1000000) // n_docs AS BIGINT) AS top_lang_ppm " +
-        "FROM bs JOIN dups USING (source) JOIN keeps USING (source) JOIN ltop USING (source)"
-    },
+    "corpus_datacard" -> datacardOracleSql,
+
+    // the incremental capstone: artifact(A∪B) from merged per-snapshot
+    // states must equal the full-scan artifact — the oracle IS the
+    // one-shot datacard SQL over the whole table
+    "corpus_datacard_delta" -> datacardOracleSql,
 
     // same md5-mod-16 shards, same integer share deviation
     "corpus_shard_manifest" ->

@@ -27,4 +27,38 @@ class CorpusDeltaSpec extends SparkSpec {
     assert(by(1L).getString(2) != null && by(1L).isNullAt(3))
     assert(by(2L).isNullAt(2) && by(2L).getString(3) != null)
   }
+
+  test("datacard state: merge(state(A), state(B)) assembles the EXACT " +
+      "one-shot artifact — including a dup group split across snapshots " +
+      "that neither snapshot sees alone") {
+    val docs = Seq(
+      // s1: a dup pair SPLIT across the snapshots (ids 1, 11), plus a
+      // singleton per side
+      (1L, "the same duplicated content here", "s1"),
+      (2L, "a unique document in snapshot a", "s1"),
+      (11L, "the same duplicated content here", "s1"),
+      (12L, "another unique document entirely", "s1"),
+      // s2: no dups, two languages so the argmax has work to do
+      (3L, "the quick brown fox and the lazy dog were here", "s2"),
+      (13L, "le chat et le chien sont dans le jardin", "s2"),
+      (14L, "the cat and the dog are in the garden again", "s2")
+    ).toDF("doc_id", "text", "source")
+    val a = docs.filter($"doc_id" < 10)
+    val b = docs.filter($"doc_id" >= 10)
+    def card(st: CorpusDelta.DatacardState) =
+      CorpusDelta.datacardFromState(st)
+        .collect().map(_.toString).sorted.toSeq
+    val merged = CorpusDelta.mergeDatacardState(
+      CorpusDelta.datacardState(a, "text", "source"),
+      CorpusDelta.datacardState(b, "text", "source"))
+    val oneShot = CorpusDelta.datacardState(docs, "text", "source")
+    assert(card(merged) === card(oneShot))
+    // the split dup is invisible per-snapshot but surfaces at merge
+    def dupPpm(st: CorpusDelta.DatacardState) =
+      CorpusDelta.datacardFromState(st)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(dupPpm(CorpusDelta.datacardState(a, "text", "source"))("s1") === 0L)
+    assert(dupPpm(CorpusDelta.datacardState(b, "text", "source"))("s1") === 0L)
+    assert(dupPpm(merged)("s1") === 500000L) // 2 of 4 s1 docs duplicated
+  }
 }
