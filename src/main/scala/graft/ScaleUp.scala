@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *     linearly with data (same events-per-user density).
   *
   * Dimension tables (region, nation) stay verbatim, like a real 10×
-  * corpus would. Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>.
+  * corpus would. Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  * [tables] — the optional 4th arg is a comma-separated allowlist (e.g.
+  * "documents,embeddings") for third-decade audits that only need the
+  * corpus tables; omitted = all tables, the original behavior.
   */
 object ScaleUp {
 
@@ -37,8 +40,10 @@ object ScaleUp {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorS) = args
+    val (src, out, factorS) = (args(0), args(1), args(2))
     val factor = factorS.toInt
+    val wanted: String => Boolean =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,12 +54,13 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until factor).map(k => f(base, k))
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
+    def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      if (wanted(name)) {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        (0 until factor).map(k => f(base, k))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
     def shifted(name: String, keyStrides: Map[String, Long]): Unit =
       copies(name) { (df, k) =>
         keyStrides.foldLeft(df) { case (acc, (c, stride)) =>
@@ -62,7 +68,7 @@ object ScaleUp {
         }
       }
 
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if wanted(t))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
@@ -79,7 +85,7 @@ object ScaleUp {
     // "events.parquet", which matches files, not directories (a
     // directory-shaped table would make every streaming drain read an
     // EMPTY stream and time nothing)
-    locally {
+    if (wanted("events")) {
       val base = spark.read.parquet(s"$src/events.parquet")
       (0 until factor).map { k =>
         base.withColumn("event_id", col("event_id") + lit(k * 100000L))

@@ -397,9 +397,89 @@ object SparkEntry {
       .select(col("src_host").as("src"), col("dst_host").as("dst"))
   }
 
+  /** Directed preference comparisons for the pref_* family: within each
+    * order, every line-pair with distinct quantities and distinct brands
+    * votes "higher-quantity brand beats lower" — a deterministic pairwise-
+    * preference log at brand grain (the RLHF-comparison shape, derived
+    * from data both engines share). */
+  private def prefComparisons(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_partkey"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("p_brand"))
+    a.as("x").join(a.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_linenumber") < col("y.l_linenumber"))
+      .filter(col("x.l_quantity") =!= col("y.l_quantity") &&
+        col("x.p_brand") =!= col("y.p_brand"))
+      .select(
+        when(col("x.l_quantity") > col("y.l_quantity"), col("x.p_brand"))
+          .otherwise(col("y.p_brand")).as("w"),
+        when(col("x.l_quantity") > col("y.l_quantity"), col("y.p_brand"))
+          .otherwise(col("x.p_brand")).as("l"))
+  }
+
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  /** DuckDB replay of one [[graft.functions.Bpe.trainStats]] round over the
+    * positions frame `p{i-1}(word, freq, pos, tok)`: adjacent-pair counts
+    * `c{i}` → argmax `b{i}` (cnt DESC, l, r; minCount 2) → greedy-leftmost
+    * merge application into `p{i}`. Greedy is window math, not a fold:
+    * overlapping matches of pair (a,b) exist only when a = b (a match at
+    * pos i and i+1 forces tok[i+1] = b = a), so within each island of
+    * consecutive matching positions greedy takes the 1st, 3rd, … match —
+    * the gaps-and-islands parity rule. `LEFT JOIN ON TRUE` makes an empty
+    * `b{i}` a no-op round (`p{i}` = `p{i-1}`), so the oracle's fixed 4
+    * rounds agree with the engine's early stop at minCount. */
+  private def sqlBpeRound(i: Int): String = {
+    val p = s"p${i - 1}"
+    s"c$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+      "(SELECT freq, tok AS l, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS r " +
+      s"FROM $p) WHERE r IS NOT NULL GROUP BY l, r), " +
+      s"b$i AS (SELECT l, r, cnt FROM c$i WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+      s"m$i AS (SELECT p.word, p.freq, p.pos, p.tok, b.l AS bl, b.r AS br, " +
+      "CASE WHEN p.tok = b.l AND lead(p.tok) OVER (PARTITION BY p.word ORDER BY p.pos) = b.r " +
+      s"THEN 1 ELSE 0 END AS hit FROM $p p LEFT JOIN b$i b ON TRUE), " +
+      s"g$i AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - " +
+      s"ROW_NUMBER() OVER (PARTITION BY word, hit ORDER BY pos) AS grp FROM m$i), " +
+      s"t$i AS (SELECT *, CASE WHEN hit = 1 AND " +
+      "ROW_NUMBER() OVER (PARTITION BY word, grp, hit ORDER BY pos) % 2 = 1 " +
+      s"THEN 1 ELSE 0 END AS tk FROM g$i), " +
+      s"d$i AS (SELECT *, COALESCE(lag(tk) OVER (PARTITION BY word ORDER BY pos), 0) AS used FROM t$i), " +
+      s"p$i AS (SELECT word, freq, CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos, " +
+      s"CASE WHEN tk = 1 THEN bl || br ELSE tok END AS tok FROM d$i WHERE used = 0), "
+  }
+
+  /** DuckDB mirror of [[prefComparisons]] + [[graft.functions.Preference.pairFrame]]:
+    * CTE chain ending in `sym(i, j, nij, wij)`, the symmetric pair frame
+    * both pref_* oracles read. */
+  private val sqlPrefSym =
+    "WITH a AS (SELECT l_orderkey, l_linenumber, l_quantity, p_brand " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+      "e AS (SELECT x.p_brand AS bx, y.p_brand AS bb, x.l_quantity AS qx, y.l_quantity AS qy " +
+      "FROM a x JOIN a y ON x.l_orderkey = y.l_orderkey AND x.l_linenumber < y.l_linenumber " +
+      "WHERE x.l_quantity <> y.l_quantity AND x.p_brand <> y.p_brand), " +
+      "c AS (SELECT CASE WHEN qx > qy THEN bx ELSE bb END AS w, " +
+      "CASE WHEN qx > qy THEN bb ELSE bx END AS l FROM e), " +
+      "dc AS (SELECT w, l, count(*) AS n FROM c GROUP BY 1, 2), " +
+      "sym AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij, CAST(sum(wi) AS BIGINT) AS wij " +
+      "FROM (SELECT w AS i, l AS j, n, n AS wi FROM dc " +
+      "UNION ALL SELECT l AS i, w AS j, n, 0 AS wi FROM dc) GROUP BY i, j), "
+
+  /** Shared CTE prefix for both BPE-training oracles: vocabulary, the
+    * round-0 positions table, and 4 unrolled merge rounds (ends with a
+    * trailing comma-space; callers append a final CTE or strip it). */
+  private val sqlBpeRounds =
+    s"WITH w AS (SELECT unnest($sqlToks) AS word FROM documents), " +
+      "wc AS (SELECT word, count(*) AS freq FROM w GROUP BY word), " +
+      "px AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM wc), " +
+      "p0 AS (SELECT word, freq, pos, substring(word, pos, 1) AS tok FROM px), " +
+      (1 to 4).map(sqlBpeRound).mkString
 
   /** DuckDB CTE chain mirroring [[graft.functions.Dedup.paragraphFingerprints]]
     * (blank-line segments, 40-token block fallback, md5 fingerprints);
@@ -2839,6 +2919,59 @@ object SparkEntry {
       val words = Bpe.wordCounts(t(s, dir, "documents"), col("text"))
       Bpe.pairStats(words, "word", "freq")
         .orderBy(col("cnt").desc, col("pair")).limit(50)
+    }),
+
+    // the full BPE TRAINING LOOP (Sennrich et al. 2016), oracle-gated:
+    // 4 merge rounds over the (word, freq) vocabulary frame, each round =
+    // one pair-count shuffle + a 1-row argmax collect + one greedy fold.
+    // The oracle replays the identical trajectory in DuckDB as a
+    // positions table (gaps-and-islands parity = greedy leftmost — for a
+    // pair (a,b), overlapping matches exist only when a=b, where greedy
+    // takes the 1st, 3rd, … match of each run); engine fold vs oracle
+    // window math are independent formulations of the same semantics
+    "bpe_train_merges" -> ((s, dir) => {
+      import s.implicits._
+      val words = Bpe.wordCounts(t(s, dir, "documents"), col("text"))
+      Bpe.trainStats(words, "word", "freq", numMerges = 4, minCount = 2L)
+        .toDF("step", "l", "r", "cnt")
+        .select(col("step").cast("long").as("step"), col("l"), col("r"),
+          col("cnt"))
+        .orderBy("step")
+    }),
+
+    // apply the trained merge table: the tokenizer the loop produced,
+    // run over the 100 highest-frequency words — per word the encoded
+    // symbol string and symbol count (fertility of the 4-merge vocab)
+    "bpe_encode_sample" -> ((s, dir) => {
+      val words = Bpe.wordCounts(t(s, dir, "documents"), col("text"))
+      val merges = Bpe.train(words, "word", "freq", numMerges = 4)
+      words
+        .withColumn("sym", Bpe.encode(col("word"), merges))
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("sym")).as("encoded"),
+          size(col("sym")).cast("long").as("n_sym"))
+        .orderBy(col("freq").desc, col("word")).limit(100)
+    }),
+
+    // preference-data curation (RLHF/DPO ranking step): within-order
+    // quantity comparisons at brand grain → Bradley-Terry strengths via
+    // 3 exact integer MM iterations (Preference.btScores µ-ladder; the
+    // oracle unrolls the identical fixed point). Comparisons collapse to
+    // the symmetric pair frame in one shuffle; iterations are broadcast
+    // joins over items only — never a rescan of the comparison log
+    "pref_bt_scores" -> ((s, dir) => {
+      Preference.btScores(prefComparisons(s, dir), "w", "l", iters = 3)
+        .orderBy(col("score_mu").desc, col("item"))
+    }),
+
+    // the head-to-head evidence behind the BT fit: symmetric pair frame
+    // with integer-ppm win rates — the matrix a preference-data audit
+    // reads before trusting the fitted ranking
+    "pref_pair_matrix" -> ((s, dir) => {
+      Preference.pairFrame(prefComparisons(s, dir), "w", "l")
+        .select(col("i"), col("j"), col("nij"), col("wij"),
+          expr("(wij * 1000000L) div nij").as("winrate_ppm"))
+        .orderBy("i", "j")
     }),
 
     // distribution drift between snapshot halves (stable-bucket split):
@@ -7254,6 +7387,39 @@ object SparkEntry {
         "ELSE list_transform(range(1, length(word)), i -> substring(word, i, 2)) END) AS pair FROM wc), " +
         "s AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair) " +
         "SELECT pair, cnt FROM s ORDER BY cnt DESC, pair LIMIT 50"),
+
+    "bpe_train_merges" ->
+      (sqlBpeRounds.stripSuffix(", ") +
+        " SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, l, r, cnt FROM b1" +
+        " UNION ALL SELECT 2, l, r, cnt FROM b2" +
+        " UNION ALL SELECT 3, l, r, cnt FROM b3" +
+        " UNION ALL SELECT 4, l, r, cnt FROM b4) ORDER BY step"),
+
+    "pref_bt_scores" ->
+      (sqlPrefSym +
+        "items AS (SELECT i AS item, CAST(sum(wij) AS BIGINT) AS wins, " +
+        "CAST(sum(nij) AS BIGINT) AS games FROM sym GROUP BY i), " +
+        "s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM items), " +
+        (1 to 3).map { k =>
+          s"d$k AS (SELECT sym.i AS item, CAST(sum((nij * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS den " +
+            s"FROM sym JOIN s${k - 1} si ON sym.i = si.item JOIN s${k - 1} sj ON sym.j = sj.item GROUP BY sym.i), " +
+            s"s$k AS (SELECT it.item, CAST((it.wins * 1000000000000) // d.den AS BIGINT) AS s " +
+            s"FROM items it JOIN d$k d ON it.item = d.item), "
+        }.mkString.stripSuffix(", ") +
+        " SELECT it.item, it.wins, it.games, s3.s AS score_mu " +
+        "FROM items it JOIN s3 ON it.item = s3.item ORDER BY score_mu DESC, it.item"),
+
+    "pref_pair_matrix" ->
+      (sqlPrefSym.stripSuffix(", ") +
+        " SELECT i, j, nij, wij, (wij * 1000000) // nij AS winrate_ppm " +
+        "FROM sym ORDER BY i, j"),
+
+    "bpe_encode_sample" ->
+      (sqlBpeRounds.stripSuffix(", ") +
+        " SELECT word, CAST(freq AS BIGINT) AS freq," +
+        " string_agg(tok, ' ' ORDER BY pos) AS encoded," +
+        " CAST(count(*) AS BIGINT) AS n_sym" +
+        " FROM p4 GROUP BY word, freq ORDER BY freq DESC, word LIMIT 100"),
 
     "corpus_drift" ->
       (s"WITH d AS (SELECT doc_id, text, " +

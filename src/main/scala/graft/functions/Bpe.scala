@@ -74,13 +74,25 @@ object Bpe {
     * round truncates the iterative lineage. Stops early when no pair
     * reaches `minCount`. */
   def train(words: DataFrame, wordCol: String, freqCol: String,
-            numMerges: Int, minCount: Long = 2L): Seq[(String, String)] = {
+            numMerges: Int, minCount: Long = 2L): Seq[(String, String)] =
+    trainStats(words, wordCol, freqCol, numMerges, minCount)
+      .map { case (_, a, b, _) => (a, b) }
+
+  /** [[train]] with the evidence kept: one row per performed merge —
+    * (1-based step, left, right, the winning pair count). The count is
+    * the adjacent-pair statistic the argmax saw THAT round (post all
+    * earlier merges), which makes the whole training trajectory — not
+    * just the final table — assertable against an independent engine. */
+  def trainStats(words: DataFrame, wordCol: String, freqCol: String,
+                 numMerges: Int,
+                 minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 0, s"negative numMerges: $numMerges")
     var sym = words
       .select(chars(col(wordCol)).as("sym"),
         col(freqCol).cast("long").as("freq"))
       .transform(Frames.truncate)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rounds = 0
     var done = false
     while (rounds < numMerges && !done) {
@@ -90,7 +102,7 @@ object Bpe {
       if (top.isEmpty || top(0).getLong(2) < minCount) done = true
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
+        merges += ((merges.size + 1, a, b, top(0).getLong(2)))
         sym = sym.withColumn("sym", mergePair(col("sym"), a, b))
           .transform(Frames.truncate)
       }

@@ -98,4 +98,25 @@ class BpeSpec extends SparkSpec {
       "word", "freq", numMerges = 5, minCount = 2L)
     assert(got.isEmpty)
   }
+
+  test("trainStats carries the per-round winning counts of the reference") {
+    // reference trajectory with counts, recomputed per round
+    var syms = classicVocab.map { case (w, f) => (w.split("").toList, f) }
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (step <- 1 to 5) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, f) =>
+        s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), c) =
+        counts.toList.sortBy { case ((l, r), n) => (-n, l, r) }.head
+      expect += ((step, a, b, c))
+      syms = syms.map { case (s, f) => (refMergeWord(s, a, b), f) }
+    }
+    val got = Bpe.trainStats(vocabDf(classicVocab), "word", "freq", 5)
+    assert(got === expect.toSeq)
+    assert(got.map(_._1) === (1 to 5)) // steps are 1-based and dense
+    assert(got.head._4 === 9L) // es: newest 6 + widest 3
+  }
 }
