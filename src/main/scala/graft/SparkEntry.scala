@@ -1789,6 +1789,35 @@ object SparkEntry {
             col("_tot")) - lit(1000000L)).as("dev_ppm"))
     }),
 
+    // release-integrity artifact: per-source Merkle root over the 16
+    // md5-mod shards (leaf = doc digest, shard digest = md5 of the
+    // sorted leaf digests, then 4 pairing rounds on shard index). A
+    // changed shard re-proves with O(log n) path hashes instead of a
+    // corpus rescan — the verification twin of corpus_shard_manifest
+    "corpus_merkle_root" -> ((s, dir) => {
+      val leaves = t(s, dir, "documents").select(
+        col("source"),
+        pmod(Dedup.Md5Hasher(col("doc_id").cast("string")), lit(16L))
+          .as("shard"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          coalesce(col("text"), lit("")))).as("h"))
+      var lvl = leaves.groupBy("source", "shard")
+        .agg(count(lit(1)).as("n"),
+          md5(concat_ws("", array_sort(collect_list("h")))).as("h"))
+      for (_ <- 1 to 4) {
+        lvl = lvl.withColumn("parent", expr("shard div 2"))
+          .groupBy("source", "parent")
+          .agg(sum("n").as("n"),
+            md5(concat_ws("", expr(
+              "transform(array_sort(collect_list(struct(shard, h))), x -> x.h)")))
+              .as("h"))
+          .withColumnRenamed("parent", "shard")
+      }
+      lvl.select(col("source"), col("n").cast("long").as("n_docs"),
+          col("h").as("merkle_root"))
+        .orderBy("source")
+    }),
+
     // full dedup pipeline: verified pairs → connected components (groups)
     "dedup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2974,6 +3003,20 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // DPO/RLHF training-pair construction from the comparison log: keep
+    // (chosen, rejected) where the win rate clears 54% over >= 20 games —
+    // the evidence gates are division-free integer comparisons, the
+    // margin is the exact floored ppm excess over a coin flip
+    "pref_dpo_pairs" -> ((s, dir) => {
+      Preference.pairFrame(prefComparisons(s, dir), "w", "l")
+        .filter(col("nij") >= 20 &&
+          expr("wij * 1000000L >= 540000L * nij"))
+        .select(col("i").as("chosen"), col("j").as("rejected"),
+          col("nij"), col("wij"),
+          expr("(wij * 2000000L - nij * 1000000L) div nij").as("margin_ppm"))
+        .orderBy("chosen", "rejected")
+    }),
+
     // distribution drift between snapshot halves (stable-bucket split):
     // integer-exact ppm frequencies per side, top-30 movers — the
     // post-ingest monitoring report
@@ -3543,6 +3586,27 @@ object SparkEntry {
     "text_postings" -> ((s, dir) =>
       Postings.positional(t(s, dir, "documents"), "doc_id", "text",
         minDf = 10, maxDf = 50)),
+
+    // index-build cost model: per-term doc-gap Elias-γ bit cost
+    // (2·⌊log₂ gap⌋ + 1 via the integer len(bin()) ladder — no float log)
+    // for the 50 highest-df terms; the size budget a 100 TB posting build
+    // reads before choosing compression. First gap is doc_id + 1 (distance
+    // from the -1 sentinel), so a term's cost is defined from one posting
+    "text_posting_costs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"),
+          col("doc_id"))
+        .distinct()
+        .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1, -1).over(w))
+        .withColumn("bits", lit(2) * length(bin(col("gap"))) - lit(1))
+        .groupBy("term")
+        .agg(count(lit(1)).cast("long").as("df"),
+          sum("bits").cast("long").as("gamma_bits"))
+        .withColumn("bytes_est", expr("(gamma_bits + 7) div 8"))
+        .orderBy(col("df").desc, col("term")).limit(50)
+    }),
 
     // CCNet-style LM quality signal: add-one bigram cross-entropy of each
     // doc under the corpus-trained model (the model is two count
@@ -5923,6 +5987,17 @@ object SparkEntry {
         "CAST((n_tokens::HUGEINT * 16 * 1000000) // tot - 1000000 AS BIGINT) AS dev_ppm " +
         "FROM ps, tt"),
 
+    "corpus_merkle_root" ->
+      (s"WITH lv AS (SELECT source, ${sqlMd5Long("doc_id::VARCHAR")} % 16 AS shard, " +
+        "md5(doc_id::VARCHAR || ':' || COALESCE(text, '')) AS h FROM documents), " +
+        "l0 AS (SELECT source, shard, count(*) AS n, " +
+        "md5(string_agg(h, '' ORDER BY h)) AS h FROM lv GROUP BY 1, 2), " +
+        (1 to 4).map { k =>
+          s"l$k AS (SELECT source, shard // 2 AS shard, CAST(sum(n) AS BIGINT) AS n, " +
+            s"md5(string_agg(h, '' ORDER BY shard)) AS h FROM l${k - 1} GROUP BY 1, 2), "
+        }.mkString.stripSuffix(", ") +
+        " SELECT source, n AS n_docs, h AS merkle_root FROM l4 ORDER BY source"),
+
     // per-snapshot states (same md5 bucket split as corpus_delta),
     // least/sum full-outer merge, independent whole-corpus rebuild
     "dedup_groups_delta" ->
@@ -7414,6 +7489,13 @@ object SparkEntry {
         " SELECT i, j, nij, wij, (wij * 1000000) // nij AS winrate_ppm " +
         "FROM sym ORDER BY i, j"),
 
+    "pref_dpo_pairs" ->
+      (sqlPrefSym.stripSuffix(", ") +
+        " SELECT i AS chosen, j AS rejected, nij, wij, " +
+        "(wij * 2000000 - nij * 1000000) // nij AS margin_ppm " +
+        "FROM sym WHERE nij >= 20 AND wij * 1000000 >= 540000 * nij " +
+        "ORDER BY chosen, rejected"),
+
     "bpe_encode_sample" ->
       (sqlBpeRounds.stripSuffix(", ") +
         " SELECT word, CAST(freq AS BIGINT) AS freq," +
@@ -7905,6 +7987,17 @@ object SparkEntry {
         "array_to_string(list_transform(range(1, len(ps) + 1), " +
         "i -> CAST(ps[i] - CASE WHEN i = 1 THEN 0 ELSE ps[i-1] END AS VARCHAR)), '|') AS deltas " +
         "FROM sel"),
+
+    "text_posting_costs" ->
+      (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "p1 AS (SELECT doc_id, unnest(toks) AS term FROM d), " +
+        "p AS (SELECT DISTINCT doc_id, term FROM p1), " +
+        "g AS (SELECT term, doc_id - COALESCE(lag(doc_id) OVER " +
+        "(PARTITION BY term ORDER BY doc_id), -1) AS gap FROM p), " +
+        "b AS (SELECT term, count(*) AS df, " +
+        "CAST(sum(2 * length(bin(gap)) - 1) AS BIGINT) AS gamma_bits FROM g GROUP BY term) " +
+        "SELECT term, df, gamma_bits, (gamma_bits + 7) // 8 AS bytes_est " +
+        "FROM b ORDER BY df DESC, term LIMIT 50"),
 
     // add-one bigram LM cross-entropy; -ln terms summed as DECIMAL
     "text_perplexity" ->
