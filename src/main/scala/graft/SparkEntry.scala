@@ -2319,6 +2319,24 @@ object SparkEntry {
         "qid", "qv", k = 5)
     }),
 
+    // margin-based parallel-pair mining (bitext / paraphrase alignment):
+    // even vec_ids query the odd-id side corpus-wide through the shared
+    // RHP buckets; a pair survives only when the best match leads the
+    // runner-up by >= 20000 µ cosine — the absolute-margin criterion.
+    // Both sides are corpus-sized: bucket equi-join (shuffle, bounded
+    // candidates), salted top-2, exact µ-floored margins
+    "corpus_bitext_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMarginMine(
+        emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv",
+        emb.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", bits = 8, dim = 64, marginMu = 20000L)
+        .orderBy("src_id")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(
@@ -4812,6 +4830,34 @@ object SparkEntry {
       "ORDER BY sim DESC, nid) AS rn FROM s) WHERE rn <= 5"
   }
 
+  /** DuckDB mirror of `Similarity.bitextMarginMine` on the even/odd
+    * vec_id split (bits=8, multi-probe Hamming-1, margin 20000 µ): same
+    * planes, same bucket join, same top-2 tie-break, same µ-floored
+    * absolute margin (floor of the identical double cannot straddle). */
+  private def bitextMineOracleSql: String = {
+    val (planeCols, bucketExpr) = rhpSqlParts(8, 64)
+    val probeList = "[sig" + (0 until 8).map(b => s", xor(sig, ${1L << b})")
+      .mkString + "]"
+    s"WITH pl AS (SELECT $planeCols), " +
+      "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+      s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
+      "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
+      "FROM v0, pl), " +
+      "q AS (SELECT id AS qid, v AS qv, n AS qn, bucket AS sig FROM b WHERE id % 2 = 0), " +
+      s"probes AS (SELECT qid, qv, qn, unnest($probeList) AS bucket FROM q), " +
+      "s AS (SELECT p.qid, c.id AS nid, " +
+      "list_sum(list_transform(range(1, 65), d -> c.v[d]::DOUBLE * p.qv[d]::DOUBLE)) / (c.n * p.qn) AS sim " +
+      "FROM b c JOIN probes p ON c.bucket = p.bucket AND c.id % 2 = 1), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s), " +
+      "tp AS (SELECT qid, max(CASE WHEN rn = 1 THEN nid END) AS dst_id, " +
+      "max(CASE WHEN rn = 1 THEN sim END) AS s1, " +
+      "max(CASE WHEN rn = 2 THEN sim END) AS s2 FROM r WHERE rn <= 2 GROUP BY qid) " +
+      "SELECT qid AS src_id, dst_id, round(s1, 6) AS sim, " +
+      "CAST(floor((s1 - s2) * 1000000) AS BIGINT) AS margin_mu " +
+      "FROM tp WHERE s2 IS NOT NULL AND floor((s1 - s2) * 1000000) >= 20000 " +
+      "ORDER BY src_id"
+  }
+
   /** DuckDB unroll of `Similarity.nnDescentGraph` (k=5, rounds=2,
     * bits=4, dim=64, initWindow=[[annGraphInitWindow]],
     * buildK=[[annGraphBuildK]]): same
@@ -6705,6 +6751,8 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
 
     "ann_lsh_topk" -> annLshOracleSql,
+
+    "corpus_bitext_mine" -> bitextMineOracleSql,
 
     "ann_graph_topk" -> annGraphOracleSql,
 

@@ -216,6 +216,58 @@ object Similarity {
     topKPerQuery(scored, queryId, corpusId, k)
   }
 
+  /** Margin-based bitext/parallel-pair mining (the retrieval criterion of
+    * Artetxe & Schwenk, ACL'19 §3.2, with the absolute-margin variant):
+    * for every query-side vector, score the corpus-side candidates that
+    * share an RHP bucket (multi-probe, Hamming-1), keep the best match
+    * whose lead over the SECOND-best clears `marginMu` µ — the margin is
+    * what separates a genuine translation/paraphrase pair from a dense
+    * neighborhood where the top hit is interchangeable with its runner-up.
+    *
+    * Unlike [[lshTopK]], BOTH sides are corpus-sized here, so the bucket
+    * equi-join shuffles instead of broadcasting; candidate volume stays
+    * bucket-bounded (never all-pairs) and the top-2 cut runs salted
+    * map-side first (same funnel-avoidance as topKPerQuery). Queries with
+    * fewer than two candidates are dropped — a margin needs a runner-up.
+    * The µ-floor of the double margin is exact cross-engine: both engines
+    * compute the identical sequential-fold doubles, and floor of the same
+    * double cannot straddle. Output: (src_id, dst_id, sim, margin_mu). */
+  def bitextMarginMine(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       bits: Int, dim: Int, marginMu: Long,
+                       salts: Int = 64): DataFrame = {
+    val c = corpus.withColumn("bucket", rhpSignature(col(corpusVec), bits, dim))
+      .withColumn("_cn", norm(col(corpusVec)))
+    val qSig = queries
+      .withColumn("_sig", rhpSignature(col(queryVec), bits, dim))
+      .withColumn("_qn", norm(col(queryVec)))
+    val probes = array((col("_sig") +: (0 until bits).map(b =>
+      col("_sig").bitwiseXOR(lit(1L << b)))): _*)
+    val q = qSig.withColumn("bucket", explode(probes)).drop("_sig")
+    val scored = c.join(q, Seq("bucket"))
+      .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),
+        col("_cn"), col("_qn")))
+    val w1 = Window.partitionBy(col(queryId), col("_salt"))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    val w2 = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    val top2 = scored
+      .withColumn("_salt", pmod(xxhash64(col(corpusId)), lit(salts)))
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= 2)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 2)
+    top2.groupBy(col(queryId).as("src_id"))
+      .agg(
+        max(when(col("rn") === 1, col(corpusId))).as("dst_id"),
+        max(when(col("rn") === 1, col("sim"))).as("_s1"),
+        max(when(col("rn") === 2, col("sim"))).as("_s2"))
+      .filter(col("_s2").isNotNull)
+      .withColumn("margin_mu",
+        floor((col("_s1") - col("_s2")) * lit(1000000.0)).cast("long"))
+      .filter(col("margin_mu") >= marginMu)
+      .select(col("src_id"), col("dst_id"),
+        round(col("_s1"), 6).as("sim"), col("margin_mu"))
+  }
+
   /** Leading-dims truncation of an embedding column — the serving trick
     * matryoshka-style embeddings (MRL, Kusupati et al. NeurIPS'22) are
     * trained for: the first `dims` components carry a usable coarse
