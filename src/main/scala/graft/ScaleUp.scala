@@ -39,11 +39,24 @@ object ScaleUp {
       }
     }
 
+  /** Every table this generator knows how to scale — the allowlist arg is
+    * validated against it so a typo ("embedings") fails fast instead of
+    * silently producing an audit directory with missing tables. */
+  private val KnownTables = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
     val (src, out, factorS) = (args(0), args(1), args(2))
     val factor = factorS.toInt
     val wanted: String => Boolean =
-      if (args.length > 3) args(3).split(",").map(_.trim).toSet else _ => true
+      if (args.length > 3) {
+        val names = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- KnownTables
+        require(unknown.isEmpty,
+          s"unknown table(s) in allowlist: ${unknown.toSeq.sorted.mkString(", ")} " +
+            s"(known: ${KnownTables.toSeq.sorted.mkString(", ")})")
+        names
+      } else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -422,6 +422,30 @@ object SparkEntry {
           .otherwise(col("x.p_brand")).as("l"))
   }
 
+  /** [[prefComparisons]] at PROMPT grain: the order key is kept as the
+    * prompt every comparison answers — the input shape per-prompt DPO
+    * pair construction needs (the global log cannot say which responses
+    * answered the same prompt). */
+  private def promptComparisons(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_partkey"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("p_brand"))
+    a.as("x").join(a.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_linenumber") < col("y.l_linenumber"))
+      .filter(col("x.l_quantity") =!= col("y.l_quantity") &&
+        col("x.p_brand") =!= col("y.p_brand"))
+      .select(col("x.l_orderkey").as("prompt"),
+        when(col("x.l_quantity") > col("y.l_quantity"), col("x.p_brand"))
+          .otherwise(col("y.p_brand")).as("w"),
+        when(col("x.l_quantity") > col("y.l_quantity"), col("y.p_brand"))
+          .otherwise(col("x.p_brand")).as("l"))
+  }
+
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -1794,29 +1818,21 @@ object SparkEntry {
     // sorted leaf digests, then 4 pairing rounds on shard index). A
     // changed shard re-proves with O(log n) path hashes instead of a
     // corpus rescan — the verification twin of corpus_shard_manifest
-    "corpus_merkle_root" -> ((s, dir) => {
-      val leaves = t(s, dir, "documents").select(
-        col("source"),
-        pmod(Dedup.Md5Hasher(col("doc_id").cast("string")), lit(16L))
-          .as("shard"),
-        md5(concat(col("doc_id").cast("string"), lit(":"),
-          coalesce(col("text"), lit("")))).as("h"))
-      var lvl = leaves.groupBy("source", "shard")
-        .agg(count(lit(1)).as("n"),
-          md5(concat_ws("", array_sort(collect_list("h")))).as("h"))
-      for (_ <- 1 to 4) {
-        lvl = lvl.withColumn("parent", expr("shard div 2"))
-          .groupBy("source", "parent")
-          .agg(sum("n").as("n"),
-            md5(concat_ws("", expr(
-              "transform(array_sort(collect_list(struct(shard, h))), x -> x.h)")))
-              .as("h"))
-          .withColumnRenamed("parent", "shard")
-      }
-      lvl.select(col("source"), col("n").cast("long").as("n_docs"),
-          col("h").as("merkle_root"))
-        .orderBy("source")
-    }),
+    "corpus_merkle_root" -> ((s, dir) =>
+      Merkle.roots(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source")),
+
+    // the proof op the root exists FOR: per (source, shard) the shard
+    // digest + its 4 sibling hashes + verification that folding them
+    // reproduces the root — a changed shard re-proves in O(log n) path
+    // hashes instead of a corpus rescan (Merkle.proofs; the tamper twin —
+    // flip one doc, verification against the published root fails — is
+    // pinned in MerkleSpec)
+    "corpus_merkle_proof" -> ((s, dir) =>
+      Merkle.proofs(
+          Merkle.shardLeaves(t(s, dir, "documents"), "doc_id", "text",
+            "source"), "source")
+        .orderBy("source", "shard")),
 
     // full dedup pipeline: verified pairs → connected components (groups)
     "dedup_groups" -> ((s, dir) => {
@@ -2335,6 +2351,25 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv", bits = 8, dim = 64, marginMu = 20000L)
         .orderBy("src_id")
+    }),
+
+    // what the RHP buckets MISS: precision/recall of the bucketed miner
+    // against the exact capless margin criterion on a probe sample of
+    // the query side (vec_id % 8 == 0 — every 4th even id) — the
+    // ann_recall_report analog for bitext mining; the exact side
+    // broadcasts only the probes, so evaluation cost rides the sample,
+    // never corpus² (planted-pair recall floor pinned in BitextSpec)
+    "bitext_recall_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val probes = emb.filter(col("vec_id") % 8 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bitextRecallReport(
+        Similarity.bitextMarginMine(corpus, "nid", "nv", probes,
+          "qid", "qv", bits = 8, dim = 64, marginMu = 20000L),
+        Similarity.bitextMarginExact(corpus, "nid", "nv", probes,
+          "qid", "qv", marginMu = 20000L))
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
@@ -2986,6 +3021,22 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // the SCALE mode of the same trainer: aggregate the vocabulary once,
+    // run the merge loop driver-local (Bpe.trainStatsLocal — incremental
+    // pair index, no per-merge Spark job); bit-identical trajectory to
+    // the distributed twin by construction, proven here against the SAME
+    // DuckDB replay oracle and in BpeSpec at 1000+ merges
+    "bpe_train_local" -> ((s, dir) => {
+      import s.implicits._
+      val words = Bpe.wordCounts(t(s, dir, "documents"), col("text"))
+      Bpe.trainStatsLocal(words, "word", "freq", numMerges = 4,
+          minCount = 2L)
+        .toDF("step", "l", "r", "cnt")
+        .select(col("step").cast("long").as("step"), col("l"), col("r"),
+          col("cnt"))
+        .orderBy("step")
+    }),
+
     // apply the trained merge table: the tokenizer the loop produced,
     // run over the 100 highest-frequency words — per word the encoded
     // symbol string and symbol count (fertility of the 4-merge vocab)
@@ -3033,6 +3084,16 @@ object SparkEntry {
           col("nij"), col("wij"),
           expr("(wij * 2000000L - nij * 1000000L) div nij").as("margin_ppm"))
         .orderBy("chosen", "rejected")
+    }),
+
+    // the pairs a DPO trainer ACTUALLY consumes: chosen and rejected are
+    // responses to the SAME prompt (order) — per-prompt win rates, top
+    // vs bottom item, division-free strict gate (Preference.promptPairs;
+    // pref_dpo_pairs above is the global-evidence screen, this is the
+    // per-prompt construction the round-11 verdict asked for)
+    "pref_dpo_prompt_pairs" -> ((s, dir) => {
+      Preference.promptPairs(promptComparisons(s, dir), "prompt", "w", "l")
+        .orderBy("prompt")
     }),
 
     // distribution drift between snapshot halves (stable-bucket split):
@@ -4858,6 +4919,80 @@ object SparkEntry {
       "ORDER BY src_id"
   }
 
+  /** DuckDB twin of the bitext recall report: the bucketed miner (same
+    * machinery as [[bitextMineOracleSql]], query side restricted to the
+    * id % 8 probe sample) versus the capless exact margin criterion over
+    * every odd-side candidate, compared on pair identity. */
+  private def bitextRecallOracleSql: String = {
+    val (planeCols, bucketExpr) = rhpSqlParts(8, 64)
+    val probeList = "[sig" + (0 until 8).map(b => s", xor(sig, ${1L << b})")
+      .mkString + "]"
+    val dot = "list_sum(list_transform(range(1, 65), " +
+      "d -> c.v[d]::DOUBLE * p.qv[d]::DOUBLE)) / (c.n * p.qn)"
+    def top2(src: String, out: String): String =
+      s"${out}r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM $src), " +
+        s"${out}t AS (SELECT qid, max(CASE WHEN rn = 1 THEN nid END) AS dst_id, " +
+        s"max(CASE WHEN rn = 1 THEN sim END) AS s1, " +
+        s"max(CASE WHEN rn = 2 THEN sim END) AS s2 FROM ${out}r WHERE rn <= 2 GROUP BY qid), " +
+        s"$out AS (SELECT qid AS src_id, dst_id FROM ${out}t " +
+        "WHERE s2 IS NOT NULL AND floor((s1 - s2) * 1000000) >= 20000), "
+    s"WITH pl AS (SELECT $planeCols), " +
+      "v0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+      s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
+      "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
+      "FROM v0, pl), " +
+      "q AS (SELECT id AS qid, v AS qv, n AS qn, bucket AS sig FROM b WHERE id % 8 = 0), " +
+      s"probes AS (SELECT qid, qv, qn, unnest($probeList) AS bucket FROM q), " +
+      s"ms AS (SELECT p.qid, c.id AS nid, $dot AS sim " +
+      "FROM b c JOIN probes p ON c.bucket = p.bucket AND c.id % 2 = 1), " +
+      top2("ms", "m") +
+      s"es AS (SELECT p.qid, c.id AS nid, $dot AS sim " +
+      "FROM b c JOIN q p ON c.id % 2 = 1), " +
+      top2("es", "ex") +
+      "fj AS (SELECT ex.src_id AS e_src, m.src_id AS m_src, ex.dst_id AS e_dst, m.dst_id AS m_dst " +
+      "FROM ex FULL OUTER JOIN m ON ex.src_id = m.src_id AND ex.dst_id = m.dst_id) " +
+      "SELECT CAST(count(e_src) AS BIGINT) AS n_exact, " +
+      "CAST(count(m_src) AS BIGINT) AS n_mined, " +
+      "CAST(count(CASE WHEN e_src IS NOT NULL AND m_src IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit, " +
+      "CAST(CASE WHEN count(m_src) = 0 THEN 0 ELSE " +
+      "(count(CASE WHEN e_src IS NOT NULL AND m_src IS NOT NULL THEN 1 END) * 1000000) // count(m_src) END AS BIGINT) AS precision_ppm, " +
+      "CAST(CASE WHEN count(e_src) = 0 THEN 0 ELSE " +
+      "(count(CASE WHEN e_src IS NOT NULL AND m_src IS NOT NULL THEN 1 END) * 1000000) // count(e_src) END AS BIGINT) AS recall_ppm " +
+      "FROM fj"
+  }
+
+  /** Shared CTE chain of the Merkle oracles — lv (doc leaves) and l0..l4
+    * (shard digests pairing up to the per-source root); trailing
+    * comma-space for callers to append to. */
+  private def sqlMerkleCtes: String =
+    s"WITH lv AS (SELECT source, ${sqlMd5Long("doc_id::VARCHAR")} % 16 AS shard, " +
+      "md5(doc_id::VARCHAR || ':' || COALESCE(text, '')) AS h FROM documents), " +
+      "l0 AS (SELECT source, shard, count(*) AS n, " +
+      "md5(string_agg(h, '' ORDER BY h)) AS h FROM lv GROUP BY 1, 2), " +
+      (1 to 4).map { k =>
+        s"l$k AS (SELECT source, shard // 2 AS shard, CAST(sum(n) AS BIGINT) AS n, " +
+          s"md5(string_agg(h, '' ORDER BY shard)) AS h FROM l${k - 1} GROUP BY 1, 2), "
+      }.mkString
+
+  /** DuckDB twin of Merkle.proofs: per (source, shard) the sibling path
+    * up the 4 pairing rounds (null sibling = empty subtree, fold passes
+    * through) and the recomputed-root verification bit. */
+  private def merkleProofOracleSql: String = {
+    val pCtes = (0 until 4).map { k =>
+      val carry = (0 until k).map(i => s"p.sib$i, ").mkString
+      s"p${k + 1} AS (SELECT p.source, p.shard, p.idx // 2 AS idx, p.n, p.leaf_h, ${carry}s.h AS sib$k, " +
+        s"md5(CASE WHEN s.h IS NULL THEN p.rh WHEN p.idx % 2 = 0 THEN p.rh || s.h ELSE s.h || p.rh END) AS rh " +
+        s"FROM p$k p LEFT JOIN l$k s ON p.source = s.source AND xor(p.idx, 1::BIGINT) = s.shard), "
+    }.mkString
+    sqlMerkleCtes +
+      "p0 AS (SELECT source, shard, shard AS idx, n, h AS leaf_h, h AS rh FROM l0), " +
+      pCtes.stripSuffix(", ") +
+      " SELECT p.source, p.shard, p.n AS n_docs, p.leaf_h, " +
+      (0 until 4).map(k => s"COALESCE(p.sib$k, '') AS sib$k, ").mkString +
+      "r.h AS root, CAST(CASE WHEN p.rh = r.h THEN 1 ELSE 0 END AS BIGINT) AS ok " +
+      "FROM p4 p JOIN l4 r ON p.source = r.source ORDER BY p.source, p.shard"
+  }
+
   /** DuckDB unroll of `Similarity.nnDescentGraph` (k=5, rounds=2,
     * bits=4, dim=64, initWindow=[[annGraphInitWindow]],
     * buildK=[[annGraphBuildK]]): same
@@ -6034,15 +6169,10 @@ object SparkEntry {
         "FROM ps, tt"),
 
     "corpus_merkle_root" ->
-      (s"WITH lv AS (SELECT source, ${sqlMd5Long("doc_id::VARCHAR")} % 16 AS shard, " +
-        "md5(doc_id::VARCHAR || ':' || COALESCE(text, '')) AS h FROM documents), " +
-        "l0 AS (SELECT source, shard, count(*) AS n, " +
-        "md5(string_agg(h, '' ORDER BY h)) AS h FROM lv GROUP BY 1, 2), " +
-        (1 to 4).map { k =>
-          s"l$k AS (SELECT source, shard // 2 AS shard, CAST(sum(n) AS BIGINT) AS n, " +
-            s"md5(string_agg(h, '' ORDER BY shard)) AS h FROM l${k - 1} GROUP BY 1, 2), "
-        }.mkString.stripSuffix(", ") +
+      (sqlMerkleCtes.stripSuffix(", ") +
         " SELECT source, n AS n_docs, h AS merkle_root FROM l4 ORDER BY source"),
+
+    "corpus_merkle_proof" -> merkleProofOracleSql,
 
     // per-snapshot states (same md5 bucket split as corpus_delta),
     // least/sum full-outer merge, independent whole-corpus rebuild
@@ -6753,6 +6883,8 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracleSql,
 
     "corpus_bitext_mine" -> bitextMineOracleSql,
+
+    "bitext_recall_report" -> bitextRecallOracleSql,
 
     "ann_graph_topk" -> annGraphOracleSql,
 
@@ -7518,6 +7650,15 @@ object SparkEntry {
         " UNION ALL SELECT 3, l, r, cnt FROM b3" +
         " UNION ALL SELECT 4, l, r, cnt FROM b4) ORDER BY step"),
 
+    // the driver-local trainer must replay the IDENTICAL trajectory —
+    // same oracle text as the distributed twin above
+    "bpe_train_local" ->
+      (sqlBpeRounds.stripSuffix(", ") +
+        " SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, l, r, cnt FROM b1" +
+        " UNION ALL SELECT 2, l, r, cnt FROM b2" +
+        " UNION ALL SELECT 3, l, r, cnt FROM b3" +
+        " UNION ALL SELECT 4, l, r, cnt FROM b4) ORDER BY step"),
+
     "pref_bt_scores" ->
       (sqlPrefSym +
         "items AS (SELECT i AS item, CAST(sum(wij) AS BIGINT) AS wins, " +
@@ -7543,6 +7684,34 @@ object SparkEntry {
         "(wij * 2000000 - nij * 1000000) // nij AS margin_ppm " +
         "FROM sym WHERE nij >= 20 AND wij * 1000000 >= 540000 * nij " +
         "ORDER BY chosen, rejected"),
+
+    // per-prompt twin: prompt kept through the comparison derivation,
+    // same window tie-breaks and division-free strict gate as the engine
+    "pref_dpo_prompt_pairs" ->
+      ("WITH a AS (SELECT l_orderkey, l_linenumber, l_quantity, p_brand " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+        "e AS (SELECT x.l_orderkey AS prompt, x.p_brand AS bx, y.p_brand AS bb, " +
+        "x.l_quantity AS qx, y.l_quantity AS qy " +
+        "FROM a x JOIN a y ON x.l_orderkey = y.l_orderkey AND x.l_linenumber < y.l_linenumber " +
+        "WHERE x.l_quantity <> y.l_quantity AND x.p_brand <> y.p_brand), " +
+        "c AS (SELECT CAST(prompt AS BIGINT) AS prompt, " +
+        "CASE WHEN qx > qy THEN bx ELSE bb END AS w, " +
+        "CASE WHEN qx > qy THEN bb ELSE bx END AS l FROM e), " +
+        "u AS (SELECT prompt, w AS item, 1 AS win FROM c " +
+        "UNION ALL SELECT prompt, l AS item, 0 AS win FROM c), " +
+        "st AS (SELECT prompt, item, CAST(sum(win) AS BIGINT) AS wins, " +
+        "CAST(count(*) AS BIGINT) AS games FROM u GROUP BY 1, 2), " +
+        "rt AS (SELECT prompt, item, wins, games, " +
+        "(wins * 1000000) // games AS rate_ppm, " +
+        "row_number() OVER (PARTITION BY prompt ORDER BY (wins * 1000000) // games DESC, item) AS rb, " +
+        "row_number() OVER (PARTITION BY prompt ORDER BY (wins * 1000000) // games ASC, item DESC) AS rw FROM st), " +
+        "b AS (SELECT prompt, item AS chosen, wins AS cw, games AS cg, rate_ppm AS chosen_ppm FROM rt WHERE rb = 1), " +
+        "w2 AS (SELECT prompt, item AS rejected, wins AS rjw, games AS rjg, rate_ppm AS rejected_ppm FROM rt WHERE rw = 1) " +
+        "SELECT b.prompt, b.chosen, w2.rejected, " +
+        "CAST(b.chosen_ppm AS BIGINT) AS chosen_ppm, " +
+        "CAST(w2.rejected_ppm AS BIGINT) AS rejected_ppm " +
+        "FROM b JOIN w2 ON b.prompt = w2.prompt " +
+        "WHERE b.cw * w2.rjg > w2.rjw * b.cg ORDER BY b.prompt"),
 
     "bpe_encode_sample" ->
       (sqlBpeRounds.stripSuffix(", ") +

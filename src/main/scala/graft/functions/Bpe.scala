@@ -116,4 +116,147 @@ object Bpe {
     * merge tables small enough to inline as chained expressions. */
   def encode(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(chars(word)) { case (c, (a, b)) => mergePair(c, a, b) }
+
+  /** Unsigned UTF-8 byte order — Spark's (and DuckDB's) string ordering,
+    * NOT Java's UTF-16 `compareTo` (they disagree above the BMP: a
+    * supplementary character's surrogates sort BELOW U+E000..U+FFFF in
+    * UTF-16 but above them in UTF-8). The local trainer must break argmax
+    * ties exactly like the distributed one or the two modes diverge on
+    * the first tied round. */
+  private[functions] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** One greedy left-to-right merge pass, local twin of [[mergePair]]. */
+  private def applyMergeLocal(sym: Array[String], a: String,
+                              b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Adjacent pairs of a symbol array WITH multiplicity — the statistic
+    * [[symbolPairCounts]] aggregates ("aaa" contributes (a,a) twice even
+    * though greedy performs only one merge there). */
+  private def adjPairs(sym: Array[String]): Map[(String, String), Int] = {
+    var m = Map.empty[(String, String), Int]
+    var i = 0
+    while (i + 1 < sym.length) {
+      val p = (sym(i), sym(i + 1))
+      m = m.updated(p, m.getOrElse(p, 0) + 1)
+      i += 1
+    }
+    m
+  }
+
+  /** [[trainStats]] in DRIVER-LOCAL mode — the scale path for realistic
+    * merge counts. The distributed trainer is the cross-engine oracle
+    * twin, but it pays one Spark job per merge (a 32 k-merge vocabulary
+    * would mean 32 k sequential jobs); since BPE statistics live entirely
+    * on the vocabulary-sized (word, freq) frame, the standard approach is
+    * to aggregate that frame ONCE distributed, collect it, and run the
+    * merge loop in driver memory. Bit-identical to [[trainStats]] by
+    * construction: same position-multiset pair counts, same greedy
+    * leftmost pass, same (cnt DESC, l, r) argmax under unsigned UTF-8
+    * order (spec-pinned on real corpus data).
+    *
+    * Per-round cost is incremental: a sorted pair index gives the argmax
+    * in O(log P) and a merge touches only the words that contain the
+    * winning pair — thousands of merges run in seconds where the
+    * distributed loop spends minutes on job scheduling alone.
+    *
+    * `maxWords` bounds the driver heap LOUDLY (vocabularies are
+    * millions of rows at 100 TB — well inside driver memory; a corpus
+    * that somehow exceeds the cap fails instead of OOMing). */
+  def trainStatsLocal(words: DataFrame, wordCol: String, freqCol: String,
+                      numMerges: Int, minCount: Long = 2L,
+                      maxWords: Int = 1 << 22): Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 0, s"negative numMerges: $numMerges")
+    val rows = words
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .limit(maxWords + 1).collect()
+    require(rows.length <= maxWords,
+      s"Bpe.trainStatsLocal: vocabulary exceeds maxWords=$maxWords — " +
+        "raise the cap or pre-filter the word frame")
+    val syms: Array[Array[String]] =
+      rows.map(r => r.getString(0).split("").filter(_.nonEmpty))
+    val freqs: Array[Long] = rows.map(_.getLong(1))
+
+    // pair -> weighted count, pair -> words containing it, and a sorted
+    // index of (count, l, r) for the O(log P) argmax. Scala tuple Ordering
+    // would compare strings in UTF-16; order by UTF-8 bytes instead.
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count DESC
+          if (c != 0) c
+          else {
+            val l = utf8Compare(x._2, y._2)
+            if (l != 0) l else utf8Compare(x._3, y._3)
+          }
+        }
+      }
+    val order = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+
+    def bump(p: (String, String), delta: Long, wi: Int, nowIn: Boolean): Unit = {
+      val old = cnt.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw != 0L) { cnt(p) = nw; order.add((nw, p._1, p._2)) }
+      else cnt.remove(p)
+      val set = occ.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty)
+      if (nowIn) set.add(wi) else set.remove(wi)
+    }
+
+    for (wi <- syms.indices; (p, m) <- adjPairs(syms(wi)))
+      bump(p, m * freqs(wi), wi, nowIn = true)
+
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var done = false
+    while (rounds < numMerges && !done) {
+      if (order.isEmpty || order.head._1 < minCount) done = true
+      else {
+        val (c, a, b) = order.head
+        merges += ((merges.size + 1, a, b, c))
+        for (wi <- occ((a, b)).toArray) {
+          val before = adjPairs(syms(wi))
+          syms(wi) = applyMergeLocal(syms(wi), a, b)
+          val after = adjPairs(syms(wi))
+          for (p <- before.keySet ++ after.keySet) {
+            val d = after.getOrElse(p, 0) - before.getOrElse(p, 0)
+            if (d != 0)
+              bump(p, d.toLong * freqs(wi), wi, nowIn = after.contains(p))
+          }
+        }
+      }
+      rounds += 1
+    }
+    merges.toSeq
+  }
+
+  /** [[train]]'s driver-local twin (see [[trainStatsLocal]]). */
+  def trainLocal(words: DataFrame, wordCol: String, freqCol: String,
+                 numMerges: Int, minCount: Long = 2L,
+                 maxWords: Int = 1 << 22): Seq[(String, String)] =
+    trainStatsLocal(words, wordCol, freqCol, numMerges, minCount, maxWords)
+      .map { case (_, a, b, _) => (a, b) }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Preference-data curation: Bradley-Terry strength estimation over
@@ -35,6 +36,13 @@ object Preference {
 
   private val L = 1000000000000L // 10¹², the µ²-ladder step
 
+  /** 64-bit safety bound for the µ²-ladder: every product in the MM
+    * update is ≤ games·10¹², and games < 9·10⁶ keeps that under 2⁶³.
+    * Checked loudly at item grain (games dominates both wins and every
+    * per-pair nij), so silent long wraparound cannot corrupt scores —
+    * the fix is to coarsen the item grain or drop one 10³ from L. */
+  private val MaxGames = 9000000L
+
   /** Directed comparisons (winner, loser) → the symmetric pair frame:
     * (i, j, nij, wij) for BOTH orientations of every pair — nij games
     * between i and j, wij of them won by i. One shuffle. */
@@ -54,7 +62,15 @@ object Preference {
     * `iters` exact integer updates from the flat 1µ start. Items that
     * never lose (or never win) get the finite fixed-point of the capped
     * iteration, not ±∞ — the fixed iteration count is also the standard
-    * regularization against BT's divergence on dominant items. */
+    * regularization against BT's divergence on dominant items.
+    *
+    * Degenerate-denominator guard: when an item's D_i floors to 0 (every
+    * opponent's s_i + s_j exceeds n_ij·10¹² — possible after a score
+    * explosion) the update keeps the PREVIOUS score instead of dividing
+    * into NULL, the same `den == 0` fallback as the in-test reference
+    * iteration; a zero s_i + s_j term (two never-win items meeting)
+    * yields a NULL `div` that the sum skips, so it contributes 0 to D_i
+    * rather than poisoning the whole denominator. */
   def btScores(comps: DataFrame, winCol: String, loseCol: String,
                iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
@@ -62,6 +78,15 @@ object Preference {
     val items = pairs.groupBy(col("i").as("item"))
       .agg(sum("wij").cast("long").as("wins"),
         sum("nij").cast("long").as("games"))
+      // loud 64-bit bound (see MaxGames): `games` is consumed by the
+      // public output, so the branch cannot be pruned away
+      .withColumn("games",
+        when(col("games") < lit(MaxGames), col("games"))
+          .otherwise(raise_error(concat(
+            lit(s"Preference.btScores: games >= $MaxGames for item "),
+            col("item").cast("string"),
+            lit(" - the 10^12 ladder would overflow 64 bits; coarsen the " +
+              "item grain or lower the ladder")))))
       .transform(Frames.truncate)
     var scores = items.select(col("item"), lit(1000000L).as("s"))
     for (_ <- 1 to iters) {
@@ -71,12 +96,60 @@ object Preference {
         .groupBy(col("i").as("item"))
         .agg(sum(expr(s"(nij * ${L}L) div (si + sj)")).as("den"))
       scores = items.join(den, "item")
+        .join(scores.select(col("item"), col("s").as("_prev")), "item")
         .select(col("item"),
-          expr(s"(wins * ${L}L) div den").as("s"))
+          when(col("den").isNull || col("den") === 0L, col("_prev"))
+            .otherwise(expr(s"(wins * ${L}L) div den")).as("s"))
         .transform(Frames.truncate)
     }
     items.join(scores, "item")
       .select(col("item"), col("wins"), col("games"),
         col("s").as("score_mu"))
+  }
+
+  /** PER-PROMPT DPO pair construction — the shape a DPO trainer actually
+    * consumes: chosen and rejected are responses to the SAME prompt, not
+    * global winners ([[btScores]] ranks globally; a training pair built
+    * from two different prompts teaches nothing). Per prompt: each item's
+    * win rate over that prompt's comparisons, then the top-rate item
+    * (ties → lowest item) versus the bottom-rate item (ties → highest
+    * item), emitted only when the chosen rate STRICTLY exceeds the
+    * rejected rate — spelled division-free as wins_c·games_r >
+    * wins_r·games_c, so the gate is exact where floored ppm rates could
+    * tie across a real gap.
+    *
+    * Scale shape: one shuffle to (prompt, item) stats, then two
+    * row_numbers over the SAME prompt partitioning (one exchange,
+    * per-prompt groups are response-count-sized — never corpus-wide),
+    * and a prompt-keyed argmax agg. Output: (prompt, chosen, rejected,
+    * chosen_ppm, rejected_ppm), rates floored to ppm. */
+  def promptPairs(comps: DataFrame, promptCol: String, winCol: String,
+                  loseCol: String): DataFrame = {
+    val stats = comps
+      .select(col(promptCol).as("prompt"), col(winCol).as("item"),
+        lit(1L).as("win"))
+      .unionByName(comps.select(col(promptCol).as("prompt"),
+        col(loseCol).as("item"), lit(0L).as("win")))
+      .groupBy("prompt", "item")
+      .agg(sum("win").as("wins"), count(lit(1)).as("games"))
+      .withColumn("rate_ppm", expr("(wins * 1000000L) div games"))
+    val best = Window.partitionBy(col("prompt"))
+      .orderBy(col("rate_ppm").desc, col("item").asc)
+    val worst = Window.partitionBy(col("prompt"))
+      .orderBy(col("rate_ppm").asc, col("item").desc)
+    stats
+      .withColumn("rb", row_number().over(best))
+      .withColumn("rw", row_number().over(worst))
+      .filter(col("rb") === 1 || col("rw") === 1)
+      .groupBy("prompt")
+      .agg(
+        max(when(col("rb") === 1, struct(col("item"), col("wins"),
+          col("games"), col("rate_ppm")))).as("c"),
+        max(when(col("rw") === 1, struct(col("item"), col("wins"),
+          col("games"), col("rate_ppm")))).as("r"))
+      .filter(col("c.wins") * col("r.games") > col("r.wins") * col("c.games"))
+      .select(col("prompt"), col("c.item").as("chosen"),
+        col("r.item").as("rejected"), col("c.rate_ppm").as("chosen_ppm"),
+        col("r.rate_ppm").as("rejected_ppm"))
   }
 }

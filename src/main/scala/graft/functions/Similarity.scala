@@ -231,7 +231,10 @@ object Similarity {
     * fewer than two candidates are dropped — a margin needs a runner-up.
     * The µ-floor of the double margin is exact cross-engine: both engines
     * compute the identical sequential-fold doubles, and floor of the same
-    * double cannot straddle. Output: (src_id, dst_id, sim, margin_mu). */
+    * double cannot straddle. Ids share one namespace (as in [[lshTopK]]):
+    * `corpusId === queryId` pairs are filtered as self-matches, so two
+    * sides whose id values collide for different entities must be
+    * remapped first. Output: (src_id, dst_id, sim, margin_mu). */
   def bitextMarginMine(corpus: DataFrame, corpusId: String, corpusVec: String,
                        queries: DataFrame, queryId: String, queryVec: String,
                        bits: Int, dim: Int, marginMu: Long,
@@ -244,9 +247,24 @@ object Similarity {
     val probes = array((col("_sig") +: (0 until bits).map(b =>
       col("_sig").bitwiseXOR(lit(1L << b)))): _*)
     val q = qSig.withColumn("bucket", explode(probes)).drop("_sig")
+    // same one-namespace contract as lshTopK: equal ids are the SAME
+    // vector meeting itself, and a sim≈1.0 self-match as best hit would
+    // suppress every genuine pair through the margin criterion. Callers
+    // whose two sides share id values for DIFFERENT entities must remap
+    // ids before mining.
     val scored = c.join(q, Seq("bucket"))
+      .filter(col(corpusId) =!= col(queryId))
       .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),
         col("_cn"), col("_qn")))
+    marginTop2(scored, queryId, corpusId, marginMu, salts)
+  }
+
+  /** Shared tail of the margin miners: salted per-query top-2 cut →
+    * (best, runner-up) pivot → µ-floored margin gate. Input is any
+    * scored candidate frame (queryId, corpusId, sim). */
+  private def marginTop2(scored: DataFrame, queryId: String,
+                         corpusId: String, marginMu: Long,
+                         salts: Int): DataFrame = {
     val w1 = Window.partitionBy(col(queryId), col("_salt"))
       .orderBy(col("sim").desc, col(corpusId).asc)
     val w2 = Window.partitionBy(col(queryId))
@@ -266,6 +284,49 @@ object Similarity {
       .filter(col("margin_mu") >= marginMu)
       .select(col("src_id"), col("dst_id"),
         round(col("_s1"), 6).as("sim"), col("margin_mu"))
+  }
+
+  /** CAPLESS exact twin of [[bitextMarginMine]]: the margin criterion
+    * evaluated over EVERY corpus candidate (no buckets, no probes) — the
+    * ground truth the bucketed miner's recall is measured against. The
+    * query side broadcasts against a full corpus scan (the brute-force
+    * shape), so callers MUST pass a probe sample as `queries`; this is an
+    * evaluation oracle, not a mining path. Same one-namespace self-pair
+    * contract and output schema as the miner. */
+  def bitextMarginExact(corpus: DataFrame, corpusId: String,
+                        corpusVec: String, queries: DataFrame,
+                        queryId: String, queryVec: String, marginMu: Long,
+                        salts: Int = 64): DataFrame = {
+    val c = corpus.withColumn("_cn", norm(col(corpusVec)))
+    val q = queries.withColumn("_qn", norm(col(queryVec)))
+    val scored = c.join(broadcast(q))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", cosinePrenormed(col(corpusVec), col(queryVec),
+        col("_cn"), col("_qn")))
+    marginTop2(scored, queryId, corpusId, marginMu, salts)
+  }
+
+  /** What the RHP buckets MISS: one-row precision/recall of the bucketed
+    * miner's pairs against the exact capless margin criterion over the
+    * same probe queries — the [[recallAtK]] analog for bitext mining.
+    * Both inputs are (src_id, dst_id, …) margin-pair frames; the compare
+    * is one full-outer equi-join on pair identity, cost independent of
+    * corpus size (evaluation rides the probe sample). Rates are floored
+    * integer ppm, 0 when the denominator is empty. */
+  def bitextRecallReport(mined: DataFrame, exact: DataFrame): DataFrame = {
+    val m = mined.select(col("src_id"), col("dst_id"), lit(1).as("_m"))
+    val e = exact.select(col("src_id"), col("dst_id"), lit(1).as("_e"))
+    e.join(m, Seq("src_id", "dst_id"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_m")).as("n_mined"),
+        count(when(col("_e").isNotNull && col("_m").isNotNull, 1))
+          .as("n_hit"))
+      .select(col("n_exact"), col("n_mined"), col("n_hit"),
+        when(col("n_mined") === 0, lit(0L))
+          .otherwise(expr("(n_hit * 1000000L) div n_mined"))
+          .as("precision_ppm"),
+        when(col("n_exact") === 0, lit(0L))
+          .otherwise(expr("(n_hit * 1000000L) div n_exact"))
+          .as("recall_ppm"))
   }
 
   /** Leading-dims truncation of an embedding column — the serving trick

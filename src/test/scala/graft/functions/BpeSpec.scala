@@ -99,6 +99,51 @@ class BpeSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("LOCAL trainer is bit-identical to the distributed one (stats too)") {
+    // classic vocab plus tie-heavy and overlap-heavy words so the argmax
+    // tie-break and the greedy-overlap pass are both exercised
+    val vocab = classicVocab ++ Map("aaa" -> 4L, "abab" -> 3L, "zz" -> 2L)
+    val df = vocabDf(vocab)
+    val dist = Bpe.trainStats(df, "word", "freq", numMerges = 12)
+    val local = Bpe.trainStatsLocal(df, "word", "freq", numMerges = 12)
+    assert(local === dist)
+  }
+
+  test("LOCAL trainer is bit-identical on the real sf0.001 corpus") {
+    val words = Bpe.wordCounts(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      col("text"))
+    val dist = Bpe.trainStats(words, "word", "freq", numMerges = 8)
+    val local = Bpe.trainStatsLocal(words, "word", "freq", numMerges = 8)
+    assert(local === dist && local.nonEmpty)
+  }
+
+  test("LOCAL trainer sustains 1000+ merges (the realistic-vocab mode)") {
+    // synthetic 3000-word vocabulary over a 20-letter alphabet: enough
+    // pair structure that 1200 merges stay productive — the scale the
+    // per-merge-Spark-job distributed loop cannot reach
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 3000).map { i =>
+      val len = 6 + rnd.nextInt(10)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(20)).toChar).mkString
+      (w + i.toString, 1L + rnd.nextInt(50))
+    }
+    val merges = Bpe.trainStatsLocal(vocab.toDF("word", "freq"),
+      "word", "freq", numMerges = 1200)
+    assert(merges.size >= 1000)
+    // trajectory sanity: steps are 1..n and every count clears minCount
+    assert(merges.map(_._1) === (1 to merges.size))
+    assert(merges.forall(_._4 >= 2L))
+  }
+
+  test("LOCAL trainer fails LOUDLY past maxWords instead of OOMing") {
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainStatsLocal(vocabDf(classicVocab), "word", "freq",
+        numMerges = 1, maxWords = 2)
+    }
+    assert(ex.getMessage.contains("maxWords"))
+  }
+
   test("trainStats carries the per-round winning counts of the reference") {
     // reference trajectory with counts, recomputed per round
     var syms = classicVocab.map { case (w, f) => (w.split("").toList, f) }

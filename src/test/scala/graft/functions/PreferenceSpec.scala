@@ -67,6 +67,53 @@ class PreferenceSpec extends SparkSpec {
     assert(got("c") === ((3L, 7L)))
   }
 
+  test("games over the 64-bit ladder bound fail LOUDLY, not silently") {
+    import org.apache.spark.sql.functions._
+    // 9 000 001 identical comparisons: games(x) = 9 000 001 >= the bound
+    val big = spark.range(9000001L)
+      .select(lit("x").as("w"), lit("y").as("l"))
+    val ex = intercept[Exception] {
+      Preference.btScores(big, "w", "l", iters = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("overflow")))
+  }
+
+  test("promptPairs: per-prompt top-vs-bottom with exact rates") {
+    val comps = Seq(
+      // p1: a 3/4 = 750000, b 1/3 = 333333, c 0/1 = 0 -> (a, c)
+      ("p1", "a", "b"), ("p1", "a", "b"), ("p1", "b", "a"), ("p1", "a", "c"),
+      // p2: x 1/1, y 0/1 -> (x, y)
+      ("p2", "x", "y"),
+      // p3: even split d 1/2 = e 1/2 -> strict gate drops the prompt
+      ("p3", "d", "e"), ("p3", "e", "d")
+    ).toDF("prompt", "w", "l")
+    val got = Preference.promptPairs(comps, "prompt", "w", "l")
+      .as[(String, String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      "p1" -> (("a", "c", 750000L, 0L)),
+      "p2" -> (("x", "y", 1000000L, 0L))))
+  }
+
+  test("promptPairs ties break deterministically; rejected is the true minimum") {
+    // q1: g 5/9, z 5/9 (EXACT tie at the top -> lowest item g), f 2/6 ->
+    //     pair (g, f), emitted because 5·6 > 2·9
+    val q1 = Seq.fill(2)(("q1", "f", "g")) ++ Seq(("q1", "g", "f")) ++
+      Seq.fill(4)(("q1", "g", "z")) ++ Seq.fill(2)(("q1", "z", "g")) ++
+      Seq.fill(3)(("q1", "z", "f"))
+    // q2: h 2/3 (666666 ppm), i 3/7 (428571), j 2/4 (500000) -> (h, i):
+    //     the rejected side must be the MINIMUM rate, not just any loser
+    val q2 = Seq.fill(2)(("q2", "h", "i")) ++ Seq(("q2", "i", "h")) ++
+      Seq.fill(2)(("q2", "i", "j")) ++ Seq.fill(2)(("q2", "j", "i"))
+    val got = Preference.promptPairs((q1 ++ q2).toDF("prompt", "w", "l"),
+      "prompt", "w", "l").as[(String, String, String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("q1" -> (("g", "f")), "q2" -> (("h", "i"))))
+  }
+
   test("a dominant item outranks a dominated one") {
     // d beats e 9:1; e beats f 9:1 -> strict order d > e > f
     val chain = (1 to 9).flatMap(_ => Seq(("d", "e"), ("e", "f"))) ++
