@@ -622,6 +622,11 @@ object SparkEntry {
     s"((('0x' || substring(md5($s), 1, 7))::BIGINT << 32) | " +
       s"('0x' || substring(md5($s), 9, 8))::BIGINT)"
 
+  /** DuckDB twin of Sampling.stableBucket(id, 1 << 30) — the stable-hash
+    * spread order behind stableCappedSample and the bitext bucket caps. */
+  private val sqlStableBucket30 =
+    "(('0x' || substring(md5(id::VARCHAR), 1, 8))::BIGINT % 1073741824)"
+
   /** DuckDB twin of the distinct word-3-gram shingling used by the dedup
     * queries (TextFunctions.wordShingles(text, 3)). */
   private val sqlShingles3 =
@@ -1703,6 +1708,32 @@ object SparkEntry {
             col("group_size") === col("_fs"), 1)).as("n_merge_exact"))
     }),
 
+    // incremental NEAR-dup candidates — the LSH append path beside the
+    // exact-dup state above: the banded-signature frame is the state,
+    // hot-bucket caps re-taken on the MERGED index (the one
+    // non-compositional step), and only pairs touching the new snapshot
+    // are emitted — the old corpus is never re-paired against itself
+    "dedup_lsh_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      def banded(d: DataFrame) = Dedup.lshBands(
+        Dedup.minhashSignatures(d, "doc_id", "sh", 64, Dedup.Md5Hasher),
+        "doc_id", "sig", bands = 16, rowsPerBand = 4, Dedup.Md5Hasher)
+      Dedup.lshAppendCandidates(
+        banded(docs.filter(bucket < 80)),
+        banded(docs.filter(bucket >= 80)), "doc_id")
+    }),
+
+    // greedy maximum-coverage selection: the 5 docs that together cover
+    // the most distinct 3-gram shingles — exact greedy (1-1/e bound),
+    // one posting build + 5 anti-join/count/argmax rounds
+    "corpus_maxcover_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Sampling.maxCoverSelect(docs, "doc_id", "sh", k = 5)
+    }),
+
     // POPULATION STABILITY INDEX between corpus snapshots — the standard
     // production drift metric: doc-length distributions (log2 buckets,
     // the shared len(bin()) convention) of the old/new md5 snapshots,
@@ -2355,16 +2386,20 @@ object SparkEntry {
 
     // what the RHP buckets MISS: precision/recall of the bucketed miner
     // against the exact capless margin criterion on a probe sample of
-    // the query side (vec_id % 8 == 0 — every 4th even id) — the
-    // ann_recall_report analog for bitext mining; the exact side
-    // broadcasts only the probes, so evaluation cost rides the sample,
-    // never corpus² (planted-pair recall floor pinned in BitextSpec)
+    // the query side — the ann_recall_report analog for bitext mining.
+    // The probe set is HARD-CAPPED at 512 (stableCappedSample hash
+    // order): a pct-only sample scales with the corpus and the exact
+    // twin's probes × corpus scoring degenerates quadratic (measured
+    // 4.5 s at sf1.0 → 402 s at sf10 with %8 probes); with the cap,
+    // evaluation cost is (512 × corpus) — one linear scan at any SF
     "bitext_recall_report" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      val probes = emb.filter(col("vec_id") % 8 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val probes = Sampling.stableCappedSample(
+        emb.filter(col("vec_id") % 8 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        col("qid"), 100, 512)
       Similarity.bitextRecallReport(
         Similarity.bitextMarginMine(corpus, "nid", "nv", probes,
           "qid", "qv", bits = 8, dim = 64, marginMu = 20000L),
@@ -3095,6 +3130,14 @@ object SparkEntry {
       Preference.promptPairs(promptComparisons(s, dir), "prompt", "w", "l")
         .orderBy("prompt")
     }),
+
+    // annotation-reliability gate BEFORE any BT fit is trusted:
+    // Krippendorff's alpha (nominal) over the comparison log — units are
+    // unordered item pairs, categories {low item wins, high item wins};
+    // per-unit disagreement terms floored to µ8 (order-free integer sum,
+    // the PSI convention), final alpha assembled in DECIMAL(38,0)
+    "pref_krippendorff_alpha" -> ((s, dir) =>
+      Preference.krippendorffAlpha(prefComparisons(s, dir), "w", "l")),
 
     // distribution drift between snapshot halves (stable-bucket split):
     // integer-exact ppm frequencies per side, top-30 movers — the
@@ -4905,10 +4948,13 @@ object SparkEntry {
       "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
       "FROM v0, pl), " +
       "q AS (SELECT id AS qid, v AS qv, n AS qn, bucket AS sig FROM b WHERE id % 2 = 0), " +
+      // per-bucket corpus cap, stable-hash order — the engine's maxBucket
+      "cc AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY bucket " +
+      s"ORDER BY $sqlStableBucket30, id) AS cr FROM b WHERE id % 2 = 1) WHERE cr <= 1024), " +
       s"probes AS (SELECT qid, qv, qn, unnest($probeList) AS bucket FROM q), " +
       "s AS (SELECT p.qid, c.id AS nid, " +
       "list_sum(list_transform(range(1, 65), d -> c.v[d]::DOUBLE * p.qv[d]::DOUBLE)) / (c.n * p.qn) AS sim " +
-      "FROM b c JOIN probes p ON c.bucket = p.bucket AND c.id % 2 = 1), " +
+      "FROM cc c JOIN probes p ON c.bucket = p.bucket), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s), " +
       "tp AS (SELECT qid, max(CASE WHEN rn = 1 THEN nid END) AS dst_id, " +
       "max(CASE WHEN rn = 1 THEN sim END) AS s1, " +
@@ -4941,10 +4987,13 @@ object SparkEntry {
       s"b AS (SELECT id, v, $bucketExpr AS bucket, " +
       "sqrt(list_sum(list_transform(range(1, 65), d -> v[d]::DOUBLE * v[d]::DOUBLE))) AS n " +
       "FROM v0, pl), " +
-      "q AS (SELECT id AS qid, v AS qv, n AS qn, bucket AS sig FROM b WHERE id % 8 = 0), " +
+      "q AS (SELECT id AS qid, v AS qv, n AS qn, bucket AS sig FROM b WHERE id % 8 = 0 " +
+      s"ORDER BY $sqlStableBucket30, id LIMIT 512), " +
+      "cc AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY bucket " +
+      s"ORDER BY $sqlStableBucket30, id) AS cr FROM b WHERE id % 2 = 1) WHERE cr <= 1024), " +
       s"probes AS (SELECT qid, qv, qn, unnest($probeList) AS bucket FROM q), " +
       s"ms AS (SELECT p.qid, c.id AS nid, $dot AS sim " +
-      "FROM b c JOIN probes p ON c.bucket = p.bucket AND c.id % 2 = 1), " +
+      "FROM cc c JOIN probes p ON c.bucket = p.bucket), " +
       top2("ms", "m") +
       s"es AS (SELECT p.qid, c.id AS nid, $dot AS sim " +
       "FROM b c JOIN q p ON c.id % 2 = 1), " +
@@ -5149,6 +5198,36 @@ object SparkEntry {
       "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM capped a " +
       "JOIN capped c ON a.b = c.b AND a.band_key = c.band_key " +
       "AND a.doc_id < c.doc_id"
+  }
+
+  /** Mirror of `dedup_lsh_delta`: the [[minhashLshOracleSql]] CTEs with the
+    * stable snapshot bucket threaded through, caps taken over the MERGED
+    * index (both snapshots — the engine's re-cap-on-merge rule), and only
+    * pairs with at least one new-side (bk ≥ 80) member emitted. */
+  private def lshDeltaOracleSql: String = {
+    val minCols = (0 until 64).map { i =>
+      val (a, b) = graft.functions.Dedup.Md5Hasher.saltConsts(i)
+      s"min(($a * (h & 4294967295) + $b) % 2147483647) AS m$i"
+    }.mkString(", ")
+    val sigList = (0 until 64).map(i => s"m$i").mkString("[", ", ", "]")
+    val bandKey = sqlMd5Long(
+      "array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')" +
+        " || chr(1) || b::VARCHAR")
+    "WITH d AS (SELECT doc_id, text, " +
+      "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk FROM documents), " +
+      s"t AS (SELECT doc_id, bk, $sqlToks AS toks FROM d), " +
+      s"sh AS (SELECT doc_id, bk, $sqlShingles3 AS shs FROM t), " +
+      "posting AS (SELECT doc_id, bk, unnest(shs) AS s FROM sh), " +
+      s"hashed AS (SELECT doc_id, bk, ${sqlMd5Long("s")} AS h FROM posting), " +
+      s"sigs AS (SELECT doc_id, bk, $minCols FROM hashed GROUP BY doc_id, bk), " +
+      s"sigl AS (SELECT doc_id, bk, $sigList AS sig FROM sigs), " +
+      s"bands AS (SELECT doc_id, bk, b, $bandKey AS band_key " +
+      "FROM sigl, range(0, 16) r(b)), " +
+      "capped AS (SELECT doc_id, bk, b, band_key FROM (SELECT *, " +
+      "count(*) OVER (PARTITION BY b, band_key) AS n FROM bands) WHERE n <= 1000) " +
+      "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM capped a " +
+      "JOIN capped c ON a.b = c.b AND a.band_key = c.band_key " +
+      "AND a.doc_id < c.doc_id WHERE a.bk >= 80 OR c.bk >= 80"
   }
 
   /** Mirror of `corpus_ingest`: same MinHash/banding CTEs as
@@ -6186,6 +6265,31 @@ object SparkEntry {
         "SELECT count(*) AS n_groups, CAST(sum(m.c) AS BIGINT) AS n_docs, " +
         "count(CASE WHEN fl.k = m.k AND fl.c = m.c THEN 1 END) AS n_merge_exact " +
         "FROM m JOIN fl ON m.f = fl.f"),
+
+    "dedup_lsh_delta" -> lshDeltaOracleSql,
+
+    // unrolled 5-step greedy max-coverage: each step is an argmax of
+    // uncovered-shingle counts (count DESC, doc_id — the engine's total
+    // order) and the covered set accumulates the winner's shingles
+    "corpus_maxcover_select" -> {
+      val prefix = s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $sqlShingles3 AS shs FROM t), " +
+        "p AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+        "w1 AS (SELECT doc_id, count(*) AS g FROM p GROUP BY 1 " +
+        "ORDER BY g DESC, doc_id LIMIT 1), " +
+        "c1 AS (SELECT p.s FROM p JOIN w1 ON p.doc_id = w1.doc_id), "
+      val steps = (2 to 5).map { k =>
+        s"w$k AS (SELECT doc_id, count(*) AS g FROM p " +
+          s"WHERE s NOT IN (SELECT s FROM c${k - 1}) GROUP BY 1 " +
+          "ORDER BY g DESC, doc_id LIMIT 1), " +
+          s"c$k AS (SELECT s FROM c${k - 1} UNION ALL " +
+          s"SELECT p.s FROM p JOIN w$k ON p.doc_id = w$k.doc_id), "
+      }.mkString
+      prefix + steps.stripSuffix(", ") +
+        " SELECT * FROM (SELECT CAST(1 AS INTEGER) AS step, doc_id, g AS gain FROM w1" +
+        (2 to 5).map(k => s" UNION ALL SELECT $k, doc_id, g FROM w$k").mkString +
+        ") ORDER BY step"
+    },
 
     // the shared CC prefix, then the same log2 histogram convention
     "graph_component_hist" ->
@@ -7677,6 +7781,27 @@ object SparkEntry {
       (sqlPrefSym.stripSuffix(", ") +
         " SELECT i, j, nij, wij, (wij * 1000000) // nij AS winrate_ppm " +
         "FROM sym ORDER BY i, j"),
+
+    // Krippendorff alpha: units from the raw comparison stream `c` (NOT
+    // the symmetric pair frame — alpha needs per-rating counts), per-unit
+    // µ8 terms over HUGEINT (the engine's DECIMAL(38,0) twin), one-row
+    // assembly with the same De=0 NULL guard
+    "pref_krippendorff_alpha" ->
+      (sqlPrefSym.stripSuffix("sym AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij, CAST(sum(wi) AS BIGINT) AS wij " +
+        "FROM (SELECT w AS i, l AS j, n, n AS wi FROM dc " +
+        "UNION ALL SELECT l AS i, w AS j, n, 0 AS wi FROM dc) GROUP BY i, j), ") +
+        "u AS (SELECT CASE WHEN w <= l THEN w ELSE l END AS i, " +
+        "CASE WHEN w <= l THEN l ELSE w END AS j, " +
+        "CASE WHEN w <= l THEN 1 ELSE 0 END AS low_win FROM c), " +
+        "un AS (SELECT i, j, CAST(sum(low_win) AS BIGINT) AS o1, " +
+        "count(*) AS n_u FROM u GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "g AS (SELECT count(*) AS n_units, CAST(sum(n_u) AS BIGINT) AS n_ratings, " +
+        "CAST(sum(o1) AS BIGINT) AS n_low, CAST(sum(n_u - o1) AS BIGINT) AS n_high, " +
+        "CAST(sum(CAST((CAST(o1 AS HUGEINT) * (n_u - o1) * 200000000) // (n_u - 1) AS BIGINT)) AS BIGINT) AS do_mu8 FROM un) " +
+        "SELECT n_units, n_ratings, n_low, n_high, do_mu8, " +
+        "CASE WHEN n_low = 0 OR n_high = 0 THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(1000000 - (CAST(do_mu8 AS HUGEINT) * (n_ratings - 1) * 1000000) // " +
+        "(CAST(n_low AS HUGEINT) * n_high * 200000000) AS BIGINT) END AS alpha_ppm FROM g"),
 
     "pref_dpo_pairs" ->
       (sqlPrefSym.stripSuffix(", ") +

@@ -350,6 +350,43 @@ object Dedup {
       .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .distinct()
 
+  /** INCREMENTAL LSH candidate generation — the append path of the
+    * near-dup family (the exact-dup twin is [[mergeGroupsState]]). The
+    * banded-signature frame `(id, band, band_key)` IS the persistable
+    * near-dup state: band keys are pure per-document functions, so
+    * state(A ∪ B) = state(A) ∪ state(B) trivially, and the only
+    * non-compositional step is the HOT-BUCKET CAP, which must be taken on
+    * the MERGED index — a bucket that crosses `maxBucket` only once both
+    * snapshots land must drop everywhere, and one that a snapshot alone
+    * would have dropped may legitimately pair below the merged cap. This
+    * method therefore re-caps on the union and emits exactly the rebuild's
+    * pairs that TOUCH the new snapshot: old×new and new×new, never
+    * re-pairing the old corpus against itself (whose pairs the previous
+    * run already produced under the same merged-cap rule — cap drift
+    * between runs surfaces as pair-set deltas the append run does not
+    * re-emit; `LshDeltaSpec` pins the exact partition
+    * rebuild ≡ within-old ⊎ append).
+    *
+    * Scale shape: identical to [[lshCandidates]] — one hash-agg cap pass
+    * + one bucket-grouped pair emission over the merged index; the new
+    * side is typically ≪ the state, and nothing here is quadratic in the
+    * old corpus (the in-bucket emission is bounded by the cap). */
+  def lshAppendCandidates(stateOld: DataFrame, bandedNew: DataFrame,
+                          idCol: String, maxBucket: Int = 1000): DataFrame = {
+    val merged = stateOld.select(col(idCol), col("band"), col("band_key"),
+        lit(false).as("_new"))
+      .unionByName(bandedNew.select(col(idCol), col("band"), col("band_key"),
+        lit(true).as("_new")))
+    // member struct leads with the id, so sort_array's lexicographic order
+    // IS id order and bucketPairs' id_a < id_b invariant carries over
+    bucketPairs(capGroups("lshAppendCandidates", merged,
+        Seq("band", "band_key"), maxBucket),
+        Seq("band", "band_key"), struct(col(idCol), col("_new")))
+      .filter(col(s"_a._new") || col(s"_b._new"))
+      .select(col(s"_a.$idCol").as("id_a"), col(s"_b.$idCol").as("id_b"))
+      .distinct()
+  }
+
   /** Exact Jaccard over shingle sets via inverted index (NO cross join):
     * explode distinct shingles, emit in-bucket pairs per shingle, count
     * shared per pair, jaccard = common / (|A| + |B| - common). This is also

@@ -107,6 +107,64 @@ object Preference {
         col("s").as("score_mu"))
   }
 
+  /** Krippendorff's alpha (nominal) over the pairwise-comparison log — the
+    * annotation-reliability gate a preference dataset passes BEFORE any
+    * Bradley-Terry fit is trusted: near-0 alpha means the comparisons are
+    * coin flips and the fitted ranking is noise.
+    *
+    * Framing (Krippendorff 2004 §11; nominal data, binary categories):
+    * each unordered item pair (i, j), i < j, is a UNIT; every logged
+    * comparison of that pair is one rating with category "i won" or
+    * "j won". Only units with n_u ≥ 2 ratings are pairable. Then
+    * α = 1 − D_o/D_e with
+    *   D_o = (1/n) Σ_u 2·o_u1·o_u2 / (n_u − 1)   (observed disagreement)
+    *   D_e = 2·n₁·n₂ / (n·(n−1))                  (expected from margins)
+    * where o_u1/o_u2 are the unit's category counts, n₁/n₂ the global
+    * ones, n = Σ n_u.
+    *
+    * Integer discipline: the per-unit D_o term is floored to µ8 units
+    * (`(2·o1·o2·10⁸) div (n_u−1)` — non-negative, so Spark `div` and
+    * DuckDB `//` agree), making the sum an order-free integer like the
+    * PSI terms; the final α is assembled from that sum and the EXACT
+    * global counts in DECIMAL(38,0) (the cross product n·(n−1)·10⁸-scale
+    * terms overflow 64 bits at corpus grain):
+    *   α_ppm = 10⁶ − (do_mu8_sum·(n−1)·10⁶) div (2·n₁·n₂·10⁸).
+    *
+    * Scale shape: one shuffle to (unit, o1, n) counts, one global 1-row
+    * aggregate — nothing here is more than two hash aggregations over the
+    * comparison log. */
+  def krippendorffAlpha(comps: DataFrame, winCol: String,
+                        loseCol: String): DataFrame = {
+    val units = comps
+      .select(least(col(winCol), col(loseCol)).as("i"),
+        greatest(col(winCol), col(loseCol)).as("j"),
+        when(col(winCol) <= col(loseCol), 1L).otherwise(0L).as("low_win"))
+      .groupBy("i", "j")
+      .agg(sum("low_win").as("o1"), count(lit(1)).as("n_u"))
+      .filter(col("n_u") >= 2)
+    units
+      .select(col("o1"), (col("n_u") - col("o1")).as("o2"), col("n_u"),
+        // DECIMAL(38,0) intermediate: the long form 2·o1·o2·10⁸ wraps
+        // silently once a unit holds ≳4.3·10⁵ ratings — real at corpus
+        // grain. The SUM still fits BIGINT until ~9.2·10¹⁰ pairable
+        // ratings (each term ≤ n_u·10⁸/2 · 2 = n_u·10⁸... bounded by
+        // n·10⁸/2 total); past that, drop the ladder to µ6
+        expr("CAST((CAST(o1 AS DECIMAL(38,0)) * (n_u - o1) * 200000000) " +
+          "div (n_u - 1) AS BIGINT)").as("t_mu8"))
+      .agg(count(lit(1)).as("n_units"), sum("n_u").as("n_ratings"),
+        sum("o1").as("n_low"), sum("o2").as("n_high"),
+        sum("t_mu8").as("do_mu8"))
+      .select(col("n_units"), col("n_ratings"), col("n_low"), col("n_high"),
+        col("do_mu8"),
+        // D_e = 0 (a degenerate log where one category never occurs) has
+        // no defined alpha — NULL, guarded identically in the oracle
+        expr("CASE WHEN n_low = 0 OR n_high = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE 1000000L - (CAST(do_mu8 AS DECIMAL(38,0)) * " +
+          "CAST(n_ratings - 1 AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0))) div " +
+          "(CAST(n_low AS DECIMAL(38,0)) * CAST(n_high AS DECIMAL(38,0)) * " +
+          "CAST(200000000 AS DECIMAL(38,0))) END").as("alpha_ppm"))
+  }
+
   /** PER-PROMPT DPO pair construction — the shape a DPO trainer actually
     * consumes: chosen and rejected are responses to the SAME prompt, not
     * global winners ([[btScores]] ranks globally; a training pair built

@@ -635,4 +635,61 @@ object Sampling {
         least(col("n_tokens"), col("level_tokens")).as("alloc_tokens"),
         (col("n_tokens") > col("level_tokens")).cast("long").as("capped"))
   }
+
+  /** Greedy MAXIMUM-COVERAGE data selection: pick `k` documents that
+    * together cover the most distinct shingles — the submodular-selection
+    * baseline behind "choose the most diverse K examples" curation (the
+    * classic greedy carries Nemhauser–Wolsey–Fisher '78's (1−1/e)
+    * guarantee, and for coverage functions no polynomial algorithm beats
+    * it unless P=NP, Feige '98).
+    *
+    * Exact greedy, k unrolled rounds — the same "aggregate once, iterate
+    * with a 1-row argmax" posture as [[Bpe.trainStats]]: the posting
+    * (doc, shingle) index is built and persisted ONCE; each round is one
+    * anti-join against the covered set (bounded by k·|doc| — broadcast),
+    * one doc-keyed count, one 1-row argmax collect. A doc whose shingles
+    * are all covered simply vanishes from the gain frame (its anti-join
+    * output is empty), so every emitted gain is > 0 and the loop stops
+    * early when the corpus is exhausted. Ties break on lowest id — total
+    * order, engine-independent. At 100 TB: k linear scans of the posting
+    * index; the scale relaxations (CELF lazy evaluation, stochastic
+    * greedy (Mirzasoleiman '15) sampling 1/k of the corpus per round)
+    * preserve the plan shape and are documented, not needed at audit
+    * grain. Returns (step, id, gain) — the selection order with each
+    * pick's marginal coverage. */
+  def maxCoverSelect(docs: DataFrame, idCol: String, shingleCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = docs.sparkSession
+    val posting = docs
+      .select(col(idCol).as("_id"), explode(col(shingleCol)).as("_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var covered = posting.select(col("_s")).limit(0)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
+    var done = false
+    var step = 1
+    while (step <= k && !done) {
+      val top = posting.join(broadcast(covered), Seq("_s"), "left_anti")
+        .groupBy("_id").agg(count(lit(1)).as("_gain"))
+        .orderBy(col("_gain").desc, col("_id"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (winner, gain) = (top(0).get(0), top(0).getLong(1))
+        picks += ((step, winner, gain))
+        // no distinct: the anti-join ignores duplicate covered keys, and
+        // the frame stays bounded by the k docs' own shingle lists
+        covered = Frames.truncate(covered.unionByName(
+          posting.filter(col("_id") === lit(winner)).select(col("_s"))))
+      }
+      step += 1
+    }
+    posting.unpersist(false)
+    picks.map { case (st, id, g) =>
+      spark.range(1).select(lit(st).cast("int").as("step"),
+        lit(id).as(idCol), lit(g).as("gain"))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(spark.range(0).select(lit(0).cast("int").as("step"),
+        col("id").as(idCol), lit(0L).as("gain")))
+  }
 }

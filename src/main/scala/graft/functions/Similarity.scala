@@ -229,6 +229,19 @@ object Similarity {
     * bucket-bounded (never all-pairs) and the top-2 cut runs salted
     * map-side first (same funnel-avoidance as topKPerQuery). Queries with
     * fewer than two candidates are dropped — a margin needs a runner-up.
+    *
+    * `maxBucket` caps the CORPUS side per bucket to its `maxBucket`
+    * stable-hash-lowest members (the [[Sampling.stableCappedSample]]
+    * order, SQL-mirrorable) — without it, per-query candidates are
+    * corpus/2^bits and the join degenerates quadratic as the corpus
+    * outgrows the fixed bucket count (measured: 2.7 s at sf1.0 → 149 s
+    * at sf10 uncapped, a 55× second-decade wall). With the cap, scoring
+    * is ≤ (1+bits)·maxBucket dots per query — linear in the query side
+    * at any corpus size. The cap is a deterministic spread subsample
+    * (hash order, not data order), the same recall-for-boundedness trade
+    * as [[Dedup.lshCandidates]]'s hot-bucket guard; size it to
+    * corpus/2^bits when full coverage is required, or raise `bits` so
+    * buckets stay under it — bitextRecallReport measures what it costs.
     * The µ-floor of the double margin is exact cross-engine: both engines
     * compute the identical sequential-fold doubles, and floor of the same
     * double cannot straddle. Ids share one namespace (as in [[lshTopK]]):
@@ -238,8 +251,12 @@ object Similarity {
   def bitextMarginMine(corpus: DataFrame, corpusId: String, corpusVec: String,
                        queries: DataFrame, queryId: String, queryVec: String,
                        bits: Int, dim: Int, marginMu: Long,
-                       salts: Int = 64): DataFrame = {
+                       salts: Int = 64, maxBucket: Int = 1024): DataFrame = {
+    val cwin = Window.partitionBy(col("bucket"))
+      .orderBy(Sampling.stableBucket(col(corpusId), 1 << 30), col(corpusId))
     val c = corpus.withColumn("bucket", rhpSignature(col(corpusVec), bits, dim))
+      .withColumn("_cr", row_number().over(cwin))
+      .filter(col("_cr") <= maxBucket).drop("_cr")
       .withColumn("_cn", norm(col(corpusVec)))
     val qSig = queries
       .withColumn("_sig", rhpSignature(col(queryVec), bits, dim))

@@ -68,6 +68,27 @@ class BitextSpec extends SparkSpec {
       (mined.length * 8) / 10)
   }
 
+  test("maxBucket caps the corpus side deterministically (stable-hash order)") {
+    import org.apache.spark.sql.functions._
+    // 12 corpus vectors in ONE bucket (same sign pattern), maxBucket 2:
+    // only the two stable-hash-lowest ids can ever be scored — the cap is
+    // a pure function of the ids, not of data order
+    val base = Array.fill(dim)(0.5f)
+    val corpus = (0 until 12)
+      .map(i => (100L + i, base.map(x => x + i * 1e-4f)))
+      .toDF("nid", "nv")
+    val qs = Seq((1L, base)).toDF("qid", "qv")
+    val mined = Similarity.bitextMarginMine(corpus, "nid", "nv",
+      qs, "qid", "qv", bits = 6, dim = dim, marginMu = 0L, maxBucket = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    val kept = corpus
+      .select(col("nid"), Sampling.stableBucket(col("nid"), 1 << 30).as("h"))
+      .as[(Long, Long)].collect().sortBy(t => (t._2, t._1)).take(2)
+      .map(_._1).toSet
+    assert(mined.nonEmpty)
+    assert(mined.forall(r => kept(r._2)))
+  }
+
   test("recall report denominator guards: empty inputs yield zeros, not nulls") {
     val empty = Seq.empty[(Long, Long)].toDF("src_id", "dst_id")
     val rep = Similarity.bitextRecallReport(empty, empty).collect()(0)

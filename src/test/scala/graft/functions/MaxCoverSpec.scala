@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Greedy maximum-coverage selection ([[Sampling.maxCoverSelect]]):
+  * hand-checkable trajectories, the lowest-id tie order, early stop when
+  * the corpus is exhausted, and agreement with an independent in-memory
+  * greedy on a random-ish fixture. */
+class MaxCoverSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-checkable trajectory with early stop") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "d")),
+      (3L, Seq("a", "b"))).toDF("doc_id", "sh")
+    val got = Sampling.maxCoverSelect(docs, "doc_id", "sh", k = 3)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    // doc1 covers 3, then doc2 adds only d; doc3 is fully covered so the
+    // gain frame empties and the loop stops at 2 picks
+    assert(got === Seq((1, 1L, 3L), (2, 2L, 1L)))
+  }
+
+  test("ties break on the lowest id — total order, engine-independent") {
+    val docs = Seq(
+      (7L, Seq("x", "y")),
+      (2L, Seq("p", "q")),
+      (5L, Seq("x", "q"))).toDF("doc_id", "sh")
+    val got = Sampling.maxCoverSelect(docs, "doc_id", "sh", k = 2)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    // three docs tie at gain 2: lowest id (2) wins round 1; round 2 has
+    // doc 7 still fully uncovered (gain 2) over doc 5's remaining x
+    assert(got.head === ((1, 2L, 2L)))
+    assert(got(1) === ((2, 7L, 2L)))
+  }
+
+  test("matches an independent in-memory greedy on a spread fixture") {
+    val docs = (1L to 40L).map { i =>
+      i -> (0 until 12).map(j => s"s${(i * 7 + j * j) % 53}")
+        .distinct
+    }
+    val got = Sampling
+      .maxCoverSelect(docs.toDF("doc_id", "sh"), "doc_id", "sh", k = 6)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    // plain Scala greedy: same gain-desc, id-asc total order
+    var covered = Set.empty[String]
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (step <- 1 to 6) {
+      val gains = docs.map { case (id, sh) => (id, sh.count(!covered(_))) }
+        .filter(_._2 > 0)
+      if (gains.nonEmpty) {
+        val (id, g) = gains.minBy { case (i, gg) => (-gg, i) }
+        ref += ((step, id, g.toLong))
+        covered ++= docs.find(_._1 == id).get._2
+      }
+    }
+    assert(got === ref.toSeq)
+  }
+}

@@ -123,4 +123,57 @@ class PreferenceSpec extends SparkSpec {
       .map(r => r._1 -> r._4).toMap
     assert(s("d") > s("e") && s("e") > s("f"))
   }
+
+  /** Independent Krippendorff reference: exact BigInt arithmetic with the
+    * engine's floors — per-unit terms `(2·o1·o2·10⁸) div (n_u−1)` summed,
+    * alpha `10⁶ − (do·(n−1)·10⁶) div (2·n₁·n₂·10⁸)`. */
+  private def refAlpha(cs: Seq[(String, String)]): Option[Long] = {
+    val units = cs.map { case (w, l) =>
+      (Seq(w, l).min, Seq(w, l).max, if (w <= l) 1L else 0L)
+    }.groupBy(t => (t._1, t._2)).values
+      .map(g => (g.map(_._3).sum, g.size.toLong))
+      .filter(_._2 >= 2).toSeq
+    val n = units.map(_._2).sum
+    val n1 = units.map(_._1).sum
+    val n2 = n - n1
+    if (n1 == 0 || n2 == 0) None
+    else {
+      val doSum = units.map { case (o1, nu) =>
+        (BigInt(2) * o1 * (nu - o1) * 100000000L) / (nu - 1)
+      }.sum
+      Some((BigInt(1000000) -
+        doSum * (n - 1) * 1000000L / (BigInt(2) * n1 * n2 * 100000000L))
+        .toLong)
+    }
+  }
+
+  test("krippendorffAlpha matches the exact BigInt reference") {
+    // the shared fixture + one single-rating unit (x, y) that must be
+    // excluded as unpairable without disturbing anything else
+    val cs = comps :+ (("x", "y"))
+    val got = Preference.krippendorffAlpha(cs.toDF("w", "l"), "w", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got._1 === 3L)  // 3 pairable units — (x, y) dropped
+    assert(got._2 === 11L) // their 11 ratings
+    // hand floors: (a,b) o=3,1 over n=4 -> 2e8; (a,c) o=2,1 over 3 -> 2e8;
+    // (b,c) o=2,2 over 4 -> 8e8/3 = 266666666
+    assert(got._5 === 666666666L)
+    assert(got._6 === refAlpha(cs))
+    // this fixture genuinely disagrees more than chance: negative alpha
+    assert(got._6.exists(_ < 0))
+  }
+
+  test("krippendorffAlpha: perfect within-unit agreement reads 10^6") {
+    val cs = Seq.fill(3)(("a", "b")) ++ Seq.fill(2)(("c", "b"))
+    val got = Preference.krippendorffAlpha(cs.toDF("w", "l"), "w", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got._5 === 0L && got._6 === Some(1000000L))
+  }
+
+  test("krippendorffAlpha: a one-category log has no defined alpha (NULL)") {
+    val cs = Seq.fill(4)(("a", "b")) // every rating is "low item wins"
+    val got = Preference.krippendorffAlpha(cs.toDF("w", "l"), "w", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got._4 === 0L && got._6 === None)
+  }
 }
