@@ -1734,6 +1734,15 @@ object SparkEntry {
       Sampling.maxCoverSelect(docs, "doc_id", "sh", k = 5)
     }),
 
+    // k-center coreset over the embedding space (Gonzalez greedy,
+    // 2-approx): deterministic seed, then 3 farthest-point rounds — the
+    // geometric twin of corpus_maxcover_select; per round one linear
+    // scan + a 1-row argmax, distances exact cross-engine (shared fold)
+    "embedding_kcenter_select" -> ((s, dir) =>
+      Similarity.kCenterSelect(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4)),
+
     // POPULATION STABILITY INDEX between corpus snapshots — the standard
     // production drift metric: doc-length distributions (log2 buckets,
     // the shared len(bin()) convention) of the old/new md5 snapshots,
@@ -6288,6 +6297,36 @@ object SparkEntry {
       prefix + steps.stripSuffix(", ") +
         " SELECT * FROM (SELECT CAST(1 AS INTEGER) AS step, doc_id, g AS gain FROM w1" +
         (2 to 5).map(k => s" UNION ALL SELECT $k, doc_id, g FROM w$k").mkString +
+        ") ORDER BY step"
+    },
+
+    // unrolled 4-step Gonzalez greedy: seed by stable-hash order, then
+    // per step the farthest point (min-dist-to-selected argmax, dist
+    // DESC / id ASC) with the least() running-min chain the engine uses
+    "embedding_kcenter_select" -> {
+      def dotOf(a: String, b: String): String =
+        s"list_sum(list_transform(range(1, 65), d -> $a.vec[d]::DOUBLE * $b.vec[d]::DOUBLE))"
+      val prefix = "WITH v AS (SELECT vec_id AS id, embedding AS vec, " +
+        "sqrt(list_sum(list_transform(range(1, 65), d -> embedding[d]::DOUBLE * embedding[d]::DOUBLE))) AS n FROM embeddings), " +
+        s"s1 AS (SELECT id, vec, n FROM v ORDER BY $sqlStableBucket30, id LIMIT 1), " +
+        s"d1 AS (SELECT v.id, v.vec, v.n, 1 - ${dotOf("v", "s")} / (v.n * s.n) AS mind FROM v, s1 s), "
+      val steps = (2 to 4).map { k =>
+        val selected = (Seq("s1") ++ (2 until k).map(j => s"w$j"))
+          .map(t => s"SELECT id FROM $t").mkString(" UNION ALL ")
+        s"w$k AS (SELECT id, vec, n, mind FROM d${k - 1} " +
+          s"WHERE id NOT IN ($selected) ORDER BY mind DESC, id LIMIT 1), " +
+          (if (k < 4)
+            s"d$k AS (SELECT d.id, d.vec, d.n, least(d.mind, " +
+              s"1 - ${dotOf("d", "w")} / (d.n * w.n)) AS mind " +
+              s"FROM d${k - 1} d, w$k w), "
+          else "")
+      }.mkString
+      prefix + steps.stripSuffix(", ") +
+        " SELECT * FROM (SELECT CAST(1 AS INTEGER) AS step, id AS vec_id, " +
+        "CAST(NULL AS BIGINT) AS dist_mu FROM s1" +
+        (2 to 4).map(k =>
+          s" UNION ALL SELECT $k, id, CAST(floor(mind * 1000000) AS BIGINT) FROM w$k")
+          .mkString +
         ") ORDER BY step"
     },
 

@@ -346,6 +346,70 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** k-CENTER (farthest-point) coreset selection over an embedding column
+    * — Gonzalez's greedy 2-approximation for the k-center objective
+    * (Theor. Comp. Sci. '85), the standard coreset / active-learning
+    * selection baseline (Sener & Savarese, ICLR'18): start from a
+    * deterministic seed (the stable-hash-lowest id), then repeatedly pick
+    * the point FARTHEST (max cosine distance) from everything selected so
+    * far. The embedding-space twin of [[Sampling.maxCoverSelect]] —
+    * diversity in geometry instead of shingle coverage.
+    *
+    * Scale shape: the "aggregate once, iterate with a 1-row argmax"
+    * posture — the running state is ONE per-point min-distance frame
+    * (id, vec, norm, mind), updated each round by a scalar expression
+    * against the new center's literal vector (one linear scan per round,
+    * lineage truncated); the argmax is a TakeOrdered 1-row collect. k
+    * rounds = k scans, nothing quadratic. Cross-engine exactness: the
+    * distance tree (sequential-fold dot, one divide, one subtract, a
+    * `least` chain) is identical in the SQL twin, so the doubles — and
+    * therefore the argmax ORDER (dist DESC, id ASC) and the reported
+    * µ-floors — cannot straddle. Zero-norm vectors are the caller's
+    * problem (cosine undefined), as in every cosine op here.
+    * Output: (step, id, dist_mu) — dist_mu NULL on the seed row. */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_n", norm(col(vecCol)))
+    def distTo(vec: Seq[Float], n: Double): Column =
+      lit(1.0) - dot(col(vecCol), typedLit(vec)) / (col("_n") * lit(n))
+    val seed = base
+      .orderBy(Sampling.stableBucket(col(idCol), 1 << 30), col(idCol))
+      .limit(1).collect()(0)
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Any, Option[Long])]
+    picks += ((1, seed.get(0), None))
+    var mind = Frames.truncate(base.withColumn("mind",
+      distTo(seed.getSeq[Float](1), seed.getDouble(2))))
+    var step = 2
+    var done = false
+    while (step <= k && !done) {
+      val sel = picks.map(_._2).toSeq
+      val top = mind.filter(!col(idCol).isin(sel: _*))
+        .orderBy(col("mind").desc, col(idCol))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top(0)
+        picks += ((step, r.get(0),
+          Some(math.floor(r.getDouble(3) * 1e6).toLong)))
+        val prev = mind
+        mind = Frames.truncate(mind.withColumn("mind",
+          least(col("mind"), distTo(r.getSeq[Float](1), r.getDouble(2)))))
+        Frames.release(prev)
+      }
+      step += 1
+    }
+    Frames.release(mind)
+    picks.map { case (st, id, d) =>
+      spark.range(1).select(lit(st).cast("int").as("step"),
+        lit(id).as(idCol),
+        d.map(v => lit(v)).getOrElse(lit(null)).cast("long").as("dist_mu"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Leading-dims truncation of an embedding column — the serving trick
     * matryoshka-style embeddings (MRL, Kusupati et al. NeurIPS'22) are
     * trained for: the first `dims` components carry a usable coarse
