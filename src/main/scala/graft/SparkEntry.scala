@@ -402,30 +402,13 @@ object SparkEntry {
     * votes "higher-quantity brand beats lower" — a deterministic pairwise-
     * preference log at brand grain (the RLHF-comparison shape, derived
     * from data both engines share). */
-  private def prefComparisons(s: SparkSession, dir: String): DataFrame = {
-    val a = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("l_partkey"))
-      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("p_brand"))
-    a.as("x").join(a.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_linenumber") < col("y.l_linenumber"))
-      .filter(col("x.l_quantity") =!= col("y.l_quantity") &&
-        col("x.p_brand") =!= col("y.p_brand"))
-      .select(
-        when(col("x.l_quantity") > col("y.l_quantity"), col("x.p_brand"))
-          .otherwise(col("y.p_brand")).as("w"),
-        when(col("x.l_quantity") > col("y.l_quantity"), col("y.p_brand"))
-          .otherwise(col("x.p_brand")).as("l"))
-  }
+  private def prefComparisons(s: SparkSession, dir: String): DataFrame =
+    promptComparisons(s, dir).select(col("w"), col("l"))
 
-  /** [[prefComparisons]] at PROMPT grain: the order key is kept as the
-    * prompt every comparison answers — the input shape per-prompt DPO
-    * pair construction needs (the global log cannot say which responses
-    * answered the same prompt). */
+  /** The ONE comparison-log derivation (the order key is the prompt every
+    * comparison answers — the shape per-prompt DPO pair construction
+    * needs; [[prefComparisons]] is this minus the prompt column, so the
+    * comparison semantics have a single source of truth). */
   private def promptComparisons(s: SparkSession, dir: String): DataFrame = {
     val a = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -7807,11 +7790,16 @@ object SparkEntry {
         "items AS (SELECT i AS item, CAST(sum(wij) AS BIGINT) AS wins, " +
         "CAST(sum(nij) AS BIGINT) AS games FROM sym GROUP BY i), " +
         "s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM items), " +
+        // den==0/NULL keeps the previous score and every score clamps at
+        // 10^15 — both mirroring the engine's degenerate-state guards
+        // (DuckDB // by zero is NULL and sum skips NULLs, matching
+        // Spark's div-null-skip term semantics)
         (1 to 3).map { k =>
           s"d$k AS (SELECT sym.i AS item, CAST(sum((nij * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS den " +
             s"FROM sym JOIN s${k - 1} si ON sym.i = si.item JOIN s${k - 1} sj ON sym.j = sj.item GROUP BY sym.i), " +
-            s"s$k AS (SELECT it.item, CAST((it.wins * 1000000000000) // d.den AS BIGINT) AS s " +
-            s"FROM items it JOIN d$k d ON it.item = d.item), "
+            s"s$k AS (SELECT it.item, least(CAST(CASE WHEN d.den IS NULL OR d.den = 0 THEN sp.s " +
+            "ELSE (it.wins * 1000000000000) // d.den END AS BIGINT), 1000000000000000) AS s " +
+            s"FROM items it JOIN d$k d ON it.item = d.item JOIN s${k - 1} sp ON it.item = sp.item), "
         }.mkString.stripSuffix(", ") +
         " SELECT it.item, it.wins, it.games, s3.s AS score_mu " +
         "FROM items it JOIN s3 ON it.item = s3.item ORDER BY score_mu DESC, it.item"),

@@ -373,7 +373,15 @@ object Dedup {
     * old corpus (the in-bucket emission is bounded by the cap). */
   def lshAppendCandidates(stateOld: DataFrame, bandedNew: DataFrame,
                           idCol: String, maxBucket: Int = 1000): DataFrame = {
-    val merged = stateOld.select(col(idCol), col("band"), col("band_key"),
+    // LAST-WRITE-WINS on id overlap: a re-ingested doc REPLACES its old
+    // state rows (anti-join below — the new-id frame is snapshot-sized, so
+    // AQE broadcasts it). Without this, the same id sits in a bucket as
+    // both an old and a new member: bucketPairs would emit a degenerate
+    // (id, id) self-pair and the duplicate rows would count twice toward
+    // the hot-bucket cap, dropping buckets a deduplicated index keeps.
+    val newIds = bandedNew.select(col(idCol)).distinct()
+    val merged = stateOld.join(newIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col("band"), col("band_key"),
         lit(false).as("_new"))
       .unionByName(bandedNew.select(col(idCol), col("band"), col("band_key"),
         lit(true).as("_new")))

@@ -97,12 +97,19 @@ object Merkle {
     val root = rootsOverride.getOrElse(
         lv.last.select(col(groupCol), col("h").as("root")))
       .select(col(groupCol), col("root"))
-    pf.join(root, Seq(groupCol))
+    // LEFT join: in override mode a group the published roots never saw
+    // (a tamper that ADDS or renames a group) must surface as ok=0 rows,
+    // not silently vanish — an inner join here would let such a tamper
+    // pass a forall(ok==1) audit. The missing root surfaces as '' under
+    // the same never-empty-md5 encoding as absent siblings.
+    pf.join(root, Seq(groupCol), "left")
       .select(Seq(col(groupCol), col("shard"), col("n_docs"), col("leaf_h")) ++
         // absent sibling (empty subtree) surfaces as '' — md5 hex is never
         // empty, so the encoding is unambiguous and keeps the output frame
         // free of NULL sort keys
         (0 until rounds).map(k => coalesce(col(s"sib$k"), lit("")).as(s"sib$k")) ++
-        Seq(col("root"), (col("_rh") === col("root")).cast("long").as("ok")): _*)
+        Seq(coalesce(col("root"), lit("")).as("root"),
+          coalesce((col("_rh") === col("root")).cast("long"), lit(0L))
+            .as("ok")): _*)
   }
 }

@@ -43,6 +43,10 @@ object Preference {
     * the fix is to coarsen the item grain or drop one 10³ from L. */
   private val MaxGames = 9000000L
 
+  /** Score ceiling (10¹⁵ µ): bounds s_i + s_j at 2·10¹⁵ so the
+    * denominator addition can never wrap 64 bits (see btScores doc). */
+  private val ScoreCeil = 1000000000000000L
+
   /** Directed comparisons (winner, loser) → the symmetric pair frame:
     * (i, j, nij, wij) for BOTH orientations of every pair — nij games
     * between i and j, wij of them won by i. One shuffle. */
@@ -70,7 +74,13 @@ object Preference {
     * into NULL, the same `den == 0` fallback as the in-test reference
     * iteration; a zero s_i + s_j term (two never-win items meeting)
     * yields a NULL `div` that the sum skips, so it contributes 0 to D_i
-    * rather than poisoning the whole denominator. */
+    * rather than poisoning the whole denominator. Scores additionally
+    * clamp at 10¹⁵ µ (10⁹× the start — far past any meaningful strength
+    * ratio): without the ceiling, two items whose scores both approach
+    * wins·10¹² could make the s_i + s_j ADDITION wrap a 64-bit long
+    * negative, and a negative denominator term slips past the den == 0
+    * guard silently. Both the fallback and the clamp are mirrored
+    * term-for-term in the SQL oracle. */
   def btScores(comps: DataFrame, winCol: String, loseCol: String,
                iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
@@ -98,8 +108,10 @@ object Preference {
       scores = items.join(den, "item")
         .join(scores.select(col("item"), col("s").as("_prev")), "item")
         .select(col("item"),
-          when(col("den").isNull || col("den") === 0L, col("_prev"))
-            .otherwise(expr(s"(wins * ${L}L) div den")).as("s"))
+          least(
+            when(col("den").isNull || col("den") === 0L, col("_prev"))
+              .otherwise(expr(s"(wins * ${L}L) div den")),
+            lit(ScoreCeil)).as("s"))
         .transform(Frames.truncate)
     }
     items.join(scores, "item")

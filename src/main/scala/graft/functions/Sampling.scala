@@ -661,8 +661,12 @@ object Sampling {
                      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = docs.sparkSession
+    // distinct: the coverage objective is over DISTINCT shingles — a doc
+    // repeating one rare shingle must not outscore a doc covering many
+    // (callers with pre-deduped arrays, like wordShingles, pay a no-op)
     val posting = docs
       .select(col(idCol).as("_id"), explode(col(shingleCol)).as("_s"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var covered = posting.select(col("_s")).limit(0)
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
@@ -677,10 +681,12 @@ object Sampling {
       else {
         val (winner, gain) = (top(0).get(0), top(0).getLong(1))
         picks += ((step, winner, gain))
-        // no distinct: the anti-join ignores duplicate covered keys, and
-        // the frame stays bounded by the k docs' own shingle lists
-        covered = Frames.truncate(covered.unionByName(
-          posting.filter(col("_id") === lit(winner)).select(col("_s"))))
+        // the covered set is only consulted by a NEXT round; no distinct
+        // needed — the anti-join ignores duplicate covered keys, and the
+        // frame stays bounded by the k docs' own shingle lists
+        if (step < k)
+          covered = Frames.truncate(covered.unionByName(
+            posting.filter(col("_id") === lit(winner)).select(col("_s"))))
       }
       step += 1
     }
@@ -689,7 +695,8 @@ object Sampling {
       spark.range(1).select(lit(st).cast("int").as("step"),
         lit(id).as(idCol), lit(g).as("gain"))
     }.reduceOption(_ unionByName _)
-      .getOrElse(spark.range(0).select(lit(0).cast("int").as("step"),
-        col("id").as(idCol), lit(0L).as("gain")))
+      // type-faithful empty frame — the id column keeps the caller's type
+      .getOrElse(docs.select(lit(0).cast("int").as("step"),
+        col(idCol), lit(0L).as("gain")).limit(0))
   }
 }

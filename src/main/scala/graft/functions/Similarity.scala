@@ -375,9 +375,15 @@ object Similarity {
       .withColumn("_n", norm(col(vecCol)))
     def distTo(vec: Seq[Float], n: Double): Column =
       lit(1.0) - dot(col(vecCol), typedLit(vec)) / (col("_n") * lit(n))
-    val seed = base
+    // type-faithful empty frame (the id column keeps the caller's type)
+    def emptyResult: DataFrame = corpus.select(
+      lit(0).cast("int").as("step"), col(idCol),
+      lit(0L).cast("long").as("dist_mu")).limit(0)
+    val seedRows = base
       .orderBy(Sampling.stableBucket(col(idCol), 1 << 30), col(idCol))
-      .limit(1).collect()(0)
+      .limit(1).collect()
+    if (seedRows.isEmpty) return emptyResult
+    val seed = seedRows(0)
     val picks = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Any, Option[Long])]
     picks += ((1, seed.get(0), None))
@@ -395,10 +401,14 @@ object Similarity {
         val r = top(0)
         picks += ((step, r.get(0),
           Some(math.floor(r.getDouble(3) * 1e6).toLong)))
-        val prev = mind
-        mind = Frames.truncate(mind.withColumn("mind",
-          least(col("mind"), distTo(r.getSeq[Float](1), r.getDouble(2)))))
-        Frames.release(prev)
+        // the running min is only needed by a NEXT round — the final
+        // pick skips the (corpus-sized) update scan entirely
+        if (step < k) {
+          val prev = mind
+          mind = Frames.truncate(mind.withColumn("mind",
+            least(col("mind"), distTo(r.getSeq[Float](1), r.getDouble(2)))))
+          Frames.release(prev)
+        }
       }
       step += 1
     }

@@ -56,6 +56,30 @@ class LshDeltaSpec extends SparkSpec {
       (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("re-ingested ids: last-write-wins, no degenerate self-pairs, no " +
+      "double cap counting") {
+    // id 3 appears in BOTH the old state and the new snapshot (the
+    // re-crawl case): its old rows must be REPLACED, never paired with
+    // its own new rows
+    val old = Seq((1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L))
+      .toDF("doc_id", "band", "band_key")
+    val neu = Seq((3L, 0, 100L), (3L, 1, 999L), (4L, 0, 100L))
+      .toDF("doc_id", "band", "band_key")
+    val delta = Dedup.lshAppendCandidates(old, neu, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(delta.forall(p => p._1 != p._2), delta)
+    assert(delta === Set((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)))
+    // cap counting: 2 old-only + 2 overlapping-new in one bucket with
+    // cap 3 — counting the overlapped id twice would read 4 > cap and
+    // wrongly drop the bucket; last-write-wins keeps it at 3
+    val old2 = Seq((1L, 0, 5L), (2L, 0, 5L), (9L, 0, 5L))
+      .toDF("doc_id", "band", "band_key")
+    val neu2 = Seq((9L, 0, 5L)).toDF("doc_id", "band", "band_key")
+    val d2 = Dedup.lshAppendCandidates(old2, neu2, "doc_id", maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(d2 === Set((1L, 9L), (2L, 9L)))
+  }
+
   test("real corpus end-to-end: append equals the filtered rebuild") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -58,6 +58,25 @@ class MerkleSpec extends SparkSpec {
     assert(pf.filter(_._1 == "src_b").forall(_._3 == 1L))
   }
 
+  test("tamper that ADDS a group: its proofs surface as ok=0, never vanish") {
+    // a corpus gaining a source the published roots never saw must FAIL
+    // its audit — an inner join to the roots frame would silently drop
+    // the new group and let forall(ok==1) pass
+    val original = Merkle.roots(docs, "doc_id", "text", "source")
+      .select(col("source"), col("merkle_root").as("root"))
+    val grown = docs.unionByName(
+      Seq((99L, "smuggled content", "src_new")).toDF("doc_id", "text", "source"))
+    val pf = Merkle.proofs(
+        Merkle.shardLeaves(grown, "doc_id", "text", "source"), "source",
+        rootsOverride = Some(original))
+      .select("source", "root", "ok").as[(String, String, Long)].collect()
+    val newRows = pf.filter(_._1 == "src_new")
+    assert(newRows.nonEmpty)
+    assert(newRows.forall(r => r._2 == "" && r._3 == 0L))
+    // the known groups still verify
+    assert(pf.filter(_._1 != "src_new").forall(_._3 == 1L))
+  }
+
   test("n_docs bookkeeping survives the pairing rounds") {
     val got = Merkle.roots(docs, "doc_id", "text", "source")
       .select("source", "n_docs").as[(String, Long)].collect().toMap
