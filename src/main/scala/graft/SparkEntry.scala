@@ -1717,6 +1717,17 @@ object SparkEntry {
       Sampling.maxCoverSelect(docs, "doc_id", "sh", k = 5)
     }),
 
+    // GreeDi two-phase distributed greedy (Mirzasoleiman NeurIPS'13):
+    // 4 md5-bucket greedies run SIMULTANEOUSLY (each round = one
+    // (bucket,doc) aggregate + one per-bucket argmax for all buckets at
+    // once), then the exact greedy over the <= 12 phase-1 winners — the
+    // scale answer to maxcover's inherently sequential k full scans
+    "corpus_maxcover_greedi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Sampling.maxCoverSelectGreedi(docs, "doc_id", "sh", k = 3, parts = 4)
+    }),
+
     // k-center coreset over the embedding space (Gonzalez greedy,
     // 2-approx): deterministic seed, then 3 farthest-point rounds — the
     // geometric twin of corpus_maxcover_select; per round one linear
@@ -6280,6 +6291,42 @@ object SparkEntry {
       prefix + steps.stripSuffix(", ") +
         " SELECT * FROM (SELECT CAST(1 AS INTEGER) AS step, doc_id, g AS gain FROM w1" +
         (2 to 5).map(k => s" UNION ALL SELECT $k, doc_id, g FROM w$k").mkString +
+        ") ORDER BY step"
+    },
+
+    // GreeDi unrolled: 3 per-bucket rounds (row_number argmax PER BUCKET,
+    // covered sets keyed by bucket) -> candidate union -> the standard
+    // 3-step global greedy restricted to the candidates
+    "corpus_maxcover_greedi" -> {
+      val phase1 = (1 to 3).map { r =>
+        val notCovered = if (r == 1) ""
+        else s"WHERE NOT EXISTS (SELECT 1 FROM c${r - 1} cc WHERE cc.bk = p.bk AND cc.s = p.s) "
+        s"g$r AS (SELECT bk, doc_id, count(*) AS c FROM p $notCovered GROUP BY 1, 2), " +
+          s"w$r AS (SELECT bk, doc_id FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY bk ORDER BY c DESC, doc_id) AS rn FROM g$r) WHERE rn = 1), " +
+          s"c$r AS (${if (r == 1) "" else s"SELECT bk, s FROM c${r - 1} UNION ALL "}" +
+          s"SELECT p.bk, p.s FROM p JOIN w$r ON p.bk = w$r.bk AND p.doc_id = w$r.doc_id), "
+      }.mkString
+      val phase2 = (2 to 3).map { r =>
+        s"fw$r AS (SELECT doc_id, count(*) AS g FROM p2 " +
+          s"WHERE s NOT IN (SELECT s FROM fc${r - 1}) GROUP BY 1 " +
+          "ORDER BY g DESC, doc_id LIMIT 1), " +
+          s"fc$r AS (SELECT s FROM fc${r - 1} UNION ALL " +
+          s"SELECT p2.s FROM p2 JOIN fw$r ON p2.doc_id = fw$r.doc_id), "
+      }.mkString
+      s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $sqlShingles3 AS shs FROM t), " +
+        s"p AS (SELECT doc_id, ${sqlMd5Long("doc_id::VARCHAR")} % 4 AS bk, " +
+        "unnest(shs) AS s FROM sh), " +
+        phase1 +
+        "cand AS (SELECT doc_id FROM w1 UNION SELECT doc_id FROM w2 UNION SELECT doc_id FROM w3), " +
+        "p2 AS (SELECT doc_id, s FROM p WHERE doc_id IN (SELECT doc_id FROM cand)), " +
+        "fw1 AS (SELECT doc_id, count(*) AS g FROM p2 GROUP BY 1 " +
+        "ORDER BY g DESC, doc_id LIMIT 1), " +
+        "fc1 AS (SELECT p2.s FROM p2 JOIN fw1 ON p2.doc_id = fw1.doc_id), " +
+        phase2.stripSuffix(", ") +
+        " SELECT * FROM (SELECT CAST(1 AS INTEGER) AS step, doc_id, g AS gain FROM fw1" +
+        (2 to 3).map(r => s" UNION ALL SELECT $r, doc_id, g FROM fw$r").mkString +
         ") ORDER BY step"
     },
 

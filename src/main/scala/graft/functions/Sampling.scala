@@ -699,4 +699,73 @@ object Sampling {
       .getOrElse(docs.select(lit(0).cast("int").as("step"),
         col(idCol), lit(0L).as("gain")).limit(0))
   }
+
+  /** GreeDi two-phase DISTRIBUTED greedy max-coverage (Mirzasoleiman,
+    * Karbasi, Sarkar & Krause, NeurIPS'13): partition the corpus into
+    * `parts` stable md5 buckets, run the greedy independently INSIDE every
+    * bucket (phase 1), then run the exact greedy over the ≤ parts·k
+    * phase-1 winners (phase 2). Carries GreeDi's 1/min(√k,parts)-factor
+    * worst-case guarantee and in practice tracks the centralized greedy
+    * closely — this is THE published answer to "greedy is inherently
+    * sequential" at corpus scale.
+    *
+    * Scale shape — the reason this exists beside [[maxCoverSelect]]: the
+    * centralized greedy's k rounds each scan the WHOLE posting index,
+    * while here phase 1 runs all `parts` greedies SIMULTANEOUSLY — each
+    * round is ONE (bucket, doc)-keyed aggregate + ONE m-row per-bucket
+    * argmax (min_by over the (−gain, id) struct) for every bucket at
+    * once, and the per-round driver state is `parts` winner rows, never
+    * per-doc gains (the CELF lazy queue would need exactly that
+    * corpus-sized driver state). Phase 2 is [[maxCoverSelect]] on the
+    * winner subset — candidate-sized. Output schema and tie order
+    * (gain DESC, id ASC) match the centralized operator. */
+  def maxCoverSelectGreedi(docs: DataFrame, idCol: String,
+                           shingleCol: String, k: Int,
+                           parts: Int = 4): DataFrame = {
+    require(k >= 1 && parts >= 1, s"k=$k parts=$parts must be >= 1")
+    val posting = docs
+      .select(col(idCol).as("_id"), explode(col(shingleCol)).as("_s"))
+      .distinct()
+      .withColumn("_bk", pmod(graft.functions.Dedup.Md5Hasher(
+        col("_id").cast("string")), lit(parts.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var covered = posting.select(col("_bk"), col("_s")).limit(0)
+    val winners = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var round = 1
+    var live = true
+    while (round <= k && live) {
+      val w = posting
+        .join(broadcast(covered), Seq("_bk", "_s"), "left_anti")
+        .groupBy(col("_bk"), col("_id")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("_bk"))
+        .agg(min_by(col("_id"),
+          struct((-col("_c")).as("a"), col("_id").as("b"))).as("_w"))
+        .select(col("_bk"), col("_w"))
+        .collect()
+      if (w.isEmpty) live = false
+      else {
+        winners ++= w.map(_.get(1))
+        val wFrame = posting.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(w: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            posting.schema("_bk"),
+            posting.schema("_id").copy(name = "_w"))))
+        covered = Frames.truncate(covered.unionByName(
+          posting.join(broadcast(wFrame),
+              posting("_bk") === wFrame("_bk") &&
+                posting("_id") === wFrame("_w"))
+            .select(posting("_bk"), posting("_s"))))
+      }
+      round += 1
+    }
+    posting.unpersist(false)
+    val candidates = winners.distinct.toSeq
+    if (candidates.isEmpty)
+      docs.select(lit(0).cast("int").as("step"), col(idCol),
+        lit(0L).as("gain")).limit(0)
+    else
+      maxCoverSelect(docs.filter(col(idCol).isin(candidates: _*)),
+        idCol, shingleCol, k)
+  }
 }
