@@ -2814,6 +2814,33 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.redactPii(col("text")).as("redacted"))),
 
+    // Luhn mod-10 screen for card-like digit runs — validity, not just
+    // length, separates real card numbers from order ids/timestamps (the
+    // dominant false-positive class of length-based card redaction). The
+    // candidates are PLANTED deterministically per doc: a 15-digit
+    // md5-derived base gets its true Luhn check digit on even doc_ids
+    // and check+1 on odd — the screen must agree with the construction
+    // on every row, and the oracle replays construction AND screen
+    "text_luhn_screen" -> ((s, dir) => {
+      val base = lpad(pmod(Dedup.Md5Hasher(col("doc_id").cast("string")),
+        lit(1000000000000000L)).cast("string"), 15, "0")
+      t(s, dir, "documents")
+        .select(col("doc_id"), base.as("base"))
+        .select(col("doc_id"), concat(col("base"),
+          when(col("doc_id") % 2 === 0,
+            TextFunctions.luhnCheckDigit(col("base")))
+            .otherwise((TextFunctions.luhnCheckDigit(col("base")) + 1) % 10)
+            .cast("string")).as("digits"))
+        .select(col("digits"),
+          TextFunctions.luhnValid(col("digits")).as("valid"),
+          (col("doc_id") % 2 === 0).as("expected"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("valid"), 1L).otherwise(0L)).cast("long")
+            .as("n_valid"),
+          sum(when(col("valid") === col("expected"), 1L).otherwise(0L))
+            .cast("long").as("n_agree"))
+    }),
+
     // deterministic sampling/splitting: membership is a pure function of
     // the doc id (stable across runs/engines/corpus growth)
     "corpus_split" -> ((s, dir) => {
@@ -7547,6 +7574,24 @@ object SparkEntry {
     "text_redact" ->
       (s"SELECT doc_id, ${TextFunctions.redactPiiSql} AS redacted " +
         "FROM documents"),
+
+    // the identical reversed-position doubling fold, DuckDB list ops
+    "text_luhn_screen" -> {
+      def luhnSumSql(x: String): String =
+        s"list_sum(list_transform(range(1, length($x) + 1), i -> " +
+          s"CASE WHEN i % 2 = 0 THEN " +
+          s"(CASE WHEN 2 * (substring(reverse($x), i, 1)::INT) > 9 " +
+          s"THEN 2 * (substring(reverse($x), i, 1)::INT) - 9 " +
+          s"ELSE 2 * (substring(reverse($x), i, 1)::INT) END) " +
+          s"ELSE substring(reverse($x), i, 1)::INT END))"
+      s"WITH b AS (SELECT doc_id, lpad((${sqlMd5Long("doc_id::VARCHAR")} % 1000000000000000)::VARCHAR, 15, '0') AS base FROM documents), " +
+        s"c AS (SELECT doc_id, base, (10 - (${luhnSumSql("(base || '0')")} % 10)) % 10 AS chk FROM b), " +
+        "d AS (SELECT doc_id, base || (CASE WHEN doc_id % 2 = 0 THEN chk ELSE (chk + 1) % 10 END)::VARCHAR AS digits FROM c), " +
+        s"v AS (SELECT doc_id, (${luhnSumSql("digits")} % 10 = 0) AS valid FROM d) " +
+        "SELECT count(*) AS n_candidates, " +
+        "CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, " +
+        "CAST(sum(CASE WHEN valid = (doc_id % 2 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM v"
+    },
 
     "corpus_split" ->
       """SELECT doc_id, b AS bucket,
