@@ -462,10 +462,13 @@ object SparkEntry {
       s"CASE WHEN tk = 1 THEN bl || br ELSE tok END AS tok FROM d$i WHERE used = 0), "
   }
 
-  /** DuckDB mirror of [[prefComparisons]] + [[graft.functions.Preference.pairFrame]]:
-    * CTE chain ending in `sym(i, j, nij, wij)`, the symmetric pair frame
-    * both pref_* oracles read. */
-  private val sqlPrefSym =
+  /** DuckDB mirror of [[prefComparisons]] up to the raw comparison CTEs
+    * `c(w, l)` / `dc(w, l, n)` — the shared prefix of every pref_*
+    * oracle. Kept as its OWN constant (not recovered by suffix-stripping
+    * [[sqlPrefSym]]) so the alpha oracle, which needs the raw stream
+    * rather than the symmetric pair frame, cannot silently drift if the
+    * sym CTE's text changes. */
+  private val sqlPrefDc =
     "WITH a AS (SELECT l_orderkey, l_linenumber, l_quantity, p_brand " +
       "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
       "e AS (SELECT x.p_brand AS bx, y.p_brand AS bb, x.l_quantity AS qx, y.l_quantity AS qy " +
@@ -473,20 +476,51 @@ object SparkEntry {
       "WHERE x.l_quantity <> y.l_quantity AND x.p_brand <> y.p_brand), " +
       "c AS (SELECT CASE WHEN qx > qy THEN bx ELSE bb END AS w, " +
       "CASE WHEN qx > qy THEN bb ELSE bx END AS l FROM e), " +
-      "dc AS (SELECT w, l, count(*) AS n FROM c GROUP BY 1, 2), " +
+      "dc AS (SELECT w, l, count(*) AS n FROM c GROUP BY 1, 2), "
+
+  /** DuckDB mirror of [[prefComparisons]] + [[graft.functions.Preference.pairFrame]]:
+    * CTE chain ending in `sym(i, j, nij, wij)`, the symmetric pair frame
+    * both pref_* oracles read. */
+  private val sqlPrefSym =
+    sqlPrefDc +
       "sym AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij, CAST(sum(wi) AS BIGINT) AS wij " +
       "FROM (SELECT w AS i, l AS j, n, n AS wi FROM dc " +
       "UNION ALL SELECT l AS i, w AS j, n, 0 AS wi FROM dc) GROUP BY i, j), "
 
-  /** Shared CTE prefix for both BPE-training oracles: vocabulary, the
-    * round-0 positions table, and 4 unrolled merge rounds (ends with a
+  /** Unrolled k-step exact greedy max-coverage over 3-gram shingles —
+    * the oracle of both the sequential operator and its CELF lazy-queue
+    * twin (output-identical by construction, so they share one text). */
+  private def sqlMaxcoverGreedy(k: Int): String = {
+    val prefix = s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      s"sh AS (SELECT doc_id, $sqlShingles3 AS shs FROM t), " +
+      "p AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+      "w1 AS (SELECT doc_id, count(*) AS g FROM p GROUP BY 1 " +
+      "ORDER BY g DESC, doc_id LIMIT 1), " +
+      "c1 AS (SELECT p.s FROM p JOIN w1 ON p.doc_id = w1.doc_id), "
+    val steps = (2 to k).map { r =>
+      s"w$r AS (SELECT doc_id, count(*) AS g FROM p " +
+        s"WHERE s NOT IN (SELECT s FROM c${r - 1}) GROUP BY 1 " +
+        "ORDER BY g DESC, doc_id LIMIT 1), " +
+        s"c$r AS (SELECT s FROM c${r - 1} UNION ALL " +
+        s"SELECT p.s FROM p JOIN w$r ON p.doc_id = w$r.doc_id), "
+    }.mkString
+    prefix + steps.stripSuffix(", ") +
+      " SELECT * FROM (SELECT CAST(1 AS INTEGER) AS step, doc_id, g AS gain FROM w1" +
+      (2 to k).map(r => s" UNION ALL SELECT $r, doc_id, g FROM w$r").mkString +
+      ") ORDER BY step"
+  }
+
+  /** Shared CTE prefix for the BPE oracles: vocabulary, the round-0
+    * positions table, and `n` unrolled merge rounds (ends with a
     * trailing comma-space; callers append a final CTE or strip it). */
-  private val sqlBpeRounds =
+  private def sqlBpeRoundsN(n: Int): String =
     s"WITH w AS (SELECT unnest($sqlToks) AS word FROM documents), " +
       "wc AS (SELECT word, count(*) AS freq FROM w GROUP BY word), " +
       "px AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM wc), " +
       "p0 AS (SELECT word, freq, pos, substring(word, pos, 1) AS tok FROM px), " +
-      (1 to 4).map(sqlBpeRound).mkString
+      (1 to n).map(sqlBpeRound).mkString
+
+  private val sqlBpeRounds = sqlBpeRoundsN(4)
 
   /** DuckDB CTE chain mirroring [[graft.functions.Dedup.paragraphFingerprints]]
     * (blank-line segments, 40-token block fallback, md5 fingerprints);
@@ -1691,6 +1725,40 @@ object SparkEntry {
             col("group_size") === col("_fs"), 1)).as("n_merge_exact"))
     }),
 
+    // the TAKEDOWN path of the exact-dup state: state(all) ⊖ deleted
+    // (bucket >= 80) must equal a rebuild over the survivors — including
+    // the keep_id REPAIR where the canonical min-id member itself was
+    // deleted (re-min'd from the survivors, affected groups only). The
+    // oracle rebuilds from the remaining docs directly, so hash equality
+    // IS the state ⊖ delta ≡ rebuild-without-docs contract
+    "dedup_groups_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      Dedup.deleteFromGroupsState(
+          Dedup.exactGroupsState(docs, "doc_id", "text"),
+          docs.filter(bucket >= 80), "doc_id", "text",
+          docs.filter(bucket < 80))
+        .orderBy("content_md5")
+    }),
+
+    // the takedown path of the NEAR-dup state: deleting 40% of the
+    // corpus drops some LSH buckets back UNDER the (tiny, 2-member) cap
+    // — the resurfaced pairs are exactly what a rebuild over the
+    // survivors would emit that no previous run ever did; the oracle
+    // recomputes before/after bucket sizes and the crossing pairs
+    "dedup_lsh_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      val banded = Dedup.lshBands(
+        Dedup.minhashSignatures(docs, "doc_id", "sh", 64, Dedup.Md5Hasher),
+        "doc_id", "sig", bands = 16, rowsPerBand = 4, Dedup.Md5Hasher)
+      val deleted = t(s, dir, "documents")
+        .filter(Sampling.stableBucket(col("doc_id")) >= 60)
+        .select(col("doc_id"))
+      Dedup.lshDeleteCandidates(banded, deleted, "doc_id", maxBucket = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // incremental NEAR-dup candidates — the LSH append path beside the
     // exact-dup state above: the banded-signature frame is the state,
     // hot-bucket caps re-taken on the MERGED index (the one
@@ -1728,6 +1796,27 @@ object SparkEntry {
       Sampling.maxCoverSelectGreedi(docs, "doc_id", "sh", k = 3, parts = 4)
     }),
 
+    // CELF lazy-forward greedy (Leskovec KDD'07): output-identical to
+    // corpus_maxcover_select — the bounded lazy queue re-probes a
+    // handful of stale bounds per pick instead of re-aggregating the
+    // corpus; the SHARED oracle text is the exactness proof cross-engine
+    "corpus_maxcover_celf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Sampling.maxCoverSelectCelf(docs, "doc_id", "sh", k = 5)
+    }),
+
+    // stochastic-greedy (Mirzasoleiman AAAI'15): per-round salted-md5
+    // half-corpus samples — the (1−1/e−ε) relaxation whose rounds cost
+    // sample-sized aggregates; sampling is hash-deterministic so the
+    // oracle replays it exactly
+    "corpus_maxcover_stochastic" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Sampling.maxCoverSelectStochastic(docs, "doc_id", "sh", k = 4,
+        samplePct = 50)
+    }),
+
     // k-center coreset over the embedding space (Gonzalez greedy,
     // 2-approx): deterministic seed, then 3 farthest-point rounds — the
     // geometric twin of corpus_maxcover_select; per round one linear
@@ -1736,6 +1825,14 @@ object SparkEntry {
       Similarity.kCenterSelect(
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", k = 4)),
+
+    // batched farthest-point: 2 picks per round against the PRE-round
+    // center set, one least()-fold update scan per round — ⌈(k−1)/B⌉
+    // jobs instead of k−1 at coreset-realistic k
+    "embedding_kcenter_batched" -> ((s, dir) =>
+      Similarity.kCenterSelectBatched(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 5, batch = 2)),
 
     // POPULATION STABILITY INDEX between corpus snapshots — the standard
     // production drift metric: doc-length distributions (log2 buckets,
@@ -1822,6 +1919,20 @@ object SparkEntry {
         CorpusDelta.datacardState(docs.filter(bucket >= 80), "text", "source")))
     }),
 
+    // the takedown path of the datacard state: state(all) ⊖
+    // state(deleted) assembled into the release artifact must equal the
+    // datacard computed on the survivors — every state column is a sum
+    // of per-doc functions, so the subtraction is exact and zero-count
+    // rows vanish like a rebuild's
+    "corpus_datacard_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      CorpusDelta.datacardFromState(CorpusDelta.deleteDatacardState(
+        CorpusDelta.datacardState(docs, "text", "source"),
+        CorpusDelta.datacardState(docs.filter(bucket >= 80), "text",
+          "source")))
+    }),
+
     // the trainer's last-mile artifact: deterministic shard manifest —
     // shard = md5(doc_id) % 16 (stable across runs and engines, no
     // global sort, no driver state), per-shard doc/token totals and the
@@ -1867,6 +1978,34 @@ object SparkEntry {
           Merkle.shardLeaves(t(s, dir, "documents"), "doc_id", "text",
             "source"), "source")
         .orderBy("source", "shard")),
+
+    // TAKEDOWN through the release-integrity artifact: delete one whole
+    // source (src0) plus 20% of another (src9, bucket >= 80), then
+    // verify the survivors' proofs against the ORIGINAL published roots
+    // (full-outer: the wholly-deleted source surfaces as an orphaned
+    // ok=0 root row instead of vanishing) and against the re-rooted
+    // remaining corpus (all ok). Per-source verdict counts; the oracle
+    // replays both Merkle chains
+    "corpus_merkle_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      val oldRoots = Merkle.roots(docs, "doc_id", "text", "source")
+        .select(col("source"), col("merkle_root").as("root"))
+      val remaining = docs.filter(col("source") =!= "src0" &&
+        !(col("source") === "src9" && bucket >= 80))
+      val leaves = Merkle.shardLeaves(remaining, "doc_id", "text", "source")
+      val oldAgg = Merkle.proofs(leaves, "source",
+          rootsOverride = Some(oldRoots))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum("n_docs").as("n_docs"),
+          sum("ok").as("n_ok_old"))
+      val newAgg = Merkle.proofs(leaves, "source")
+        .groupBy("source").agg(sum("ok").as("n_ok_new"))
+      oldAgg.join(newAgg, Seq("source"), "left")
+        .select(col("source"), col("n_rows"), col("n_docs"),
+          col("n_ok_old"), coalesce(col("n_ok_new"), lit(0L)).as("n_ok_new"))
+        .orderBy("source")
+    }),
 
     // full dedup pipeline: verified pairs → connected components (groups)
     "dedup_groups" -> ((s, dir) => {
@@ -2383,7 +2522,8 @@ object SparkEntry {
         "nid", "nv",
         emb.filter(col("vec_id") % 2 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        "qid", "qv", bits = 8, dim = 64, marginMu = 20000L)
+        "qid", "qv", bits = 8, dim = 64, marginMu = 20000L,
+        maxBucket = 1024)
         .orderBy("src_id")
     }),
 
@@ -2405,7 +2545,8 @@ object SparkEntry {
         col("qid"), 100, 512)
       Similarity.bitextRecallReport(
         Similarity.bitextMarginMine(corpus, "nid", "nv", probes,
-          "qid", "qv", bits = 8, dim = 64, marginMu = 20000L),
+          "qid", "qv", bits = 8, dim = 64, marginMu = 20000L,
+          maxBucket = 1024),
         Similarity.bitextMarginExact(corpus, "nid", "nv", probes,
           "qid", "qv", marginMu = 20000L))
     }),
@@ -2621,6 +2762,29 @@ object SparkEntry {
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv", k = 5, numCells = 16, nprobe = 4, iters = 0, salts = 1)
+    }),
+
+    // TAKEDOWN through the persisted IVF index: build on the full
+    // corpus (anchor centroids), DELETE every vec_id % 3 == 0 via the
+    // affected-cells-only rewrite, then probe ALL cells so the read
+    // degenerates to exact brute force over the survivors — which is
+    // exactly what the oracle computes; equality proves the on-disk
+    // delete ≡ rebuild-from-remaining (IvfSpec pins the cell-file-level
+    // equivalence incl. wholly-emptied cells)
+    "ann_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_delete").toString
+      Ivf.buildIndex(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid", "nv", path, numCells = 16, iters = 0)
+      Ivf.deleteFromIndex(s, path,
+        emb.filter(col("vec_id") % 3 === 0).select(col("vec_id").as("nid")),
+        "nid")
+      Ivf.topKIndexed(s, path, "nid", "nv",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5, nprobe = 16, salts = 1)
     }),
 
     // search over the int8-QUANTIZED corpus (4× smaller storage): corpus
@@ -3116,6 +3280,23 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("word")).limit(100)
     }),
 
+    // the SERVING path of the same tokenizer: train driver-local (6
+    // merges here; bit-identical to the distributed loop), then encode
+    // through the broadcast rank-table mapPartitions kernel
+    // (Bpe.encodeWords) instead of 6 chained expression folds — the mode
+    // that survives a 32k-merge vocabulary. The oracle replays SIX
+    // training rounds in DuckDB and reads the final positions table:
+    // hash-equality proves the serving kernel IS the fold
+    "bpe_encode_trie" -> ((s, dir) => {
+      val words = Bpe.wordCounts(t(s, dir, "documents"), col("text"))
+      val merges = Bpe.trainLocal(words, "word", "freq", numMerges = 6)
+      Bpe.encodeWords(words, "word", merges)
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("sym")).as("encoded"),
+          size(col("sym")).cast("long").as("n_sym"))
+        .orderBy(col("freq").desc, col("word")).limit(100)
+    }),
+
     // preference-data curation (RLHF/DPO ranking step): within-order
     // quantity comparisons at brand grain → Bradley-Terry strengths via
     // 3 exact integer MM iterations (Preference.btScores µ-ladder; the
@@ -3168,6 +3349,15 @@ object SparkEntry {
     // the PSI convention), final alpha assembled in DECIMAL(38,0)
     "pref_krippendorff_alpha" -> ((s, dir) =>
       Preference.krippendorffAlpha(prefComparisons(s, dir), "w", "l")),
+
+    // the GENERAL-nominal alpha (>=2 categories, arbitrary per-unit
+    // multiplicity): each lineitem is one rating of its order into the
+    // 3-category return-flag space — n_u² − Σo² per-unit terms, margins
+    // over pairable units only, same µ8/DECIMAL ladder as the binary gate
+    "pref_krippendorff_nominal" -> ((s, dir) =>
+      Preference.krippendorffAlphaNominal(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("u"),
+          col("l_returnflag").as("c")), "u", "c")),
 
     // distribution drift between snapshot halves (stable-bucket split):
     // integer-exact ppm frequencies per side, top-30 movers — the
@@ -5072,6 +5262,43 @@ object SparkEntry {
       "FROM p4 p JOIN l4 r ON p.source = r.source ORDER BY p.source, p.shard"
   }
 
+  /** Mirror of `corpus_merkle_delete`: the Merkle chain built TWICE —
+    * full corpus (published roots) and survivors (proof side) — then the
+    * per-source verdicts, full-outer so the wholly-deleted source's
+    * orphaned root surfaces as its ok=0 row. */
+  private def merkleDeleteOracleSql: String = {
+    val remFilter = "source <> 'src0' AND NOT (source = 'src9' AND " +
+      "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 >= 80)"
+    def chain(sfx: String, rel: String): String =
+      s"lv$sfx AS (SELECT source, ${sqlMd5Long("doc_id::VARCHAR")} % 16 AS shard, " +
+        s"md5(doc_id::VARCHAR || ':' || COALESCE(text, '')) AS h FROM $rel), " +
+        s"l0$sfx AS (SELECT source, shard, count(*) AS n, " +
+        s"md5(string_agg(h, '' ORDER BY h)) AS h FROM lv$sfx GROUP BY 1, 2), " +
+        (1 to 4).map { k =>
+          s"l$k$sfx AS (SELECT source, shard // 2 AS shard, CAST(sum(n) AS BIGINT) AS n, " +
+            s"md5(string_agg(h, '' ORDER BY shard)) AS h FROM l${k - 1}$sfx GROUP BY 1, 2), "
+        }.mkString
+    val pCtes = (0 until 4).map { k =>
+      s"p${k + 1} AS (SELECT p.source, p.shard, p.idx // 2 AS idx, p.n, " +
+        s"md5(CASE WHEN s.h IS NULL THEN p.rh WHEN p.idx % 2 = 0 THEN p.rh || s.h ELSE s.h || p.rh END) AS rh " +
+        s"FROM p$k p LEFT JOIN l$k s ON p.source = s.source AND xor(p.idx, 1::BIGINT) = s.shard), "
+    }.mkString
+    s"WITH rem AS (SELECT * FROM documents WHERE $remFilter), " +
+      chain("", "rem") + chain("F", "documents") +
+      "p0 AS (SELECT source, shard, shard AS idx, n, h AS rh FROM l0), " +
+      pCtes +
+      "olda AS (SELECT COALESCE(p.source, r.source) AS source, " +
+      "count(*) AS n_rows, CAST(COALESCE(sum(p.n), 0) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN p.rh = r.h THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_old " +
+      "FROM p4 p FULL OUTER JOIN l4F r ON p.source = r.source GROUP BY 1), " +
+      "newa AS (SELECT p.source, " +
+      "CAST(sum(CASE WHEN p.rh = r.h THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_new " +
+      "FROM p4 p JOIN l4 r ON p.source = r.source GROUP BY 1) " +
+      "SELECT o.source, o.n_rows, o.n_docs, o.n_ok_old, " +
+      "CAST(COALESCE(n.n_ok_new, 0) AS BIGINT) AS n_ok_new " +
+      "FROM olda o LEFT JOIN newa n ON o.source = n.source ORDER BY o.source"
+  }
+
   /** DuckDB unroll of `Similarity.nnDescentGraph` (k=5, rounds=2,
     * bits=4, dim=64, initWindow=[[annGraphInitWindow]],
     * buildK=[[annGraphBuildK]]): same
@@ -5258,6 +5485,40 @@ object SparkEntry {
       "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM capped a " +
       "JOIN capped c ON a.b = c.b AND a.band_key = c.band_key " +
       "AND a.doc_id < c.doc_id WHERE a.bk >= 80 OR c.bk >= 80"
+  }
+
+  /** Mirror of `dedup_lsh_delete`: same MinHash/banding CTEs, bucket
+    * sizes BEFORE (full index) and AFTER (survivors, bk < 60), pairs
+    * emitted only from buckets crossing over-cap(2) → within-cap. */
+  private def lshDeleteOracleSql: String = {
+    val minCols = (0 until 64).map { i =>
+      val (a, b) = graft.functions.Dedup.Md5Hasher.saltConsts(i)
+      s"min(($a * (h & 4294967295) + $b) % 2147483647) AS m$i"
+    }.mkString(", ")
+    val sigList = (0 until 64).map(i => s"m$i").mkString("[", ", ", "]")
+    val bandKey = sqlMd5Long(
+      "array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')" +
+        " || chr(1) || b::VARCHAR")
+    "WITH d AS (SELECT doc_id, text, " +
+      "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk FROM documents), " +
+      s"t AS (SELECT doc_id, bk, $sqlToks AS toks FROM d), " +
+      s"sh AS (SELECT doc_id, bk, $sqlShingles3 AS shs FROM t), " +
+      "posting AS (SELECT doc_id, bk, unnest(shs) AS s FROM sh), " +
+      s"hashed AS (SELECT doc_id, bk, ${sqlMd5Long("s")} AS h FROM posting), " +
+      s"sigs AS (SELECT doc_id, bk, $minCols FROM hashed GROUP BY doc_id, bk), " +
+      s"sigl AS (SELECT doc_id, bk, $sigList AS sig FROM sigs), " +
+      s"bands AS (SELECT doc_id, bk, b, $bandKey AS band_key " +
+      "FROM sigl, range(0, 16) r(b)), " +
+      "sz AS (SELECT b, band_key, count(*) AS nb, " +
+      "count(CASE WHEN bk < 60 THEN 1 END) AS na FROM bands GROUP BY 1, 2), " +
+      "crossed AS (SELECT b, band_key FROM sz " +
+      "WHERE nb > 2 AND na <= 2 AND na >= 2), " +
+      "rem AS (SELECT doc_id, b, band_key FROM bands WHERE bk < 60) " +
+      "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM rem a " +
+      "JOIN rem c ON a.b = c.b AND a.band_key = c.band_key " +
+      "AND a.doc_id < c.doc_id " +
+      "JOIN crossed x ON a.b = x.b AND a.band_key = x.band_key " +
+      "ORDER BY id_a, id_b"
   }
 
   /** Mirror of `corpus_ingest`: same MinHash/banding CTEs as
@@ -6267,6 +6528,12 @@ object SparkEntry {
     // one-shot datacard SQL over the whole table
     "corpus_datacard_delta" -> datacardOracleSql,
 
+    // the SAME datacard oracle computed over the survivors only (CTE
+    // shadowing main.documents) — rebuild-without-docs, verbatim
+    "corpus_datacard_delete" -> datacardOracleSql.replaceFirst("^WITH ",
+      "WITH documents AS (SELECT * FROM main.documents " +
+        "WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80), "),
+
     // same md5-mod-16 shards, same integer share deviation
     "corpus_shard_manifest" ->
       (s"WITH d AS (SELECT ${sqlMd5Long("doc_id::VARCHAR")} % 16 AS shard, " +
@@ -6283,6 +6550,8 @@ object SparkEntry {
 
     "corpus_merkle_proof" -> merkleProofOracleSql,
 
+    "corpus_merkle_delete" -> merkleDeleteOracleSql,
+
     // per-snapshot states (same md5 bucket split as corpus_delta),
     // least/sum full-outer merge, independent whole-corpus rebuild
     "dedup_groups_delta" ->
@@ -6296,28 +6565,54 @@ object SparkEntry {
         "count(CASE WHEN fl.k = m.k AND fl.c = m.c THEN 1 END) AS n_merge_exact " +
         "FROM m JOIN fl ON m.f = fl.f"),
 
+    // direct rebuild over the survivors — hash equality against the
+    // engine's subtract-and-repair path IS the delete contract
+    "dedup_groups_delete" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents " +
+        "WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80) " +
+        "SELECT md5(COALESCE(array_to_string(toks, ' '), '')) AS content_md5, " +
+        "min(doc_id) AS keep_id, count(*) AS group_size " +
+        "FROM t GROUP BY 1 ORDER BY content_md5"),
+
+    "dedup_lsh_delete" -> lshDeleteOracleSql,
+
     "dedup_lsh_delta" -> lshDeltaOracleSql,
 
     // unrolled 5-step greedy max-coverage: each step is an argmax of
     // uncovered-shingle counts (count DESC, doc_id — the engine's total
     // order) and the covered set accumulates the winner's shingles
-    "corpus_maxcover_select" -> {
+    "corpus_maxcover_select" -> sqlMaxcoverGreedy(5),
+
+    // IDENTICAL oracle text to corpus_maxcover_select: CELF's lazy queue
+    // is an exactness-preserving relaxation, so the cross-engine hash
+    // equality IS the "CELF ≡ exact greedy" guarantee at the gated k
+    "corpus_maxcover_celf" -> sqlMaxcoverGreedy(5),
+
+    // stochastic-greedy: each round's argmax runs over the salted-md5
+    // per-round sample (the engine's exact sampling rule), chosen docs
+    // excluded, empty winner rounds pass covered through unchanged
+    "corpus_maxcover_stochastic" -> {
       val prefix = s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $sqlShingles3 AS shs FROM t), " +
         "p AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
-        "w1 AS (SELECT doc_id, count(*) AS g FROM p GROUP BY 1 " +
-        "ORDER BY g DESC, doc_id LIMIT 1), " +
-        "c1 AS (SELECT p.s FROM p JOIN w1 ON p.doc_id = w1.doc_id), "
-      val steps = (2 to 5).map { k =>
-        s"w$k AS (SELECT doc_id, count(*) AS g FROM p " +
-          s"WHERE s NOT IN (SELECT s FROM c${k - 1}) GROUP BY 1 " +
+        "c0 AS (SELECT s FROM p WHERE 1 = 0), "
+      def bucket(r: Int): String =
+        s"('0x' || substring(md5(doc_id::VARCHAR || ':sg$r'), 1, 8))::BIGINT % 100"
+      val steps = (1 to 4).map { r =>
+        val chosen =
+          if (r == 1) ""
+          else " AND doc_id NOT IN (" +
+            (1 until r).map(j => s"SELECT doc_id FROM w$j").mkString(" UNION ALL ") + ")"
+        s"w$r AS (SELECT doc_id, count(*) AS g FROM p " +
+          s"WHERE ${bucket(r)} < 50$chosen " +
+          s"AND s NOT IN (SELECT s FROM c${r - 1}) GROUP BY 1 " +
           "ORDER BY g DESC, doc_id LIMIT 1), " +
-          s"c$k AS (SELECT s FROM c${k - 1} UNION ALL " +
-          s"SELECT p.s FROM p JOIN w$k ON p.doc_id = w$k.doc_id), "
+          s"c$r AS (SELECT s FROM c${r - 1} UNION ALL " +
+          s"SELECT p.s FROM p JOIN w$r ON p.doc_id = w$r.doc_id), "
       }.mkString
       prefix + steps.stripSuffix(", ") +
         " SELECT * FROM (SELECT CAST(1 AS INTEGER) AS step, doc_id, g AS gain FROM w1" +
-        (2 to 5).map(k => s" UNION ALL SELECT $k, doc_id, g FROM w$k").mkString +
+        (2 to 4).map(r => s" UNION ALL SELECT $r, doc_id, g FROM w$r").mkString +
         ") ORDER BY step"
     },
 
@@ -6384,6 +6679,33 @@ object SparkEntry {
         (2 to 4).map(k =>
           s" UNION ALL SELECT $k, id, CAST(floor(mind * 1000000) AS BIGINT) FROM w$k")
           .mkString +
+        ") ORDER BY step"
+    },
+
+    // batched farthest-point, 2 picks/round: each round's TOP-2 by
+    // (mind DESC, id) against the PRE-round mind (steps via row_number),
+    // then one least() update folding both new centers
+    "embedding_kcenter_batched" -> {
+      def dotOf(a: String, b: String): String =
+        s"list_sum(list_transform(range(1, 65), d -> $a.vec[d]::DOUBLE * $b.vec[d]::DOUBLE))"
+      "WITH v AS (SELECT vec_id AS id, embedding AS vec, " +
+        "sqrt(list_sum(list_transform(range(1, 65), d -> embedding[d]::DOUBLE * embedding[d]::DOUBLE))) AS n FROM embeddings), " +
+        s"s1 AS (SELECT id, vec, n FROM v ORDER BY $sqlStableBucket30, id LIMIT 1), " +
+        s"d1 AS (SELECT v.id, v.vec, v.n, 1 - ${dotOf("v", "s")} / (v.n * s.n) AS mind FROM v, s1 s), " +
+        "w2 AS (SELECT id, vec, n, mind, CAST(1 + row_number() OVER " +
+        "(ORDER BY mind DESC, id) AS INTEGER) AS step FROM d1 " +
+        "WHERE id NOT IN (SELECT id FROM s1) ORDER BY mind DESC, id LIMIT 2), " +
+        "d2 AS (SELECT d.id, least(any_value(d.mind), " +
+        s"min(1 - ${dotOf("d", "w")} / (d.n * w.n))) AS mind " +
+        "FROM d1 d, w2 w GROUP BY d.id), " +
+        "w3 AS (SELECT id, mind, CAST(3 + row_number() OVER " +
+        "(ORDER BY mind DESC, id) AS INTEGER) AS step FROM d2 " +
+        "WHERE id NOT IN (SELECT id FROM s1 UNION ALL SELECT id FROM w2) " +
+        "ORDER BY mind DESC, id LIMIT 2) " +
+        "SELECT * FROM (SELECT CAST(1 AS INTEGER) AS step, id AS vec_id, " +
+        "CAST(NULL AS BIGINT) AS dist_mu FROM s1 " +
+        "UNION ALL SELECT step, id, CAST(floor(mind * 1000000) AS BIGINT) FROM w2 " +
+        "UNION ALL SELECT step, id, CAST(floor(mind * 1000000) AS BIGINT) FROM w3" +
         ") ORDER BY step"
     },
 
@@ -7206,6 +7528,19 @@ object SparkEntry {
 
     // IVF with nprobe = numCells scores every (query, candidate) pair —
     // exactly the brute-force oracle
+    // brute force over the SURVIVORS (vec_id % 3 <> 0): with nprobe =
+    // numCells the deleted on-disk index degenerates to exactly this
+    "ann_ivf_delete" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.qid, e.vec_id AS nid, " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid AND e.vec_id % 3 <> 0) " +
+        "SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(sim, 6) AS sim " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
+
     "ann_ivf_full" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
         "scored AS (SELECT q.qid, e.vec_id AS nid, " +
@@ -7576,14 +7911,10 @@ object SparkEntry {
         "FROM documents"),
 
     // the identical reversed-position doubling fold, DuckDB list ops
+    // (the shared TextFunctions.luhnSumSql — one fold text for the
+    // screen, the redaction twin and the entity inventory)
     "text_luhn_screen" -> {
-      def luhnSumSql(x: String): String =
-        s"list_sum(list_transform(range(1, length($x) + 1), i -> " +
-          s"CASE WHEN i % 2 = 0 THEN " +
-          s"(CASE WHEN 2 * (substring(reverse($x), i, 1)::INT) > 9 " +
-          s"THEN 2 * (substring(reverse($x), i, 1)::INT) - 9 " +
-          s"ELSE 2 * (substring(reverse($x), i, 1)::INT) END) " +
-          s"ELSE substring(reverse($x), i, 1)::INT END))"
+      def luhnSumSql(x: String): String = TextFunctions.luhnSumSql(x)
       s"WITH b AS (SELECT doc_id, lpad((${sqlMd5Long("doc_id::VARCHAR")} % 1000000000000000)::VARCHAR, 15, '0') AS base FROM documents), " +
         s"c AS (SELECT doc_id, base, (10 - (${luhnSumSql("(base || '0')")} % 10)) % 10 AS chk FROM b), " +
         "d AS (SELECT doc_id, base || (CASE WHEN doc_id % 2 = 0 THEN chk ELSE (chk + 1) % 10 END)::VARCHAR AS digits FROM c), " +
@@ -7906,9 +8237,7 @@ object SparkEntry {
     // µ8 terms over HUGEINT (the engine's DECIMAL(38,0) twin), one-row
     // assembly with the same De=0 NULL guard
     "pref_krippendorff_alpha" ->
-      (sqlPrefSym.stripSuffix("sym AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij, CAST(sum(wi) AS BIGINT) AS wij " +
-        "FROM (SELECT w AS i, l AS j, n, n AS wi FROM dc " +
-        "UNION ALL SELECT l AS i, w AS j, n, 0 AS wi FROM dc) GROUP BY i, j), ") +
+      (sqlPrefDc +
         "u AS (SELECT CASE WHEN w <= l THEN w ELSE l END AS i, " +
         "CASE WHEN w <= l THEN l ELSE w END AS j, " +
         "CASE WHEN w <= l THEN 1 ELSE 0 END AS low_win FROM c), " +
@@ -7921,6 +8250,29 @@ object SparkEntry {
         "CASE WHEN n_low = 0 OR n_high = 0 THEN CAST(NULL AS BIGINT) " +
         "ELSE CAST(1000000 - (CAST(do_mu8 AS HUGEINT) * (n_ratings - 1) * 1000000) // " +
         "(CAST(n_low AS HUGEINT) * n_high * 200000000) AS BIGINT) END AS alpha_ppm FROM g"),
+
+    // general-nominal alpha over the 3-category return-flag log: same
+    // HUGEINT ladder, margins restricted to pairable units (HAVING >= 2)
+    "pref_krippendorff_nominal" ->
+      ("WITH r AS (SELECT l_orderkey AS u, l_returnflag AS c FROM lineitem), " +
+        "uc AS (SELECT u, c, count(*) AS o FROM r GROUP BY 1, 2), " +
+        "un AS (SELECT u, CAST(sum(o) AS BIGINT) AS n_u, " +
+        "CAST(sum(CAST(o AS HUGEINT) * o) AS HUGEINT) AS ss " +
+        "FROM uc GROUP BY u HAVING sum(o) >= 2), " +
+        "tm AS (SELECT u, n_u, CAST(((CAST(n_u AS HUGEINT) * n_u - ss) * 100000000) " +
+        "// (n_u - 1) AS BIGINT) AS t_mu8 FROM un), " +
+        "cats AS (SELECT c, CAST(sum(o) AS BIGINT) AS n_c FROM uc " +
+        "WHERE u IN (SELECT u FROM un) GROUP BY c), " +
+        "ca AS (SELECT count(*) AS n_cats, " +
+        "CAST(sum(CAST(n_c AS HUGEINT) * n_c) AS HUGEINT) AS sc FROM cats), " +
+        "g AS (SELECT count(*) AS n_units, CAST(sum(n_u) AS BIGINT) AS n_ratings, " +
+        "CAST(sum(t_mu8) AS BIGINT) AS do_mu8 FROM tm) " +
+        "SELECT n_units, n_ratings, n_cats, do_mu8, " +
+        "CASE WHEN CAST(n_ratings AS HUGEINT) * n_ratings - sc = 0 " +
+        "THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(1000000 - (CAST(do_mu8 AS HUGEINT) * (n_ratings - 1) * 1000000) // " +
+        "((CAST(n_ratings AS HUGEINT) * n_ratings - sc) * 100000000) AS BIGINT) " +
+        "END AS alpha_ppm FROM g, ca"),
 
     "pref_dpo_pairs" ->
       (sqlPrefSym.stripSuffix(", ") +
@@ -7963,6 +8315,16 @@ object SparkEntry {
         " string_agg(tok, ' ' ORDER BY pos) AS encoded," +
         " CAST(count(*) AS BIGINT) AS n_sym" +
         " FROM p4 GROUP BY word, freq ORDER BY freq DESC, word LIMIT 100"),
+
+    // six independently-replayed training rounds; the engine side runs
+    // the broadcast-table serving kernel, so hash-equality pins the
+    // serving encoder to the fold semantics cross-engine
+    "bpe_encode_trie" ->
+      (sqlBpeRoundsN(6).stripSuffix(", ") +
+        " SELECT word, CAST(freq AS BIGINT) AS freq," +
+        " string_agg(tok, ' ' ORDER BY pos) AS encoded," +
+        " CAST(count(*) AS BIGINT) AS n_sym" +
+        " FROM p6 GROUP BY word, freq ORDER BY freq DESC, word LIMIT 100"),
 
     "corpus_drift" ->
       (s"WITH d AS (SELECT doc_id, text, " +
@@ -8836,17 +9198,22 @@ object SparkEntry {
         "FROM g"),
 
     // the four shared RE2 pattern constants, counted independently
+    // the card count is the Luhn-gated one — same candidate regex, same
+    // shared mod-10 fold SQL as the redaction twin
     "text_entity_counts" ->
       (s"WITH p AS (SELECT " +
         s"len(regexp_extract_all(text, '${TextFunctions.UrlRe}')) AS u, " +
         s"len(regexp_extract_all(text, '${TextFunctions.EmailRe}')) AS e, " +
         s"len(regexp_extract_all(text, '${TextFunctions.IpRe}')) AS i, " +
+        s"len(list_filter(regexp_extract_all(text, '${TextFunctions.CardRe}'), " +
+        s"c -> ${TextFunctions.luhnSumSql("c")} % 10 = 0)) AS cd, " +
         s"len(regexp_extract_all(text, '${TextFunctions.PhoneRe}')) AS ph " +
         "FROM documents) " +
         "SELECT count(*) AS n_docs, CAST(sum(u) AS BIGINT) AS n_urls, " +
         "CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ips, " +
+        "CAST(sum(cd) AS BIGINT) AS n_cards, " +
         "CAST(sum(ph) AS BIGINT) AS n_phones, " +
-        "count(CASE WHEN u + e + i + ph > 0 THEN 1 END) AS n_docs_with_any " +
+        "count(CASE WHEN u + e + i + cd + ph > 0 THEN 1 END) AS n_docs_with_any " +
         "FROM p"),
 
     "skew_join_forecast" ->

@@ -113,7 +113,9 @@ object Bpe {
 
   /** Encode a word column with a trained merge table: the merges fold in
     * training order, reproducing the tokenizer exactly. Intended for
-    * merge tables small enough to inline as chained expressions. */
+    * merge tables small enough to inline as chained expressions — at
+    * serving vocabulary size use [[encodeWords]] (bit-identical, one
+    * broadcast table instead of one expression node per merge). */
   def encode(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(chars(word)) { case (c, (a, b)) => mergePair(c, a, b) }
 
@@ -259,4 +261,101 @@ object Bpe {
                  maxWords: Int = 1 << 22): Seq[(String, String)] =
     trainStatsLocal(words, wordCol, freqCol, numMerges, minCount, maxWords)
       .map { case (_, a, b, _) => (a, b) }
+
+  /** Pair → ORDERED 1-based merge ranks. An array, not a single rank: a
+    * merge table CAN legitimately contain the same pair twice — applying
+    * a later merge may re-create an adjacency whose pair an earlier round
+    * already consumed (token "xyz" built by ("x","yz") early and
+    * ("xy","z") late re-forms any (q,"xyz") pair), and the trainer's
+    * argmax may then pick that pair again. The fold path replays both
+    * occurrences in order; the serving encoder must too. */
+  private[functions] def rankTable(
+      merges: Seq[(String, String)]): Map[(String, String), Array[Int]] =
+    merges.zipWithIndex
+      .groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2 + 1).sorted.toArray }
+
+  /** Encode ONE word under a trained merge table — the serving kernel,
+    * bit-identical to [[encode]]'s chained-fold semantics by the monotone
+    * rank-floor argument: the fold applies merge r as a full greedy pass
+    * AFTER all merges < r; if the lowest rank > floor present in the
+    * current symbols is r, then passes floor+1 .. r−1 are identities and
+    * the fold's state at step r is exactly the current symbols. Applying
+    * r's greedy pass and raising the floor to r therefore replays the
+    * fold while touching only the merges that actually fire — O(|word|)
+    * per fired merge and O(|word|²) worst case per word, INDEPENDENT of
+    * the table size, where the fold pays one pass per table entry
+    * (infeasible at a realistic 32k-merge vocabulary). A pair re-created
+    * at a rank ≤ floor stays unmerged — exactly as the fold, whose pass
+    * for that rank has already run. */
+  private[functions] def encodeWordLocal(word: String,
+      rank: Map[(String, String), Array[Int]],
+      merges: IndexedSeq[(String, String)]): Array[String] = {
+    var sym = word.split("").filter(_.nonEmpty)
+    var floor = 0
+    var live = sym.length >= 2
+    while (live) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < sym.length) {
+        val rs = rank.getOrElse((sym(i), sym(i + 1)), null)
+        if (rs != null) {
+          // smallest rank strictly above the floor (ranks sorted ASC)
+          var j = 0
+          while (j < rs.length && rs(j) <= floor) j += 1
+          if (j < rs.length && rs(j) < best) best = rs(j)
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) live = false
+      else {
+        val (a, b) = merges(best - 1)
+        sym = applyMergeLocal(sym, a, b)
+        floor = best
+        live = sym.length >= 2
+      }
+    }
+    sym
+  }
+
+  /** BPE SERVING encoder — the broadcast-table + `mapPartitions` mode the
+    * [[encode]] scaladoc names as the cutoff once the merge table
+    * outgrows chained expressions: [[encode]] inlines one codegen'd fold
+    * per merge (fine for oracle-gated 4–8 merge tables, infeasible at a
+    * realistic 32k-merge vocabulary — 32k chained `aggregate` nodes), so
+    * at serving size the table broadcasts ONCE per executor (a 32k-entry
+    * rank map is a few MB) and each word encodes locally in
+    * O(|word| · fired merges) via [[encodeWordLocal]], whose scaladoc
+    * carries the fold-equivalence proof (`BpeSpec` pins bit-identity
+    * against the fold path, duplicate-pair tables included).
+    *
+    * Scale shape: embarrassingly parallel — one narrow pass over `words`,
+    * no shuffle, no per-merge jobs; at 100 TB this rides whatever
+    * partitioning the word/corpus frame already has. The one non-codegen
+    * cost is the Row boundary of `mapPartitions` (the same trade as
+    * [[Multimodal]]'s byte codecs — the kernel genuinely is per-row
+    * imperative string work). Appends `out` (array<string>) to the input
+    * row; encoding is a pure per-row function, so the operator composes
+    * with streaming and incremental paths unchanged. */
+  def encodeWords(words: DataFrame, wordCol: String,
+                  merges: Seq[(String, String)],
+                  out: String = "sym"): DataFrame = {
+    val spark = words.sparkSession
+    val table = merges.toIndexedSeq
+    val bcRank = spark.sparkContext.broadcast(rankTable(table))
+    val bcMerges = spark.sparkContext.broadcast(table)
+    val wi = words.schema.fieldIndex(wordCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      words.schema.fields :+ org.apache.spark.sql.types.StructField(
+        out, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)))
+    words.mapPartitions { it =>
+      val rk = bcRank.value
+      val ms = bcMerges.value
+      it.map { r =>
+        val sym = encodeWordLocal(r.getString(wi), rk, ms)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sym.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

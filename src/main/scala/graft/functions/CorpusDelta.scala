@@ -93,6 +93,42 @@ object CorpusDelta {
       resum(a.lang, b.lang, Seq("source", "lang")))
   }
 
+  /** DELETE a snapshot from a datacard state — the takedown complement
+    * of [[mergeDatacardState]]: every column of all three frames is a
+    * SUM of per-document functions, so subtraction is exact for any
+    * split — state(A ∪ B) ⊖ state(B) ≡ state(A), frame for frame
+    * (`DatacardDeleteSpec` + the oracle pin it). Build `del` with
+    * [[datacardState]] over the deleted docs only; rows whose primary
+    * count hits zero drop (a source/fingerprint/language wholly removed
+    * vanishes from the card, exactly as a rebuild would have it); a
+    * count going NEGATIVE — deleting docs the state never saw — fails
+    * loudly via the same raise_error guard as the groups-state delete.
+    * Same scale shape as the merge: unionByName + re-sum on the state's
+    * own keys, no corpus rescans. */
+  def deleteDatacardState(a: DatacardState,
+                          del: DatacardState): DatacardState = {
+    def desum(x: DataFrame, y: DataFrame, keys: Seq[String],
+              primary: String): DataFrame = {
+      val sumCols = x.columns.filterNot(keys.contains)
+      val negated = y.select(
+        (keys.map(col) ++ sumCols.map(c => (-col(c)).as(c))): _*)
+      val sums = sumCols.map(c => sum(col(c)).as(c))
+      x.unionByName(negated)
+        .groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*)
+        .select((keys.map(col) ++ sumCols.map { c =>
+          when(col(c) < 0, raise_error(concat(
+            lit(s"deleteDatacardState: negative $c for "),
+            concat_ws("/", keys.map(k => col(k).cast("string")): _*))))
+            .otherwise(col(c)).as(c)
+        }): _*)
+        .filter(col(primary) > 0)
+    }
+    DatacardState(
+      desum(a.src, del.src, Seq("source"), "n_docs"),
+      desum(a.fp, del.fp, Seq("content_md5", "source"), "n"),
+      desum(a.lang, del.lang, Seq("source", "lang"), "n"))
+  }
+
   /** Assemble the release artifact from a (possibly merged) state —
     * column-identical to the one-shot `corpus_datacard`: a fingerprint
     * group is duplicated when its size summed ACROSS sources and

@@ -171,6 +171,69 @@ object Dedup {
           .as("group_size"))
   }
 
+  /** DELETE docs from a persisted exact-group state — the GDPR/DMCA
+    * takedown complement of [[mergeGroupsState]]'s append: subtract the
+    * deleted snapshot's per-fingerprint counts, drop groups that hit
+    * zero, and REPAIR `keep_id` where the canonical member itself was
+    * deleted. Because `group_size` is a sum of per-doc indicators the
+    * subtraction is exact — state ⊖ delta ≡ rebuild-without-docs, frame
+    * for frame (the oracle and `GroupsDeleteSpec` both pin it).
+    *
+    * `keep_id` is a MIN, not a sum — deleting the minimum cannot be
+    * undone from the array-free state alone, so the repair consults
+    * `survivors` (the remaining corpus), but ONLY for the fingerprints
+    * whose keep died: the repair frame is |affected groups|-sized and
+    * broadcasts into a semi-join against the survivor scan. At 100 TB
+    * that is one filtered pass over the corpus — and with the corpus
+    * stored bucketed/partitioned by content_md5 ([[graft.sources.Bucketing]])
+    * it prunes to the affected buckets only. Deleting docs that were
+    * never ingested is a caller error and surfaces as a negative-size
+    * guard failure rather than silent drift.
+    *
+    * HLL-sketch states have NO such delete (register maxes are not
+    * subtractable) — rebuild those from per-source snapshots instead;
+    * documented in SURVEY §8. */
+  def deleteFromGroupsState(state: DataFrame, deleted: DataFrame,
+                            idCol: String, textCol: String,
+                            survivors: DataFrame): DataFrame = {
+    val del = deleted
+      .withColumn("content_md5",
+        TextFunctions.contentFingerprint(col(textCol)))
+      .groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("_nd"), min(col(idCol)).as("_kd"))
+    // FULL OUTER: a delete fingerprint the state never saw must surface
+    // (group_size 0 − n < 0 → the loud guard below), not silently no-op
+    val joined = state.join(del, Seq("content_md5"), "full_outer")
+      .select(col("content_md5"), col("keep_id"), col("_kd"),
+        (coalesce(col("group_size"), lit(0L)) - coalesce(col("_nd"), lit(0L)))
+          .as("group_size"))
+    // a fingerprint going NEGATIVE means the delete snapshot held docs
+    // the state never saw — fail loudly instead of shipping drift
+    val guarded = joined.select(col("content_md5"), col("keep_id"),
+      col("_kd"),
+      when(col("group_size") < 0,
+        raise_error(concat(lit("deleteFromGroupsState: negative group "),
+          lit("size for "), col("content_md5"))))
+        .otherwise(col("group_size")).as("group_size"))
+      .filter(col("group_size") > 0)
+    // keep repair: only groups whose MIN id was deleted re-min from the
+    // survivors (keep_id is the global min, so _kd == keep_id iff the
+    // canonical member is in the delete set)
+    val needRepair = guarded.filter(col("_kd") === col("keep_id"))
+      .select(col("content_md5"))
+    val repaired = survivors
+      .withColumn("content_md5",
+        TextFunctions.contentFingerprint(col(textCol)))
+      .join(broadcast(needRepair), Seq("content_md5"), "left_semi")
+      .groupBy(col("content_md5"))
+      .agg(min(col(idCol)).as("_newKeep"))
+    guarded.join(repaired, Seq("content_md5"), "left")
+      .select(col("content_md5"),
+        when(col("_kd") === col("keep_id"), col("_newKeep"))
+          .otherwise(col("keep_id")).as("keep_id"),
+        col("group_size"))
+  }
+
   /** Normalization-canonical dedup groups: like [[exactGroups]] but keyed
     * on the aggressive fingerprint (case/punctuation-insensitive — see
     * `TextFunctions.normalizedFingerprint`), reporting per group how many
@@ -394,6 +457,55 @@ object Dedup {
       .select(col(s"_a.$idCol").as("id_a"), col(s"_b.$idCol").as("id_b"))
       .distinct()
   }
+
+  /** DELETE docs from the persisted LSH state — the takedown complement
+    * of [[lshAppendCandidates]]. Band keys are pure per-document
+    * functions, so the surviving state is a plain anti-join on the id;
+    * the non-compositional step is again the HOT-BUCKET CAP, now in the
+    * OTHER direction: a bucket the full index dropped as over-cap may
+    * fall UNDER the cap once the deleted members leave, and the rebuild
+    * would then emit its pairs — pairs no previous run ever produced.
+    * This method returns exactly those RESURFACED pairs (both members
+    * surviving, from buckets crossing over-cap → within-cap), so
+    *   pairs(rebuild on remaining) ≡
+    *     pairs(previous runs) restricted to remaining ⊎ resurfaced
+    * under the same cap rule — `LshDeleteSpec` pins the partition on a
+    * planted over-cap bucket, and the caller's own bookkeeping drops
+    * previously-emitted pairs that touch a deleted id (a filter, not a
+    * recompute).
+    *
+    * Scale shape: two bucket-size hash aggregates (before/after) + one
+    * bucket-grouped pair emission over ONLY the crossing buckets (each
+    * within cap by definition — bounded fan-out); nothing rescans the
+    * corpus and nothing is quadratic in the state. */
+  def lshDeleteCandidates(stateOld: DataFrame, deletedIds: DataFrame,
+                          idCol: String,
+                          maxBucket: Int = 1000): DataFrame = {
+    val before = stateOld.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("_nb"))
+    val remaining = stateOld.join(deletedIds, Seq(idCol), "left_anti")
+    val after = remaining.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("_na"))
+    // buckets that CROSS the cap downward and still hold a pair
+    val crossed = after.join(before, Seq("band", "band_key"))
+      .filter(col("_nb") > maxBucket && col("_na") <= maxBucket &&
+        col("_na") >= 2)
+      .select(col("band"), col("band_key"))
+    bucketPairs(
+        remaining.join(broadcast(crossed), Seq("band", "band_key"),
+          "left_semi"),
+        Seq("band", "band_key"), col(idCol))
+      .select(col("_a").as("id_a"), col("_b").as("id_b"))
+      .distinct()
+  }
+
+  /** The SURVIVING LSH state after a delete — the frame the next
+    * [[lshAppendCandidates]] run consumes. Split from
+    * [[lshDeleteCandidates]] so callers persist the state without
+    * recomputing the resurfaced-pair emission. */
+  def lshDeleteState(stateOld: DataFrame, deletedIds: DataFrame,
+                     idCol: String): DataFrame =
+    stateOld.join(deletedIds, Seq(idCol), "left_anti")
 
   /** Exact Jaccard over shingle sets via inverted index (NO cross join):
     * explode distinct shingles, emit in-bucket pairs per shingle, count

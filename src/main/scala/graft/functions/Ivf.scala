@@ -252,6 +252,61 @@ object Ivf {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** DELETE vectors from a persisted index — [[appendToIndex]]'s inverse
+    * (the takedown path): locate the cells holding deleted ids, and
+    * REWRITE ONLY THOSE cell directories with their survivors —
+    * centroids and every untouched cell stay byte-identical on disk, so
+    * the delete costs |affected cells|, not |index|. Reading the index
+    * afterwards is identical to having built it from the remaining
+    * corpus under the same centroids (`IvfSpec` pins the equivalence,
+    * wholly-emptied cells included).
+    *
+    * Mechanics: Spark's dynamic partition overwrite rewrites exactly the
+    * cell partitions present in the written frame — which is right for
+    * cells that keep survivors but silently SKIPS a cell whose members
+    * were all deleted (nothing to write ⇒ nothing overwritten ⇒ stale
+    * files), so wholly-emptied cells are removed explicitly through the
+    * filesystem API. The conf flip is scoped and restored. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      deletedIds: DataFrame, corpusId: String): Unit = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val del = deletedIds.select(col(corpusId)).distinct()
+    val affected = cells.join(del, Seq(corpusId), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.get(0).toString.toLong)
+    if (affected.isEmpty) return
+    // localCheckpoint cuts the lineage back to in-memory blocks: the
+    // survivor frame must not reference the files it is about to
+    // overwrite (Spark rejects read-and-overwrite of one path), and the
+    // frame is |affected cells|-sized — bounded, the contract of this op
+    // (a delete touching most of the index should rebuild instead)
+    val survivors = cells
+      .filter(col("cell").isin(affected: _*))
+      .join(del, Seq(corpusId), "left_anti")
+      .localCheckpoint(true)
+    val keepCells = survivors.select(col("cell")).distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      if (keepCells.nonEmpty)
+        survivors.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/cells")
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // wholly-emptied cells: dynamic overwrite never touched them — drop
+    // their directories so a rebuild-from-remaining reads identically
+    affected.filterNot(keepCells).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+  }
+
   /** Top-k against a persisted index (see `buildIndex`); transparently
     * dequantizes int8-stored cells. */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -97,12 +97,18 @@ object Merkle {
     val root = rootsOverride.getOrElse(
         lv.last.select(col(groupCol), col("h").as("root")))
       .select(col(groupCol), col("root"))
-    // LEFT join: in override mode a group the published roots never saw
-    // (a tamper that ADDS or renames a group) must surface as ok=0 rows,
-    // not silently vanish — an inner join here would let such a tamper
-    // pass a forall(ok==1) audit. The missing root surfaces as '' under
-    // the same never-empty-md5 encoding as absent siblings.
-    pf.join(root, Seq(groupCol), "left")
+    // FULL OUTER join: in override mode a group the published roots never
+    // saw (a tamper that ADDS or renames a group) must surface as ok=0
+    // rows, and a published root whose group was wholly DELETED from the
+    // corpus must ALSO surface as an ok=0 row instead of silently
+    // producing no pf rows at all — either one-sided join would let its
+    // direction of tamper pass a forall(ok==1) audit. The missing side's
+    // fields surface as '' / 0 / shard −1 under the same never-empty-md5
+    // encoding as absent siblings.
+    pf.join(root, Seq(groupCol), "full_outer")
+      .withColumn("shard", coalesce(col("shard"), lit(-1L)))
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("leaf_h", coalesce(col("leaf_h"), lit("")))
       .select(Seq(col(groupCol), col("shard"), col("n_docs"), col("leaf_h")) ++
         // absent sibling (empty subtree) surfaces as '' — md5 hex is never
         // empty, so the encoding is unambiguous and keeps the output frame

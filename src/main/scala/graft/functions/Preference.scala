@@ -177,6 +177,60 @@ object Preference {
           "CAST(200000000 AS DECIMAL(38,0))) END").as("alpha_ppm"))
   }
 
+  /** GENERAL-NOMINAL Krippendorff's alpha — [[krippendorffAlpha]] without
+    * the two-category restriction: real annotation logs rate a unit into
+    * ≥3 nominal categories with arbitrary per-unit rater multiplicity.
+    * Input is the raw rating stream, one row = one rating (unit,
+    * category). With per-unit category counts o_uc and margins n_c over
+    * the PAIRABLE units (n_u ≥ 2 — unpairable units drop from margins
+    * too, per Krippendorff):
+    *   D_o ∝ Σ_u (n_u² − Σ_c o_uc²) / (n_u − 1)
+    *   D_e ∝ (n² − Σ_c n_c²) / (n(n−1))
+    *   α = 1 − D_o/D_e
+    * (the Σ_{c≠c'} o_uc·o_uc' cross terms collapse to n_u² − Σ o_uc²;
+    * for two categories both reduce EXACTLY to the binary form — 2·o1·o2
+    * and 2·n1·n2 — so the binary operator is the special case, spec-
+    * pinned). Same integer ladder as the binary form: per-unit terms
+    * floored to µ8 in DECIMAL(38,0) (order-free integer sum), final α
+    * assembled from exact global counts:
+    *   α_ppm = 10⁶ − (do_mu8·(n−1)·10⁶) div ((n² − Σ n_c²)·10⁸),
+    * NULL when D_e = 0 (single-category log). Bounds: n ≤ 10⁹ ratings
+    * keeps every product under 10³³ ≪ 10³⁸.
+    *
+    * Scale shape: two hash aggregations (ratings → (unit, cat) counts →
+    * per-unit terms), one unit-keyed semi-join for the pairable margins
+    * riding the same (unit)-partial shuffle, and two 1-row aggregates —
+    * nothing wider than the rating log's own key space. */
+  def krippendorffAlphaNominal(ratings: DataFrame, unitCol: String,
+                               catCol: String): DataFrame = {
+    val uc = ratings
+      .groupBy(col(unitCol).as("u"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val units = uc.groupBy("u")
+      .agg(sum("o").as("n_u"),
+        sum(expr("CAST(o AS DECIMAL(38,0)) * o")).as("ss"))
+      .filter(col("n_u") >= 2)
+    val terms = units.select(col("u"), col("n_u"),
+      expr("CAST(((CAST(n_u AS DECIMAL(38,0)) * n_u - ss) * 100000000) " +
+        "div (n_u - 1) AS BIGINT)").as("t_mu8"))
+    val cats = uc.join(units.select(col("u")), Seq("u"), "left_semi")
+      .groupBy("c").agg(sum("o").as("n_c"))
+    val catAgg = cats.agg(count(lit(1)).as("n_cats"),
+      sum(expr("CAST(n_c AS DECIMAL(38,0)) * n_c")).as("sc"))
+    terms
+      .agg(count(lit(1)).as("n_units"), sum("n_u").as("n_ratings"),
+        sum("t_mu8").as("do_mu8"))
+      .crossJoin(broadcast(catAgg))
+      .select(col("n_units"), col("n_ratings"), col("n_cats"),
+        col("do_mu8"),
+        expr("CASE WHEN CAST(n_ratings AS DECIMAL(38,0)) * n_ratings - sc = 0 " +
+          "THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(1000000 - (CAST(do_mu8 AS DECIMAL(38,0)) * " +
+          "CAST(n_ratings - 1 AS DECIMAL(38,0)) * 1000000) div " +
+          "((CAST(n_ratings AS DECIMAL(38,0)) * n_ratings - sc) * " +
+          "100000000) AS BIGINT) END").as("alpha_ppm"))
+  }
+
   /** PER-PROMPT DPO pair construction — the shape a DPO trainer actually
     * consumes: chosen and rejected are responses to the SAME prompt, not
     * global winners ([[btScores]] ranks globally; a training pair built

@@ -768,4 +768,198 @@ object Sampling {
       maxCoverSelect(docs.filter(col(idCol).isin(candidates: _*)),
         idCol, shingleCol, k)
   }
+
+  /** CELF lazy-forward greedy max-coverage (Leskovec et al. KDD'07) —
+    * OUTPUT-IDENTICAL to [[maxCoverSelect]] (same picks, same gains, same
+    * tie order; the spec asserts frame equality), but the per-pick cost
+    * drops from one full-corpus aggregate to a handful of tiny re-probes:
+    * submodularity makes every stored gain an UPPER BOUND once the
+    * covered set grows, so a re-evaluated head that still beats every
+    * other bound (and the refill floor) is provably the argmax without
+    * touching the rest of the corpus.
+    *
+    * Driver state is a BOUNDED queue of `queueSize` (id, gain) bounds —
+    * NOT the corpus-sized lazy heap of textbook CELF (the reason the
+    * GreeDi scaladoc dismissed it): docs outside the queue are covered by
+    * the `floor` invariant — at the last full refill they scored ≤ the
+    * M-th gain (ties broken to larger ids by the top-M's (gain DESC, id)
+    * order), and gains only fall, so while the fresh head stays STRICTLY
+    * above the floor nothing outside can win; at a floor tie the queue is
+    * refilled (one full aggregate, same job as one [[maxCoverSelect]]
+    * round). Stale entries whose bound ties the fresh head re-evaluate in
+    * one batched probe before a pick so the lowest-id tie-break is exact.
+    *
+    * Scale shape: refills are the SAME anti-join + hash-agg + top-M plan
+    * as the exact operator's rounds (just top-M instead of top-1); probes
+    * are isin-filtered scans of the persisted posting index with a
+    * broadcast covered-set anti-join — no shuffle. At k=100 on the sf1.0
+    * corpus this runs ~k/10 full aggregates instead of k (SCALE.md). */
+  def maxCoverSelectCelf(docs: DataFrame, idCol: String, shingleCol: String,
+                         k: Int, queueSize: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = if (queueSize > 0) queueSize else math.max(4 * k, 64)
+    val spark = docs.sparkSession
+    val posting = docs
+      .select(col(idCol).as("_id"), explode(col(shingleCol)).as("_s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var covered = posting.select(col("_s")).limit(0)
+
+    // queue of upper bounds, kept sorted (gain DESC, id ASC) on demand.
+    // `fresh` = evaluated against the CURRENT covered set.
+    final case class Entry(id: Any, gain: Long, fresh: Boolean)
+    val queue = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var floor = Long.MaxValue // docs outside the queue score <= floor
+    var exhausted = false     // a refill returned nothing: corpus covered
+
+    // the id tie-break must replay the ENGINE's ascending order exactly:
+    // numeric ids numerically, strings in unsigned UTF-8 byte order
+    // (Spark's UTF8String binary comparison — NOT Java's UTF-16
+    // compareTo; they disagree above the BMP). Ids in one call share a
+    // runtime type, so cross-type order never arises.
+    def idCompare(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)       => Integer.compare(x, y)
+      case (x: Short, y: Short)   => java.lang.Short.compare(x, y)
+      case (x: String, y: String) =>
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(xb.length, yb.length)
+        var c = 0
+        while (i < n && c == 0) { c = (xb(i) & 0xFF) - (yb(i) & 0xFF); i += 1 }
+        if (c != 0) c else xb.length - yb.length
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
+    val entryOrd: Ordering[Entry] = new Ordering[Entry] {
+      def compare(x: Entry, y: Entry): Int = {
+        val g = java.lang.Long.compare(y.gain, x.gain) // gain DESC
+        if (g != 0) g else idCompare(x.id, y.id)       // id ASC
+      }
+    }
+    def sortQueue(): Unit = {
+      val sorted = queue.sorted(entryOrd)
+      queue.clear(); queue ++= sorted
+    }
+    def gains(frame: DataFrame): DataFrame =
+      frame.join(broadcast(covered), Seq("_s"), "left_anti")
+        .groupBy("_id").agg(count(lit(1)).as("_gain"))
+    def refill(): Unit = {
+      queue.clear()
+      val top = gains(posting)
+        .orderBy(col("_gain").desc, col("_id")).limit(m).collect()
+      queue ++= top.map(r => Entry(r.get(0), r.getLong(1), fresh = true))
+      floor = if (top.length < m) 0L else top.last.getLong(1)
+      if (top.isEmpty) exhausted = true
+    }
+    def reEval(ids: Seq[Any]): Unit = {
+      val got = gains(posting.filter(col("_id").isin(ids: _*)))
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val keep = queue.filterNot(e => ids.contains(e.id)) ++
+        ids.flatMap(i => got.get(i).map(g => Entry(i, g, fresh = true)))
+      queue.clear(); queue ++= keep // zero-gain docs drop (absent in got)
+    }
+
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
+    var step = 1
+    while (step <= k && !exhausted) {
+      var picked: Option[Entry] = None
+      var justRefilled = false
+      while (picked.isEmpty && !exhausted) {
+        if (queue.isEmpty) { refill(); justRefilled = true }
+        if (!exhausted) {
+          sortQueue()
+          val head = queue.head
+          if (justRefilled) { picked = Some(head); queue.remove(0) }
+          else if (!head.fresh) {
+            // batch-probe every stale bound that could still be the
+            // argmax (>= the best FRESH gain present, else the head)
+            val bar = queue.filter(_.fresh)
+              .map(_.gain).foldLeft(Long.MinValue)(math.max)
+            reEval(queue.filter(e => !e.fresh && e.gain >= bar)
+              .map(_.id).toSeq)
+          } else {
+            val staleTied = queue.exists(e => !e.fresh && e.gain >= head.gain)
+            if (staleTied)
+              reEval(queue.filter(e => !e.fresh && e.gain >= head.gain)
+                .map(_.id).toSeq)
+            else if (head.gain > floor) { picked = Some(head); queue.remove(0) }
+            else queue.clear() // floor tie: force a refill
+          }
+        }
+      }
+      picked.foreach { e =>
+        picks += ((step, e.id, e.gain))
+        if (step < k) {
+          covered = Frames.truncate(covered.unionByName(
+            posting.filter(col("_id") === lit(e.id)).select(col("_s"))))
+          val staled = queue.map(_.copy(fresh = false))
+          queue.clear(); queue ++= staled
+        }
+        step += 1
+      }
+    }
+    posting.unpersist(false)
+    picks.map { case (st, id, g) =>
+      spark.range(1).select(lit(st).cast("int").as("step"),
+        lit(id).as(idCol), lit(g).as("gain"))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(docs.select(lit(0).cast("int").as("step"),
+        col(idCol), lit(0L).as("gain")).limit(0))
+  }
+
+  /** STOCHASTIC greedy max-coverage (Mirzasoleiman et al., AAAI'15
+    * "Lazier Than Lazy Greedy"): round r evaluates gains over a
+    * DETERMINISTIC per-round hash sample of the corpus (salted md5
+    * bucket < `samplePct` — replayable cross-engine, unlike an RNG) and
+    * picks that sample's argmax. With sample size n/k·ln(1/ε) the
+    * expected guarantee is (1 − 1/e − ε); each round costs a
+    * sample-sized aggregate instead of a corpus-sized one, so the k
+    * sequential jobs shrink by 1/samplePct while keeping the exact
+    * operator's plan shape. A round whose sample holds no uncovered doc
+    * picks nothing and moves on (the published algorithm's behavior —
+    * NOT a fallback full scan, which would silently restore O(nk)).
+    * Output schema matches [[maxCoverSelect]]; `step` keeps the round
+    * number, so gaps record empty-sample rounds. */
+  def maxCoverSelectStochastic(docs: DataFrame, idCol: String,
+                               shingleCol: String, k: Int,
+                               samplePct: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(samplePct >= 1 && samplePct <= 100, s"bad samplePct $samplePct")
+    val spark = docs.sparkSession
+    val posting = docs
+      .select(col(idCol).as("_id"), explode(col(shingleCol)).as("_s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var covered = posting.select(col("_s")).limit(0)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Any]
+    for (step <- 1 to k) {
+      val sampled = posting
+        .filter(stableBucket(concat(col("_id").cast("string"),
+          lit(s":sg$step"))) < samplePct)
+      val pool =
+        if (chosen.isEmpty) sampled
+        else sampled.filter(!col("_id").isin(chosen.toSeq: _*))
+      val top = pool.join(broadcast(covered), Seq("_s"), "left_anti")
+        .groupBy("_id").agg(count(lit(1)).as("_gain"))
+        .orderBy(col("_gain").desc, col("_id"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (winner, gain) = (top(0).get(0), top(0).getLong(1))
+        picks += ((step, winner, gain))
+        chosen += winner
+        if (step < k)
+          covered = Frames.truncate(covered.unionByName(
+            posting.filter(col("_id") === lit(winner)).select(col("_s"))))
+      }
+    }
+    posting.unpersist(false)
+    picks.map { case (st, id, g) =>
+      spark.range(1).select(lit(st).cast("int").as("step"),
+        lit(id).as(idCol), lit(g).as("gain"))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(docs.select(lit(0).cast("int").as("step"),
+        col(idCol), lit(0L).as("gain")).limit(0))
+  }
 }

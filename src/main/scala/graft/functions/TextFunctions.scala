@@ -242,23 +242,42 @@ object TextFunctions {
       max(col("_gus")).as("max_fk_us"))
   }
 
-  /** PII redaction for training corpora: URLs, emails, IPv4 addresses and
-    * phone-shaped digit runs become typed placeholder tokens. A chain of
-    * codegen'd `regexp_replace`s (replace-all), applied in an order that
-    * prevents one rule from eating another's match (URLs may contain
-    * `user@host`, phone-shaped runs would match the digits of an IP).
-    * Patterns are RE2-compatible, so the DuckDB oracle runs the SAME
-    * regexes with the 'g' flag. */
+  /** PII redaction for training corpora: URLs, emails, IPv4 addresses,
+    * Luhn-valid payment-card numbers and phone-shaped digit runs become
+    * typed placeholder tokens. A chain of codegen'd `regexp_replace`s
+    * (replace-all), applied in an order that prevents one rule from
+    * eating another's match (URLs may contain `user@host`, phone-shaped
+    * runs would match the digits of an IP, and the card rule must see
+    * digit runs BEFORE the phone rule consumes them). Patterns are
+    * RE2-compatible, so the DuckDB oracle runs the SAME regexes with the
+    * 'g' flag.
+    *
+    * The `<CARD>` class is the one rule a regex alone cannot express:
+    * candidate runs are 13–19 digit words ([[CardRe]] — ISO/IEC 7812 PAN
+    * lengths), but only runs passing the [[luhnValid]] mod-10 check
+    * redact — an order id or timestamp of card-like length stays intact
+    * (the dominant false-positive class of length-based card redaction).
+    * Spelled as extract-candidates → Luhn-filter → fold of per-run
+    * boundary-anchored replaces (all codegen'd array/HOF expressions, no
+    * UDF; runs are all-digits so they need no regex escaping, and the
+    * \b anchors keep a run embedded in a LONGER digit run — not a
+    * candidate itself — from being clipped out of its middle). */
   val UrlRe = "https?://[^\\s]+"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val IpRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val CardRe = "\\b\\d{13,19}\\b"
   val PhoneRe = "\\+?\\d[\\d \\t().-]{7,}\\d"
 
   def redactPii(text: Column): Column = {
     val url = regexp_replace(text, UrlRe, "<URL>")
     val email = regexp_replace(url, EmailRe, "<EMAIL>")
     val ip = regexp_replace(email, IpRe, "<IP>")
-    regexp_replace(ip, PhoneRe, "<PHONE>")
+    val cards = filter(
+      array_distinct(regexp_extract_all(ip, lit(CardRe), lit(0))),
+      c => luhnValid(c))
+    val carded = aggregate(cards, ip, (acc, r) =>
+      regexp_replace(acc, concat(lit("\\b"), r, lit("\\b")), lit("<CARD>")))
+    regexp_replace(carded, PhoneRe, "<PHONE>")
   }
 
   /** Luhn checksum (ISO/IEC 7812 mod-10) over a digit string — the
@@ -307,25 +326,55 @@ object TextFunctions {
       regexp_count(t, lit(UrlRe)).cast("long").as("_u"),
       regexp_count(t, lit(EmailRe)).cast("long").as("_e"),
       regexp_count(t, lit(IpRe)).cast("long").as("_i"),
+      // the card count is Luhn-GATED like redactPii's <CARD> rule (a
+      // card-length run failing mod-10 is an order id, not an entity);
+      // counted with multiplicity over the raw text like the others
+      size(filter(regexp_extract_all(t, lit(CardRe), lit(0)),
+        c => luhnValid(c))).cast("long").as("_c"),
       regexp_count(t, lit(PhoneRe)).cast("long").as("_p"))
     perDoc.agg(
       count(lit(1)).as("n_docs"),
       sum(col("_u")).as("n_urls"),
       sum(col("_e")).as("n_emails"),
       sum(col("_i")).as("n_ips"),
+      sum(col("_c")).as("n_cards"),
       sum(col("_p")).as("n_phones"),
-      count(when(col("_u") + col("_e") + col("_i") + col("_p") > 0, 1))
-        .as("n_docs_with_any"))
+      count(when(col("_u") + col("_e") + col("_i") + col("_c") +
+        col("_p") > 0, 1)).as("n_docs_with_any"))
   }
 
+  /** [[luhnSum]] as DuckDB SQL over an all-digits expression `x` — the
+    * identical reversed-position doubling fold, list ops instead of the
+    * Spark HOFs. Shared by the redaction twin below and the standalone
+    * Luhn-screen oracle so the two folds cannot drift. */
+  def luhnSumSql(x: String): String =
+    s"list_sum(list_transform(range(1, length($x) + 1), i -> " +
+      s"CASE WHEN i % 2 = 0 THEN " +
+      s"(CASE WHEN 2 * (substring(reverse($x), i, 1)::INT) > 9 " +
+      s"THEN 2 * (substring(reverse($x), i, 1)::INT) - 9 " +
+      s"ELSE 2 * (substring(reverse($x), i, 1)::INT) END) " +
+      s"ELSE substring(reverse($x), i, 1)::INT END))"
+
   /** The identical redaction as DuckDB SQL over column `text` — kept next
-    * to the Spark form so the two rule chains cannot drift. */
-  val redactPiiSql: String =
-    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
-      "'https?://[^\\s]+', '<URL>', 'g'), " +
-      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-      "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), " +
-      "'\\+?\\d[\\d \\t().-]{7,}\\d', '<PHONE>', 'g')"
+    * to the Spark form so the two rule chains cannot drift. The `<CARD>`
+    * stage is the same extract → Luhn-filter → left fold of anchored
+    * replaces (`list_reduce` with the text prepended as the
+    * accumulator's seed — a one-element list reduces to the seed, so a
+    * card-free doc passes through untouched, like Spark's `aggregate`
+    * over an empty array). */
+  val redactPiiSql: String = {
+    val ip =
+      "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'https?://[^\\s]+', '<URL>', 'g'), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g')"
+    val carded =
+      s"list_reduce(list_prepend($ip, " +
+        s"list_filter(list_distinct(regexp_extract_all($ip, '\\b\\d{13,19}\\b')), " +
+        s"c -> ${luhnSumSql("c")} % 10 = 0)), " +
+        "(acc, r) -> regexp_replace(acc, '\\b' || r || '\\b', '<CARD>', 'g'))"
+    s"regexp_replace($carded, '\\+?\\d[\\d \\t().-]{7,}\\d', '<PHONE>', 'g')"
+  }
 
   /** Rolling (Rabin–Karp) fingerprint over the lowercased text:
     * acc = (acc * B + code) mod P. B and P are sized so acc*B+code stays

@@ -136,6 +136,66 @@ class BpeSpec extends SparkSpec {
     assert(merges.forall(_._4 >= 2L))
   }
 
+  test("SERVING encoder is bit-identical to the expression fold on the " +
+      "real sf0.001 corpus") {
+    val words = Bpe.wordCounts(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      col("text"))
+    val merges = Bpe.trainLocal(words, "word", "freq", numMerges = 20)
+    assert(merges.nonEmpty)
+    val fold = words.withColumn("sym", Bpe.encode(col("word"), merges))
+      .select("word", "sym").as[(String, Seq[String])].collect().toMap
+    val trie = Bpe.encodeWords(words, "word", merges)
+      .select("word", "sym").as[(String, Seq[String])].collect().toMap
+    assert(trie === fold)
+  }
+
+  test("SERVING kernel replays the fold on DUPLICATE-pair merge tables " +
+      "and random words (the rank-floor equivalence, exhaustively)") {
+    // local fold twin: one greedy pass per table entry, in order
+    def foldLocal(w: String, ms: Seq[(String, String)]): Seq[String] = {
+      var sym = w.split("").filter(_.nonEmpty)
+      ms.foreach { case (a, b) =>
+        sym = sym.foldLeft(Array.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b)
+            acc.dropRight(1) :+ (a + b)
+          else acc :+ s
+        }
+      }
+      sym.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc"
+    for (round <- 0 until 200) {
+      // random table over a tiny alphabet so pairs re-form often; ~1 in
+      // 3 tables repeats a pair — the duplicate-rank path runs for real
+      val n = 1 + rnd.nextInt(6)
+      var toks = alphabet.map(_.toString).toIndexedSeq
+      val ms = (0 until n).map { _ =>
+        val p = (toks(rnd.nextInt(toks.size)), toks(rnd.nextInt(toks.size)))
+        toks = toks :+ (p._1 + p._2)
+        p
+      }
+      val rk = Bpe.rankTable(ms)
+      for (_ <- 0 until 20) {
+        val w = (0 until 1 + rnd.nextInt(10))
+          .map(_ => alphabet(rnd.nextInt(3))).mkString
+        assert(Bpe.encodeWordLocal(w, rk, ms).toSeq === foldLocal(w, ms),
+          s"round $round word $w table $ms")
+      }
+    }
+    // and one HAND-PLANTED duplicate: (a,b) at ranks 1 and 3; rank 2
+    // builds "ab" a second way is impossible for 2-char tokens, so
+    // plant the 3-char shape: ranks (y,z), (x,yz), (xy ...) cannot be
+    // forced here — the random sweep above covers re-formed adjacencies;
+    // this case pins that a LITERAL repeat in the table is legal input
+    val dup = Seq(("a", "b"), ("c", "d"), ("a", "b"))
+    val rkDup = Bpe.rankTable(dup)
+    assert(rkDup(("a", "b")).toSeq === Seq(1, 3))
+    assert(Bpe.encodeWordLocal("abcdab", rkDup, dup.toIndexedSeq).toSeq ===
+      foldLocal("abcdab", dup))
+  }
+
   test("LOCAL trainer fails LOUDLY past maxWords instead of OOMing") {
     val ex = intercept[IllegalArgumentException] {
       Bpe.trainStatsLocal(vocabDf(classicVocab), "word", "freq",

@@ -61,4 +61,47 @@ class CorpusDeltaSpec extends SparkSpec {
     assert(dupPpm(CorpusDelta.datacardState(b, "text", "source"))("s1") === 0L)
     assert(dupPpm(merged)("s1") === 500000L) // 2 of 4 s1 docs duplicated
   }
+
+  test("datacard DELETE: state(A ∪ B) ⊖ state(B) ≡ state(A) frame for " +
+      "frame; a wholly-deleted source vanishes like a rebuild's") {
+    val docs = Seq(
+      (1L, "the same duplicated content here", "s1"),
+      (2L, "a unique document in snapshot a", "s1"),
+      (11L, "the same duplicated content here", "s1"),
+      (12L, "another unique document entirely", "s1"),
+      (3L, "the quick brown fox and the lazy dog were here", "s2"),
+      (13L, "le chat et le chien sont dans le jardin", "s2"),
+      (14L, "the cat and the dog are in the garden again", "s2"),
+      // s3 exists ONLY in the deleted snapshot — must drop entirely
+      (21L, "doomed source lone document", "s3")
+    ).toDF("doc_id", "text", "source")
+    val keep = docs.filter($"doc_id" < 10)
+    val gone = docs.filter($"doc_id" >= 10)
+    def frames(st: CorpusDelta.DatacardState): Seq[Seq[String]] =
+      Seq(st.src, st.fp, st.lang)
+        .map(_.collect().map(_.toString).sorted.toSeq)
+    val shrunk = CorpusDelta.deleteDatacardState(
+      CorpusDelta.datacardState(docs, "text", "source"),
+      CorpusDelta.datacardState(gone, "text", "source"))
+    assert(frames(shrunk) === frames(
+      CorpusDelta.datacardState(keep, "text", "source")))
+    // deleting a doc-half of a split dup pair de-duplicates the card
+    val card = CorpusDelta.datacardFromState(shrunk)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(card("s1") === 0L) // dup partner deleted → no dups left
+    assert(!card.contains("s3"))
+  }
+
+  test("datacard DELETE of an unseen snapshot fails LOUDLY") {
+    val docs = Seq((1L, "known content", "s1")).toDF("doc_id", "text", "source")
+    val phantom = Seq((9L, "phantom content", "s1"))
+      .toDF("doc_id", "text", "source")
+    val shrunk = CorpusDelta.deleteDatacardState(
+      CorpusDelta.datacardState(docs, "text", "source"),
+      CorpusDelta.datacardState(phantom, "text", "source"))
+    val ex = intercept[Exception] { shrunk.fp.collect() }
+    assert(ex.getMessage.contains("deleteDatacardState") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("deleteDatacardState")))
+  }
 }

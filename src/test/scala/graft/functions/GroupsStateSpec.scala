@@ -53,6 +53,50 @@ class GroupsStateSpec extends SparkSpec {
       rows(Dedup.mergeGroupsState(b, a)))
   }
 
+  test("DELETE: state ⊖ delta equals the rebuild without the docs, " +
+      "including the keep_id repair when the canonical member dies") {
+    // delete docs 1 (keep of the whitespace pair — forces a re-min to 2),
+    // 4 (keep of the shared-text trio — re-min to 5) and 3 (its whole
+    // group vanishes)
+    val deleted = docs.filter($"doc_id".isin(1L, 3L, 4L))
+    val survivors = docs.filter(!$"doc_id".isin(1L, 3L, 4L))
+    val got = Dedup.deleteFromGroupsState(state(docs), deleted,
+        "doc_id", "text", survivors)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val rebuilt = state(survivors)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === rebuilt)
+    // the repairs really happened: keeps are now 2 and 5
+    assert(got.map(_._2).toSet === rebuilt.map(_._2).toSet)
+    assert(got.exists(_._2 === 2L) && got.exists(_._2 === 5L))
+    // and group 3's fingerprint is gone entirely
+    assert(got.size === rebuilt.size)
+  }
+
+  test("DELETE of docs the state never saw fails LOUDLY") {
+    val phantom = Seq((99L, "never ingested text")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.deleteFromGroupsState(state(docs), phantom, "doc_id", "text",
+        docs).collect()
+    }
+    assert(ex.getMessage.contains("deleteFromGroupsState") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("deleteFromGroupsState")))
+  }
+
+  test("delete then re-append round-trips to the original state") {
+    val half = docs.filter($"doc_id" <= 4)
+    val gone = docs.filter($"doc_id" > 4)
+    val shrunk = Dedup.deleteFromGroupsState(state(docs), gone,
+      "doc_id", "text", half)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.mergeGroupsState(shrunk, state(gone))) ===
+      rows(state(docs)))
+  }
+
   test("three-way incremental chain equals one rebuild (associativity)") {
     val s1 = state(docs.filter($"doc_id" <= 2))
     val s2 = state(docs.filter($"doc_id".between(3, 5)))

@@ -80,6 +80,53 @@ class IvfSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("deleteFromIndex: affected-cells-only rewrite equals a rebuild " +
+      "from the remaining corpus; untouched cells keep their files") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    Ivf.buildIndex(corpus, "nid", "nv", path, numCells = 2, iters = 2)
+    def cellFiles() = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(d =>
+        d.listFiles().map(f => s"${d.getName}/${f.getName}" -> f.lastModified()))
+      .toMap
+    val before = cellFiles()
+    // delete a few EVEN ids: the x-axis cluster's cell rewrites, the
+    // y-axis (odd) cell must keep its exact files
+    val deleted = Seq(0L, 2L, 4L).toDF("nid")
+    Ivf.deleteFromIndex(spark, path, deleted, "nid")
+    val after = cellFiles()
+    val untouched = before.filter { case (k, _) => after.get(k).contains(before(k)) }
+    assert(untouched.nonEmpty, "expected the unaffected cell to survive as-is")
+    // read-back equals a rebuild from the remaining corpus under the
+    // SAME centroids (cell assignment is pure given centroids)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val remaining = corpus.filter(!$"nid".isin(0L, 2L, 4L))
+    val expect = Ivf.index(remaining, "nid", "nv", centroids)
+      .select("nid", "cell").as[(Long, Long)].collect().toSet
+    val got = spark.read.parquet(s"$path/cells")
+      .select(col("nid"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("deleteFromIndex removes a wholly-emptied cell's directory") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-del2").toString
+    Ivf.buildIndex(corpus, "nid", "nv", path, numCells = 2, iters = 2)
+    // find which cell holds the even ids, then delete ALL its members
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("nid"), col("cell").cast("long"))
+      .as[(Long, Long)].collect()
+    val evenCell = cells.find(_._1 % 2 == 0).get._2
+    val doomed = cells.filter(_._2 == evenCell).map(_._1).toSeq.toDF("nid")
+    Ivf.deleteFromIndex(spark, path, doomed, "nid")
+    val dirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(dirs === Set(s"cell=${cells.find(_._1 % 2 == 1).get._2}"))
+    // and the survivors read back complete
+    val got = spark.read.parquet(s"$path/cells").select("nid")
+      .as[Long].collect().toSet
+    assert(got === cells.filter(_._2 != evenCell).map(_._1).toSet)
+  }
+
   test("appendToIndex honors int8-quantized storage") {
     val path = java.nio.file.Files.createTempDirectory("ivf-q").toString
     Ivf.buildIndex(corpus.filter($"nid" < 20), "nid", "nv", path,

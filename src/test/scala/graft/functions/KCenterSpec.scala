@@ -59,6 +59,42 @@ class KCenterSpec extends SparkSpec {
     assert(got.tail.forall(_._3.exists(_ > 0)))
   }
 
+  test("BATCHED with batch=1 is the exact Gonzalez greedy frame-for-frame") {
+    val vs = fixture(30)
+    val df = vs.toDF("vec_id", "embedding")
+    val exact = Similarity.kCenterSelect(df, "vec_id", "embedding", k = 6)
+      .as[(Int, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    val batched = Similarity
+      .kCenterSelectBatched(df, "vec_id", "embedding", k = 6, batch = 1)
+      .as[(Int, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(batched === exact)
+  }
+
+  test("BATCHED covers planted clusters and rounds are non-increasing " +
+      "in distance") {
+    // three TIGHT well-separated clusters along distinct axes; batch=2
+    // may spend round one inside the far cluster, but by k=4 every
+    // cluster holds a center — the planted-coverage guarantee
+    def cl(axis: Int, i: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        (if (d == axis) 10f else 0f) + 0.01f * ((i * 7 + d) % 5))
+    val vs = (0 until 5).map(i => (100L + i, cl(0, i))) ++
+      (0 until 5).map(i => (200L + i, cl(3, i))) ++
+      (0 until 5).map(i => (300L + i, cl(6, i)))
+    val got = Similarity.kCenterSelectBatched(
+        vs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 4, batch = 2)
+      .as[(Int, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got.size === 4)
+    val clusters = got.map(_._2 / 100L).toSet
+    assert(clusters === Set(1L, 2L, 3L))
+    // across rounds the farthest distance cannot grow (mind only falls);
+    // round boundaries for (k=4, batch=2) are steps {2,3} then {4}
+    val d23 = got.filter(r => r._1 == 2 || r._1 == 3).flatMap(_._3)
+    val d4 = got.filter(_._1 == 4).flatMap(_._3)
+    assert(d4.forall(_ <= d23.min))
+  }
+
   test("k > corpus stops early with every point selected once") {
     val vs = fixture(3)
     val got = Similarity.kCenterSelect(vs.toDF("vec_id", "embedding"),

@@ -99,4 +99,36 @@ class LshDeltaSpec extends SparkSpec {
     assert(delta === rebuilt.filter(p => newIds(p._1) || newIds(p._2)))
     assert(delta.nonEmpty) // the fixture plants near-dups across the split
   }
+
+  test("DELETE: resurfaced pairs close the rebuild partition — an " +
+      "over-cap bucket falling back under the cap re-emits its " +
+      "survivors' pairs, nothing else") {
+    // bucket 100: 5 members (over cap 3) — deleting ids 4,5 drops it to
+    // 3 (within cap) → pairs among {1,2,3} RESURFACE. bucket 200:
+    // 3 members (within cap before and after a non-member delete) —
+    // never re-emitted. bucket 300: 4 members losing 3 → 1 survivor, no
+    // pair. cap = 3 throughout.
+    val state = Seq(
+      (1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L), (4L, 0, 100L), (5L, 0, 100L),
+      (1L, 1, 200L), (2L, 1, 200L), (6L, 1, 200L),
+      (4L, 2, 300L), (5L, 2, 300L), (7L, 2, 300L), (8L, 2, 300L))
+      .toDF("doc_id", "band", "band_key")
+    val deleted = Seq(4L, 5L, 7L).toDF("doc_id")
+    val resurfaced = Dedup.lshDeleteCandidates(state, deleted, "doc_id",
+        maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(resurfaced === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the contract: rebuild-on-survivors ≡ (previously emitted pairs
+    // restricted to survivors) ⊎ resurfaced
+    val remaining = Dedup.lshDeleteState(state, deleted, "doc_id")
+    val rebuilt = Dedup.lshCandidates(remaining, "doc_id", maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    val previous = Dedup.lshCandidates(state, "doc_id", maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    val gone = Set(4L, 5L, 7L)
+    val restricted = previous.filter(p => !gone(p._1) && !gone(p._2))
+    assert(rebuilt === restricted ++ resurfaced)
+    // and the state anti-join really removed every deleted row
+    assert(remaining.filter($"doc_id".isin(4L, 5L, 7L)).count() === 0L)
+  }
 }

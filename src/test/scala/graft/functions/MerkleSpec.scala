@@ -77,6 +77,29 @@ class MerkleSpec extends SparkSpec {
     assert(pf.filter(_._1 != "src_new").forall(_._3 == 1L))
   }
 
+  test("tamper that DELETES a group: the orphaned published root fails") {
+    // the converse of the ADD tamper: a group wholly removed from the
+    // corpus produces no proof rows of its own, so only the FULL OUTER
+    // join to the published roots can surface the deletion as ok=0 —
+    // a left join would silently vanish the group and pass the audit
+    val original = Merkle.roots(docs, "doc_id", "text", "source")
+      .select(col("source"), col("merkle_root").as("root"))
+    val shrunk = docs.filter(col("source") =!= "src_b")
+    val pf = Merkle.proofs(
+        Merkle.shardLeaves(shrunk, "doc_id", "text", "source"), "source",
+        rootsOverride = Some(original))
+      .select("source", "shard", "n_docs", "leaf_h", "root", "ok")
+      .as[(String, Long, Long, String, String, Long)].collect()
+    val gone = pf.filter(_._1 == "src_b")
+    assert(gone.length == 1)
+    // the orphan row: shard −1 / 0 docs / '' leaf, the published root, ok=0
+    assert(gone.forall(r => r._2 == -1L && r._3 == 0L && r._4 == "" &&
+      r._5.nonEmpty && r._6 == 0L))
+    // the surviving group still verifies in full
+    assert(pf.filter(_._1 == "src_a").nonEmpty)
+    assert(pf.filter(_._1 == "src_a").forall(_._6 == 1L))
+  }
+
   test("n_docs bookkeeping survives the pairing rounds") {
     val got = Merkle.roots(docs, "doc_id", "text", "source")
       .select("source", "n_docs").as[(String, Long)].collect().toMap

@@ -176,4 +176,75 @@ class PreferenceSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
     assert(got._4 === 0L && got._6 === None)
   }
+
+  // exact BigInt reference for the GENERAL-nominal alpha: per-unit
+  // (n_u² − Σ o_uc²) µ8-floored terms, margins over pairable units only
+  private def refAlphaNominal(
+      ratings: Seq[(String, String)]): (Long, Long, Long, Long, Option[Long]) = {
+    val byUnit = ratings.groupBy(_._1).filter(_._2.size >= 2)
+    val units = byUnit.values.map { rs =>
+      val o = rs.groupBy(_._2).map(_._2.size.toLong)
+      (rs.size.toLong, o.map(x => BigInt(x) * x).sum)
+    }.toSeq
+    val n = units.map(_._1).sum
+    val catCounts = byUnit.values.flatten.groupBy(_._2).map(_._2.size.toLong)
+    val sc = catCounts.map(x => BigInt(x) * x).sum
+    val doSum = units.map { case (nu, ss) =>
+      ((BigInt(nu) * nu - ss) * 100000000L) / (nu - 1)
+    }.sum
+    val de = BigInt(n) * n - sc
+    val alpha =
+      if (de == 0) None
+      else Some((BigInt(1000000) -
+        doSum * (n - 1) * 1000000L / (de * 100000000L)).toLong)
+    (units.size.toLong, n, catCounts.size.toLong, doSum.toLong, alpha)
+  }
+
+  test("krippendorffAlphaNominal matches the BigInt reference at 3+ " +
+      "categories with per-unit multiplicity") {
+    val rs = Seq(
+      ("u1", "yes"), ("u1", "yes"), ("u1", "no"),
+      ("u2", "no"), ("u2", "maybe"), ("u2", "maybe"), ("u2", "maybe"),
+      ("u3", "yes"), ("u3", "maybe"),
+      ("u4", "no"), ("u4", "no"),
+      ("u5", "yes")) // unpairable — must drop from terms AND margins
+    val got = Preference.krippendorffAlphaNominal(rs.toDF("u", "c"), "u", "c")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    val ref = refAlphaNominal(rs)
+    assert(got === ref)
+    assert(got._1 === 4L && got._2 === 11L && got._3 === 3L)
+  }
+
+  test("krippendorffAlphaNominal reduces EXACTLY to the binary alpha on " +
+      "a two-category log") {
+    // the shared comparison fixture re-expressed as (unit, category)
+    // ratings: unit = unordered pair, category = low/high winner — the
+    // binary operator's own derivation
+    val cs = comps :+ (("x", "y"))
+    val rs = cs.map { case (w, l) =>
+      val (i, j) = if (w <= l) (w, l) else (l, w)
+      (s"$i|$j", if (w <= l) "low" else "high")
+    }
+    val nom = Preference.krippendorffAlphaNominal(rs.toDF("u", "c"), "u", "c")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    val bin = Preference.krippendorffAlpha(cs.toDF("w", "l"), "w", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(nom._1 === bin._1 && nom._2 === bin._2)
+    assert(nom._4 === bin._5) // identical µ8 disagreement sums
+    assert(nom._5 === bin._6) // identical alpha
+  }
+
+  test("krippendorffAlphaNominal: single-category log is NULL, perfect " +
+      "agreement reads 10^6") {
+    val one = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"))
+    val g1 = Preference.krippendorffAlphaNominal(one.toDF("u", "c"), "u", "c")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(g1._4 === 0L && g1._5 === None)
+    val perfect = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b"),
+      ("u3", "c"), ("u3", "c"))
+    val g2 = Preference.krippendorffAlphaNominal(perfect.toDF("u", "c"),
+        "u", "c")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(g2._4 === 0L && g2._5 === Some(1000000L))
+  }
 }

@@ -102,6 +102,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(5) === "plain text stays untouched")
   }
 
+  test("redactPii: Luhn-valid cards redact, card-length order ids stay") {
+    val r = Seq(
+      "pay with 4532015112830366 now",        // Luhn-valid 16-digit → CARD
+      "order 4532015112830367 shipped",       // same length, Luhn-fails
+      "amex-style 79927398713 ok",            // Luhn-valid 11-digit: too
+                                              // short for a PAN — not a
+                                              // candidate, phone rule wins
+      "two cards 4532015112830366 and 4111111111111111 found",
+      "long run 45320151128303660 keeps going") // 17 digits, Luhn fails
+      .toDF("text").select(TextFunctions.redactPii($"text"))
+      .collect().map(_.getString(0))
+    assert(r(0) === "pay with <CARD> now")
+    // a Luhn-FAILING run of card length is an order id — the card rule
+    // leaves it and the phone rule (digit-run shaped) picks it up, which
+    // is the documented chain order, NOT a <CARD>
+    assert(r(1) === "order <PHONE> shipped")
+    assert(r(2) === "amex-style <PHONE> ok")
+    assert(r(3) === "two cards <CARD> and <CARD> found")
+    assert(r(4) === "long run <PHONE> keeps going")
+  }
+
   test("fkGradeUs: hand-checked integer terms, punctuation-less text is " +
       "one sentence, empty text is NULL") {
     val df = Seq(
@@ -121,13 +142,15 @@ class TextFunctionsSpec extends SparkSpec {
     val docs = Seq(
       "visit https://x.io and mail a@b.com",
       "server 10.0.0.1 and 10.0.0.2 up",
+      "card 4532015112830366 but order 4532015112830367", // 1 Luhn-valid
       "all clean").toDF("text")
     val r = TextFunctions.entityCounts(docs, "text").collect().head
-    assert(r.getLong(0) === 3L)  // n_docs
+    assert(r.getLong(0) === 4L)  // n_docs
     assert(r.getLong(1) === 1L)  // urls
     assert(r.getLong(2) === 1L)  // emails
     assert(r.getLong(3) === 2L)  // ips
-    assert(r.getLong(5) === 2L)  // docs with any
+    assert(r.getLong(4) === 1L)  // cards: the Luhn-failing twin is OUT
+    assert(r.getLong(6) === 3L)  // docs with any
   }
 
   test("blocklistScreen: hit counts include repeats, matched terms are " +
