@@ -153,7 +153,15 @@ object Hll {
     * artifact (the [[CorpusDelta]] snapshot pattern applied to sketch
     * state). Overwrites: the artifact is a register state, not a log —
     * merge BEFORE writing ([[mergeRegs]] with the previous
-    * [[readSketch]]) to accumulate across runs. */
+    * [[readSketch]]) to accumulate across runs.
+    *
+    * NO DELETE exists for sketch state — registers are MAXes, and a max
+    * cannot be subtracted (the one incremental family without a takedown
+    * path, unlike groups/datacard/LSH/IVF/Merkle). A deletion that must
+    * reach cardinality sketches re-aggregates from the per-source
+    * snapshot states that ARE retained: keep one sketch per retention
+    * unit (source/day) and re-merge the survivors — O(units) register
+    * merges, never a corpus rescan. */
   def writeSketch(regs: DataFrame, path: String): Unit =
     regs.write.mode("overwrite").parquet(path)
 

@@ -792,8 +792,20 @@ object Sampling {
     * Scale shape: refills are the SAME anti-join + hash-agg + top-M plan
     * as the exact operator's rounds (just top-M instead of top-1); probes
     * are isin-filtered scans of the persisted posting index with a
-    * broadcast covered-set anti-join — no shuffle. At k=100 on the sf1.0
-    * corpus this runs ~k/10 full aggregates instead of k (SCALE.md). */
+    * broadcast covered-set anti-join — no shuffle.
+    *
+    * MEASURED caveat (SCALE.md §round-13): the win is
+    * gain-distribution-dependent. At k=100/sf1.0 CELF reads 1.36× faster
+    * than exact; at k=50/sf10 it reads ~parity — the synthetic corpus
+    * has near-uniform doc sizes, so gains TIE everywhere, the fresh head
+    * rarely clears the floor, and most picks degenerate to a refill
+    * (= one exact round) plus probe overhead. Two deployment notes
+    * follow: (1) CELF pays off on heavy-tailed gain distributions (real
+    * crawl corpora), not uniform ones; (2) an isin probe still SCANS the
+    * posting cache — to realize tiny-probe cost at 100 TB, store the
+    * posting bucketed by `_id` so the probe partition-prunes. GreeDi and
+    * stochastic-greedy remain the distribution-robust scale answers;
+    * CELF is the exactness-preserving one. */
   def maxCoverSelectCelf(docs: DataFrame, idCol: String, shingleCol: String,
                          k: Int, queueSize: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
