@@ -3359,6 +3359,15 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_orderkey").as("u"),
           col("l_returnflag").as("c")), "u", "c")),
 
+    // INTERVAL-metric alpha for numeric ratings: each lineitem rates its
+    // order with l_quantity (1..50) — squared-difference disagreement in
+    // moment form (count, Σv, Σv²), same µ8/DECIMAL ladder; the binary
+    // gate is this operator's two-point special case (spec-pinned)
+    "pref_krippendorff_interval" -> ((s, dir) =>
+      Preference.krippendorffAlphaInterval(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("u"),
+          col("l_quantity").as("v")), "u", "v")),
+
     // distribution drift between snapshot halves (stable-bucket split):
     // integer-exact ppm frequencies per side, top-30 movers — the
     // post-ingest monitoring report
@@ -8273,6 +8282,24 @@ object SparkEntry {
         "ELSE CAST(1000000 - (CAST(do_mu8 AS HUGEINT) * (n_ratings - 1) * 1000000) // " +
         "((CAST(n_ratings AS HUGEINT) * n_ratings - sc) * 100000000) AS BIGINT) " +
         "END AS alpha_ppm FROM g, ca"),
+
+    // interval alpha: the same moment-form statistic over HUGEINT
+    "pref_krippendorff_interval" ->
+      ("WITH r AS (SELECT l_orderkey AS u, CAST(l_quantity AS BIGINT) AS v FROM lineitem), " +
+        "un AS (SELECT u, count(*) AS n_u, CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1, " +
+        "CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2 " +
+        "FROM r GROUP BY u HAVING count(*) >= 2), " +
+        "tm AS (SELECT n_u, CAST(((CAST(n_u AS HUGEINT) * s2 - s1 * s1) * 200000000) " +
+        "// (n_u - 1) AS BIGINT) AS t_mu8, s1, s2 FROM un), " +
+        "g AS (SELECT count(*) AS n_units, CAST(sum(n_u) AS BIGINT) AS n_ratings, " +
+        "CAST(sum(t_mu8) AS BIGINT) AS do_mu8, " +
+        "CAST(sum(s1) AS HUGEINT) AS S1, CAST(sum(s2) AS HUGEINT) AS S2 FROM tm) " +
+        "SELECT n_units, n_ratings, do_mu8, " +
+        "CASE WHEN CAST(n_ratings AS HUGEINT) * S2 - S1 * S1 = 0 " +
+        "THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(1000000 - (CAST(do_mu8 AS HUGEINT) * (n_ratings - 1) * 1000000) // " +
+        "((CAST(n_ratings AS HUGEINT) * S2 - S1 * S1) * 200000000) AS BIGINT) " +
+        "END AS alpha_ppm FROM g"),
 
     "pref_dpo_pairs" ->
       (sqlPrefSym.stripSuffix(", ") +

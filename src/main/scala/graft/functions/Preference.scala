@@ -231,6 +231,51 @@ object Preference {
           "100000000) AS BIGINT) END").as("alpha_ppm"))
   }
 
+  /** INTERVAL-metric Krippendorff's alpha — the variant for NUMERIC
+    * ratings (1–10 quality scores, Likert scales): disagreement between
+    * two ratings is their squared difference δ²(v,w) = (v−w)², not the
+    * nominal 0/1. The category double-sums collapse to moment form:
+    *   Σ_{v,w} o_v o_w (v−w)² = 2(n_u·Σo v² − (Σo v)²)
+    * per unit, and the same for the margins, so the whole statistic
+    * rides (count, Σv, Σv²) — two hash aggregations, like its siblings.
+    * On {0,1} ratings it reduces EXACTLY to [[krippendorffAlpha]]
+    * (v² = v makes both moment forms 2·o1·o2 — spec-pinned), making the
+    * binary gate the two-point special case of this operator as well.
+    *
+    * Integer ladder: values cast to long; per-unit terms
+    * (2(n_u·s2 − s1²)·10⁸) div (n_u−1) computed in DECIMAL(38,0) and
+    * floored to a µ8 BIGINT term (order-free sum);
+    *   α_ppm = 10⁶ − (do_mu8·(n−1)·10⁶) div (2(n·S2 − S1²)·10⁸),
+    * NULL when every rating is the same value (D_e = 0). BIGINT bound:
+    * the µ8 term sum stays under 2⁶³ for |v| ≤ ~3·10⁴ at 10⁹ ratings —
+    * ample for rating scales; wider-ranged measurements should rescale
+    * first (the term itself is computed in DECIMAL either way). */
+  def krippendorffAlphaInterval(ratings: DataFrame, unitCol: String,
+                                valCol: String): DataFrame = {
+    val units = ratings
+      .select(col(unitCol).as("u"), col(valCol).cast("long").as("v"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("n_u"),
+        sum(expr("CAST(v AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
+      .filter(col("n_u") >= 2)
+    units
+      .select(col("n_u"),
+        expr("CAST(((CAST(n_u AS DECIMAL(38,0)) * s2 - s1 * s1) * 200000000) " +
+          "div (n_u - 1) AS BIGINT)").as("t_mu8"),
+        col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_units"), sum("n_u").as("n_ratings"),
+        sum("t_mu8").as("do_mu8"),
+        sum("s1").as("_S1"), sum("s2").as("_S2"))
+      .select(col("n_units"), col("n_ratings"), col("do_mu8"),
+        expr("CASE WHEN CAST(n_ratings AS DECIMAL(38,0)) * _S2 - _S1 * _S1 = 0 " +
+          "THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(1000000 - (CAST(do_mu8 AS DECIMAL(38,0)) * " +
+          "CAST(n_ratings - 1 AS DECIMAL(38,0)) * 1000000) div " +
+          "((CAST(n_ratings AS DECIMAL(38,0)) * _S2 - _S1 * _S1) * " +
+          "200000000) AS BIGINT) END").as("alpha_ppm"))
+  }
+
   /** PER-PROMPT DPO pair construction — the shape a DPO trainer actually
     * consumes: chosen and rejected are responses to the SAME prompt, not
     * global winners ([[btScores]] ranks globally; a training pair built

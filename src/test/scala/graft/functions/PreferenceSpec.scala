@@ -234,6 +234,77 @@ class PreferenceSpec extends SparkSpec {
     assert(nom._5 === bin._6) // identical alpha
   }
 
+  // exact BigInt reference for the INTERVAL alpha (squared-difference
+  // disagreement in moment form)
+  private def refAlphaInterval(
+      ratings: Seq[(String, Long)]): (Long, Long, Long, Option[Long]) = {
+    val byUnit = ratings.groupBy(_._1).filter(_._2.size >= 2)
+    val units = byUnit.values.map { rs =>
+      val vs = rs.map(_._2)
+      (vs.size.toLong, vs.map(BigInt(_)).sum, vs.map(v => BigInt(v) * v).sum)
+    }.toSeq
+    val n = units.map(_._1).sum
+    val s1 = units.map(_._2).sum
+    val s2 = units.map(_._3).sum
+    val doSum = units.map { case (nu, u1, u2) =>
+      ((BigInt(nu) * u2 - u1 * u1) * 200000000L) / (nu - 1)
+    }.sum
+    val de = BigInt(n) * s2 - s1 * s1
+    val alpha =
+      if (de == 0) None
+      else Some((BigInt(1000000) -
+        doSum * (n - 1) * 1000000L / (de * 200000000L)).toLong)
+    (units.size.toLong, n, doSum.toLong, alpha)
+  }
+
+  test("krippendorffAlphaInterval matches the BigInt reference on a " +
+      "numeric rating log") {
+    val rs = Seq(
+      ("u1", 5L), ("u1", 7L), ("u1", 6L),
+      ("u2", 1L), ("u2", 1L),
+      ("u3", 9L), ("u3", 2L), ("u3", 2L), ("u3", 3L),
+      ("u4", 4L)) // unpairable
+    val got = Preference.krippendorffAlphaInterval(rs.toDF("u", "v"), "u", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(got === refAlphaInterval(rs))
+    assert(got._1 === 3L && got._2 === 9L)
+  }
+
+  test("krippendorffAlphaInterval on {0,1} ratings IS the binary alpha") {
+    // the binary comparison fixture as numeric ratings: unit = pair,
+    // value = 1 when the low item won — v² = v makes both moment forms
+    // collapse to 2·o1·o2, so all shared columns must agree exactly
+    val cs = comps :+ (("x", "y"))
+    val rs = cs.map { case (w, l) =>
+      val (i, j) = if (w <= l) (w, l) else (l, w)
+      (s"$i|$j", if (w <= l) 1L else 0L)
+    }
+    val iv = Preference.krippendorffAlphaInterval(rs.toDF("u", "v"), "u", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    val bin = Preference.krippendorffAlpha(cs.toDF("w", "l"), "w", "l")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(iv._1 === bin._1 && iv._2 === bin._2)
+    assert(iv._3 === bin._5) // identical µ8 disagreement sums
+    assert(iv._4 === bin._6) // identical alpha
+  }
+
+  test("krippendorffAlphaInterval: constant ratings are NULL; squared " +
+      "distance punishes far disagreement more than near") {
+    val const = Seq(("u1", 3L), ("u1", 3L), ("u2", 3L), ("u2", 3L))
+    val g1 = Preference.krippendorffAlphaInterval(const.toDF("u", "v"),
+        "u", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(g1._3 === 0L && g1._4 === None)
+    // same margins, same units — only the WITHIN-unit spread differs;
+    // pairing far values within units must read lower alpha
+    val near = Seq(("a", 1L), ("a", 2L), ("b", 9L), ("b", 10L))
+    val far = Seq(("a", 1L), ("a", 10L), ("b", 9L), ("b", 2L))
+    def alpha(rs: Seq[(String, Long)]) =
+      Preference.krippendorffAlphaInterval(rs.toDF("u", "v"), "u", "v")
+        .as[(Long, Long, Long, Option[Long])].collect().head._4.get
+    assert(alpha(near) > alpha(far))
+  }
+
   test("krippendorffAlphaNominal: single-category log is NULL, perfect " +
       "agreement reads 10^6") {
     val one = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"))
