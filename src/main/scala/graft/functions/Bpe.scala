@@ -353,8 +353,11 @@ object Bpe {
       val rk = bcRank.value
       val ms = bcMerges.value
       it.map { r =>
-        val sym = encodeWordLocal(r.getString(wi), rk, ms)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sym.toSeq)
+        // null word → null sym, matching the fold path's SQL null
+        // propagation (the bit-identity contract covers the null row)
+        val w = r.getString(wi)
+        val sym = if (w == null) null else encodeWordLocal(w, rk, ms).toSeq
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sym)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -101,8 +101,11 @@ object CorpusDelta {
     * [[datacardState]] over the deleted docs only; rows whose primary
     * count hits zero drop (a source/fingerprint/language wholly removed
     * vanishes from the card, exactly as a rebuild would have it); a
-    * count going NEGATIVE — deleting docs the state never saw — fails
-    * loudly via the same raise_error guard as the groups-state delete.
+    * count going NEGATIVE fails loudly via the same raise_error guard
+    * as the groups-state delete — which catches every never-seen key,
+    * but (same caveat as there) NOT a phantom doc whose per-key
+    * contributions hide inside still-positive counts; identity is the
+    * state's own key space.
     * Same scale shape as the merge: unionByName + re-sum on the state's
     * own keys, no corpus rescans. */
   def deleteDatacardState(a: DatacardState,

@@ -187,8 +187,15 @@ object Dedup {
     * that is one filtered pass over the corpus — and with the corpus
     * stored bucketed/partitioned by content_md5 ([[graft.sources.Bucketing]])
     * it prunes to the affected buckets only. Deleting docs that were
-    * never ingested is a caller error and surfaces as a negative-size
-    * guard failure rather than silent drift.
+    * never ingested is a caller error; it surfaces as a loud
+    * negative-size guard failure whenever a fingerprint's count goes
+    * negative — including every fingerprint the state never saw (the
+    * full-outer join below). The one UNDETECTABLE input class: a
+    * phantom doc whose content collides with an existing group that
+    * still has enough counted members — identity here is CONTENT, so
+    * such a delete is indistinguishable from a legitimate one and
+    * simply decrements the group (callers needing id-level audit keep
+    * an id ledger beside the array-free state).
     *
     * HLL-sketch states have NO such delete (register maxes are not
     * subtractable) — rebuild those from per-source snapshots instead;
@@ -208,14 +215,17 @@ object Dedup {
         (coalesce(col("group_size"), lit(0L)) - coalesce(col("_nd"), lit(0L)))
           .as("group_size"))
     // a fingerprint going NEGATIVE means the delete snapshot held docs
-    // the state never saw — fail loudly instead of shipping drift
-    val guarded = joined.select(col("content_md5"), col("keep_id"),
-      col("_kd"),
+    // the state never saw — fail loudly instead of shipping drift.
+    // Truncated: both the keep-repair branch and the final join consume
+    // this frame, and without the cut the fingerprint aggregations and
+    // the full-outer join would execute once per consumer
+    val guarded = Frames.truncate(joined.select(col("content_md5"),
+      col("keep_id"), col("_kd"),
       when(col("group_size") < 0,
         raise_error(concat(lit("deleteFromGroupsState: negative group "),
           lit("size for "), col("content_md5"))))
         .otherwise(col("group_size")).as("group_size"))
-      .filter(col("group_size") > 0)
+      .filter(col("group_size") > 0))
     // keep repair: only groups whose MIN id was deleted re-min from the
     // survivors (keep_id is the global min, so _kd == keep_id iff the
     // canonical member is in the delete set)

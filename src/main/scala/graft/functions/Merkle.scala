@@ -97,15 +97,19 @@ object Merkle {
     val root = rootsOverride.getOrElse(
         lv.last.select(col(groupCol), col("h").as("root")))
       .select(col(groupCol), col("root"))
-    // FULL OUTER join: in override mode a group the published roots never
+    // In OVERRIDE mode, FULL OUTER: a group the published roots never
     // saw (a tamper that ADDS or renames a group) must surface as ok=0
     // rows, and a published root whose group was wholly DELETED from the
     // corpus must ALSO surface as an ok=0 row instead of silently
     // producing no pf rows at all — either one-sided join would let its
     // direction of tamper pass a forall(ok==1) audit. The missing side's
     // fields surface as '' / 0 / shard −1 under the same never-empty-md5
-    // encoding as absent siblings.
-    pf.join(root, Seq(groupCol), "full_outer")
+    // encoding as absent siblings. WITHOUT override the root frame is
+    // derived from the SAME leaves, so root-only rows cannot exist and a
+    // left join keeps the |groups|-sized root side broadcastable (a
+    // full-outer there would force a shuffle join for provably nothing).
+    pf.join(root, Seq(groupCol),
+        if (rootsOverride.isDefined) "full_outer" else "left")
       .withColumn("shard", coalesce(col("shard"), lit(-1L)))
       .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
       .withColumn("leaf_h", coalesce(col("leaf_h"), lit("")))

@@ -247,9 +247,14 @@ object Preference {
     * floored to a µ8 BIGINT term (order-free sum);
     *   α_ppm = 10⁶ − (do_mu8·(n−1)·10⁶) div (2(n·S2 − S1²)·10⁸),
     * NULL when every rating is the same value (D_e = 0). BIGINT bound:
-    * the µ8 term sum stays under 2⁶³ for |v| ≤ ~3·10⁴ at 10⁹ ratings —
-    * ample for rating scales; wider-ranged measurements should rescale
-    * first (the term itself is computed in DECIMAL either way). */
+    * per-unit terms scale with n_u·range²·10⁸ (n_u·s2 − s1² = n_u²·var ≤
+    * n_u²·range²/4), so BOTH the per-unit BIGINT cast and the do_mu8 sum
+    * stay inside 2⁶³ iff roughly n·range² ≤ 4.6·10¹⁰ — 10⁹ ratings on a
+    * 1–10 scale fits with two orders to spare, but wide-ranged
+    * measurements must RESCALE first (e.g. a range-10⁶ signal at 10⁶
+    * ratings wraps); the reliability literature's own convention (alpha
+    * is scale-invariant under affine rescaling, so dividing by a
+    * constant changes nothing). */
   def krippendorffAlphaInterval(ratings: DataFrame, unitCol: String,
                                 valCol: String): DataFrame = {
     val units = ratings

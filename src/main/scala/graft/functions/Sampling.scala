@@ -885,9 +885,14 @@ object Sampling {
           if (justRefilled) { picked = Some(head); queue.remove(0) }
           else if (!head.fresh) {
             // batch-probe every stale bound that could still be the
-            // argmax (>= the best FRESH gain present, else the head)
-            val bar = queue.filter(_.fresh)
-              .map(_.gain).foldLeft(Long.MinValue)(math.max)
+            // argmax: >= the best FRESH gain present, else the HEAD's
+            // own bound (the queue max — so the no-fresh state probes
+            // only the top tie-group, classic lazy-CELF, not the whole
+            // queue; a MinValue bar here re-evaluated all m entries
+            // after every pick)
+            val fresh = queue.filter(_.fresh)
+            val bar = if (fresh.nonEmpty) fresh.map(_.gain).max
+                      else head.gain
             reEval(queue.filter(e => !e.fresh && e.gain >= bar)
               .map(_.id).toSeq)
           } else {

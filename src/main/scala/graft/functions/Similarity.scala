@@ -256,12 +256,19 @@ object Similarity {
                        bits: Int, dim: Int, marginMu: Long,
                        salts: Int = 64,
                        maxBucket: Int = Int.MaxValue): DataFrame = {
-    val cwin = Window.partitionBy(col("bucket"))
-      .orderBy(Sampling.stableBucket(col(corpusId), 1 << 30), col(corpusId))
-    val c = corpus.withColumn("bucket", rhpSignature(col(corpusVec), bits, dim))
-      .withColumn("_cr", row_number().over(cwin))
-      .filter(col("_cr") <= maxBucket).drop("_cr")
-      .withColumn("_cn", norm(col(corpusVec)))
+    val bucketed = corpus
+      .withColumn("bucket", rhpSignature(col(corpusVec), bits, dim))
+    // the cap window is a wide stage (exchange + per-bucket sort) — on
+    // the uncapped default path it would keep every row, so skip it
+    // entirely instead of paying a no-op shuffle
+    val c = (if (maxBucket == Int.MaxValue) bucketed
+      else {
+        val cwin = Window.partitionBy(col("bucket"))
+          .orderBy(Sampling.stableBucket(col(corpusId), 1 << 30),
+            col(corpusId))
+        bucketed.withColumn("_cr", row_number().over(cwin))
+          .filter(col("_cr") <= maxBucket).drop("_cr")
+      }).withColumn("_cn", norm(col(corpusVec)))
     val qSig = queries
       .withColumn("_sig", rhpSignature(col(queryVec), bits, dim))
       .withColumn("_qn", norm(col(queryVec)))

@@ -196,6 +196,15 @@ class BpeSpec extends SparkSpec {
       foldLocal("abcdab", dup))
   }
 
+  test("SERVING encoder carries a null word as a null sym — the fold " +
+      "path's SQL null propagation, not an NPE") {
+    val df = Seq(Some("ab"), None).toDF("word")
+    val rows = Bpe.encodeWords(df, "word", Seq(("a", "b"))).collect()
+    assert(rows.exists(_.isNullAt(1)))
+    assert(rows.exists(r => !r.isNullAt(1) &&
+      r.getSeq[String](1) == Seq("ab")))
+  }
+
   test("LOCAL trainer fails LOUDLY past maxWords instead of OOMing") {
     val ex = intercept[IllegalArgumentException] {
       Bpe.trainStatsLocal(vocabDf(classicVocab), "word", "freq",
