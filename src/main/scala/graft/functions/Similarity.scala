@@ -1286,6 +1286,50 @@ object Similarity {
     * whole point of serving from a graph.
     *
     * Output: (query_id, rank, neighbor_id, sim), self-matches excluded. */
+  /** DELETE vectors from a persisted kNN graph — [[appendToGraph]]'s
+    * inverse, completing the takedown family (groups/datacard/LSH/IVF/
+    * Merkle all have deletes; HLL is documented non-deletable). Expressed
+    * AS a re-insert: prune every edge row of a deleted node, then treat
+    * the AFFECTED survivors — nodes that lost at least one neighbor —
+    * as fresh inserts into the pruned graph. [[appendToGraph]] already
+    * does exactly the needed repair: it re-splices a ball around the
+    * "new" nodes (window links + `rounds` of in-ball refinement,
+    * rescored unrounded) and leaves every untouched node's list AND
+    * ranks verbatim — so delete inherits append's spec'd
+    * tracks-the-rebuild contract instead of duplicating 100 lines of
+    * ball plumbing, and a delete that touches nothing (ids nobody
+    * linked to) is the exact identity by append's own empty-delta
+    * identity.
+    *
+    * Scale shape: two anti-joins + one semi-join to find the ball seed,
+    * then append's cost on |affected| ≪ |graph| nodes — never a rebuild.
+    * A mass delete (most of the corpus) degenerates toward rebuild cost
+    * by construction; rebuild instead at that point. */
+  def deleteFromGraph(graph: DataFrame, corpus: DataFrame,
+                      deletedIds: DataFrame, idCol: String, vecCol: String,
+                      k: Int, rounds: Int, bits: Int, dim: Int,
+                      initWindow: Int = 4, buildK: Int = 0): DataFrame = {
+    val del = deletedIds.select(col(idCol).as("_did")).distinct()
+    val remaining = corpus.join(del, corpus(idCol) === col("_did"),
+      "left_anti")
+    val gSurvive = graph.join(del, col("node_id") === col("_did"),
+      "left_anti")
+    val affected = gSurvive
+      .join(del, col("neighbor_id") === col("_did"), "left_semi")
+      .select(col("node_id").as(idCol)).distinct()
+    // affected nodes' rows drop entirely — they re-enter as inserts and
+    // get wholly fresh lists; unaffected survivors keep rows verbatim
+    val gPruned = gSurvive
+      .join(affected.select(col(idCol).as("node_id")), Seq("node_id"),
+        "left_anti")
+    val affVecs = remaining.join(
+      affected, remaining(idCol) === affected(idCol), "left_semi")
+    val others = remaining.join(
+      affected, remaining(idCol) === affected(idCol), "left_anti")
+    appendToGraph(gPruned, others, affVecs, idCol, vecCol, k, rounds,
+      bits, dim, initWindow, buildK)
+  }
+
   def graphBeamSearch(graph: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, queries: DataFrame, queryId: String,
                       queryVec: String, k: Int, beamWidth: Int,

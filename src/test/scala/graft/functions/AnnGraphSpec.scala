@@ -184,6 +184,63 @@ class AnnGraphSpec extends SparkSpec {
     assert(ra >= rr - 0.05, s"append recall $ra vs rebuild $rr")
   }
 
+  test("deleteFromGraph: prune + re-insert repair tracks the rebuild on " +
+      "the survivors (recall within 0.05); deleted ids vanish from BOTH " +
+      "edge sides; shape invariants hold") {
+    val n = 160
+    val full = ringCorpus(n)
+    val gFull = Similarity.nnDescentGraph(full, "nid", "nv", k = 5,
+      rounds = 4, bits = 4, dim = dim, initWindow = 3)
+    val gone = full.filter(col("nid") % 8 === 3)
+    val remaining = full.filter(col("nid") % 8 =!= 3)
+    val repaired = Similarity.deleteFromGraph(gFull, full,
+      gone.select(col("nid")), "nid", "nv",
+      k = 5, rounds = 4, bits = 4, dim = dim, initWindow = 3).cache()
+    // takedown contract: deleted ids appear NOWHERE — not as nodes, not
+    // as anyone's neighbor
+    assert(repaired.filter(col("node_id") % 8 === 3 ||
+      col("neighbor_id") % 8 === 3).count() === 0)
+    // shape invariants: every survivor served, no self loops, contiguous
+    // ranks, lists cut at k
+    assert(repaired.filter(col("node_id") === col("neighbor_id"))
+      .count() === 0)
+    val per = repaired.groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n"), min(col("rank")).as("lo"),
+        max(col("rank")).as("hi"))
+    assert(per.count() === remaining.count())
+    assert(per.filter(col("n") > 5 || col("lo") =!= 1 ||
+      col("hi") =!= col("n")).count() === 0)
+    // recall vs brute truth on the survivors: within 0.05 of a rebuild
+    val qs = remaining.select(col("nid").as("qid"), col("nv").as("qv"))
+    val truth = Similarity.bruteForceTopK(remaining, "nid", "nv", qs,
+      "qid", "qv", k = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(
+          g.select(col("node_id").as("query_id"), col("neighbor_id")), truth)
+        .agg(sum(col("n_hit")).cast("double") / sum(col("n_exact")))
+        .as[Double].head()
+    val rebuilt = Similarity.nnDescentGraph(remaining, "nid", "nv", k = 5,
+      rounds = 4, bits = 4, dim = dim, initWindow = 3)
+    val rd = recallOf(repaired)
+    val rr = recallOf(rebuilt)
+    truth.unpersist()
+    repaired.unpersist()
+    assert(rd >= rr - 0.05, s"delete recall $rd vs rebuild $rr")
+  }
+
+  test("deleteFromGraph of ids the graph never linked is the exact " +
+      "identity (inherits append's empty-delta identity)") {
+    val old = ringCorpus(80)
+    val g0 = Similarity.nnDescentGraph(old, "nid", "nv", k = 5,
+      rounds = 2, bits = 4, dim = dim, initWindow = 3, buildK = 10)
+    val phantom = old.filter(col("nid") < 0).select(col("nid"))
+    val out = Similarity.deleteFromGraph(g0, old, phantom, "nid", "nv",
+      k = 5, rounds = 2, bits = 4, dim = dim, initWindow = 3, buildK = 10)
+    assert(out.collect().map(_.toString).sorted.toSeq ===
+      g0.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("appendToGraph with an EMPTY delta is the exact identity — " +
       "untouched nodes keep sims AND ranks verbatim (buildK path too)") {
     val old = ringCorpus(80)
