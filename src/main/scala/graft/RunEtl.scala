@@ -94,9 +94,15 @@ object RunEtl {
       // Residual caveat: deleting SOME of an index's dump dirs while its
       // remaining tables and config stay untouched leaves no signal for
       // the deletion — that case needs a config touch or --force.
+      // schema/mapping configs are LOCAL by contract (loaded below via
+      // java.nio.file — they ship with the job, not the data), so a
+      // java.io.File mtime is the consistent signal for them; the dumps
+      // dir is scheme-aware (Spark reads it), so its listing goes
+      // through the Hadoop FileSystem inside dumpTableTimes
       val cdcSignal =
         if (!cdc) None
-        else Some(MappingDeps.dumpTableTimes(dumpsDir) +
+        else Some(MappingDeps.dumpTableTimes(dumpsDir,
+            spark.sparkContext.hadoopConfiguration) +
           (MappingDeps.ConfigKey -> Seq(schemaPath, mappingPath)
             .map(p => new java.io.File(p).lastModified()).max))
       val published = run(spark, schemaPath, mappingPath, dumpsDir, outDir,

@@ -237,9 +237,20 @@ object Dedup {
       .join(broadcast(needRepair), Seq("content_md5"), "left_semi")
       .groupBy(col("content_md5"))
       .agg(min(col(idCol)).as("_newKeep"))
+    // a repair-needed group whose fingerprint is ABSENT from survivors
+    // means the caller's survivor frame is inconsistent with the delete
+    // snapshot (group_size stayed positive, so members must exist) —
+    // fail loudly, matching the negative-count guard above, instead of
+    // silently emitting keep_id = NULL
     guarded.join(repaired, Seq("content_md5"), "left")
       .select(col("content_md5"),
-        when(col("_kd") === col("keep_id"), col("_newKeep"))
+        when(col("_kd") === col("keep_id"),
+          when(col("_newKeep").isNull,
+            raise_error(concat(
+              lit("deleteFromGroupsState: survivors frame is missing the "),
+              lit("remaining members of repaired group "),
+              col("content_md5"))))
+            .otherwise(col("_newKeep")))
           .otherwise(col("keep_id")).as("keep_id"),
         col("group_size"))
   }

@@ -236,9 +236,18 @@ object Ivf {
                     corpusVec: String): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
     // sniff the stored vector form from the existing cells; a fresh index
-    // (centroids only, no cells yet) defaults to full precision
+    // (centroids only, no cells yet) defaults to full precision. The
+    // existence probe resolves through the Hadoop FileSystem so indexes
+    // addressed by hdfs://, s3a://, etc. URIs sniff correctly — a
+    // java.io.File probe would silently report "absent" for any
+    // non-local scheme and mis-append full-precision rows into an
+    // int8-quantized index.
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val cellsExist = cellsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(cellsPath)
     val quantized =
-      if (!new java.io.File(s"$path/cells").exists()) false
+      if (!cellsExist) false
       else spark.read.parquet(s"$path/cells").schema(corpusVec).dataType match {
         case s: org.apache.spark.sql.types.StructType =>
           s.fieldNames.contains("q")
@@ -266,7 +275,19 @@ object Ivf {
     * cells that keep survivors but silently SKIPS a cell whose members
     * were all deleted (nothing to write ⇒ nothing overwritten ⇒ stale
     * files), so wholly-emptied cells are removed explicitly through the
-    * filesystem API. The conf flip is scoped and restored. */
+    * filesystem API BEFORE the overwrite (their survivor frame is read
+    * into memory first via localCheckpoint, so the early delete is
+    * safe). The overwrite mode is scoped to the single write via a
+    * DataFrameWriter option — the session conf is never touched, so
+    * concurrent writers in the same session keep their own semantics.
+    *
+    * Crash window: the op is NOT atomic. A crash mid-delete leaves some
+    * affected cells rewritten and others stale — but every intermediate
+    * state is repaired by simply RE-RUNNING the same call (the delete
+    * set is re-probed against whatever cells remain; already-cleaned
+    * cells are no longer affected and stay untouched), so the recovery
+    * story is "re-run on failure", the same contract as any
+    * non-transactional partition maintenance job. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       deletedIds: DataFrame, corpusId: String): Unit = {
     val cells = spark.read.parquet(s"$path/cells")
@@ -286,25 +307,21 @@ object Ivf {
       .localCheckpoint(true)
     val keepCells = survivors.select(col("cell")).distinct()
       .collect().map(_.get(0).toString.toLong).toSet
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      if (keepCells.nonEmpty)
-        survivors.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$path/cells")
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-    // wholly-emptied cells: dynamic overwrite never touched them — drop
-    // their directories so a rebuild-from-remaining reads identically
+    // wholly-emptied cells FIRST: dynamic overwrite would never touch
+    // them (nothing to write), and doing the drop before the survivor
+    // write means a crash between the two steps leaves deleted vectors
+    // GONE (a partially-clean index) rather than stale cells silently
+    // serving takedown'd vectors — the safer side of the crash window
     affected.filterNot(keepCells).foreach { c =>
       val p = new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(p, true)
     }
+    if (keepCells.nonEmpty)
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // write-scoped, not session
+        .partitionBy("cell")
+        .parquet(s"$path/cells")
   }
 
   /** Top-k against a persisted index (see `buildIndex`); transparently

@@ -258,6 +258,23 @@ object Similarity {
                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val bucketed = corpus
       .withColumn("bucket", rhpSignature(col(corpusVec), bits, dim))
+    // uncapped runs silently inherit the quadratic join blow-up the cap
+    // exists to prevent (measured: 2.7 s → 149 s on a degenerate
+    // corpus) — surface it. The probe is one scan + partial agg of the
+    // corpus, negligible next to the join it warns about, and runs ONLY
+    // on the uncapped path so capped callers pay nothing.
+    if (maxBucket == Int.MaxValue) {
+      val biggest = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head() match {
+          case r if r.isNullAt(0) => 0L // empty corpus
+          case r                  => r.getLong(0)
+        }
+      if (biggest > 1024)
+        System.err.println(
+          s"[graft] bitextMarginMine: uncapped run with max bucket size " +
+            s"$biggest (> 1024) — the bucket join is quadratic in bucket " +
+            s"size; consider passing maxBucket to bound it")
+    }
     // the cap window is a wide stage (exchange + per-bucket sort) — on
     // the uncapped default path it would keep every row, so skip it
     // entirely instead of paying a no-op shuffle

@@ -87,16 +87,29 @@ object MappingDeps {
   /** Per-table change signal from a dump directory: table name (= subdir
     * name) → newest file mtime underneath it. The file-dump deployment's
     * CDC feed; JDBC-fed deployments can pass per-table transaction times
-    * instead — the gate only sees the map. Driver-side, one listing. */
-  def dumpTableTimes(dumpsDir: String): Map[String, Long] = {
-    def newest(f: java.io.File): Long = {
-      val children = Option(f.listFiles()).getOrElse(Array.empty)
-      (f.lastModified() +: children.map(newest)).max
+    * instead — the gate only sees the map. Driver-side, one listing.
+    *
+    * Resolves through the Hadoop FileSystem so the dumps dir can live on
+    * hdfs:// / s3a:// — the same schemes the translate stage reads it
+    * from (`spark.read`); a java.io.File listing would silently return
+    * the empty map for any non-local scheme, disabling per-table CDC. */
+  def dumpTableTimes(dumpsDir: String,
+                     hadoopConf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration())
+      : Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(dumpsDir)
+    val fs = root.getFileSystem(hadoopConf)
+    def newest(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      val children =
+        if (st.isDirectory) fs.listStatus(p).map(s => newest(s.getPath))
+        else Array.empty[Long]
+      (st.getModificationTime +: children).max
     }
-    Option(new java.io.File(dumpsDir).listFiles())
-      .getOrElse(Array.empty)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root)
       .filter(_.isDirectory)
-      .map(d => d.getName -> newest(d))
+      .map(d => d.getPath.getName -> newest(d.getPath))
       .toMap
   }
 

@@ -86,6 +86,23 @@ class GroupsStateSpec extends SparkSpec {
         _.getMessage.contains("deleteFromGroupsState")))
   }
 
+  test("keep-repair with an inconsistent survivors frame (remaining " +
+      "members absent) fails LOUDLY, not keep_id = NULL") {
+    // delete group {4,5,6}'s keep (doc 4) but hand a survivors frame
+    // that is missing docs 5 and 6 — the repair min has nothing to
+    // re-min from even though group_size stays positive
+    val gone = docs.filter($"doc_id" === 4)
+    val badSurvivors = docs.filter($"doc_id" < 4 || $"doc_id" === 7)
+    val ex = intercept[Exception] {
+      Dedup.deleteFromGroupsState(state(docs), gone, "doc_id", "text",
+        badSurvivors).collect()
+    }
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("")
+    assert(msg(ex).contains("missing the remaining members") ||
+      Option(ex.getCause).exists(c =>
+        msg(c).contains("missing the remaining members")))
+  }
+
   test("delete then re-append round-trips to the original state") {
     val half = docs.filter($"doc_id" <= 4)
     val gone = docs.filter($"doc_id" > 4)

@@ -143,6 +143,25 @@ class IvfSpec extends SparkSpec {
     assert(r.length === 5 && r.forall(_.getAs[Long]("neighbor_id") % 2 === 0))
   }
 
+  test("appendToIndex sniffs the stored form through an explicit URI " +
+      "scheme (Hadoop FileSystem, not java.io.File)") {
+    // address the index by a file: URI — a java.io.File existence probe
+    // sees no such path (it treats "file:" as a name component), reports
+    // "no cells yet", and would mis-append FULL-PRECISION rows into this
+    // int8 index; the Hadoop-FS probe resolves the scheme correctly
+    val dir = java.nio.file.Files.createTempDirectory("ivf-uri")
+    val path = dir.toUri.toString.stripSuffix("/") // file:///tmp/ivf-uri...
+    assert(path.startsWith("file:"))
+    Ivf.buildIndex(corpus.filter($"nid" < 20), "nid", "nv", path,
+      numCells = 2, iters = 2, quantize = true)
+    Ivf.appendToIndex(spark, path, corpus.filter($"nid" >= 20), "nid", "nv")
+    val stored = spark.read.parquet(s"$path/cells")
+    assert(stored.schema("nv").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("q"), "appended rows must keep the int8 form")
+    assert(stored.count() === 40)
+  }
+
   test("train on a stable sample yields the same cell partition as " +
       "full-corpus training on the fixture") {
     def cellsOf(centroids: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
