@@ -409,11 +409,18 @@ object SparkEntry {
     * comparison answers — the shape per-prompt DPO pair construction
     * needs; [[prefComparisons]] is this minus the prompt column, so the
     * comparison semantics have a single source of truth). */
-  private def promptComparisons(s: SparkSession, dir: String): DataFrame = {
-    val a = t(s, dir, "lineitem")
+  private def promptComparisons(s: SparkSession, dir: String): DataFrame =
+    promptComparisonsFrom(t(s, dir, "lineitem"), t(s, dir, "part"))
+
+  /** Frame-parameterized core of [[promptComparisons]] — `ScaleProbe`'s
+    * bucketed-storage A/B feeds it an orderkey-bucketed lineitem table
+    * so the self-join's exchange drops out of the plan. */
+  private[graft] def promptComparisonsFrom(lineitem: DataFrame,
+                                           part: DataFrame): DataFrame = {
+    val a = lineitem
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_partkey"))
-      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+      .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("p_brand"))
@@ -2577,6 +2584,30 @@ object SparkEntry {
           col("neighbor_id"), col("sim"))
     }),
 
+    // kNN-graph takedown (the last delete-family member to get a hash
+    // oracle): build the published graph, delete ids {3, 5}, and repair
+    // via prune + re-insert — affected survivors re-enter as fresh
+    // inserts through appendToGraph's ball splice (window links + 2
+    // in-ball refinement rounds), untouched nodes keep list AND rank
+    // verbatim. The oracle extends the ann_graph_topk build unroll with
+    // the same prune + ball replay
+    "ann_graph_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"))
+      val graph = Similarity.nnDescentGraph(corpus, "nid", "nv", k = 5,
+        rounds = 2, bits = 4, dim = 64, initWindow = annGraphInitWindow,
+        buildK = annGraphBuildK)
+      Similarity.deleteFromGraph(graph, corpus,
+          emb.filter(col("vec_id").isin(3L, 5L))
+            .select(col("vec_id").as("nid")),
+          "nid", "nv", k = 5, rounds = 2, bits = 4, dim = 64,
+          initWindow = annGraphInitWindow, buildK = annGraphBuildK)
+        .filter(col("node_id") < 12)
+        .select(col("node_id").as("query_id"), col("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     // recall@5 evaluation: multi-probe LSH vs exact brute force — the
     // tuning loop for every ANN knob, itself exactly oracle-checked
     // recall-vs-nprobe tradeoff curve for the anchor-mode IVF index: one
@@ -3295,6 +3326,23 @@ object SparkEntry {
           concat_ws(" ", col("sym")).as("encoded"),
           size(col("sym")).cast("long").as("n_sym"))
         .orderBy(col("freq").desc, col("word")).limit(100)
+    }),
+
+    // CORPUS-grain tokenization (the serving pipeline's real shape):
+    // train 6 merges, encode each DISTINCT word once, join the encoding
+    // back onto the positional token stream, reassemble per-doc token
+    // arrays — encode work is vocabulary-sized however large the corpus.
+    // The oracle replays the same 6 merges (shared sqlBpeRoundsN CTE with
+    // bpe_encode_trie) and rebuilds per-doc streams by ordered string_agg
+    "bpe_corpus_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = Bpe.wordCounts(docs, col("text"))
+      val merges = Bpe.trainLocal(words, "word", "freq", numMerges = 6)
+      Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tokens")).as("encoded"),
+          size(col("tokens")).cast("long").as("n_tokens"))
+        .orderBy("doc_id").limit(100)
     }),
 
     // preference-data curation (RLHF/DPO ranking step): within-order
@@ -5415,6 +5463,87 @@ object SparkEntry {
       "SELECT node AS query_id, CAST(rn AS INTEGER) AS rank, nbr AS neighbor_id, round(sim, 6) AS sim " +
       "FROM gf WHERE node < 8"
 
+  /** DuckDB unroll of `Similarity.deleteFromGraph` on top of
+    * [[annGraphCtes]]: the PUBLISHED graph (rounded sims, rank ≤ 5)
+    * loses nodes {3, 5}; survivors that lost a neighbor re-enter as
+    * inserts — rebuild-identical window links gated on an insert
+    * endpoint, ball splice (in-ball edges rescored unrounded beside the
+    * fresh candidates, rank = row_number ≤ buildK), then 2 refinement
+    * rounds whose first hop is restricted to the one-hop-grown ball —
+    * exactly `appendToGraph`'s plumbing. Out-of-ball rows carry sim AND
+    * rank verbatim at every stage. */
+  /** Force every CTE in `sql` to `AS MATERIALIZED`: DuckDB inlines CTEs
+    * per reference, and a chain whose stages are each referenced 3–5×
+    * (the delete unroll's xdg/xrl/xtc) re-expands the whole upstream
+    * build per reference — combinatorial work AND one parquet open per
+    * expansion ("Too many open files" before it even gets slow).
+    * Materialization restores the replay to its Spark cost shape
+    * (measured: non-terminating → 2.4 s at sf0.01). Safe here because
+    * in these generated oracles `name AS (` occurs ONLY at CTE
+    * definitions — derived tables are written `FROM (...)` and column
+    * aliases are parenthesis-free. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("\\b([A-Za-z_][A-Za-z_0-9]*) AS \\(",
+      "$1 AS MATERIALIZED (")
+
+  private def annGraphDeleteOracleSql: String = {
+    val bk = annGraphBuildK
+    val iw = annGraphInitWindow
+    val simExpr = "list_sum(list_transform(range(1, 65), " +
+      "d -> x.v[d]::DOUBLE * y.v[d]::DOUBLE)) / (x.n * y.n)"
+    // one refinement round over the spliced graph xdg{r-1} with ball
+    // xaf{r-1}: grow the ball one hop both directions, md5-capped
+    // reverse edges, neighbor-of-neighbor from ball nodes only, splice
+    def xround(r: Int): String = {
+      val p = s"xdg${r - 1}"
+      val pa = s"xaf${r - 1}"
+      s"xtc$r AS (SELECT DISTINCT node FROM (" +
+        s"SELECT g.nbr AS node FROM $p g WHERE g.node IN (SELECT node FROM $pa) " +
+        s"UNION ALL SELECT g.node FROM $p g WHERE g.nbr IN (SELECT node FROM $pa) " +
+        s"UNION ALL SELECT node FROM $pa)), " +
+        s"xrv$r AS (SELECT node, nbr FROM (SELECT g.nbr AS node, g.node AS nbr, " +
+        s"row_number() OVER (PARTITION BY g.nbr ORDER BY ${sqlMd5Long("g.node::VARCHAR")}, g.node) AS rr FROM $p g) WHERE rr <= $bk), " +
+        s"xrl$r AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM $p UNION ALL SELECT node, nbr FROM xrv$r)), " +
+        s"xnn$r AS (SELECT r1.node, r2.nbr FROM xrl$r r1 JOIN xrl$r r2 ON r1.nbr = r2.node " +
+        s"WHERE r1.node IN (SELECT node FROM xtc$r) AND r1.node <> r2.nbr), " +
+        s"xib$r AS (SELECT node, nbr FROM $p WHERE node IN (SELECT node FROM xtc$r)), " +
+        s"xob$r AS (SELECT node, nbr, sim, rank FROM $p WHERE node NOT IN (SELECT node FROM xtc$r)), " +
+        s"xcd$r AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM xnn$r UNION ALL SELECT node, nbr FROM xib$r)), " +
+        s"xss$r AS (SELECT c.node, c.nbr, $simExpr AS sim FROM xcd$r c JOIN xrb x ON x.id = c.node JOIN xrb y ON y.id = c.nbr), " +
+        s"xdg$r AS (SELECT node, nbr, sim, rank FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rank FROM xss$r) WHERE rank <= $bk " +
+        s"UNION ALL SELECT node, nbr, sim, rank FROM xob$r), " +
+        s"xaf$r AS (SELECT node FROM xtc$r)"
+    }
+    materializeCtes(s"WITH $annGraphCtes, " +
+      // published graph → prune deleted nodes; survivors that lost a
+      // neighbor drop their rows entirely (they re-enter as inserts)
+      "xgp AS (SELECT node, nbr, round(sim, 6) AS sim, rn AS rank FROM gf), " +
+      "xdel AS (SELECT id FROM b WHERE id IN (3, 5)), " +
+      "xgs AS (SELECT * FROM xgp WHERE node NOT IN (SELECT id FROM xdel)), " +
+      "xaff AS (SELECT DISTINCT node FROM xgs WHERE nbr IN (SELECT id FROM xdel)), " +
+      "xgr AS (SELECT * FROM xgs WHERE node NOT IN (SELECT node FROM xaff)), " +
+      // remaining corpus, insert flag on the affected survivors
+      "xrb AS (SELECT b.*, (b.id IN (SELECT node FROM xaff)) AS isnew " +
+      "FROM b WHERE b.id NOT IN (SELECT id FROM xdel)), " +
+      // rebuild-identical init links, kept only where an insert is touched
+      s"xo1 AS (SELECT bucket, id, isnew, row_number() OVER (PARTITION BY bucket ORDER BY ${sqlMd5Long("id::VARCHAR")}, id) AS rn FROM xrb), " +
+      s"xo2 AS (SELECT bucket2, id, isnew, row_number() OVER (PARTITION BY bucket2 ORDER BY ${sqlMd5Long("id::VARCHAR")}, id) AS rn FROM xrb), " +
+      s"xfw AS (SELECT a.id AS node, c.id AS nbr FROM xo1 a JOIN xo1 c ON a.bucket = c.bucket AND c.rn - a.rn BETWEEN 1 AND $iw AND (a.isnew OR c.isnew) " +
+      s"UNION ALL SELECT a.id AS node, c.id AS nbr FROM xo2 a JOIN xo2 c ON a.bucket2 = c.bucket2 AND c.rn - a.rn BETWEEN 1 AND $iw AND (a.isnew OR c.isnew)), " +
+      "xsd AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM xfw UNION ALL SELECT nbr AS node, node AS nbr FROM xfw)), " +
+      "xaf0 AS (SELECT DISTINCT node FROM xsd), " +
+      // splice 0: in-ball edges rescored beside the seed, out-ball verbatim
+      "xib0 AS (SELECT node, nbr FROM xgr WHERE node IN (SELECT node FROM xaf0)), " +
+      "xob0 AS (SELECT node, nbr, sim, rank FROM xgr WHERE node NOT IN (SELECT node FROM xaf0)), " +
+      "xcd0 AS (SELECT DISTINCT node, nbr FROM (SELECT node, nbr FROM xsd UNION ALL SELECT node, nbr FROM xib0)), " +
+      s"xss0 AS (SELECT c.node, c.nbr, $simExpr AS sim FROM xcd0 c JOIN xrb x ON x.id = c.node JOIN xrb y ON y.id = c.nbr), " +
+      s"xdg0 AS (SELECT node, nbr, sim, rank FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS rank FROM xss0) WHERE rank <= $bk " +
+      "UNION ALL SELECT node, nbr, sim, rank FROM xob0), " +
+      xround(1) + ", " + xround(2) + " " +
+      "SELECT node AS query_id, CAST(rank AS INTEGER) AS rank, nbr AS neighbor_id, round(sim, 6) AS sim " +
+      "FROM xdg2 WHERE rank <= 5 AND node < 12")
+  }
+
   /** Beam-search unroll on top of [[annGraphCtes]]: same entry set
     * (md5-min id per occupied LSH bucket), 3 expand→score→top-8 rounds,
     * final top-5 — byte-identical semantics to
@@ -7418,6 +7547,7 @@ object SparkEntry {
     "bitext_recall_report" -> bitextRecallOracleSql,
 
     "ann_graph_topk" -> annGraphOracleSql,
+    "ann_graph_delete" -> annGraphDeleteOracleSql,
 
     // KNN-Shapley unroll: same (sim DESC, nid) ranks, same pmod-floored
     // qq terms, same order-free integer suffix sums
@@ -8352,6 +8482,26 @@ object SparkEntry {
         " string_agg(tok, ' ' ORDER BY pos) AS encoded," +
         " CAST(count(*) AS BIGINT) AS n_sym" +
         " FROM p6 GROUP BY word, freq ORDER BY freq DESC, word LIMIT 100"),
+
+    // corpus-grain encode: same 6-merge replay; per-word encodings
+    // (ordered string_agg within word) join back onto the positional
+    // token stream and re-agg in word order per doc. Parallel unnests
+    // zip (corpus_unk_rare precedent); token-less docs keep a row with
+    // '' / 0 via the LEFT JOIN + COALESCE
+    "bpe_corpus_encode" ->
+      (sqlBpeRoundsN(6) +
+        "enc AS (SELECT word, string_agg(tok, ' ' ORDER BY pos) AS esym," +
+        " CAST(count(*) AS BIGINT) AS n FROM p6 GROUP BY word), " +
+        s"dt AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "st AS (SELECT doc_id, unnest(toks) AS word," +
+        " unnest(range(1, len(toks) + 1)) AS wp FROM dt), " +
+        "per AS (SELECT doc_id, string_agg(esym, ' ' ORDER BY wp) AS encoded," +
+        " CAST(sum(n) AS BIGINT) AS n_tokens FROM st JOIN enc USING (word)" +
+        " GROUP BY doc_id) " +
+        "SELECT doc_id, COALESCE(encoded, '') AS encoded," +
+        " CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens" +
+        " FROM documents LEFT JOIN per USING (doc_id)" +
+        " ORDER BY doc_id LIMIT 100"),
 
     "corpus_drift" ->
       (s"WITH d AS (SELECT doc_id, text, " +

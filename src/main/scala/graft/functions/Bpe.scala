@@ -361,4 +361,61 @@ object Bpe {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** CORPUS-grain tokenization — what a real pipeline runs, where each
+    * word repeats across millions of documents: encode each DISTINCT
+    * word ONCE ([[encodeWords]] over the vocabulary), join the encoding
+    * back onto the token stream, and reassemble per-document token
+    * arrays in word order. Encode work is vocabulary-sized no matter how
+    * large the corpus (`BpeSpec` pins output-identity with the naive
+    * per-occurrence encode); the corpus-sized costs that remain are the
+    * unavoidable ones — one explode to the token stream and one
+    * groupBy(doc) shuffle to reassemble, the same shape as any
+    * tokenize-and-materialize job. The vocabulary side of the join is
+    * distinct-word-sized, so AQE broadcasts it at any realistic
+    * vocab/corpus ratio.
+    *
+    * Token-less documents (empty/whitespace text) keep a row with an
+    * EMPTY token array — the left join back onto `docs` — matching what
+    * a per-row encode of their (empty) token stream would produce. */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)],
+                   out: String = "tokens"): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_wp", "_w")))
+    val vocab = words.select(col("_w").as("word")).distinct()
+    val encoded = encodeWords(vocab, "word", merges, out = "_sym")
+    val perDoc = words
+      .join(encoded, words("_w") === encoded("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_wp"), col("_sym")))),
+        x => x("_sym"))).as(out))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(out), array().cast("array<string>")).as(out))
+  }
+
+  /** Persist a trained merge table as a (rank, a, b) parquet artifact —
+    * the train-once / serve-everywhere split ([[Hll.writeSketch]]'s
+    * artifact pattern): training pays the corpus aggregates once,
+    * serving jobs `readMerges` the table (vocabulary-sized, driver-safe
+    * by construction) and run pure [[encodeWords]]/[[encodeCorpus]]
+    * passes with no training dependency. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[writeMerges]] artifact back in training order. */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
 }

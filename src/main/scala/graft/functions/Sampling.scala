@@ -808,13 +808,32 @@ object Sampling {
     * CELF is the exactness-preserving one. */
   def maxCoverSelectCelf(docs: DataFrame, idCol: String, shingleCol: String,
                          k: Int, queueSize: Int = 0): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    val m = if (queueSize > 0) queueSize else math.max(4 * k, 64)
-    val spark = docs.sparkSession
     val posting = docs
       .select(col(idCol).as("_id"), explode(col(shingleCol)).as("_s"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try maxCoverSelectCelfOnPosting(posting, idCol, k, queueSize)
+    finally posting.unpersist(false)
+  }
+
+  /** [[maxCoverSelectCelf]] over a PRE-BUILT posting frame (`_id`, `_s`,
+    * already exploded + distinct) — the bucketed-storage entry point
+    * that realizes the tiny-probe cost the cached variant's scaladoc
+    * could only promise. Write the posting once with
+    * [[writePostingBucketed]] (hive-bucketed by `_id`) and pass the
+    * table read here: every per-pick probe (`_id IN (...)` /
+    * `_id = pick`) BUCKET-PRUNES at the scan (the plan's
+    * `SelectedBucketsCount: x out of n`) instead of scanning a
+    * corpus-sized cache, and the refill's `groupBy(_id)` rides the
+    * scan-reported `HashPartitioning(_id)` with NO exchange — the two
+    * plan deltas `BucketingSpec`/SCALE.md pin. Output is IDENTICAL to
+    * [[maxCoverSelectCelf]] on the same corpus (same algorithm, same
+    * tie-breaks); only the storage layout of the probes changes. */
+  def maxCoverSelectCelfOnPosting(posting: DataFrame, idCol: String,
+                                  k: Int, queueSize: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = if (queueSize > 0) queueSize else math.max(4 * k, 64)
+    val spark = posting.sparkSession
     var covered = posting.select(col("_s")).limit(0)
 
     // queue of upper bounds, kept sorted (gain DESC, id ASC) on demand.
@@ -830,9 +849,20 @@ object Sampling {
     // compareTo; they disagree above the BMP). Ids in one call share a
     // runtime type, so cross-type order never arises.
     def idCompare(a: Any, b: Any): Int = (a, b) match {
-      case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
-      case (x: Int, y: Int)       => Integer.compare(x, y)
-      case (x: Short, y: Short)   => java.lang.Short.compare(x, y)
+      case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)         => Integer.compare(x, y)
+      case (x: Short, y: Short)     => java.lang.Short.compare(x, y)
+      case (x: Byte, y: Byte)       => java.lang.Byte.compare(x, y)
+      case (x: Float, y: Float)     => java.lang.Float.compare(x, y)
+      case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        x.compareTo(y)
+      case (x: java.sql.Date, y: java.sql.Date)           => x.compareTo(y)
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+      case (x: java.time.LocalDate, y: java.time.LocalDate) =>
+        x.compareTo(y)
+      case (x: java.time.Instant, y: java.time.Instant)   => x.compareTo(y)
       case (x: String, y: String) =>
         val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -841,7 +871,14 @@ object Sampling {
         var c = 0
         while (i < n && c == 0) { c = (xb(i) & 0xFF) - (yb(i) & 0xFF); i += 1 }
         if (c != 0) c else xb.length - yb.length
-      case (x, y) => x.toString.compareTo(y.toString)
+      // no silent String.compareTo fallback: a UTF-16 comparison can
+      // disagree with the engine's sort for types not listed above,
+      // breaking the output-identical-to-exact-greedy tie-break —
+      // failing loudly beats silently returning a differently-ordered
+      // selection
+      case (x, y) => sys.error(
+        s"selectMaxCoverCelf: unsupported id type for tie-break: " +
+          s"${x.getClass.getName} vs ${y.getClass.getName}")
     }
     val entryOrd: Ordering[Entry] = new Ordering[Entry] {
       def compare(x: Entry, y: Entry): Int = {
@@ -856,8 +893,12 @@ object Sampling {
     def gains(frame: DataFrame): DataFrame =
       frame.join(broadcast(covered), Seq("_s"), "left_anti")
         .groupBy("_id").agg(count(lit(1)).as("_gain"))
+    var nRefills = 0L
+    var nProbeCalls = 0L
+    var nProbedIds = 0L
     def refill(): Unit = {
       queue.clear()
+      nRefills += 1
       val top = gains(posting)
         .orderBy(col("_gain").desc, col("_id")).limit(m).collect()
       queue ++= top.map(r => Entry(r.get(0), r.getLong(1), fresh = true))
@@ -865,6 +906,8 @@ object Sampling {
       if (top.isEmpty) exhausted = true
     }
     def reEval(ids: Seq[Any]): Unit = {
+      nProbeCalls += 1
+      nProbedIds += ids.size
       val got = gains(posting.filter(col("_id").isin(ids: _*)))
         .collect().map(r => r.get(0) -> r.getLong(1)).toMap
       val keep = queue.filterNot(e => ids.contains(e.id)) ++
@@ -916,14 +959,41 @@ object Sampling {
         step += 1
       }
     }
-    posting.unpersist(false)
+    lastCelfStats.set(CelfStats(picks.size, nRefills, nProbeCalls,
+      nProbedIds))
     picks.map { case (st, id, g) =>
       spark.range(1).select(lit(st).cast("int").as("step"),
         lit(id).as(idCol), lit(g).as("gain"))
     }.reduceOption(_ unionByName _)
-      .getOrElse(docs.select(lit(0).cast("int").as("step"),
-        col(idCol), lit(0L).as("gain")).limit(0))
+      .getOrElse(posting.select(lit(0).cast("int").as("step"),
+        col("_id").as(idCol), lit(0L).as("gain")).limit(0))
   }
+
+  /** Diagnostics from the most recent CELF run on this JVM: how many
+    * FULL refill aggregates ran (each = one exact-greedy round) vs how
+    * many bounded id-probes — the direct evidence for whether the lazy
+    * path engaged (`refills ≪ k`) or degenerated to exact greedy
+    * (`refills ≈ k`, the uniform-gain regime SCALE.md documents).
+    * Driver-side counters only; not part of the operator contract. */
+  final case class CelfStats(picks: Int, refills: Long, probeCalls: Long,
+                             probedIds: Long)
+  val lastCelfStats =
+    new java.util.concurrent.atomic.AtomicReference[CelfStats](null)
+
+  /** Build a max-cover posting index — (`_id`, `_s`) exploded + distinct
+    * — and persist it as a hive table BUCKETED by `_id`, the storage
+    * layout [[maxCoverSelectCelfOnPosting]]'s probes partition-prune
+    * against. The ingest-once cost every bucketed design pays: one
+    * shuffle on `_id` here buys exchange-free refill aggregates and
+    * bucket-pruned probes for every subsequent selection run over the
+    * same corpus. */
+  def writePostingBucketed(docs: DataFrame, idCol: String,
+                           shingleCol: String, table: String,
+                           buckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      docs.select(col(idCol).as("_id"), explode(col(shingleCol)).as("_s"))
+        .distinct(),
+      table, "_id", buckets)
 
   /** STOCHASTIC greedy max-coverage (Mirzasoleiman et al., AAAI'15
     * "Lazier Than Lazy Greedy"): round r evaluates gains over a

@@ -20,6 +20,16 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    // overwrite must also cover the stale-location case: a warehouse dir
+    // left by a previous JVM whose (in-memory/derby) metastore is gone —
+    // saveAsTable then fails LOCATION_ALREADY_EXISTS even in overwrite
+    // mode because the catalog has no table to drop. Clear both halves.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet")

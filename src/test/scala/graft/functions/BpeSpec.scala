@@ -118,6 +118,48 @@ class BpeSpec extends SparkSpec {
     assert(local === dist && local.nonEmpty)
   }
 
+  test("CORPUS-grain encode equals the naive per-occurrence encode on the " +
+      "real sf0.001 corpus; token-less docs keep an empty row") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, "   \t  "), (-2L, "newest widest newest"))
+        .toDF("doc_id", "text"))
+    val words = Bpe.wordCounts(docs, col("text"))
+    val merges = Bpe.trainLocal(words, "word", "freq", numMerges = 6,
+      minCount = 1L)
+    val corpus = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString(" "))
+      .toMap
+    // naive twin: encode EVERY occurrence (no vocabulary dedup), then
+    // reassemble per doc in word order — the semantics encodeCorpus's
+    // distinct-word composition must reproduce exactly
+    val occ = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text")))
+        .as(Seq("_p", "word")))
+    val perOcc = Bpe.encodeWords(occ, "word", merges, out = "_s")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_p"), col("_s")))),
+        x => x("_s"))).as("tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString(" "))
+      .toMap
+    assert(perOcc.nonEmpty)
+    assert(perOcc.forall { case (id, enc) => corpus.get(id).contains(enc) })
+    assert(corpus(-1L) === "") // token-less doc kept, empty tokens
+    assert(corpus.keySet ===
+      docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("merge-table artifact round-trips in training order, duplicate " +
+      "pairs included") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("a", "b"), ("x", "y"))
+    val path = java.nio.file.Files.createTempDirectory("bpe-merges")
+      .toString + "/merges"
+    Bpe.writeMerges(spark, merges, path)
+    assert(Bpe.readMerges(spark, path) === merges)
+  }
+
   test("LOCAL trainer sustains 1000+ merges (the realistic-vocab mode)") {
     // synthetic 3000-word vocabulary over a 20-letter alphabet: enough
     // pair structure that 1200 merges stay productive — the scale the

@@ -84,6 +84,41 @@ class MaxCoverSpec extends SparkSpec {
         .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1))
   }
 
+  test("CELF over an id-BUCKETED posting table: identical output; probes " +
+      "bucket-prune and the refill aggregate plans with no exchange") {
+    val spread = spreadDocs(40).toDF("doc_id", "sh")
+    val tbl = "mc_posting_bkt_spec"
+    Sampling.writePostingBucketed(spread, "doc_id", "sh", tbl, buckets = 8)
+    val posting = spark.table(tbl)
+    val got = Sampling.maxCoverSelectCelfOnPosting(posting, "doc_id", k = 6)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = Sampling.maxCoverSelect(spread, "doc_id", "sh", k = 6)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+    // plan evidence 1 — the REAL probe shape (filter + gains aggregate,
+    // what reEval runs): the scan prunes to the buckets holding the
+    // probed ids instead of reading the whole posting. A bare filter
+    // would NOT show this — the auto-bucketed-scan rule disables
+    // bucketing when no downstream operator needs the distribution, so
+    // the aggregate is load-bearing here exactly as it is in gains()
+    val probe = posting.filter($"_id".isin(7L, 12L))
+      .groupBy($"_id").agg(count(lit(1)).as("_gain"))
+    probe.count()
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("SelectedBucketsCount"),
+      s"probe scan did not bucket-prune:\n$probePlan")
+    assert(!probePlan.contains("SelectedBucketsCount: 8 out of 8"),
+      s"probe read every bucket:\n$probePlan")
+    assert(graft.sources.Bucketing.isShuffleFree(probe),
+      s"probe aggregate shuffled:\n$probePlan")
+    // plan evidence 2 — refill shape: groupBy(_id) rides the
+    // scan-reported HashPartitioning(_id), no shuffle exchange
+    val refillShaped = posting.groupBy($"_id").agg(count(lit(1)))
+    refillShaped.count()
+    assert(graft.sources.Bucketing.isShuffleFree(refillShaped),
+      refillShaped.queryExecution.executedPlan.toString)
+  }
+
   test("CELF stays exact under a STARVED queue (every refill/floor path)") {
     // queueSize 2 with k 6 forces repeated refills, floor ties and
     // stale-bound re-probes — the whole invariant surface
