@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: ScaleProbe <sfDir> <op> [args...]; prints one JSON line.
   *   maxcover_exact <k> | maxcover_celf <k> | maxcover_stochastic <k> <pct>
-  *   maxcover_celf_bucketed <k> [buckets] — id-bucketed posting table A/B
+  *   maxcover_celf_bucketed | maxcover_exact_bucketed <k> [buckets] —
+  *     id-bucketed posting table A/B
   *   maxcover_celf_zipf | maxcover_exact_zipf <k> [nmax] [alpha] —
   *     heavy-tailed gain fixture (CELF's advertised regime)
   *   alpha_ab [buckets] — krippendorff alpha off plain vs
@@ -98,6 +99,31 @@ object ScaleProbe {
           s""","select_secs":${math.round(selSecs * 10) / 10.0}""" +
           s""","probe_bucket_pruned":$probePruned""" +
           s""","refill_shuffle_free":$refillFree""" + celfStatsJson()
+        n
+      case "maxcover_exact_bucketed" =>
+        // the exact-greedy twin of the bucketed A/B: k round aggregates
+        // off the id-bucketed table, each riding the scan-reported
+        // HashPartitioning(_id) with no exchange (vs the cached path's
+        // per-round posting shuffle)
+        val k = args(2).toInt
+        val buckets = if (args.length > 3) args(3).toInt else 32
+        val tbl = "maxcover_posting_bkt"
+        val tb = System.nanoTime()
+        functions.Sampling.writePostingBucketed(docsShingled, "doc_id",
+          "sh", tbl, buckets)
+        val buildSecs = (System.nanoTime() - tb) / 1e9
+        val posting = spark.table(tbl)
+        val refillShaped = posting.groupBy(col("_id"))
+          .agg(count(lit(1)))
+        refillShaped.count()
+        val refillFree = sources.Bucketing.isShuffleFree(refillShaped)
+        val ts = System.nanoTime()
+        val n = functions.Sampling.maxCoverSelectOnPosting(
+          posting, "doc_id", k).count()
+        val selSecs = (System.nanoTime() - ts) / 1e9
+        extra = s""","build_secs":${math.round(buildSecs * 10) / 10.0}""" +
+          s""","select_secs":${math.round(selSecs * 10) / 10.0}""" +
+          s""","refill_shuffle_free":$refillFree"""
         n
       case "maxcover_celf_zipf" | "maxcover_exact_zipf" =>
         // heavy-tailed gain fixture (round-13 verdict #4): doc shingle

@@ -659,8 +659,6 @@ object Sampling {
     * pick's marginal coverage. */
   def maxCoverSelect(docs: DataFrame, idCol: String, shingleCol: String,
                      k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    val spark = docs.sparkSession
     // distinct: the coverage objective is over DISTINCT shingles — a doc
     // repeating one rare shingle must not outscore a doc covering many
     // (callers with pre-deduped arrays, like wordShingles, pay a no-op)
@@ -668,6 +666,25 @@ object Sampling {
       .select(col(idCol).as("_id"), explode(col(shingleCol)).as("_s"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try maxCoverSelectOnPosting(posting, idCol, k)
+    finally posting.unpersist(false)
+  }
+
+  /** [[maxCoverSelect]] over a PRE-BUILT posting frame (`_id`, `_s`,
+    * exploded + distinct) — the exact-greedy twin of
+    * [[maxCoverSelectCelfOnPosting]]'s bucketed-storage entry point.
+    * Pass a table written by [[writePostingBucketed]] and every round's
+    * doc-keyed gain aggregate rides the scan-reported
+    * `HashPartitioning(_id)` with NO exchange, and the winner's
+    * shingle-list probe (`_id = winner`) bucket-prunes at the scan —
+    * per-round cost drops from shuffle-the-posting to
+    * scan-and-aggregate-in-place, the delta the SCALE.md bucketed A/B
+    * measures. Output is IDENTICAL to [[maxCoverSelect]] on the same
+    * corpus (same rounds, same tie-breaks). */
+  def maxCoverSelectOnPosting(posting: DataFrame, idCol: String,
+                              k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = posting.sparkSession
     var covered = posting.select(col("_s")).limit(0)
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
     var done = false
@@ -690,14 +707,13 @@ object Sampling {
       }
       step += 1
     }
-    posting.unpersist(false)
     picks.map { case (st, id, g) =>
       spark.range(1).select(lit(st).cast("int").as("step"),
         lit(id).as(idCol), lit(g).as("gain"))
     }.reduceOption(_ unionByName _)
       // type-faithful empty frame — the id column keeps the caller's type
-      .getOrElse(docs.select(lit(0).cast("int").as("step"),
-        col(idCol), lit(0L).as("gain")).limit(0))
+      .getOrElse(posting.select(lit(0).cast("int").as("step"),
+        col("_id").as(idCol), lit(0L).as("gain")).limit(0))
   }
 
   /** GreeDi two-phase DISTRIBUTED greedy max-coverage (Mirzasoleiman,

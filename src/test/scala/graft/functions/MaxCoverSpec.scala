@@ -119,6 +119,18 @@ class MaxCoverSpec extends SparkSpec {
       refillShaped.queryExecution.executedPlan.toString)
   }
 
+  test("exact greedy over the same id-BUCKETED posting table: identical " +
+      "output to the docs-frame entry point") {
+    val spread = spreadDocs(40).toDF("doc_id", "sh")
+    val tbl = "mc_posting_bkt_exact_spec"
+    Sampling.writePostingBucketed(spread, "doc_id", "sh", tbl, buckets = 8)
+    val got = Sampling.maxCoverSelectOnPosting(spark.table(tbl), "doc_id",
+        k = 6).as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = Sampling.maxCoverSelect(spread, "doc_id", "sh", k = 6)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
   test("CELF stays exact under a STARVED queue (every refill/floor path)") {
     // queueSize 2 with k 6 forces repeated refills, floor ties and
     // stale-bound re-probes — the whole invariant surface
