@@ -2293,6 +2293,18 @@ object SparkEntry {
         "id_a", "id_b", k = 2, rounds = 3)
     }),
 
+    // bounded 2-round 3-truss peel of the same graph: the EDGE-grain
+    // density filter one notch stricter than kcore — strips exactly the
+    // triangle-free bridge edges whose transitive chains merge unrelated
+    // template families (kcore keeps a long chain; a truss never does)
+    "graph_ktruss" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      Triangles.kTrussPeel(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "sh", 0.5, maxPosting = 500),
+        "id_a", "id_b", k = 3, rounds = 2)
+    }),
+
     // language-ID confusion matrix vs the stored labels — the evaluation
     // every heuristic gate needs before it filters anything
     "corpus_lang_confusion" -> ((s, dir) =>
@@ -3169,6 +3181,31 @@ object SparkEntry {
         .transform(Frames.truncate)
       dt.unpersist(false)
       out
+    }),
+
+    // KMV bottom-k sketch: per-source distinct-token estimates off the
+    // 256 smallest md5-60 hashes — deterministic (hash-replayable in any
+    // engine, unlike probabilistic-by-seed sketches) and, unlike HLL,
+    // a uniform SAMPLE of the hash space, which is what makes the
+    // intersection query below possible at all
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("source"), explode(docTokens(col("text"))).as("term"))
+      Kmv.sketch(terms, "term", Seq("source"), 256)
+        .select(col("source"), size(col("kmv")).cast("long").as("n_kept"),
+          Kmv.estimateCol(col("kmv"), col("k")).as("est_distinct"))
+    }),
+
+    // pairwise source-overlap estimates from the SAME sketches: union
+    // sketch -> n_common members present in both -> |A∩B| and Jaccard
+    // (Beyer et al. SIGMOD'07 §4) — the "how much does source X overlap
+    // source Y" matrix HLL cannot answer (inclusion–exclusion error
+    // explodes for small overlaps), at k-sized cost per source pair
+    "sketch_kmv_intersect" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("source"), explode(docTokens(col("text"))).as("term"))
+      Kmv.intersectEstimates(
+        Kmv.sketch(terms, "term", Seq("source"), 256), "source")
     }),
 
     // incremental-sketch merge law, end to end: two corpus snapshots
@@ -4964,6 +5001,52 @@ object SparkEntry {
       degs("e2", "d2") + ", " + peel("e2", "d2", "e3") + ", " +
       degs("e3", "d3") + " SELECT node, degree FROM d3"
   }
+
+  /** Mirror of `Triangles.kTrussPeel(k = 3, rounds = 2)` on the jaccard
+    * pair graph: per round, enumerate each triangle once over the
+    * canonical (id_a < id_b) edge set, credit its three edges, drop
+    * edges with support < k−2 = 1, then report the survivors' residual
+    * support. Triangle CTEs are AS MATERIALIZED — each is referenced 3×
+    * and DuckDB inlines by reference (the ann_graph_delete lesson). */
+  private def ktrussOracleSql: String = {
+    def sup(e: String, t: String, sc: String) =
+      s"$t AS MATERIALIZED (SELECT a.id_a AS tu, a.id_b AS tv, b.id_b AS tw " +
+        s"FROM $e a JOIN $e b ON a.id_a = b.id_a AND a.id_b < b.id_b " +
+        s"JOIN $e c ON c.id_a = a.id_b AND c.id_b = b.id_b), " +
+        s"$sc AS (SELECT x, y, count(*) AS support FROM " +
+        s"(SELECT tu AS x, tv AS y FROM $t UNION ALL SELECT tu, tw FROM $t " +
+        s"UNION ALL SELECT tv, tw FROM $t) GROUP BY x, y)"
+    def peel(e: String, sc: String, out: String) =
+      s"$out AS (SELECT $e.id_a, $e.id_b FROM $e JOIN $sc " +
+        s"ON $e.id_a = $sc.x AND $e.id_b = $sc.y WHERE $sc.support >= 1)"
+    s"WITH e0 AS MATERIALIZED ($jaccardPairsOracleSql), " +
+      sup("e0", "t0", "s0") + ", " + peel("e0", "s0", "e1") + ", " +
+      sup("e1", "t1", "s1") + ", " + peel("e1", "s1", "e2") + ", " +
+      sup("e2", "t2", "s2") +
+      " SELECT x AS u, y AS v, support FROM s2"
+  }
+
+  /** Shared KMV oracle prefix at sketch size `k`: per-source bottom-k of
+    * the distinct md5-60 token hashes, ending in `km(source, kv)` with
+    * `kv` the ascending k-minima list — the DuckDB replay of
+    * `Kmv.sketch` (deterministic hashes make the sketch itself, not just
+    * its estimates, engine-exact). */
+  private def sqlKmvKm(k: Int): String =
+    s"WITH tk AS (SELECT source, unnest($sqlToks) AS term FROM documents), " +
+      s"h AS (SELECT DISTINCT source, ${sqlMd5Long("term")} AS h FROM tk), " +
+      s"r AS (SELECT source, h, row_number() OVER " +
+      s"(PARTITION BY source ORDER BY h) AS rn FROM h), " +
+      s"km AS MATERIALIZED (SELECT source, list(h ORDER BY h) AS kv " +
+      s"FROM r WHERE rn <= $k GROUP BY source)"
+
+  /** The (k−1)/θ estimate over a kv-list expression — floored double,
+    * exact under-full (the `Kmv.estimateCol` twin; 2^60 spelled as a
+    * CAST so DuckDB's DECIMAL literal rule cannot bite). */
+  private def sqlKmvEst(kv: String, k: Int): String =
+    s"CASE WHEN len($kv) < $k THEN len($kv) ELSE " +
+      s"CAST(floor(CAST($k - 1 AS DOUBLE) * " +
+      s"CAST(1152921504606846976 AS DOUBLE) / CAST($kv[-1] AS DOUBLE)) " +
+      s"AS BIGINT) END"
 
   /** Exact 3-shingle Jaccard ≥ 0.5 pairs with the 500-posting cap —
     * shared by dedup_jaccard and the candidate-eval oracle's truth leg. */
@@ -7092,6 +7175,29 @@ object SparkEntry {
 
     // 3 unrolled peel rounds over the shared jaccard CTE
     "graph_kcore" -> kcoreOracleSql,
+
+    "graph_ktruss" -> ktrussOracleSql,
+
+    "sketch_kmv_distinct" ->
+      (sqlKmvKm(256) +
+        s" SELECT source, CAST(len(kv) AS BIGINT) AS n_kept, " +
+        s"${sqlKmvEst("kv", 256)} AS est_distinct FROM km"),
+
+    "sketch_kmv_intersect" ->
+      (sqlKmvKm(256) +
+        ", pr AS (SELECT a.source AS ga, b.source AS gb, " +
+        "a.kv AS kva, b.kv AS kvb FROM km a JOIN km b ON a.source < b.source), " +
+        "u AS (SELECT ga, gb, kva, kvb, " +
+        "list_sort(list_distinct(kva || kvb))[1:256] AS kvu FROM pr), " +
+        "est AS (SELECT ga, gb, kvu, " +
+        s"${sqlKmvEst("kvu", 256)} AS est_union, " +
+        "len(list_filter(kvu, x -> list_contains(kva, x) AND " +
+        "list_contains(kvb, x))) AS n_common FROM u) " +
+        "SELECT ga, gb, est_union, CAST(n_common AS BIGINT) AS n_common, " +
+        "CAST(floor(CAST(n_common AS DOUBLE) * CAST(est_union AS DOUBLE) / " +
+        "CAST(len(kvu) AS DOUBLE)) AS BIGINT) AS est_intersect, " +
+        "CAST(floor(CAST(n_common AS DOUBLE) * CAST(1000000 AS DOUBLE) / " +
+        "CAST(len(kvu) AS DOUBLE)) AS BIGINT) AS jaccard_ppm FROM est"),
 
     "graph_communities" -> lpaOracleSql,
 
@@ -9384,13 +9490,16 @@ object SparkEntry {
         s"len(regexp_extract_all(text, '${TextFunctions.IpRe}')) AS i, " +
         s"len(list_filter(regexp_extract_all(text, '${TextFunctions.CardRe}'), " +
         s"c -> ${TextFunctions.luhnSumSql("c")} % 10 = 0)) AS cd, " +
+        s"len(list_filter(regexp_extract_all(text, '${TextFunctions.IbanRe}'), " +
+        s"c -> ${TextFunctions.ibanMod97Sql("c")} = 1)) AS ib, " +
         s"len(regexp_extract_all(text, '${TextFunctions.PhoneRe}')) AS ph " +
         "FROM documents) " +
         "SELECT count(*) AS n_docs, CAST(sum(u) AS BIGINT) AS n_urls, " +
         "CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ips, " +
         "CAST(sum(cd) AS BIGINT) AS n_cards, " +
+        "CAST(sum(ib) AS BIGINT) AS n_ibans, " +
         "CAST(sum(ph) AS BIGINT) AS n_phones, " +
-        "count(CASE WHEN u + e + i + cd + ph > 0 THEN 1 END) AS n_docs_with_any " +
+        "count(CASE WHEN u + e + i + cd + ib + ph > 0 THEN 1 END) AS n_docs_with_any " +
         "FROM p"),
 
     "skew_join_forecast" ->

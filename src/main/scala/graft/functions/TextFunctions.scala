@@ -265,6 +265,7 @@ object TextFunctions {
   val UrlRe = "https?://[^\\s]+"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val IpRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val IbanRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
   val CardRe = "\\b\\d{13,19}\\b"
   val PhoneRe = "\\+?\\d[\\d \\t().-]{7,}\\d"
 
@@ -272,13 +273,47 @@ object TextFunctions {
     val url = regexp_replace(text, UrlRe, "<URL>")
     val email = regexp_replace(url, EmailRe, "<EMAIL>")
     val ip = regexp_replace(email, IpRe, "<IP>")
+    // <IBAN> before <CARD>: an IBAN's digit tail is card-length, so the
+    // card rule must never see a validated IBAN's digits — same
+    // sequencing argument as card-before-phone. Candidates are
+    // alphanumeric, so the anchored replaces need no regex escaping.
+    val ibans = filter(
+      array_distinct(regexp_extract_all(ip, lit(IbanRe), lit(0))),
+      c => ibanValid(c))
+    val ibanned = aggregate(ibans, ip, (acc, r) =>
+      regexp_replace(acc, concat(lit("\\b"), r, lit("\\b")), lit("<IBAN>")))
     val cards = filter(
-      array_distinct(regexp_extract_all(ip, lit(CardRe), lit(0))),
+      array_distinct(regexp_extract_all(ibanned, lit(CardRe), lit(0))),
       c => luhnValid(c))
-    val carded = aggregate(cards, ip, (acc, r) =>
+    val carded = aggregate(cards, ibanned, (acc, r) =>
       regexp_replace(acc, concat(lit("\\b"), r, lit("\\b")), lit("<CARD>")))
     regexp_replace(carded, PhoneRe, "<PHONE>")
   }
+
+  /** ISO 13616 / ECBS mod-97 remainder of an IBAN candidate: the first
+    * four chars (country + check digits) move to the END, letters expand
+    * to two digits (A=10 … Z=35), and the remainder of the resulting
+    * number mod 97 must be 1. Computed as the standard streaming fold —
+    * digits shift the accumulator one decimal place, letters two, mod
+    * after every step keeps it < 9700 (no overflow, no bignum) — one
+    * `aggregate` HOF over character positions, no UDF, same shape as
+    * [[luhnSum]]. Input must match [[IbanRe]] (uppercase alphanumeric);
+    * the caller extracts candidates. */
+  def ibanMod97(s: Column): Column = {
+    val re = concat(substring(s, 5, 1000000), substring(s, 1, 4))
+    aggregate(
+      split(re, ""),
+      lit(0), (acc, ch) => {
+        val a = ascii(ch)
+        when(a >= 65, (acc * 100 + (a - 55)) % 97)
+          .otherwise((acc * 10 + (a - 48)) % 97)
+      })
+  }
+
+  /** True iff the candidate passes the IBAN mod-97 check (remainder 1).
+    * ~1% of random well-formed strings pass — the same
+    * checksum-over-length screen [[luhnValid]] gives cards. */
+  def ibanValid(s: Column): Column = ibanMod97(s) === 1
 
   /** Luhn checksum (ISO/IEC 7812 mod-10) over a digit string — the
     * validity screen that separates REAL payment-card-like numbers from
@@ -331,6 +366,10 @@ object TextFunctions {
       // counted with multiplicity over the raw text like the others
       size(filter(regexp_extract_all(t, lit(CardRe), lit(0)),
         c => luhnValid(c))).cast("long").as("_c"),
+      // mod-97-GATED like the <IBAN> rule, counted with multiplicity
+      // over the raw text like the card count
+      size(filter(regexp_extract_all(t, lit(IbanRe), lit(0)),
+        c => ibanValid(c))).cast("long").as("_b"),
       regexp_count(t, lit(PhoneRe)).cast("long").as("_p"))
     perDoc.agg(
       count(lit(1)).as("n_docs"),
@@ -338,9 +377,10 @@ object TextFunctions {
       sum(col("_e")).as("n_emails"),
       sum(col("_i")).as("n_ips"),
       sum(col("_c")).as("n_cards"),
+      sum(col("_b")).as("n_ibans"),
       sum(col("_p")).as("n_phones"),
       count(when(col("_u") + col("_e") + col("_i") + col("_c") +
-        col("_p") > 0, 1)).as("n_docs_with_any"))
+        col("_b") + col("_p") > 0, 1)).as("n_docs_with_any"))
   }
 
   /** [[luhnSum]] as DuckDB SQL over an all-digits expression `x` — the
@@ -355,12 +395,25 @@ object TextFunctions {
       s"ELSE 2 * (substring(reverse($x), i, 1)::INT) END) " +
       s"ELSE substring(reverse($x), i, 1)::INT END))"
 
+  /** [[ibanMod97]] as DuckDB SQL over an [[IbanRe]]-shaped expression
+    * `x` — the identical rearrange-then-fold, `list_reduce` over
+    * character positions with the seed prepended (the [[redactPiiSql]]
+    * fold convention). Shared by the redaction twin and the inventory
+    * oracle so the folds cannot drift. */
+  def ibanMod97Sql(x: String): String = {
+    val re = s"(substring($x, 5) || substring($x, 1, 4))"
+    s"list_reduce(list_prepend(0, range(1, length($re) + 1)), " +
+      s"(acc, i) -> CASE WHEN ascii(substring($re, i, 1)) >= 65 " +
+      s"THEN (acc * 100 + ascii(substring($re, i, 1)) - 55) % 97 " +
+      s"ELSE (acc * 10 + ascii(substring($re, i, 1)) - 48) % 97 END)"
+  }
+
   /** The identical redaction as DuckDB SQL over column `text` — kept next
-    * to the Spark form so the two rule chains cannot drift. The `<CARD>`
-    * stage is the same extract → Luhn-filter → left fold of anchored
-    * replaces (`list_reduce` with the text prepended as the
-    * accumulator's seed — a one-element list reduces to the seed, so a
-    * card-free doc passes through untouched, like Spark's `aggregate`
+    * to the Spark form so the two rule chains cannot drift. The `<IBAN>`
+    * and `<CARD>` stages are the same extract → checksum-filter → left
+    * fold of anchored replaces (`list_reduce` with the text prepended as
+    * the accumulator's seed — a one-element list reduces to the seed, so
+    * a match-free doc passes through untouched, like Spark's `aggregate`
     * over an empty array). */
   val redactPiiSql: String = {
     val ip =
@@ -368,9 +421,15 @@ object TextFunctions {
         "'https?://[^\\s]+', '<URL>', 'g'), " +
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
         "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g')"
-    val carded =
+    val ibanned =
       s"list_reduce(list_prepend($ip, " +
-        s"list_filter(list_distinct(regexp_extract_all($ip, '\\b\\d{13,19}\\b')), " +
+        s"list_filter(list_distinct(regexp_extract_all($ip, " +
+        s"'\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b')), " +
+        s"c -> ${ibanMod97Sql("c")} = 1)), " +
+        "(acc, r) -> regexp_replace(acc, '\\b' || r || '\\b', '<IBAN>', 'g'))"
+    val carded =
+      s"list_reduce(list_prepend($ibanned, " +
+        s"list_filter(list_distinct(regexp_extract_all($ibanned, '\\b\\d{13,19}\\b')), " +
         s"c -> ${luhnSumSql("c")} % 10 = 0)), " +
         "(acc, r) -> regexp_replace(acc, '\\b' || r || '\\b', '<CARD>', 'g'))"
     s"regexp_replace($carded, '\\+?\\d[\\d \\t().-]{7,}\\d', '<PHONE>', 'g')"

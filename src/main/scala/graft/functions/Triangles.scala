@@ -66,6 +66,84 @@ object Triangles {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-EDGE triangle support over the canonical undirected edge set:
+    * (u, v, support) for edges in ≥ 1 triangle. Same degree-ordered
+    * wedge enumeration as [[perNode]] (each triangle found exactly once
+    * at its lowest-degree apex), then each triangle credits its THREE
+    * edges in canonical (min, max) form. */
+  def edgeSupport(und: DataFrame): DataFrame = {
+    val e = und.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("_du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("_dv")), Seq("v"))
+      .select(
+        when(col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+          .as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("apex"), col("a.dst").as("x"),
+        col("b.dst").as("y"))
+    val tris = wedges.join(e,
+      wedges("x") === e("u") && wedges("y") === e("v"))
+    val out = tris
+      .select(explode(array(
+        struct(least(col("apex"), col("x")).as("u"),
+          greatest(col("apex"), col("x")).as("v")),
+        struct(least(col("apex"), col("y")).as("u"),
+          greatest(col("apex"), col("y")).as("v")),
+        struct(col("x").as("u"), col("y").as("v")))).as("_t"))
+      .select(col("_t.u").as("u"), col("_t.v").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+    // eager checkpoint BEFORE the unpersist: the support frame must
+    // materialize while the edge set is still cached (it feeds three
+    // joins above), and the caller loops on it
+    val sealed_ = out.localCheckpoint(true)
+    e.unpersist(false)
+    sealed_
+  }
+
+  /** Bounded-round k-TRUSS peel (beyond-parity): `rounds` iterations of
+    * "drop every edge in fewer than k−2 triangles, then recompute
+    * support" — the EDGE-grain density filter one notch stricter than
+    * [[kCorePeel]] (Cohen '08: every edge of a k-truss lies in ≥ k−2
+    * triangles within the subgraph). On a dedup candidate graph the
+    * 3-truss strips exactly the triangle-free bridge edges whose
+    * transitive chains merge unrelated template families — the
+    * edge-level version of the audit [[perNode]] does per node. Full
+    * k-truss is the fixpoint; declared semantics is the bounded peel
+    * (the [[kCorePeel]] / PageRank iters pattern), so an oracle can
+    * unroll the same rounds. Per round: one wedge-enumeration support
+    * count (two joins) + one semi-join keep, lineage truncated per
+    * round. Output: the edges of the round-`rounds` subgraph that still
+    * close ≥ 1 triangle there, with that residual support (an edge whose
+    * support fell to 0 AFTER the last peel is absent — the recompute-
+    * then-report convention [[kCorePeel]] uses for degrees). */
+  def kTrussPeel(pairs: DataFrame, idA: String, idB: String,
+                 k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"bad params k=$k rounds=$rounds")
+    var edges = pairs
+      .select(least(col(idA), col(idB)).as("u"),
+        greatest(col(idA), col(idB)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .transform(Frames.truncate)
+    for (_ <- 1 to rounds) {
+      val keep = edgeSupport(edges).filter(col("support") >= k - 2)
+        .select(col("u"), col("v"))
+      edges = edges.join(keep, Seq("u", "v"), "left_semi")
+        .transform(Frames.truncate)
+    }
+    edgeSupport(edges)
+  }
+
   /** Bounded-round k-core peel (beyond-parity): `rounds` iterations of
     * "drop every node whose degree < k, then recompute degrees" — the
     * density filter that separates a genuine near-duplicate CORE from the

@@ -150,7 +150,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getLong(2) === 1L)  // emails
     assert(r.getLong(3) === 2L)  // ips
     assert(r.getLong(4) === 1L)  // cards: the Luhn-failing twin is OUT
-    assert(r.getLong(6) === 3L)  // docs with any
+    assert(r.getLong(5) === 0L)  // ibans: none planted here
+    assert(r.getLong(7) === 3L)  // docs with any
+  }
+
+  test("entityCounts: mod-97-gated IBAN column counts the valid one only") {
+    val docs = Seq(
+      "send to GB82WEST12345698765432 today",  // canonical valid IBAN
+      "send to GB82WEST12345698765433 today",  // check-digit tamper
+      "iban DE89370400440532013000 works").toDF("text")
+    val r = TextFunctions.entityCounts(docs, "text").collect().head
+    assert(r.getLong(5) === 2L)  // n_ibans
+    // the tampered doc still counts under the ANY column: counts are
+    // independent per pattern over the RAW text, and its unanchored
+    // digit tail is phone-shaped (the redaction chain, not this
+    // inventory, is where sequencing applies)
+    assert(r.getLong(7) === 3L)
+  }
+
+  test("redactPii: mod-97-valid IBANs redact before the card/phone rules " +
+      "see their digits; a tampered IBAN falls through to the phone rule") {
+    val r = Seq(
+      "send to GB82WEST12345698765432 today",
+      "send to GB82WEST12345698765433 today",
+      "iban DE89370400440532013000 works")
+      .toDF("text").select(TextFunctions.redactPii($"text"))
+      .collect().map(_.getString(0))
+    assert(r(0) === "send to <IBAN> today")
+    // the tampered IBAN is NOT redacted as <IBAN>; its unanchored digit
+    // tail is phone-shaped, so the chain's last rule picks it up — the
+    // documented fall-through, mirroring the Luhn-failing card case
+    assert(r(1) === "send to GB82WEST<PHONE> today")
+    // an all-digit-tail IBAN: the digits must NOT leak to <CARD> — the
+    // IBAN stage runs first by design (DE89... has an 18-digit tail that
+    // CardRe alone could clip a 13-19 digit window out of)
+    assert(r(2) === "iban <IBAN> works")
   }
 
   test("blocklistScreen: hit counts include repeats, matched terms are " +

@@ -62,4 +62,56 @@ class TrianglesSpec extends SparkSpec {
     assert(kcore(g, k = 1, rounds = 3) ===
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  private def ktruss(pairs: Seq[(Long, Long)], k: Int,
+                     rounds: Int): Map[(Long, Long), Long] =
+    Triangles.kTrussPeel(pairs.toDF("id_a", "id_b"), "id_a", "id_b", k,
+        rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("edgeSupport: K4 edges each close 2 triangles; bridge closes 0") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L))
+    val sup = Triangles.edgeSupport(
+      g.toDF("a", "b").selectExpr("a AS u", "b AS v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup === Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L))
+  }
+
+  test("3-truss keeps the triangle, strips the bridge and chain in one " +
+      "round — the edge-grain filter kcore cannot express") {
+    // triangle {1,2,3} + bridge (3,9) + chain (9,10): the whole graph is
+    // a 2-core-with-halo where kcore keeps 1,2,3 but the truss ALSO
+    // certifies which EDGES are load-bearing
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L), (9L, 10L))
+    assert(ktruss(g, k = 3, rounds = 1) ===
+      Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
+  test("bounded peel needs the second round when a triangle dies with " +
+      "the first peel") {
+    // two triangles sharing edge (2,3), plus triangle {4,5,6} hanging on
+    // 4 only via triangle-free edges — build: tri A {1,2,3}, tri B
+    // {2,3,4}, and edge (4,7) pendant. Round 1 drops (4,7) only; no
+    // second-round casualties here, so instead plant a cascade:
+    // tri {1,2,3} + wedge edges (3,4),(4,5),(3,5) forming tri {3,4,5}
+    // where (4,5) and (3,5) exist ONLY via that triangle and edge (5,6)
+    // is triangle-free. Round 1 drops (5,6); both triangles survive
+    // every round (all their edges have support 1).
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (5L, 6L))
+    val r1 = ktruss(g, k = 3, rounds = 1)
+    assert(r1.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (3L, 5L)))
+    assert(ktruss(g, k = 3, rounds = 2) === r1)
+  }
+
+  test("4-truss demands support 2: K4 survives, a lone triangle does not") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val lone = Seq((11L, 12L), (11L, 13L), (12L, 13L))
+    val got = ktruss(k4 ++ lone, k = 4, rounds = 2)
+    assert(got.keySet === k4.toSet)
+    assert(got.values.toSet === Set(2L))
+  }
 }
