@@ -134,6 +134,12 @@ object ScaleProbe {
         val k = args(2).toInt
         val nmax = if (args.length > 3) args(3).toInt else 20000
         val alpha = if (args.length > 4) args(4).toDouble else 0.7
+        // universe size controls INTER-DOCUMENT OVERLAP — the variable
+        // that turned out to govern CELF (SCALE.md §round-14): 1M hashes
+        // over ~1.7M draws ⇒ heavy cross-doc overlap (the negative
+        // fixture); 100M ⇒ near-disjoint docs, gains stable across
+        // picks (the positive control)
+        val universe = if (args.length > 5) args(5).toLong else 1000000L
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
         val zdocs = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"))
@@ -143,10 +149,11 @@ object ScaleProbe {
             .cast("int"))
           .withColumn("sh", expr(
             "transform(sequence(1, _n), " +
-              "x -> pmod(xxhash64(doc_id + x), 1000000L))"))
+              s"x -> pmod(xxhash64(doc_id + x), ${universe}L))"))
           .select(col("doc_id"), col("sh"))
           .localCheckpoint(true)
-        extra = s""","fixture":"zipf","nmax":$nmax,"alpha":$alpha"""
+        extra = s""","fixture":"zipf","nmax":$nmax,"alpha":$alpha""" +
+          s""","universe":$universe"""
         val n =
           if (op == "maxcover_celf_zipf") {
             val r = functions.Sampling.maxCoverSelectCelf(zdocs, "doc_id",

@@ -375,6 +375,18 @@ object Bpe {
     * distinct-word-sized, so AQE broadcasts it at any realistic
     * vocab/corpus ratio.
     *
+    * MEASURED trade (SCALE.md §round-14): with THIS serving kernel the
+    * per-occurrence [[encodeWords]] pass is FASTER (sf10, 3000 merges:
+    * 5.2 s vs 9.2 s corpus-grain) — the kernel costs O(|word| + fired
+    * merges) per word independent of table size, so the join-back +
+    * groupBy reassembly shuffles cost more than the CPU the dedup
+    * saves, and the per-occurrence pass is completely shuffle-free
+    * (broadcast table + one narrow mapPartitions). Reach for
+    * corpus-grain when the per-word encode is genuinely expensive (an
+    * external tokenizer process, a model call) or when the deliverable
+    * IS the encoded vocabulary artifact; default serving path is
+    * per-occurrence.
+    *
     * Token-less documents (empty/whitespace text) keep a row with an
     * EMPTY token array — the left join back onto `docs` — matching what
     * a per-row encode of their (empty) token stream would produce. */

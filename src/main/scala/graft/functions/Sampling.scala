@@ -810,18 +810,28 @@ object Sampling {
     * are isin-filtered scans of the persisted posting index with a
     * broadcast covered-set anti-join — no shuffle.
     *
-    * MEASURED caveat (SCALE.md §round-13): the win is
-    * gain-distribution-dependent. At k=100/sf1.0 CELF reads 1.36× faster
-    * than exact; at k=50/sf10 it reads ~parity — the synthetic corpus
-    * has near-uniform doc sizes, so gains TIE everywhere, the fresh head
-    * rarely clears the floor, and most picks degenerate to a refill
-    * (= one exact round) plus probe overhead. Two deployment notes
-    * follow: (1) CELF pays off on heavy-tailed gain distributions (real
-    * crawl corpora), not uniform ones; (2) an isin probe still SCANS the
-    * posting cache — to realize tiny-probe cost at 100 TB, store the
-    * posting bucketed by `_id` so the probe partition-prunes. GreeDi and
-    * stochastic-greedy remain the distribution-robust scale answers;
-    * CELF is the exactness-preserving one. */
+    * MEASURED (SCALE.md §round-14, superseding the §round-13 caveat;
+    * `lastCelfStats` carries the per-run evidence): CELF's condition is
+    * LOW INTER-DOCUMENT OVERLAP — picks must not perturb the remaining
+    * gains — NOT a heavy-tailed gain distribution, as §round-13
+    * hypothesized. On the low-overlap corpus at sf1.0/k=100 the lazy
+    * path engages fully (2 refills + 99 bounded probes for 100 picks,
+    * probed ids 0.2% of k·corpus) and CELF reads 1.38× over exact; at
+    * sf10/k=50 ties force a refill on EVERY pick (refills = k, measured)
+    * — parity-to-worse; and on a Zipf-sized-docs fixture with a SHARED
+    * shingle universe CELF LOSES outright (0.62×, 59 refills): covering
+    * the head removes a uniform fraction of every remaining doc's
+    * shingles, all queued bounds stale together, and the fresh head
+    * keeps falling below the refill floor. The §round-13 "pays off on
+    * heavy-tailed distributions" claim is retracted. Throughput-bound
+    * callers should prefer [[maxCoverSelectOnPosting]] over an
+    * id-bucketed posting table — measured 2.9× (sf1.0) / 1.35× (sf10)
+    * over the cached exact path, a bigger lever than any lazy-queue
+    * variant, with CELF-on-bucketed close behind (per-pick probes become
+    * bucket-pruned point reads, but each probe is still a separate tiny
+    * job whose scheduling cost can exceed an exchange-free round).
+    * GreeDi and stochastic-greedy remain the distribution-robust cluster
+    * answers; CELF is the exactness-preserving one. */
   def maxCoverSelectCelf(docs: DataFrame, idCol: String, shingleCol: String,
                          k: Int, queueSize: Int = 0): DataFrame = {
     val posting = docs
