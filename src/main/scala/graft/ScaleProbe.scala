@@ -135,10 +135,16 @@ object ScaleProbe {
         val nmax = if (args.length > 3) args(3).toInt else 20000
         val alpha = if (args.length > 4) args(4).toDouble else 0.7
         // universe size controls INTER-DOCUMENT OVERLAP — the variable
-        // that turned out to govern CELF (SCALE.md §round-14): 1M hashes
-        // over ~1.7M draws ⇒ heavy cross-doc overlap (the negative
-        // fixture); 100M ⇒ near-disjoint docs, gains stable across
-        // picks (the positive control)
+        // that turned out to govern CELF (SCALE.md §round-14): with
+        // doc-distinct draws, E[|A∩B|] ≈ n_a·n_b/universe, so 1M gives
+        // the head docs hundreds of shared shingles (gains move with
+        // picks) while 100M makes docs near-disjoint (gains stable —
+        // CELF's regime). The first fixture cut hashed `doc_id + x`,
+        // whose ADDITIVE argument made rank-adjacent docs share almost
+        // their entire shingle sets (doc d and d+1 collide on all but
+        // one position) — a pathological-overlap corpus that measured
+        // CELF at 0.62×; kept reachable via universe=0 for the record,
+        // the multiplicative stride is the honest fixture
         val universe = if (args.length > 5) args(5).toLong else 1000000L
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
         val zdocs = spark.read.parquet(s"$dir/documents.parquet")
@@ -148,8 +154,14 @@ object ScaleProbe {
             floor(lit(nmax) / pow(col("_rank").cast("double"), lit(alpha))))
             .cast("int"))
           .withColumn("sh", expr(
-            "transform(sequence(1, _n), " +
-              s"x -> pmod(xxhash64(doc_id + x), ${universe}L))"))
+            if (universe == 0L)
+              // the legacy additive-argument fixture (pathological
+              // overlap), kept for reproducibility of the first cut
+              "transform(sequence(1, _n), " +
+                "x -> pmod(xxhash64(doc_id + x), 1000000L))"
+            else
+              "transform(sequence(1, _n), " +
+                s"x -> pmod(xxhash64(doc_id * 1000003L + x), ${universe}L))"))
           .select(col("doc_id"), col("sh"))
           .localCheckpoint(true)
         extra = s""","fixture":"zipf","nmax":$nmax,"alpha":$alpha""" +

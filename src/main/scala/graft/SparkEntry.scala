@@ -3208,6 +3208,30 @@ object SparkEntry {
         Kmv.sketch(terms, "term", Seq("source"), 256), "source")
     }),
 
+    // the KMV merge law END TO END at the gate: sketch the two corpus
+    // snapshots separately (stable md5 buckets <80 / >=80 — the
+    // corpus_delta split), merge the per-snapshot sketches, estimate off
+    // the MERGED sketch — while the oracle computes the whole-corpus
+    // sketch directly. Hash equality across engines IS the lossless
+    // roll-up law (bottom-k of union == merge of bottom-k's), the same
+    // shared-oracle-text pattern as CELF ≡ exact greedy
+    "sketch_kmv_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = Sampling.stableBucket(col("doc_id"))
+      def sk(d: DataFrame, out: String) = Kmv.sketch(
+        d.select(col("source"), explode(docTokens(col("text"))).as("term")),
+        "term", Seq("source"), 256)
+        .select(col("source"), col("kmv").as(out))
+      val empty = array().cast("array<bigint>")
+      sk(docs.filter(bucket < 80), "kva")
+        .join(sk(docs.filter(bucket >= 80), "kvb"), Seq("source"), "full")
+        .select(col("source"), Kmv.mergeCol(
+          coalesce(col("kva"), empty), coalesce(col("kvb"), empty),
+          lit(256)).as("kmv"))
+        .select(col("source"), size(col("kmv")).cast("long").as("n_kept"),
+          Kmv.estimateCol(col("kmv"), lit(256)).as("est_distinct"))
+    }),
+
     // incremental-sketch merge law, end to end: two corpus snapshots
     // (stable md5 buckets <80 / >=80 — the corpus_delta split), a sketch
     // per snapshot, register-wise merge (Hll.mergeRegs), and an
@@ -7179,6 +7203,13 @@ object SparkEntry {
     "graph_ktruss" -> ktrussOracleSql,
 
     "sketch_kmv_distinct" ->
+      (sqlKmvKm(256) +
+        s" SELECT source, CAST(len(kv) AS BIGINT) AS n_kept, " +
+        s"${sqlKmvEst("kv", 256)} AS est_distinct FROM km"),
+
+    // the whole-corpus sketch computed DIRECTLY — equality with the
+    // engine's merged-snapshot path is the KMV lossless roll-up law
+    "sketch_kmv_delta" ->
       (sqlKmvKm(256) +
         s" SELECT source, CAST(len(kv) AS BIGINT) AS n_kept, " +
         s"${sqlKmvEst("kv", 256)} AS est_distinct FROM km"),
