@@ -125,7 +125,8 @@ object ScaleProbe {
           s""","select_secs":${math.round(selSecs * 10) / 10.0}""" +
           s""","refill_shuffle_free":$refillFree"""
         n
-      case "maxcover_celf_zipf" | "maxcover_exact_zipf" =>
+      case "maxcover_celf_zipf" | "maxcover_exact_zipf" |
+           "maxcover_celf_zipf_bucketed" | "maxcover_exact_zipf_bucketed" =>
         // heavy-tailed gain fixture (round-13 verdict #4): doc shingle
         // counts follow a power law n = nmax / rank^alpha over a shared
         // shingle universe, the regime CELF's lazy path is built for —
@@ -172,8 +173,33 @@ object ScaleProbe {
               "sh", k).count()
             extra += celfStatsJson()
             r
-          } else functions.Sampling.maxCoverSelect(zdocs, "doc_id", "sh", k)
-            .count()
+          } else if (op == "maxcover_exact_zipf") {
+            functions.Sampling.maxCoverSelect(zdocs, "doc_id", "sh", k)
+              .count()
+          } else {
+            // the missing matrix cell (SCALE.md §round-14): the lazy
+            // path's probe volume only converts to wall-clock when the
+            // storage prunes — bucketed posting under the zipf fixture
+            val tbl = "maxcover_posting_zipf_bkt"
+            val tb = System.nanoTime()
+            functions.Sampling.writePostingBucketed(zdocs, "doc_id", "sh",
+              tbl, 32)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val posting = spark.table(tbl)
+            val ts = System.nanoTime()
+            val r =
+              if (op == "maxcover_celf_zipf_bucketed") {
+                val x = functions.Sampling.maxCoverSelectCelfOnPosting(
+                  posting, "doc_id", k).count()
+                extra += celfStatsJson()
+                x
+              } else functions.Sampling.maxCoverSelectOnPosting(
+                posting, "doc_id", k).count()
+            val selSecs = (System.nanoTime() - ts) / 1e9
+            extra += s""","build_secs":${math.round(buildSecs * 10) / 10.0}""" +
+              s""","select_secs":${math.round(selSecs * 10) / 10.0}"""
+            r
+          }
         n
       case "alpha_ab" =>
         // orderkey-bucketed lineitem A/B for the krippendorff-alpha
