@@ -3994,6 +3994,28 @@ object SparkEntry {
         qs, "qid", "qtext", k = 10)
     }),
 
+    // the language-modeling scorer beside BM25 (Zhai–Lafferty Dirichlet
+    // smoothing, µ=2000) over the SAME query set — the second standard
+    // lexical ranking model a serving stack A/Bs; same broadcast-query /
+    // vocabulary-gated-postings plan shape
+    "text_ql_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark join"), (1L, "table scan fast"),
+        (2L, "window batch agg")).toDF("qid", "qtext")
+      QueryLikelihood.topK(t(s, dir, "documents"), "doc_id", "text",
+        qs, "qid", "qtext", k = 10)
+    }),
+
+    // exact two-sample KS over doc length between the two corpus
+    // snapshots (stable md5 buckets <80 / >=80) — the binning-free drift
+    // test beside PSI, division-free in BIGINT so both engines agree
+    // bit-for-bit
+    "drift_ks_doclen" -> ((s, dir) =>
+      Profile.ksTwoSample(
+        t(s, dir, "documents").select(col("n_chars").as("v"),
+          (Sampling.stableBucket(col("doc_id")) < 80).as("is_a")),
+        "v", "is_a")),
+
     // NDCG@10 / MRR / P@10 evaluation of the BM25 run against synthetic
     // graded judgments rel = (doc_id·7 + qid) mod 4 — the offline
     // ranking-eval harness (RankEval): discount ladder as µ literals,
@@ -9054,6 +9076,45 @@ object SparkEntry {
     // both engines; per-term scores summed as DECIMAL so accumulation
     // order cannot matter)
     "text_bm25_topk" -> bm25TopkOracleSql,
+
+    "text_ql_topk" ->
+      ("WITH q(query_id, qtext) AS (VALUES (0, 'spark join'), " +
+        "(1, 'table scan fast'), (2, 'window batch agg')), " +
+        "qt AS (SELECT query_id, unnest(list_distinct(list_filter(" +
+        "string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS term FROM q), " +
+        s"d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d), " +
+        "dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d), " +
+        "post AS (SELECT term, doc_id, dl, count(*) AS tf FROM dd " +
+        "WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl), " +
+        "cft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY term), " +
+        "qn AS (SELECT query_id, count(*) AS n_qc FROM qt JOIN cft USING (term) GROUP BY query_id), " +
+        "sc AS (SELECT query_id, doc_id, dl, sum(CAST(" +
+        "ln(1.0 + tf * CAST(sum_dl AS DOUBLE) / (2000.0 * cf)) " +
+        "AS DECIMAL(27,12))) AS s " +
+        "FROM post JOIN cft USING (term) JOIN qt USING (term) CROSS JOIN stats " +
+        "GROUP BY query_id, doc_id, dl), " +
+        "fin AS (SELECT query_id, doc_id, CAST(s + " +
+        "CAST(n_qc * ln(2000.0 / (dl + 2000.0)) AS DECIMAL(27,12)) AS DOUBLE) AS sim " +
+        "FROM sc JOIN qn USING (query_id)) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INTEGER) AS rank, " +
+        "doc_id, round(sim, 6) AS score " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY sim DESC, doc_id) AS rn FROM fin) WHERE rn <= 10"),
+
+    "drift_ks_doclen" ->
+      ("WITH v AS (SELECT n_chars AS _v, " +
+        "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80) AS is_a " +
+        "FROM documents), " +
+        "c AS (SELECT _v, count(CASE WHEN is_a THEN 1 END) AS ca, " +
+        "count(CASE WHEN NOT is_a THEN 1 END) AS cb FROM v GROUP BY _v), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM c), " +
+        "f AS (SELECT _v, sum(ca) OVER (ORDER BY _v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa, " +
+        "sum(cb) OVER (ORDER BY _v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb FROM c) " +
+        "SELECT n_a, n_b, CAST(max(abs(fa * n_b - fb * n_a)) AS BIGINT) AS d_num, " +
+        "CAST(CAST(max(abs(fa * n_b - fb * n_a)) AS HUGEINT) * 1000000 // " +
+        "(CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm " +
+        "FROM f CROSS JOIN t GROUP BY n_a, n_b"),
 
     // ranking eval over the SAME bm25 run CTE: graded rel =
     // (doc_id·7 + qid) mod 4, the ⌊10⁶/log₂(i+1)⌋ discount ladder as a

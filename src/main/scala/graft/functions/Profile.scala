@@ -302,4 +302,50 @@ object Profile {
         floor((col("_p") - col("_q")) * log(col("_p") / col("_q")) *
           lit(100000000d)).cast("long").as("psi_term_u8"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic over an integer-valued
+    * column (beyond-parity) — the distribution-free drift test that
+    * complements [[psiTerms]]: PSI needs a binning choice and saturates
+    * on tail mass; KS is binning-free (D = sup |F_a − F_b| over the
+    * empirical CDFs) and is THE standard two-sample location/shape test
+    * for "did doc length / score / price distribution move between
+    * snapshots".
+    *
+    * Exactness discipline: the statistic is computed DIVISION-FREE as
+    * d_num = max |c_a·n_b − c_b·n_a| over cumulative counts (pure BIGINT
+    * — products bounded by n_a·n_b; callers at trillion-row scale
+    * pre-aggregate or sample), with `ks_ppm = floor(d_num·10⁶ ÷
+    * (n_a·n_b))` derived from the exact integers, so both engines agree
+    * bit-for-bit with no floating-point CDF anywhere.
+    *
+    * Scale shape: one hash aggregate to per-(value, side) counts —
+    * the only corpus-sized stage — then cumulative sums over the
+    * DISTINCT-VALUE frame, which is value-cardinality-sized (doc
+    * lengths, prices, scores: ≤10⁵ distinct), where a single-partition
+    * window is the honest cheap plan (declared; same bounded-frame
+    * argument as the discount tables). Output: one row
+    * (n_a, n_b, d_num, ks_ppm). */
+  def ksTwoSample(tagged: DataFrame, valueCol: String,
+                  aCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tagged.groupBy(col(valueCol).as("_v"))
+      .agg(count(when(col(aCol), 1)).as("_ca"),
+        count(when(!col(aCol), 1)).as("_cb"))
+    val tot = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("_fa", sum(col("_ca")).over(w))
+      .withColumn("_fb", sum(col("_cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("_d",
+        abs(col("_fa") * col("n_b") - col("_fb") * col("n_a")))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(col("_d")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        Sampling.intDiv(col("d_num").cast("decimal(38,0)") * lit(1000000L),
+          col("n_a").cast("decimal(38,0)") *
+            col("n_b").cast("decimal(38,0)")).as("ks_ppm"))
+  }
 }

@@ -97,6 +97,66 @@ object Bm25 {
   }
 }
 
+/** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+  * SIGIR'01) — the language-modeling scorer beside [[Bm25]], and the
+  * second standard lexical ranking model a serving stack A/Bs against
+  * it: score(q,d) = Σ_{t ∈ q ∩ C} ln(1 + tf_{t,d}·T/(µ·cf_t))
+  * + |q ∩ C|·ln(µ/(dl_d + µ)), with cf_t the collection frequency,
+  * T the total token count and µ the Dirichlet prior (2000 — the
+  * published default). Query terms absent from the collection
+  * contribute nothing (declared; p(t|C) = 0 has no finite smoothing).
+  *
+  * Same scale skeleton as [[Bm25.topK]], deliberately: broadcast query
+  * set, postings restricted to query vocabulary before any aggregation,
+  * collection frequencies re-aggregate the postings frame
+  * (ReusedExchange), per-term contributions summed as DECIMAL so
+  * accumulation order cannot matter, salted two-stage top-k. The one
+  * extra frame is n_qc (per-query count of in-collection terms) —
+  * query-set-sized, broadcast. */
+object QueryLikelihood {
+
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, queryId: String, queryText: String,
+           k: Int, mu: Double = 2000.0, salts: Int = 64): DataFrame = {
+    val docToks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docToks.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    val qTerms = queries.select(col(queryId).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col(queryText))))
+        .as("term"))
+    val vocab = qTerms.select(col("term")).distinct()
+    val postings = docToks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val cfPerTerm = postings.groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"))
+    val nQc = qTerms.join(broadcast(cfPerTerm), Seq("term"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_qc"))
+    val scored = postings
+      .join(broadcast(cfPerTerm), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("_ts", log(lit(1.0) +
+        col("tf").cast("double") * col("sum_dl").cast("double") /
+          (lit(mu) * col("cf").cast("double"))).cast("decimal(27,12)"))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(sum(col("_ts")).as("_s"))
+      .join(broadcast(nQc), Seq("query_id"))
+      .withColumn("sim",
+        (col("_s") + (col("n_qc").cast("double") *
+          log(lit(mu) / (col("dl").cast("double") + lit(mu))))
+          .cast("decimal(27,12)")).cast("double"))
+      .select(col("query_id"), col("doc_id"), col("sim"))
+    Similarity.topKPerQuery(scored, "query_id", "doc_id", k, salts)
+      .withColumnRenamed("neighbor_id", "doc_id")
+      .withColumnRenamed("sim", "score")
+  }
+}
+
 /** Positional inverted-index construction (beyond-parity): the index-build
   * pipeline a serving stack runs offline — per (term, doc) postings with
   * term frequency and GAP-ENCODED positions (first absolute, then deltas),

@@ -109,4 +109,36 @@ class DriftSpec extends SparkSpec {
       }
     }
   }
+
+  private def ks(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Long) =
+    Profile.ksTwoSample(
+      (a.map((_, true)) ++ b.map((_, false))).toDF("v", "is_a"), "v", "is_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+
+  test("ksTwoSample: identical samples read exactly zero") {
+    assert(ks(Seq(1L, 2L, 3L, 3L), Seq(1L, 2L, 3L, 3L)) ===
+      ((4L, 4L, 0L, 0L)))
+  }
+
+  test("ksTwoSample: disjoint supports read the full statistic (ppm 10^6)") {
+    val (na, nb, d, ppm) = ks(Seq(1L, 2L, 3L), Seq(10L, 11L))
+    assert((na, nb) === ((3L, 2L)))
+    assert(d === 6L)       // at v=3: |3*2 - 0*3| = n_a*n_b
+    assert(ppm === 1000000L)
+  }
+
+  test("ksTwoSample: hand-checked D = 1/2 on a crossing pair") {
+    // a={1,2}, b={1,3}: CDF gap peaks at v=2 with |2*2 - 1*2| = 2 of 4
+    assert(ks(Seq(1L, 2L), Seq(1L, 3L)) === ((2L, 2L, 2L, 500000L)))
+  }
+
+  test("ksTwoSample: a location shift moves D, same-shape noise does not") {
+    val base = (1L to 1000L).map(i => (i * 7919L) % 100L)
+    val shifted = base.map(_ + 30L)
+    val (_, _, _, same) = ks(base, base)
+    val (_, _, _, moved) = ks(base, shifted)
+    assert(same === 0L)
+    assert(moved > 250000L, s"shift read only $moved ppm")
+  }
 }

@@ -178,4 +178,56 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 1L)))
   }
+
+  test("query-likelihood: only docs containing an in-collection query " +
+      "term appear; the matching doc wins") {
+    val qs = Seq((0L, "durian")).toDF("qid", "qtext")
+    val r = QueryLikelihood.topK(corpus, "doc_id", "text", qs, "qid",
+      "qtext", k = 10).select("doc_id").as[Long].collect().toSeq
+    assert(r === Seq(3L))
+  }
+
+  test("query-likelihood: Dirichlet length normalization prefers the " +
+      "shorter doc at equal tf") {
+    // docs 1 and 4 both carry tf(apple)=1; doc 4 is shorter -> higher
+    // score under the dl-penalty term
+    val qs = Seq((0L, "apple")).toDF("qid", "qtext")
+    val r = QueryLikelihood.topK(corpus, "doc_id", "text", qs, "qid",
+      "qtext", k = 10).orderBy(col("rank"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r.indexOf(4L) < r.indexOf(1L))
+    // and the tf-heavy doc 2 outranks the single-occurrence doc 1
+    assert(r.indexOf(2L) < r.indexOf(1L))
+  }
+
+  test("query-likelihood: hand-checked score on a two-doc corpus") {
+    val tiny = Seq((1L, "a b"), (2L, "a c c")).toDF("doc_id", "text")
+    val qs = Seq((0L, "a")).toDF("qid", "qtext")
+    val got = QueryLikelihood.topK(tiny, "doc_id", "text", qs, "qid",
+      "qtext", k = 10).orderBy(col("rank"))
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect()
+    val mu = 2000.0
+    def sc(tf: Double, dl: Double) = {
+      val term = BigDecimal(math.log(1.0 + tf * 5.0 / (mu * 2.0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val pen = BigDecimal(1.0 * math.log(mu / (dl + mu)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      ((term + pen).toDouble * 1e6).round / 1e6.toDouble
+    }
+    assert(got.map(_._1).toSeq === Seq(1L, 2L)) // shorter doc first
+    assert(math.abs(got(0)._2 - sc(1.0, 2.0)) < 2e-6)
+    assert(math.abs(got(1)._2 - sc(1.0, 3.0)) < 2e-6)
+  }
+
+  test("query-likelihood: out-of-collection query terms contribute " +
+      "NOTHING — scores identical with and without them") {
+    val qs = Seq((0L, "apple"), (1L, "apple zzzz qqqq")).toDF("qid", "qtext")
+    val r = QueryLikelihood.topK(corpus, "doc_id", "text", qs, "qid",
+      "qtext", k = 10)
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    val q0 = r.filter(_._1 == 0L).map(x => (x._2, x._3)).toSet
+    val q1 = r.filter(_._1 == 1L).map(x => (x._2, x._3)).toSet
+    assert(q0 === q1)
+  }
 }
