@@ -4006,6 +4006,22 @@ object SparkEntry {
         qs, "qid", "qtext", k = 10)
     }),
 
+    // rank-biased overlap between the BM25 and query-likelihood runs
+    // (p=0.9, truncated at k=10) — the top-weighted ranker-agreement
+    // measure that tells an index migration how much the two scorers
+    // actually disagree where it matters (the head), in exact integers
+    "text_rank_rbo" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark join"), (1L, "table scan fast"),
+        (2L, "window batch agg")).toDF("qid", "qtext")
+      val docs = t(s, dir, "documents")
+      Fusion.rbo(
+        Bm25.topK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10),
+        QueryLikelihood.topK(docs, "doc_id", "text", qs, "qid", "qtext",
+          k = 10),
+        "query_id", "doc_id", "rank", k = 10)
+    }),
+
     // exact two-sample KS over doc length between the two corpus
     // snapshots (stable md5 buckets <80 / >=80) — the binning-free drift
     // test beside PSI, division-free in BIGINT so both engines agree
@@ -4968,6 +4984,35 @@ object SparkEntry {
       "doc_id, round(CAST(s AS DOUBLE), 6) AS score " +
       "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
       "ORDER BY CAST(s AS DOUBLE) DESC, doc_id) AS rn FROM sc) WHERE rn <= 10"
+
+  /** Mirror of `QueryLikelihood.topK` (Dirichlet µ=2000) over the same
+    * three queries — the identical smoothing arithmetic with per-term
+    * contributions summed as DECIMAL(27,12). Shared by text_ql_topk and
+    * the RBO oracle's QL leg. */
+  private def qlTopkOracleSql: String =
+    "WITH q(query_id, qtext) AS (VALUES (0, 'spark join'), " +
+      "(1, 'table scan fast'), (2, 'window batch agg')), " +
+      "qt AS (SELECT query_id, unnest(list_distinct(list_filter(" +
+      "string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS term FROM q), " +
+      s"d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+      "stats AS (SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d), " +
+      "dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d), " +
+      "post AS (SELECT term, doc_id, dl, count(*) AS tf FROM dd " +
+      "WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl), " +
+      "cft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY term), " +
+      "qn AS (SELECT query_id, count(*) AS n_qc FROM qt JOIN cft USING (term) GROUP BY query_id), " +
+      "sc AS (SELECT query_id, doc_id, dl, sum(CAST(" +
+      "ln(1.0 + tf * CAST(sum_dl AS DOUBLE) / (2000.0 * cf)) " +
+      "AS DECIMAL(27,12))) AS s " +
+      "FROM post JOIN cft USING (term) JOIN qt USING (term) CROSS JOIN stats " +
+      "GROUP BY query_id, doc_id, dl), " +
+      "fin AS (SELECT query_id, doc_id, CAST(s + " +
+      "CAST(n_qc * ln(2000.0 / (dl + 2000.0)) AS DECIMAL(27,12)) AS DOUBLE) AS sim " +
+      "FROM sc JOIN qn USING (query_id)) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INTEGER) AS rank, " +
+      "doc_id, round(sim, 6) AS score " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY sim DESC, doc_id) AS rn FROM fin) WHERE rn <= 10"
 
   /** DuckDB tokenization of an arbitrary column (same kernel as
     * [[sqlToks]], which is pinned to `text`). */
@@ -9077,30 +9122,28 @@ object SparkEntry {
     // order cannot matter)
     "text_bm25_topk" -> bm25TopkOracleSql,
 
-    "text_ql_topk" ->
-      ("WITH q(query_id, qtext) AS (VALUES (0, 'spark join'), " +
-        "(1, 'table scan fast'), (2, 'window batch agg')), " +
-        "qt AS (SELECT query_id, unnest(list_distinct(list_filter(" +
-        "string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS term FROM q), " +
-        s"d AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
-        "stats AS (SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d), " +
-        "dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d), " +
-        "post AS (SELECT term, doc_id, dl, count(*) AS tf FROM dd " +
-        "WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl), " +
-        "cft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY term), " +
-        "qn AS (SELECT query_id, count(*) AS n_qc FROM qt JOIN cft USING (term) GROUP BY query_id), " +
-        "sc AS (SELECT query_id, doc_id, dl, sum(CAST(" +
-        "ln(1.0 + tf * CAST(sum_dl AS DOUBLE) / (2000.0 * cf)) " +
-        "AS DECIMAL(27,12))) AS s " +
-        "FROM post JOIN cft USING (term) JOIN qt USING (term) CROSS JOIN stats " +
-        "GROUP BY query_id, doc_id, dl), " +
-        "fin AS (SELECT query_id, doc_id, CAST(s + " +
-        "CAST(n_qc * ln(2000.0 / (dl + 2000.0)) AS DECIMAL(27,12)) AS DOUBLE) AS sim " +
-        "FROM sc JOIN qn USING (query_id)) " +
-        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INTEGER) AS rank, " +
-        "doc_id, round(sim, 6) AS score " +
-        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY sim DESC, doc_id) AS rn FROM fin) WHERE rn <= 10"),
+    "text_ql_topk" -> qlTopkOracleSql,
+
+    // RBO weights ×10^12 are 9^(d-1)·10^(12-d) — integral for d ≤ 12,
+    // the same exact-integer ladder convention as RRF/discountsMu
+    "text_rank_rbo" -> {
+      val ws = (1 to 10).map(d =>
+        s"($d, ${(BigInt(9).pow(d - 1) * BigInt(10).pow(12 - d)).toLong})")
+        .mkString(", ")
+      s"WITH a AS ($bm25TopkOracleSql), b AS ($qlTopkOracleSql), " +
+        "c AS (SELECT a.query_id, a.doc_id, greatest(a.rank, b.rank) AS dmin " +
+        "FROM a JOIN b USING (query_id, doc_id)), " +
+        "t AS (SELECT query_id, unnest(range(dmin, 11)) AS d FROM c), " +
+        "o AS (SELECT query_id, d, count(*) AS od FROM t GROUP BY query_id, d), " +
+        s"w(d, wn) AS (VALUES $ws), " +
+        "tm AS (SELECT query_id, CAST(sum((wn * od) // d) AS BIGINT) AS rbo_e12 " +
+        "FROM o JOIN w USING (d) GROUP BY query_id), " +
+        "n AS (SELECT query_id, count(*) AS n_common FROM c GROUP BY query_id), " +
+        "qa AS (SELECT DISTINCT query_id FROM a) " +
+        "SELECT qa.query_id, COALESCE(rbo_e12, 0) AS rbo_e12, " +
+        "CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common " +
+        "FROM qa LEFT JOIN tm USING (query_id) LEFT JOIN n USING (query_id)"
+    },
 
     "drift_ks_doclen" ->
       ("WITH v AS (SELECT n_chars AS _v, " +

@@ -307,6 +307,57 @@ object Fusion {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("rrf_e12"), col("hits"))
   }
+  /** RANK-BIASED OVERLAP between two truncated rankings (Webber, Moffat
+    * & Zobel, TOIS'10) at fixed p = 0.9 — the top-weighted similarity
+    * measure for comparing two RANKERS' outputs (BM25 vs query-
+    * likelihood, old index vs new) where Jaccard-of-sets ignores order
+    * and Kendall's τ over-weights the tail. Truncated form (depths
+    * 1..k, no extrapolation — declared): RBO_k = Σ_d (1−p)·p^{d−1}·
+    * |A_{:d} ∩ B_{:d}|/d.
+    *
+    * Exactness: with p = 9/10 the weight (1−p)p^{d−1} = 9^{d−1}/10^d,
+    * so each term ×10¹² is ⌊9^{d−1}·10^{12−d}·o_d / d⌋ — pure BIGINT
+    * floor division (k ≤ 12 keeps the numerator integral), summed
+    * per query; both engines agree bit-for-bit (the RRF/discountsMu
+    * convention). A common doc at ranks (ra, rb) contributes to every
+    * depth ≥ max(ra, rb) — one small explode over the k-bounded
+    * overlap frame, never the corpus.
+    *
+    * Inputs carry (queryId, rankCol, docId), ranks from 1; both are
+    * top-k frames (|queries|·k rows). Output: (query_id, rbo_e12,
+    * n_common) with zero rows preserved for overlap-free queries. */
+  def rbo(a: DataFrame, b: DataFrame, queryId: String, docId: String,
+          rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 12, s"k must be in [1,12] for exact weights: $k")
+    def leg(df: DataFrame, r: String) =
+      df.select(col(queryId).as("query_id"), col(docId).as("doc_id"),
+        col(rankCol).cast("long").as(r)).filter(col(r) <= k)
+    val common = leg(a, "_ra").join(leg(b, "_rb"), Seq("query_id", "doc_id"))
+      .withColumn("_dmin", greatest(col("_ra"), col("_rb")).cast("int"))
+    val wnum = (1 to k).map(d =>
+      d.toLong -> (BigInt(9).pow(d - 1) * BigInt(10).pow(12 - d)).toLong)
+    val wmap = map(wnum.flatMap { case (d, w) =>
+      Seq(lit(d), lit(w)) }: _*)
+    val terms = common
+      .select(col("query_id"),
+        explode(sequence(col("_dmin"), lit(k))).as("_d"))
+      .groupBy(col("query_id"), col("_d"))
+      .agg(count(lit(1)).as("_od"))
+      // double-floor division is exact here (the RRF argument): the
+      // numerator is < 2^44, so a non-exact quotient sits ≥ 1/d ≫ ulp
+      // from any integer and floor agrees with BIGINT `//`
+      .withColumn("_term",
+        floor(element_at(wmap, col("_d").cast("long")) * col("_od") /
+          col("_d")).cast("long"))
+      .groupBy(col("query_id")).agg(sum(col("_term")).as("rbo_e12"))
+    leg(a, "_ra").select(col("query_id")).distinct()
+      .join(terms, Seq("query_id"), "left")
+      .join(common.groupBy(col("query_id")).agg(count(lit(1)).as("n_common")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rbo_e12"), lit(0L)).as("rbo_e12"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
 }
 
 /** Offline ranking-quality evaluation (NDCG@k / MRR / precision@k) for the

@@ -47,4 +47,42 @@ class FusionSpec extends SparkSpec {
       Fusion.rrf(Seq(a), "query_id", "doc_id", "rank", k = 10)
     }
   }
+
+  private def rboOf(a: Seq[(Long, Int, Long)], b: Seq[(Long, Int, Long)],
+                    k: Int): Map[Long, (Long, Long)] =
+    Fusion.rbo(a.toDF("query_id", "rank", "doc_id"),
+        b.toDF("query_id", "rank", "doc_id"),
+        "query_id", "doc_id", "rank", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("rbo: identical top-10 rankings read exactly 1 - 0.9^10") {
+    val run = (1 to 10).map(r => (0L, r, 100L + r))
+    // sum_d 9^(d-1) 10^(12-d) = 10^12 (1 - 0.9^10), an exact integer
+    assert(rboOf(run, run, 10) === Map(0L -> ((651321559900L, 10L))))
+  }
+
+  test("rbo: disjoint rankings read zero and keep the query row") {
+    val a = (1 to 3).map(r => (0L, r, 10L + r))
+    val b = (1 to 3).map(r => (0L, r, 90L + r))
+    assert(rboOf(a, b, 10) === Map(0L -> ((0L, 0L))))
+  }
+
+  test("rbo: hand-checked k=2 with one shared doc at depth 2") {
+    // a = [x, y], b = [z, y]: overlap 0 at depth 1, {y} at depth 2
+    // term = floor(9^1 * 10^10 * 1 / 2) = 45e9
+    val a = Seq((0L, 1, 1L), (0L, 2, 2L))
+    val b = Seq((0L, 1, 3L), (0L, 2, 2L))
+    assert(rboOf(a, b, 2) === Map(0L -> ((45000000000L, 1L))))
+  }
+
+  test("rbo: top-weighting — agreement at rank 1 outscores the same " +
+      "agreement buried at rank k") {
+    val a = (1 to 5).map(r => (0L, r, 10L + r))
+    val bHead = Seq((0L, 1, 11L)) ++ (2 to 5).map(r => (0L, r, 90L + r))
+    val bTail = (1 to 4).map(r => (0L, r, 90L + r)) :+ ((0L, 5, 15L))
+    val head = rboOf(a, bHead, 5)(0L)._1
+    val tail = rboOf(a, bTail, 5)(0L)._1
+    assert(head > tail * 3, s"head $head vs tail $tail")
+  }
 }
