@@ -81,6 +81,20 @@ object Kmv {
                k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     slice(array_sort(array_distinct(concat(a, b))), lit(1), k)
 
+  /** Persist a [[sketch]] frame as a parquet artifact — the
+    * train-once / serve-everywhere split ([[Hll.writeSketch]]'s
+    * pattern): sketch the corpus once, downstream overlap/estimate jobs
+    * read the k-sized artifact with no corpus dependency, and a grown
+    * corpus folds in via [[mergeCol]] on per-shard artifacts (lossless —
+    * the KmvSpec merge law) instead of a rescan. */
+  def writeSketches(sketches: DataFrame, path: String): Unit =
+    sketches.write.mode("overwrite").parquet(path)
+
+  /** Read a sketch artifact back ([[writeSketches]]' inverse). */
+  def readSketches(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Pairwise source-overlap estimates from one [[sketch]] frame keyed
     * by a single `groupCol`: for every unordered group pair (a < b),
     * the union estimate, the intersection estimate and a Jaccard in ppm

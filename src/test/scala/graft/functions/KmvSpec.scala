@@ -74,4 +74,22 @@ class KmvSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head
     assert(got === ((30L, 30L, 30L, 1000000L)))
   }
+
+  test("artifact round-trip: write -> read -> estimates and merges are " +
+      "byte-identical to the in-memory sketch") {
+    val df = (terms("a", 3000, "x") ++ terms("b", 500, "y")).toDF("g", "term")
+    val sk = Kmv.sketch(df, "term", Seq("g"), 128)
+    val dir = java.nio.file.Files.createTempDirectory("kmv_artifact")
+      .toString
+    Kmv.writeSketches(sk, dir)
+    val back = Kmv.readSketches(spark, dir)
+    val a = sk.orderBy("g").select("g", "kmv", "k")
+      .as[(String, Seq[Long], Int)].collect().toSeq
+    val b = back.orderBy("g").select("g", "kmv", "k")
+      .as[(String, Seq[Long], Int)].collect().toSeq
+    assert(a === b)
+    val estA = Kmv.estimate(sk, Seq("g")).as[(String, Long)].collect().toMap
+    val estB = Kmv.estimate(back, Seq("g")).as[(String, Long)].collect().toMap
+    assert(estA === estB)
+  }
 }
