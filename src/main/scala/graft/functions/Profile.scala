@@ -75,12 +75,14 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol).cast("long")
-    val base = df.select(v.as("_v")).filter(col("_v").isNotNull)
+    val base = bisectBase(df.select(v.as("_v")).filter(col("_v").isNotNull))
     val head = base.agg(count(lit(1)), min(col("_v")), max(col("_v")))
       .collect()(0)
     val n = head.getLong(0)
-    if (n == 0) return Seq.empty[(Long, Long, Long)]
-      .toDF("q_ppm", "k", "value")
+    if (n == 0) {
+      base.unpersist(false)
+      return Seq.empty[(Long, Long, Long)].toDF("q_ppm", "k", "value")
+    }
     val ks = qsPpm.map(q => kOf(q, n))
     val lo = Array.fill(qsPpm.size)(head.getLong(1))
     val hi = Array.fill(qsPpm.size)(head.getLong(2))
@@ -103,9 +105,23 @@ object Profile {
         narrow(lo, hi, i, ps, cs, ks(i))
       }
     }
+    base.unpersist(false)
     qsPpm.indices.map(i => (qsPpm(i), ks(i), lo(i)))
       .toDF("q_ppm", "k", "value")
       .orderBy(col("q_ppm"))
+  }
+
+  /** Shared bisect-base prep: persist the narrow projection so the
+    * ~log_Fanout(range) probe rounds re-scan a columnar cache instead of
+    * recomputing the caller's upstream per round, and fan a
+    * single-partition input out across the session's cores first
+    * (optimization guide §2.5 — the single-row-group fixture case plans
+    * every probe scan as ONE task otherwise; round-robin is safe, every
+    * consumer is an order-free conditional count). */
+  private def bisectBase(proj: DataFrame): DataFrame = {
+    val cores = proj.sparkSession.sparkContext.defaultParallelism
+    (if (proj.rdd.getNumPartitions * 2 < cores) proj.repartition(cores)
+     else proj).persist()
   }
 
   /** k = max(1, ⌈q·n/10⁶⌉) in overflow-safe arithmetic: q·n exceeds a
@@ -136,9 +152,16 @@ object Profile {
     require(valueCols.nonEmpty, "need at least one value column")
     require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
       s"quantiles must be in (0, 1] ppm: $qsPpm")
-    val base = df
-      .select(valueCols.map(c => col(c).cast("long").as(c)): _*)
-      .persist()
+    // the projected base is scanned once per bisection round (~5–10
+    // times); when the input plans fewer splits than the session's cores
+    // (the single-row-group fixture case — or any caller handing over a
+    // one-partition aggregate), fan the NARROW long projection out once
+    // so every probe scan runs on all cores instead of one (optimization
+    // guide §2.5; measured 1-task 600k-row probe scans before this).
+    // Round-robin is fine here: the frame is value-only and every
+    // consumer is an order-free conditional count.
+    val base = bisectBase(
+      df.select(valueCols.map(c => col(c).cast("long").as(c)): _*))
     try {
       val headAggs = valueCols.flatMap(c =>
         Seq(count(col(c)), min(col(c)), max(col(c))))
@@ -218,9 +241,10 @@ object Profile {
       s"quantiles must be in (0, 1] ppm: $qsPpm")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(groupCol).cast("string").as("_g"),
-        col(valueCol).cast("long").as("_v"))
-      .filter(col("_g").isNotNull && col("_v").isNotNull)
+    val base = bisectBase(
+      df.select(col(groupCol).cast("string").as("_g"),
+          col(valueCol).cast("long").as("_v"))
+        .filter(col("_g").isNotNull && col("_v").isNotNull))
     val heads = base.groupBy(col("_g"))
       .agg(count(lit(1)), min(col("_v")), max(col("_v")))
       .collect()
@@ -254,6 +278,7 @@ object Profile {
         }
       }
     }
+    base.unpersist(false)
     brackets.map(b => (b.g, b.qPpm, b.k, b.lo))
       .toDF(groupCol, "q_ppm", "k", "value")
       .orderBy(col(groupCol), col("q_ppm"))
