@@ -1002,6 +1002,19 @@ object Similarity {
       .withColumn("_r", row_number().over(wNode))
       .filter(col("_r") <= bk).drop("_r")
 
+    // pair dedup as a per-node set aggregate, NOT `.distinct()`: the
+    // same pairs survive (set semantics per node), but the frame comes
+    // out hash-partitioned by `node` — the partitioning the `score`
+    // broadcast joins preserve and the top-k window needs — so each
+    // round runs ONE exchange (here) instead of two (pair-wise distinct
+    // + window repartition). Set size is bounded by the round invariant
+    // (≤ 4·buildK² candidates per node), so the per-node array is safe
+    // at any corpus size. Candidate order inside the set is irrelevant:
+    // the window's (sim DESC, nbr ASC) order is total.
+    def dedupByNode(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("node")).agg(collect_set(col("nbr")).as("_cs"))
+      .select(col("node"), explode(col("_cs")).as("nbr"))
+
     def windowLinks(bucketCol: String): DataFrame = {
       val wBucket = Window.partitionBy(col(bucketCol))
         .orderBy(Dedup.Md5Hasher(col("_nid").cast("string")), col("_nid"))
@@ -1014,9 +1027,8 @@ object Similarity {
         .select(col("_nid").as("node"), col("_nid2").as("nbr"))
     }
     val fwd = windowLinks("_bucket").unionByName(windowLinks("_bucket2"))
-    val initPairs = fwd
-      .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr")))
-      .distinct()
+    val initPairs = dedupByNode(fwd
+      .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr"))))
 
     var g = Frames.truncate(topK(score(initPairs)))
     (1 to rounds).foreach { _ =>
@@ -1024,13 +1036,19 @@ object Similarity {
         .withColumn("_r", row_number().over(Window.partitionBy(col("node"))
           .orderBy(Dedup.Md5Hasher(col("nbr").cast("string")), col("nbr"))))
         .filter(col("_r") <= bk).drop("_r")
-      val rel = g.select(col("node"), col("nbr")).unionByName(rev).distinct()
+      // rel deduped by node: the neighbor-of-neighbor join reads rel
+      // twice — keyed by `node` (as _mid, build side) and by `_mid` —
+      // and the node-partitioned form feeds the second read without a
+      // fresh exchange
+      val rel = dedupByNode(
+        g.select(col("node"), col("nbr")).unionByName(rev))
       val non = rel.select(col("node"), col("nbr").as("_mid"))
         .join(rel.select(col("node").as("_mid"), col("nbr").as("_cand")),
           Seq("_mid"))
         .filter(col("node") =!= col("_cand"))
         .select(col("node"), col("_cand").as("nbr"))
-      val cand = non.unionByName(g.select(col("node"), col("nbr"))).distinct()
+      val cand = dedupByNode(
+        non.unionByName(g.select(col("node"), col("nbr"))))
       val next = Frames.truncate(topK(score(cand)))
       Frames.release(g) // checkpoint blocks — Dataset.unpersist is a no-op
       g = next
@@ -1201,6 +1219,14 @@ object Similarity {
       .withColumn("rank", row_number().over(wNode))
       .filter(col("rank") <= bk)
 
+    // per-node set dedup instead of pair-wise distinct — same pairs,
+    // but the output is hash-partitioned by `node` so the broadcast
+    // score joins and the rank window run without a second exchange
+    // (the [[nnDescentGraph]] round rewrite, applied to the ball)
+    def dedupByNode(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("node")).agg(collect_set(col("nbr")).as("_cs"))
+      .select(col("node"), explode(col("_cs")).as("nbr"))
+
     // rebuild-identical init links, kept only where a new node is touched
     def windowLinks(bucketCol: String): DataFrame = {
       val wBucket = Window.partitionBy(col(bucketCol))
@@ -1216,9 +1242,8 @@ object Similarity {
         .select(col("_nid").as("node"), col("_nid2").as("nbr"))
     }
     val fwd = windowLinks("_bucket").unionByName(windowLinks("_bucket2"))
-    val seed = fwd
-      .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr")))
-      .distinct()
+    val seed = dedupByNode(fwd
+      .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr"))))
 
     val gOld = graph.select(col("node_id").as("node"),
       col("neighbor_id").as("nbr"), col("sim"), col("rank"))
@@ -1234,7 +1259,7 @@ object Similarity {
       val outBall = g.join(aff, Seq("node"), "left_anti")
         .select(col("node"), col("nbr"), col("sim"), col("rank"))
       Frames.truncate(
-        topKRanked(score(cand.unionByName(inBallEdges).distinct()))
+        topKRanked(score(dedupByNode(cand.unionByName(inBallEdges))))
           .unionByName(outBall))
     }
     var g = splice(gOld, affected, seed)
@@ -1253,7 +1278,8 @@ object Similarity {
         .withColumn("_r", row_number().over(Window.partitionBy(col("node"))
           .orderBy(Dedup.Md5Hasher(col("nbr").cast("string")), col("nbr"))))
         .filter(col("_r") <= bk).drop("_r")
-      val rel = g.select(col("node"), col("nbr")).unionByName(rev).distinct()
+      val rel = dedupByNode(
+        g.select(col("node"), col("nbr")).unionByName(rev))
       val non = rel.join(nextAffected, Seq("node"), "left_semi")
         .select(col("node"), col("nbr").as("_mid"))
         .join(rel.select(col("node").as("_mid"), col("nbr").as("_cand")),
