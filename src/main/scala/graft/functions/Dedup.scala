@@ -1028,23 +1028,36 @@ object Dedup {
     var converged = false
     var round = 0
     while (round < iters && !converged) {
-      // large-star: every neighbor LARGER than u links to u's minimum
+      // large-star: every neighbor LARGER than u links to u's minimum.
+      // ONE explicit repartition(u) feeds both consumers — the min
+      // aggregate (no further exchange) and the v>u join side (filter
+      // preserves partitioning; identical exchange subtree, so Spark
+      // plans a ReusedExchange instead of shuffling nbrs twice).
       val nbrs = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val minOf = nbrs.groupBy(col("u"))
         .agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      // dedup as a per-node set aggregate, not `.distinct()` (the
+      // NN-descent round rewrite): same edge set, but the frame comes
+      // out hash-partitioned by the NEW u — exactly the key the
+      // small-star aggregate and join below group on, so neither needs
+      // an exchange of its own
       val large = nbrs.filter(col("v") > col("u"))
         .join(minOf, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      // small-star: every neighbor SMALLER than u (all of them, after the
-      // large-star orientation) links to u's minimum, and u links there too
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u")).agg(collect_set(col("v")).as("_vs"))
+        .select(col("u"), explode(col("_vs")).as("v"))
+      // small-star: every neighbor SMALLER than u (all of them, after
+      // the large-star orientation) links to u's minimum, and u links
+      // there too — both emissions from ONE join via a 2-element
+      // explode, where two unioned projections would run the join twice
       val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = large.join(minS, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(large.select(col("u"), col("v")).join(minS, Seq("u"))
-          .select(col("u"), col("m").as("v")))
+        .select(explode(array(col("v"), col("u"))).as("u"),
+          col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
         .transform(Frames.truncate)
       val nextSig = signature(small)
