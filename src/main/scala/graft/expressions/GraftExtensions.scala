@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftNormalize(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[GraftShingles].getName, "graft_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "graft_shingles takes exactly 3 arguments (text, n, distinct)")
+        GraftShingles(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hll_regs"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_regs"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

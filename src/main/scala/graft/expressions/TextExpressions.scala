@@ -65,3 +65,122 @@ case class GraftNormalize(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_normalize"
 }
+
+/** `graft_shingles(text, n, distinct)` — the tokenize → n-gram →
+  * (optionally) first-occurrence-dedup kernel behind
+  * `TextFunctions.wordShingles` / `wordNgrams`, as ONE native per-row
+  * expression. The composed form
+  * (`array_distinct(filter(zip_with(zip_with(filter(split(lower(...`)
+  * evaluates its higher-order lambdas per ELEMENT through the
+  * interpreted HOF machinery and re-tokenizes per reference in the
+  * zip_with fold — profiled as the single hottest CPU kernel of the
+  * bench (the minhash/jaccard stage spent ~55 s of task CPU at sf0.1,
+  * dominated by shingling, not hashing). This expression makes the same
+  * values in one compiled pass per row (the `graft_hilbert` precedent:
+  * hot per-row HOF folds become native expressions when they top the
+  * bench).
+  *
+  * SEMANTIC TWIN CONTRACT (spec-pinned in `ShinglesExprSpec` against the
+  * composed form on randomized unicode inputs): tokens are
+  * `filter(split(lower(text), "\\s+"), length > 0)` — the SAME
+  * UTF8String.toLowerCase and java.util.regex split the built-ins use —
+  * windows of `n` consecutive tokens joined by one space, in order;
+  * `distinct = true` keeps first occurrences only (array_distinct
+  * semantics). `< n` tokens ⇒ empty array; null text ⇒ null. */
+case class GraftShingles(first: Expression, second: Expression,
+                         third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  private def textExpr: Expression = first
+  private def nExpr: Expression = second
+  private def distinctExpr: Expression = third
+
+  private lazy val n: Int = nExpr.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case _ => -1
+  }
+  private lazy val dedup: Boolean = distinctExpr.eval() match {
+    case b: Boolean => b
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (textExpr.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects a STRING, got ${textExpr.dataType.sql}")
+    else if (!nExpr.foldable ||
+        !Seq[DataType](org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(nExpr.dataType) ||
+        n < 1)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_shingles n must be an integer literal >= 1")
+    else if (!distinctExpr.foldable ||
+        distinctExpr.dataType != org.apache.spark.sql.types.BooleanType)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_shingles distinct must be a boolean literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(text: Any, nIn: Any, dIn: Any): Any =
+    GraftShingles.compute(text.asInstanceOf[UTF8String], n, dedup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _, _) => {
+      s"""${ev.value} = graft.expressions.GraftShingles.compute(
+         |  $t, $n, $dedup);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): GraftShingles =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+object GraftShingles {
+  // the exact pattern the composed form compiles inside StringSplit
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** One pass: lowercase (UTF8String.toLowerCase — the Lower built-in's
+    * own kernel), regex-split, drop empties, join each n-window on one
+    * space, optional first-occurrence dedup. Mirrors the byte-level
+    * round-trips of the composed chain (split stringifies for the regex
+    * exactly as UTF8String.split does). */
+  def compute(text: UTF8String, n: Int, distinct: Boolean):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val parts = ws.split(text.toLowerCase.toString, -1)
+    var m = 0
+    var i = 0
+    while (i < parts.length) {        // compact non-empty tokens in place
+      if (parts(i).nonEmpty) { parts(m) = parts(i); m += 1 }
+      i += 1
+    }
+    val nOut = m - n + 1
+    if (nOut <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val out = new java.util.ArrayList[Any](nOut)
+    val seen = if (distinct) new java.util.HashSet[String](nOut * 2) else null
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < nOut) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(parts(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen == null || seen.add(s)) out.add(UTF8String.fromString(s))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}

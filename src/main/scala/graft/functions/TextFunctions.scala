@@ -474,13 +474,27 @@ object TextFunctions {
     filter(joined, x => x.isNotNull)
   }
 
-  /** Word n-gram shingles (distinct, for Jaccard / MinHash). */
+  /** Word n-gram shingles (distinct, for Jaccard / MinHash). Dispatches
+    * to the native `graft_shingles` expression — one compiled pass per
+    * row; the composed HOF chain above profiled as the hottest CPU
+    * kernel of the bench (~55 s of task CPU inside one sf0.1 minhash
+    * query), dominated by per-element interpreted lambda evaluation.
+    * `ShinglesExprSpec` pins value equality against the composed form. */
   def wordShingles(text: Column, n: Int): Column =
-    shinglesOf(tokens(text), n, " ")
+    call_function("graft_shingles", text, lit(n), lit(true))
 
   /** Word n-grams WITH multiplicity, in order — the repetition-analysis
-    * input (a doc repeating one phrase must count it every time). */
+    * input (a doc repeating one phrase must count it every time). Native
+    * kernel, same twin contract as [[wordShingles]]. */
   def wordNgrams(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n), lit(false))
+
+  /** The composed-HOF twins of [[wordShingles]]/[[wordNgrams]] — kept as
+    * the executable SEMANTIC SPEC of the native kernel (ShinglesExprSpec
+    * asserts value equality on randomized unicode corpora). */
+  private[graft] def wordShinglesComposed(text: Column, n: Int): Column =
+    shinglesOf(tokens(text), n, " ")
+  private[graft] def wordNgramsComposed(text: Column, n: Int): Column =
     allShinglesOf(tokens(text), n, " ")
 
   /** Same, over an already-materialized token array — for callers that
