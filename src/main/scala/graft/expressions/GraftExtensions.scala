@@ -61,6 +61,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftShingles(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_md5long"),
+      new ExpressionInfo(classOf[GraftMd5Long].getName, "graft_md5long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          "graft_md5long takes exactly 1 argument (str)")
+        GraftMd5Long(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashAgg].getName, "graft_minhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "graft_minhash takes exactly 3 arguments (hash64, k, md5lcg)")
+        MinhashAgg(children.head, children(1), children(2))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hll_regs"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_regs"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -184,3 +184,61 @@ object GraftShingles {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }
+
+/** `graft_md5long(str)` — the md5-prefix 60-bit long
+  * (`Dedup.Md5Hasher.md5Long`) as ONE native expression:
+  * `(('0x'||hex[1..7])::LONG << 32) | ('0x'||hex[9..16])::LONG`
+  * computed straight from the digest bytes — no hex string, no
+  * substring, no base-16 parse, and the MessageDigest is reused per
+  * thread (the built-in `md5` allocates one per row via
+  * commons-codec). Value-identical to the composed form by bit
+  * arithmetic: hex chars 1–7 are bytes 0–2 plus the high nibble of
+  * byte 3; hex chars 9–16 are bytes 4–7 unsigned.
+  * `Md5LongExprSpec` pins equality against the composed built-ins.
+  * Null in ⇒ null out. */
+case class GraftMd5Long(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_md5long expects a STRING, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftMd5Long.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expressions.GraftMd5Long.compute($s);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftMd5Long = copy(child = newChild)
+
+  override def prettyName: String = "graft_md5long"
+}
+
+object GraftMd5Long {
+  private val digests =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def compute(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    // hex[0..6] = b0, b1, b2, high nibble of b3 (28 bits)
+    val hi = ((b(0) & 0xFFL) << 20) | ((b(1) & 0xFFL) << 12) |
+      ((b(2) & 0xFFL) << 4) | ((b(3) & 0xFFL) >>> 4)
+    // hex[8..15] = b4..b7 as an unsigned 32-bit value
+    val lo = ((b(4) & 0xFFL) << 24) | ((b(5) & 0xFFL) << 16) |
+      ((b(6) & 0xFFL) << 8) | (b(7) & 0xFFL)
+    (hi << 32) | lo
+  }
+}

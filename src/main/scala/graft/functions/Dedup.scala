@@ -46,8 +46,18 @@ object Dedup {
       * The 7-hex-char high half keeps every intermediate under 2^60, so
       * neither ANSI Spark nor BIGINT engines can overflow. SQL twin:
       * `(('0x'||substring(md5(s),1,7))::BIGINT << 32) |
-      *  ('0x'||substring(md5(s),9,8))::BIGINT`. Always non-negative. */
+      *  ('0x'||substring(md5(s),9,8))::BIGINT`. Always non-negative.
+      * Dispatches to the native `graft_md5long` expression — straight
+      * from digest bytes with a per-thread MessageDigest, where the
+      * composed form paid a per-row MessageDigest allocation + hex
+      * string + substring + base-16 parse (`Md5LongExprSpec` pins value
+      * equality against the composed built-ins). */
     private def md5Long(s: Column): Column =
+      call_function("graft_md5long", s)
+
+    /** The composed-builtin twin — the executable spec the native
+      * kernel is pinned against. */
+    private[graft] def md5LongComposed(s: Column): Column =
       shiftleft(conv(substring(md5(s), 1, 7), 16, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
     /** Multi-arg form concatenates the operands' canonical string forms on
@@ -357,6 +367,27 @@ object Dedup {
     * Docs with empty shingle sets produce no row (explode drops them). */
   def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: String,
                         k: Int, hasher: Hasher = XxHasher): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(col(shingleCol)).as("_sh"))
+      .select(col(idCol), hasher(col("_sh")).as("_h"))
+    // ONE imperative aggregate (native graft_minhash), not k min()
+    // columns: the 64-function frame plan runs its update outside
+    // whole-stage codegen (method-size fallback → 64 interpreted evals
+    // per row, profiled ~20 s task CPU at sf0.1) and ships a 64-column
+    // buffer; the imperative buffer is one long[k] with a compiled
+    // loop. Families bit-pinned against the frame form in
+    // MinhashAggSpec; [[minhashSignaturesComposed]] stays as the
+    // executable spec.
+    hashed.groupBy(col(idCol))
+      .agg(call_function("graft_minhash", col("_h"), lit(k),
+        lit(hasher eq Md5Hasher)).as("sig"))
+  }
+
+  /** The k-min-columns frame formulation — the executable spec
+    * [[minhashSignatures]]' native aggregate is pinned against. */
+  private[graft] def minhashSignaturesComposed(
+      docs: DataFrame, idCol: String, shingleCol: String,
+      k: Int, hasher: Hasher = XxHasher): DataFrame = {
     val hashed = docs
       .select(col(idCol), explode(col(shingleCol)).as("_sh"))
       .select(col(idCol), hasher(col("_sh")).as("_h"))
