@@ -14,6 +14,12 @@ Test / fork := true
 // sequentially so conf tweaks/table names can't race across suites
 Test / parallelExecution := false
 run / fork := true
+// Forked run output must reach stdout UNDECORATED: sbt's default logger
+// prepends "[info] " to every forked line, which corrupts the one-line
+// JSON contract Bench prints last (a downstream parser matching a line
+// starting with '{' never sees it). StdoutOutput pipes the child's
+// stdout/stderr straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
