@@ -69,12 +69,37 @@ object SparkEntry {
     * probe batch). */
   private val fanOutKey =
     Map("documents" -> "doc_id", "events" -> "event_id")
+  /** Fan-out A/B switch (off|auto) and the data-relative partition
+    * quantum: the fan target is `inputBytes / quantum`, capped at the
+    * session's cores — so the task count scales with the DATA, never
+    * with the box alone, and a tiny probe input (sf0.001/sf0.01) stops
+    * producing `cores` near-empty partitions whose scheduling overhead
+    * exceeds their work. 16 KiB of compressed text per task ≈ 250 docs
+    * ≈ 100s of ms of shingle/token kernel work — enough to amortize a
+    * task launch many times over; at a §6-compliant production layout
+    * (≥128 MB files/row groups) the scan already plans ≥ cores splits
+    * and the whole guard is the identity. */
+  private val fanOutMode = sys.env.getOrElse("SPARK_GRAFT_FANOUT", "auto")
+  private val fanQuantumBytes =
+    sys.env.getOrElse("SPARK_GRAFT_FAN_QUANTUM_BYTES", "16384").toLong
   private def tFan(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(s, dir, name)
+    if (fanOutMode == "off") return df
     val cores = s.sparkContext.defaultParallelism
     fanOutKey.get(name) match {
+      // split probe caveat: getNumPartitions counts planned byte-range
+      // splits, not effective parallelism — a single-row-group file can
+      // still plan many splits with every row in one of them; good
+      // enough here because the fixtures are single-file tables.
       case Some(key) if df.rdd.getNumPartitions * 2 < cores =>
-        df.repartition(cores, col(key))
+        // logical stats = file bytes for a bare parquet scan (cheap, no
+        // job); clamp target to [1, cores] by data size
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = (bytes / fanQuantumBytes)
+          .min(BigInt(cores)).max(BigInt(1)).toInt
+        if (target > df.rdd.getNumPartitions * 2)
+          df.repartition(target, col(key))
+        else df
       case _ => df
     }
   }
@@ -93,13 +118,15 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     EventStream.normalizeTs(t(s, dir, "events"))
 
-  /** [[events]] over a fanned-out scan ([[tFan]]) — for the heavy
-    * per-user analytics (multi-window RFM, resampling) whose per-row and
-    * per-user kernels dominate; trivial event aggregates keep the plain
-    * single-task scan, where the fan-out exchange costs more than it
-    * saves (same measured policy as the documents split). */
-  private def eventsFan(s: SparkSession, dir: String): DataFrame =
-    EventStream.normalizeTs(tFan(s, dir, "events"))
+  // NOTE (r15): the former `eventsFan` helper is gone. Its three call
+  // sites (events_rfm, events_resample, events_robust_anomaly) each
+  // BEGIN with a groupBy whose built-in aggregates do partial map-side
+  // aggregation — fanning the scan first shipped raw event rows across
+  // an exchange that the partial aggregate would have collapsed to a
+  // per-group row (§2.3 "aggregate before you shuffle", the same
+  // measured reason the lineitem/orders scans never fanned: q9 1.2→2.2).
+  // Both r14 driver artifacts read events_rfm slower fanned (18.3 s @32c,
+  // 4.4 s @8c vs 2.70 s unfanned in r13).
 
   /** Driver-compat final projection. The harness compare sorts rows via
     * pandas (which cannot hash array cells) and hashes DECIMAL differently
@@ -490,18 +517,32 @@ object SparkEntry {
         col("l_partkey"))
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("p_brand"))
-    a.as("x").join(a.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_linenumber") < col("y.l_linenumber"))
-      .filter(col("x.l_quantity") =!= col("y.l_quantity") &&
-        col("x.p_brand") =!= col("y.p_brand"))
-      .select(col("x.l_orderkey").as("prompt"),
-        when(col("x.l_quantity") > col("y.l_quantity"), col("x.p_brand"))
-          .otherwise(col("y.p_brand")).as("w"),
-        when(col("x.l_quantity") > col("y.l_quantity"), col("y.p_brand"))
-          .otherwise(col("x.p_brand")).as("l"))
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber").as("ln"), col("l_quantity").as("q"),
+          col("p_brand").as("b")).as("_m"))
+    // in-bucket pair emission (the lshCandidates shape, §2.4): ONE
+    // exchange groups an order's lines (≤ 7 per the TPC-H generator —
+    // bounded, so the per-group list is skew-free), then ordered pairs
+    // explode in place — where the former self-join scanned+joined `a`
+    // twice and paid two sorts for its sort-merge. sort_array orders by
+    // ln first (lexicographic struct compare), so pairing index i with
+    // the strictly-later slice reproduces exactly the x.ln < y.ln
+    // orientation; equal-ln pairs are filtered exactly as the old strict
+    // inequality did.
+    a.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("_m"))).as("_ms"))
+      .select(col("l_orderkey"),
+        posexplode(col("_ms")).as(Seq("_i", "_x")), col("_ms"))
+      .select(col("l_orderkey"), col("_x"),
+        explode(slice(col("_ms"), col("_i") + lit(2), size(col("_ms"))))
+          .as("_y"))
+      .filter(col("_x.ln") < col("_y.ln") &&
+        col("_x.q") =!= col("_y.q") && col("_x.b") =!= col("_y.b"))
+      .select(col("l_orderkey").as("prompt"),
+        when(col("_x.q") > col("_y.q"), col("_x.b"))
+          .otherwise(col("_y.b")).as("w"),
+        when(col("_x.q") > col("_y.q"), col("_y.b"))
+          .otherwise(col("_x.b")).as("l"))
   }
 
   /** DuckDB-side whitespace tokenization identical to TextFunctions.tokens. */
@@ -2177,7 +2218,7 @@ object SparkEntry {
     // from the sort-free lock-step bisection over the integer metrics —
     // no percentile aggregate, no global ntile window; ties share buckets
     "events_rfm" -> ((s, dir) =>
-      EventAnalytics.rfmSegments(eventsFan(s, dir), "user_id",
+      EventAnalytics.rfmSegments(events(s, dir), "user_id",
         unix_micros(col("ts")), col("value"),
         col("event_type") === "purchase")),
 
@@ -2296,12 +2337,20 @@ object SparkEntry {
         .filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("community"))
         .agg(count(lit(1)).as("e_in"))
-      val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
-        .join(comm, Seq("id"))
-        .groupBy(col("community")).agg(count(lit(1)).as("d_sum"))
-      val nNodes = comm.groupBy(col("community"))
-        .agg(count(lit(1)).as("n_nodes"))
-      val cells = nNodes.join(deg, Seq("community"))
+      // aggregate-then-join (§2.3): per-node degree collapses the 2|E|
+      // exploded endpoints to |V| rows BEFORE the community join (the
+      // old shape shipped every endpoint row through the join), and one
+      // |V|-sized pass then yields n_nodes AND d_sum in a single
+      // aggregation — the separate nNodes exchange drops out. Every comm
+      // node has >= 1 edge (comm labels exactly the pair endpoints), so
+      // the left join's coalesce(0) branch is unreachable and the old
+      // inner-join semantics are preserved.
+      val nodeDeg = und.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("_deg"))
+      val cells = comm.join(nodeDeg, Seq("id"), "left")
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("_deg"), lit(0L))).as("d_sum"))
         .join(eIn, Seq("community"), "left")
         .crossJoin(broadcast(mm))
         .select(col("community"), col("n_nodes"),
@@ -4376,7 +4425,7 @@ object SparkEntry {
     // flag |x − med| > 3·MAD; counts frame sealed once so the bisect
     // rounds never rescan raw events
     "events_robust_anomaly" -> ((s, dir) => {
-      val cnts = eventsFan(s, dir)
+      val cnts = events(s, dir)
         .groupBy(col("event_type"),
           date_trunc("day", col("ts")).cast("date").as("day"))
         .agg(count(lit(1)).as("n_events"))
@@ -4836,7 +4885,7 @@ object SparkEntry {
     // gap-filled hourly resample with zero-fill + forward-filled mean;
     // the hour spine generates per user from (min, max) — no driver calendar
     "events_resample" -> ((s, dir) => driverSafe(
-      EventAnalytics.resampleHourly(eventsFan(s, dir), "user_id",
+      EventAnalytics.resampleHourly(events(s, dir), "user_id",
         unix_micros(col("ts")), col("value")))),
 
     // a REAL streaming drain (file source → watermark → update-mode memory

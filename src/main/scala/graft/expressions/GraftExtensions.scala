@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftMd5Long(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_md5prefix"),
+      new ExpressionInfo(classOf[GraftMd5Prefix].getName, "graft_md5prefix"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_md5prefix takes exactly 2 arguments (str, hexChars)")
+        GraftMd5Prefix(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashAgg].getName, "graft_minhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

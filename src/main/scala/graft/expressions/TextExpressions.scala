@@ -223,7 +223,7 @@ case class GraftMd5Long(child: Expression)
 }
 
 object GraftMd5Long {
-  private val digests =
+  private[expressions] val digests =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
@@ -240,5 +240,72 @@ object GraftMd5Long {
     val lo = ((b(4) & 0xFFL) << 24) | ((b(5) & 0xFFL) << 16) |
       ((b(6) & 0xFFL) << 8) | (b(7) & 0xFFL)
     (hi << 32) | lo
+  }
+}
+
+/** `graft_md5prefix(str, hexChars)` — the long value of the FIRST
+  * `hexChars` md5 hex characters, i.e. the native twin of
+  * `conv(substring(md5(s), 1, hexChars), 16, 10)` computed straight from
+  * the digest bytes: no hex string, no substring, no base-16 parse, and
+  * the MessageDigest is reused per thread (the built-in `md5` allocates
+  * one per row). This is the per-row kernel behind every md5-derived
+  * bucket/noise stream (`Sampling.stableBucket`, `Dsir.featureBucket`,
+  * Gumbel noise, DP noise) — per-TOKEN hot in the DSIR feature hasher.
+  * `hexChars` must be a foldable INT in [1, 15] (≤ 60 bits, so the value
+  * can never overflow a signed long and any BIGINT engine recomputes it
+  * exactly). `Md5PrefixExprSpec` pins equality against the composed
+  * built-ins. Null in ⇒ null out. */
+case class GraftMd5Prefix(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_md5prefix expects a STRING, got ${left.dataType.sql}")
+    else if (right.dataType != org.apache.spark.sql.types.IntegerType ||
+        !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_md5prefix expects a foldable INT hexChars")
+    else right.eval() match {
+      case n: java.lang.Integer if n >= 1 && n <= 15 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_md5prefix hexChars must be in [1, 15], got $other")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    GraftMd5Prefix.compute(s.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.expressions.GraftMd5Prefix.compute($s, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftMd5Prefix =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_md5prefix"
+}
+
+object GraftMd5Prefix {
+  def compute(s: UTF8String, hexChars: Int): Long = {
+    val md = GraftMd5Long.digests.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    // nibble i of the digest IS hex char i (high nibble first)
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val byte = b(i >> 1) & 0xFF
+      v = (v << 4) | (if ((i & 1) == 0) byte >>> 4 else byte & 0xF)
+      i += 1
+    }
+    v
   }
 }

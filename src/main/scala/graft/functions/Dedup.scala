@@ -80,6 +80,17 @@ object Dedup {
     def saltConsts(i: Int): (Long, Long) =
       (((2654435761L * (i + 1)) & 0xFFFFFFFL) | 1L,
         (40503L * (i + 7)) & 0xFFFFFFFL)
+
+    /** Long value of the first `hexChars` md5 hex chars — the native
+      * (digest-bytes, per-thread MessageDigest) twin of
+      * `conv(substring(md5(s), 1, hexChars), 16, 10)`, value-pinned by
+      * `Md5PrefixExprSpec`. hexChars ≤ 15 keeps every value in 60 bits:
+      * non-negative, BIGINT-exact in any oracle engine. This is the one
+      * entry point for every md5-derived bucket/noise/sample stream
+      * (stableBucket, DSIR features, Gumbel/DP noise) — the SQL twins
+      * keep spelling the substring form. */
+    def prefixLong(s: Column, hexChars: Int): Column =
+      call_function("graft_md5prefix", s, lit(hexChars))
   }
 
   /** Per-call-site cache slots for candidate-index frames, each released
@@ -353,16 +364,18 @@ object Dedup {
 
   /** MinHash signatures (id, sig:array<long> of length k) for a corpus.
     *
-    * Formulated as explode → hash-once → 64 codegen'd min-aggregates, NOT as
-    * nested array higher-order functions: HOFs evaluate interpreted (outside
-    * whole-stage codegen) and Catalyst does not share the inner
-    * hash-every-shingle subexpression across the k derivations, so the HOF
-    * version re-hashes every shingle string k times. Here each shingle is
-    * xxhash64'd once, the k functions re-hash that long with the function
-    * index as salt (`xxhash64(h, i)` — ANSI mode forbids the classic
-    * wrapping `a*h+b` family), and map-side partial aggregation collapses
-    * to one row per doc per partition before the shuffle — the shape that
-    * survives a 100 TB corpus.
+    * Formulated as explode → hash-once → ONE imperative native aggregate
+    * (`graft_minhash`, [[graft.expressions.MinhashAgg]]): each shingle is
+    * hashed once, and the aggregate's compiled update loop applies all k
+    * salt functions to that long into a single `long[k]` buffer — partial
+    * (map-side) aggregation collapses to one 8 KB blob per doc per
+    * partition before the shuffle, the shape that survives a 100 TB
+    * corpus. The salt families are XxHasher's `xxhash64(h, i)` and
+    * Md5Hasher's LCG `(a_i·h32 + b_i) mod (2³¹−1)` — both reproduced
+    * bit-identically inside the aggregate (shared `saltConsts`, Spark's
+    * own XXH64 statics) and pinned by `MinhashAggSpec` against
+    * [[minhashSignaturesComposed]], the k-min-columns frame form kept
+    * below as the executable spec.
     *
     * Docs with empty shingle sets produce no row (explode drops them). */
   def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: String,
@@ -1070,17 +1083,20 @@ object Dedup {
       val minOf = nbrs.groupBy(col("u"))
         .agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("m"))
-      // dedup as a per-node set aggregate, not `.distinct()` (the
-      // NN-descent round rewrite): same edge set, but the frame comes
-      // out hash-partitioned by the NEW u — exactly the key the
-      // small-star aggregate and join below group on, so neither needs
-      // an exchange of its own
+      // dedup via repartition(u) + dropDuplicates(u, v), NOT a per-node
+      // collect_set: HashPartitioning(u) satisfies the (u, v) clustered
+      // distribution, so the dedup aggregate plans EXCHANGE-FREE on top
+      // of the repartition and stays hash-partitioned by the NEW u —
+      // exactly the key the small-star aggregate and join below group
+      // on. Unlike collect_set (one in-memory array per node, bounded
+      // only by degree — an OOM magnet on a power-law hub at scale),
+      // the (u, v)-keyed hash aggregate spills.
       val large = nbrs.filter(col("v") > col("u"))
         .join(minOf, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .groupBy(col("u")).agg(collect_set(col("v")).as("_vs"))
-        .select(col("u"), explode(col("_vs")).as("v"))
+        .repartition(col("u"))
+        .dropDuplicates("u", "v")
       // small-star: every neighbor SMALLER than u (all of them, after
       // the large-star orientation) links to u's minimum, and u links
       // there too — both emissions from ONE join via a 2-element

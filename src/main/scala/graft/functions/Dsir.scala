@@ -44,10 +44,12 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Stable feature bucket in [0, buckets): md5-hex prefix mod n.
-    * SQL twin: `('0x' || substring(md5(g), 1, 8))::BIGINT % n`. */
+    * SQL twin: `('0x' || substring(md5(g), 1, 8))::BIGINT % n`.
+    * Runs per TOKEN and per BIGRAM — the hottest md5 stream in the
+    * suite, so it rides the native digest-bytes kernel
+    * (`graft_md5prefix`, value-pinned by `Md5PrefixExprSpec`). */
   def featureBucket(feat: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(feat), 1, 8), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(Dedup.Md5Hasher.prefixLong(feat, 8), lit(buckets.toLong))
 
   /** Hashed unigram + bigram feature buckets of a MATERIALIZED token
     * array column (HOF lambdas re-evaluate outer expressions per
@@ -109,8 +111,8 @@ object Dsir {
     * the salt family, the fingerprints). 13 hex chars = 52 bits, so the
     * conv can never overflow a long and u is exact in a double. */
   def gumbelNoise(id: Column): Column = {
-    val u = (conv(substring(
-      md5(concat(lit("gumbel:"), id.cast("string"))), 1, 13), 16, 10)
+    val u = (Dedup.Md5Hasher.prefixLong(
+      concat(lit("gumbel:"), id.cast("string")), 13)
       .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
     -log(-log(u))
   }

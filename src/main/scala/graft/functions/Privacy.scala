@@ -203,7 +203,7 @@ object Privacy {
     val key = concat(
       keyCols.flatMap(c => Seq(col(c).cast("string"), lit("\u0001"))) :+
         lit(salt): _*)
-    val u = conv(substring(md5(key), 1, 12), 16, 10).cast("long")
+    val u = Dedup.Md5Hasher.prefixLong(key, 12)
     val noise = table.init
       .foldLeft(Option.empty[Column]) { case (acc, (t, j)) =>
         Some(acc.fold(when(u < t, j))(_.when(u < t, j)))

@@ -76,39 +76,40 @@ object Profile {
     import spark.implicits._
     val v = col(valueCol).cast("long")
     val base = bisectBase(df.select(v.as("_v")).filter(col("_v").isNotNull))
-    val head = base.agg(count(lit(1)), min(col("_v")), max(col("_v")))
-      .collect()(0)
-    val n = head.getLong(0)
-    if (n == 0) {
-      base.unpersist(false)
-      return Seq.empty[(Long, Long, Long)].toDF("q_ppm", "k", "value")
-    }
-    val ks = qsPpm.map(q => kOf(q, n))
-    val lo = Array.fill(qsPpm.size)(head.getLong(1))
-    val hi = Array.fill(qsPpm.size)(head.getLong(2))
-    while (lo.indices.exists(i => lo(i) < hi(i))) {
-      val open = lo.indices.filter(i => lo(i) < hi(i))
-      // MULTI-WAY search: Fanout−1 evenly-spaced probes per open bracket
-      // in ONE scan — rounds drop from log₂ range to log_Fanout range
-      // (~10 instead of ~39 for a µ-money domain); counters stay trivial
-      val probes = open.map(i => probePoints(lo(i), hi(i)))
-      val flat = probes.flatten
-      val counts = base.agg(
-          count(when(col("_v") <= flat.head, 1)),
-          flat.tail.map(p => count(when(col("_v") <= p, 1))): _*)
+    // try/finally (not a tail unpersist): an exception mid-bisection
+    // would otherwise leak the persisted base for the session lifetime
+    try {
+      val head = base.agg(count(lit(1)), min(col("_v")), max(col("_v")))
         .collect()(0)
-      var off = 0
-      open.zip(probes).foreach { case (i, ps) =>
-        // smallest probe whose rank reaches k bounds the order statistic
-        val cs = ps.indices.map(j => counts.getLong(off + j))
-        off += ps.length
-        narrow(lo, hi, i, ps, cs, ks(i))
+      val n = head.getLong(0)
+      if (n == 0)
+        return Seq.empty[(Long, Long, Long)].toDF("q_ppm", "k", "value")
+      val ks = qsPpm.map(q => kOf(q, n))
+      val lo = Array.fill(qsPpm.size)(head.getLong(1))
+      val hi = Array.fill(qsPpm.size)(head.getLong(2))
+      while (lo.indices.exists(i => lo(i) < hi(i))) {
+        val open = lo.indices.filter(i => lo(i) < hi(i))
+        // MULTI-WAY search: Fanout−1 evenly-spaced probes per open bracket
+        // in ONE scan — rounds drop from log₂ range to log_Fanout range
+        // (~10 instead of ~39 for a µ-money domain); counters stay trivial
+        val probes = open.map(i => probePoints(lo(i), hi(i)))
+        val flat = probes.flatten
+        val counts = base.agg(
+            count(when(col("_v") <= flat.head, 1)),
+            flat.tail.map(p => count(when(col("_v") <= p, 1))): _*)
+          .collect()(0)
+        var off = 0
+        open.zip(probes).foreach { case (i, ps) =>
+          // smallest probe whose rank reaches k bounds the order statistic
+          val cs = ps.indices.map(j => counts.getLong(off + j))
+          off += ps.length
+          narrow(lo, hi, i, ps, cs, ks(i))
+        }
       }
-    }
-    base.unpersist(false)
-    qsPpm.indices.map(i => (qsPpm(i), ks(i), lo(i)))
-      .toDF("q_ppm", "k", "value")
-      .orderBy(col("q_ppm"))
+      qsPpm.indices.map(i => (qsPpm(i), ks(i), lo(i)))
+        .toDF("q_ppm", "k", "value")
+        .orderBy(col("q_ppm"))
+    } finally base.unpersist(false)
   }
 
   /** Shared bisect-base prep: persist the narrow projection so the
@@ -245,6 +246,7 @@ object Profile {
       df.select(col(groupCol).cast("string").as("_g"),
           col(valueCol).cast("long").as("_v"))
         .filter(col("_g").isNotNull && col("_v").isNotNull))
+    try {
     val heads = base.groupBy(col("_g"))
       .agg(count(lit(1)), min(col("_v")), max(col("_v")))
       .collect()
@@ -278,10 +280,10 @@ object Profile {
         }
       }
     }
-    base.unpersist(false)
     brackets.map(b => (b.g, b.qPpm, b.k, b.lo))
       .toDF(groupCol, "q_ppm", "k", "value")
       .orderBy(col(groupCol), col("q_ppm"))
+    } finally base.unpersist(false)
   }
 
   /** POPULATION STABILITY INDEX terms between two tagged populations —

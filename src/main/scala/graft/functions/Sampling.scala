@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Stable bucket in [0, buckets): `conv(md5(key)[0,8), 16, 10) mod n`.
-    * SQL twin: `('0x' || substring(md5(key), 1, 8))::BIGINT % n`. */
+    * SQL twin: `('0x' || substring(md5(key), 1, 8))::BIGINT % n`.
+    * Native md5-prefix kernel (one digest, no hex/substring/parse per
+    * row) — value-identical to the twin by `Md5PrefixExprSpec`. */
   def stableBucket(key: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+    pmod(Dedup.Md5Hasher.prefixLong(key.cast("string"), 8),
       lit(buckets.toLong))
 
   /** Keep ~pct% of rows, deterministically by key. */
@@ -536,8 +538,7 @@ object Sampling {
   def weightedSample(docs: DataFrame, idCol: String, weight: Column,
                      k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val h48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
-      .cast("long")
+    val h48 = Dedup.Md5Hasher.prefixLong(col(idCol).cast("string"), 12)
     val key = log((h48.cast("double") + 0.5) / lit(4294967296.0 * 65536.0)) /
       weight.cast("double")
     docs
@@ -568,8 +569,9 @@ object Sampling {
     val a = anchors.select(col(anchorId).as("anchor_id"),
       col(anchorKey).as("_ak"))
     val c = corpus.select(col(corpusId).as("_cid"), col(corpusKey).as("_ck"))
-    val h48 = conv(substring(md5(concat(col("anchor_id").cast("string"),
-      lit(":"), col("_cid").cast("string"))), 1, 12), 16, 10).cast("long")
+    val h48 = Dedup.Md5Hasher.prefixLong(
+      concat(col("anchor_id").cast("string"), lit(":"),
+        col("_cid").cast("string")), 12)
     val cand = c.join(broadcast(a),
         col("_cid") =!= col("anchor_id") && col("_ck") =!= col("_ak"))
       .withColumn("sim", -h48.cast("double")) // top-k DESC = smallest hash

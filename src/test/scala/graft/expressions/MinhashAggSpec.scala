@@ -31,6 +31,23 @@ class MinhashAggSpec extends SparkSpec {
     j.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2)))
   }
 
+  test("all-null-hash group: documented divergence from the frame form") {
+    // CHOSEN SEMANTICS: a group whose hash inputs are all NULL returns a
+    // Long.MaxValue-filled signature (the aggregate's identity buffer),
+    // where the composed frame form (min() per function) would return
+    // NULL entries. Currently unreachable from every call site — hashes
+    // derive from exploded non-null shingles — but pinned here so the
+    // divergence is a recorded decision, not a latent surprise.
+    val df = Seq((1L, Option.empty[Long]), (1L, Option.empty[Long]))
+      .toDF("id", "h")
+    val r = df.groupBy(col("id"))
+      .agg(call_function("graft_minhash", col("h"), lit(4), lit(false))
+        .as("sig"))
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getSeq[Long](1) === Seq.fill(4)(Long.MaxValue))
+  }
+
   test("xxhash family: native agg equals the frame form") {
     val nat = Dedup.minhashSignatures(corpus, "id", "sh", 16, Dedup.XxHasher)
     val hof = Dedup.minhashSignaturesComposed(corpus, "id", "sh", 16,
