@@ -1018,13 +1018,21 @@ object Similarity {
     def windowLinks(bucketCol: String): DataFrame = {
       val wBucket = Window.partitionBy(col(bucketCol))
         .orderBy(Dedup.Md5Hasher(col("_nid").cast("string")), col("_nid"))
-      val ord = b.select(col(bucketCol), col("_nid"))
-        .withColumn("_rn", row_number().over(wBucket))
-      ord
-        .join(ord.select(col(bucketCol), col("_rn").as("_rn2"),
-          col("_nid").as("_nid2")), Seq(bucketCol))
-        .filter((col("_rn2") - col("_rn")).between(1, initWindow))
-        .select(col("_nid").as("node"), col("_nid2").as("nbr"))
+      // pair row i with rows i+1 … i+initWindow of its bucket via lead()
+      // over ONE window: the former self-join on the ≤ 2^bits bucket key
+      // materialized |bucket|² intermediate rows per bucket — quadratic
+      // in corpus size — before the rank-distance filter dropped all but
+      // the (rn2 − rn) ∈ [1, initWindow] band; lead() emits exactly that
+      // band and nothing else (nulls past the partition end filtered).
+      // Leads materialize in their own projection — a window expression
+      // may not live inside the generator.
+      b.select(col(bucketCol) +: col("_nid") +:
+          (1 to initWindow).map(d =>
+            lead(col("_nid"), d).over(wBucket).as(s"_l$d")): _*)
+        .select(col("_nid").as("node"),
+          explode(array((1 to initWindow).map(d => col(s"_l$d")): _*))
+            .as("nbr"))
+        .filter(col("nbr").isNotNull)
     }
     val fwd = windowLinks("_bucket").unionByName(windowLinks("_bucket2"))
     val initPairs = dedupByNode(fwd
@@ -1231,15 +1239,20 @@ object Similarity {
     def windowLinks(bucketCol: String): DataFrame = {
       val wBucket = Window.partitionBy(col(bucketCol))
         .orderBy(Dedup.Md5Hasher(col("_nid").cast("string")), col("_nid"))
-      val ord = b.select(col(bucketCol), col("_nid"), col("_isnew"))
-        .withColumn("_rn", row_number().over(wBucket))
-      ord
-        .join(ord.select(col(bucketCol), col("_rn").as("_rn2"),
-          col("_nid").as("_nid2"), col("_isnew").as("_isnew2")),
-          Seq(bucketCol))
-        .filter((col("_rn2") - col("_rn")).between(1, initWindow) &&
-          (col("_isnew") || col("_isnew2")))
-        .select(col("_nid").as("node"), col("_nid2").as("nbr"))
+      // same lead()-band emission as the rebuild (the links must be
+      // IDENTICAL to nnDescentGraph's — only the is-new screen differs);
+      // the struct lead carries the later row's _isnew for the screen,
+      // and leads materialize before the generator (window-in-explode is
+      // rejected at analysis)
+      b.select(col(bucketCol) +: col("_nid") +: col("_isnew") +:
+          (1 to initWindow).map(d =>
+            lead(struct(col("_nid").as("n"), col("_isnew").as("i")), d)
+              .over(wBucket).as(s"_l$d")): _*)
+        .select(col("_nid"), col("_isnew"),
+          explode(array((1 to initWindow).map(d => col(s"_l$d")): _*))
+            .as("_nb"))
+        .filter(col("_nb").isNotNull && (col("_isnew") || col("_nb.i")))
+        .select(col("_nid").as("node"), col("_nb.n").as("nbr"))
     }
     val fwd = windowLinks("_bucket").unionByName(windowLinks("_bucket2"))
     val seed = dedupByNode(fwd
@@ -1247,6 +1260,12 @@ object Similarity {
 
     val gOld = graph.select(col("node_id").as("node"),
       col("neighbor_id").as("nbr"), col("sim"), col("rank"))
+    // NOTE (r15): an A/B replacing these eager truncates with lazy
+    // persists (hoping to drop the dedicated checkpoint job per round)
+    // measured ann_graph_delete 10.5 → 25.3 s — the ExistingRDD the
+    // checkpoint leaves behind is what lets the splice's semi/anti
+    // joins against the tiny ball BROADCAST; a lazy cached subtree
+    // plans as a full join before any size is known. Truncation stays.
     var affected = Frames.truncate(seed.select(col("node")).distinct())
     // splice the ball: in-ball nodes rank over (new candidates ∪ their
     // existing edges), RESCORED — the stored graph carries round-6 sims,
