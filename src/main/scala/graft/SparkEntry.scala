@@ -154,9 +154,13 @@ object SparkEntry {
 
   /** documents → (doc_id, source, feats): hashed unigram+bigram buckets
     * for the DSIR queries. Tokens materialize in their own projection
-    * first — HOF lambdas re-evaluate outer-scope expressions per element. */
+    * first — HOF lambdas re-evaluate outer-scope expressions per element.
+    * Plain scan, not tFan: once the feature hash went native
+    * (graft_md5prefix), the per-row kernel no longer paid for the fan
+    * exchange — the r15 57-query fan A/B read all three DSIR consumers
+    * 0.66–0.74× fanned. */
   private def dsirFeats(s: SparkSession, dir: String): DataFrame =
-    tFan(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextFunctions.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("source"),
@@ -1677,7 +1681,7 @@ object SparkEntry {
     // mode = Md5Hasher (same cross-engine trick as dedup_minhash_lsh);
     // prod default is xxhash64
     "dedup_substring" -> ((s, dir) =>
-      Dedup.substringDupReport(tFan(s, dir, "documents"), "doc_id", "text",
+      Dedup.substringDupReport(t(s, dir, "documents"), "doc_id", "text", // fan A/B: 0.58x fanned
         n = 5, hasher = Dedup.Md5Hasher)),
 
     // paragraph-level near-dup, the middle granularity: blank-line blocks
@@ -2076,8 +2080,8 @@ object SparkEntry {
     // flip one doc, verification against the published root fails — is
     // pinned in MerkleSpec)
     "corpus_merkle_proof" -> ((s, dir) =>
-      Merkle.proofs(
-          Merkle.shardLeaves(tFan(s, dir, "documents"), "doc_id", "text",
+      Merkle.proofs( // fan A/B: 0.61x fanned
+          Merkle.shardLeaves(t(s, dir, "documents"), "doc_id", "text",
             "source"), "source")
         .orderBy("source", "shard")),
 
@@ -2089,7 +2093,7 @@ object SparkEntry {
     // remaining corpus (all ok). Per-source verdict counts; the oracle
     // replays both Merkle chains
     "corpus_merkle_delete" -> ((s, dir) => {
-      val docs = tFan(s, dir, "documents")
+      val docs = t(s, dir, "documents") // fan A/B: 0.56x fanned
       val bucket = Sampling.stableBucket(col("doc_id"))
       val oldRoots = Merkle.roots(docs, "doc_id", "text", "source")
         .select(col("source"), col("merkle_root").as("root"))
@@ -2937,7 +2941,7 @@ object SparkEntry {
     // each non-train doc's distinct 5-gram shingles that appear in ANY
     // train doc, under the same deterministic split as corpus_split
     "corpus_contamination" -> ((s, dir) => {
-      val docs = tFan(s, dir, "documents").select(col("doc_id"),
+      val docs = t(s, dir, "documents").select(col("doc_id"), // fan A/B: 0.66x fanned
         Sampling.splitLabel(col("doc_id")).as("split"),
         TextFunctions.wordShingles(col("text"), 5).as("sh"))
       Sampling.contaminationReport(docs, "doc_id", "sh", "split")
@@ -3420,7 +3424,7 @@ object SparkEntry {
     // window math are independent formulations of the same semantics
     "bpe_train_merges" -> ((s, dir) => {
       import s.implicits._
-      val words = Bpe.wordCounts(tFan(s, dir, "documents"), col("text"))
+      val words = Bpe.wordCounts(t(s, dir, "documents"), col("text")) // fan A/B: 0.63x fanned
       Bpe.trainStats(words, "word", "freq", numMerges = 4, minCount = 2L)
         .toDF("step", "l", "r", "cnt")
         .select(col("step").cast("long").as("step"), col("l"), col("r"),
@@ -3448,7 +3452,7 @@ object SparkEntry {
     // run over the 100 highest-frequency words — per word the encoded
     // symbol string and symbol count (fertility of the 4-merge vocab)
     "bpe_encode_sample" -> ((s, dir) => {
-      val words = Bpe.wordCounts(tFan(s, dir, "documents"), col("text"))
+      val words = Bpe.wordCounts(t(s, dir, "documents"), col("text")) // fan A/B: 0.53x fanned
       val merges = Bpe.train(words, "word", "freq", numMerges = 4)
       words
         .withColumn("sym", Bpe.encode(col("word"), merges))
@@ -3759,7 +3763,7 @@ object SparkEntry {
     // fastText-style classifiers production filters use; add-1 smoothing,
     // DECIMAL log-sums, argmax with best-minus-second margin
     "corpus_nb_lang" -> ((s, dir) =>
-      NaiveBayes.classify(tFan(s, dir, "documents"), "doc_id", "text",
+      NaiveBayes.classify(t(s, dir, "documents"), "doc_id", "text", // fan A/B: 0.46x fanned
         "lang", trainPct = 80, alpha = 1.0)),
 
     // per-language inspection examples: first 3 docs per lang in stable-
@@ -4126,9 +4130,9 @@ object SparkEntry {
       import s.implicits._
       val qs = Seq((0L, "spark join"), (1L, "table scan fast"),
         (2L, "window batch agg")).toDF("qid", "qtext")
-      val ranked = Bm25.topK(tFan(s, dir, "documents"), "doc_id", "text",
+      val ranked = Bm25.topK(t(s, dir, "documents"), "doc_id", "text", // fan A/B: 0.61x fanned
         qs, "qid", "qtext", k = 10)
-      val rels = tFan(s, dir, "documents").select(col("doc_id"))
+      val rels = t(s, dir, "documents").select(col("doc_id"))
         .filter(col("doc_id") < ndcgPoolMax)
         .crossJoin(broadcast(qs.select(col("qid").as("query_id"))))
         .select(col("query_id"), col("doc_id"),
@@ -4573,7 +4577,7 @@ object SparkEntry {
     // the 80% train split, scores for the rest — the backoff leg really
     // fires on unseen bigrams
     "text_backoff_heldout" -> ((s, dir) => {
-      val docs = tFan(s, dir, "documents")
+      val docs = t(s, dir, "documents") // fan A/B: 0.63x fanned
       val train = docs
         .filter(Sampling.stableBucket(col("doc_id")) < 80)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
